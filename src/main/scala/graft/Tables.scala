@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.Column
+
+/** Parquet table loaders for the driver testdata (TESTDATA.md) plus
+  * shared expression helpers used across the query packs.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Scan one testdata table. Plain parquet scan — Catalyst handles
+    * column pruning + predicate pushdown from whatever is layered on top.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and convert with integer division
+    * (double division would lose precision above 2^53 epoch-nanos).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+/** Cross-engine exact arithmetic.
+  *
+  * Double summation is order-dependent, and Spark's shuffle order differs
+  * from DuckDB's — so a naive `sum(double)` can differ in the last bits
+  * and fail the driver's hash compare. Casting to Decimal BEFORE the
+  * aggregate makes the sum exact (order-independent); casting the final
+  * result back to Double lands on the identical IEEE value in both
+  * engines. Mirror each helper in the oracle SQL:
+  *   dsum  -> CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+  *   dsumExpr(s=10) -> CAST(SUM(CAST(expr AS DECIMAL(28,10))) AS DOUBLE)
+  *   davg  -> CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x)
+  */
+object Exact {
+  /** Exact sum of a 2-decimal monetary/quantity column, as Double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** 2-decimal money column as exact decimal (input data sits on a
+    * 2-decimal grid, so the cast is unambiguous in both engines).
+    * Mirror: CAST(x AS DECIMAL(12,2)).
+    */
+  def money2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** 2-decimal rate factor, e.g. (1 - l_discount).
+    * Mirror: CAST(1.0 - l_discount AS DECIMAL(4,2)).
+    */
+  def rate2(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Exact average: exact decimal sum, then one double division. */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(c)).cast(DoubleType)
+
+  /** COUNT(*) with a BIGINT result (matches DuckDB COUNT). */
+  def cnt: Column = count(lit(1)).cast(LongType)
+}

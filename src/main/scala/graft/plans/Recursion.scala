@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Iterative UNION ALL fixpoint — the Spark-side replacement for
+  * Postgres `WITH RECURSIVE` (reference: sql/gold/materialized_view.sql:127-149,
+  * the delayed-orders chain). Spark SQL has no recursive CTE, so the
+  * recursion becomes a driver loop: seed, then repeatedly apply `step`
+  * to the previous frontier and union, until the frontier is empty or
+  * the level cap trips.
+  *
+  * Scale notes (100 TB): each level is a full distributed join — only the
+  * loop control lives on the driver, never row data. `localCheckpoint`
+  * truncates lineage each level so plans don't grow exponentially; on a
+  * real cluster use reliable `checkpoint` instead for fault tolerance.
+  * The equi conjunct of the step join should stay the join key so each
+  * level is a hash join (theta conjuncts become post-join filters).
+  */
+object Recursion {
+  def iterate(seed: DataFrame, step: DataFrame => DataFrame,
+              maxLevels: Int): DataFrame = {
+    var frontier = seed.localCheckpoint()
+    var acc = frontier
+    var level = 1
+    while (level < maxLevels && !frontier.isEmpty) {
+      frontier = step(frontier).localCheckpoint()
+      acc = acc.unionAll(frontier)
+      level += 1
+    }
+    acc
+  }
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.Exact._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregations — SURVEY.md §2.4 (A1-A10). All monetary sums go through
+  * Exact.dsum (decimal-cast) so partial/final hash-agg order can't change
+  * the result vs the DuckDB oracle. Map-side partial aggregation is
+  * automatic for all of these.
+  */
+object AggQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // A1: TPC-H Q1-style pricing summary (hash group-by + multiple SUMs,
+    // derived-expression sums, COUNT).
+    // Ref: sql/gold/materialized_view.sql:2-12
+    "q_agg_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          // exact decimal products: the inputs sit on a 2-decimal grid, so
+          // money2/rate2 casts are unambiguous and the multiply is exact
+          sum(money2(col("l_extendedprice")) * rate2(lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          sum(money2(col("l_extendedprice")) * rate2(lit(1.0) - col("l_discount"))
+            * rate2(lit(1.0) + col("l_tax"))).cast(DoubleType).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          cnt.as("count_order"))
+    }),
+
+    // A2: group-by-sum at customer grain (monthly sales per customer analog).
+    // Ref: materialized_view.sql:16-25
+    "q_agg_customer_sales" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(dsum(col("o_totalprice")).as("total_sales"),
+          cnt.as("n_orders"))
+    }),
+
+    // A3: SUM + COUNT(DISTINCT) (customer-lifetime-value shape).
+    // Ref: materialized_view.sql:29-38
+    "q_agg_count_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          dsum(col("o_totalprice")).as("total_sales"),
+          countDistinct(col("o_custkey")).cast(LongType).as("n_customers"),
+          cnt.as("n_orders"))
+    }),
+
+    // A4: MIN/MAX + churn flag against a pinned reference date
+    // (current_date made deterministic — SURVEY §7.4.3).
+    // Ref: materialized_view.sql:80-91
+    "q_agg_churn" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(col("o_orderdate")).cast(DateType).as("first_order"),
+          max(col("o_orderdate")).cast(DateType).as("last_order"))
+        .withColumn("is_churned",
+          col("last_order") < add_months(lit("1998-12-01").cast(DateType), -6))
+    }),
+
+    // A6: ROLLUP grouping sets over region/nation.
+    // Ref: materialized_view.sql:113-122
+    "q_agg_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("c_acctbal")).as("total_acctbal"), cnt.as("n_cust"))
+    }),
+
+    // A7: HAVING-style duplicate detector (multi-order days per customer).
+    // Ref: Methods_crm_cust_info.sql:4-9
+    "q_agg_having_dups" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate").cast(DateType).as("order_day"))
+        .agg(cnt.as("n_orders"))
+        .where(col("n_orders") > 1)
+    }),
+
+    // A8: count-minus-distinct duplicate stats over normalized keys.
+    // Ref: scripts/validate_row.py:172-173,413-419
+    "q_agg_dup_stats" -> ((s, dir) => {
+      val norm = coalesce(nullif(lower(trim(col("text"))), lit("")), lit("<NULL>"))
+      t(s, dir, "documents").agg(
+        cnt.as("n_rows"),
+        countDistinct(norm).cast(LongType).as("n_distinct"),
+        (cnt - countDistinct(norm).cast(LongType)).as("n_dups"))
+    }),
+
+    // A9: single-pass per-column null/blank profile (replaces the
+    // reference's N+1 separate scans with one aggregate — SURVEY §4).
+    // Ref: scripts/validate_row.py:404-411
+    "q_agg_null_profile" -> ((s, dir) => {
+      def nulls(c: String) =
+        sum(when(col(c).isNull || trim(col(c).cast(StringType)) === "", 1)
+          .otherwise(0)).cast(LongType)
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          nulls("text").as("text_blank"),
+          nulls("lang").as("lang_blank"),
+          cnt.as("n_rows"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+                COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_agg_customer_sales" ->
+      """SELECT c_mktsegment, c_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+                COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, c_custkey""",
+    "q_agg_count_distinct" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                COUNT(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority""",
+    "q_agg_churn" ->
+      """SELECT o_custkey,
+                CAST(MIN(o_orderdate) AS DATE) AS first_order,
+                CAST(MAX(o_orderdate) AS DATE) AS last_order,
+                CAST(MAX(o_orderdate) AS DATE) < (DATE '1998-12-01' - INTERVAL 6 MONTH)
+                  AS is_churned
+         FROM orders GROUP BY o_custkey""",
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+                COUNT(*) AS n_cust
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "q_agg_having_dups" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS n_orders
+         FROM orders
+         GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+         HAVING COUNT(*) > 1""",
+    "q_agg_dup_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+                CAST(COUNT(DISTINCT COALESCE(NULLIF(LOWER(TRIM(text)), ''), '<NULL>')) AS BIGINT) AS n_distinct,
+                COUNT(*) - CAST(COUNT(DISTINCT COALESCE(NULLIF(LOWER(TRIM(text)), ''), '<NULL>')) AS BIGINT) AS n_dups
+         FROM documents""",
+    "q_agg_null_profile" ->
+      """SELECT source,
+                CAST(SUM(CASE WHEN text IS NULL OR TRIM(CAST(text AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS text_blank,
+                CAST(SUM(CASE WHEN lang IS NULL OR TRIM(CAST(lang AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS lang_blank,
+                COUNT(*) AS n_rows
+         FROM documents GROUP BY source""")
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.Exact._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scans, projections, filters, joins, set ops and scalar functions —
+  * SURVEY.md §2.1/§2.2/§2.3/§2.7/§2.8, re-expressed over the driver
+  * testdata. Every query is a declarative DataFrame chain so Catalyst
+  * pushes filters/projections into the parquet scan and picks
+  * broadcast-hash for the small dimension sides.
+  */
+object CoreQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // S4/S9 + P4-style pruned scan: projection + predicates reach the
+    // parquet reader (PushedFilters + 3-column ReadSchema).
+    // Ref: scripts/load_to_bronze.py:570-576, tools.load_crm_cust_info_v1.sql:108-111
+    "q_scan_pruned" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    }),
+
+    // P1/P2/P3: mapping-driven projection+rename, "smart id-cast"
+    // (round(double)->bigint), literal batch column.
+    // Ref: scripts/load_to_bronze.py:527-560 (P1), 246-262 (P2), 559 (P3)
+    "q_mapping_projection" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        round(col("c_custkey").cast(DoubleType)).cast(LongType).as("customer_id"),
+        trim(col("c_name")).as("customer_name"),
+        upper(col("c_mktsegment")).as("segment"),
+        lit("BATCH000001").as("dwh_batch_id"))
+    }),
+
+    // J1/J2: left-outer dim-enrichment joins (customer -> nation -> region).
+    // nation/region are tiny -> Catalyst broadcasts automatically.
+    // Ref: tools.load_dim_customers_v1.sql:77-84, tools.load_dim_products_v1.sql:76-79
+    "q_join_enrich" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          col("n_name").as("nation"), col("r_name").as("region"))
+    }),
+
+    // J3: surrogate-key lookup join with unknown-member fallback (-1).
+    // Ref: tools.load_fact_sales_v1.sql:63-81
+    "q_surrogate_lookup" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .where(col("c_acctbal") > 0)
+        .select(col("c_custkey"))
+      t(s, dir, "orders")
+        .join(dim, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("c_custkey"), lit(-1L)).as("customer_key"),
+          col("o_totalprice"))
+    }),
+
+    // J6: anti join — parts never shipped in bulk (quantity > 49).
+    // Ref: Methods_crm_sales_details.sql:84-88 (NOT IN referential check)
+    "q_anti_join" -> ((s, dir) => {
+      val bulk = t(s, dir, "lineitem")
+        .where(col("l_quantity") > 49).select(col("l_partkey"))
+      t(s, dir, "part")
+        .join(bulk, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    // Semi join — suppliers with at least one high-value shipment.
+    "q_semi_join" -> ((s, dir) => {
+      val hot = t(s, dir, "lineitem")
+        .where(col("l_extendedprice") > 90000).select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // U1: UNION ALL of two tagged slices.
+    // Ref: sql/gold/materialized_view.sql:137
+    "q_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), lit("high_value").as("src"))
+        .unionAll(
+          o.where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey"), lit("urgent").as("src")))
+    }),
+
+    // F7/F2/F4/F8: CASE-WHEN enum decode, UPPER/LOWER, SUBSTRING, COALESCE/NULLIF.
+    // Ref: tools.load_crm_cust_info_v1.sql:82-91, tools.load_erp_loc_a101_v1.sql:72-77
+    "q_case_decode" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(upper(trim(col("o_orderstatus"))) === "O", "Open")
+          .when(upper(trim(col("o_orderstatus"))) === "F", "Fulfilled")
+          .when(upper(trim(col("o_orderstatus"))) === "P", "Pending")
+          .otherwise("n/a").as("status_decoded"),
+        substring(col("o_orderpriority"), 1, 1).as("priority_code"),
+        coalesce(nullif(lower(col("o_orderpriority")), lit("")), lit("unknown"))
+          .as("priority_norm"))
+    }),
+
+    // F11-F15: date part extraction, month truncation, yyyyMMdd int
+    // round-trip, datediff against a pinned reference date (F12 is made
+    // deterministic by injecting the date — SURVEY §7.4.3).
+    // Ref: tools.load_crm_sales_details_v1.sql:81-95, materialized_view.sql:4
+    "q_date_functions" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"),
+        month(col("o_orderdate")).cast(LongType).as("o_month"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast(LongType).as("date_int"),
+        to_date(date_format(col("o_orderdate"), "yyyyMMdd"), "yyyyMMdd")
+          .as("roundtrip_date"),
+        datediff(lit("1998-12-01").cast(DateType), col("o_orderdate"))
+          .cast(LongType).as("days_to_ref"))
+    }),
+
+    // F16/F8/F9/F10: repair arithmetic — ABS, NULLIF div-by-zero guard, ROUND.
+    // Ref: tools.load_crm_sales_details_v1.sql:96-109
+    "q_repair_arithmetic" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        // plain double division is IEEE-identical across engines; ROUND on
+        // arbitrary doubles is NOT (string-repr vs binary rounding)
+        (abs(col("l_extendedprice")) / nullif(col("l_quantity"), lit(0.0)))
+          .cast(DoubleType).as("unit_price"),
+        when(col("l_extendedprice") <= 0,
+          col("l_quantity") * abs(col("l_extendedprice")))
+          .otherwise(col("l_extendedprice")).as("sales_repaired"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_pruned" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45""",
+    "q_mapping_projection" ->
+      """SELECT CAST(ROUND(CAST(c_custkey AS DOUBLE)) AS BIGINT) AS customer_id,
+                TRIM(c_name) AS customer_name,
+                UPPER(c_mktsegment) AS segment,
+                'BATCH000001' AS dwh_batch_id
+         FROM customer""",
+    "q_join_enrich" ->
+      """SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+         FROM customer
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey""",
+    "q_surrogate_lookup" ->
+      """SELECT o_orderkey, COALESCE(c.c_custkey, -1) AS customer_key, o_totalprice
+         FROM orders o
+         LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
+           ON o.o_custkey = c.c_custkey""",
+    "q_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_quantity > 49 AND l_partkey = p_partkey)""",
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_extendedprice > 90000 AND l_suppkey = s_suppkey)""",
+    "q_union_all" ->
+      """SELECT o_orderkey, 'high_value' AS src FROM orders WHERE o_totalprice > 400000
+         UNION ALL
+         SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "q_case_decode" ->
+      """SELECT o_orderkey,
+                CASE UPPER(TRIM(o_orderstatus))
+                  WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+                  WHEN 'P' THEN 'Pending' ELSE 'n/a' END AS status_decoded,
+                SUBSTRING(o_orderpriority, 1, 1) AS priority_code,
+                COALESCE(NULLIF(LOWER(o_orderpriority), ''), 'unknown') AS priority_norm
+         FROM orders""",
+    "q_date_functions" ->
+      """SELECT o_orderkey,
+                CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+                CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+                CAST(STRFTIME(o_orderdate, '%Y%m%d') AS BIGINT) AS date_int,
+                CAST(STRPTIME(STRFTIME(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE)
+                  AS roundtrip_date,
+                CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                  AS BIGINT) AS days_to_ref
+         FROM orders""",
+    "q_repair_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(ABS(l_extendedprice) / NULLIF(l_quantity, 0) AS DOUBLE)
+                  AS unit_price,
+                CASE WHEN l_extendedprice <= 0
+                     THEN l_quantity * ABS(l_extendedprice)
+                     ELSE l_extendedprice END AS sales_repaired
+         FROM lineitem""")
+}

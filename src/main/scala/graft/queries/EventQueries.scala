@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.Exact._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-table analytics: the batch-equivalent shapes of the streaming
+  * operators (tumbling windows, sessionization). The Structured
+  * Streaming counterparts live in graft.streaming; these batch versions
+  * give the oracle-checked semantics the streaming specs assert against.
+  */
+object EventQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling daily window per event type (streaming: groupBy(window($"ts","1 day"))).
+    "q_events_tumbling_daily" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(col("ts").cast(DateType).as("day"), col("event_type"))
+        .agg(cnt.as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).cast(LongType).as("n_users"))
+    }),
+
+    // Sessionization with a 30-minute inactivity gap — the batch analog of
+    // session windows: a new session starts when the gap from the previous
+    // event of the same user exceeds the timeout.
+    "q_events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      graft.Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(cnt.as("n_events"), dsum(col("value")).as("session_value"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_events_tumbling_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY CAST(ts AS DATE), event_type""",
+    "q_events_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, value,
+                  CASE WHEN prev_ts IS NULL
+                         OR ts > prev_ts + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_session,
+                  ts, event_id
+           FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ts FROM events)),
+         sessions AS (
+           SELECT user_id, value,
+                  SUM(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM marked)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM sessions GROUP BY user_id, session_seq""")
+}
