@@ -1,0 +1,291 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data text operators over `documents`: exact + fuzzy
+  * deduplication (MinHash-LSH, SimHash, n-gram Jaccard), text analysis
+  * (token stats, quality score, language-ID heuristic, fingerprinting).
+  *
+  * Hashing discipline: every hash is derived from md5 hex (identical in
+  * Spark and DuckDB), converted to BIGINT via the first 15 hex digits —
+  * never engine-native hash() (Spark murmur3 != DuckDB's hash).
+  *
+  * Scale notes (100 TB): the shingle explode keeps doc_id with each
+  * shingle so every stage is a shuffle on either doc_id or the shingle/
+  * band key — no driver-side state. Pairwise Jaccard is quadratic per
+  * shared shingle and exists as the verification baseline; MinHash-LSH
+  * is the scale path (candidates only from shared LSH bands).
+  */
+object TextQueries extends QueryPack {
+
+  /** md5-based 60-bit hash, bit-identical across engines.
+    * Mirror: CAST(CONCAT('0x', SUBSTRING(md5(x), 1, 15)) AS BIGINT).
+    */
+  private def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-gram shingles. Guarded: Spark sequence(1,0) counts DOWN, so
+    * short docs need an explicit empty-array branch (DuckDB range(1,1)
+    * is already empty).
+    */
+  private def shingles(c: Column, n: Int): Column = {
+    val w = words(c)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, n))))
+      .otherwise(array())
+  }
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      .distinct()
+
+  private val MinHashK = 8 // 8 hashes, 4 bands of 2 rows
+  private val SimHashBits = 32
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: canonical row per normalized-text group (md5 key).
+    // Generalizes A8 (validate_row.py:172-173) to content dedup.
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(lower(trim(col("text")))).as("text_key"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), cnt.as("n_copies"))
+    }),
+
+    // n-gram Jaccard near-dup pairs — exact quadratic baseline.
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingleTable(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(cnt.as("n"))
+      val l = sh.select(col("doc_id").as("doc_a"), col("s"))
+      val r = sh.select(col("doc_id").as("doc_b"), col("s").as("s_r"))
+      val inter = l.join(r, col("s") === col("s_r") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(cnt.as("n_common"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_common").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_common")))
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.8)
+    }),
+
+    // MinHash + LSH banding: the 100TB-scale near-dup path. k=8 md5-based
+    // min-hashes, 4 bands of 2 -> candidate pairs sharing any band.
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = shingleTable(s, dir)
+      val mins = sh.groupBy(col("doc_id")).agg(
+        (0 until MinHashK).map(i =>
+          min(h64(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
+      val bands = mins.select(col("doc_id"), explode(array(
+        (0 until MinHashK / 2).map(b =>
+          concat_ws("_", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*))
+        .as("band_key"))
+      val l = bands.select(col("doc_id").as("doc_a"), col("band_key"))
+      val r = bands.select(col("doc_id").as("doc_b"), col("band_key").as("bk_r"))
+      l.join(r, col("band_key") === col("bk_r") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }),
+
+    // SimHash document fingerprint (32-bit, token multiset, md5-based).
+    "q_dedup_simhash" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .withColumn("h", h64(col("w")))
+      val sums = tok.groupBy(col("doc_id")).agg(
+        (0 until SimHashBits).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"b$j")): _*)
+      val sim = (0 until SimHashBits).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      sums.select(col("doc_id"), sim.as("simhash"))
+    }),
+
+    // Token statistics: counts, type-token ratio, BPE-ish subword estimate.
+    "q_text_token_stats" -> ((s, dir) => {
+      val w = words(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(w).cast(LongType).as("n_tokens"),
+        size(array_distinct(w)).cast(LongType).as("n_distinct_tokens"),
+        (size(array_distinct(w)).cast(DoubleType) / size(w)).as("type_token_ratio"),
+        length(col("text")).cast(LongType).as("n_chars_obs"),
+        ceil(length(col("text")) / lit(4.0)).cast(LongType).as("est_bpe_tokens"))
+    }),
+
+    // Quality score: bounded token count, lexical diversity, stopword
+    // ratio, mean word length band — equal-weight average.
+    "q_text_quality" -> ((s, dir) => {
+      val w = words(col("text"))
+      val nTok = size(w).cast(DoubleType)
+      val stops = Seq("the", "a", "of", "and", "to", "in")
+      val nStop = size(filter(w, x => x.isin(stops.map(lit(_).expr).map(e =>
+        new Column(e)): _*))).cast(DoubleType)
+      val ttr = size(array_distinct(w)).cast(DoubleType) / size(w)
+      val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) / size(w)
+      val score = (least(nTok, lit(100.0)) / lit(100.0)
+        + ttr
+        + nStop / nTok
+        + when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)) / lit(4.0)
+      t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        nTok.cast(LongType).as("n_tokens"),
+        ttr.as("type_token_ratio"),
+        (nStop / nTok).as("stopword_ratio"),
+        meanWl.as("mean_word_len"),
+        score.as("quality_score"))
+    }),
+
+    // Language-ID n-gram heuristic: count distinctive function-word
+    // occurrences per language profile; argmax with fixed tie order.
+    "q_text_lang_id" -> ((s, dir) => {
+      def occ(pat: String): Column =
+        ((length(col("padded")) - length(regexp_replace(col("padded"),
+          java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast(LongType)
+      def profile(pats: Seq[String]): Column = pats.map(occ).reduce(_ + _)
+      val en = profile(Seq(" the ", " a ", " of "))
+      val de = profile(Seq(" der ", " und ", " die "))
+      val es = profile(Seq(" el ", " la ", " de "))
+      val fr = profile(Seq(" le ", " et ", " les "))
+      t(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), lower(trim(col("text"))), lit(" ")))
+        .select(col("doc_id"), col("lang").as("lang_label"),
+          en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
+          when(en >= greatest(de, es, fr) && en > 0, "en")
+            .when(de >= greatest(es, fr) && de > 0, "de")
+            .when(es >= fr && es > 0, "es")
+            .when(fr > 0, "fr")
+            .otherwise("unknown").as("lang_pred"))
+    }),
+
+    // Document fingerprint: md5 over whitespace-normalized lowercase text
+    // + an 8-token prefix key (cheap clustering key for near-dup triage).
+    "q_text_fingerprint" -> ((s, dir) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(norm).as("fingerprint"),
+        concat_ws(" ", slice(words(col("text")), 1, 8)).as("prefix_key"))
+    }))
+
+  private def minhashOracleCte: String = {
+    val hashes = (0 until MinHashK).map(i =>
+      s"MIN(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('$i:', s)), 1, 15)) AS BIGINT)) AS h$i")
+      .mkString(", ")
+    val bands = (0 until MinHashK / 2).map(b =>
+      s"SELECT doc_id, CONCAT_WS('_', '$b', h${2 * b}, h${2 * b + 1}) AS band_key FROM mins")
+      .mkString("\n UNION ALL ")
+    s"""WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-2,0)+1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents))),
+        mins AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+        bands AS ($bands)"""
+  }
+
+  private def simhashOracle: String = {
+    val sums = (0 until SimHashBits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val recompose = (0 until SimHashBits).map(j =>
+      s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+          SELECT doc_id,
+                 CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                FROM documents)),
+        sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+        SELECT doc_id, $recompose AS simhash FROM sums"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(LOWER(TRIM(text))) AS text_key,
+                MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY md5(LOWER(TRIM(text)))""",
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-2,0)+1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                   FROM documents))),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b,
+                CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8""",
+    "q_dedup_minhash_lsh" -> (minhashOracleCte +
+      """
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_key = b.band_key AND a.doc_id < b.doc_id"""),
+    "q_dedup_simhash" -> simhashOracle,
+    "q_text_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+                CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\s+')) AS type_token_ratio,
+                CAST(length(text) AS BIGINT) AS n_chars_obs,
+                CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+         FROM documents""",
+    "q_text_quality" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+                  CAST(len(w) AS DOUBLE) AS n_tok,
+                  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+                  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))
+                    AS DOUBLE) AS n_stop,
+                  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_wl
+           FROM (SELECT doc_id, source, text,
+                        regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+         SELECT doc_id, source,
+                CAST(n_tok AS BIGINT) AS n_tokens,
+                ttr AS type_token_ratio,
+                n_stop / n_tok AS stopword_ratio,
+                mean_wl AS mean_word_len,
+                (LEAST(n_tok, 100.0) / 100.0 + ttr + n_stop / n_tok
+                 + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0 THEN 1.0 ELSE 0.0 END)
+                  / 4.0 AS quality_score
+         FROM f""",
+    "q_text_lang_id" -> {
+      def occ(pat: String) =
+        s"CAST((length(padded) - length(replace(padded, '$pat', ''))) / ${pat.length} AS BIGINT)"
+      def prof(pats: Seq[String]) = pats.map(occ).mkString("(", " + ", ")")
+      val en = prof(Seq(" the ", " a ", " of "))
+      val de = prof(Seq(" der ", " und ", " die "))
+      val es = prof(Seq(" el ", " la ", " de "))
+      val fr = prof(Seq(" le ", " et ", " les "))
+      s"""WITH p AS (SELECT doc_id, lang,
+                    CONCAT(' ', LOWER(TRIM(text)), ' ') AS padded FROM documents)
+         SELECT doc_id, lang AS lang_label,
+                $en AS score_en, $de AS score_de, $es AS score_es, $fr AS score_fr,
+                CASE WHEN $en >= GREATEST($de, $es, $fr) AND $en > 0 THEN 'en'
+                     WHEN $de >= GREATEST($es, $fr) AND $de > 0 THEN 'de'
+                     WHEN $es >= $fr AND $es > 0 THEN 'es'
+                     WHEN $fr > 0 THEN 'fr'
+                     ELSE 'unknown' END AS lang_pred
+         FROM p"""
+    },
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+                array_to_string(regexp_split_to_array(trim(text), '\s+')[1:8], ' ')
+                  AS prefix_key
+         FROM documents""")
+}
