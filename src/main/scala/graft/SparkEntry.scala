@@ -15,7 +15,8 @@ object SparkEntry {
     AggQueries,
     WindowQueries,
     RecursiveQueries,
-    EventQueries)
+    EventQueries,
+    TextQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

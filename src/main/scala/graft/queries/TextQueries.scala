@@ -38,7 +38,7 @@ object TextQueries extends QueryPack {
     val w = words(c)
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, n))))
+        i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array())
   }
 
@@ -81,9 +81,9 @@ object TextQueries extends QueryPack {
     // min-hashes, 4 bands of 2 -> candidate pairs sharing any band.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingleTable(s, dir)
-      val mins = sh.groupBy(col("doc_id")).agg(
-        (0 until MinHashK).map(i =>
-          min(h64(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
+      val minCols = (0 until MinHashK).map(i =>
+        min(h64(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+      val mins = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       val bands = mins.select(col("doc_id"), explode(array(
         (0 until MinHashK / 2).map(b =>
           concat_ws("_", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*))
@@ -99,10 +99,10 @@ object TextQueries extends QueryPack {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("w"))
         .withColumn("h", h64(col("w")))
-      val sums = tok.groupBy(col("doc_id")).agg(
-        (0 until SimHashBits).map(j =>
-          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-            .as(s"b$j")): _*)
+      val bitCols = (0 until SimHashBits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$j"))
+      val sums = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       val sim = (0 until SimHashBits).map(j =>
         when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _)
@@ -127,8 +127,7 @@ object TextQueries extends QueryPack {
       val w = words(col("text"))
       val nTok = size(w).cast(DoubleType)
       val stops = Seq("the", "a", "of", "and", "to", "in")
-      val nStop = size(filter(w, x => x.isin(stops.map(lit(_).expr).map(e =>
-        new Column(e)): _*))).cast(DoubleType)
+      val nStop = size(filter(w, x => x.isin(stops: _*))).cast(DoubleType)
       val ttr = size(array_distinct(w)).cast(DoubleType) / size(w)
       val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) / size(w)
       val score = (least(nTok, lit(100.0)) / lit(100.0)
