@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Event-table analytics: the batch-equivalent shapes of the streaming
-  * operators (tumbling windows, sessionization). The Structured
-  * Streaming counterparts live in graft.streaming; these batch versions
-  * give the oracle-checked semantics the streaming specs assert against.
+  * operators (tumbling windows, sessionization). These batch versions
+  * carry the oracle-checked semantics; see graft.streaming for the
+  * Structured Streaming counterparts.
   */
 object EventQueries extends QueryPack {
 

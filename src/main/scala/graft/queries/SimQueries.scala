@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over `embeddings` (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane (SimHash-style) LSH bucketed variant as the
+  * 100 TB scale path (candidates come only from shared band buckets,
+  * never an all-pairs join).
+  *
+  * Cross-engine exactness discipline: float summation order differs
+  * between Spark and DuckDB, so every dot product / norm is computed on
+  * quantized integers — `CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)`
+  * per element. float→double is exact, one IEEE multiply is identical in
+  * both engines, and integer sums are order-independent; the final
+  * cosine is then a fixed sequence of IEEE double ops (sqrt, *, /) that
+  * both engines evaluate bit-identically.
+  *
+  * The LSH hyperplanes are ±1 sign matrices derived from md5 parity of
+  * "bit:dim" strings — reproducible in any engine with md5, no RNG.
+  *
+  * Scale notes (100 TB): top-k broadcasts the small query-vector side and
+  * streams the big side map-only into a rank window that Spark rewrites
+  * to per-partition group limits (WindowGroupLimit), so no full sort of
+  * the scored set. The LSH variant shuffles once on band_key; bucket
+  * sizes are tunable via bits-per-band (here 2 bands × 8 bits for the
+  * small test set; at 100 TB use more bands of more bits).
+  */
+object SimQueries extends QueryPack {
+
+  private val Dim = 64
+  private val NumBits = 16
+  private val BitsPerBand = 8
+  private val NumBands = NumBits / BitsPerBand
+
+  /** ±1 hyperplane signs from md5 parity of "j:i" — identical to the
+    * oracle's CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(j||':'||i),1,15))
+    * AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END.
+    */
+  private lazy val signs: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumBits, Dim) { (j, i) =>
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Quantized integer vector: exact cross-engine dot products. */
+  private def quantized(c: Column): Column =
+    transform(c, x => floor(x.cast(DoubleType) * 1000).cast(LongType))
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** (vec_id, v: array<long>, nrm: long) for every embedding row. */
+  private def quantVecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .withColumn("nrm", dotL(col("v"), col("v")))
+
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force cosine top-10 for each query vector (every 50th
+    // vec_id). Query side broadcasts; rank window collapses to
+    // per-partition top-k (WindowGroupLimit) — no global sort.
+    "q_sim_cosine_topk" -> ((s, dir) => {
+      val vecs = quantVecs(s, dir)
+      val qs = vecs.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dotL(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rnk", rank().over(w).cast(LongType))
+        .where(col("rnk") <= 10)
+    }),
+
+    // LSH-bucketed ANN: 16 hyperplane bits -> 2 bands of 8 bits; pairs
+    // sharing any band bucket are candidates; exact cosine re-rank keeps
+    // pairs >= 0.25. The only shuffle over the big side is on band_key.
+    "q_sim_ann_lsh" -> ((s, dir) => {
+      val vecs = quantVecs(s, dir)
+      val bitCols = (0 until NumBits).map { j =>
+        val dot = dotL(col("v"), typedlit(signs(j).toSeq))
+        when(dot > 0, 1L).otherwise(0L).as(s"bit$j")
+      }
+      val withBits = vecs.select(col("vec_id") +: col("v") +: col("nrm") +: bitCols: _*)
+      val bandKeys = (0 until NumBands).map { b =>
+        val bandVal = (0 until BitsPerBand)
+          .map(r => col(s"bit${BitsPerBand * b + r}") * lit(1L << r))
+          .reduce(_ + _)
+        concat(lit(b.toString), lit("_"), bandVal.cast(StringType))
+      }
+      val bands = withBits
+        .select(col("vec_id"), explode(array(bandKeys: _*)).as("band_key"))
+      val cands = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band_key") === col("b.band_key")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val va = vecs.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      val vb = vecs.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+      cands.join(va, "vec_a").join(vb, "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          cosine(dotL(col("v_a"), col("v_b")), col("n_a"), col("n_b")).as("cosine"))
+        .where(col("cosine") >= 0.25)
+    }))
+
+  private val quantCte =
+    """qv AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         FROM embeddings),
+       norms AS (
+         SELECT q.vec_id, SUM(q.v[i+1]*q.v[i+1]) AS nrm
+         FROM qv q, range(64) t(i) GROUP BY q.vec_id)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sim_cosine_topk" ->
+      s"""WITH $quantCte,
+         dots AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
+           FROM qv a, qv b, range(64) t(i)
+           WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE)
+                    / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+           FROM dots d
+           JOIN norms na ON na.vec_id = d.q_id
+           JOIN norms nb ON nb.vec_id = d.vec_id)
+         SELECT q_id, vec_id, cosine, rnk FROM (
+           SELECT q_id, vec_id, cosine,
+                  RANK() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+           FROM scored) WHERE rnk <= 10""",
+    "q_sim_ann_lsh" ->
+      s"""WITH $quantCte,
+         signs AS (
+           SELECT j, i,
+                  CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(j, ':', i)), 1, 15))
+                            AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+           FROM range(16) t1(j), range(64) t2(i)),
+         bits AS (
+           SELECT e.vec_id, s.j,
+                  CASE WHEN SUM(e.v[s.i+1]*s.s) > 0 THEN 1 ELSE 0 END AS bit
+           FROM qv e, signs s GROUP BY e.vec_id, s.j),
+         bands AS (
+           SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
+           FROM bits GROUP BY vec_id, j // 8),
+         cands AS (
+           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+         dots AS (
+           SELECT c.vec_a, c.vec_b, SUM(a.v[i+1]*b.v[i+1]) AS dot
+           FROM cands c
+           JOIN qv a ON a.vec_id = c.vec_a
+           JOIN qv b ON b.vec_id = c.vec_b, range(64) t(i)
+           GROUP BY c.vec_a, c.vec_b)
+         SELECT d.vec_a, d.vec_b,
+                CAST(d.dot AS DOUBLE)
+                  / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+         FROM dots d
+         JOIN norms na ON na.vec_id = d.vec_a
+         JOIN norms nb ON nb.vec_id = d.vec_b
+         WHERE CAST(d.dot AS DOUBLE)
+                 / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) >= 0.25""")
+}
