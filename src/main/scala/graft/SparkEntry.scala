@@ -17,7 +17,9 @@ object SparkEntry {
     RecursiveQueries,
     EventQueries,
     TextQueries,
-    SimQueries)
+    SimQueries,
+    IoQueries,
+    QaQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.Exact._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources and sinks — SURVEY.md §2.1: CSV scan (S1) over the reference
+  * fixture data, JSON scan (S3) over a committed JSONL fixture, and the
+  * idempotent batch-partition overwrite write path (S8).
+  *
+  * Inference differences between engines (Spark CSV/JSON inference vs
+  * DuckDB read_csv_auto/read_json_auto) are neutralized by casting every
+  * projected column to an explicit type on BOTH sides — the same
+  * discipline the reference applies when loading inferred parquet into
+  * typed bronze tables (scripts/load_to_bronze.py:527-560).
+  */
+object IoQueries extends QueryPack {
+
+  private val CsvPath =
+    "/root/reference/raw/client1/crm/archive/cust_info_BATCH000014.csv"
+  private val JsonPath = "/root/repo/fixtures/api_orders_sample.jsonl"
+
+  val queries: Map[String, Q] = Map(
+    // S1: header CSV scan with inferred schema, then explicit casts.
+    // Ref: handlers/convert_to_parquet.py:183-184
+    "q_scan_csv" -> ((s, _) => {
+      s.read.option("header", "true").option("inferSchema", "true")
+        .csv(CsvPath)
+        .select(
+          col("cst_id").cast(LongType).as("cst_id"),
+          col("cst_key").cast(StringType).as("cst_key"),
+          col("cst_firstname").cast(StringType).as("cst_firstname"),
+          col("cst_lastname").cast(StringType).as("cst_lastname"),
+          col("cst_marital_status").cast(StringType).as("cst_marital_status"),
+          col("cst_gendr").cast(StringType).as("cst_gendr"),
+          col("cst_create_date").cast(DateType).as("cst_create_date"))
+    }),
+
+    // S3: JSONL (newline-delimited) scan — Spark's native JSON format.
+    // Ref: handlers/convert_to_parquet.py:187-191
+    "q_scan_json" -> ((s, _) => {
+      s.read.json(JsonPath)
+        .select(
+          col("id").cast(LongType).as("id"),
+          col("sku").cast(StringType).as("sku"),
+          col("qty").cast(LongType).as("qty"),
+          col("price").cast(DoubleType).as("price"),
+          col("order_date").cast(DateType).as("order_date"),
+          col("note").cast(StringType).as("note"))
+    }),
+
+    // S8: idempotent batch overwrite. Write all batches, then RE-RUN one
+    // batch with dynamic partition overwrite (the Spark replacement for
+    // the reference's DELETE WHERE dwh_batch_id + INSERT), and read back.
+    // If the re-run duplicated rows, the per-batch counts would differ
+    // from the oracle computed directly over orders.
+    // Ref: scripts/load_to_bronze.py:591-601, README.md:101-106
+    "q_write_idempotent" -> ((s, dir) => {
+      val out = "/tmp/graft_s8_idempotent"
+      val batched = t(s, dir, "orders")
+        .withColumn("dwh_batch_id",
+          concat(lit("BATCH"),
+            lpad((col("o_orderkey") % 3).cast(StringType), 6, "0")))
+      batched.write
+        .partitionBy("dwh_batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(out)
+      // re-run of one batch: replaces only that partition, no duplication
+      batched.where(col("o_orderkey") % 3 === 1).write
+        .partitionBy("dwh_batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("dwh_batch_id"))
+        .agg(cnt.as("n_rows"), dsum(col("o_totalprice")).as("total_price"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_csv" ->
+      s"""SELECT CAST(cst_id AS BIGINT) AS cst_id,
+                 CAST(cst_key AS VARCHAR) AS cst_key,
+                 CAST(cst_firstname AS VARCHAR) AS cst_firstname,
+                 CAST(cst_lastname AS VARCHAR) AS cst_lastname,
+                 CAST(cst_marital_status AS VARCHAR) AS cst_marital_status,
+                 CAST(cst_gendr AS VARCHAR) AS cst_gendr,
+                 CAST(cst_create_date AS DATE) AS cst_create_date
+          FROM read_csv_auto('$CsvPath', header=true)""",
+    "q_scan_json" ->
+      s"""SELECT CAST(id AS BIGINT) AS id,
+                 CAST(sku AS VARCHAR) AS sku,
+                 CAST(qty AS BIGINT) AS qty,
+                 CAST(price AS DOUBLE) AS price,
+                 CAST(order_date AS DATE) AS order_date,
+                 CAST(note AS VARCHAR) AS note
+          FROM read_json_auto('$JsonPath', format='newline_delimited')""",
+    "q_write_idempotent" ->
+      """SELECT CONCAT('BATCH', LPAD(CAST(o_orderkey % 3 AS VARCHAR), 6, '0'))
+                  AS dwh_batch_id,
+                COUNT(*) AS n_rows,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM orders
+         GROUP BY CONCAT('BATCH', LPAD(CAST(o_orderkey % 3 AS VARCHAR), 6, '0'))""")
+}
