@@ -19,7 +19,8 @@ object SparkEntry {
     TextQueries,
     SimQueries,
     IoQueries,
-    QaQueries)
+    QaQueries,
+    PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

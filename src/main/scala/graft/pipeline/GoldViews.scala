@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import graft.plans.Recursion
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The 9 gold analytic materialized views as DataFrame functions; a full
+  * refresh is `view.write.mode("overwrite")` — matching the reference's
+  * REFRESH MATERIALIZED VIEW semantics (sql/tools/MV Refresh Template.sql:30).
+  *
+  * `fs.sales` is integer-valued on this data (sales = qty × price with
+  * integer inputs), so double SUMs are order-independent and exact —
+  * no decimal-cast discipline needed here.
+  * Ref: sql/gold/materialized_view.sql:2-149
+  */
+object GoldViews {
+
+  /** MV1: monthly sales per product. Ref: materialized_view.sql:2-12 */
+  def salesMonthlyProductline(fact: DataFrame, dimProd: DataFrame): DataFrame =
+    fact.join(broadcast(dimProd), Seq("product_key"))
+      .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("month"),
+        col("product_name"), col("category"), col("sub_category"))
+      .agg(sum(col("sales")).as("total_sales"))
+
+  /** MV2: sales per customer per country. Ref: materialized_view.sql:16-25 */
+  def salesCustomerCountry(fact: DataFrame, dimCust: DataFrame): DataFrame =
+    fact.join(broadcast(dimCust), Seq("customer_key"))
+      .groupBy(col("country"), col("customer_id"),
+        concat(col("customer_firstname"), lit(" "), col("customer_lastname"))
+          .as("customer_name"))
+      .agg(sum(col("sales")).as("total_sales"))
+
+  /** MV3: customer lifetime value. Ref: materialized_view.sql:29-38 */
+  def customerLifetimeValue(fact: DataFrame, dimCust: DataFrame): DataFrame =
+    fact.join(broadcast(dimCust), Seq("customer_key"))
+      .groupBy(col("customer_id"),
+        concat(col("customer_firstname"), lit(" "), col("customer_lastname"))
+          .as("customer_name"))
+      .agg(sum(col("sales")).as("lifetime_value"),
+        countDistinct(col("order_number")).cast(LongType).as("order_count"))
+
+  /** MV4: running cumulative sales per customer. The reference orders
+    * only by order_date (nondeterministic across tied line items); a
+    * (order_number, product_key) tiebreak is appended on both engines.
+    * Ref: materialized_view.sql:42-53
+    */
+  def runningSalesCustomer(fact: DataFrame, dimCust: DataFrame): DataFrame = {
+    // asc_nulls_last: Postgres/DuckDB default ASC NULLS LAST vs Spark's
+    // nulls-first — 19 repaired-to-null order dates would otherwise shift
+    // every running sum.
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("order_date").asc_nulls_last, col("order_number"),
+        col("product_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fact.join(broadcast(dimCust), Seq("customer_key"))
+      .select(col("customer_id"), col("order_date"),
+        sum(col("sales")).over(w).as("running_sales"))
+  }
+
+  /** MV5: top-3 products per month per country. Ref: materialized_view.sql:57-76 */
+  def top3ProductsMonthCountry(fact: DataFrame, dimCust: DataFrame,
+                               dimProd: DataFrame): DataFrame = {
+    val perProduct = fact
+      .join(broadcast(dimCust), Seq("customer_key"))
+      .join(broadcast(dimProd), Seq("product_key"))
+      .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("month"),
+        col("country"), col("product_name"))
+      .agg(sum(col("sales")).as("total_sales"))
+    val w = Window.partitionBy(col("month"), col("country"))
+      .orderBy(col("total_sales").desc)
+    perProduct
+      .withColumn("rank_sales", rank().over(w).cast(LongType))
+      .where(col("rank_sales") <= 3)
+  }
+
+  /** MV6: churn flag (no purchase in 6 months before refDate).
+    * Ref: materialized_view.sql:80-91
+    */
+  def customerChurn(fact: DataFrame, dimCust: DataFrame, refDate: String): DataFrame =
+    fact.join(broadcast(dimCust), Seq("customer_key"))
+      .groupBy(col("customer_id"))
+      .agg(min(col("order_date")).as("first_purchase"),
+        max(col("order_date")).as("last_purchase"))
+      .withColumn("is_churn",
+        col("last_purchase") < add_months(lit(refDate).cast(DateType), -6))
+
+  /** MV7: average inter-order gap per customer. Ref: materialized_view.sql:96-111 */
+  def customerOrderGap(fact: DataFrame, dimCust: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("order_date").asc_nulls_last)
+    fact.join(broadcast(dimCust), Seq("customer_key"))
+      .withColumn("prev_date", lag(col("order_date"), 1).over(w))
+      .withColumn("order_gap",
+        datediff(col("order_date"), col("prev_date")).cast(LongType))
+      .where(col("prev_date").isNotNull)
+      .groupBy(col("customer_id"))
+      .agg((sum(col("order_gap")).cast(DoubleType) / count(lit(1)))
+        .as("avg_gap_days"))
+  }
+
+  /** MV8: ROLLUP over the product hierarchy. Ref: materialized_view.sql:113-122 */
+  def salesRollupProduct(fact: DataFrame, dimProd: DataFrame): DataFrame =
+    fact.join(broadcast(dimProd), Seq("product_key"))
+      .rollup(col("product_line"), col("category"), col("sub_category"))
+      .agg(sum(col("sales")).as("total_sales"))
+
+  /** MV9: recursive delayed-orders chain — seed = late shipments, step =
+    * same-customer later orders; Spark has no recursive CTE so this is
+    * the iterative fixpoint (graft.plans.Recursion).
+    * Ref: materialized_view.sql:126-149
+    */
+  def delayedOrdersChain(fact: DataFrame, maxLevels: Int = 30): DataFrame = {
+    val base = fact.select(col("order_number"), col("customer_key"),
+      col("order_date"), col("shipping_date"), col("due_date"))
+    val seed = base
+      .where(col("shipping_date") > col("due_date"))
+      .withColumn("level", lit(1L))
+    Recursion.iterate(seed,
+      prev => base.alias("fs")
+        .join(prev.alias("d"),
+          col("fs.customer_key") === col("d.customer_key")
+            && col("fs.order_date") > col("d.shipping_date"))
+        .select(col("fs.order_number"), col("fs.customer_key"),
+          col("fs.order_date"), col("fs.shipping_date"), col("fs.due_date"),
+          (col("d.level") + 1).as("level")),
+      maxLevels)
+      .select(col("order_number"), col("customer_key"),
+        col("shipping_date"), col("due_date"), col("level"))
+  }
+}

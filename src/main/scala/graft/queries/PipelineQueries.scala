@@ -1,0 +1,308 @@
+package graft.queries
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's real ETL plane — silver transforms, gold star schema,
+  * and all 9 analytic MVs — run on the reference's own fixture batch
+  * (BATCH000014) and oracle-checked against DuckDB executing the
+  * equivalent SQL over the same fixture parquet. The `dir` argument is
+  * ignored: these queries pin the reference fixture paths.
+  *
+  * This is the "a user of the reference could switch" surface: every
+  * silver/gold/MV output the reference produces is reproduced here
+  * bit-for-bit (modulo the documented tiebreak/pinned-date divergences
+  * in graft.pipeline.*).
+  */
+object PipelineQueries extends QueryPack {
+
+  import ReferenceFixtures.RefDate
+
+  private def silverCust(s: SparkSession) =
+    SilverTransforms.crmCustInfo(ReferenceFixtures.crmCustInfo(s), RefDate)
+  private def silverPrd(s: SparkSession) =
+    SilverTransforms.crmPrdInfo(ReferenceFixtures.crmPrdInfo(s))
+  private def silverSales(s: SparkSession) =
+    SilverTransforms.crmSalesDetails(ReferenceFixtures.crmSalesDetails(s))
+  private def silverCa(s: SparkSession) =
+    SilverTransforms.erpCustAz12(ReferenceFixtures.erpCustAz12(s), RefDate)
+  private def silverLa(s: SparkSession) =
+    SilverTransforms.erpLocA101(ReferenceFixtures.erpLocA101(s))
+  private def silverPx(s: SparkSession) =
+    SilverTransforms.erpPxCatG1v2(ReferenceFixtures.erpPxCatG1v2(s))
+
+  private def dimCustomers(s: SparkSession) =
+    GoldIntegration.dimCustomers(silverCust(s), silverCa(s), silverLa(s))
+  private def dimProducts(s: SparkSession) =
+    GoldIntegration.dimProducts(silverPrd(s), silverPx(s))
+  private def factSales(s: SparkSession) =
+    GoldIntegration.factSales(silverSales(s), dimProducts(s), dimCustomers(s))
+
+  val queries: Map[String, Q] = Map(
+    "q_ref_silver_cust_info" -> ((s, _) => silverCust(s)),
+    "q_ref_silver_sales_details" -> ((s, _) => silverSales(s)),
+    "q_ref_dim_customers" -> ((s, _) => dimCustomers(s)),
+    "q_ref_dim_products" -> ((s, _) => dimProducts(s)),
+    "q_ref_fact_sales" -> ((s, _) => factSales(s)),
+    "q_ref_mv_monthly_productline" -> ((s, _) =>
+      GoldViews.salesMonthlyProductline(factSales(s), dimProducts(s))),
+    "q_ref_mv_customer_country" -> ((s, _) =>
+      GoldViews.salesCustomerCountry(factSales(s), dimCustomers(s))),
+    "q_ref_mv_lifetime_value" -> ((s, _) =>
+      GoldViews.customerLifetimeValue(factSales(s), dimCustomers(s))),
+    "q_ref_mv_running_sales" -> ((s, _) =>
+      GoldViews.runningSalesCustomer(factSales(s), dimCustomers(s))),
+    "q_ref_mv_top3_month_country" -> ((s, _) =>
+      GoldViews.top3ProductsMonthCountry(factSales(s), dimCustomers(s), dimProducts(s))),
+    "q_ref_mv_customer_churn" -> ((s, _) =>
+      GoldViews.customerChurn(factSales(s), dimCustomers(s), RefDate)),
+    "q_ref_mv_order_gap" -> ((s, _) =>
+      GoldViews.customerOrderGap(factSales(s), dimCustomers(s))),
+    "q_ref_mv_sales_rollup" -> ((s, _) =>
+      GoldViews.salesRollupProduct(factSales(s), dimProducts(s))),
+    "q_ref_mv_delayed_chain" -> ((s, _) =>
+      GoldViews.delayedOrdersChain(factSales(s))))
+
+  // ---- DuckDB oracle: the same pipeline as SQL CTEs over the fixture
+  // parquet (mirrors the reference procedures' SELECT bodies).
+
+  private val base = ReferenceFixtures.Root
+  private val B = ReferenceFixtures.BatchId
+
+  private val cte = s"""
+    s_cust AS (
+      WITH bronze AS (
+        SELECT CAST(ROUND(CAST(cst_id AS DOUBLE)) AS BIGINT) AS cst_id,
+               cst_key, cst_firstname, cst_lastname, cst_marital_status,
+               cst_gendr AS cst_gndr,
+               CAST(cst_create_date AS DATE) AS cst_create_date
+        FROM read_parquet('$base/crm/archive/cust_info_$B.parquet')),
+      dedup AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cst_id
+                   ORDER BY cst_create_date DESC, cst_key DESC) AS flag_last
+        FROM bronze WHERE cst_id IS NOT NULL)
+      SELECT cst_id,
+             TRIM(cst_key) AS cst_key,
+             TRIM(cst_firstname) AS cst_firstname,
+             TRIM(cst_lastname) AS cst_lastname,
+             CASE WHEN UPPER(TRIM(cst_marital_status))='M' THEN 'Married'
+                  WHEN UPPER(TRIM(cst_marital_status))='S' THEN 'Single'
+                  ELSE 'Unknown' END AS cst_marital_status,
+             CASE WHEN UPPER(TRIM(cst_gndr))='F' THEN 'Female'
+                  WHEN UPPER(TRIM(cst_gndr))='M' THEN 'Male'
+                  ELSE 'Unknown' END AS cst_gndr,
+             CASE WHEN EXTRACT(YEAR FROM cst_create_date) > EXTRACT(YEAR FROM DATE '$RefDate')
+                  THEN make_date(CAST(EXTRACT(YEAR FROM DATE '$RefDate') AS INT),
+                                 CAST(EXTRACT(MONTH FROM cst_create_date) AS INT),
+                                 CAST(EXTRACT(DAY FROM cst_create_date) AS INT))
+                  ELSE cst_create_date END AS cst_create_date,
+             '$B' AS dwh_batch_id
+      FROM dedup WHERE flag_last = 1),
+    s_prd AS (
+      SELECT prd_id,
+             TRIM(REPLACE(SUBSTRING(prd_key,1,5),'-','_')) AS cat_id,
+             TRIM(SUBSTRING(prd_key,7,LENGTH(prd_key))) AS prd_key,
+             TRIM(prd_nm) AS prd_nm,
+             COALESCE(prd_cost,0) AS prd_cost,
+             CASE WHEN UPPER(TRIM(prd_line))='M' THEN 'Mountain'
+                  WHEN UPPER(TRIM(prd_line))='S' THEN 'Sport'
+                  WHEN UPPER(TRIM(prd_line))='R' THEN 'Road'
+                  WHEN UPPER(TRIM(prd_line))='T' THEN 'Touring'
+                  ELSE 'Unknown' END AS prd_line,
+             CAST(prd_start_dt AS DATE) AS prd_start_dt,
+             CAST(LEAD(CAST(prd_start_dt AS TIMESTAMP)) OVER (PARTITION BY prd_key
+                    ORDER BY CAST(prd_start_dt AS TIMESTAMP), prd_id)
+                  - INTERVAL 1 DAY AS DATE) AS prd_end_dt,
+             '$B' AS dwh_batch_id
+      FROM read_parquet('$base/crm/archive/prd_info_$B.parquet')),
+    s_sales AS (
+      SELECT TRIM(sls_ord_num) AS sls_ord_num,
+             TRIM(sls_prd_key) AS sls_prd_key,
+             sls_cust_id,
+             CASE WHEN sls_order_dt = 0 OR LENGTH(CAST(sls_order_dt AS VARCHAR)) != 8 THEN NULL
+                  ELSE CAST(STRPTIME(CAST(sls_order_dt AS VARCHAR), '%Y%m%d') AS DATE) END AS sls_order_dt,
+             CASE WHEN sls_ship_dt = 0 OR LENGTH(CAST(sls_ship_dt AS VARCHAR)) != 8 THEN NULL
+                  ELSE CAST(STRPTIME(CAST(sls_ship_dt AS VARCHAR), '%Y%m%d') AS DATE) END AS sls_ship_dt,
+             CASE WHEN sls_due_dt = 0 OR LENGTH(CAST(sls_due_dt AS VARCHAR)) != 8 THEN NULL
+                  ELSE CAST(STRPTIME(CAST(sls_due_dt AS VARCHAR), '%Y%m%d') AS DATE) END AS sls_due_dt,
+             CASE WHEN sls_sales IS NULL OR sls_sales <= 0
+                    OR sls_sales != sls_quantity * ABS(sls_price)
+                  THEN sls_quantity * ABS(sls_price)
+                  ELSE sls_sales END AS sls_sales,
+             sls_quantity,
+             CASE WHEN sls_price IS NULL OR sls_price <= 0
+                  THEN ABS(sls_sales) / NULLIF(sls_quantity, 0)
+                  ELSE sls_price END AS sls_price,
+             '$B' AS dwh_batch_id
+      FROM read_parquet('$base/crm/archive/sales_details_$B.parquet')),
+    s_ca AS (
+      SELECT CASE WHEN CID LIKE 'NAS%' THEN SUBSTRING(CID, 4, LENGTH(CID)) ELSE CID END AS cid,
+             CASE WHEN CAST(BDATE AS DATE) > DATE '$RefDate' THEN NULL
+                  ELSE CAST(BDATE AS DATE) END AS bdate,
+             CASE WHEN UPPER(TRIM(GEN)) IN ('F','FEMALE') THEN 'Female'
+                  WHEN UPPER(TRIM(GEN)) IN ('M','MALE') THEN 'Male'
+                  ELSE 'Unknown' END AS gen
+      FROM read_parquet('$base/erp/archive/CUST_AZ12_$B.parquet')),
+    s_la AS (
+      SELECT TRIM(REPLACE(CID,'-','')) AS cid,
+             CASE WHEN TRIM(CNTRY) = 'DE' THEN 'Germany'
+                  WHEN TRIM(CNTRY) IN ('US','USA') THEN 'United States'
+                  WHEN TRIM(CNTRY) = '' OR CNTRY IS NULL THEN 'Unknown'
+                  ELSE TRIM(CNTRY) END AS cntry
+      FROM read_parquet('$base/erp/archive/LOC_A101_$B.parquet')),
+    s_px AS (
+      SELECT ID AS id, TRIM(CAT) AS cat, TRIM(SUBCAT) AS subcat,
+             TRIM(MAINTENANCE) AS maintenance
+      FROM read_parquet('$base/erp/archive/PX_CAT_G1V2_$B.parquet')),
+    dim_customers AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY ci.cst_id, la.cntry) AS BIGINT) AS customer_key,
+             ci.cst_id AS customer_id,
+             ci.cst_key AS customer_number,
+             ci.cst_firstname AS customer_firstname,
+             ci.cst_lastname AS customer_lastname,
+             CASE WHEN ci.cst_gndr != 'Unknown' THEN ci.cst_gndr
+                  ELSE COALESCE(ca.gen, 'Unknown') END AS gender,
+             ci.cst_marital_status AS marital_status,
+             la.cntry AS country,
+             ca.bdate AS birth_date,
+             ci.cst_create_date AS create_date,
+             ci.dwh_batch_id AS dwh_batch_id
+      FROM s_cust ci
+      LEFT JOIN s_ca ca ON ci.cst_key = ca.cid
+      LEFT JOIN s_la la ON ci.cst_key = la.cid),
+    dim_products AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY po.prd_key, po.prd_start_dt, po.prd_id) AS BIGINT) AS product_key,
+             po.prd_id AS product_id,
+             po.prd_key AS product_number,
+             po.prd_nm AS product_name,
+             po.prd_line AS product_line,
+             po.cat_id AS category_id,
+             pc.cat AS category,
+             pc.subcat AS sub_category,
+             pc.maintenance AS maintenance,
+             po.prd_cost AS product_cost,
+             po.prd_start_dt AS start_date,
+             po.dwh_batch_id AS dwh_batch_id
+      FROM s_prd po
+      LEFT JOIN s_px pc ON po.cat_id = pc.id
+      WHERE po.prd_end_dt IS NULL),
+    fact_sales AS (
+      SELECT sd.sls_ord_num AS order_number,
+             COALESCE(cs.customer_key, -1) AS customer_key,
+             COALESCE(pr.product_key, -1) AS product_key,
+             sd.sls_order_dt AS order_date,
+             sd.sls_ship_dt AS shipping_date,
+             sd.sls_due_dt AS due_date,
+             sd.sls_sales AS sales,
+             sd.sls_quantity AS quantity,
+             sd.sls_price AS price,
+             sd.dwh_batch_id AS dwh_batch_id
+      FROM s_sales sd
+      LEFT JOIN dim_products pr ON sd.sls_prd_key = pr.product_number
+      LEFT JOIN dim_customers cs ON sd.sls_cust_id = cs.customer_id)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ref_silver_cust_info" ->
+      s"WITH $cte SELECT * FROM s_cust",
+    "q_ref_silver_sales_details" ->
+      s"WITH $cte SELECT * FROM s_sales",
+    "q_ref_dim_customers" ->
+      s"WITH $cte SELECT * FROM dim_customers",
+    "q_ref_dim_products" ->
+      s"WITH $cte SELECT * FROM dim_products",
+    "q_ref_fact_sales" ->
+      s"WITH $cte SELECT * FROM fact_sales",
+    "q_ref_mv_monthly_productline" ->
+      s"""WITH $cte
+         SELECT CAST(DATE_TRUNC('month', fs.order_date) AS DATE) AS month,
+                dp.product_name, dp.category, dp.sub_category,
+                SUM(fs.sales) AS total_sales
+         FROM fact_sales fs
+         JOIN dim_products dp ON fs.product_key = dp.product_key
+         GROUP BY 1, 2, 3, 4""",
+    "q_ref_mv_customer_country" ->
+      s"""WITH $cte
+         SELECT dc.country, dc.customer_id,
+                dc.customer_firstname || ' ' || dc.customer_lastname AS customer_name,
+                SUM(fs.sales) AS total_sales
+         FROM fact_sales fs
+         JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+         GROUP BY 1, 2, 3""",
+    "q_ref_mv_lifetime_value" ->
+      s"""WITH $cte
+         SELECT dc.customer_id,
+                dc.customer_firstname || ' ' || dc.customer_lastname AS customer_name,
+                SUM(fs.sales) AS lifetime_value,
+                CAST(COUNT(DISTINCT fs.order_number) AS BIGINT) AS order_count
+         FROM fact_sales fs
+         JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+         GROUP BY 1, 2""",
+    "q_ref_mv_running_sales" ->
+      s"""WITH $cte
+         SELECT dc.customer_id, fs.order_date,
+                SUM(fs.sales) OVER (PARTITION BY dc.customer_id
+                  ORDER BY fs.order_date, fs.order_number, fs.product_key
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sales
+         FROM fact_sales fs
+         JOIN dim_customers dc ON fs.customer_key = dc.customer_key""",
+    "q_ref_mv_top3_month_country" ->
+      s"""WITH $cte,
+         spp AS (
+           SELECT CAST(DATE_TRUNC('month', fs.order_date) AS DATE) AS month,
+                  dc.country, dp.product_name, SUM(fs.sales) AS total_sales
+           FROM fact_sales fs
+           JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+           JOIN dim_products dp ON fs.product_key = dp.product_key
+           GROUP BY 1, 2, 3)
+         SELECT month, country, product_name, total_sales,
+                CAST(rank_sales AS BIGINT) AS rank_sales
+         FROM (SELECT s.*, RANK() OVER (PARTITION BY month, country
+                 ORDER BY total_sales DESC) AS rank_sales FROM spp s)
+         WHERE rank_sales <= 3""",
+    "q_ref_mv_customer_churn" ->
+      s"""WITH $cte
+         SELECT dc.customer_id,
+                MIN(fs.order_date) AS first_purchase,
+                MAX(fs.order_date) AS last_purchase,
+                MAX(fs.order_date) < (DATE '$RefDate' - INTERVAL 6 MONTH) AS is_churn
+         FROM fact_sales fs
+         JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+         GROUP BY 1""",
+    "q_ref_mv_order_gap" ->
+      s"""WITH $cte,
+         g AS (
+           SELECT dc.customer_id, fs.order_date,
+                  LAG(fs.order_date) OVER (PARTITION BY dc.customer_id
+                    ORDER BY fs.order_date) AS prev_date,
+                  CAST(DATE_DIFF('day',
+                    LAG(fs.order_date) OVER (PARTITION BY dc.customer_id
+                      ORDER BY fs.order_date),
+                    fs.order_date) AS BIGINT) AS order_gap
+           FROM fact_sales fs
+           JOIN dim_customers dc ON fs.customer_key = dc.customer_key)
+         SELECT customer_id,
+                CAST(SUM(order_gap) AS DOUBLE) / COUNT(*) AS avg_gap_days
+         FROM g WHERE prev_date IS NOT NULL
+         GROUP BY customer_id""",
+    "q_ref_mv_sales_rollup" ->
+      s"""WITH $cte
+         SELECT dp.product_line, dp.category, dp.sub_category,
+                SUM(fs.sales) AS total_sales
+         FROM fact_sales fs
+         JOIN dim_products dp ON fs.product_key = dp.product_key
+         GROUP BY ROLLUP (dp.product_line, dp.category, dp.sub_category)""",
+    "q_ref_mv_delayed_chain" ->
+      s"""WITH RECURSIVE $cte,
+         delayed_orders AS (
+           SELECT fs.order_number, fs.customer_key, fs.order_date,
+                  fs.shipping_date, fs.due_date, CAST(1 AS BIGINT) AS level
+           FROM fact_sales fs WHERE fs.shipping_date > fs.due_date
+           UNION ALL
+           SELECT fs.order_number, fs.customer_key, fs.order_date,
+                  fs.shipping_date, fs.due_date, d.level + 1
+           FROM fact_sales fs JOIN delayed_orders d
+             ON fs.customer_key = d.customer_key
+            AND fs.order_date > d.shipping_date)
+         SELECT order_number, customer_key, shipping_date, due_date, level
+         FROM delayed_orders""")
+}
