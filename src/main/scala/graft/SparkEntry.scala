@@ -20,7 +20,8 @@ object SparkEntry {
     SimQueries,
     IoQueries,
     QaQueries,
-    PipelineQueries)
+    PipelineQueries,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

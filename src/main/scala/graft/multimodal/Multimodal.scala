@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through
+  * the engine as opaque `binary` columns with typed metadata, and
+  * decode / feature-extraction runs as per-partition imperative logic
+  * over a typed Dataset (the Scala analog of mapInPandas batches).
+  *
+  * The decode step is a STUB by design — no image/audio codecs exist in
+  * this environment — implemented as a deterministic fake (md5-derived
+  * payload bytes, byte-statistics "features"), so the Spark-side
+  * plumbing that matters at 100 TB is real and testable: binary column
+  * schema, metadata struct, per-partition batch iteration, and a
+  * shuffle-free narrow pipeline (synthesize → featurize is map-only).
+  */
+object Multimodal {
+
+  /** One media row: payload is opaque bytes + enough metadata to route
+    * decode (the reference's file-plane analog: bytes + manifest entry).
+    */
+  case class MediaRecord(
+      doc_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Long,
+      first_byte: Long,
+      byte_sum: Long,
+      mean_byte: Double)
+
+  /** Attach a deterministic fake payload to each document: 16 md5 bytes
+    * of the text (a real `BinaryType` column) plus metadata columns.
+    */
+  def synthesize(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      (col("doc_id") % 640 + 16).cast(IntegerType).as("width"),
+      (col("doc_id") % 480 + 16).cast(IntegerType).as("height"),
+      unhex(md5(col("text"))).as("payload"))
+
+  /** Decode-stub + feature extraction as imperative per-partition code
+    * over the typed Dataset — where a real build would call the codec
+    * on each payload. Narrow (no shuffle); batches stream through the
+    * partition iterator without materializing the whole partition.
+    */
+  def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = m.payload.map(_ & 0xff)
+        MediaFeatures(
+          doc_id = m.doc_id,
+          kind = m.kind,
+          n_bytes = bytes.length.toLong,
+          first_byte = if (bytes.isEmpty) -1L else bytes.head.toLong,
+          byte_sum = bytes.foldLeft(0L)(_ + _),
+          mean_byte = if (bytes.isEmpty) 0.0
+                      else bytes.foldLeft(0L)(_ + _).toDouble / bytes.length)
+      }
+    }
+  }
+
+  /** End-to-end: documents → binary media column → decoded features. */
+  def documentFeatures(s: SparkSession, documents: DataFrame): DataFrame = {
+    import s.implicits._
+    featurize(synthesize(documents).as[MediaRecord]).toDF()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured Streaming jobs driven through MemoryStream: the streaming
+  * results must equal the batch-computed expectation on the same rows
+  * (the contract EventQueries' oracle-checked batch analogs define).
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private val events = Seq(
+    Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+    Ev(3, ts("2024-01-01 11:30:00"), 1, "view", 4.0), // > 30 min gap -> new session
+    Ev(4, ts("2024-01-01 10:05:00"), 2, "click", 8.0),
+    Ev(5, ts("2024-01-02 09:00:00"), 2, "view", 16.0))
+
+  test("tumbling daily window matches batch expectation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = StreamingJobs.tumblingDaily(ms.toDF())
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tumble")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      ("2024-01-01", "click", 3L, 11.0),
+      ("2024-01-01", "view", 1L, 4.0),
+      ("2024-01-02", "view", 1L, 16.0)))
+  }
+
+  test("session windows (30-min gap) match batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = StreamingJobs.sessionStats(ms.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      (1L, "2024-01-01 10:00:00.0", 2L, 3.0),  // 10:00 + 10:10 merge
+      (1L, "2024-01-01 11:30:00.0", 1L, 4.0),  // gap > 30 min
+      (2L, "2024-01-01 10:05:00.0", 1L, 8.0),
+      (2L, "2024-01-02 09:00:00.0", 1L, 16.0)))
+  }
+}
