@@ -50,14 +50,20 @@ object EventQueries extends QueryPack {
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events GROUP BY CAST(ts AS DATE), event_type""",
     "q_events_sessionize" ->
-      """WITH marked AS (
+      """WITH ev AS (
+           -- truncate TIMESTAMP_NS to micros to match Spark's read
+           -- (Tables.events: nanosAsLong + integer div), so a session
+           -- boundary tie at exactly 30min can't flip on sub-us digits
+           SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         marked AS (
            SELECT user_id, value,
                   CASE WHEN prev_ts IS NULL
                          OR ts > prev_ts + INTERVAL 30 MINUTE
                        THEN 1 ELSE 0 END AS new_session,
                   ts, event_id
            FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS prev_ts FROM events)),
+                   ORDER BY ts, event_id) AS prev_ts FROM ev)),
          sessions AS (
            SELECT user_id, value,
                   SUM(new_session) OVER (PARTITION BY user_id

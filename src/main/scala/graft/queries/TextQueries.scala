@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * (token stats, quality score, language-ID heuristic, fingerprinting).
   *
   * Hashing discipline: every hash is derived from md5 hex (identical in
-  * Spark and DuckDB), converted to BIGINT via the first 15 hex digits —
-  * never engine-native hash() (Spark murmur3 != DuckDB's hash).
+  * Spark and DuckDB), converted to BIGINT from a hex-digit prefix —
+  * never engine-native hash() (Spark murmur3 != DuckDB's hash). MinHash
+  * derives its k-hash family from ONE md5 via linear permutations.
   *
   * Scale notes (100 TB): the shingle explode keeps doc_id with each
   * shingle so every stage is a shuffle on either doc_id or the shingle/
@@ -51,6 +52,17 @@ object TextQueries extends QueryPack {
   private val MinHashK = 8 // 8 hashes, 4 bands of 2 rows
   private val SimHashBits = 32
 
+  /** MinHash via ONE md5 per shingle + k linear permutations
+    * h_i = (A_i·h0 + B_i) mod 2^31−1 — 8× cheaper than k independent
+    * md5 calls, and exact in 64-bit integer arithmetic on both engines
+    * (h0 < 2^36 from 9 hex digits, A_i < 2^23 → products < 2^59).
+    */
+  private val MinHashP = 2147483647L
+  private val MinHashA = Seq(1000003L, 2000003L, 3000017L, 4000037L,
+    5000011L, 6000011L, 7000003L, 8000009L)
+  private val MinHashB = Seq(12345L, 54321L, 192837L, 918273L,
+    111111L, 222222L, 333333L, 444444L)
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: canonical row per normalized-text group (md5 key).
     // Generalizes A8 (validate_row.py:172-173) to content dedup.
@@ -61,8 +73,12 @@ object TextQueries extends QueryPack {
     }),
 
     // n-gram Jaccard near-dup pairs — exact quadratic baseline.
+    // The shingle table feeds three consumers (sizes + both join sides);
+    // persist() materializes the explode+distinct once instead of three
+    // times (column pruning makes the subplans differ, defeating
+    // ReuseExchange).
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingleTable(s, dir)
+      val sh = shingleTable(s, dir).persist()
       val sizes = sh.groupBy(col("doc_id")).agg(cnt.as("n"))
       val l = sh.select(col("doc_id").as("doc_a"), col("s"))
       val r = sh.select(col("doc_id").as("doc_b"), col("s").as("s_r"))
@@ -77,12 +93,16 @@ object TextQueries extends QueryPack {
         .where(col("jaccard") >= 0.8)
     }),
 
-    // MinHash + LSH banding: the 100TB-scale near-dup path. k=8 md5-based
-    // min-hashes, 4 bands of 2 -> candidate pairs sharing any band.
+    // MinHash + LSH banding: the 100TB-scale near-dup path. k=8 linear
+    // permutations of one md5 base hash, 4 bands of 2 -> candidate pairs
+    // sharing any band.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingleTable(s, dir)
+        .withColumn("h0", conv(substring(md5(col("s")), 1, 9), 16, 10)
+          .cast(LongType))
       val minCols = (0 until MinHashK).map(i =>
-        min(h64(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+        min((lit(MinHashA(i)) * col("h0") + lit(MinHashB(i))) % MinHashP)
+          .as(s"h$i"))
       val mins = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       val bands = mins.select(col("doc_id"), explode(array(
         (0 until MinHashK / 2).map(b =>
@@ -177,7 +197,8 @@ object TextQueries extends QueryPack {
 
   private def minhashOracleCte: String = {
     val hashes = (0 until MinHashK).map(i =>
-      s"MIN(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('$i:', s)), 1, 15)) AS BIGINT)) AS h$i")
+      s"MIN((${MinHashA(i)} * CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 9)) AS BIGINT)" +
+        s" + ${MinHashB(i)}) % $MinHashP) AS h$i")
       .mkString(", ")
     val bands = (0 until MinHashK / 2).map(b =>
       s"SELECT doc_id, CONCAT_WS('_', '$b', h${2 * b}, h${2 * b + 1}) AS band_key FROM mins")
