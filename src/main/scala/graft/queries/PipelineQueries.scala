@@ -18,12 +18,24 @@ object PipelineQueries extends QueryPack {
 
   import ReferenceFixtures.RefDate
 
+  /** Per-session memo of the materialized silver/gold layers — exactly
+    * what a warehouse does (silver/gold are persisted tables, not views
+    * recomputed per query). Without it every MV query would re-run the
+    * whole bronze→gold chain.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memo.computeIfAbsent((System.identityHashCode(s), key),
+      _ => build.persist())
+
   private def silverCust(s: SparkSession) =
     SilverTransforms.crmCustInfo(ReferenceFixtures.crmCustInfo(s), RefDate)
   private def silverPrd(s: SparkSession) =
     SilverTransforms.crmPrdInfo(ReferenceFixtures.crmPrdInfo(s))
-  private def silverSales(s: SparkSession) =
+  private def silverSales(s: SparkSession) = cached(s, "silver_sales") {
     SilverTransforms.crmSalesDetails(ReferenceFixtures.crmSalesDetails(s))
+  }
   private def silverCa(s: SparkSession) =
     SilverTransforms.erpCustAz12(ReferenceFixtures.erpCustAz12(s), RefDate)
   private def silverLa(s: SparkSession) =
@@ -31,12 +43,15 @@ object PipelineQueries extends QueryPack {
   private def silverPx(s: SparkSession) =
     SilverTransforms.erpPxCatG1v2(ReferenceFixtures.erpPxCatG1v2(s))
 
-  private def dimCustomers(s: SparkSession) =
+  private def dimCustomers(s: SparkSession) = cached(s, "dim_customers") {
     GoldIntegration.dimCustomers(silverCust(s), silverCa(s), silverLa(s))
-  private def dimProducts(s: SparkSession) =
+  }
+  private def dimProducts(s: SparkSession) = cached(s, "dim_products") {
     GoldIntegration.dimProducts(silverPrd(s), silverPx(s))
-  private def factSales(s: SparkSession) =
+  }
+  private def factSales(s: SparkSession) = cached(s, "fact_sales") {
     GoldIntegration.factSales(silverSales(s), dimProducts(s), dimCustomers(s))
+  }
 
   val queries: Map[String, Q] = Map(
     "q_ref_silver_cust_info" -> ((s, _) => silverCust(s)),
