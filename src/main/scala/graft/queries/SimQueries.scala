@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,13 +71,20 @@ object SimQueries extends QueryPack {
     // Exact brute-force cosine top-10 for each query vector (every 50th
     // vec_id). Query side broadcasts; rank window collapses to
     // per-partition top-k (WindowGroupLimit) — no global sort.
+    // Dot products run through the native codegen expression
+    // (graft.functions.QuantizedDot) — one fused loop per pair, no
+    // intermediate arrays; bit-identical to the composed-HOF form.
     "q_sim_cosine_topk" -> ((s, dir) => {
-      val vecs = quantVecs(s, dir)
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
       val qs = vecs.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+          col("nrm").as("qn"))
       val scored = vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          cosine(dotL(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+          cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
+            col("qn"), col("nrm")).as("cosine"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       scored.withColumn("rnk", rank().over(w).cast(LongType))
@@ -107,11 +115,17 @@ object SimQueries extends QueryPack {
             && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
-      val va = vecs.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-      val vb = vecs.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+      val raw = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
+      val va = raw.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+        col("nrm").as("n_a"))
+      val vb = raw.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+        col("nrm").as("n_b"))
       cands.join(va, "vec_a").join(vb, "vec_b")
         .select(col("vec_a"), col("vec_b"),
-          cosine(dotL(col("v_a"), col("v_b")), col("n_a"), col("n_b")).as("cosine"))
+          cosine(VectorFunctions.quantizedDot(col("e_a"), col("e_b")),
+            col("n_a"), col("n_b")).as("cosine"))
         .where(col("cosine") >= 0.25)
     }))
 

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{GraftExtensions, VectorFunctions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native QuantizedDot expression must be bit-identical to the
+  * composed built-in form (transform → zip_with → aggregate) it
+  * replaces, across real embedding data and edge cases, and must
+  * resolve from SQL via GraftExtensions.
+  */
+class VectorExpressionSpec extends AnyFunSuite with SparkTestBase {
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def q(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast(DoubleType) * 1000).cast(LongType))
+    aggregate(zip_with(q(a), q(b), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  }
+
+  test("native dot equals composed-HOF dot on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = e.select(
+      VectorFunctions.quantizedNorm(col("embedding")).as("native"),
+      hofDot(col("embedding"), col("embedding")).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() === 0)
+    // cross products on a small sample
+    val s = e.limit(20).select(col("vec_id").as("ida"), col("embedding").as("a"))
+    val t = e.limit(20).select(col("vec_id").as("idb"), col("embedding").as("b"))
+    val cross = s.crossJoin(t).select(
+      VectorFunctions.quantizedDot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof"))
+    assert(cross.where(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("edge cases: empty arrays, negatives") {
+    import spark.implicits._
+    val df = Seq(
+      (Array.empty[Float], Array.empty[Float], 0L),
+      (Array(-0.5f, 2.0f), Array(1.0f, 1.0f), -500L * 1000 + 2000L * 1000),
+      (Array(0.0015f, -0.0015f), Array(1.0f, 1.0f), 1000L - 2 * 1000L)) // floor(-1.5)=-2
+      .toDF("a", "b", "expected")
+    val bad = df.select(
+      VectorFunctions.quantizedDot(col("a"), col("b")).as("got"), col("expected"))
+      .where(col("got") =!= col("expected"))
+    assert(bad.count() === 0)
+  }
+
+  test("quantized_dot resolves from SQL once installed") {
+    // extensions are consumed at session construction; on the shared
+    // test session use the live-registry install path
+    GraftExtensions.install(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    try {
+      val r = spark.sql(
+        "SELECT quantized_dot(embedding, embedding) AS n FROM emb LIMIT 1")
+        .collect().head.getLong(0)
+      assert(r > 0L)
+    } finally spark.catalog.dropTempView("emb")
+  }
+}
