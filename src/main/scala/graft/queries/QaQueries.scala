@@ -88,6 +88,19 @@ object QaQueries extends QueryPack {
           col("o_totalprice"))
     }),
 
+    // Skew remedy: salted join — result must equal the plain join (the
+    // oracle is the unsalted form), proving salting changes the shuffle
+    // layout, never the semantics.
+    // Ref: SURVEY §7 scale notes; skew-salting per the driver brief
+    "q_join_salted_skew" -> ((s, dir) => {
+      graft.operators.SkewJoin.saltedInnerJoin(
+        t(s, dir, "lineitem"), t(s, dir, "part"),
+        col("l_partkey"), col("p_partkey"),
+        col("l_orderkey"), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"), cnt.as("n_items"))
+    }),
+
     // W2 at scale: surrogate keys with NO single-partition window — per-
     // partition ROW_NUMBER (partitioned by nation) plus an exclusive
     // running offset computed over the tiny per-partition count table.
@@ -148,6 +161,12 @@ object QaQueries extends QueryPack {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
          FROM orders
          ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC LIMIT 1""",
+    "q_join_salted_skew" ->
+      """SELECT p_brand,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
     "q_surrogate_key_scalable" ->
       """WITH counts AS (
            SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey),
