@@ -127,6 +127,51 @@ object SimQueries extends QueryPack {
           cosine(VectorFunctions.quantizedDot(col("e_a"), col("e_b")),
             col("n_a"), col("n_b")).as("cosine"))
         .where(col("cosine") >= 0.25)
+    }),
+
+    // IVF-style ANN: fixed centroid set (every 25th vector), each vector
+    // assigned to its nearest centroid (the inverted lists); a query
+    // probes its 3 nearest centroids and searches only those lists.
+    // At 100 TB the lists shard by centroid id — the scan per query is
+    // nprobe/nlist of the data instead of all of it.
+    "q_sim_ann_ivf" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
+      val cents = vecs.where(col("vec_id") % 25 === 7)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+          col("nrm").as("cn"))
+      def simToCent = cosine(
+        VectorFunctions.quantizedDot(col("embedding"), col("cemb")),
+        col("nrm"), col("cn"))
+      val byCent = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_vc").desc, col("cent_id"))
+      val assign = vecs.crossJoin(broadcast(cents))
+        .withColumn("cos_vc", simToCent)
+        .withColumn("rk", row_number().over(byCent))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val probes = vecs.where(col("vec_id") % 50 === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("cos_vc", simToCent)
+        .withColumn("rk", row_number().over(byCent))
+        .where(col("rk") <= 3)
+        .select(col("vec_id").as("q_id"), col("cent_id"))
+      val qs = vecs.select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+        col("nrm").as("qn"))
+      val cands = probes.join(assign, "cent_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      cands
+        .join(vecs, "vec_id")
+        .join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
+            col("qn"), col("nrm")).as("cosine"))
+        .withColumn("rnk", rank().over(w).cast(LongType))
+        .where(col("rnk") <= 10)
     }))
 
   private val quantCte =
@@ -190,5 +235,54 @@ object SimQueries extends QueryPack {
          JOIN norms na ON na.vec_id = d.vec_a
          JOIN norms nb ON nb.vec_id = d.vec_b
          WHERE CAST(d.dot AS DOUBLE)
-                 / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) >= 0.25""")
+                 / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) >= 0.25""",
+    "q_sim_ann_ivf" ->
+      s"""WITH $quantCte,
+         cents AS (
+           SELECT q.vec_id AS cent_id, q.v AS cv, n.nrm AS cn
+           FROM qv q JOIN norms n ON n.vec_id = q.vec_id
+           WHERE q.vec_id % 25 = 7),
+         vcdot AS (
+           SELECT e.vec_id, c.cent_id, SUM(e.v[i+1]*c.cv[i+1]) AS dot
+           FROM qv e, cents c, range(64) t(i)
+           GROUP BY e.vec_id, c.cent_id),
+         vcs AS (
+           SELECT v.vec_id, v.cent_id,
+                  CAST(v.dot AS DOUBLE)
+                    / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(c.cn AS DOUBLE))) AS cos_vc
+           FROM vcdot v
+           JOIN norms n ON n.vec_id = v.vec_id
+           JOIN cents c ON c.cent_id = v.cent_id),
+         assign AS (
+           SELECT vec_id, cent_id FROM (
+             SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cos_vc DESC, cent_id) AS rk FROM vcs)
+           WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS q_id, cent_id FROM (
+             SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cos_vc DESC, cent_id) AS rk
+             FROM vcs WHERE vec_id % 50 = 0)
+           WHERE rk <= 3),
+         cands AS (
+           SELECT p.q_id, a.vec_id
+           FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+           WHERE a.vec_id <> p.q_id),
+         cdots AS (
+           SELECT c.q_id, c.vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
+           FROM cands c
+           JOIN qv a ON a.vec_id = c.q_id
+           JOIN qv b ON b.vec_id = c.vec_id, range(64) t(i)
+           GROUP BY c.q_id, c.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE)
+                    / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+           FROM cdots d
+           JOIN norms na ON na.vec_id = d.q_id
+           JOIN norms nb ON nb.vec_id = d.vec_id)
+         SELECT q_id, vec_id, cosine, rnk FROM (
+           SELECT q_id, vec_id, cosine,
+                  RANK() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+           FROM scored) WHERE rnk <= 10""")
 }
