@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
 
 /** Structured Streaming counterparts of the batch event analytics in
   * graft.queries.EventQueries. The reference is a file-triggered
@@ -52,4 +55,59 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("session_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionBuf(start: Long, lastTs: Long, n: Long, value: Double)
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+                           n_events: Long, session_value: Double)
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * explicit-GroupState form of sessionStats, for session semantics
+    * session_window can't express (e.g. richer per-session payloads).
+    * Emits a session when a new event closes it by gap, or when the
+    * event-time timeout fires (watermark passed the open session's gap
+    * deadline). State is one small buffer per user — shards across
+    * executors, evicted on timeout, no unbounded growth.
+    */
+  def sessionizeCustomState(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(b =>
+              ClosedSession(user, new Timestamp(b.start), b.n, b.value)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val closed = List.newBuilder[ClosedSession]
+            var buf = state.getOption
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              buf match {
+                case Some(b) if e.ts.getTime - b.lastTs <= GapMs =>
+                  buf = Some(b.copy(lastTs = math.max(b.lastTs, e.ts.getTime),
+                    n = b.n + 1, value = b.value + e.value))
+                case Some(b) =>
+                  closed += ClosedSession(user, new Timestamp(b.start), b.n, b.value)
+                  buf = Some(SessionBuf(e.ts.getTime, e.ts.getTime, 1, e.value))
+                case None =>
+                  buf = Some(SessionBuf(e.ts.getTime, e.ts.getTime, 1, e.value))
+              }
+            }
+            buf.foreach { b =>
+              state.update(b)
+              // deadline must sit above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(b.lastTs + GapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

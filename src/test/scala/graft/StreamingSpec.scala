@@ -62,4 +62,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       (2L, "2024-01-01 10:05:00.0", 1L, 8.0),
       (2L, "2024-01-02 09:00:00.0", 1L, 16.0)))
   }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions on gap and timeout") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingJobs.sessionizeCustomState(ms.toDS())
+      .writeStream.format("memory").queryName("custom_sess")
+      .outputMode("append").start()
+    try {
+      // batch 1: two users, one session each (open at batch end)
+      ms.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+        Event(3, ts("2024-01-01 10:05:00"), 2, "view", 8.0))
+      q.processAllAvailable()
+      // batch 2: far-future event advances the watermark past both open
+      // sessions' gap deadlines -> both time out and emit; user 1 opens
+      // a new (unemitted) session
+      ms.addData(Event(4, ts("2024-01-01 13:00:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+
+      val got = spark.table("custom_sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(got === Set(
+        (1L, "2024-01-01 10:00:00.0", 2L, 3.0),
+        (2L, "2024-01-01 10:05:00.0", 1L, 8.0)))
+    } finally q.stop()
+  }
 }
