@@ -22,6 +22,9 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; read nanos as long and convert with integer division
     * (double division would lose precision above 2^53 epoch-nanos).
+    * NOTE the conf is session-global: harness mains (Verify/Bench) set it
+    * at session construction; the set here covers ad-hoc sessions and is
+    * idempotent.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
