@@ -36,9 +36,28 @@ object Orchestrator {
   final case class StepLog(step: String, target: String, status: String,
                            rows: Long, batchId: String, message: String)
 
-  final class Run(spark: SparkSession, warehouse: String, batchId: String) {
+  /** Completed write targets for a batch, from the audit plane — the
+    * basis of restart mode (re-run only what didn't finish), mirroring
+    * the reference's audit-log-driven restart
+    * (handlers/batch_processing.py:501-896).
+    */
+  def completedTargets(spark: SparkSession, warehouse: String,
+                       batchId: String): Set[String] = {
+    val path = s"$warehouse/tools/audit_log"
+    if (!new java.io.File(path).exists()) Set.empty
+    else spark.read.parquet(path)
+      .where(col("batchId") === batchId && col("step") === "write"
+        && col("status") === "SUCCESS")
+      .select("target").collect().map(_.getString(0)).toSet
+  }
+
+  final class Run(spark: SparkSession, warehouse: String, batchId: String,
+                  resume: Boolean = false) {
     private var logs = Vector.empty[StepLog]
     def auditLog: Seq[StepLog] = logs
+
+    private val alreadyDone: Set[String] =
+      if (resume) completedTargets(spark, warehouse, batchId) else Set.empty
 
     private def log(step: String, target: String, status: String,
                     rows: Long, msg: String = ""): Unit = {
@@ -49,8 +68,17 @@ object Orchestrator {
         .write.mode(SaveMode.Append).parquet(s"$warehouse/tools/audit_log")
     }
 
-    /** S8: write one batch of a layer table idempotently. */
+    /** S8: write one batch of a layer table idempotently. In restart
+      * mode a target the audit log already records as written is
+      * skipped (its partition is intact — writes are atomic per the
+      * task-commit protocol).
+      */
     def writeBatch(df: DataFrame, table: String): Long = {
+      if (alreadyDone(table)) {
+        log("write", table, "SKIPPED_DONE", 0)
+        return spark.read.parquet(s"$warehouse/$table")
+          .where(col("dwh_batch_id") === batchId).count()
+      }
       val out = df.withColumn("dwh_batch_id", lit(batchId))
       out.write
         .partitionBy("dwh_batch_id")
@@ -115,8 +143,9 @@ object Orchestrator {
     * gold (dims before fact, as integration_config orders them) → MVs
     * (full refresh = overwrite).
     */
-  def runFixtureBatch(spark: SparkSession, warehouse: String): Run = {
-    val run = new Run(spark, warehouse, ReferenceFixtures.BatchId)
+  def runFixtureBatch(spark: SparkSession, warehouse: String,
+                      resume: Boolean = false): Run = {
+    val run = new Run(spark, warehouse, ReferenceFixtures.BatchId, resume)
     val refDate = ReferenceFixtures.RefDate
 
     // bronze (readers already apply the mapping; land them as-is)

@@ -99,6 +99,25 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(audit.where(col("status") === "SUCCESS").count() > 10)
   }
 
+  test("restart mode: completed writes skip, missing work runs") {
+    val wh = Files.createTempDirectory("graft_restart").toString
+    // simulate a run that died after landing two bronze tables
+    val partial = new Orchestrator.Run(spark, wh,
+      graft.pipeline.ReferenceFixtures.BatchId)
+    partial.writeBatch(
+      graft.pipeline.ReferenceFixtures.crmCustInfo(spark).drop("dwh_batch_id"),
+      "bronze/crm_cust_info")
+    partial.writeBatch(
+      graft.pipeline.ReferenceFixtures.erpPxCatG1v2(spark).drop("dwh_batch_id"),
+      "bronze/erp_px_cat_g1v2")
+
+    val resumed = Orchestrator.runFixtureBatch(spark, wh, resume = true)
+    val skipped = resumed.auditLog
+      .filter(_.status == "SKIPPED_DONE").map(_.target).toSet
+    assert(skipped === Set("bronze/crm_cust_info", "bronze/erp_px_cat_g1v2"))
+    assert(spark.read.parquet(s"$wh/gold/fact_sales").count() === 60407)
+  }
+
   test("ingest gate: mismatched schema quarantines, matched loads") {
     val wh = Files.createTempDirectory("graft_ing").toString
     val run = new Orchestrator.Run(spark, wh, "BATCH000001")
