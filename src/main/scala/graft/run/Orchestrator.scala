@@ -72,6 +72,11 @@ object Orchestrator {
       * mode a target the audit log already records as written is
       * skipped (its partition is intact — writes are atomic per the
       * task-commit protocol).
+      *
+      * The audit row count comes from an Observation on the write job
+      * itself (A10, SURVEY §2.4: "observe to avoid double scans") —
+      * re-reading a just-written 100 TB partition only to count it
+      * would double the IO of every load.
       */
     def writeBatch(df: DataFrame, table: String): Long = {
       if (alreadyDone(table)) {
@@ -79,14 +84,15 @@ object Orchestrator {
         return spark.read.parquet(s"$warehouse/$table")
           .where(col("dwh_batch_id") === batchId).count()
       }
-      val out = df.withColumn("dwh_batch_id", lit(batchId))
-      out.write
+      val obs = org.apache.spark.sql.Observation()
+      df.withColumn("dwh_batch_id", lit(batchId))
+        .observe(obs, count(lit(1)).as("n"))
+        .write
         .partitionBy("dwh_batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite)
         .parquet(s"$warehouse/$table")
-      val n = spark.read.parquet(s"$warehouse/$table")
-        .where(col("dwh_batch_id") === batchId).count()
+      val n = obs.get("n").asInstanceOf[Long]
       log("write", table, "SUCCESS", n)
       n
     }
