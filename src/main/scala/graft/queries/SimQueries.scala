@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables.t
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -89,6 +89,33 @@ object SimQueries extends QueryPack {
         .orderBy(col("cosine").desc, col("vec_id"))
       scored.withColumn("rnk", rank().over(w).cast(LongType))
         .where(col("rnk") <= 10)
+    }),
+
+    // Same search as q_sim_cosine_topk through the typed Aggregator
+    // strategy: bounded per-partition top-k buffers instead of a rank
+    // window — no full sort of the scored set anywhere. Trim-to-k with
+    // the vec_id tiebreak = ROW_NUMBER semantics (oracle differs from
+    // the rank-window query only there).
+    "q_sim_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TopKAggregator._
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
+      val qs = vecs.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+          col("nrm").as("qn"))
+      val scored = vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
+            col("qn"), col("nrm")).as("cosine"))
+        .as[Scored]
+      val topk = new TopKByCosine(10, implicitly[Encoder[Seq[Scored]]])
+      scored.groupByKey(_.q_id)
+        .agg(topk.toColumn.name("top"))
+        .flatMap { case (q, top) => top.zipWithIndex.map {
+          case (sc, i) => (q, sc.vec_id, sc.cosine, (i + 1).toLong) } }
+        .toDF("q_id", "vec_id", "cosine", "rnk")
     }),
 
     // LSH-bucketed ANN: 16 hyperplane bits -> 2 bands of 8 bits; pairs
@@ -202,6 +229,25 @@ object SimQueries extends QueryPack {
          SELECT q_id, vec_id, cosine, rnk FROM (
            SELECT q_id, vec_id, cosine,
                   RANK() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+           FROM scored) WHERE rnk <= 10""",
+    "q_sim_topk_agg" ->
+      s"""WITH $quantCte,
+         dots AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
+           FROM qv a, qv b, range(64) t(i)
+           WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE)
+                    / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+           FROM dots d
+           JOIN norms na ON na.vec_id = d.q_id
+           JOIN norms nb ON nb.vec_id = d.vec_id)
+         SELECT q_id, vec_id, cosine, rnk FROM (
+           SELECT q_id, vec_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id) AS rnk
            FROM scored) WHERE rnk <= 10""",
     "q_sim_ann_lsh" ->
       s"""WITH $quantCte,
