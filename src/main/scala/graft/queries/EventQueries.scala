@@ -23,6 +23,17 @@ object EventQueries extends QueryPack {
           countDistinct(col("user_id")).cast(LongType).as("n_users"))
     }),
 
+    // Sliding window: 1-day windows every 12 hours — each event lands in
+    // exactly two windows (streaming: groupBy(window($"ts","1 day","12 hours"))).
+    "q_events_sliding_daily" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day", "12 hours").as("w"),
+          col("event_type"))
+        .agg(cnt.as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+    }),
+
     // Sessionization with a 30-minute inactivity gap — the batch analog of
     // session windows: a new session starts when the gap from the previous
     // event of the same user exceeds the timeout.
@@ -49,6 +60,20 @@ object EventQueries extends QueryPack {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events GROUP BY CAST(ts AS DATE), event_type""",
+    "q_events_sliding_daily" ->
+      """WITH ev AS (
+           SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         wins AS (
+           -- slide 12h, width 24h: every event belongs to exactly the
+           -- two epoch-aligned starts bucket(ts) and bucket(ts) - 12h
+           SELECT event_type, value,
+                  time_bucket(INTERVAL 12 HOUR, ts)
+                    - CAST(k AS INT) * INTERVAL 12 HOUR AS window_start
+           FROM ev, range(2) t(k))
+         SELECT window_start, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM wins GROUP BY window_start, event_type""",
     "q_events_sessionize" ->
       """WITH ev AS (
            -- truncate TIMESTAMP_NS to micros to match Spark's read
