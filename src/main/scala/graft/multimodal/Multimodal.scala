@@ -76,4 +76,38 @@ object Multimodal {
     import s.implicits._
     featurize(synthesize(documents).as[MediaRecord]).toDF()
   }
+
+  /** Resize stub: a real codec would decode, scale to (w, h) and
+    * re-encode; the deterministic fake resamples the payload bytes to
+    * the target length by index scaling (nearest-neighbor over the byte
+    * stream), keeping metadata consistent. Narrow, streaming through
+    * the partition iterator like featurize.
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    val targetLen = math.max(1, (w * h) / 1024)
+    media.mapPartitions(_.map { m =>
+      val src = m.payload
+      val out =
+        if (src.isEmpty) src
+        else Array.tabulate(targetLen)(i => src((i * src.length) / targetLen))
+      m.copy(width = w, height = h, payload = out)
+    })
+  }
+
+  /** Frame-sample stub: treat the payload as fixed-size frames and keep
+    * every `stride`-th frame — the shape of video frame sampling with
+    * the codec stubbed to byte-block slicing. Emits one row per kept
+    * frame: (doc_id, kind, frame_index, frame: binary).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+                   stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (frame, i) if i % stride == 0 =>
+          (m.doc_id, m.kind, i.toLong, frame)
+        }
+    }.toDF("doc_id", "kind", "frame_index", "frame")
+  }
 }

@@ -37,6 +37,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("resize stub rescales payloads and updates metadata") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(docs).as[Multimodal.MediaRecord]
+    val resized = Multimodal.resize(media, 64, 64).collect()
+    assert(resized.forall(_.payload.length === 4))  // 64*64/1024
+    assert(resized.forall(m => m.width === 64 && m.height === 64))
+    // deterministic: first byte of the resampled payload = first source byte
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val src = md.digest("hello world".getBytes("UTF-8"))
+    assert(resized.find(_.doc_id == 0L).get.payload.head === src.head)
+  }
+
+  test("frame sampling keeps every stride-th fixed-size block") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(docs).as[Multimodal.MediaRecord]
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
+    // 16-byte payload -> 4 frames -> keep indices 0 and 2
+    val byDoc = frames.collect().groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.map(_.getLong(2)).sorted.sameElements(Array(0L, 2L))))
+    assert(frames.collect().forall(_.getAs[Array[Byte]]("frame").length === 4))
+  }
+
   test("decode-stub features match direct md5 byte statistics") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val expected = md.digest("hello world".getBytes("UTF-8")).map(_ & 0xff)
