@@ -45,7 +45,7 @@ object TextQueries extends QueryPack {
   }
 
   /** Distinct word-3-gram shingles per doc: (doc_id, s). */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
       .distinct()
@@ -73,33 +73,18 @@ object TextQueries extends QueryPack {
         .agg(min(col("doc_id")).as("keep_doc_id"), cnt.as("n_copies"))
     }),
 
-    // n-gram Jaccard near-dup pairs, exact at threshold 0.8 via a
-    // LOSSLESS PPJoin-style prefix filter: a pair with J >= t must share
-    // a shingle inside each doc's first n - ceil(t·n) + 1 shingles under
-    // a global (md5) shingle order — so candidates are enumerated from
-    // ~20% of the index instead of every co-occurring shingle, and the
-    // full intersection is counted only for survivors. The oracle stays
-    // the naive all-pairs form: result equality proves losslessness.
-    // ceil(0.8n) is computed as (4n+4) DIV 5 — pure integer, no
-    // float-ceil drift. At small SF this pays ~2x (extra sort + joins)
-    // vs naive enumeration; the point is the worst case — candidate
-    // count no longer explodes quadratically on hot shingles.
+    // n-gram Jaccard near-dup pairs — the exact co-shingle baseline.
+    // Quadratic on hot shingles by design: this query is the
+    // verification reference; MinHash-LSH below is the primary 100 TB
+    // path, and operators/JaccardPrefixJoin holds the lossless
+    // PPJoin-style prefix-filtered variant for hot-shingle corpora
+    // (proved output-equal in JaccardPrefixSpec).
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       val sh = shingleTable(s, dir).persist()
       val sizes = sh.groupBy(col("doc_id")).agg(cnt.as("n"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(h64(col("s")), col("s"))
-      val prefixes = sh.join(sizes, "doc_id")
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= col("n") - expr("(n*4 + 4) DIV 5") + 1)
-        .select(col("doc_id"), col("s"))
-      val cand = prefixes.select(col("doc_id").as("doc_a"), col("s"))
-        .join(prefixes.select(col("doc_id").as("doc_b"), col("s").as("s_r")),
-          col("s") === col("s_r") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val shB = sh.select(col("doc_id").as("doc_b2"), col("s").as("s_b"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-        .join(shB, col("doc_b") === col("doc_b2") && col("s") === col("s_b"))
+      val l = sh.select(col("doc_id").as("doc_a"), col("s"))
+      val r = sh.select(col("doc_id").as("doc_b"), col("s").as("s_r"))
+      val inter = l.join(r, col("s") === col("s_r") && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(cnt.as("n_common"))
       inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")

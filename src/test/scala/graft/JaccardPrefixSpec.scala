@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.JaccardPrefixJoin
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PPJoin prefix-filtered Jaccard join must produce EXACTLY the
+  * naive co-shingle join's pairs (the filter is lossless at the
+  * threshold) on real document data.
+  */
+class JaccardPrefixSpec extends AnyFunSuite with SparkTestBase {
+
+  private def h64(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  test("prefix-filtered pairs equal naive pairs at t=0.8") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val naive = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefixed = JaccardPrefixJoin.similarPairs(
+        TextQueries.shingleTable(spark, dir), h64, num = 4, den = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefixed === naive, dir)
+      assert(naive.nonEmpty, s"$dir produced no pairs — vacuous comparison")
+    }
+  }
+}
