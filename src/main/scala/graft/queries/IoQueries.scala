@@ -50,6 +50,27 @@ object IoQueries extends QueryPack {
           col("note").cast(StringType).as("note"))
     }),
 
+    // S2: Excel scan — round-trip proof: the nation table is written to
+    // a minimal xlsx (deterministic order) and read back through the
+    // StAX-based ExcelScan; the oracle is the original table, so any
+    // parse defect (typing, escaping, sparse cells) breaks the match.
+    // Ref: handlers/convert_to_parquet.py:185-186
+    "q_scan_excel" -> ((s, dir) => {
+      import graft.sources.ExcelScan
+      val path = "/tmp/graft_nation.xlsx"
+      val rows = t(s, dir, "nation")
+        .orderBy(col("n_nationkey"))
+        .collect() // fixture generation at dim scale, not a data-plane op
+        .map(r => Seq[Any](r.get(0), r.getString(1), r.get(2)))
+      ExcelScan.writeXlsx(
+        Seq(Seq[Any]("n_nationkey", "n_name", "n_regionkey")) ++ rows, path)
+      ExcelScan.readXlsx(s, path)
+        .select(
+          col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name").cast(StringType).as("n_name"),
+          col("n_regionkey").cast(LongType).as("n_regionkey"))
+    }),
+
     // S8: idempotent batch overwrite. Write all batches, then RE-RUN one
     // batch with dynamic partition overwrite (the Spark replacement for
     // the reference's DELETE WHERE dwh_batch_id + INSERT), and read back.
@@ -94,6 +115,10 @@ object IoQueries extends QueryPack {
                  CAST(order_date AS DATE) AS order_date,
                  CAST(note AS VARCHAR) AS note
           FROM read_json_auto('$JsonPath', format='newline_delimited')""",
+    "q_scan_excel" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation""",
     "q_write_idempotent" ->
       """SELECT CONCAT('BATCH', LPAD(CAST(o_orderkey % 3 AS VARCHAR), 6, '0'))
                   AS dwh_batch_id,
