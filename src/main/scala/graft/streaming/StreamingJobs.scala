@@ -43,6 +43,17 @@ object StreamingJobs {
       .select(col("w.start").cast(DateType).as("day"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding 1-day windows every 12 hours — each event contributes to
+    * two overlapping windows (batch analog: q_events_sliding_daily).
+    */
+  def slidingDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Session windows with a 30-minute inactivity gap — the native
     * streaming form of EventQueries.q_events_sessionize (session_window
     * merges/extends sessions as late rows arrive; state is scoped per

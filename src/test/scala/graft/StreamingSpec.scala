@@ -43,6 +43,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       ("2024-01-02", "view", 1L, 16.0)))
   }
 
+  test("sliding daily windows put each event in exactly two windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = StreamingJobs.slidingDaily(ms.toDF())
+      .writeStream.format("memory").queryName("slide")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("slide")
+    assert(got.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect().head.getLong(0) === 2L * events.length)
+  }
+
   test("session windows (30-min gap) match batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
