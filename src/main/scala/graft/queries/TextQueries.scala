@@ -79,16 +79,27 @@ object TextQueries extends QueryPack {
     // path, and operators/JaccardPrefixJoin holds the lossless
     // PPJoin-style prefix-filtered variant for hot-shingle corpora
     // (proved output-equal in JaccardPrefixSpec).
+    // Plan shape: per-doc shingling + dedup happen MAP-SIDE in one native
+    // pass (functions/TextHashExpressions.scala ShingleHashes — a doc's
+    // distinct shingle set is a row-local fact), and the set size rides
+    // along each exploded row — so there is no global distinct shuffle
+    // and no size-lookup join: just the candidate self-join (off the
+    // persisted hash table) and the pair group-by. Shingle identity is
+    // the 60-bit md5 prefix: the join moves 8-byte longs instead of
+    // ~20-byte strings (collision odds over d distinct shingles
+    // ~ d²/2^61 — vanishing, and the exact oracle gate would catch one).
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingleTable(s, dir).persist()
-      val sizes = sh.groupBy(col("doc_id")).agg(cnt.as("n"))
-      val l = sh.select(col("doc_id").as("doc_a"), col("s"))
-      val r = sh.select(col("doc_id").as("doc_b"), col("s").as("s_r"))
-      val inter = l.join(r, col("s") === col("s_r") && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(cnt.as("n_common"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      import graft.functions.TextHashFunctions.shingleHashes
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), shingleHashes(words(col("text")), 3).as("hs"))
+        .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+        .persist()
+      val l = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
+      val r = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("h").as("h_r"))
+      l.join(r, col("h") === col("h_r") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(cnt.as("n_common"))
         .select(col("doc_a"), col("doc_b"),
           (col("n_common").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_common")))
             .as("jaccard"))
@@ -97,18 +108,22 @@ object TextQueries extends QueryPack {
 
     // MinHash + LSH banding: the 100TB-scale near-dup path. k=8 linear
     // permutations of one md5 base hash, 4 bands of 2 -> candidate pairs
-    // sharing any band.
+    // sharing any band. The signature comes from the native per-row
+    // expression (functions/TextHashExpressions.scala) — shingling, base
+    // hash and minima fused in one map-only pass, so the ONLY shuffle in
+    // the whole plan is the band-key candidate join (the composed form
+    // paid two extra full shuffles of the exploded shingle table).
     "q_dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = shingleTable(s, dir)
-        .withColumn("h0", conv(substring(md5(col("s")), 1, 9), 16, 10)
-          .cast(LongType))
-      val minCols = (0 until MinHashK).map(i =>
-        min((lit(MinHashA(i)) * col("h0") + lit(MinHashB(i))) % MinHashP)
-          .as(s"h$i"))
-      val mins = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      import graft.functions.TextHashFunctions.minhashSignature
+      val mins = t(s, dir, "documents")
+        .select(col("doc_id"),
+          minhashSignature(words(col("text")), 3, MinHashK,
+            MinHashA, MinHashB, MinHashP).as("mh"))
+        .where(col("mh").isNotNull)
       val bands = mins.select(col("doc_id"), explode(array(
         (0 until MinHashK / 2).map(b =>
-          concat_ws("_", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*))
+          concat_ws("_", lit(b), element_at(col("mh"), 2 * b + 1),
+            element_at(col("mh"), 2 * b + 2))): _*))
         .as("band_key"))
       val l = bands.select(col("doc_id").as("doc_a"), col("band_key"))
       val r = bands.select(col("doc_id").as("doc_b"), col("band_key").as("bk_r"))
@@ -116,19 +131,15 @@ object TextQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b")).distinct()
     }),
 
-    // SimHash document fingerprint (32-bit, token multiset, md5-based).
+    // SimHash document fingerprint (32-bit, token multiset, md5-based) —
+    // native per-row expression: one fused pass per doc, map-only at any
+    // scale (the composed form exploded every token into a 32-column
+    // group-by, a full shuffle of the token table).
     "q_dedup_simhash" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .withColumn("h", h64(col("w")))
-      val bitCols = (0 until SimHashBits).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"b$j"))
-      val sums = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-      val sim = (0 until SimHashBits).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _)
-      sums.select(col("doc_id"), sim.as("simhash"))
+      import graft.functions.TextHashFunctions.simhash64
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          simhash64(words(col("text")), SimHashBits).as("simhash"))
     }),
 
     // Token statistics: counts, type-token ratio, BPE-ish subword estimate.
