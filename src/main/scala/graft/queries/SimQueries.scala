@@ -156,6 +156,53 @@ object SimQueries extends QueryPack {
         .where(col("cosine") >= 0.25)
     }),
 
+    // Embedding-cosine near-dup DEDUP over documents: candidate pairs
+    // from the same hyperplane-LSH banding as q_sim_ann_lsh (never
+    // all-pairs), exact quantized cosine >= 0.25 confirms a near-dup
+    // (corpus-calibrated threshold: this synthetic corpus tops out at
+    // cosine 0.6; production near-dup sits >= 0.9 where the same banding
+    // has higher per-band selectivity), then the keep/drop decision is
+    // the standard greedy keep-first policy: a doc is dropped iff it has
+    // a confirmed near-dup with a smaller doc_id (deterministic, one
+    // aggregation; full connected components would need iterative label
+    // propagation — see plans/Recursion.scala for that machinery).
+    "q_dedup_embedding" -> ((s, dir) => {
+      val vecs = quantVecs(s, dir)
+      val bitCols = (0 until NumBits).map { j =>
+        val dot = dotL(col("v"), typedlit(signs(j).toSeq))
+        when(dot > 0, 1L).otherwise(0L).as(s"bit$j")
+      }
+      val withBits = vecs.select(col("vec_id") +: col("v") +: col("nrm") +: bitCols: _*)
+      val bandKeys = (0 until NumBands).map { b =>
+        val bandVal = (0 until BitsPerBand)
+          .map(r => col(s"bit${BitsPerBand * b + r}") * lit(1L << r))
+          .reduce(_ + _)
+        concat(lit(b.toString), lit("_"), bandVal.cast(StringType))
+      }
+      val bands = withBits
+        .select(col("vec_id"), explode(array(bandKeys: _*)).as("band_key"))
+      val cands = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band_key") === col("b.band_key")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val sides = vecs.select(col("vec_id"), col("v"), col("nrm"))
+      val va = sides.select(col("vec_id").as("vec_a"), col("v").as("v_a"),
+        col("nrm").as("n_a"))
+      val vb = sides.select(col("vec_id").as("vec_b"), col("v").as("v_b"),
+        col("nrm").as("n_b"))
+      val dups = cands.join(va, "vec_a").join(vb, "vec_b")
+        .where(cosine(dotL(col("v_a"), col("v_b")), col("n_a"), col("n_b")) >= 0.25)
+        .groupBy(col("vec_b").as("doc_id"))
+        .agg(min(col("vec_a")).as("dup_of"))
+      t(s, dir, "documents")
+        .join(vecs.select(col("vec_id").as("doc_id")), "doc_id")
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          col("dup_of").isNull.as("keep"), col("dup_of"))
+    }),
+
     // IVF-style ANN: fixed centroid set (every 25th vector), each vector
     // assigned to its nearest centroid (the inverted lists); a query
     // probes its 3 nearest centroids and searches only those lists.
@@ -282,6 +329,43 @@ object SimQueries extends QueryPack {
          JOIN norms nb ON nb.vec_id = d.vec_b
          WHERE CAST(d.dot AS DOUBLE)
                  / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) >= 0.25""",
+    "q_dedup_embedding" ->
+      s"""WITH $quantCte,
+         signs AS (
+           SELECT j, i,
+                  CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(j, ':', i)), 1, 15))
+                            AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+           FROM range(16) t1(j), range(64) t2(i)),
+         bits AS (
+           SELECT e.vec_id, s.j,
+                  CASE WHEN SUM(e.v[s.i+1]*s.s) > 0 THEN 1 ELSE 0 END AS bit
+           FROM qv e, signs s GROUP BY e.vec_id, s.j),
+         bands AS (
+           SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
+           FROM bits GROUP BY vec_id, j // 8),
+         cands AS (
+           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+         dots AS (
+           SELECT c.vec_a, c.vec_b, SUM(a.v[i+1]*b.v[i+1]) AS dot
+           FROM cands c
+           JOIN qv a ON a.vec_id = c.vec_a
+           JOIN qv b ON b.vec_id = c.vec_b, range(64) t(i)
+           GROUP BY c.vec_a, c.vec_b),
+         dups AS (
+           SELECT d.vec_b AS doc_id, MIN(d.vec_a) AS dup_of
+           FROM dots d
+           JOIN norms na ON na.vec_id = d.vec_a
+           JOIN norms nb ON nb.vec_id = d.vec_b
+           WHERE CAST(d.dot AS DOUBLE)
+                   / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) >= 0.25
+           GROUP BY d.vec_b)
+         SELECT doc.doc_id, doc.source, dup_of IS NULL AS keep, dup_of
+         FROM documents doc
+         JOIN qv ON qv.vec_id = doc.doc_id
+         LEFT JOIN dups ON dups.doc_id = doc.doc_id""",
     "q_sim_ann_ivf" ->
       s"""WITH $quantCte,
          cents AS (
