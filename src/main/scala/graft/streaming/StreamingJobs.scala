@@ -67,6 +67,27 @@ object StreamingJobs {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup on event_id — the streaming face of the
+    * batch W1/exact-dedup operators. dropDuplicatesWithinWatermark keeps
+    * per-key state only until the watermark passes it, so state is
+    * bounded by the lateness horizon instead of the whole stream's key
+    * cardinality (dropDuplicates without a watermark grows forever —
+    * unusable at 100 TB/day).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrich join: the streaming form of the J1 dimension
+    * enrich — each micro-batch hash-joins against the static dimension
+    * snapshot, which Spark re-broadcasts per batch (no shuffle of the
+    * stream side, no state store involvement for inner equi-joins
+    * against static data).
+    */
+  def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionBuf(start: Long, lastTs: Long, n: Long, value: Double)

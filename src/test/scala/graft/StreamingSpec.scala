@@ -77,6 +77,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       (2L, "2024-01-02 09:00:00.0", 1L, 16.0)))
   }
 
+  test("watermarked streaming dedup drops in-horizon duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.dedupEvents(ms.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // same-batch dup
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData( // retry of event 2 arrives within the watermark horizon
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),
+        Ev(3, ts("2024-01-01 10:20:00"), 2, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(got === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream-static enrich joins each micro-batch to the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = StreamingJobs.enrichEvents(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich").select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "gold"), (2L, "gold"), (3L, "gold"),
+      (4L, "basic"), (5L, "basic")))
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions on gap and timeout") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
