@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -67,6 +67,61 @@ case class QuantizedDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane LSH bits of one embedding in a single fused pass: bit
+  * j of the result is set iff Σ floor(vᵢ·1000)·signs[j][i] > 0. The
+  * composed form pays one interpreted HOF aggregate per bit per row
+  * (16 array walks); this walks the vector once per bit in tight
+  * codegen'd long arithmetic via a static kernel. Bit semantics are
+  * identical to the oracle's per-(j,i) sign-matrix SUM (the ±1 signs
+  * come from md5 parity — see graft.queries.SimQueries).
+  */
+case class HyperplaneSketch(child: Expression, signs: Array[Array[Long]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(signs.nonEmpty && signs.length <= 63, "1..63 hyperplanes")
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sketch"
+
+  override def nullSafeEval(in: Any): Any =
+    HyperplaneSketch.sketch(in.asInstanceOf[ArrayData], signs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSketch.sketch($c, $signsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketch =
+    copy(child = newChild)
+}
+
+object HyperplaneSketch {
+  /** Static kernel shared by eval and codegen. Null elements contribute
+    * 0 to every plane (matching the HOF form's zip_with-over-null = 0).
+    */
+  def sketch(v: ArrayData, signs: Array[Array[Long]]): Long = {
+    val n = v.numElements()
+    var mask = 0L
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j)
+      val m = math.min(n, row.length)
+      var acc = 0L
+      var i = 0
+      while (i < m) {
+        if (!v.isNullAt(i)) {
+          acc += math.floor(v.getFloat(i).toDouble * 1000.0).toLong * row(i)
+        }
+        i += 1
+      }
+      if (acc > 0) mask |= 1L << j
+      j += 1
+    }
+    mask
+  }
+}
+
 /** Column-API wrappers for the native vector expressions. */
 object VectorFunctions {
   def quantizedDot(a: Column, b: Column): Column =
@@ -75,4 +130,8 @@ object VectorFunctions {
 
   /** Squared quantized norm: quantizedDot(v, v). */
   def quantizedNorm(v: Column): Column = quantizedDot(v, v)
+
+  def hyperplaneSketch(v: Column, signs: Array[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      HyperplaneSketch(GraftColumnBridge.expression(v), signs))
 }

@@ -51,21 +51,25 @@ object SimQueries extends QueryPack {
     }
   }
 
-  /** Quantized integer vector: exact cross-engine dot products. */
-  private def quantized(c: Column): Column =
-    transform(c, x => floor(x.cast(DoubleType) * 1000).cast(LongType))
-
-  private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-
-  /** (vec_id, v: array<long>, nrm: long) for every embedding row. */
-  private def quantVecs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), quantized(col("embedding")).as("v"))
-      .withColumn("nrm", dotL(col("v"), col("v")))
-
   private def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
+  /** (vec_id, band_key) rows: the native HyperplaneSketch bitmask cut
+    * into NumBands bands of BitsPerBand bits — band b's key is the
+    * mask's b-th BitsPerBand-bit slice, formatted "b_value" exactly like
+    * the per-bit-column sum the oracle computes.
+    */
+  private def sketchBands(s: SparkSession, dir: String): DataFrame = {
+    val sketched = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        VectorFunctions.hyperplaneSketch(col("embedding"), signs).as("sketch"))
+    val bandKeys = (0 until NumBands).map { b =>
+      concat(lit(b.toString), lit("_"),
+        shiftright(col("sketch"), BitsPerBand * b)
+          .bitwiseAND(lit((1L << BitsPerBand) - 1)).cast(StringType))
+    }
+    sketched.select(col("vec_id"), explode(array(bandKeys: _*)).as("band_key"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-10 for each query vector (every 50th
@@ -121,21 +125,10 @@ object SimQueries extends QueryPack {
     // LSH-bucketed ANN: 16 hyperplane bits -> 2 bands of 8 bits; pairs
     // sharing any band bucket are candidates; exact cosine re-rank keeps
     // pairs >= 0.25. The only shuffle over the big side is on band_key.
+    // All 16 bits come from ONE native fused pass over the vector
+    // (HyperplaneSketch) instead of 16 interpreted HOF aggregates.
     "q_sim_ann_lsh" -> ((s, dir) => {
-      val vecs = quantVecs(s, dir)
-      val bitCols = (0 until NumBits).map { j =>
-        val dot = dotL(col("v"), typedlit(signs(j).toSeq))
-        when(dot > 0, 1L).otherwise(0L).as(s"bit$j")
-      }
-      val withBits = vecs.select(col("vec_id") +: col("v") +: col("nrm") +: bitCols: _*)
-      val bandKeys = (0 until NumBands).map { b =>
-        val bandVal = (0 until BitsPerBand)
-          .map(r => col(s"bit${BitsPerBand * b + r}") * lit(1L << r))
-          .reduce(_ + _)
-        concat(lit(b.toString), lit("_"), bandVal.cast(StringType))
-      }
-      val bands = withBits
-        .select(col("vec_id"), explode(array(bandKeys: _*)).as("band_key"))
+      val bands = sketchBands(s, dir)
       val cands = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band_key") === col("b.band_key")
@@ -167,37 +160,27 @@ object SimQueries extends QueryPack {
     // aggregation; full connected components would need iterative label
     // propagation — see plans/Recursion.scala for that machinery).
     "q_dedup_embedding" -> ((s, dir) => {
-      val vecs = quantVecs(s, dir)
-      val bitCols = (0 until NumBits).map { j =>
-        val dot = dotL(col("v"), typedlit(signs(j).toSeq))
-        when(dot > 0, 1L).otherwise(0L).as(s"bit$j")
-      }
-      val withBits = vecs.select(col("vec_id") +: col("v") +: col("nrm") +: bitCols: _*)
-      val bandKeys = (0 until NumBands).map { b =>
-        val bandVal = (0 until BitsPerBand)
-          .map(r => col(s"bit${BitsPerBand * b + r}") * lit(1L << r))
-          .reduce(_ + _)
-        concat(lit(b.toString), lit("_"), bandVal.cast(StringType))
-      }
-      val bands = withBits
-        .select(col("vec_id"), explode(array(bandKeys: _*)).as("band_key"))
+      val bands = sketchBands(s, dir)
       val cands = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band_key") === col("b.band_key")
             && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
-      val sides = vecs.select(col("vec_id"), col("v"), col("nrm"))
-      val va = sides.select(col("vec_id").as("vec_a"), col("v").as("v_a"),
+      val raw = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
+      val va = raw.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
         col("nrm").as("n_a"))
-      val vb = sides.select(col("vec_id").as("vec_b"), col("v").as("v_b"),
+      val vb = raw.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
         col("nrm").as("n_b"))
       val dups = cands.join(va, "vec_a").join(vb, "vec_b")
-        .where(cosine(dotL(col("v_a"), col("v_b")), col("n_a"), col("n_b")) >= 0.25)
+        .where(cosine(VectorFunctions.quantizedDot(col("e_a"), col("e_b")),
+          col("n_a"), col("n_b")) >= 0.25)
         .groupBy(col("vec_b").as("doc_id"))
         .agg(min(col("vec_a")).as("dup_of"))
       t(s, dir, "documents")
-        .join(vecs.select(col("vec_id").as("doc_id")), "doc_id")
+        .join(raw.select(col("vec_id").as("doc_id")), "doc_id")
         .join(dups, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),
           col("dup_of").isNull.as("keep"), col("dup_of"))
