@@ -64,6 +64,72 @@ object TextQueries extends QueryPack {
   private val MinHashB = Seq(12345L, 54321L, 192837L, 918273L,
     111111L, 222222L, 333333L, 444444L)
 
+  /** MinHash-LSH near-dup candidate pairs (doc_a < doc_b). Signatures
+    * come from the native per-row MinHashSignature expression — the only
+    * shuffle in the plan is the band-key candidate self-join.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.minhashSignature
+    val mins = t(s, dir, "documents")
+      .select(col("doc_id"),
+        minhashSignature(words(col("text")), 3, MinHashK,
+          MinHashA, MinHashB, MinHashP).as("mh"))
+      .where(col("mh").isNotNull)
+    val bands = mins.select(col("doc_id"), explode(array(
+      (0 until MinHashK / 2).map(b =>
+        concat_ws("_", lit(b), element_at(col("mh"), 2 * b + 1),
+          element_at(col("mh"), 2 * b + 2))): _*))
+      .as("band_key"))
+    val l = bands.select(col("doc_id").as("doc_a"), col("band_key"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("band_key").as("bk_r"))
+    l.join(r, col("band_key") === col("bk_r") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Per-doc quality frame (doc_id, source, n_tokens, type_token_ratio,
+    * stopword_ratio, mean_word_len, quality_score) — all per-row.
+    */
+  private def qualityFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast(DoubleType)
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val nStop = size(filter(w, x => x.isin(stops: _*))).cast(DoubleType)
+    val ttr = size(array_distinct(w)).cast(DoubleType) / size(w)
+    val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) / size(w)
+    val score = (least(nTok, lit(100.0)) / lit(100.0)
+      + ttr
+      + nStop / nTok
+      + when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)) / lit(4.0)
+    t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      nTok.cast(LongType).as("n_tokens"),
+      ttr.as("type_token_ratio"),
+      (nStop / nTok).as("stopword_ratio"),
+      meanWl.as("mean_word_len"),
+      score.as("quality_score"))
+  }
+
+  /** Per-doc language-ID frame (doc_id, lang_label, score_*, lang_pred). */
+  private def langFrame(s: SparkSession, dir: String): DataFrame = {
+    def occ(pat: String): Column =
+      ((length(col("padded")) - length(regexp_replace(col("padded"),
+        java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast(LongType)
+    def profile(pats: Seq[String]): Column = pats.map(occ).reduce(_ + _)
+    val en = profile(Seq(" the ", " a ", " of "))
+    val de = profile(Seq(" der ", " und ", " die "))
+    val es = profile(Seq(" el ", " la ", " de "))
+    val fr = profile(Seq(" le ", " et ", " les "))
+    t(s, dir, "documents")
+      .withColumn("padded", concat(lit(" "), lower(trim(col("text"))), lit(" ")))
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
+        when(en >= greatest(de, es, fr) && en > 0, "en")
+          .when(de >= greatest(es, fr) && de > 0, "de")
+          .when(es >= fr && es > 0, "es")
+          .when(fr > 0, "fr")
+          .otherwise("unknown").as("lang_pred"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: canonical row per normalized-text group (md5 key).
     // Generalizes A8 (validate_row.py:172-173) to content dedup.
@@ -113,23 +179,7 @@ object TextQueries extends QueryPack {
     // hash and minima fused in one map-only pass, so the ONLY shuffle in
     // the whole plan is the band-key candidate join (the composed form
     // paid two extra full shuffles of the exploded shingle table).
-    "q_dedup_minhash_lsh" -> ((s, dir) => {
-      import graft.functions.TextHashFunctions.minhashSignature
-      val mins = t(s, dir, "documents")
-        .select(col("doc_id"),
-          minhashSignature(words(col("text")), 3, MinHashK,
-            MinHashA, MinHashB, MinHashP).as("mh"))
-        .where(col("mh").isNotNull)
-      val bands = mins.select(col("doc_id"), explode(array(
-        (0 until MinHashK / 2).map(b =>
-          concat_ws("_", lit(b), element_at(col("mh"), 2 * b + 1),
-            element_at(col("mh"), 2 * b + 2))): _*))
-        .as("band_key"))
-      val l = bands.select(col("doc_id").as("doc_a"), col("band_key"))
-      val r = bands.select(col("doc_id").as("doc_b"), col("band_key").as("bk_r"))
-      l.join(r, col("band_key") === col("bk_r") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-    }),
+    "q_dedup_minhash_lsh" -> (minhashPairs(_, _)),
 
     // SimHash document fingerprint (32-bit, token multiset, md5-based) —
     // native per-row expression: one fused pass per doc, map-only at any
@@ -156,46 +206,38 @@ object TextQueries extends QueryPack {
 
     // Quality score: bounded token count, lexical diversity, stopword
     // ratio, mean word length band — equal-weight average.
-    "q_text_quality" -> ((s, dir) => {
-      val w = words(col("text"))
-      val nTok = size(w).cast(DoubleType)
-      val stops = Seq("the", "a", "of", "and", "to", "in")
-      val nStop = size(filter(w, x => x.isin(stops: _*))).cast(DoubleType)
-      val ttr = size(array_distinct(w)).cast(DoubleType) / size(w)
-      val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) / size(w)
-      val score = (least(nTok, lit(100.0)) / lit(100.0)
-        + ttr
-        + nStop / nTok
-        + when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)) / lit(4.0)
-      t(s, dir, "documents").select(
-        col("doc_id"), col("source"),
-        nTok.cast(LongType).as("n_tokens"),
-        ttr.as("type_token_ratio"),
-        (nStop / nTok).as("stopword_ratio"),
-        meanWl.as("mean_word_len"),
-        score.as("quality_score"))
-    }),
+    "q_text_quality" -> (qualityFrame(_, _)),
 
     // Language-ID n-gram heuristic: count distinctive function-word
     // occurrences per language profile; argmax with fixed tie order.
-    "q_text_lang_id" -> ((s, dir) => {
-      def occ(pat: String): Column =
-        ((length(col("padded")) - length(regexp_replace(col("padded"),
-          java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast(LongType)
-      def profile(pats: Seq[String]): Column = pats.map(occ).reduce(_ + _)
-      val en = profile(Seq(" the ", " a ", " of "))
-      val de = profile(Seq(" der ", " und ", " die "))
-      val es = profile(Seq(" el ", " la ", " de "))
-      val fr = profile(Seq(" le ", " et ", " les "))
-      t(s, dir, "documents")
-        .withColumn("padded", concat(lit(" "), lower(trim(col("text"))), lit(" ")))
-        .select(col("doc_id"), col("lang").as("lang_label"),
-          en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
-          when(en >= greatest(de, es, fr) && en > 0, "en")
-            .when(de >= greatest(es, fr) && de > 0, "de")
-            .when(es >= fr && es > 0, "es")
-            .when(fr > 0, "fr")
-            .otherwise("unknown").as("lang_pred"))
+    "q_text_lang_id" -> (langFrame(_, _)),
+
+    // The composed cleaning pipeline a training corpus actually runs —
+    // language gate, quality gate, exact dedup (keep first), MinHash-LSH
+    // near-dup drop among survivors — as ONE declarative plan built from
+    // the same frames the individual operators register. Each stage is
+    // per-row or shuffles on a content key, so the composition scales
+    // exactly as its pieces do.
+    "q_text_clean_corpus" -> ((s, dir) => {
+      val q = qualityFrame(s, dir)
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      val l = langFrame(s, dir).select(col("doc_id"), col("lang_pred"))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("tkey"))
+        .join(q, "doc_id").join(l, "doc_id")
+        .where(col("quality_score") >= 0.5 && col("lang_pred") =!= "unknown")
+      val kept = base
+        .withColumn("min_id",
+          min(col("doc_id")).over(Window.partitionBy(col("tkey"))))
+        .where(col("doc_id") === col("min_id"))
+        .select(col("doc_id"), col("source"), col("lang_pred"),
+          col("quality_score"))
+      val pairs = minhashPairs(s, dir)
+      val drops = pairs
+        .join(kept.select(col("doc_id").as("doc_a")), "doc_a")
+        .join(kept.select(col("doc_id").as("doc_b")), "doc_b")
+        .select(col("doc_b").as("drop_id")).distinct()
+      kept.join(drops, col("doc_id") === col("drop_id"), "left_anti")
     }),
 
     // Document fingerprint: md5 over whitespace-normalized lowercase text
@@ -240,6 +282,46 @@ object TextQueries extends QueryPack {
         SELECT doc_id, $recompose AS simhash FROM sums"""
   }
 
+  private val qualityOracle =
+    """WITH f AS (
+           SELECT doc_id, source,
+                  CAST(len(w) AS DOUBLE) AS n_tok,
+                  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+                  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))
+                    AS DOUBLE) AS n_stop,
+                  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_wl
+           FROM (SELECT doc_id, source, text,
+                        regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+         SELECT doc_id, source,
+                CAST(n_tok AS BIGINT) AS n_tokens,
+                ttr AS type_token_ratio,
+                n_stop / n_tok AS stopword_ratio,
+                mean_wl AS mean_word_len,
+                (LEAST(n_tok, 100.0) / 100.0 + ttr + n_stop / n_tok
+                 + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0 THEN 1.0 ELSE 0.0 END)
+                  / 4.0 AS quality_score
+         FROM f"""
+
+  private val langOracle: String = {
+    def occ(pat: String) =
+      s"CAST((length(padded) - length(replace(padded, '$pat', ''))) / ${pat.length} AS BIGINT)"
+    def prof(pats: Seq[String]) = pats.map(occ).mkString("(", " + ", ")")
+    val en = prof(Seq(" the ", " a ", " of "))
+    val de = prof(Seq(" der ", " und ", " die "))
+    val es = prof(Seq(" el ", " la ", " de "))
+    val fr = prof(Seq(" le ", " et ", " les "))
+    s"""WITH p AS (SELECT doc_id, lang,
+                    CONCAT(' ', LOWER(TRIM(text)), ' ') AS padded FROM documents)
+         SELECT doc_id, lang AS lang_label,
+                $en AS score_en, $de AS score_de, $es AS score_es, $fr AS score_fr,
+                CASE WHEN $en >= GREATEST($de, $es, $fr) AND $en > 0 THEN 'en'
+                     WHEN $de >= GREATEST($es, $fr) AND $de > 0 THEN 'de'
+                     WHEN $es >= $fr AND $es > 0 THEN 'es'
+                     WHEN $fr > 0 THEN 'fr'
+                     ELSE 'unknown' END AS lang_pred
+         FROM p"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(LOWER(TRIM(text))) AS text_key,
@@ -277,44 +359,35 @@ object TextQueries extends QueryPack {
                 CAST(length(text) AS BIGINT) AS n_chars_obs,
                 CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
          FROM documents""",
-    "q_text_quality" ->
-      """WITH f AS (
-           SELECT doc_id, source,
-                  CAST(len(w) AS DOUBLE) AS n_tok,
-                  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
-                  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))
-                    AS DOUBLE) AS n_stop,
-                  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_wl
-           FROM (SELECT doc_id, source, text,
-                        regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
-         SELECT doc_id, source,
-                CAST(n_tok AS BIGINT) AS n_tokens,
-                ttr AS type_token_ratio,
-                n_stop / n_tok AS stopword_ratio,
-                mean_wl AS mean_word_len,
-                (LEAST(n_tok, 100.0) / 100.0 + ttr + n_stop / n_tok
-                 + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0 THEN 1.0 ELSE 0.0 END)
-                  / 4.0 AS quality_score
-         FROM f""",
-    "q_text_lang_id" -> {
-      def occ(pat: String) =
-        s"CAST((length(padded) - length(replace(padded, '$pat', ''))) / ${pat.length} AS BIGINT)"
-      def prof(pats: Seq[String]) = pats.map(occ).mkString("(", " + ", ")")
-      val en = prof(Seq(" the ", " a ", " of "))
-      val de = prof(Seq(" der ", " und ", " die "))
-      val es = prof(Seq(" el ", " la ", " de "))
-      val fr = prof(Seq(" le ", " et ", " les "))
-      s"""WITH p AS (SELECT doc_id, lang,
-                    CONCAT(' ', LOWER(TRIM(text)), ' ') AS padded FROM documents)
-         SELECT doc_id, lang AS lang_label,
-                $en AS score_en, $de AS score_de, $es AS score_es, $fr AS score_fr,
-                CASE WHEN $en >= GREATEST($de, $es, $fr) AND $en > 0 THEN 'en'
-                     WHEN $de >= GREATEST($es, $fr) AND $de > 0 THEN 'de'
-                     WHEN $es >= $fr AND $es > 0 THEN 'es'
-                     WHEN $fr > 0 THEN 'fr'
-                     ELSE 'unknown' END AS lang_pred
-         FROM p"""
-    },
+    "q_text_quality" -> qualityOracle,
+    "q_text_lang_id" -> langOracle,
+    "q_text_clean_corpus" -> (minhashOracleCte +
+      s""",
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         qual AS ($qualityOracle),
+         lang AS ($langOracle),
+         base AS (
+           SELECT d.doc_id, d.source, md5(LOWER(TRIM(d.text))) AS tkey,
+                  q.quality_score, l.lang_pred
+           FROM documents d
+           JOIN qual q ON q.doc_id = d.doc_id
+           JOIN lang l ON l.doc_id = d.doc_id
+           WHERE q.quality_score >= 0.5 AND l.lang_pred <> 'unknown'),
+         kept AS (
+           SELECT doc_id, source, lang_pred, quality_score FROM (
+             SELECT base.*, MIN(doc_id) OVER (PARTITION BY tkey) AS min_id
+             FROM base)
+           WHERE doc_id = min_id),
+         drops AS (
+           SELECT DISTINCT p.doc_b AS drop_id
+           FROM pairs p
+           JOIN kept ka ON ka.doc_id = p.doc_a
+           JOIN kept kb ON kb.doc_id = p.doc_b)
+         SELECT doc_id, source, lang_pred, quality_score
+         FROM kept WHERE doc_id NOT IN (SELECT drop_id FROM drops)"""),
     "q_text_fingerprint" ->
       """SELECT doc_id,
                 md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
