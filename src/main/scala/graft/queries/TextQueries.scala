@@ -192,7 +192,11 @@ object TextQueries extends QueryPack {
           simhash64(words(col("text")), SimHashBits).as("simhash"))
     }),
 
-    // Token statistics: counts, type-token ratio, BPE-ish subword estimate.
+    // Token statistics: whitespace token counts, type-token ratio, and
+    // two BPE-ish subword estimates — the chars/4 rule of thumb and a
+    // greedy regex segmentation (alpha runs capped at 4 chars, digit
+    // runs capped at 3, any other non-space char solo; the ASCII-class
+    // pattern scans identically under Java regex and DuckDB's RE2).
     "q_text_token_stats" -> ((s, dir) => {
       val w = words(col("text"))
       t(s, dir, "documents").select(
@@ -201,7 +205,10 @@ object TextQueries extends QueryPack {
         size(array_distinct(w)).cast(LongType).as("n_distinct_tokens"),
         (size(array_distinct(w)).cast(DoubleType) / size(w)).as("type_token_ratio"),
         length(col("text")).cast(LongType).as("n_chars_obs"),
-        ceil(length(col("text")) / lit(4.0)).cast(LongType).as("est_bpe_tokens"))
+        ceil(length(col("text")) / lit(4.0)).cast(LongType).as("est_bpe_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast(LongType).as("n_subword_tokens"))
     }),
 
     // Quality score: bounded token count, lexical diversity, stopword
@@ -357,7 +364,10 @@ object TextQueries extends QueryPack {
                 CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
                   / len(regexp_split_to_array(trim(text), '\s+')) AS type_token_ratio,
                 CAST(length(text) AS BIGINT) AS n_chars_obs,
-                CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+                CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT)
+                  AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
     "q_text_lang_id" -> langOracle,
