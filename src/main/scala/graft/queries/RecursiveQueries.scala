@@ -41,10 +41,48 @@ object RecursiveQueries extends QueryPack {
         .groupBy(col("level"))
         .agg(cnt.as("n_chain_rows"),
           countDistinct(col("o_orderkey")).cast(LongType).as("n_distinct_orders"))
+    }),
+
+    // The same chain via Spark 4's native WITH RECURSIVE — the engine
+    // runs the fixpoint loop (one hash join per level, recursion capped
+    // by the level predicate) instead of the driver-side iterate in
+    // plans/Recursion.scala. Both variants stay registered: the manual
+    // loop controls checkpointing per level (the 100 TB lever), the CTE
+    // form is the declarative path now that the engine supports it.
+    "q_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("rec_orders")
+      s.sql(
+        s"""WITH RECURSIVE chain AS (
+              SELECT o_custkey, o_orderkey, o_orderdate, CAST(1 AS BIGINT) AS level
+              FROM rec_orders WHERE o_orderpriority = '1-URGENT'
+              UNION ALL
+              SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, c.level + 1
+              FROM rec_orders o JOIN chain c
+                ON o.o_custkey = c.o_custkey
+               AND o.o_orderdate > c.o_orderdate
+               AND o.o_orderdate <= c.o_orderdate + INTERVAL 30 DAYS
+              WHERE c.level < $MaxLevels)
+            SELECT level, COUNT(*) AS n_chain_rows,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_orders
+            FROM chain GROUP BY level""")
     }))
 
   val oracleSql: Map[String, String] = Map(
     "q_recursive_chain" ->
+      """WITH RECURSIVE chain AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, CAST(1 AS BIGINT) AS level
+           FROM orders WHERE o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, c.level + 1
+           FROM orders o
+           JOIN chain c ON o.o_custkey = c.o_custkey
+             AND o.o_orderdate > c.o_orderdate
+             AND o.o_orderdate <= c.o_orderdate + INTERVAL 30 DAY
+           WHERE c.level < 4)
+         SELECT level, COUNT(*) AS n_chain_rows,
+                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_orders
+         FROM chain GROUP BY level""",
+    "q_recursive_cte" ->
       """WITH RECURSIVE chain AS (
            SELECT o_custkey, o_orderkey, o_orderdate, CAST(1 AS BIGINT) AS level
            FROM orders WHERE o_orderpriority = '1-URGENT'
