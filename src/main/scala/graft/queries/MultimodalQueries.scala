@@ -12,11 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries extends QueryPack {
 
+  private def media(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Multimodal.synthesize(
+      t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
+      .as[Multimodal.MediaRecord]
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s,
         t(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))))
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))),
+
+    // Frame sampling over the binary payload (4-byte frames, keep every
+    // 2nd): the video-sampling plumbing with the codec stubbed to byte
+    // slicing — one output row per kept frame, binary column included in
+    // the oracle compare (both sides hash the same bytes).
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(media(s, dir), frameBytes = 4, stride = 2)),
+
+    // Resize stub: nearest-neighbor byte resample of the 16-byte payload
+    // to the 64x64 target's 4-byte budget, metadata rewritten to match.
+    "q_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resize(media(s, dir), 64, 64).toDF()
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_features" ->
@@ -36,5 +58,27 @@ object MultimodalQueries extends QueryPack {
                 CAST(CONCAT('0x', SUBSTRING(h, 1, 2)) AS BIGINT) AS first_byte,
                 byte_sum,
                 CAST(byte_sum AS DOUBLE) / 16 AS mean_byte
-         FROM summed""")
+         FROM summed""",
+    "q_multimodal_frames" ->
+      """WITH hexed AS (
+           SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents)
+         SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                CAST(f AS BIGINT) AS frame_index,
+                unhex(SUBSTRING(h, CAST(8*f + 1 AS INT), 8)) AS frame
+         FROM hexed, (SELECT unnest([0, 2]) AS f)""",
+    "q_multimodal_resize" ->
+      """WITH hexed AS (
+           SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents)
+         SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                CAST(64 AS INT) AS width,
+                CAST(64 AS INT) AS height,
+                unhex(CONCAT(SUBSTRING(h, 1, 2), SUBSTRING(h, 9, 2),
+                             SUBSTRING(h, 17, 2), SUBSTRING(h, 25, 2))) AS payload
+         FROM hexed""")
 }
