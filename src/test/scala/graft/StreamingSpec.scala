@@ -115,6 +115,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       (4L, "basic"), (5L, "basic")))
   }
 
+  test("file-source stream resumes exactly-once across restarts") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+
+    def writeBatch(evs: Seq[Event]): Unit =
+      evs.toDF().write.mode("append").parquet(in)
+
+    def drainOnce(): Unit = {
+      val q = StreamingJobs.readEventsStream(spark, in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeBatch(Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0)))
+    drainOnce()
+    writeBatch(Seq(
+      Event(3, ts("2024-01-01 10:20:00"), 2, "click", 4.0)))
+    drainOnce() // restart from the same checkpoint: batch 1 files must
+                // NOT be reprocessed, batch 2 files must appear once
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions on gap and timeout") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
