@@ -113,6 +113,54 @@ object TextHash {
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
+  /** Winnowed rolling-hash fingerprints (the MOSS scheme: polynomial
+    * rolling hash over char k-grams, then the minimum in each window of
+    * w consecutive hashes; public algorithm — Schleimer, Wilkerson,
+    * Aiken, SIGMOD 2003). One pass per document: the k-gram hash rolls
+    * in O(1) per position — h' = ((h - c_out·b^(k-1))·b + c_in) mod p —
+    * instead of O(k) recomputation. Characters are Unicode code points
+    * (matches DuckDB `unicode(substring(text,i,1))`). Returns sorted
+    * DISTINCT fingerprints; empty when the doc has fewer than k chars.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int, b: Long, p: Long): ArrayData = {
+    val cs = text.toString.codePoints().toArray
+    val m = cs.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    var bPow = 1L // b^(k-1) mod p
+    var j = 1
+    while (j < k) { bPow = (bPow * b) % p; j += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    j = 0
+    while (j < k) { h = (h * b + cs(j) % p) % p; j += 1 }
+    hs(0) = h
+    var i = 1
+    while (i < m) {
+      h = (((h + p - (cs(i - 1) % p) * bPow % p) % p) * b + cs(i + k - 1) % p) % p
+      hs(i) = h
+      i += 1
+    }
+    val nWin = math.max(m - w + 1, 1)
+    val fps = new Array[Long](nWin)
+    var t = 0
+    while (t < nWin) {
+      var mn = hs(t)
+      var u = t + 1
+      val end = math.min(t + w, m)
+      while (u < end) { if (hs(u) < mn) mn = hs(u); u += 1 }
+      fps(t) = mn
+      t += 1
+    }
+    java.util.Arrays.sort(fps)
+    var out = 1
+    t = 1
+    while (t < nWin) {
+      if (fps(t) != fps(t - 1)) { fps(out) = fps(t); out += 1 }
+      t += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(fps, out))
+  }
+
   /** SimHash fingerprint over the token multiset, one row, one pass:
     * per bit j of h60(word), count += (bit ? +1 : -1); fingerprint sets
     * bit j where count > 0. A null token counts -1 on every bit,
@@ -204,6 +252,30 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowed rolling-hash document fingerprints as a native expression:
+  * per row one O(n) pass (true rolling update, not per-position
+  * recomputation), so fingerprinting is map-only at any corpus scale.
+  */
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int,
+                                b: Long, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && w > 0 && b > 1 && p > 1)
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowed_fingerprints"
+
+  override def nullSafeEval(in: Any): Any =
+    TextHash.winnow(in.asInstanceOf[UTF8String], k, w, b, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.winnow($c, $k, $w, ${b}L, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedFingerprints =
+    copy(child = newChild)
+}
+
 /** SimHash fingerprint of a document's word array as a native expression:
   * per-row single pass, no token explode and no 32-column aggregate — the
   * fingerprint table is produced map-only at any scale.
@@ -238,4 +310,8 @@ object TextHashFunctions {
 
   def shingleHashes(words: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(words), n))
+
+  def winnowedFingerprints(text: Column, k: Int, w: Int, b: Long, p: Long): Column =
+    GraftColumnBridge.column(
+      WinnowedFingerprints(GraftColumnBridge.expression(text), k, w, b, p))
 }

@@ -58,6 +58,13 @@ object TextQueries extends QueryPack {
     * md5 calls, and exact in 64-bit integer arithmetic on both engines
     * (h0 < 2^36 from 9 hex digits, A_i < 2^23 → products < 2^59).
     */
+  // Winnowing parameters: char 8-grams, window 4, base 31 mod 2^20-3
+  // (products stay far inside 64-bit in both engines).
+  private val WinK = 8
+  private val WinW = 4
+  private val WinB = 31L
+  private val WinP = 1048573L
+
   private val MinHashP = 2147483647L
   private val MinHashA = Seq(1000003L, 2000003L, 3000017L, 4000037L,
     5000011L, 6000011L, 7000003L, 8000009L)
@@ -247,6 +254,19 @@ object TextQueries extends QueryPack {
       kept.join(drops, col("doc_id") === col("drop_id"), "left_anti")
     }),
 
+    // Winnowed rolling-hash fingerprints (MOSS scheme): polynomial
+    // rolling hash over char 8-grams, minimum per window of 4 hashes,
+    // distinct per doc — the overlap-detection fingerprint set. The
+    // whole computation is one native O(n) pass per row
+    // (functions/TextHashExpressions.scala WinnowedFingerprints); the
+    // oracle recomputes each k-gram hash positionally in SQL.
+    "q_text_winnow" -> ((s, dir) => {
+      import graft.functions.TextHashFunctions.winnowedFingerprints
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
+          .as("fingerprint"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text
     // + an 8-token prefix key (cheap clustering key for near-dup triage).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -329,7 +349,35 @@ object TextQueries extends QueryPack {
          FROM p"""
   }
 
+  private val winnowOracle: String = {
+    // POWB(j) = b^(k-1-j) mod p, inlined as a list literal
+    val pows = (0 until WinK).map { j =>
+      (0 until (WinK - 1 - j)).foldLeft(1L)((r, _) => r * WinB % WinP)
+    }
+    s"""WITH cs AS (
+         SELECT doc_id, length(text) AS n,
+                list_transform(range(length(text)),
+                  i -> unicode(substring(text, CAST(i+1 AS INT), 1))) AS ch
+         FROM documents),
+       hs AS (
+         SELECT doc_id, n - $WinK + 1 AS m,
+                list_transform(range(n - $WinK + 1),
+                  i -> CAST(list_sum(list_transform(range($WinK),
+                       j -> (ch[CAST(i+j+1 AS INT)]
+                             * ([${pows.mkString(",")}])[CAST(j+1 AS INT)])
+                            % $WinP)) % $WinP AS BIGINT)) AS h
+         FROM cs WHERE n >= $WinK),
+       fps AS (
+         SELECT doc_id,
+                list_transform(range(greatest(m - $WinW + 1, 1)),
+                  t -> list_min(h[CAST(t+1 AS INT):CAST(least(t+$WinW, m) AS INT)])) AS f
+         FROM hs)
+       SELECT DISTINCT doc_id, fp AS fingerprint
+       FROM (SELECT doc_id, unnest(f) AS fp FROM fps)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_text_winnow" -> winnowOracle,
     "q_dedup_exact" ->
       """SELECT md5(LOWER(TRIM(text))) AS text_key,
                 MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies

@@ -64,6 +64,32 @@ class TextHashPropertiesSpec extends AnyFunSuite with SparkTestBase {
   private def modelShingleHashes(text: String, n: Int): Seq[Long] =
     modelShingles(text, n).map(s => hexPrefix(s, 15)).distinct.sorted
 
+  private def modelWinnow(text: String, k: Int, w: Int, b: Long, p: Long): Seq[Long] = {
+    val cs = text.codePoints().toArray
+    val m = cs.length - k + 1
+    if (m <= 0) return Seq.empty
+    // positional (non-rolling) recomputation — what the SQL oracle does
+    val hs = (0 until m).map { i =>
+      (0 until k).foldLeft(0L)((h, j) => (h * b + cs(i + j) % p) % p)
+    }
+    (0 until math.max(m - w + 1, 1))
+      .map(t => hs.slice(t, math.min(t + w, m)).min)
+      .distinct.sorted
+  }
+
+  test("winnowed fingerprints: rolling kernel equals positional model") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, randomDoc())) ++
+      Seq((901L, ""), (902L, "abcdefg"), (903L, "abcdefgh"), (904L, "aaaaaaaaaaaa"))
+    val got = docs.toDF("id", "text")
+      .select(col("id"), winnowedFingerprints(col("text"), 8, 4, 31L, 1048573L)
+        .as("fps"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === modelWinnow(text, 8, 4, 31L, 1048573L), s"doc <$text>")
+    }
+  }
+
   test("native kernels match the pure-Scala oracle model on 300 random docs") {
     import spark.implicits._
     val (k, p) = (8, 2147483647L)
