@@ -42,9 +42,9 @@ object Bench {
       "q_scan_pruned", "q_join_enrich", "q_surrogate_lookup",
       "q_agg_pricing_summary", "q_window_topk_per_group", "q_recursive_chain",
       "q_events_sessionize", "q_dedup_exact", "q_dedup_minhash_lsh",
-      "q_dedup_ngram_jaccard", "q_sim_cosine_topk", "q_sim_ann_lsh",
-      "q_ref_fact_sales", "q_ref_mv_top3_month_country", "q_text_quality",
-      "q_write_idempotent")
+      "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_sim_cosine_topk",
+      "q_sim_ann_lsh", "q_ref_fact_sales", "q_ref_mv_top3_month_country",
+      "q_text_quality", "q_text_clean_corpus", "q_write_idempotent")
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")

@@ -36,6 +36,10 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles(plan("q_dedup_simhash")) === 0)
   }
 
+  test("q_text_winnow is map-only (no shuffle at all)") {
+    assert(shuffles(plan("q_text_winnow")) === 0)
+  }
+
   test("q_dedup_minhash_lsh shuffles only for the candidate distinct") {
     assert(shuffles(plan("q_dedup_minhash_lsh")) <= 1)
   }
