@@ -166,7 +166,8 @@ object TextQueries extends QueryPack {
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), shingleHashes(words(col("text")), 3).as("hs"))
         .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
-        .persist()
+        .persist() // shared by both join sides; cheaper than re-evaluating
+                   // the explode through the broadcast build (measured)
       val l = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
       val r = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
         col("h").as("h_r"))
