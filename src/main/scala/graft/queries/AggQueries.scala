@@ -54,6 +54,21 @@ object AggQueries extends QueryPack {
           cnt.as("n_orders"))
     }),
 
+    // Sketch variant of A3 for the 100 TB regime: HLL++ approximate
+    // distinct (fixed-size sketch, no per-key state explosion) next to
+    // the exact count for error visibility. No oracle SQL on purpose:
+    // HLL estimates are engine-specific, so the driver records the
+    // weaker rows-only check the contract defines for such ops; the
+    // exact column is oracle-covered by q_agg_count_distinct.
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).cast(LongType).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).cast(LongType)
+            .as("n_approx"))
+    }),
+
     // A4: MIN/MAX + churn flag against a pinned reference date
     // (current_date made deterministic — SURVEY §7.4.3).
     // Ref: materialized_view.sql:80-91

@@ -128,13 +128,8 @@ object SimQueries extends QueryPack {
     // All 16 bits come from ONE native fused pass over the vector
     // (HyperplaneSketch) instead of 16 interpreted HOF aggregates.
     "q_sim_ann_lsh" -> ((s, dir) => {
-      val bands = sketchBands(s, dir)
-      val cands = bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band_key") === col("b.band_key")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
+      val cands = graft.operators.LshBandJoin
+        .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")
       val raw = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
@@ -160,13 +155,8 @@ object SimQueries extends QueryPack {
     // aggregation; full connected components would need iterative label
     // propagation — see plans/Recursion.scala for that machinery).
     "q_dedup_embedding" -> ((s, dir) => {
-      val bands = sketchBands(s, dir)
-      val cands = bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band_key") === col("b.band_key")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
+      val cands = graft.operators.LshBandJoin
+        .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")
       val raw = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))

@@ -87,10 +87,8 @@ object TextQueries extends QueryPack {
         concat_ws("_", lit(b), element_at(col("mh"), 2 * b + 1),
           element_at(col("mh"), 2 * b + 2))): _*))
       .as("band_key"))
-    val l = bands.select(col("doc_id").as("doc_a"), col("band_key"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("band_key").as("bk_r"))
-    l.join(r, col("band_key") === col("bk_r") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    graft.operators.LshBandJoin.candidatePairs(bands, "doc_id")
+      .toDF("doc_a", "doc_b")
   }
 
   /** Per-doc quality frame (doc_id, source, n_tokens, type_token_ratio,
