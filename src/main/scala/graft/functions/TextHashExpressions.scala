@@ -298,6 +298,24 @@ case class SimHash64(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Canonical parameter sets shared by the query packs and the SQL
+  * function registration (graft.functions.GraftExtensions): one md5
+  * base hash + k linear permutations mod the Mersenne prime, and the
+  * winnowing scheme constants.
+  */
+object TextHashDefaults {
+  val MinHashK = 8
+  val MinHashP = 2147483647L
+  val MinHashA: Seq[Long] = Seq(1000003L, 2000003L, 3000017L, 4000037L,
+    5000011L, 6000011L, 7000003L, 8000009L)
+  val MinHashB: Seq[Long] = Seq(12345L, 54321L, 192837L, 918273L,
+    111111L, 222222L, 333333L, 444444L)
+  val WinK = 8
+  val WinW = 4
+  val WinB = 31L
+  val WinP = 1048573L
+}
+
 /** Column-API wrappers for the native text-hash expressions. */
 object TextHashFunctions {
   def minhashSignature(words: Column, n: Int, k: Int,

@@ -50,7 +50,7 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
       .distinct()
 
-  private val MinHashK = 8 // 8 hashes, 4 bands of 2 rows
+  import graft.functions.TextHashDefaults.MinHashK // 8 hashes, 4 bands of 2
   private val SimHashBits = 32
 
   /** MinHash via ONE md5 per shingle + k linear permutations
@@ -58,18 +58,10 @@ object TextQueries extends QueryPack {
     * md5 calls, and exact in 64-bit integer arithmetic on both engines
     * (h0 < 2^36 from 9 hex digits, A_i < 2^23 → products < 2^59).
     */
-  // Winnowing parameters: char 8-grams, window 4, base 31 mod 2^20-3
-  // (products stay far inside 64-bit in both engines).
-  private val WinK = 8
-  private val WinW = 4
-  private val WinB = 31L
-  private val WinP = 1048573L
-
-  private val MinHashP = 2147483647L
-  private val MinHashA = Seq(1000003L, 2000003L, 3000017L, 4000037L,
-    5000011L, 6000011L, 7000003L, 8000009L)
-  private val MinHashB = Seq(12345L, 54321L, 192837L, 918273L,
-    111111L, 222222L, 333333L, 444444L)
+  // Canonical hash parameters (MinHash family, winnowing scheme) are
+  // shared with the SQL function registration — one source of truth.
+  import graft.functions.TextHashDefaults.{MinHashA, MinHashB, MinHashP,
+    WinB, WinK, WinP, WinW}
 
   /** MinHash-LSH near-dup candidate pairs (doc_a < doc_b). Signatures
     * come from the native per-row MinHashSignature expression — the only

@@ -60,4 +60,21 @@ class VectorExpressionSpec extends AnyFunSuite with SparkTestBase {
       assert(r > 0L)
     } finally spark.catalog.dropTempView("emb")
   }
+
+  test("text-hash functions resolve from SQL once installed") {
+    GraftExtensions.install(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_ext")
+    try {
+      val row = spark.sql(
+        """SELECT simhash64(split(trim(text), '\\s+')) AS sh,
+                  size(shingle_hashes(split(trim(text), '\\s+'), 3)) AS nsh,
+                  size(minhash_signature(split(trim(text), '\\s+'), 3)) AS nmh,
+                  size(winnowed_fingerprints(text)) AS nfp
+           FROM docs_ext WHERE length(text) > 50 LIMIT 1""").collect().head
+      assert(row.getInt(1) > 0, "shingle set empty")
+      assert(row.getInt(2) === 8, "minhash signature should have k=8 values")
+      assert(row.getInt(3) > 0, "no winnowed fingerprints")
+    } finally spark.catalog.dropTempView("docs_ext")
+  }
 }
