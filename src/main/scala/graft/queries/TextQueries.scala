@@ -24,12 +24,6 @@ import org.apache.spark.sql.types._
   */
 object TextQueries extends QueryPack {
 
-  /** md5-based 60-bit hash, bit-identical across engines.
-    * Mirror: CAST(CONCAT('0x', SUBSTRING(md5(x), 1, 15)) AS BIGINT).
-    */
-  private def h64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
   /** Word n-gram shingles. Guarded: Spark sequence(1,0) counts DOWN, so
