@@ -34,6 +34,23 @@ object EventQueries extends QueryPack {
           col("n_events"), col("total_value"))
     }),
 
+    // Semi-structured extraction: parse the props JSON column with an
+    // explicit schema (from_json — schema-on-read, codegen'd, no UDF)
+    // and aggregate the extracted field. Integer sums stay exact in
+    // BIGINT; the mean is one double division, IEEE-identical in both
+    // engines.
+    "q_events_json_extract" -> ((s, dir) => {
+      val k = from_json(col("props"), StructType(Seq(
+        StructField("k", LongType)))).getField("k")
+      graft.Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(cnt.as("n_events"),
+          sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, 1)).cast(LongType).as("n_high"),
+          (sum(col("k")).cast(DoubleType) / count(col("k"))).as("mean_k"))
+    }),
+
     // Sessionization with a 30-minute inactivity gap — the batch analog of
     // session windows: a new session starts when the gap from the previous
     // event of the same user exceeds the timeout.
@@ -74,6 +91,16 @@ object EventQueries extends QueryPack {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM wins GROUP BY window_start, event_type""",
+    "q_events_json_extract" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, COUNT(*) AS n_events,
+                CAST(SUM(k) AS BIGINT) AS sum_k,
+                CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high,
+                CAST(SUM(k) AS DOUBLE) / COUNT(k) AS mean_k
+         FROM ev GROUP BY event_type""",
     "q_events_sessionize" ->
       """WITH ev AS (
            -- truncate TIMESTAMP_NS to micros to match Spark's read
