@@ -88,6 +88,52 @@ object StreamingJobs {
   def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  case class BandDoc(band_key: String, doc_id: Long)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming MinHash-LSH near-dup candidates over a document stream
+    * (doc_id, text): the native per-row signature explodes into band
+    * keys, and per-bucket GroupState holds the doc ids seen in that
+    * bucket — each arriving doc emits a candidate pair against every
+    * prior bucket member. State is per band bucket (shards across
+    * executors) and capped at `maxPerBucket` ids (oldest evicted), so a
+    * hot bucket cannot grow state without bound; candidates may repeat
+    * across bands/batches — dedup downstream (stateful dropDuplicates
+    * or the batch exact-cosine re-rank) as the batch path does.
+    */
+  def nearDupCandidates(docs: DataFrame, maxPerBucket: Int = 64): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextHashDefaults._
+    import graft.functions.TextHashFunctions.minhashSignature
+    val mins = docs.select(col("doc_id"),
+        minhashSignature(split(trim(col("text")), "\\s+"), 3, MinHashK,
+          MinHashA, MinHashB, MinHashP).as("mh"))
+      .where(col("mh").isNotNull)
+    val bands = mins.select(explode(array(
+        (0 until MinHashK / 2).map(b =>
+          concat_ws("_", lit(b), element_at(col("mh"), 2 * b + 1),
+            element_at(col("mh"), 2 * b + 2))): _*)).as("band_key"),
+        col("doc_id"))
+      .as[BandDoc]
+    bands.groupByKey(_.band_key)
+      .flatMapGroupsWithState[Seq[Long], CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[Seq[Long]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CandPair]
+          rows.foreach { r =>
+            if (!seen.contains(r.doc_id)) {
+              seen.foreach { s =>
+                out += CandPair(math.min(s, r.doc_id), math.max(s, r.doc_id))
+              }
+              seen = (seen :+ r.doc_id).takeRight(maxPerBucket)
+            }
+          }
+          state.update(seen)
+          out.result().distinct.iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionBuf(start: Long, lastTs: Long, n: Long, value: Double)

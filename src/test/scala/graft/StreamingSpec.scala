@@ -115,6 +115,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       (4L, "basic"), (5L, "basic")))
   }
 
+  test("streaming near-dup candidates equal the batch MinHash-LSH pairs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real corpus slice: batch pairs on the same docs are the expectation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val expected = SparkEntry.queries("q_dedup_minhash_lsh")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "no batch pairs — vacuous comparison")
+
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingJobs.nearDupCandidates(
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = docs.splitAt(docs.length / 2)
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(rest); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("file-source stream resumes exactly-once across restarts") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
