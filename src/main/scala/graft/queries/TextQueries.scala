@@ -61,20 +61,64 @@ object TextQueries extends QueryPack {
     * come from the native per-row MinHashSignature expression — the only
     * shuffle in the plan is the band-key candidate self-join.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Canonical MinHash signature column (null when < 3 words). */
+  private def minhashCol: Column = {
     import graft.functions.TextHashFunctions.minhashSignature
-    val mins = t(s, dir, "documents")
-      .select(col("doc_id"),
-        minhashSignature(words(col("text")), 3, MinHashK,
-          MinHashA, MinHashB, MinHashP).as("mh"))
+    minhashSignature(words(col("text")), 3, MinHashK, MinHashA, MinHashB, MinHashP)
+  }
+
+  /** Band-key array for a minhash signature column (4 bands of 2). */
+  private def bandKeysCol(mh: Column): Column = array(
+    (0 until MinHashK / 2).map(b =>
+      concat_ws("_", lit(b), element_at(mh, 2 * b + 1),
+        element_at(mh, 2 * b + 2))): _*)
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = t(s, dir, "documents")
+      .select(col("doc_id"), minhashCol.as("mh"))
       .where(col("mh").isNotNull)
-    val bands = mins.select(col("doc_id"), explode(array(
-      (0 until MinHashK / 2).map(b =>
-        concat_ws("_", lit(b), element_at(col("mh"), 2 * b + 1),
-          element_at(col("mh"), 2 * b + 2))): _*))
-      .as("band_key"))
+      .select(col("doc_id"), explode(bandKeysCol(col("mh"))).as("band_key"))
     graft.operators.LshBandJoin.candidatePairs(bands, "doc_id")
       .toDF("doc_a", "doc_b")
+  }
+
+  /** Quality-gate sub-expressions over `text` — all per-row. */
+  private def qualityScoreCol: Column = {
+    val w = words(col("text"))
+    val nTok = size(w).cast(DoubleType)
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val nStop = size(filter(w, x => x.isin(stops: _*))).cast(DoubleType)
+    val ttr = size(array_distinct(w)).cast(DoubleType) / size(w)
+    val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) / size(w)
+    (least(nTok, lit(100.0)) / lit(100.0)
+      + ttr
+      + nStop / nTok
+      + when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)) / lit(4.0)
+  }
+
+  /** Language-ID sub-expressions over a MATERIALIZED padded column
+    * (callers compute `padded` in its own projection first so the
+    * concat/lower/trim isn't replicated into all twelve regex
+    * occurrence counters).
+    */
+  private def langScoreCols(padded: Column): (Column, Column, Column, Column) = {
+    def occ(pat: String): Column =
+      ((length(padded) - length(regexp_replace(padded,
+        java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast(LongType)
+    def profile(pats: Seq[String]): Column = pats.map(occ).reduce(_ + _)
+    (profile(Seq(" the ", " a ", " of ")),
+      profile(Seq(" der ", " und ", " die ")),
+      profile(Seq(" el ", " la ", " de ")),
+      profile(Seq(" le ", " et ", " les ")))
+  }
+
+  private def langPredCol(padded: Column): Column = {
+    val (en, de, es, fr) = langScoreCols(padded)
+    when(en >= greatest(de, es, fr) && en > 0, "en")
+      .when(de >= greatest(es, fr) && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
   }
 
   /** Per-doc quality frame (doc_id, source, n_tokens, type_token_ratio,
@@ -87,38 +131,23 @@ object TextQueries extends QueryPack {
     val nStop = size(filter(w, x => x.isin(stops: _*))).cast(DoubleType)
     val ttr = size(array_distinct(w)).cast(DoubleType) / size(w)
     val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) / size(w)
-    val score = (least(nTok, lit(100.0)) / lit(100.0)
-      + ttr
-      + nStop / nTok
-      + when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)) / lit(4.0)
     t(s, dir, "documents").select(
       col("doc_id"), col("source"),
       nTok.cast(LongType).as("n_tokens"),
       ttr.as("type_token_ratio"),
       (nStop / nTok).as("stopword_ratio"),
       meanWl.as("mean_word_len"),
-      score.as("quality_score"))
+      qualityScoreCol.as("quality_score"))
   }
 
   /** Per-doc language-ID frame (doc_id, lang_label, score_*, lang_pred). */
   private def langFrame(s: SparkSession, dir: String): DataFrame = {
-    def occ(pat: String): Column =
-      ((length(col("padded")) - length(regexp_replace(col("padded"),
-        java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast(LongType)
-    def profile(pats: Seq[String]): Column = pats.map(occ).reduce(_ + _)
-    val en = profile(Seq(" the ", " a ", " of "))
-    val de = profile(Seq(" der ", " und ", " die "))
-    val es = profile(Seq(" el ", " la ", " de "))
-    val fr = profile(Seq(" le ", " et ", " les "))
+    val (en, de, es, fr) = langScoreCols(col("padded"))
     t(s, dir, "documents")
       .withColumn("padded", concat(lit(" "), lower(trim(col("text"))), lit(" ")))
       .select(col("doc_id"), col("lang").as("lang_label"),
         en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
-        when(en >= greatest(de, es, fr) && en > 0, "en")
-          .when(de >= greatest(es, fr) && de > 0, "de")
-          .when(es >= fr && es > 0, "es")
-          .when(fr > 0, "fr")
-          .otherwise("unknown").as("lang_pred"))
+        langPredCol(col("padded")).as("lang_pred"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -214,9 +243,13 @@ object TextQueries extends QueryPack {
     // The composed cleaning pipeline a training corpus actually runs —
     // language gate, quality gate, exact dedup (keep first), MinHash-LSH
     // near-dup drop among survivors — as ONE declarative plan built from
-    // the same frames the individual operators register. Each stage is
-    // per-row or shuffles on a content key, so the composition scales
-    // exactly as its pieces do.
+    // the same frames the individual operators register (shared column
+    // builders, so the composition cannot drift from its pieces). Each
+    // stage is per-row or shuffles on a content key, so the composition
+    // scales exactly as its pieces do. Kept as narrow per-gate frames
+    // joined on doc_id rather than one fused mega-projection: measured
+    // back-to-back, the fused variant was ~1.5x slower cold (one huge
+    // whole-stage-codegen unit) for identical results.
     "q_text_clean_corpus" -> ((s, dir) => {
       val q = qualityFrame(s, dir)
         .select(col("doc_id"), col("source"), col("quality_score"))
