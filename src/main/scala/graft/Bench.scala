@@ -35,6 +35,11 @@ object Bench {
       try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Locale-pinned number formatting: the f-interpolator uses the
+    // default locale, which under a comma-decimal JVM would emit
+    // "value":54,588 and break the JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The driver captures only the tail of stdout, so the JSON line must
     // stay short: report the headline subset per-query (3 dp) while the
     // headline total still covers every registered query via "value".
@@ -46,11 +51,18 @@ object Bench {
       "q_sim_ann_lsh", "q_ref_fact_sales", "q_ref_mv_top3_month_country",
       "q_text_quality", "q_text_clean_corpus", "q_write_idempotent")
     val byName = results.toMap
-    val qs = headline.flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))
-      .mkString("{", ",", "}")
+    def dict(entries: Seq[(String, Double)]): String =
+      entries.map { case (n, v) => s""""$n":${num(v)}""" }.mkString("{", ",", "}")
+    val qs = dict(headline.flatMap(n => byName.get(n).map(n -> _)))
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val totalJson =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    println(totalJson)
+    // Full per-query dict to a file so round-over-round diffs cover every
+    // query, not just the stdout-tail-safe headline subset.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)},"sf":"$sfDir"}""".getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -33,7 +33,9 @@ object Time {
     names.foreach { n =>
       val t1 = run(n)
       val t2 = run(n)
-      println(f"TIME $n%-28s run1=$t1%7.3f s  run2=$t2%7.3f s")
+      // Locale-pinned like Bench, so output parses the same everywhere.
+      println(String.format(java.util.Locale.ROOT,
+        "TIME %-28s run1=%7.3f s  run2=%7.3f s", n, Double.box(t1), Double.box(t2)))
     }
     spark.stop()
   }

@@ -20,34 +20,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import TextHashDefaults._
 
-  private def intArg(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue
+  /** Arity gate for a SQL builder — a wrong-arg-count call must fail
+    * analysis with the usage string, not IndexOutOfBoundsException.
+    */
+  private def arity(name: String, usage: String, args: Seq[Expression],
+                    min: Int, max: Int): Unit =
+    if (args.length < min || args.length > max)
+      throw new IllegalArgumentException(
+        s"$name takes ${if (min == max) s"$min" else s"$min to $max"} " +
+          s"argument(s), got ${args.length}; usage: $usage")
+
+  /** Constant integer parameter: must be foldable (a non-literal would
+    * be eval'd against no input row) and integral.
+    */
+  private def intArg(name: String, usage: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$name: the parameter must be a constant; usage: $usage")
+    e.eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$name: the parameter must be an integer, got $other; usage: $usage")
+    }
+  }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (new FunctionIdentifier("quantized_dot"),
         new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
-        (args: Seq[Expression]) => QuantizedDot(args(0), args(1))),
+        (args: Seq[Expression]) => {
+          arity("quantized_dot", "quantized_dot(vec_a, vec_b)", args, 2, 2)
+          QuantizedDot(args(0), args(1))
+        }),
       // simhash64(words_array[, bits]) — default 32-bit fingerprint
       (new FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-        (args: Seq[Expression]) => SimHash64(args(0),
-          if (args.length > 1) intArg(args(1)) else 32)),
+        (args: Seq[Expression]) => {
+          val usage = "simhash64(words_array[, bits])"
+          arity("simhash64", usage, args, 1, 2)
+          SimHash64(args(0),
+            if (args.length > 1) intArg("simhash64", usage, args(1)) else 32)
+        }),
       // shingle_hashes(words_array, n) — distinct word-n-gram hash set
       (new FunctionIdentifier("shingle_hashes"),
         new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-        (args: Seq[Expression]) => ShingleHashes(args(0), intArg(args(1)))),
+        (args: Seq[Expression]) => {
+          val usage = "shingle_hashes(words_array, n)"
+          arity("shingle_hashes", usage, args, 2, 2)
+          ShingleHashes(args(0), intArg("shingle_hashes", usage, args(1)))
+        }),
       // minhash_signature(words_array, n) — canonical k=8 family
       (new FunctionIdentifier("minhash_signature"),
         new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-        (args: Seq[Expression]) => MinHashSignature(args(0), intArg(args(1)),
-          MinHashK, MinHashA, MinHashB, MinHashP)),
+        (args: Seq[Expression]) => {
+          val usage = "minhash_signature(words_array, n)"
+          arity("minhash_signature", usage, args, 2, 2)
+          MinHashSignature(args(0), intArg("minhash_signature", usage, args(1)),
+            MinHashK, MinHashA, MinHashB, MinHashP)
+        }),
       // winnowed_fingerprints(text) — canonical k=8/w=4 scheme
       (new FunctionIdentifier("winnowed_fingerprints"),
         new ExpressionInfo(classOf[WinnowedFingerprints].getName,
           "winnowed_fingerprints"),
-        (args: Seq[Expression]) => WinnowedFingerprints(args(0),
-          WinK, WinW, WinB, WinP)))
+        (args: Seq[Expression]) => {
+          arity("winnowed_fingerprints", "winnowed_fingerprints(text)", args, 1, 1)
+          WinnowedFingerprints(args(0), WinK, WinW, WinB, WinP)
+        }))
 
   def install(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

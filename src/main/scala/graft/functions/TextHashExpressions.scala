@@ -39,22 +39,31 @@ object TextHash {
 
   /** UTF-8 bytes of words[i..i+n-1] joined by a single space — identical
     * bytes to concat_ws(" ", slice(words, i+1, n)), so md5 matches the
-    * string-built shingle. Null elements are treated as "" (the word
-    * splitter never produces them).
+    * string-built shingle. Null elements are SKIPPED, exactly like
+    * concat_ws (the internal word splitter never produces them, but the
+    * public shingle_hashes/minhash_signature SQL functions accept
+    * arbitrary arrays).
     */
   private def shingleBytes(words: ArrayData, i: Int, n: Int): Array[Byte] = {
-    var len = n - 1
+    var len = 0
+    var nonNull = 0
     var j = 0
     while (j < n) {
-      if (!words.isNullAt(i + j)) len += words.getUTF8String(i + j).numBytes()
+      if (!words.isNullAt(i + j)) {
+        len += words.getUTF8String(i + j).numBytes()
+        nonNull += 1
+      }
       j += 1
     }
+    if (nonNull > 1) len += nonNull - 1
     val out = new Array[Byte](len)
     var pos = 0
+    var first = true
     j = 0
     while (j < n) {
-      if (j > 0) { out(pos) = ' '; pos += 1 }
       if (!words.isNullAt(i + j)) {
+        if (!first) { out(pos) = ' '; pos += 1 }
+        first = false
         val w = words.getUTF8String(i + j)
         w.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
         pos += w.numBytes()

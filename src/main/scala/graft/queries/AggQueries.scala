@@ -55,11 +55,12 @@ object AggQueries extends QueryPack {
     }),
 
     // Sketch variant of A3 for the 100 TB regime: HLL++ approximate
-    // distinct (fixed-size sketch, no per-key state explosion) next to
-    // the exact count for error visibility. No oracle SQL on purpose:
-    // HLL estimates are engine-specific, so the driver records the
-    // weaker rows-only check the contract defines for such ops; the
-    // exact column is oracle-covered by q_agg_count_distinct.
+    // distinct (fixed-size sketch, no per-key state explosion). HLL
+    // estimates are engine-specific, so instead of comparing the raw
+    // estimate the query emits the exact count plus a deterministic
+    // bounded-error boolean (|approx-exact|/exact <= 5%, well above the
+    // configured 2% rsd); the oracle emits the same exact count and a
+    // literal TRUE — hash-comparable while still exercising the sketch.
     "q_agg_approx_distinct" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -67,6 +68,37 @@ object AggQueries extends QueryPack {
           countDistinct(col("o_custkey")).cast(LongType).as("n_exact"),
           approx_count_distinct(col("o_custkey"), 0.02).cast(LongType)
             .as("n_approx"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast(DoubleType)
+            / col("n_exact") <= 0.05).as("approx_ok"))
+    }),
+
+    // Quantile sketch beside HLL: approx_percentile (GK sketch — fixed
+    // memory per group, mergeable partials, the 100 TB-safe percentile)
+    // checked the same bounded-error way. The exact p50 is defined as
+    // the discrete percentile (value at rank ceil(n/2) in value order) —
+    // computed with an identical window formula on both engines so the
+    // exact column hash-matches bit-for-bit; the sketch must land within
+    // 5% of it.
+    "q_agg_approx_percentile" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val byPrio = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+      val exact = orders
+        .withColumn("rn", row_number().over(
+          byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(byPrio))
+        .where(col("rn") === floor((col("n") + 1) / lit(2.0)).cast(LongType))
+        .select(col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType).as("exact_p50"))
+      val approx = orders
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .cast(DoubleType).as("approx_p50"))
+      exact.join(approx, "o_orderpriority")
+        .select(col("o_orderpriority"), col("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") <= 0.05)
+            .as("approx_ok"))
     }),
 
     // A4: MIN/MAX + churn flag against a pinned reference date
@@ -150,6 +182,22 @@ object AggQueries extends QueryPack {
                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
                 COUNT(*) AS n_orders
          FROM orders GROUP BY o_orderpriority""",
+    "q_agg_approx_distinct" ->
+      """SELECT o_orderpriority,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+                TRUE AS approx_ok
+         FROM orders GROUP BY o_orderpriority""",
+    "q_agg_approx_percentile" ->
+      """WITH ranked AS (
+           SELECT o_orderpriority,
+                  CAST(o_totalprice AS DOUBLE) AS price,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT o_orderpriority, price AS exact_p50, TRUE AS approx_ok
+         FROM ranked
+         WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)""",
     "q_agg_churn" ->
       """SELECT o_custkey,
                 CAST(MIN(o_orderdate) AS DATE) AS first_order,

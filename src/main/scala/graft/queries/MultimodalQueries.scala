@@ -28,16 +28,20 @@ object MultimodalQueries extends QueryPack {
 
     // Frame sampling over the binary payload (4-byte frames, keep every
     // 2nd): the video-sampling plumbing with the codec stubbed to byte
-    // slicing — one output row per kept frame, binary column included in
-    // the oracle compare (both sides hash the same bytes).
+    // slicing — one output row per kept frame. The binary frame is
+    // hex-encoded for the compare (the driver's pandas comparator can't
+    // sort raw bytes); both sides emit identical uppercase hex.
     "q_multimodal_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(media(s, dir), frameBytes = 4, stride = 2)),
+      Multimodal.sampleFrames(media(s, dir), frameBytes = 4, stride = 2)
+        .withColumn("frame", hex(col("frame")))),
 
     // Resize stub: nearest-neighbor byte resample of the 16-byte payload
     // to the 64x64 target's 4-byte budget, metadata rewritten to match.
+    // Payload hex-encoded for the compare, same as frames above.
     "q_multimodal_resize" -> ((s, dir) => {
       import s.implicits._
       Multimodal.resize(media(s, dir), 64, 64).toDF()
+        .withColumn("payload", hex(col("payload")))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -67,7 +71,7 @@ object MultimodalQueries extends QueryPack {
                      WHEN doc_id % 3 = 1 THEN 'audio'
                      ELSE 'video' END AS kind,
                 CAST(f AS BIGINT) AS frame_index,
-                unhex(SUBSTRING(h, CAST(8*f + 1 AS INT), 8)) AS frame
+                UPPER(SUBSTRING(h, CAST(8*f + 1 AS INT), 8)) AS frame
          FROM hexed, (SELECT unnest([0, 2]) AS f)""",
     "q_multimodal_resize" ->
       """WITH hexed AS (
@@ -78,7 +82,7 @@ object MultimodalQueries extends QueryPack {
                      ELSE 'video' END AS kind,
                 CAST(64 AS INT) AS width,
                 CAST(64 AS INT) AS height,
-                unhex(CONCAT(SUBSTRING(h, 1, 2), SUBSTRING(h, 9, 2),
+                UPPER(CONCAT(SUBSTRING(h, 1, 2), SUBSTRING(h, 9, 2),
                              SUBSTRING(h, 17, 2), SUBSTRING(h, 25, 2))) AS payload
          FROM hexed""")
 }
