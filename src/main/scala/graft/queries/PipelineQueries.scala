@@ -25,9 +25,20 @@ object PipelineQueries extends QueryPack {
     */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-  private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((System.identityHashCode(s), key),
-      _ => build.persist())
+  // NOT computeIfAbsent: builds nest (factSales builds dimProducts inside
+  // its own build), and a nested computeIfAbsent on the same map throws
+  // IllegalStateException("Recursive update"). get/putIfAbsent tolerates
+  // the nesting; a rare concurrent double-build just unpersists the loser.
+  private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(s), key)
+    memo.get(k) match {
+      case null =>
+        val df = build.persist()
+        val prev = memo.putIfAbsent(k, df)
+        if (prev != null) { df.unpersist(); prev } else df
+      case df => df
+    }
+  }
 
   private def silverCust(s: SparkSession) =
     SilverTransforms.crmCustInfo(ReferenceFixtures.crmCustInfo(s), RefDate)
@@ -56,6 +67,13 @@ object PipelineQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q_ref_silver_cust_info" -> ((s, _) => silverCust(s)),
     "q_ref_silver_sales_details" -> ((s, _) => silverSales(s)),
+    // Direct rows for the other 4 silver transforms so a breakage in any
+    // single one localizes (they're otherwise only exercised inside the
+    // dim/fact/MV chains).
+    "q_ref_silver_prd_info" -> ((s, _) => silverPrd(s)),
+    "q_ref_silver_erp_cust_az12" -> ((s, _) => silverCa(s)),
+    "q_ref_silver_erp_loc_a101" -> ((s, _) => silverLa(s)),
+    "q_ref_silver_px_cat_g1v2" -> ((s, _) => silverPx(s)),
     "q_ref_dim_customers" -> ((s, _) => dimCustomers(s)),
     "q_ref_dim_products" -> ((s, _) => dimProducts(s)),
     "q_ref_fact_sales" -> ((s, _) => factSales(s)),
@@ -221,6 +239,14 @@ object PipelineQueries extends QueryPack {
       s"WITH $cte SELECT * FROM s_cust",
     "q_ref_silver_sales_details" ->
       s"WITH $cte SELECT * FROM s_sales",
+    "q_ref_silver_prd_info" ->
+      s"WITH $cte SELECT * FROM s_prd",
+    "q_ref_silver_erp_cust_az12" ->
+      s"WITH $cte SELECT *, '$B' AS dwh_batch_id FROM s_ca",
+    "q_ref_silver_erp_loc_a101" ->
+      s"WITH $cte SELECT *, '$B' AS dwh_batch_id FROM s_la",
+    "q_ref_silver_px_cat_g1v2" ->
+      s"WITH $cte SELECT *, '$B' AS dwh_batch_id FROM s_px",
     "q_ref_dim_customers" ->
       s"WITH $cte SELECT * FROM dim_customers",
     "q_ref_dim_products" ->
