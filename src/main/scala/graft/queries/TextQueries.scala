@@ -202,6 +202,23 @@ object TextQueries extends QueryPack {
     // paid two extra full shuffles of the exploded shingle table).
     "q_dedup_minhash_lsh" -> (minhashPairs(_, _)),
 
+    // Connected-components dedup: transitive closure of the MinHash-LSH
+    // candidate-pair graph via iterative min-label propagation
+    // (operators/ConnectedComponents.scala). The greedy keep-first
+    // policy under-merges chains a~b~c where a~c never shared a band;
+    // here every doc gets component = min doc_id reachable, and the
+    // component minimum is the canonical survivor. Oracle: a DuckDB
+    // recursive CTE over the identical pair graph.
+    "q_dedup_components" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+      graft.operators.ConnectedComponents.minLabel(nodes, edges)
+        .select(col("node").as("doc_id"), col("component"),
+          (col("node") === col("component")).as("keep"))
+    }),
+
     // SimHash document fingerprint (32-bit, token multiset, md5-based) —
     // native per-row expression: one fused pass per doc, map-only at any
     // scale (the composed form exploded every token into a 32-column
@@ -423,6 +440,23 @@ object TextQueries extends QueryPack {
          FROM bands a JOIN bands b
            ON a.band_key = b.band_key AND a.doc_id < b.doc_id"""),
     "q_dedup_simhash" -> simhashOracle,
+    "q_dedup_components" ->
+      (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
+        """,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM documents
+           UNION
+           SELECT e.src AS node, r.lbl AS lbl
+           FROM edges e JOIN reach r ON e.dst = r.node)
+         SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component,
+                node = MIN(lbl) AS keep
+         FROM reach GROUP BY node"""),
     "q_text_token_stats" ->
       """SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Min-label propagation: the transitive-closure dedup the greedy
+  * keep-first policy cannot express (a~b~c merges even when a~c was
+  * never a candidate pair), plus convergence on cycles and isolated
+  * nodes keeping their own label.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def components(nodeIds: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = nodeIds.toDF("node")
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    ConnectedComponents.minLabel(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain merges transitively past pairwise candidates") {
+    // 1-2, 2-3, 3-4: keep-first on pairs alone would give 3 the label 2.
+    val got = components(Seq(1L, 2L, 3L, 4L, 9L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
+  test("cycle converges and two components stay separate") {
+    val got = components(Seq(1L, 2L, 3L, 5L, 6L),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("maxIters caps the rounds on a long path") {
+    // Path 0-1-...-5 with 2 rounds: labels move at most 2 hops of minimum.
+    val nodes = (0L to 5L)
+    val pairs = (0L until 5L).map(i => (i, i + 1))
+    import spark.implicits._
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    val got = ConnectedComponents.minLabel(nodes.toDF("node"), edges, maxIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) > 0L, s"2 rounds must not fully converge a 5-hop path: $got")
+  }
+}
