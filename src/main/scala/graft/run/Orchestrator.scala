@@ -36,6 +36,14 @@ object Orchestrator {
   final case class StepLog(step: String, target: String, status: String,
                            rows: Long, batchId: String, message: String)
 
+  /** One row of the integration config (mirrors tools.integration_config
+    * + integration_dependencies, scripts/gold_integration.py:42-64):
+    * targets run in `runOrder`; a target whose dependency did not
+    * succeed this batch is skipped, not attempted.
+    */
+  final case class IntegrationStep(target: String, runOrder: Int,
+                                   dependsOn: Seq[String])
+
   /** Completed write targets for a batch, from the audit plane — the
     * basis of restart mode (re-run only what didn't finish), mirroring
     * the reference's audit-log-driven restart
@@ -49,6 +57,27 @@ object Orchestrator {
       .where(col("batchId") === batchId && col("step") === "write"
         && col("status") === "SUCCESS")
       .select("target").collect().map(_.getString(0)).toSet
+  }
+
+  /** Targets a reprocess cycle should pick up: a FAILED row for the
+    * batch with no SUCCESS row for the same target (order-free — once a
+    * reprocess succeeds, the SUCCESS row clears the target without any
+    * audit-row timestamps). Mirrors the reference's failed-file model
+    * (handlers/batch_processing.py:501-896, README.md:94-97: failed
+    * files are quarantined and re-run under the SAME batch id).
+    */
+  def failedTargets(spark: SparkSession, warehouse: String,
+                    batchId: String): Set[String] = {
+    val path = s"$warehouse/tools/audit_log"
+    if (!new java.io.File(path).exists()) Set.empty
+    else {
+      val batch = spark.read.parquet(path).where(col("batchId") === batchId)
+      val failed = batch.where(col("status") === "FAILED")
+        .select("target").collect().map(_.getString(0)).toSet
+      val healed = batch.where(col("status") === "SUCCESS")
+        .select("target").collect().map(_.getString(0)).toSet
+      failed -- healed
+    }
   }
 
   final class Run(spark: SparkSession, warehouse: String, batchId: String,
@@ -109,18 +138,81 @@ object Orchestrator {
       spark.read.parquet(s"$warehouse/$table").schema.fieldNames.toSeq
 
     /** S10 + transform step: run `f` over the batch slice of `source`
-      * unless it is empty, writing to `target`.
+      * unless it is empty, writing to `target`. A failure quarantines
+      * the input slice under failed/<target> (the file-plane analog of
+      * the reference moving a bad file to failed/), logs FAILED, and
+      * lets the rest of the batch continue — `reprocess` re-runs it
+      * later under the same batch id.
       */
     def transform(source: String, target: String)
                  (f: DataFrame => DataFrame): Long = {
       val in = readBatch(source)
       if (in.isEmpty) { log("transform", target, "SKIPPED_EMPTY", 0); 0L }
-      else {
+      else try {
         val n = writeBatch(f(in).drop("dwh_batch_id"), target)
         log("transform", target, "SUCCESS", n)
         n
+      } catch { case scala.util.control.NonFatal(e) =>
+        // quarantine is best-effort: a failure to quarantine must not
+        // mask the FAILED audit row the reprocess cycle keys off
+        scala.util.Try {
+          in.write
+            .partitionBy("dwh_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode(SaveMode.Overwrite)
+            .parquet(s"$warehouse/failed/$target")
+        }
+        log("transform", target, "FAILED", 0,
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        0L
       }
     }
+
+    /** Reprocess one quarantined target with the SAME batch id: read the
+      * failed/ slice, re-apply the (fixed) transform, write the real
+      * target idempotently, and clear the quarantine partition. The
+      * SUCCESS audit row is what flips the target out of
+      * `failedTargets` — no log rewriting.
+      */
+    def reprocess(target: String)(f: DataFrame => DataFrame): Long = {
+      val in = spark.read.parquet(s"$warehouse/failed/$target")
+        .where(col("dwh_batch_id") === batchId)
+      val n = writeBatch(f(in).drop("dwh_batch_id"), target)
+      log("reprocess", target, "SUCCESS", n)
+      val q = new java.io.File(s"$warehouse/failed/$target/dwh_batch_id=$batchId")
+      if (q.exists()) {
+        q.listFiles().foreach(_.delete()); q.delete()
+      }
+      n
+    }
+
+    /** Did `target` reach a satisfied state this batch (SUCCESS now or
+      * in a previous attempt's audit rows)? SKIPPED_EMPTY and FAILED are
+      * not satisfied — downstream steps must gate off them.
+      */
+    def satisfied(target: String): Boolean =
+      logs.exists(l => l.target == target
+        && (l.status == "SUCCESS" || l.status == "SKIPPED_DONE")) ||
+        alreadyDone(target)
+
+    /** Config-table-driven integration DAG: run steps in run_order; a
+      * step with an unmet dependency logs SKIPPED_DEPENDENCY and is not
+      * attempted (the reference's dependency gate,
+      * scripts/gold_integration.py:152-192); a step whose build throws
+      * logs FAILED and downstream dependents gate off it in turn.
+      */
+    def integrate(steps: Seq[(IntegrationStep, () => DataFrame)]): Unit =
+      steps.sortBy(_._1.runOrder).foreach { case (st, build) =>
+        val unmet = st.dependsOn.filterNot(satisfied)
+        if (unmet.nonEmpty)
+          log("integration", st.target, "SKIPPED_DEPENDENCY", 0,
+            unmet.mkString(","))
+        else try writeBatch(build().drop("dwh_batch_id"), st.target)
+        catch { case scala.util.control.NonFatal(e) =>
+          log("integration", st.target, "FAILED", 0,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        }
+      }
 
     /** Ingest one inferred-schema source: mapping gate → typed bronze.
       * Failure quarantines the file (returns Left) instead of writing.
@@ -144,6 +236,34 @@ object Orchestrator {
           Right(writeBatch(typed, table))
       }
   }
+
+  /** The gold integration config as data — the Spark analog of the
+    * reference's tools.integration_config rows (run_order) joined with
+    * integration_dependencies (proc gating).
+    */
+  val goldIntegrationConfig: Seq[IntegrationStep] = Seq(
+    IntegrationStep("gold/dim_customers", 1,
+      Seq("silver/crm_cust_info", "silver/erp_cust_az12", "silver/erp_loc_a101")),
+    IntegrationStep("gold/dim_products", 2,
+      Seq("silver/crm_prd_info", "silver/erp_px_cat_g1v2")),
+    IntegrationStep("gold/fact_sales", 3,
+      Seq("silver/crm_sales_details", "gold/dim_customers", "gold/dim_products")))
+
+  /** Builders for the config targets, deferred so a gated step never
+    * touches its (possibly missing) inputs.
+    */
+  private val goldBuilders: Map[String, Orchestrator.Run => () => DataFrame] = Map(
+    "gold/dim_customers" -> (run => () => GoldIntegration.dimCustomers(
+      run.readBatch("silver/crm_cust_info"),
+      run.readBatch("silver/erp_cust_az12"),
+      run.readBatch("silver/erp_loc_a101"))),
+    "gold/dim_products" -> (run => () => GoldIntegration.dimProducts(
+      run.readBatch("silver/crm_prd_info"),
+      run.readBatch("silver/erp_px_cat_g1v2"))),
+    "gold/fact_sales" -> (run => () => GoldIntegration.factSales(
+      run.readBatch("silver/crm_sales_details"),
+      run.readBatch("gold/dim_products"),
+      run.readBatch("gold/dim_customers"))))
 
   /** Full reference lifecycle on the fixture batch: bronze → silver →
     * gold (dims before fact, as integration_config orders them) → MVs
@@ -177,19 +297,13 @@ object Orchestrator {
     run.transform("bronze/erp_px_cat_g1v2", "silver/erp_px_cat_g1v2")(
       SilverTransforms.erpPxCatG1v2(_))
 
-    // gold: dims first, fact gated on both dims existing (the
-    // integration_dependencies contract)
-    run.writeBatch(GoldIntegration.dimCustomers(
-      run.readBatch("silver/crm_cust_info"),
-      run.readBatch("silver/erp_cust_az12"),
-      run.readBatch("silver/erp_loc_a101")).drop("dwh_batch_id"), "gold/dim_customers")
-    run.writeBatch(GoldIntegration.dimProducts(
-      run.readBatch("silver/crm_prd_info"),
-      run.readBatch("silver/erp_px_cat_g1v2")).drop("dwh_batch_id"), "gold/dim_products")
-    run.writeBatch(GoldIntegration.factSales(
-      run.readBatch("silver/crm_sales_details"),
-      run.readBatch("gold/dim_products"),
-      run.readBatch("gold/dim_customers")).drop("dwh_batch_id"), "gold/fact_sales")
+    // gold: the config-driven DAG — dims before facts by run_order,
+    // each step gated on its dependencies succeeding this batch
+    // (tools.integration_config / integration_dependencies as data,
+    // not hardcoded control flow)
+    run.integrate(goldIntegrationConfig.map { st =>
+      st -> goldBuilders(st.target)(run)
+    })
 
     // MVs: full refresh (overwrite) — REFRESH MATERIALIZED VIEW semantics
     val fact = run.readBatch("gold/fact_sales")

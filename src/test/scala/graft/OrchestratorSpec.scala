@@ -118,6 +118,94 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$wh/gold/fact_sales").count() === 60407)
   }
 
+  test("reprocess: failed transform quarantines, same-batch re-run heals") {
+    import graft.pipeline.{ReferenceFixtures, SilverTransforms}
+    val B = ReferenceFixtures.BatchId
+    val refDate = ReferenceFixtures.RefDate
+    // clean run for the expected output
+    val whClean = Files.createTempDirectory("graft_clean").toString
+    val clean = new Orchestrator.Run(spark, whClean, B)
+    clean.writeBatch(ReferenceFixtures.crmCustInfo(spark).drop("dwh_batch_id"),
+      "bronze/crm_cust_info")
+    clean.transform("bronze/crm_cust_info", "silver/crm_cust_info")(
+      SilverTransforms.crmCustInfo(_, refDate))
+
+    // failing run: the transform throws mid-write
+    val wh = Files.createTempDirectory("graft_reproc").toString
+    val run = new Orchestrator.Run(spark, wh, B)
+    run.writeBatch(ReferenceFixtures.crmCustInfo(spark).drop("dwh_batch_id"),
+      "bronze/crm_cust_info")
+    val n = run.transform("bronze/crm_cust_info", "silver/crm_cust_info")(
+      df => df.select(expr("raise_error('disk full')").as("cst_id")))
+    assert(n === 0)
+    assert(run.auditLog.exists(l =>
+      l.step == "transform" && l.status == "FAILED"
+        && l.target == "silver/crm_cust_info"))
+    // the input slice is quarantined, and the target reads as failed
+    assert(spark.read.parquet(s"$wh/failed/silver/crm_cust_info").count() > 0)
+    assert(Orchestrator.failedTargets(spark, wh, B)
+      === Set("silver/crm_cust_info"))
+
+    // reprocess cycle: same batch id, fixed transform, from quarantine
+    val rerun = new Orchestrator.Run(spark, wh, B)
+    rerun.reprocess("silver/crm_cust_info")(
+      SilverTransforms.crmCustInfo(_, refDate))
+    assert(Orchestrator.failedTargets(spark, wh, B) === Set.empty)
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$wh/failed/silver/crm_cust_info/dwh_batch_id=$B")))
+    // output identical to the clean run
+    val got = spark.read.parquet(s"$wh/silver/crm_cust_info")
+    val want = spark.read.parquet(s"$whClean/silver/crm_cust_info")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("config-driven DAG: fact skipped when its dim dependency fails") {
+    import graft.run.Orchestrator.IntegrationStep
+    val wh = Files.createTempDirectory("graft_dag").toString
+    val run = new Orchestrator.Run(spark, wh, "BATCH000077")
+    import spark.implicits._
+    run.writeBatch(Seq((1L, "x")).toDF("id", "v"), "silver/src_ok")
+    val steps = Seq(
+      IntegrationStep("gold/dim_a", 1, Seq("silver/src_ok")) ->
+        (() => sys.error("dim build exploded"): org.apache.spark.sql.DataFrame),
+      IntegrationStep("gold/fact_f", 2, Seq("gold/dim_a")) ->
+        (() => Seq((1L, 2L)).toDF("k", "m")),
+      IntegrationStep("gold/dim_missing_dep", 1, Seq("silver/never_ran")) ->
+        (() => Seq((9L, 9L)).toDF("k", "m")))
+    run.integrate(steps)
+    def status(t: String) = run.auditLog.filter(_.target == t).map(_.status)
+    assert(status("gold/dim_a").contains("FAILED"))
+    assert(status("gold/fact_f") === Seq("SKIPPED_DEPENDENCY"))
+    assert(status("gold/dim_missing_dep") === Seq("SKIPPED_DEPENDENCY"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$wh/gold/fact_f")))
+  }
+
+  test("two clients run isolated under separate warehouse prefixes") {
+    import graft.pipeline.{ReferenceFixtures, SilverTransforms}
+    val B = ReferenceFixtures.BatchId
+    val root = Files.createTempDirectory("graft_tenants").toString
+    // the schema-per-client routing (tools.client_reference) maps to the
+    // warehouse-path parameter: same code, different prefix per client
+    val c1 = new Orchestrator.Run(spark, s"$root/client1", B)
+    val c2 = new Orchestrator.Run(spark, s"$root/client2", B)
+    val bronze = ReferenceFixtures.crmCustInfo(spark).drop("dwh_batch_id")
+    c1.writeBatch(bronze, "bronze/crm_cust_info")
+    c2.writeBatch(bronze.limit(1000), "bronze/crm_cust_info")
+    val n1 = c1.transform("bronze/crm_cust_info", "silver/crm_cust_info")(
+      SilverTransforms.crmCustInfo(_, ReferenceFixtures.RefDate))
+    val n2 = c2.transform("bronze/crm_cust_info", "silver/crm_cust_info")(
+      SilverTransforms.crmCustInfo(_, ReferenceFixtures.RefDate))
+    assert(n1 === 18484)
+    assert(n2 > 0 && n2 <= 1000)
+    // outputs and audit planes are fully isolated
+    assert(spark.read.parquet(s"$root/client1/silver/crm_cust_info").count() === n1)
+    assert(spark.read.parquet(s"$root/client2/silver/crm_cust_info").count() === n2)
+    assert(spark.read.parquet(s"$root/client1/tools/audit_log")
+      .where(col("status") === "FAILED").count() === 0)
+    assert(spark.read.parquet(s"$root/client2/tools/audit_log").count() > 0)
+  }
+
   test("ingest gate: mismatched schema quarantines, matched loads") {
     val wh = Files.createTempDirectory("graft_ing").toString
     val run = new Orchestrator.Run(spark, wh, "BATCH000001")
