@@ -37,7 +37,10 @@ object ConnectedComponents {
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = edges.persist() // reused every round; tiny vs the corpus
-    var labels = nodes
+    // Only nodes incident to an edge can ever change label — iterate
+    // over that subgraph (candidate graphs are ≪ the corpus at scale)
+    // and union the untouched singletons back at the end.
+    var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
       .localCheckpoint()
     var changed = 1L
@@ -59,6 +62,8 @@ object ConnectedComponents {
       iter += 1
     }
     e.unpersist()
-    labels
+    val isolated = nodes.join(labels.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    labels.unionAll(isolated)
   }
 }
