@@ -176,6 +176,42 @@ object SimQueries extends QueryPack {
           col("dup_of").isNull.as("keep"), col("dup_of"))
     }),
 
+    // ANN quality evaluation: recall@10 of the hyperplane-LSH candidate
+    // set against the exact cosine top-10, per probe query (every 50th
+    // vector — at scale the eval always runs on a probe sample, never
+    // the full corpus). This is the operator that tells you whether the
+    // banding parameters are good enough to replace brute force; recall
+    // is n_found/n_exact on integers, so it compares bit-exactly.
+    "q_sim_ann_recall" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
+      val qs = vecs.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+          col("nrm").as("qn"))
+      val scored = vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
+            col("qn"), col("nrm")).as("cosine"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val exact = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10).select(col("q_id"), col("vec_id"))
+      val cands = graft.operators.LshBandJoin
+        .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")
+      val ann = cands.select(col("vec_a").as("q_id"), col("vec_b").as("vec_id"))
+        .unionAll(cands.select(col("vec_b").as("q_id"), col("vec_a").as("vec_id")))
+      val n = count(lit(1)).cast(LongType)
+      val found = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(n.as("n_found"))
+      exact.groupBy(col("q_id")).agg(n.as("n_exact"))
+        .join(found, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          (coalesce(col("n_found"), lit(0L)).cast(DoubleType) / col("n_exact"))
+            .as("recall"))
+    }),
+
     // IVF-style ANN: fixed centroid set (every 25th vector), each vector
     // assigned to its nearest centroid (the inverted lists); a query
     // probes its 3 nearest centroids and searches only those lists.
@@ -339,6 +375,56 @@ object SimQueries extends QueryPack {
          FROM documents doc
          JOIN qv ON qv.vec_id = doc.doc_id
          LEFT JOIN dups ON dups.doc_id = doc.doc_id""",
+    "q_sim_ann_recall" ->
+      s"""WITH $quantCte,
+         dots AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
+           FROM qv a, qv b, range(64) t(i)
+           WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE)
+                    / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+           FROM dots d
+           JOIN norms na ON na.vec_id = d.q_id
+           JOIN norms nb ON nb.vec_id = d.vec_id),
+         exact AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, vec_id) AS rn
+             FROM scored) WHERE rn <= 10),
+         signs AS (
+           SELECT j, i,
+                  CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(j, ':', i)), 1, 15))
+                            AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+           FROM range(16) t1(j), range(64) t2(i)),
+         bits AS (
+           SELECT e.vec_id, s.j,
+                  CASE WHEN SUM(e.v[s.i+1]*s.s) > 0 THEN 1 ELSE 0 END AS bit
+           FROM qv e, signs s GROUP BY e.vec_id, s.j),
+         bands AS (
+           SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
+           FROM bits GROUP BY vec_id, j // 8),
+         cands AS (
+           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+         ann AS (
+           SELECT vec_a AS q_id, vec_b AS vec_id FROM cands
+           UNION ALL
+           SELECT vec_b AS q_id, vec_a AS vec_id FROM cands),
+         found AS (
+           SELECT e.q_id, COUNT(*) AS n_found
+           FROM exact e JOIN ann a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+           GROUP BY e.q_id),
+         ne AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id)
+         SELECT ne.q_id, ne.n_exact,
+                COALESCE(f.n_found, 0) AS n_found,
+                CAST(COALESCE(f.n_found, 0) AS DOUBLE) / ne.n_exact AS recall
+         FROM ne LEFT JOIN found f ON f.q_id = ne.q_id""",
     "q_sim_ann_ivf" ->
       s"""WITH $quantCte,
          cents AS (

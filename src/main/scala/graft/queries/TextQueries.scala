@@ -302,6 +302,54 @@ object TextQueries extends QueryPack {
           .as("fingerprint"))
     }),
 
+    // Sequence packing (concat-and-chunk): the LLM-training prep step
+    // that concatenates the token stream in a deterministic document
+    // order and slices it into fixed-budget context windows — each doc
+    // gets its global token offset and the bin range it lands in (docs
+    // may straddle bins). The global running offset is computed with NO
+    // single-partition window: per-shard exclusive prefix sums (shard =
+    // doc_id div 1000, an order-preserving range shard) plus a running
+    // offset over the tiny shard-total table, broadcast back — the same
+    // two-phase shape as q_surrogate_key_scalable, so packing scales to
+    // any corpus. All outputs are integers — cross-engine exact.
+    "q_pack_sequences" -> ((s, dir) => {
+      val B = 2048L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"),
+          expr("doc_id div 1000").as("shard"))
+      val wShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wOff = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("shard")).agg(sum(col("n_tokens")).as("n"))
+        .withColumn("shard_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+        .select(col("shard"), col("shard_off"))
+      docs.join(broadcast(offsets), "shard")
+        .withColumn("tok_offset",
+          col("shard_off") + coalesce(sum(col("n_tokens")).over(wShard), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+          expr(s"tok_offset div $B").as("first_bin"),
+          expr(s"(tok_offset + n_tokens - 1) div $B").as("last_bin"),
+          (col("tok_offset") % B).as("offset_in_bin"))
+    }),
+
+    // Deterministic train/validation/test split: bucket = 60-bit md5 of
+    // the doc id mod 100 → 90/5/5. Hash-based (not random) so the split
+    // is stable under reprocessing, joins, and corpus growth — the
+    // property a training pipeline actually needs; content-independent
+    // so near-dups land by id, which is why dedup runs BEFORE splitting
+    // in q_text_clean_corpus's ordering. Map-only at any scale.
+    "q_split_train_test" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15),
+        16, 10).cast(LongType) % 100
+      t(s, dir, "documents").select(
+        col("doc_id"), col("source"), bucket.as("bucket"),
+        when(bucket < 90, "train")
+          .when(bucket < 95, "validation")
+          .otherwise("test").as("split"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text
     // + an 8-token prefix key (cheap clustering key for near-dup triage).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -470,6 +518,33 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_split_train_test" ->
+      """SELECT doc_id, source,
+                CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 AS bucket,
+                CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 90 THEN 'train'
+                     WHEN CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 95 THEN 'validation'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "q_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS tok_offset
+           FROM d)
+         SELECT doc_id, n_tokens, tok_offset,
+                CAST(tok_offset // 2048 AS BIGINT) AS first_bin,
+                CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_bin,
+                CAST(tok_offset % 2048 AS BIGINT) AS offset_in_bin
+         FROM o""",
     "q_text_lang_id" -> langOracle,
     "q_text_clean_corpus" -> (minhashOracleCte +
       s""",

@@ -68,4 +68,12 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "partial aggregation (map-side combine) missing")
   }
+
+  test("q_agg_approx_distinct stays split — no Expand through the HLL") {
+    // The mixed distinct+HLL single aggregate plans an Expand that
+    // duplicates every row through the imperative HLL update (measured
+    // 2x slower); the split-and-join form must not regress back.
+    val p = plan("q_agg_approx_distinct")
+    assert(!p.contains("Expand"), "mixed distinct+HLL aggregate reintroduced")
+  }
 }
