@@ -202,6 +202,20 @@ object TextQueries extends QueryPack {
     // paid two extra full shuffles of the exploded shingle table).
     "q_dedup_minhash_lsh" -> (minhashPairs(_, _)),
 
+    // The LOSSLESS scale path for exact-threshold Jaccard: PPJoin-style
+    // prefix filtering (operators/JaccardPrefixJoin) — a J >= 0.8 pair
+    // must share a shingle in each doc's short prefix under a global
+    // hash order, so candidate enumeration touches ~20% of the index
+    // instead of every co-occurring shingle. Same oracle as the naive
+    // baseline: the filter is provably lossless at the threshold
+    // (JaccardPrefixSpec additionally asserts set equality at two SFs).
+    "q_dedup_jaccard_ppjoin" -> ((s, dir) => {
+      val h64 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10)
+        .cast(LongType)
+      graft.operators.JaccardPrefixJoin.similarPairs(
+        shingleTable(s, dir), h64, num = 4, den = 5)
+    }),
+
     // Connected-components dedup: transitive closure of the MinHash-LSH
     // candidate-pair graph via iterative min-label propagation
     // (operators/ConnectedComponents.scala). The greedy keep-first
@@ -378,6 +392,28 @@ object TextQueries extends QueryPack {
         bands AS ($bands)"""
   }
 
+  /** Exact-threshold Jaccard pairs over distinct word-3-gram shingles —
+    * shared by the naive baseline and the lossless PPJoin variant,
+    * whose output contracts are identical.
+    */
+  private val jaccardPairsOracle =
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-2,0)+1),
+                  i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents))),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT doc_a, doc_b,
+              CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8"""
+
   private def simhashOracle: String = {
     val sums = (0 until SimHashBits).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
@@ -465,23 +501,9 @@ object TextQueries extends QueryPack {
       """SELECT md5(LOWER(TRIM(text))) AS text_key,
                 MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(LOWER(TRIM(text)))""",
-    "q_dedup_ngram_jaccard" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, s FROM (
-             SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-2,0)+1),
-                    i -> array_to_string(w[i:i+2], ' '))) AS s
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-                   FROM documents))),
-         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY a.doc_id, b.doc_id)
-         SELECT doc_a, doc_b,
-                CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-         FROM inter
-         JOIN sizes sa ON sa.doc_id = doc_a
-         JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8""",
+    "q_dedup_ngram_jaccard" -> jaccardPairsOracle,
+    // identical output contract — the prefix filter is lossless
+    "q_dedup_jaccard_ppjoin" -> jaccardPairsOracle,
     "q_dedup_minhash_lsh" -> (minhashOracleCte +
       """
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -214,6 +214,29 @@ object Orchestrator {
         }
       }
 
+    /** Config-driven MV refresh (tools.mv_refresh_config analog): full
+      * refresh = plain overwrite (REFRESH MATERIALIZED VIEW semantics,
+      * scripts/refresh_mv.py), same dependency gating as integrate, row
+      * counts observed on the write (no re-read).
+      */
+    def refreshViews(steps: Seq[(IntegrationStep, () => DataFrame)]): Unit =
+      steps.sortBy(_._1.runOrder).foreach { case (st, build) =>
+        val unmet = st.dependsOn.filterNot(satisfied)
+        if (unmet.nonEmpty)
+          log("mv_refresh", st.target, "SKIPPED_DEPENDENCY", 0,
+            unmet.mkString(","))
+        else try {
+          val obs = org.apache.spark.sql.Observation()
+          build().observe(obs, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$warehouse/${st.target}")
+          log("mv_refresh", st.target, "SUCCESS",
+            obs.get("n").asInstanceOf[Long])
+        } catch { case scala.util.control.NonFatal(e) =>
+          log("mv_refresh", st.target, "FAILED", 0,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        }
+      }
+
     /** Ingest one inferred-schema source: mapping gate → typed bronze.
       * Failure quarantines the file (returns Left) instead of writing.
       */
@@ -305,14 +328,34 @@ object Orchestrator {
       st -> goldBuilders(st.target)(run)
     })
 
-    // MVs: full refresh (overwrite) — REFRESH MATERIALIZED VIEW semantics
-    val fact = run.readBatch("gold/fact_sales")
-    val dimC = run.readBatch("gold/dim_customers")
-    val dimP = run.readBatch("gold/dim_products")
-    GoldViews.salesMonthlyProductline(fact, dimP)
-      .write.mode(SaveMode.Overwrite).parquet(s"$warehouse/gold/mv_sales_monthly_productline")
-    GoldViews.customerChurn(fact, dimC, refDate)
-      .write.mode(SaveMode.Overwrite).parquet(s"$warehouse/gold/mv_customer_churn")
+    // MVs: all 9, config-driven like the gold DAG (mv_refresh_config
+    // analog) — full refresh, each gated on its gold inputs
+    def fact = run.readBatch("gold/fact_sales")
+    def dimC = run.readBatch("gold/dim_customers")
+    def dimP = run.readBatch("gold/dim_products")
+    val onFact = Seq("gold/fact_sales")
+    val onFC = Seq("gold/fact_sales", "gold/dim_customers")
+    val onFP = Seq("gold/fact_sales", "gold/dim_products")
+    run.refreshViews(Seq(
+      IntegrationStep("gold/mv_sales_monthly_productline", 1, onFP) ->
+        (() => GoldViews.salesMonthlyProductline(fact, dimP)),
+      IntegrationStep("gold/mv_sales_customer_country", 2, onFC) ->
+        (() => GoldViews.salesCustomerCountry(fact, dimC)),
+      IntegrationStep("gold/mv_customer_lifetime_value", 3, onFC) ->
+        (() => GoldViews.customerLifetimeValue(fact, dimC)),
+      IntegrationStep("gold/mv_running_sales_customer", 4, onFC) ->
+        (() => GoldViews.runningSalesCustomer(fact, dimC)),
+      IntegrationStep("gold/mv_top3_products_month_country", 5,
+        onFC ++ Seq("gold/dim_products")) ->
+        (() => GoldViews.top3ProductsMonthCountry(fact, dimC, dimP)),
+      IntegrationStep("gold/mv_customer_churn", 6, onFC) ->
+        (() => GoldViews.customerChurn(fact, dimC, refDate)),
+      IntegrationStep("gold/mv_customer_order_gap", 7, onFC) ->
+        (() => GoldViews.customerOrderGap(fact, dimC)),
+      IntegrationStep("gold/mv_sales_rollup_product", 8, onFP) ->
+        (() => GoldViews.salesRollupProduct(fact, dimP)),
+      IntegrationStep("gold/mv_delayed_orders_chain", 9, onFact) ->
+        (() => GoldViews.delayedOrdersChain(fact))))
     run
   }
 }

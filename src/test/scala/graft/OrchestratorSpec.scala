@@ -76,6 +76,10 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     def factCount = spark.read.parquet(s"$wh/gold/fact_sales").count()
     assert(factCount === 60407)
     assert(spark.read.parquet(s"$wh/gold/mv_customer_churn").count() === 18484)
+    // all 9 MVs refresh through the config, each with a SUCCESS audit row
+    assert(run1.auditLog.count(l =>
+      l.step == "mv_refresh" && l.status == "SUCCESS") === 9)
+    assert(spark.read.parquet(s"$wh/gold/mv_sales_rollup_product").count() === 37)
 
     // S8: full re-run of the same batch must not duplicate anything
     Orchestrator.runFixtureBatch(spark, wh)
