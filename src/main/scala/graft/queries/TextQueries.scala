@@ -82,8 +82,11 @@ object TextQueries extends QueryPack {
       .toDF("doc_a", "doc_b")
   }
 
-  /** Quality-gate sub-expressions over `text` — all per-row. */
-  private def qualityScoreCol: Column = {
+  /** Quality-gate sub-expressions over `text` — all per-row. Shared
+    * with the streaming corpus gate (streaming/StreamingJobs), so the
+    * stream and batch paths cannot drift.
+    */
+  private[graft] def qualityScoreCol: Column = {
     val w = words(col("text"))
     val nTok = size(w).cast(DoubleType)
     val stops = Seq("the", "a", "of", "and", "to", "in")
@@ -112,7 +115,7 @@ object TextQueries extends QueryPack {
       profile(Seq(" le ", " et ", " les ")))
   }
 
-  private def langPredCol(padded: Column): Column = {
+  private[graft] def langPredCol(padded: Column): Column = {
     val (en, de, es, fr) = langScoreCols(padded)
     when(en >= greatest(de, es, fr) && en > 0, "en")
       .when(de >= greatest(es, fr) && de > 0, "de")

@@ -134,6 +134,30 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming corpus gate: the per-row stages of the batch cleaning
+    * pipeline (quality gate + language gate — the SAME column builders
+    * graft.queries.TextQueries uses, so stream and batch cannot drift)
+    * followed by watermarked exact dedup on the normalized content key.
+    * Gates are stateless map-only projections; the dedup state is
+    * bounded by the lateness horizon, not the stream's key cardinality.
+    * Input: (doc_id, text, ts).
+    */
+  def gateDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("quality_score", graft.queries.TextQueries.qualityScoreCol)
+      .withColumn("padded", concat(lit(" "), lower(trim(col("text"))), lit(" ")))
+      .withColumn("lang_pred",
+        graft.queries.TextQueries.langPredCol(col("padded")))
+      .where(col("quality_score") >= 0.5 && col("lang_pred") =!= "unknown")
+      .select(col("doc_id"), col("ts"),
+        md5(lower(trim(col("text")))).as("text_key"),
+        col("quality_score"), col("lang_pred"))
+
+  def cleanDocsStream(docs: DataFrame): DataFrame =
+    gateDocs(docs)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text_key")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionBuf(start: Long, lastTs: Long, n: Long, value: Double)

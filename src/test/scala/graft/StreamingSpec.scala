@@ -142,6 +142,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
   }
 
+  test("streaming corpus gate equals the batch gate on real documents") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").na.fill("", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = docs.map { case (id, text) =>
+      (id, text, new Timestamp(base + id * 1000)) }
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingJobs.cleanDocsStream(
+      ms.toDF().toDF("doc_id", "text", "ts"))
+    val q = out.writeStream.format("memory").queryName("clean_docs")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("clean_docs")
+    // same gates computed in batch (the shared builders run on a plain
+    // DataFrame too): kept content-key set must match
+    val batch = rows.toSeq.toDF("doc_id", "text", "ts")
+    val expected = StreamingJobs.gateDocs(batch)
+      .select("text_key").distinct().as[String].collect().toSet
+    assert(expected.nonEmpty, "gate kept nothing — vacuous")
+    assert(got.select("text_key").as[String].collect().toSet === expected)
+    // exactly one survivor per content key
+    assert(got.count() === expected.size)
+  }
+
   test("file-source stream resumes exactly-once across restarts") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
