@@ -213,10 +213,16 @@ object TextQueries extends QueryPack {
     // baseline: the filter is provably lossless at the threshold
     // (JaccardPrefixSpec additionally asserts set equality at two SFs).
     "q_dedup_jaccard_ppjoin" -> ((s, dir) => {
-      val h64 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10)
-        .cast(LongType)
+      import graft.functions.TextHashFunctions.shingleHashes
+      // the same native kernel as the baseline: 8-byte hash keys through
+      // every sort/join instead of ~20-byte shingle strings; the hash IS
+      // already a uniform global order, so it doubles as the PPJoin
+      // prefix order directly
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(shingleHashes(words(col("text")), 3)).as("s"))
       graft.operators.JaccardPrefixJoin.similarPairs(
-        shingleTable(s, dir), h64, num = 4, den = 5)
+        sh, identity, num = 4, den = 5)
     }),
 
     // Connected-components dedup: transitive closure of the MinHash-LSH
