@@ -49,7 +49,9 @@ object Bench {
       "q_events_sessionize", "q_dedup_exact", "q_dedup_minhash_lsh",
       "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_sim_cosine_topk",
       "q_sim_ann_lsh", "q_ref_fact_sales", "q_ref_mv_top3_month_country",
-      "q_text_quality", "q_text_clean_corpus", "q_write_idempotent")
+      "q_text_quality", "q_text_clean_corpus", "q_write_idempotent",
+      "q_dedup_components", "q_dedup_jaccard_ppjoin", "q_pack_sequences",
+      "q_sim_ann_recall")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String =
       entries.map { case (n, v) => s""""$n":${num(v)}""" }.mkString("{", ",", "}")

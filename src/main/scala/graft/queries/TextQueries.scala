@@ -357,6 +357,26 @@ object TextQueries extends QueryPack {
           (col("tok_offset") % B).as("offset_in_bin"))
     }),
 
+    // Repetition quality signal (the Gopher-rules family): fraction of
+    // duplicate word-3-grams per document — highly repetitive docs are
+    // low-quality training data. distinct-shingle counts come from the
+    // same native one-pass kernel as the dedup path; map-only at any
+    // scale.
+    "q_text_repetition" -> ((s, dir) => {
+      import graft.functions.TextHashFunctions.shingleHashes
+      val w = words(col("text"))
+      val total = greatest(size(w) - 2, lit(0)).cast(LongType)
+      val uniq = size(shingleHashes(w, 3)).cast(LongType)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        total.as("n_shingles"),
+        uniq.as("n_distinct_shingles"),
+        when(total === 0, 0.0)
+          .otherwise(lit(1.0) - uniq.cast(DoubleType) / total)
+          .as("dup_shingle_fraction"))
+        .withColumn("is_repetitive", col("dup_shingle_fraction") > 0.2)
+    }),
+
     // Deterministic train/validation/test split: bucket = 60-bit md5 of
     // the doc id mod 100 → 90/5/5. Hash-based (not random) so the split
     // is stable under reprocessing, joins, and corpus growth — the
@@ -549,6 +569,27 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_text_repetition" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         tot AS (
+           SELECT doc_id,
+                  CAST(GREATEST(len(w) - 2, 0) AS BIGINT) AS n_shingles,
+                  CAST(len(list_distinct(list_transform(
+                    range(1, greatest(len(w)-2, 0) + 1),
+                    i -> array_to_string(w[i:i+2], ' ')))) AS BIGINT)
+                    AS n_distinct_shingles
+           FROM d),
+         f AS (
+           SELECT doc_id, n_shingles, n_distinct_shingles,
+                  CASE WHEN n_shingles = 0 THEN 0.0
+                       ELSE 1.0 - CAST(n_distinct_shingles AS DOUBLE) / n_shingles
+                  END AS dup_shingle_fraction
+           FROM tot)
+         SELECT doc_id, n_shingles, n_distinct_shingles, dup_shingle_fraction,
+                dup_shingle_fraction > 0.2 AS is_repetitive
+         FROM f""",
     "q_split_train_test" ->
       """SELECT doc_id, source,
                 CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
