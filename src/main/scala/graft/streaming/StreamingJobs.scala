@@ -88,6 +88,30 @@ object StreamingJobs {
   def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Streaming warehouse ingestion: drain a stream into a
+    * batch-partitioned warehouse table through the Orchestrator's
+    * idempotent writer — each micro-batch becomes one dwh_batch_id
+    * partition (dynamic partition overwrite + audit row). On restart
+    * from the checkpoint, a replayed micro-batch carries the SAME batch
+    * id and rewrites its own partition instead of appending duplicates:
+    * table-level exactly-once on top of the source's at-least-once
+    * replay — precisely the reference's batch-id idempotency contract
+    * extended to the streaming front door.
+    */
+  def warehouseSink(df: DataFrame, warehouse: String, table: String,
+                    checkpoint: String,
+                    batchPrefix: String = "SBATCH"): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val run = new graft.run.Orchestrator.Run(
+          batch.sparkSession, warehouse, f"$batchPrefix$id%06d")
+        run.writeBatch(batch.toDF(), table)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   case class BandDoc(band_key: String, doc_id: Long)
   case class CandPair(doc_a: Long, doc_b: Long)
 
