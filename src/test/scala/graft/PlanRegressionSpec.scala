@@ -69,6 +69,20 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       "partial aggregation (map-side combine) missing")
   }
 
+  test("q_split_train_test and q_text_repetition are map-only") {
+    assert(shuffles(plan("q_split_train_test")) === 0)
+    assert(shuffles(plan("q_text_repetition")) === 0)
+  }
+
+  test("q_pack_sequences pays no single-partition pass over the docs") {
+    // allowed shuffles: group-by for shard totals, the tiny offsets
+    // window (#shards rows), and the per-shard doc window; the offsets
+    // table must come back as a broadcast, never a shuffled join
+    val p = plan("q_pack_sequences")
+    assert(shuffles(p) <= 3, p)
+    assert(p.contains("BroadcastExchange"), "offsets join must broadcast")
+  }
+
   test("q_agg_approx_distinct stays split — no Expand through the HLL") {
     // The mixed distinct+HLL single aggregate plans an Expand that
     // duplicates every row through the imperative HLL update (measured
