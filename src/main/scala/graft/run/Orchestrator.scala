@@ -237,6 +237,23 @@ object Orchestrator {
         }
       }
 
+    /** Manifest-driven start mode: the reference's per-file ingest loop
+      * (handlers/batch_processing.py file plane) — every manifest entry
+      * goes through the mapping gate + row QA + bronze write, and the
+      * returned manifest carries each file's terminal status (the
+      * in-memory analog of tools.file_audit_log status transitions).
+      */
+    def ingestManifest(manifest: Manifest,
+                       load: FileEntry => DataFrame,
+                       mappings: String => (Seq[MappingValidator.ColumnMapping], Seq[String])): Manifest = {
+      val files = manifest.files.map { fe =>
+        val (maps, required) = mappings(fe.logicalName)
+        val res = ingest(load(fe), maps, required, s"bronze/${fe.logicalName}")
+        fe.copy(status = if (res.isRight) "COMPLETED" else "FAILED")
+      }
+      manifest.copy(files = files)
+    }
+
     /** Ingest one inferred-schema source: mapping gate → typed bronze.
       * Failure quarantines the file (returns Left) instead of writing.
       */

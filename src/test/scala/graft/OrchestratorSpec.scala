@@ -210,6 +210,30 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$root/client2/tools/audit_log").count() > 0)
   }
 
+  test("manifest-driven ingest: per-file statuses, bad file isolated") {
+    val wh = Files.createTempDirectory("graft_manifest").toString
+    val run = new Orchestrator.Run(spark, wh, "BATCH000002")
+    val goodDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1.0, "x"), org.apache.spark.sql.Row(2.0, "y"))),
+      StructType(Seq(StructField("cst_id", DoubleType),
+        StructField("cst_gendr", StringType))))
+    val badDf = goodDf.withColumnRenamed("cst_gendr", "wrong_header")
+    val manifest = Orchestrator.Manifest("client1", 1, "BATCH000002", Seq(
+      Orchestrator.FileEntry("cust_info", "crm", "PENDING"),
+      Orchestrator.FileEntry("prd_info", "crm", "PENDING")))
+    val done = run.ingestManifest(manifest,
+      load = fe => if (fe.logicalName == "cust_info") goodDf else badDf,
+      mappings = _ => (Seq(
+        ColumnMapping("cst_id", "cst_id", LongType),
+        ColumnMapping("cst_gendr", "cst_gndr", StringType)), Seq("cst_id")))
+    assert(done.files.map(f => f.logicalName -> f.status).toMap
+      === Map("cust_info" -> "COMPLETED", "prd_info" -> "FAILED"))
+    // good file landed; bad file wrote nothing
+    assert(spark.read.parquet(s"$wh/bronze/cust_info").count() === 2)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$wh/bronze/prd_info")))
+  }
+
   test("ingest gate: mismatched schema quarantines, matched loads") {
     val wh = Files.createTempDirectory("graft_ing").toString
     val run = new Orchestrator.Run(spark, wh, "BATCH000001")
