@@ -8,8 +8,11 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // Optional extra args: query names — dev-loop filter so one changed
     // query can be gated without dumping all of them. The driver always
-    // calls with exactly (sfDir, outDir) → full run.
+    // calls with exactly (sfDir, outDir) → full run. Unknown names fail
+    // fast — a typo must not produce an empty "all green" gate.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -61,6 +61,13 @@ object ConnectedComponents {
       labels = next.select(col("node"), col("component"))
       iter += 1
     }
+    // an unconverged result is WRONG components, not slow components —
+    // fail loudly instead of returning intermediate labels
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds " +
+          s"($changed labels still changing); the graph diameter exceeds " +
+          "the cap — raise maxIters or switch to large-star/small-star")
     e.unpersist()
     val isolated = nodes.join(labels.select(col("node")), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))

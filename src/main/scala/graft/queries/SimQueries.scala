@@ -71,27 +71,33 @@ object SimQueries extends QueryPack {
     sketched.select(col("vec_id"), explode(array(bandKeys: _*)).as("band_key"))
   }
 
+  /** Exact cosine of every vector against the probe query set (every
+    * 50th vec_id): broadcast query side, native QuantizedDot, one fused
+    * loop per pair — the ONE definition of the brute-force "exact"
+    * baseline shared by the top-k queries and the ANN recall eval (so
+    * the recall's denominator cannot drift from the query it measures).
+    */
+  private def probeScored(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
+    val qs = vecs.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+        col("nrm").as("qn"))
+    vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
+          col("qn"), col("nrm")).as("cosine"))
+  }
+
   val queries: Map[String, Q] = Map(
-    // Exact brute-force cosine top-10 for each query vector (every 50th
-    // vec_id). Query side broadcasts; rank window collapses to
-    // per-partition top-k (WindowGroupLimit) — no global sort.
-    // Dot products run through the native codegen expression
-    // (graft.functions.QuantizedDot) — one fused loop per pair, no
-    // intermediate arrays; bit-identical to the composed-HOF form.
+    // Exact brute-force cosine top-10 for each query vector. Query side
+    // broadcasts; rank window collapses to per-partition top-k
+    // (WindowGroupLimit) — no global sort.
     "q_sim_cosine_topk" -> ((s, dir) => {
-      val vecs = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
-      val qs = vecs.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
-          col("nrm").as("qn"))
-      val scored = vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
-            col("qn"), col("nrm")).as("cosine"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
-      scored.withColumn("rnk", rank().over(w).cast(LongType))
+      probeScored(s, dir).withColumn("rnk", rank().over(w).cast(LongType))
         .where(col("rnk") <= 10)
     }),
 
@@ -103,17 +109,7 @@ object SimQueries extends QueryPack {
     "q_sim_topk_agg" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.TopKAggregator._
-      val vecs = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
-      val qs = vecs.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
-          col("nrm").as("qn"))
-      val scored = vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
-            col("qn"), col("nrm")).as("cosine"))
-        .as[Scored]
+      val scored = probeScored(s, dir).as[Scored]
       val topk = new TopKByCosine(10, implicitly[Encoder[Seq[Scored]]])
       scored.groupByKey(_.q_id)
         .agg(topk.toColumn.name("top"))
@@ -183,19 +179,9 @@ object SimQueries extends QueryPack {
     // banding parameters are good enough to replace brute force; recall
     // is n_found/n_exact on integers, so it compares bit-exactly.
     "q_sim_ann_recall" -> ((s, dir) => {
-      val vecs = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
-      val qs = vecs.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
-          col("nrm").as("qn"))
-      val scored = vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
-            col("qn"), col("nrm")).as("cosine"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
-      val exact = scored.withColumn("rn", row_number().over(w))
+      val exact = probeScored(s, dir).withColumn("rn", row_number().over(w))
         .where(col("rn") <= 10).select(col("q_id"), col("vec_id"))
       val cands = graft.operators.LshBandJoin
         .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")

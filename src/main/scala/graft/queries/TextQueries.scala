@@ -82,6 +82,17 @@ object TextQueries extends QueryPack {
       .toDF("doc_a", "doc_b")
   }
 
+  /** Shared corpus-gate contract — ONE definition of the thresholds and
+    * the content key consumed by the batch cleaning pipeline
+    * (q_text_clean_corpus), the exact-dedup query, and the streaming
+    * gate (streaming/StreamingJobs.gateDocs), so none of them can
+    * drift.
+    */
+  private[graft] val MinQualityScore = 0.5
+  private[graft] def textKeyCol: Column = md5(lower(trim(col("text"))))
+  private[graft] def gatePass(quality: Column, langPred: Column): Column =
+    quality >= MinQualityScore && langPred =!= "unknown"
+
   /** Quality-gate sub-expressions over `text` — all per-row. Shared
     * with the streaming corpus gate (streaming/StreamingJobs), so the
     * stream and batch paths cannot drift.
@@ -158,7 +169,7 @@ object TextQueries extends QueryPack {
     // Generalizes A8 (validate_row.py:172-173) to content dedup.
     "q_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
-        .groupBy(md5(lower(trim(col("text")))).as("text_key"))
+        .groupBy(textKeyCol.as("text_key"))
         .agg(min(col("doc_id")).as("keep_doc_id"), cnt.as("n_copies"))
     }),
 
@@ -295,9 +306,9 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("quality_score"))
       val l = langFrame(s, dir).select(col("doc_id"), col("lang_pred"))
       val base = t(s, dir, "documents")
-        .select(col("doc_id"), md5(lower(trim(col("text")))).as("tkey"))
+        .select(col("doc_id"), textKeyCol.as("tkey"))
         .join(q, "doc_id").join(l, "doc_id")
-        .where(col("quality_score") >= 0.5 && col("lang_pred") =!= "unknown")
+        .where(gatePass(col("quality_score"), col("lang_pred")))
       val kept = base
         .withColumn("min_id",
           min(col("doc_id")).over(Window.partitionBy(col("tkey"))))

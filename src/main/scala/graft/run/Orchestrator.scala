@@ -74,7 +74,11 @@ object Orchestrator {
       val batch = spark.read.parquet(path).where(col("batchId") === batchId)
       val failed = batch.where(col("status") === "FAILED")
         .select("target").collect().map(_.getString(0)).toSet
-      val healed = batch.where(col("status") === "SUCCESS")
+      // healed = the data actually landed: only a WRITE-level success
+      // counts (a mapping_validation SUCCESS followed by a dead write
+      // must NOT mask the target from the reprocess cycle)
+      val healed = batch
+        .where(col("status") === "SUCCESS" && col("step") === "write")
         .select("target").collect().map(_.getString(0)).toSet
       failed -- healed
     }
@@ -186,32 +190,45 @@ object Orchestrator {
       n
     }
 
-    /** Did `target` reach a satisfied state this batch (SUCCESS now or
-      * in a previous attempt's audit rows)? SKIPPED_EMPTY and FAILED are
-      * not satisfied — downstream steps must gate off them.
+    /** Did `target`'s data actually land this batch (a WRITE-level
+      * SUCCESS now, or in a previous attempt's audit rows)? Only step
+      * "write" counts — a validation SUCCESS followed by a dead write
+      * must not satisfy a dependency. SKIPPED_EMPTY and FAILED are not
+      * satisfied — downstream steps must gate off them.
       */
     def satisfied(target: String): Boolean =
-      logs.exists(l => l.target == target
+      logs.exists(l => l.target == target && l.step == "write"
         && (l.status == "SUCCESS" || l.status == "SKIPPED_DONE")) ||
         alreadyDone(target)
 
-    /** Config-table-driven integration DAG: run steps in run_order; a
-      * step with an unmet dependency logs SKIPPED_DEPENDENCY and is not
-      * attempted (the reference's dependency gate,
-      * scripts/gold_integration.py:152-192); a step whose build throws
-      * logs FAILED and downstream dependents gate off it in turn.
+    /** Shared dependency-gated step loop for the config-driven DAGs:
+      * steps run in run_order; a step with an unmet dependency logs
+      * SKIPPED_DEPENDENCY and is not attempted (the reference's
+      * dependency gate, scripts/gold_integration.py:152-192); a step
+      * whose write throws logs FAILED and downstream dependents gate
+      * off it in turn.
       */
-    def integrate(steps: Seq[(IntegrationStep, () => DataFrame)]): Unit =
+    private def runGated(stepName: String,
+                         steps: Seq[(IntegrationStep, () => DataFrame)])
+                        (write: (IntegrationStep, () => DataFrame) => Unit): Unit =
       steps.sortBy(_._1.runOrder).foreach { case (st, build) =>
         val unmet = st.dependsOn.filterNot(satisfied)
         if (unmet.nonEmpty)
-          log("integration", st.target, "SKIPPED_DEPENDENCY", 0,
+          log(stepName, st.target, "SKIPPED_DEPENDENCY", 0,
             unmet.mkString(","))
-        else try writeBatch(build().drop("dwh_batch_id"), st.target)
+        else try write(st, build)
         catch { case scala.util.control.NonFatal(e) =>
-          log("integration", st.target, "FAILED", 0,
+          log(stepName, st.target, "FAILED", 0,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
         }
+      }
+
+    /** Config-table-driven integration DAG (tools.integration_config):
+      * batch-partitioned idempotent writes, dependency-gated.
+      */
+    def integrate(steps: Seq[(IntegrationStep, () => DataFrame)]): Unit =
+      runGated("integration", steps) { (st, build) =>
+        writeBatch(build().drop("dwh_batch_id"), st.target); ()
       }
 
     /** Config-driven MV refresh (tools.mv_refresh_config analog): full
@@ -220,21 +237,12 @@ object Orchestrator {
       * counts observed on the write (no re-read).
       */
     def refreshViews(steps: Seq[(IntegrationStep, () => DataFrame)]): Unit =
-      steps.sortBy(_._1.runOrder).foreach { case (st, build) =>
-        val unmet = st.dependsOn.filterNot(satisfied)
-        if (unmet.nonEmpty)
-          log("mv_refresh", st.target, "SKIPPED_DEPENDENCY", 0,
-            unmet.mkString(","))
-        else try {
-          val obs = org.apache.spark.sql.Observation()
-          build().observe(obs, count(lit(1)).as("n"))
-            .write.mode(SaveMode.Overwrite).parquet(s"$warehouse/${st.target}")
-          log("mv_refresh", st.target, "SUCCESS",
-            obs.get("n").asInstanceOf[Long])
-        } catch { case scala.util.control.NonFatal(e) =>
-          log("mv_refresh", st.target, "FAILED", 0,
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
-        }
+      runGated("mv_refresh", steps) { (st, build) =>
+        val obs = org.apache.spark.sql.Observation()
+        build().observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$warehouse/${st.target}")
+        log("mv_refresh", st.target, "SUCCESS",
+          obs.get("n").asInstanceOf[Long])
       }
 
     /** Manifest-driven start mode: the reference's per-file ingest loop
@@ -247,9 +255,18 @@ object Orchestrator {
                        load: FileEntry => DataFrame,
                        mappings: String => (Seq[MappingValidator.ColumnMapping], Seq[String])): Manifest = {
       val files = manifest.files.map { fe =>
-        val (maps, required) = mappings(fe.logicalName)
-        val res = ingest(load(fe), maps, required, s"bronze/${fe.logicalName}")
-        fe.copy(status = if (res.isRight) "COMPLETED" else "FAILED")
+        // per-file isolation: a corrupt file, a validator error, or a
+        // dead bronze write marks THIS file FAILED (with an audit row
+        // the reprocess cycle can see) and the loop continues
+        val ok = try {
+          val (maps, required) = mappings(fe.logicalName)
+          ingest(load(fe), maps, required, s"bronze/${fe.logicalName}").isRight
+        } catch { case scala.util.control.NonFatal(e) =>
+          log("ingest", s"bronze/${fe.logicalName}", "FAILED", 0,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+          false
+        }
+        fe.copy(status = if (ok) "COMPLETED" else "FAILED")
       }
       manifest.copy(files = files)
     }

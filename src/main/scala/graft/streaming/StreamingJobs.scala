@@ -166,16 +166,16 @@ object StreamingJobs {
     * bounded by the lateness horizon, not the stream's key cardinality.
     * Input: (doc_id, text, ts).
     */
-  def gateDocs(docs: DataFrame): DataFrame =
+  def gateDocs(docs: DataFrame): DataFrame = {
+    import graft.queries.TextQueries.{gatePass, langPredCol, qualityScoreCol, textKeyCol}
     docs
-      .withColumn("quality_score", graft.queries.TextQueries.qualityScoreCol)
+      .withColumn("quality_score", qualityScoreCol)
       .withColumn("padded", concat(lit(" "), lower(trim(col("text"))), lit(" ")))
-      .withColumn("lang_pred",
-        graft.queries.TextQueries.langPredCol(col("padded")))
-      .where(col("quality_score") >= 0.5 && col("lang_pred") =!= "unknown")
-      .select(col("doc_id"), col("ts"),
-        md5(lower(trim(col("text")))).as("text_key"),
+      .withColumn("lang_pred", langPredCol(col("padded")))
+      .where(gatePass(col("quality_score"), col("lang_pred")))
+      .select(col("doc_id"), col("ts"), textKeyCol.as("text_key"),
         col("quality_score"), col("lang_pred"))
+  }
 
   def cleanDocsStream(docs: DataFrame): DataFrame =
     gateDocs(docs)

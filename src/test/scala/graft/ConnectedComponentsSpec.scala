@@ -32,15 +32,19 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
-  test("maxIters caps the rounds on a long path") {
-    // Path 0-1-...-5 with 2 rounds: labels move at most 2 hops of minimum.
+  test("hitting the round cap fails loudly instead of returning wrong labels") {
+    // Path 0-1-...-5 with 2 rounds: labels move at most 2 hops of
+    // minimum, so convergence is impossible — must throw, not emit
+    // intermediate components.
     val nodes = (0L to 5L)
     val pairs = (0L until 5L).map(i => (i, i + 1))
     import spark.implicits._
     val edges = pairs.toDF("src", "dst")
       .unionAll(pairs.map(_.swap).toDF("src", "dst"))
-    val got = ConnectedComponents.minLabel(nodes.toDF("node"), edges, maxIters = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got(5L) > 0L, s"2 rounds must not fully converge a 5-hop path: $got")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.minLabel(nodes.toDF("node"), edges, maxIters = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 }

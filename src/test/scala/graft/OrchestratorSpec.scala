@@ -219,19 +219,36 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
       StructType(Seq(StructField("cst_id", DoubleType),
         StructField("cst_gendr", StringType))))
     val badDf = goodDf.withColumnRenamed("cst_gendr", "wrong_header")
+    // schema-valid but poisoned past the mapping gate: the failure fires
+    // during execution, AFTER a mapping_validation SUCCESS row is logged
+    val poisonedDf = goodDf.withColumn("cst_gendr",
+      when(col("cst_gendr") === "x", raise_error(lit("exec boom")))
+        .otherwise(col("cst_gendr")))
     val manifest = Orchestrator.Manifest("client1", 1, "BATCH000002", Seq(
       Orchestrator.FileEntry("cust_info", "crm", "PENDING"),
-      Orchestrator.FileEntry("prd_info", "crm", "PENDING")))
+      Orchestrator.FileEntry("prd_info", "crm", "PENDING"),
+      Orchestrator.FileEntry("sales_details", "crm", "PENDING")))
     val done = run.ingestManifest(manifest,
-      load = fe => if (fe.logicalName == "cust_info") goodDf else badDf,
+      load = fe => fe.logicalName match {
+        case "cust_info" => goodDf
+        case "prd_info" => badDf
+        case _ => poisonedDf
+      },
       mappings = _ => (Seq(
         ColumnMapping("cst_id", "cst_id", LongType),
         ColumnMapping("cst_gendr", "cst_gndr", StringType)), Seq("cst_id")))
     assert(done.files.map(f => f.logicalName -> f.status).toMap
-      === Map("cust_info" -> "COMPLETED", "prd_info" -> "FAILED"))
-    // good file landed; bad file wrote nothing
+      === Map("cust_info" -> "COMPLETED", "prd_info" -> "FAILED",
+        "sales_details" -> "FAILED"))
+    // good file landed; bad files wrote nothing and the loop survived
     assert(spark.read.parquet(s"$wh/bronze/cust_info").count() === 2)
     assert(!Files.exists(java.nio.file.Paths.get(s"$wh/bronze/prd_info")))
+    // the poisoned file logged mapping_validation SUCCESS before dying —
+    // that validation row must NOT mask it from the reprocess cycle
+    assert(run.auditLog.exists(l => l.step == "mapping_validation"
+      && l.status == "SUCCESS" && l.target == "bronze/sales_details"))
+    assert(Orchestrator.failedTargets(spark, wh, "BATCH000002")
+      .contains("bronze/sales_details"))
   }
 
   test("ingest gate: mismatched schema quarantines, matched loads") {
