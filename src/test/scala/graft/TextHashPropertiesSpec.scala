@@ -90,6 +90,36 @@ class TextHashPropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("null-bearing arrays shingle like concat_ws (nulls skipped)") {
+    // The SQL-exposed functions accept arbitrary arrays; the kernel must
+    // skip nulls exactly like concat_ws — compare against the composed
+    // concat_ws + md5 form on random arrays salted with nulls and "".
+    import spark.implicits._
+    val arrays: Seq[Seq[Option[String]]] = (1 to 150).map { _ =>
+      (0 until rnd.nextInt(7)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => None
+          case 1 => Some("")
+          case _ => Some(vocab(rnd.nextInt(vocab.size)))
+        }
+      }
+    } :+ Seq(None, None, None) :+ Seq(Some(""), None, Some("x"), Some(""))
+    val df = arrays.zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }.toDF("id", "words")
+    val got = df.select(col("id"), shingleHashes(col("words"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val n = a.length
+      val model =
+        if (n < 3) Seq.empty
+        else (0 to n - 3).map { j =>
+          // concat_ws semantics: nulls dropped, empties kept
+          hexPrefix(a.slice(j, j + 3).flatten.mkString(" "), 15)
+        }.distinct.sorted
+      assert(got(i.toLong) === model, s"array $a")
+    }
+  }
+
   test("native kernels match the pure-Scala oracle model on 300 random docs") {
     import spark.implicits._
     val (k, p) = (8, 2147483647L)
