@@ -182,6 +182,37 @@ object StreamingJobs {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("text_key")
 
+  case class DocTok(source: String, doc_id: Long, n_tokens: Long)
+  case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
+                       tok_offset: Long, first_bin: Long, last_bin: Long)
+
+  /** Continuous sequence packing: the streaming form of
+    * q_pack_sequences — an incoming document stream is packed into
+    * fixed-budget context windows per source, with one running token
+    * offset held in GroupState per source key. State is ONE long per
+    * source (shards across executors); within a micro-batch documents
+    * pack in doc_id order, so replaying a batch reproduces identical
+    * offsets. The global-order batch variant needs the whole corpus;
+    * this is the form a 24/7 ingest pipeline actually runs.
+    */
+  def packDocsStream(docs: Dataset[DocTok], budget: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src, rows, state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val p = PackedDoc(src, d.doc_id, d.n_tokens, off,
+              off / budget, (off + math.max(d.n_tokens - 1, 0)) / budget)
+            off += d.n_tokens
+            p
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionBuf(start: Long, lastTs: Long, n: Long, value: Double)

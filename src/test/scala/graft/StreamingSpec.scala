@@ -174,6 +174,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() === expected.size)
   }
 
+  test("continuous packing equals the per-source batch prefix sum") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StreamingJobs.DocTok
+    val docs = Seq(
+      DocTok("web", 1L, 1000), DocTok("web", 2L, 1500), DocTok("web", 3L, 600),
+      DocTok("books", 4L, 2047), DocTok("books", 5L, 1), DocTok("web", 6L, 4096))
+    val ms = MemoryStream[DocTok]
+    val out = StreamingJobs.packDocsStream(ms.toDS(), budget = 2048)
+    val q = out.writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.take(4)) // first micro-batch
+      q.processAllAvailable()
+      ms.addData(docs.drop(4)) // state carries offsets across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("packed")
+      .select("source", "doc_id", "tok_offset", "first_bin", "last_bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // batch expectation: per-source exclusive prefix sum in doc_id order
+    val expected = docs.groupBy(_.source).flatMap { case (src, ds) =>
+      ds.sortBy(_.doc_id).scanLeft(("", 0L, 0L)) { case ((_, _, acc), d) =>
+        (src + ":" + d.doc_id, acc, acc + d.n_tokens)
+      }.drop(1).zip(ds.sortBy(_.doc_id)).map { case ((_, off, _), d) =>
+        (src, d.doc_id, off, off / 2048, (off + math.max(d.n_tokens - 1, 0)) / 2048)
+      }
+    }.toSet
+    assert(got === expected)
+  }
+
   test("warehouse sink: micro-batches land as idempotent batch partitions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
