@@ -78,6 +78,16 @@ object GraftExtensions {
           MinHashSignature(args(0), intArg("minhash_signature", usage, args(1)),
             MinHashK, MinHashA, MinHashB, MinHashP)
         }),
+      // hyperplane_sketch(vec, bits, dim) — md5-derived ±1 planes
+      (new FunctionIdentifier("hyperplane_sketch"),
+        new ExpressionInfo(classOf[HyperplaneSketch].getName, "hyperplane_sketch"),
+        (args: Seq[Expression]) => {
+          val usage = "hyperplane_sketch(vec, bits, dim)"
+          arity("hyperplane_sketch", usage, args, 3, 3)
+          HyperplaneSketch(args(0), HyperplaneSketch.md5Signs(
+            intArg("hyperplane_sketch", usage, args(1)),
+            intArg("hyperplane_sketch", usage, args(2))))
+        }),
       // winnowed_fingerprints(text) — canonical k=8/w=4 scheme
       (new FunctionIdentifier("winnowed_fingerprints"),
         new ExpressionInfo(classOf[WinnowedFingerprints].getName,

@@ -97,6 +97,22 @@ case class HyperplaneSketch(child: Expression, signs: Array[Array[Long]])
 }
 
 object HyperplaneSketch {
+
+  /** The canonical ±1 hyperplane matrix: md5 parity of "j:i" — no RNG,
+    * reproducible in any engine with md5 (the oracle recomputes it as
+    * CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(j||':'||i),1,15)) AS
+    * BIGINT) % 2 = 0 THEN 1 ELSE -1 END). One definition shared by the
+    * similarity queries and the SQL function registration.
+    */
+  def md5Signs(bits: Int, dim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dim) { (j, i) =>
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+  }
+
   /** Static kernel shared by eval and codegen. Null elements contribute
     * 0 to every plane (matching the HOF form's zip_with-over-null = 0).
     */

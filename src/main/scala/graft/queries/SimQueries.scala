@@ -38,18 +38,11 @@ object SimQueries extends QueryPack {
   private val BitsPerBand = 8
   private val NumBands = NumBits / BitsPerBand
 
-  /** ±1 hyperplane signs from md5 parity of "j:i" — identical to the
-    * oracle's CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(j||':'||i),1,15))
-    * AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END.
+  /** ±1 hyperplane signs from md5 parity — the canonical derivation
+    * lives with the operator (graft.functions.HyperplaneSketch).
     */
-  private lazy val signs: Array[Array[Long]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumBits, Dim) { (j, i) =>
-      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
-    }
-  }
+  private lazy val signs: Array[Array[Long]] =
+    graft.functions.HyperplaneSketch.md5Signs(NumBits, Dim)
 
   private def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))

@@ -77,4 +77,21 @@ class VectorExpressionSpec extends AnyFunSuite with SparkTestBase {
       assert(row.getInt(3) > 0, "no winnowed fingerprints")
     } finally spark.catalog.dropTempView("docs_ext")
   }
+
+  test("hyperplane_sketch resolves from SQL and matches the column API") {
+    GraftExtensions.install(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_hs")
+    try {
+      val viaSql = spark.sql(
+        "SELECT vec_id, hyperplane_sketch(embedding, 16, 64) AS s FROM emb_hs")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaApi = spark.table("emb_hs")
+        .select(col("vec_id"), VectorFunctions.hyperplaneSketch(col("embedding"),
+          graft.functions.HyperplaneSketch.md5Signs(16, 64)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSql === viaApi)
+      assert(viaSql.values.toSet.size > 1, "sketches degenerate")
+    } finally spark.catalog.dropTempView("emb_hs")
+  }
 }
