@@ -336,6 +336,32 @@ object TextQueries extends QueryPack {
           .as("fingerprint"))
     }),
 
+    // Benchmark decontamination: flag training documents whose winnowed
+    // fingerprints overlap an evaluation set (here: every doc_id%100==7
+    // stands in for the benchmark). This is THE pre-training hygiene
+    // operator — eval contamination detection — built from the same
+    // O(n) winnowing kernel as q_text_winnow: fingerprints explode and
+    // join on the (small, broadcast-able) benchmark fingerprint set, so
+    // the corpus side shuffles only matching fingerprints; overlap >= 3
+    // windows marks contamination (single shared windows collide
+    // benignly).
+    "q_text_decontaminate" -> ((s, dir) => {
+      import graft.functions.TextHashFunctions.winnowedFingerprints
+      val fps = t(s, dir, "documents").select(col("doc_id"),
+        explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
+          .as("fp"))
+      val bench = fps.where(col("doc_id") % 100 === 7)
+        .select(col("fp")).distinct()
+      val overlap = fps.join(broadcast(bench), "fp")
+        .groupBy(col("doc_id")).agg(cnt.as("n_overlap"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) >= 3
+            && col("doc_id") % 100 =!= 7).as("is_contaminated"))
+    }),
+
     // Sequence packing (concat-and-chunk): the LLM-training prep step
     // that concatenates the token stream in a deterministic document
     // order and slices it into fixed-budget context windows — each doc
@@ -580,6 +606,19 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_text_decontaminate" ->
+      s"""WITH allfps AS ($winnowOracle),
+         bench AS (
+           SELECT DISTINCT fingerprint FROM allfps WHERE doc_id % 100 = 7),
+         ov AS (
+           SELECT f.doc_id, COUNT(*) AS n_overlap
+           FROM allfps f JOIN bench b ON f.fingerprint = b.fingerprint
+           GROUP BY f.doc_id)
+         SELECT d.doc_id,
+                COALESCE(ov.n_overlap, 0) AS n_overlap,
+                COALESCE(ov.n_overlap, 0) >= 3 AND d.doc_id % 100 <> 7
+                  AS is_contaminated
+         FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id""",
     "q_text_repetition" ->
       """WITH d AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
