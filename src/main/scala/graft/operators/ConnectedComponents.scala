@@ -37,6 +37,7 @@ object ConnectedComponents {
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = edges.persist() // reused every round; tiny vs the corpus
+    try {
     // Only nodes incident to an edge can ever change label — iterate
     // over that subgraph (candidate graphs are ≪ the corpus at scale)
     // and union the untouched singletons back at the end.
@@ -68,9 +69,9 @@ object ConnectedComponents {
         s"label propagation did not converge in $maxIters rounds " +
           s"($changed labels still changing); the graph diameter exceeds " +
           "the cap — raise maxIters or switch to large-star/small-star")
-    e.unpersist()
     val isolated = nodes.join(labels.select(col("node")), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
     labels.unionAll(isolated)
+    } finally e.unpersist()
   }
 }

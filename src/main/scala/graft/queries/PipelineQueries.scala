@@ -28,14 +28,17 @@ object PipelineQueries extends QueryPack {
   // NOT computeIfAbsent: builds nest (factSales builds dimProducts inside
   // its own build), and a nested computeIfAbsent on the same map throws
   // IllegalStateException("Recursive update"). get/putIfAbsent tolerates
-  // the nesting; a rare concurrent double-build just unpersists the loser.
+  // the nesting. On a lost race the loser is NOT unpersisted: Spark's
+  // CacheManager keys entries by canonicalized plan, so both builds share
+  // ONE cache entry and unpersisting the loser would evict the winner's
+  // too — the duplicate handle is free, the storage is shared.
   private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = (System.identityHashCode(s), key)
     memo.get(k) match {
       case null =>
         val df = build.persist()
         val prev = memo.putIfAbsent(k, df)
-        if (prev != null) { df.unpersist(); prev } else df
+        if (prev != null) prev else df
       case df => df
     }
   }

@@ -74,11 +74,13 @@ object Orchestrator {
       val batch = spark.read.parquet(path).where(col("batchId") === batchId)
       val failed = batch.where(col("status") === "FAILED")
         .select("target").collect().map(_.getString(0)).toSet
-      // healed = the data actually landed: only a WRITE-level success
-      // counts (a mapping_validation SUCCESS followed by a dead write
-      // must NOT mask the target from the reprocess cycle)
+      // healed = the data actually landed: only a write-level success
+      // counts — "write" for batch-partitioned tables, "mv_refresh" for
+      // full-refresh views (a mapping_validation SUCCESS followed by a
+      // dead write must NOT mask the target from the reprocess cycle)
       val healed = batch
-        .where(col("status") === "SUCCESS" && col("step") === "write")
+        .where(col("status") === "SUCCESS"
+          && col("step").isin("write", "mv_refresh"))
         .select("target").collect().map(_.getString(0)).toSet
       failed -- healed
     }
@@ -179,6 +181,14 @@ object Orchestrator {
       * `failedTargets` — no log rewriting.
       */
     def reprocess(target: String)(f: DataFrame => DataFrame): Long = {
+      // the quarantine write is best-effort (a broken SOURCE read can't
+      // be quarantined), and gold/MV failures never quarantine — give
+      // those a contract error, not a confusing path-not-found
+      if (!new java.io.File(s"$warehouse/failed/$target").exists())
+        throw new IllegalStateException(
+          s"no quarantined input for $target — the failure happened " +
+            "before the input slice could be captured (or in a " +
+            "gold/MV build); re-run the original stage instead")
       val in = spark.read.parquet(s"$warehouse/failed/$target")
         .where(col("dwh_batch_id") === batchId)
       val n = writeBatch(f(in).drop("dwh_batch_id"), target)
@@ -190,16 +200,27 @@ object Orchestrator {
       n
     }
 
-    /** Did `target`'s data actually land this batch (a WRITE-level
-      * SUCCESS now, or in a previous attempt's audit rows)? Only step
-      * "write" counts — a validation SUCCESS followed by a dead write
-      * must not satisfy a dependency. SKIPPED_EMPTY and FAILED are not
-      * satisfied — downstream steps must gate off them.
+    /** Did `target` reach a success state this batch? Counts: a
+      * write-level SUCCESS / SKIPPED_DONE (data landed), a transform
+      * SKIPPED_EMPTY (the S10 contract: an empty batch slice is a
+      * success without a write — downstream builds see an empty slice,
+      * not a missing dependency), in this Run's logs or — for a fresh
+      * Run finishing a healed batch — in the persisted audit plane.
+      * Validation-only SUCCESS rows and FAILED do NOT satisfy.
       */
     def satisfied(target: String): Boolean =
-      logs.exists(l => l.target == target && l.step == "write"
-        && (l.status == "SUCCESS" || l.status == "SKIPPED_DONE")) ||
-        alreadyDone(target)
+      logs.exists(l => l.target == target
+        && ((l.step == "write"
+              && (l.status == "SUCCESS" || l.status == "SKIPPED_DONE"))
+            || (l.step == "transform" && l.status == "SKIPPED_EMPTY"))) ||
+        alreadyDone(target) || completedOnDisk(target)
+
+    // audit-plane fallback for dependency gating: a target written by a
+    // PREVIOUS Run of this batch satisfies dependencies even when this
+    // Run was constructed without resume (loaded lazily — a normal
+    // first run never pays it because the in-memory log hits first)
+    private lazy val completedOnDisk: Set[String] =
+      completedTargets(spark, warehouse, batchId)
 
     /** Shared dependency-gated step loop for the config-driven DAGs:
       * steps run in run_order; a step with an unmet dependency logs

@@ -100,17 +100,27 @@ object StreamingJobs {
     */
   def warehouseSink(df: DataFrame, warehouse: String, table: String,
                     checkpoint: String,
-                    batchPrefix: String = "SBATCH"): org.apache.spark.sql.streaming.StreamingQuery =
+                    batchPrefix: String = "SBATCH"): org.apache.spark.sql.streaming.StreamingQuery = {
+    // batch ids are scoped to the CHECKPOINT: the micro-batch counter is
+    // only stable within one checkpoint lineage, so a fresh checkpoint
+    // (or a second stream into the same table) must mint fresh ids —
+    // otherwise its batch 0 dynamically overwrites the old stream's
+    // partition 0 (silent data loss). A moved checkpoint degrades to
+    // duplicate ids-with-new-scope (detectable), never to overwrite.
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val run = new graft.run.Orchestrator.Run(
-          batch.sparkSession, warehouse, f"$batchPrefix$id%06d")
+          batch.sparkSession, warehouse, f"$batchPrefix${scope}_$id%06d")
         run.writeBatch(batch.toDF(), table)
         ()
       }
       .outputMode("append")
       .start()
+  }
 
   case class BandDoc(band_key: String, doc_id: Long)
   case class CandPair(doc_a: Long, doc_b: Long)

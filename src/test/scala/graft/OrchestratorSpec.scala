@@ -183,6 +183,19 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(status("gold/fact_f") === Seq("SKIPPED_DEPENDENCY"))
     assert(status("gold/dim_missing_dep") === Seq("SKIPPED_DEPENDENCY"))
     assert(!Files.exists(java.nio.file.Paths.get(s"$wh/gold/fact_f")))
+
+    // S10 composes with the gate: an empty batch slice is a SUCCESS
+    // state, so a step depending on an empty-skipped silver target is
+    // attempted (reading the empty slice), not SKIPPED_DEPENDENCY
+    val emptyRun = new Orchestrator.Run(spark, wh, "BATCH000078")
+    emptyRun.transform("silver/src_ok", "silver/src_empty")(df => df)
+    assert(emptyRun.auditLog.exists(l =>
+      l.target == "silver/src_empty" && l.status == "SKIPPED_EMPTY"))
+    emptyRun.integrate(Seq(
+      IntegrationStep("gold/over_empty", 1, Seq("silver/src_empty")) ->
+        (() => Seq((1L, 1L)).toDF("k", "m"))))
+    assert(emptyRun.auditLog.filter(_.target == "gold/over_empty")
+      .map(_.status).contains("SUCCESS"))
   }
 
   test("two clients run isolated under separate warehouse prefixes") {
