@@ -430,6 +430,25 @@ object TextQueries extends QueryPack {
           .otherwise("test").as("split"))
     }),
 
+    // Domain-mixture sampling: per-source target rates (the training-mix
+    // config — here a derived 25/50/75/100% cycle standing in for the
+    // usual weights table) applied with a deterministic md5 coin per
+    // document, so the sample is reproducible, join-stable, and
+    // composable with the split/dedup stages. Weights broadcast; the
+    // corpus side is map-only.
+    "q_sample_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val weights = (0 until 20)
+        .map(i => (s"src$i", ((i % 4 + 1) * 25).toLong))
+        .toDF("source", "keep_pct")
+      val bucket = conv(substring(md5(concat(col("source"), lit(":"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType) % 100
+      t(s, dir, "documents")
+        .join(broadcast(weights), "source")
+        .select(col("source"), col("doc_id"), col("keep_pct"),
+          bucket.as("bucket"), (bucket < col("keep_pct")).as("keep"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text
     // + an 8-token prefix key (cheap clustering key for near-dup triage).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -640,6 +659,19 @@ object TextQueries extends QueryPack {
          SELECT doc_id, n_shingles, n_distinct_shingles, dup_shingle_fraction,
                 dup_shingle_fraction > 0.2 AS is_repetitive
          FROM f""",
+    "q_sample_mixture" ->
+      """WITH w AS (
+           SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                  CAST((i % 4 + 1) * 25 AS BIGINT) AS keep_pct
+           FROM range(20) t(i)),
+         b AS (
+           SELECT d.source, d.doc_id, w.keep_pct,
+                  CAST(CONCAT('0x', SUBSTRING(md5(d.source || ':' ||
+                       CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                    AS bucket
+           FROM documents d JOIN w ON w.source = d.source)
+         SELECT source, doc_id, keep_pct, bucket, bucket < keep_pct AS keep
+         FROM b""",
     "q_split_train_test" ->
       """SELECT doc_id, source,
                 CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
