@@ -32,6 +32,13 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("empty candidate graph: every node is its own component") {
+    // the common production case — a clean corpus with zero near-dup
+    // candidate pairs must not crash or drop nodes
+    val got = components(Seq(1L, 2L, 3L), Seq.empty)
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("hitting the round cap fails loudly instead of returning wrong labels") {
     // Path 0-1-...-5 with 2 rounds: labels move at most 2 hops of
     // minimum, so convergence is impossible — must throw, not emit
