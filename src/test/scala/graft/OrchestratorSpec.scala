@@ -162,6 +162,18 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     val want = spark.read.parquet(s"$whClean/silver/crm_cust_info")
     assert(got.count() === want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // a FRESH Run finishing the healed batch gates off the persisted
+    // audit plane: the silver write from the heal satisfies a dependent
+    // step even though this Run's in-memory log is empty
+    import graft.run.Orchestrator.IntegrationStep
+    import spark.implicits._
+    val finisher = new Orchestrator.Run(spark, wh, B)
+    finisher.integrate(Seq(
+      IntegrationStep("gold/after_heal", 1, Seq("silver/crm_cust_info")) ->
+        (() => Seq((1L, 1L)).toDF("k", "m"))))
+    assert(finisher.auditLog.filter(_.target == "gold/after_heal")
+      .map(_.status).contains("SUCCESS"))
   }
 
   test("config-driven DAG: fact skipped when its dim dependency fails") {
