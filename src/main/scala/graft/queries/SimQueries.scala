@@ -191,6 +191,61 @@ object SimQueries extends QueryPack {
             .as("recall"))
     }),
 
+    // Product-quantization ANN (the third named ANN family beside LSH
+    // and IVF): 64 dims split into 8 subspaces of 8; each subvector is
+    // assigned its nearest of 16 deterministic codebook centroids
+    // (md5-grid values on the same floor(x*1000) integer lattice as the
+    // quantized vectors — no RNG, reproducible in SQL), compressing each
+    // vector to 8 code bytes. Queries score candidates with asymmetric
+    // distance: a per-query lookup table of subspace-partial distances,
+    // summed over the 8 codes — at 100 TB the scan touches 8 bytes per
+    // vector plus a broadcast LUT instead of 256 float bytes. Everything
+    // is integer arithmetic, so the oracle compares hash-exactly.
+    "q_sim_ann_pq" -> ((s, dir) => {
+      val nSub = 8; val nCodes = 16; val subDim = 8
+      // (s, c, d, cval) codebook grid — tiny, broadcast everywhere
+      val cents = {
+        import s.implicits._
+        (for (sp <- 0 until nSub; c <- 0 until nCodes; d <- 0 until subDim)
+          yield {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(s"$sp:$c:$d".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(15)
+            (sp, c, sp * subDim + d,
+              java.lang.Long.parseLong(hex, 16) % 2001L - 1000L)
+          }).toDF("sub", "code", "d", "cval")
+      }
+      // (vec_id, d, qval) on the integer lattice
+      val coords = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"),
+          floor(col("x").cast(DoubleType) * 1000).cast(LongType).as("qval"))
+      // nearest code per (vec, subspace): distances against all 16 codes
+      def dist2 = sum((col("qval") - col("cval")) * (col("qval") - col("cval")))
+      val byDist = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("code"))
+      val codes = coords.join(broadcast(cents), "d")
+        .groupBy(col("vec_id"), col("sub"), col("code"))
+        .agg(dist2.as("d2"))
+        .withColumn("rk", row_number().over(byDist))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+      // per-query LUT: partial distance of the query to every (sub, code)
+      val lut = coords.where(col("vec_id") % 50 === 0)
+        .join(broadcast(cents), "d")
+        .groupBy(col("vec_id").as("q_id"), col("sub"), col("code"))
+        .agg(dist2.as("pdist"))
+      // asymmetric distance = sum of the 8 LUT entries along the codes
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("approx_dist"), col("vec_id"))
+      codes.join(broadcast(lut), Seq("sub", "code"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("pdist")).as("approx_dist"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .where(col("rnk") <= 10)
+    }),
+
     // IVF-style ANN: fixed centroid set (every 25th vector), each vector
     // assigned to its nearest centroid (the inverted lists); a query
     // probes its 3 nearest centroids and searches only those lists.
@@ -404,6 +459,41 @@ object SimQueries extends QueryPack {
                 COALESCE(f.n_found, 0) AS n_found,
                 CAST(COALESCE(f.n_found, 0) AS DOUBLE) / ne.n_exact AS recall
          FROM ne LEFT JOIN found f ON f.q_id = ne.q_id""",
+    "q_sim_ann_pq" ->
+      s"""WITH $quantCte,
+         coords AS (
+           SELECT e.vec_id, CAST(t.i AS BIGINT) AS d, e.v[t.i+1] AS qval
+           FROM qv e, range(64) t(i)),
+         cents AS (
+           SELECT CAST(sp.s AS BIGINT) AS sub, CAST(cc.c AS BIGINT) AS code,
+                  CAST(sp.s*8 + dd.d AS BIGINT) AS d,
+                  CAST(CONCAT('0x', SUBSTRING(md5(sp.s || ':' || cc.c || ':' || dd.d),
+                       1, 15)) AS BIGINT) % 2001 - 1000 AS cval
+           FROM range(8) sp(s), range(16) cc(c), range(8) dd(d)),
+         dists AS (
+           SELECT co.vec_id, ce.sub, ce.code,
+                  SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+           FROM coords co JOIN cents ce ON ce.d = co.d
+           GROUP BY co.vec_id, ce.sub, ce.code),
+         codes AS (
+           SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                      ORDER BY d2, code) AS rk
+             FROM dists) WHERE rk = 1),
+         lut AS (
+           SELECT vec_id AS q_id, sub, code, d2 AS pdist
+           FROM dists WHERE vec_id % 50 = 0),
+         ad AS (
+           SELECT l.q_id, c.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS approx_dist
+           FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+           WHERE c.vec_id <> l.q_id
+           GROUP BY l.q_id, c.vec_id)
+         SELECT q_id, vec_id, approx_dist, rnk FROM (
+           SELECT q_id, vec_id, approx_dist,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY approx_dist, vec_id) AS BIGINT) AS rnk
+           FROM ad) WHERE rnk <= 10""",
     "q_sim_ann_ivf" ->
       s"""WITH $quantCte,
          cents AS (
