@@ -89,6 +89,7 @@ object Orchestrator {
   final class Run(spark: SparkSession, warehouse: String, batchId: String,
                   resume: Boolean = false) {
     private var logs = Vector.empty[StepLog]
+    private var pending = Vector.empty[StepLog]
     def auditLog: Seq[StepLog] = logs
 
     private val alreadyDone: Set[String] =
@@ -96,11 +97,28 @@ object Orchestrator {
 
     private def log(step: String, target: String, status: String,
                     rows: Long, msg: String = ""): Unit = {
-      logs :+= StepLog(step, target, status, rows, batchId, msg)
-      // A10: append-only audit plane, itself batch-partitioned parquet
+      val l = StepLog(step, target, status, rows, batchId, msg)
+      logs :+= l
+      pending :+= l
+      // FAILED rows persist immediately: the reprocess cycle keys off
+      // them, and a crash right after a failure must not lose the one
+      // row that says work is outstanding
+      if (status == "FAILED") flushAudit()
+    }
+
+    /** A10: append-only audit plane, itself parquet. Rows are BUFFERED
+      * per Run and flushed once per stage — one small file per flush
+      * instead of one per step, or the audit plane itself becomes a
+      * small-files storm at production step cadence. Failure rows
+      * bypass the buffer (see `log`); a crash between flushes loses
+      * only SUCCESS rows, whose work the idempotent batch overwrite
+      * (S8) re-does harmlessly on restart.
+      */
+    def flushAudit(): Unit = if (pending.nonEmpty) {
       import spark.implicits._
-      Seq(StepLog(step, target, status, rows, batchId, msg)).toDF()
+      pending.toDF().coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$warehouse/tools/audit_log")
+      pending = Vector.empty
     }
 
     /** S8: write one batch of a layer table idempotently. In restart
@@ -197,6 +215,9 @@ object Orchestrator {
       if (q.exists()) {
         q.listFiles().foreach(_.delete()); q.delete()
       }
+      // a heal must be durably visible to `failedTargets` immediately —
+      // the whole point of the reprocess cycle is clearing the books
+      flushAudit()
       n
     }
 
@@ -231,7 +252,7 @@ object Orchestrator {
       */
     private def runGated(stepName: String,
                          steps: Seq[(IntegrationStep, () => DataFrame)])
-                        (write: (IntegrationStep, () => DataFrame) => Unit): Unit =
+                        (write: (IntegrationStep, () => DataFrame) => Unit): Unit = {
       steps.sortBy(_._1.runOrder).foreach { case (st, build) =>
         val unmet = st.dependsOn.filterNot(satisfied)
         if (unmet.nonEmpty)
@@ -243,6 +264,8 @@ object Orchestrator {
             Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
         }
       }
+      flushAudit() // stage boundary: one audit file per gated stage
+    }
 
     /** Config-table-driven integration DAG (tools.integration_config):
       * batch-partitioned idempotent writes, dependency-gated.
@@ -289,7 +312,12 @@ object Orchestrator {
         }
         fe.copy(status = if (ok) "COMPLETED" else "FAILED")
       }
-      manifest.copy(files = files)
+      val done = manifest.copy(files = files)
+      // durable manifest contract: one atomic JSON artifact per batch,
+      // rerun attempts preserved under _rerunN keys (ManifestStore)
+      ManifestStore.save(warehouse, done)
+      flushAudit()
+      done
     }
 
     /** Ingest one inferred-schema source: mapping gate → typed bronze.
@@ -315,40 +343,17 @@ object Orchestrator {
       }
   }
 
-  /** The gold integration config as data — the Spark analog of the
-    * reference's tools.integration_config rows (run_order) joined with
-    * integration_dependencies (proc gating).
-    */
-  val goldIntegrationConfig: Seq[IntegrationStep] = Seq(
-    IntegrationStep("gold/dim_customers", 1,
-      Seq("silver/crm_cust_info", "silver/erp_cust_az12", "silver/erp_loc_a101")),
-    IntegrationStep("gold/dim_products", 2,
-      Seq("silver/crm_prd_info", "silver/erp_px_cat_g1v2")),
-    IntegrationStep("gold/fact_sales", 3,
-      Seq("silver/crm_sales_details", "gold/dim_customers", "gold/dim_products")))
-
-  /** Builders for the config targets, deferred so a gated step never
-    * touches its (possibly missing) inputs.
-    */
-  private val goldBuilders: Map[String, Orchestrator.Run => () => DataFrame] = Map(
-    "gold/dim_customers" -> (run => () => GoldIntegration.dimCustomers(
-      run.readBatch("silver/crm_cust_info"),
-      run.readBatch("silver/erp_cust_az12"),
-      run.readBatch("silver/erp_loc_a101"))),
-    "gold/dim_products" -> (run => () => GoldIntegration.dimProducts(
-      run.readBatch("silver/crm_prd_info"),
-      run.readBatch("silver/erp_px_cat_g1v2"))),
-    "gold/fact_sales" -> (run => () => GoldIntegration.factSales(
-      run.readBatch("silver/crm_sales_details"),
-      run.readBatch("gold/dim_products"),
-      run.readBatch("gold/dim_customers"))))
-
   /** Full reference lifecycle on the fixture batch: bronze → silver →
     * gold (dims before fact, as integration_config orders them) → MVs
-    * (full refresh = overwrite).
+    * (full refresh = overwrite). Everything past bronze is driven by
+    * the CONFIG PLANE — the JSON rows under `tools/` loaded through ToolsConfig,
+    * seeded with the reference DAG iff absent, never clobbered — so an
+    * added/disabled/re-ordered row changes the run without recompiling
+    * (the reference's `tools.*` tables, sql/tools/ddl_tools.sql:70-110).
     */
   def runFixtureBatch(spark: SparkSession, warehouse: String,
                       resume: Boolean = false): Run = {
+    ToolsConfig.writeDefaultsIfMissing(warehouse)
     val run = new Run(spark, warehouse, ReferenceFixtures.BatchId, resume)
     val refDate = ReferenceFixtures.RefDate
 
@@ -359,58 +364,33 @@ object Orchestrator {
     run.writeBatch(ReferenceFixtures.erpCustAz12(spark).drop("dwh_batch_id"), "bronze/erp_cust_az12")
     run.writeBatch(ReferenceFixtures.erpLocA101(spark).drop("dwh_batch_id"), "bronze/erp_loc_a101")
     run.writeBatch(ReferenceFixtures.erpPxCatG1v2(spark).drop("dwh_batch_id"), "bronze/erp_px_cat_g1v2")
+    run.flushAudit() // bronze stage boundary
 
-    // silver: 6 independent transforms (the reference runs them serially;
-    // they are independent per source table)
-    run.transform("bronze/crm_cust_info", "silver/crm_cust_info")(
-      SilverTransforms.crmCustInfo(_, refDate))
-    run.transform("bronze/crm_prd_info", "silver/crm_prd_info")(
-      SilverTransforms.crmPrdInfo(_))
-    run.transform("bronze/crm_sales_details", "silver/crm_sales_details")(
-      SilverTransforms.crmSalesDetails(_))
-    run.transform("bronze/erp_cust_az12", "silver/erp_cust_az12")(
-      SilverTransforms.erpCustAz12(_, refDate))
-    run.transform("bronze/erp_loc_a101", "silver/erp_loc_a101")(
-      SilverTransforms.erpLocA101(_))
-    run.transform("bronze/erp_px_cat_g1v2", "silver/erp_px_cat_g1v2")(
-      SilverTransforms.erpPxCatG1v2(_))
+    // silver: transformation_config rows (the reference runs them
+    // serially; they are independent per source table)
+    ToolsConfig.loadTransforms(spark, warehouse).foreach { t =>
+      run.transform(t.source, t.target) { df =>
+        ToolsConfig.silverTransforms.get(t.transform) match {
+          case Some(f) => f(df, refDate)
+          case None => throw new IllegalArgumentException(
+            s"unknown transform '${t.transform}' for ${t.target}")
+        }
+      }
+    }
+    run.flushAudit() // silver stage boundary
 
-    // gold: the config-driven DAG — dims before facts by run_order,
+    // gold: integration_config rows — dims before facts by run_order,
     // each step gated on its dependencies succeeding this batch
-    // (tools.integration_config / integration_dependencies as data,
-    // not hardcoded control flow)
-    run.integrate(goldIntegrationConfig.map { st =>
-      st -> goldBuilders(st.target)(run)
+    run.integrate(ToolsConfig.loadSteps(spark, warehouse,
+      ToolsConfig.integrationConfigPath(warehouse)).map { case (st, b) =>
+      st -> ToolsConfig.resolve(ToolsConfig.goldBuilders, b, run, refDate)
     })
 
-    // MVs: all 9, config-driven like the gold DAG (mv_refresh_config
-    // analog) — full refresh, each gated on its gold inputs
-    def fact = run.readBatch("gold/fact_sales")
-    def dimC = run.readBatch("gold/dim_customers")
-    def dimP = run.readBatch("gold/dim_products")
-    val onFact = Seq("gold/fact_sales")
-    val onFC = Seq("gold/fact_sales", "gold/dim_customers")
-    val onFP = Seq("gold/fact_sales", "gold/dim_products")
-    run.refreshViews(Seq(
-      IntegrationStep("gold/mv_sales_monthly_productline", 1, onFP) ->
-        (() => GoldViews.salesMonthlyProductline(fact, dimP)),
-      IntegrationStep("gold/mv_sales_customer_country", 2, onFC) ->
-        (() => GoldViews.salesCustomerCountry(fact, dimC)),
-      IntegrationStep("gold/mv_customer_lifetime_value", 3, onFC) ->
-        (() => GoldViews.customerLifetimeValue(fact, dimC)),
-      IntegrationStep("gold/mv_running_sales_customer", 4, onFC) ->
-        (() => GoldViews.runningSalesCustomer(fact, dimC)),
-      IntegrationStep("gold/mv_top3_products_month_country", 5,
-        onFC ++ Seq("gold/dim_products")) ->
-        (() => GoldViews.top3ProductsMonthCountry(fact, dimC, dimP)),
-      IntegrationStep("gold/mv_customer_churn", 6, onFC) ->
-        (() => GoldViews.customerChurn(fact, dimC, refDate)),
-      IntegrationStep("gold/mv_customer_order_gap", 7, onFC) ->
-        (() => GoldViews.customerOrderGap(fact, dimC)),
-      IntegrationStep("gold/mv_sales_rollup_product", 8, onFP) ->
-        (() => GoldViews.salesRollupProduct(fact, dimP)),
-      IntegrationStep("gold/mv_delayed_orders_chain", 9, onFact) ->
-        (() => GoldViews.delayedOrdersChain(fact))))
+    // MVs: mv_refresh_config rows — full refresh, gated on gold inputs
+    run.refreshViews(ToolsConfig.loadSteps(spark, warehouse,
+      ToolsConfig.mvConfigPath(warehouse)).map { case (st, b) =>
+      st -> ToolsConfig.resolve(ToolsConfig.mvBuilders, b, run, refDate)
+    })
     run
   }
 }

@@ -80,10 +80,36 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(run1.auditLog.count(l =>
       l.step == "mv_refresh" && l.status == "SUCCESS") === 9)
     assert(spark.read.parquet(s"$wh/gold/mv_sales_rollup_product").count() === 37)
+    // the run seeded its config plane as data files
+    assert(Files.exists(java.nio.file.Paths.get(
+      graft.run.ToolsConfig.integrationConfigPath(wh))))
+
+    // config rows are DATA: before the re-run, disable one MV and add a
+    // new target reusing a registered builder — no recompile
+    val mvCfg = graft.run.ToolsConfig.mvConfigPath(wh)
+    val edited = scala.io.Source.fromFile(mvCfg).getLines().map { l =>
+      if (l.contains("delayed_orders_chain"))
+        l.replace("\"enabled\":true", "\"enabled\":false")
+      else l
+    }.toSeq :+
+      """{"target_table":"gold/mv_churn_copy","run_order":10,"enabled":true,"builder":"customer_churn"}"""
+    graft.run.ToolsConfig.writeConfigFile(mvCfg, edited)
 
     // S8: full re-run of the same batch must not duplicate anything
-    Orchestrator.runFixtureBatch(spark, wh)
+    val run2 = Orchestrator.runFixtureBatch(spark, wh)
     assert(factCount === 60407)
+    // the edited config changed the DAG: disabled MV skipped, new one ran
+    val mv2 = run2.auditLog.filter(_.step == "mv_refresh")
+    assert(!mv2.exists(_.target == "gold/mv_delayed_orders_chain"))
+    assert(mv2.exists(l =>
+      l.target == "gold/mv_churn_copy" && l.status == "SUCCESS"))
+    assert(spark.read.parquet(s"$wh/gold/mv_churn_copy").count() === 18484)
+
+    // audit rows are buffered per stage: two full runs land a handful of
+    // files, not one per step (the small-files guard on the audit plane)
+    val auditParts = new java.io.File(s"$wh/tools/audit_log")
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(auditParts <= 10, s"audit plane fragmented: $auditParts files")
 
     // S11: catalog introspection sees the written schema
     assert(run1.tableColumns("gold/dim_customers").contains("customer_key"))
@@ -114,6 +140,8 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     partial.writeBatch(
       graft.pipeline.ReferenceFixtures.erpPxCatG1v2(spark).drop("dwh_batch_id"),
       "bronze/erp_px_cat_g1v2")
+    // the dying run reached a stage boundary: its audit rows flushed
+    partial.flushAudit()
 
     val resumed = Orchestrator.runFixtureBatch(spark, wh, resume = true)
     val skipped = resumed.auditLog
@@ -228,6 +256,7 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(n1 === 18484)
     assert(n2 > 0 && n2 <= 1000)
     // outputs and audit planes are fully isolated
+    c1.flushAudit(); c2.flushAudit()
     assert(spark.read.parquet(s"$root/client1/silver/crm_cust_info").count() === n1)
     assert(spark.read.parquet(s"$root/client2/silver/crm_cust_info").count() === n2)
     assert(spark.read.parquet(s"$root/client1/tools/audit_log")
@@ -274,6 +303,67 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
       && l.status == "SUCCESS" && l.target == "bronze/sales_details"))
     assert(Orchestrator.failedTargets(spark, wh, "BATCH000002")
       .contains("bronze/sales_details"))
+
+    // the manifest persisted as one atomic JSON artifact per batch
+    import graft.run.ManifestStore
+    val persisted = ManifestStore.load(wh, "BATCH000002")
+    assert(persisted.map(e => e.key -> e.status).toMap
+      === Map("cust_info" -> "COMPLETED", "prd_info" -> "FAILED",
+        "sales_details" -> "FAILED"))
+
+    // rerun cycle: the fixed files go through again under the SAME batch
+    // — history is preserved under _rerunN keys, unchanged statuses are
+    // not duplicated (idempotent save)
+    run.ingestManifest(done.copy(files = done.files.map(_.copy(status = "PENDING"))),
+      load = _ => goodDf,
+      mappings = _ => (Seq(
+        ColumnMapping("cst_id", "cst_id", LongType),
+        ColumnMapping("cst_gendr", "cst_gndr", StringType)), Seq("cst_id")))
+    val healed = ManifestStore.load(wh, "BATCH000002")
+    assert(healed.map(e => e.key -> e.status) === Seq(
+      "cust_info" -> "COMPLETED",
+      "prd_info" -> "FAILED",
+      "sales_details" -> "FAILED",
+      "prd_info_rerun1" -> "COMPLETED",
+      "sales_details_rerun1" -> "COMPLETED"))
+    // and a third identical save adds nothing
+    run.ingestManifest(done.copy(files = done.files.map(_.copy(status = "PENDING"))),
+      load = _ => goodDf,
+      mappings = _ => (Seq(
+        ColumnMapping("cst_id", "cst_id", LongType),
+        ColumnMapping("cst_gendr", "cst_gndr", StringType)), Seq("cst_id")))
+    assert(ManifestStore.load(wh, "BATCH000002").size === 5)
+  }
+
+  test("config plane is data: disabled rows, file deps, unknown builder") {
+    import graft.run.ToolsConfig
+    val wh = Files.createTempDirectory("graft_cfgdata").toString
+    ToolsConfig.writeConfigFile(ToolsConfig.integrationConfigPath(wh), Seq(
+      """{"target_table":"gold/dim_customers","run_order":1,"enabled":true,"builder":"dim_customers"}""",
+      """{"target_table":"gold/dim_products","run_order":2,"enabled":false,"builder":"dim_products"}""",
+      """{"target_table":"gold/bogus","run_order":3,"enabled":true,"builder":"no_such_builder"}"""))
+    ToolsConfig.writeConfigFile(ToolsConfig.dependenciesPath(wh), Seq(
+      """{"target_table":"gold/dim_customers","depends_on":"silver/never_ran"}"""))
+
+    val steps = ToolsConfig.loadSteps(spark, wh,
+      ToolsConfig.integrationConfigPath(wh))
+    // the disabled row never reaches the DAG
+    assert(steps.map(_._1.target) === Seq("gold/dim_customers", "gold/bogus"))
+    // dependencies come from the config file, not code
+    assert(steps.head._1.dependsOn === Seq("silver/never_ran"))
+
+    val run = new Orchestrator.Run(spark, wh, "BATCH000099")
+    run.integrate(steps.map { case (st, b) =>
+      st -> ToolsConfig.resolve(ToolsConfig.goldBuilders, b, run, "2025-09-12")
+    })
+    def status(t: String) = run.auditLog.filter(_.target == t).map(_.status)
+    // unmet FILE-configured dependency gates the step
+    assert(status("gold/dim_customers") === Seq("SKIPPED_DEPENDENCY"))
+    // a config typo fails that one step, not the run
+    assert(status("gold/bogus") === Seq("FAILED"))
+    assert(run.auditLog.find(_.target == "gold/bogus").get
+      .message.contains("unknown builder"))
+    assert(status("gold/dim_products").isEmpty)
   }
 
   test("ingest gate: mismatched schema quarantines, matched loads") {
