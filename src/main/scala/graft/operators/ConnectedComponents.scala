@@ -20,11 +20,10 @@ import org.apache.spark.sql.functions._
   * on dst) + one aggregation on src — all row data stays distributed;
   * the driver holds only the changed-row count. Rounds needed = graph
   * diameter; near-dup candidate graphs are overwhelmingly tiny cliques
-  * and chains (diameter ≤ ~3). For adversarial long-path graphs the
-  * classic fix is alternating large-star/small-star (Kiveris et al.,
-  * "Connected Components in MapReduce", SoCC 2014) which converges in
-  * O(log n) rounds at the cost of a second join per round — not needed
-  * for the dedup workload this serves. `localCheckpoint` truncates
+  * and chains (diameter ≤ ~3). For adversarial long-path graphs use
+  * `largeSmallStar` below (Kiveris et al., SoCC 2014): O(log n)
+  * rounds on any graph shape at the cost of a second grouped shuffle
+  * per round. `localCheckpoint` truncates
   * lineage per round (use reliable checkpoint on a cluster).
   */
 object ConnectedComponents {
@@ -73,5 +72,96 @@ object ConnectedComponents {
       .select(col("node"), col("node").as("component"))
     labels.unionAll(isolated)
     } finally e.unpersist()
+  }
+
+  /** Connected components by alternating large-star/small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the adversarial-diameter path beside
+    * `minLabel`: where min-label needs diameter-many rounds (a 1M-node
+    * chain = 1M shuffles), the star operations contract every path
+    * around its local minimum, converging in O(log n) rounds on ANY
+    * graph shape, at the cost of two grouped shuffles per round instead
+    * of one.
+    *
+    * Each round, per center node u over its neighborhood N(u) with
+    * m = min(N(u) ∪ {u}):
+    *  - large-star: every neighbor LARGER than u re-points to m
+    *    (strictly decreases larger-neighbor potential, keeps
+    *    connectivity);
+    *  - small-star: on the larger→smaller directed form, every smaller
+    *    neighbor plus u itself re-points to m.
+    * The fixpoint is a forest of depth-1 stars whose roots are the
+    * component minima — the labels fall straight out of the edge list.
+    *
+    * Convergence detection: the canonical edge set is compared by
+    * (count, sum of xxhash64) between rounds — one tiny aggregate per
+    * round, no driver-side edge materialization. Like `minLabel`, an
+    * unconverged cap is a loud failure, never wrong labels.
+    */
+  def largeSmallStar(nodes: DataFrame, edges: DataFrame,
+                     maxIters: Int = 30): DataFrame = {
+    // canonical form: self-loops dropped, one row per undirected edge,
+    // directed larger → smaller (u > v)
+    var e = edges.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+
+    // decimal-summed hash: an ANSI-mode BIGINT sum over uniform 64-bit
+    // hashes would overflow-throw; decimal(38,0) holds ~1e19 edges
+    def fingerprint(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+
+    var prev = fingerprint(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star over the symmetric adjacency: per center u,
+      // m = min(neighbors ∪ {u}); larger neighbors re-point to m
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = sym.groupBy(col("u").as("c"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val large = sym.join(largeMin, sym("u") === largeMin("c"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+
+      // small-star on the directed form: per u, m = min of its smaller
+      // neighbors; the other smaller neighbors and u itself point to m
+      val smallMin = large.groupBy(col("u").as("c")).agg(min(col("v")).as("m"))
+      val small = large.join(smallMin, large("u") === smallMin("c"))
+        .select(col("u"), col("v"), col("m"))
+      val next = small.where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(small.select(col("u"), col("m").as("v")).distinct())
+        .distinct().localCheckpoint()
+
+      val cur = fingerprint(next)
+      converged = cur == prev
+      prev = cur
+      e = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge in $maxIters rounds — " +
+          "O(log n) is the expected bound, so this indicates a bug or a " +
+          "pathological input; raise maxIters only after inspecting the graph")
+
+    // fixpoint = depth-1 stars: members carry (node → root); roots are
+    // exactly the targets that never appear as a source
+    val members = e.select(col("u").as("node"), col("v").as("component"))
+    val roots = e.select(col("v").as("node")).distinct()
+      .join(e.select(col("u").as("node")).distinct(), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val isolated = nodes.join(
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node"))).distinct(),
+      Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    members.unionAll(roots).unionAll(isolated)
   }
 }

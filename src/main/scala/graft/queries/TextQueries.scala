@@ -253,6 +253,21 @@ object TextQueries extends QueryPack {
           (col("node") === col("component")).as("keep"))
     }),
 
+    // Same transitive closure through the O(log n)-round alternating
+    // large-star/small-star operator (Kiveris et al., SoCC 2014) — the
+    // adversarial-diameter path: min-label needs diameter-many shuffle
+    // rounds, star contraction is logarithmic on any graph shape.
+    // Identical output contract and oracle as q_dedup_components.
+    "q_dedup_components_star" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+      graft.operators.ConnectedComponents.largeSmallStar(nodes, edges)
+        .select(col("node").as("doc_id"), col("component"),
+          (col("node") === col("component")).as("keep"))
+    }),
+
     // SimHash document fingerprint (32-bit, token multiset, md5-based) —
     // native per-row expression: one fused pass per doc, map-only at any
     // scale (the composed form exploded every token into a 32-column
@@ -596,6 +611,24 @@ object TextQueries extends QueryPack {
            ON a.band_key = b.band_key AND a.doc_id < b.doc_id"""),
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_components" ->
+      (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
+        """,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM documents
+           UNION
+           SELECT e.src AS node, r.lbl AS lbl
+           FROM edges e JOIN reach r ON e.dst = r.node)
+         SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component,
+                node = MIN(lbl) AS keep
+         FROM reach GROUP BY node"""),
+    // same closure, computed by large-star/small-star — same oracle
+    "q_dedup_components_star" ->
       (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
         """,
          pairs AS (
