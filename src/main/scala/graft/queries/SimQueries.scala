@@ -83,6 +83,240 @@ object SimQueries extends QueryPack {
           col("qn"), col("nrm")).as("cosine"))
   }
 
+  /** Exact cosine re-rank of a directed candidate list (q_id, vec_id):
+    * broadcast query side, quantized dot, rank ≤ 10 — the shared tail of
+    * every ANN query so trained/untrained variants differ ONLY in how
+    * candidates are generated.
+    */
+  private def cosineRerank(s: SparkSession, dir: String,
+                           cands: DataFrame): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
+    val qs = vecs.select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+      col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands
+      .join(vecs, "vec_id")
+      .join(broadcast(qs), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
+          col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rnk", rank().over(w).cast(LongType))
+      .where(col("rnk") <= 10)
+  }
+
+  /** recall@10 of a directed candidate list against the exact top-10 —
+    * shared by the LSH and IVF recall rows so every family is measured
+    * with the one denominator.
+    */
+  private def recallOf(s: SparkSession, dir: String,
+                       cands: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val exact = probeScored(s, dir).withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10).select(col("q_id"), col("vec_id"))
+    val n = count(lit(1)).cast(LongType)
+    val found = exact.join(cands, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(n.as("n_found"))
+    exact.groupBy(col("q_id")).agg(n.as("n_exact"))
+      .join(found, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        (coalesce(col("n_found"), lit(0L)).cast(DoubleType) / col("n_exact"))
+          .as("recall"))
+  }
+
+  // ------------------------------------------------- trained quantizers
+
+  /** Fixed Lloyd iteration count: deterministic (no RNG, no convergence
+    * race) so both engines compute the identical codebooks.
+    */
+  private val LloydIters = 2
+
+  /** Vectors on the quantized integer lattice as array<long> — the
+    * exactness contract (header note) applied once, so every k-means
+    * distance/mean below is integer/IEEE-identical in both engines.
+    */
+  private def qvecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("qv"))
+
+  /** Integer squared L2 between two quantized vectors — codegen'd
+    * zip_with/aggregate, no UDF.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Lloyd-trained IVF centroids: seed = the modulo-sampled vectors (the
+    * untrained variant's centroid set), then LloydIters rounds of
+    * nearest-centroid assignment (squared L2 on the lattice, ties to the
+    * smallest cent_id via min-struct — one map-side-combinable
+    * aggregation, no window) and component-mean update floored back onto
+    * the lattice (sums are exact in double; one IEEE division + floor is
+    * bit-identical cross-engine). Empty clusters drop, as in the SQL.
+    *
+    * 100 TB: centroid arrays broadcast (nlist ≪ memory); each round is
+    * one crossJoin scan + one (cent, dim) partial-sum shuffle. Training
+    * normally runs on a sample — the full-corpus pass here is the
+    * small-scale oracle contract, not the production shape.
+    */
+  private def ivfTrainedCents(s: SparkSession, dir: String): DataFrame = {
+    val vs = qvecs(s, dir)
+    var cents = vs.where(col("vec_id") % 25 === 7)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+    for (_ <- 1 to LloydIters) {
+      val assign = vs.crossJoin(broadcast(cents))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
+          col("cent_id").as("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cent_id"))
+      cents = assign.join(vs, "vec_id")
+        .select(col("cent_id"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy(col("cent_id"), col("d"))
+        .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1)))
+          .cast(LongType).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          e => e.getField("m")).as("cv"))
+    }
+    cents
+  }
+
+  /** Directed IVF candidate lists under a given centroid frame: every
+    * vector indexed into its nearest list, each probe query searching
+    * its 3 nearest lists (squared L2 on the lattice both times).
+    */
+  private def ivfL2Cands(s: SparkSession, dir: String,
+                         cents: DataFrame): DataFrame = {
+    val vs = qvecs(s, dir)
+    val assign = vs.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
+        col("cent_id").as("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"))
+    val byD2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    val probes = vs.where(col("vec_id") % 50 === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("cent_id"),
+        l2sq(col("qv"), col("cv")).as("d2"))
+      .withColumn("rk", row_number().over(byD2)).where(col("rk") <= 3)
+      .select(col("q_id"), col("cent_id"))
+    probes.join(assign, "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** Directed candidate lists of the UNTRAINED cosine-assignment IVF —
+    * the exact candidate generation of q_sim_ann_ivf, shared with its
+    * recall row.
+    */
+  private def ivfCosineCands(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
+    val cents = vecs.where(col("vec_id") % 25 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("nrm").as("cn"))
+    def simToCent = cosine(
+      VectorFunctions.quantizedDot(col("embedding"), col("cemb")),
+      col("nrm"), col("cn"))
+    val byCent = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_vc").desc, col("cent_id"))
+    val assign = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos_vc", simToCent)
+      .withColumn("rk", row_number().over(byCent))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val probes = vecs.where(col("vec_id") % 50 === 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_vc", simToCent)
+      .withColumn("rk", row_number().over(byCent))
+      .where(col("rk") <= 3)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    probes.join(assign, "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** PQ dimensions: 64 dims → 8 subspaces × 8 dims, 16 codes each. */
+  private val PqSubDim = 8L
+
+  /** (sub, code, d, cval) deterministic md5-grid codebooks — the
+    * untrained PQ seed (and q_sim_ann_pq's codebooks verbatim).
+    */
+  private def pqGridCents(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (sp <- 0L until 8L; c <- 0L until 16L; d <- 0L until PqSubDim)
+      yield {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$sp:$c:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        (sp, c, sp * PqSubDim + d,
+          java.lang.Long.parseLong(hex, 16) % 2001L - 1000L)
+      }).toDF("sub", "code", "d", "cval")
+  }
+
+  /** (vec_id, d, qval) vector coordinates on the integer lattice. */
+  private def pqCoords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast(LongType).as("d"),
+        floor(col("x").cast(DoubleType) * 1000).cast(LongType).as("qval"))
+
+  /** Lloyd-trained PQ codebooks: per subspace, assign each subvector to
+    * its nearest code (ties → smallest code) and re-center codes on the
+    * floored component means — LloydIters rounds from the md5-grid seed.
+    * Same exactness discipline as the IVF training; empty codes drop.
+    */
+  private def pqTrainedCents(s: SparkSession, dir: String): DataFrame = {
+    val coords = pqCoords(s, dir)
+    var cents = pqGridCents(s)
+    for (_ <- 1 to LloydIters) {
+      val codes = coords.join(broadcast(cents), "d")
+        .groupBy(col("vec_id"), col("sub"), col("code"))
+        .agg(sum((col("qval") - col("cval")) * (col("qval") - col("cval")))
+          .as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("code").as("code"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+      cents = coords.withColumn("sub", floor(col("d") / PqSubDim))
+        .join(codes, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"), col("d"))
+        .agg(floor(sum(col("qval")).cast(DoubleType) / count(lit(1)))
+          .cast(LongType).as("cval"))
+    }
+    cents
+  }
+
+  /** Asymmetric-distance PQ search under a codebook frame: 8 code bytes
+    * per vector + a broadcast per-query LUT (q_sim_ann_pq's tail).
+    */
+  private def pqSearch(s: SparkSession, dir: String,
+                       cents: DataFrame): DataFrame = {
+    val dists = pqCoords(s, dir).join(broadcast(cents), "d")
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("qval") - col("cval")) * (col("qval") - col("cval")))
+        .as("d2"))
+    val codes = dists.groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code").as("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    val lut = dists.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"),
+        col("d2").as("pdist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdist")).as("approx_dist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= 10)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-10 for each query vector. Query side
     // broadcasts; rank window collapses to per-partition top-k
@@ -172,24 +406,22 @@ object SimQueries extends QueryPack {
     // banding parameters are good enough to replace brute force; recall
     // is n_found/n_exact on integers, so it compares bit-exactly.
     "q_sim_ann_recall" -> ((s, dir) => {
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val exact = probeScored(s, dir).withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 10).select(col("q_id"), col("vec_id"))
       val cands = graft.operators.LshBandJoin
         .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")
       val ann = cands.select(col("vec_a").as("q_id"), col("vec_b").as("vec_id"))
         .unionAll(cands.select(col("vec_b").as("q_id"), col("vec_a").as("vec_id")))
-      val n = count(lit(1)).cast(LongType)
-      val found = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
-        .groupBy(col("q_id")).agg(n.as("n_found"))
-      exact.groupBy(col("q_id")).agg(n.as("n_exact"))
-        .join(found, Seq("q_id"), "left")
-        .select(col("q_id"), col("n_exact"),
-          coalesce(col("n_found"), lit(0L)).as("n_found"),
-          (coalesce(col("n_found"), lit(0L)).cast(DoubleType) / col("n_exact"))
-            .as("recall"))
+      recallOf(s, dir, ann)
     }),
+
+    // recall@10 of the untrained IVF's candidate lists — the baseline
+    // the trained variant has to beat (same probe set, same exact
+    // denominator as every other recall row).
+    "q_sim_ann_ivf_recall" -> ((s, dir) =>
+      recallOf(s, dir, ivfCosineCands(s, dir))),
+
+    // recall@10 of the k-means-trained IVF candidate lists.
+    "q_sim_ann_ivf_recall_trained" -> ((s, dir) =>
+      recallOf(s, dir, ivfL2Cands(s, dir, ivfTrainedCents(s, dir)))),
 
     // Product-quantization ANN (the third named ANN family beside LSH
     // and IVF): 64 dims split into 8 subspaces of 8; each subvector is
@@ -201,95 +433,33 @@ object SimQueries extends QueryPack {
     // summed over the 8 codes — at 100 TB the scan touches 8 bytes per
     // vector plus a broadcast LUT instead of 256 float bytes. Everything
     // is integer arithmetic, so the oracle compares hash-exactly.
-    "q_sim_ann_pq" -> ((s, dir) => {
-      val nSub = 8; val nCodes = 16; val subDim = 8
-      // (s, c, d, cval) codebook grid — tiny, broadcast everywhere
-      val cents = {
-        import s.implicits._
-        (for (sp <- 0 until nSub; c <- 0 until nCodes; d <- 0 until subDim)
-          yield {
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val hex = md.digest(s"$sp:$c:$d".getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString.take(15)
-            (sp, c, sp * subDim + d,
-              java.lang.Long.parseLong(hex, 16) % 2001L - 1000L)
-          }).toDF("sub", "code", "d", "cval")
-      }
-      // (vec_id, d, qval) on the integer lattice
-      val coords = t(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .select(col("vec_id"), col("d"),
-          floor(col("x").cast(DoubleType) * 1000).cast(LongType).as("qval"))
-      // nearest code per (vec, subspace): distances against all 16 codes
-      def dist2 = sum((col("qval") - col("cval")) * (col("qval") - col("cval")))
-      val byDist = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("d2"), col("code"))
-      val codes = coords.join(broadcast(cents), "d")
-        .groupBy(col("vec_id"), col("sub"), col("code"))
-        .agg(dist2.as("d2"))
-        .withColumn("rk", row_number().over(byDist))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("sub"), col("code"))
-      // per-query LUT: partial distance of the query to every (sub, code)
-      val lut = coords.where(col("vec_id") % 50 === 0)
-        .join(broadcast(cents), "d")
-        .groupBy(col("vec_id").as("q_id"), col("sub"), col("code"))
-        .agg(dist2.as("pdist"))
-      // asymmetric distance = sum of the 8 LUT entries along the codes
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("approx_dist"), col("vec_id"))
-      codes.join(broadcast(lut), Seq("sub", "code"))
-        .where(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("pdist")).as("approx_dist"))
-        .withColumn("rnk", row_number().over(w).cast(LongType))
-        .where(col("rnk") <= 10)
-    }),
+    "q_sim_ann_pq" -> ((s, dir) => pqSearch(s, dir, pqGridCents(s))),
+
+    // PQ with Lloyd-TRAINED codebooks: the md5-grid seed re-centered on
+    // the data per subspace (LloydIters deterministic rounds), then the
+    // identical asymmetric-distance search. Training makes the 16 codes
+    // per subspace sit where the subvectors actually are, instead of
+    // wherever the hash grid landed — code balance by construction, not
+    // luck.
+    "q_sim_ann_pq_trained" -> ((s, dir) =>
+      pqSearch(s, dir, pqTrainedCents(s, dir))),
 
     // IVF-style ANN: fixed centroid set (every 25th vector), each vector
     // assigned to its nearest centroid (the inverted lists); a query
     // probes its 3 nearest centroids and searches only those lists.
     // At 100 TB the lists shard by centroid id — the scan per query is
     // nprobe/nlist of the data instead of all of it.
-    "q_sim_ann_ivf" -> ((s, dir) => {
-      val vecs = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
-      val cents = vecs.where(col("vec_id") % 25 === 7)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
-          col("nrm").as("cn"))
-      def simToCent = cosine(
-        VectorFunctions.quantizedDot(col("embedding"), col("cemb")),
-        col("nrm"), col("cn"))
-      val byCent = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_vc").desc, col("cent_id"))
-      val assign = vecs.crossJoin(broadcast(cents))
-        .withColumn("cos_vc", simToCent)
-        .withColumn("rk", row_number().over(byCent))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("cent_id"))
-      val probes = vecs.where(col("vec_id") % 50 === 0)
-        .crossJoin(broadcast(cents))
-        .withColumn("cos_vc", simToCent)
-        .withColumn("rk", row_number().over(byCent))
-        .where(col("rk") <= 3)
-        .select(col("vec_id").as("q_id"), col("cent_id"))
-      val qs = vecs.select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
-        col("nrm").as("qn"))
-      val cands = probes.join(assign, "cent_id")
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      cands
-        .join(vecs, "vec_id")
-        .join(broadcast(qs), "q_id")
-        .select(col("q_id"), col("vec_id"),
-          cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
-            col("qn"), col("nrm")).as("cosine"))
-        .withColumn("rnk", rank().over(w).cast(LongType))
-        .where(col("rnk") <= 10)
-    }))
+    "q_sim_ann_ivf" -> ((s, dir) =>
+      cosineRerank(s, dir, ivfCosineCands(s, dir))),
+
+    // IVF with Lloyd-TRAINED centroids: k-means on the quantized
+    // integer lattice from the modulo seed (deterministic, oracle-exact
+    // — see ivfTrainedCents), assignment and probing by squared L2,
+    // exact cosine re-rank of the probed lists. Training balances the
+    // inverted lists around actual data density instead of whatever the
+    // modulo sample hit, which is what holds recall as nlist grows.
+    "q_sim_ann_ivf_trained" -> ((s, dir) =>
+      cosineRerank(s, dir, ivfL2Cands(s, dir, ivfTrainedCents(s, dir)))))
 
   private val quantCte =
     """qv AS (
@@ -300,6 +470,220 @@ object SimQueries extends QueryPack {
        norms AS (
          SELECT q.vec_id, SUM(q.v[i+1]*q.v[i+1]) AS nrm
          FROM qv q, range(64) t(i) GROUP BY q.vec_id)"""
+
+  /** Candidate CTEs of the UNTRAINED cosine-assignment IVF (must stay
+    * the SQL mirror of `ivfCosineCands`) — shared by the search row and
+    * its recall row. Ends with a `cands(q_id, vec_id)` relation.
+    */
+  private val ivfCosineCandsCtes =
+    """cents AS (
+         SELECT q.vec_id AS cent_id, q.v AS cv, n.nrm AS cn
+         FROM qv q JOIN norms n ON n.vec_id = q.vec_id
+         WHERE q.vec_id % 25 = 7),
+       vcdot AS (
+         SELECT e.vec_id, c.cent_id, SUM(e.v[i+1]*c.cv[i+1]) AS dot
+         FROM qv e, cents c, range(64) t(i)
+         GROUP BY e.vec_id, c.cent_id),
+       vcs AS (
+         SELECT v.vec_id, v.cent_id,
+                CAST(v.dot AS DOUBLE)
+                  / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(c.cn AS DOUBLE))) AS cos_vc
+         FROM vcdot v
+         JOIN norms n ON n.vec_id = v.vec_id
+         JOIN cents c ON c.cent_id = v.cent_id),
+       assign AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cos_vc DESC, cent_id) AS rk FROM vcs)
+         WHERE rk = 1),
+       probes AS (
+         SELECT vec_id AS q_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cos_vc DESC, cent_id) AS rk
+           FROM vcs WHERE vec_id % 50 = 0)
+         WHERE rk <= 3),
+       cands AS (
+         SELECT p.q_id, a.vec_id
+         FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+         WHERE a.vec_id <> p.q_id)"""
+
+  /** Lloyd-iteration CTEs on the integer lattice (SQL mirror of
+    * `ivfTrainedCents` + `ivfL2Cands`): coords → cents_0 (modulo seed)
+    * → LloydIters × (assign by min L2, floored-mean update) → final
+    * assignment/probing → `cands(q_id, vec_id)`.
+    */
+  private val ivfTrainedCandsCtes: String = {
+    def iter(n: Int): String = {
+      val prev = s"cents_${n - 1}"
+      s""",
+       d2_$n AS (
+         SELECT co.vec_id, ce.cent_id,
+                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+         FROM coords co JOIN $prev ce ON ce.d = co.d
+         GROUP BY co.vec_id, ce.cent_id),
+       assign_$n AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cent_id) AS rk
+           FROM d2_$n) WHERE rk = 1),
+       cents_$n AS (
+         SELECT a.cent_id, co.d,
+                CAST(FLOOR(CAST(SUM(co.qval) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cval
+         FROM assign_$n a JOIN coords co ON co.vec_id = a.vec_id
+         GROUP BY a.cent_id, co.d)"""
+    }
+    s"""coords AS (
+         SELECT e.vec_id, CAST(t.i AS BIGINT) AS d, e.v[t.i+1] AS qval
+         FROM qv e, range(64) t(i)),
+       cents_0 AS (
+         SELECT vec_id AS cent_id, d, qval AS cval
+         FROM coords WHERE vec_id % 25 = 7)""" +
+      (1 to LloydIters).map(iter).mkString + s""",
+       d2_f AS (
+         SELECT co.vec_id, ce.cent_id,
+                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+         FROM coords co JOIN cents_$LloydIters ce ON ce.d = co.d
+         GROUP BY co.vec_id, ce.cent_id),
+       assign AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cent_id) AS rk
+           FROM d2_f) WHERE rk = 1),
+       probes AS (
+         SELECT vec_id AS q_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cent_id) AS rk
+           FROM d2_f WHERE vec_id % 50 = 0) WHERE rk <= 3),
+       cands AS (
+         SELECT p.q_id, a.vec_id
+         FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+         WHERE a.vec_id <> p.q_id)"""
+  }
+
+  /** Exact-cosine re-rank tail over a `cands(q_id, vec_id)` relation —
+    * the SQL mirror of `cosineRerank`.
+    */
+  private val cosineRerankSql =
+    """cdots AS (
+         SELECT c.q_id, c.vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
+         FROM cands c
+         JOIN qv a ON a.vec_id = c.q_id
+         JOIN qv b ON b.vec_id = c.vec_id, range(64) t(i)
+         GROUP BY c.q_id, c.vec_id),
+       rscored AS (
+         SELECT d.q_id, d.vec_id,
+                CAST(d.dot AS DOUBLE)
+                  / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+         FROM cdots d
+         JOIN norms na ON na.vec_id = d.q_id
+         JOIN norms nb ON nb.vec_id = d.vec_id)
+       SELECT q_id, vec_id, cosine, rnk FROM (
+         SELECT q_id, vec_id, cosine,
+                RANK() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+         FROM rscored) WHERE rnk <= 10"""
+
+  /** Exact top-10 CTEs (`exact(q_id, vec_id)`) + recall tail over a
+    * `cands(q_id, vec_id)` relation — the SQL mirror of `recallOf`.
+    */
+  private val recallTailSql =
+    """edots AS (
+         SELECT a.vec_id AS q_id, b.vec_id AS vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
+         FROM qv a, qv b, range(64) t(i)
+         WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+       escored AS (
+         SELECT d.q_id, d.vec_id,
+                CAST(d.dot AS DOUBLE)
+                  / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+         FROM edots d
+         JOIN norms na ON na.vec_id = d.q_id
+         JOIN norms nb ON nb.vec_id = d.vec_id),
+       exact AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id) AS rn
+           FROM escored) WHERE rn <= 10),
+       found AS (
+         SELECT e.q_id, COUNT(*) AS n_found
+         FROM exact e JOIN cands a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         GROUP BY e.q_id),
+       ne AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id)
+       SELECT ne.q_id, ne.n_exact,
+              COALESCE(f.n_found, 0) AS n_found,
+              CAST(COALESCE(f.n_found, 0) AS DOUBLE) / ne.n_exact AS recall
+       FROM ne LEFT JOIN found f ON f.q_id = ne.q_id"""
+
+  /** PQ Lloyd CTEs (SQL mirror of `pqTrainedCents`): md5-grid seed →
+    * LloydIters × (nearest-code assignment per subspace, floored-mean
+    * update) → final `pcents` codebooks.
+    */
+  private val pqLloydCtes: String = {
+    def iter(n: Int): String = {
+      val prev = if (n == 1) "pcents_0" else s"pcents_${n - 1}"
+      s""",
+       pdists_$n AS (
+         SELECT co.vec_id, ce.sub, ce.code,
+                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+         FROM coords co JOIN $prev ce ON ce.d = co.d
+         GROUP BY co.vec_id, ce.sub, ce.code),
+       pcodes_$n AS (
+         SELECT vec_id, sub, code FROM (
+           SELECT vec_id, sub, code,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                    ORDER BY d2, code) AS rk
+           FROM pdists_$n) WHERE rk = 1),
+       pcents_$n AS (
+         SELECT c.sub, c.code, co.d,
+                CAST(FLOOR(CAST(SUM(co.qval) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cval
+         FROM pcodes_$n c
+         JOIN coords co ON co.vec_id = c.vec_id AND co.d // 8 = c.sub
+         GROUP BY c.sub, c.code, co.d)"""
+    }
+    s"""coords AS (
+         SELECT e.vec_id, CAST(t.i AS BIGINT) AS d, e.v[t.i+1] AS qval
+         FROM qv e, range(64) t(i)),
+       pcents_0 AS (
+         SELECT CAST(sp.s AS BIGINT) AS sub, CAST(cc.c AS BIGINT) AS code,
+                CAST(sp.s*8 + dd.d AS BIGINT) AS d,
+                CAST(CONCAT('0x', SUBSTRING(md5(sp.s || ':' || cc.c || ':' || dd.d),
+                     1, 15)) AS BIGINT) % 2001 - 1000 AS cval
+         FROM range(8) sp(s), range(16) cc(c), range(8) dd(d))""" +
+      (1 to LloydIters).map(iter).mkString
+  }
+
+  /** PQ asymmetric-distance search tail over a `pcents` codebook
+    * relation — the SQL mirror of `pqSearch`.
+    */
+  private def pqSearchSql(centsRel: String): String =
+    s""",
+       pdists_f AS (
+         SELECT co.vec_id, ce.sub, ce.code,
+                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+         FROM coords co JOIN $centsRel ce ON ce.d = co.d
+         GROUP BY co.vec_id, ce.sub, ce.code),
+       codes AS (
+         SELECT vec_id, sub, code FROM (
+           SELECT vec_id, sub, code,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                    ORDER BY d2, code) AS rk
+           FROM pdists_f) WHERE rk = 1),
+       lut AS (
+         SELECT vec_id AS q_id, sub, code, d2 AS pdist
+         FROM pdists_f WHERE vec_id % 50 = 0),
+       ad AS (
+         SELECT l.q_id, c.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS approx_dist
+         FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         WHERE c.vec_id <> l.q_id
+         GROUP BY l.q_id, c.vec_id)
+       SELECT q_id, vec_id, approx_dist, rnk FROM (
+         SELECT q_id, vec_id, approx_dist,
+                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY approx_dist, vec_id) AS BIGINT) AS rnk
+         FROM ad) WHERE rnk <= 10"""
 
   val oracleSql: Map[String, String] = Map(
     "q_sim_cosine_topk" ->
@@ -496,51 +880,20 @@ object SimQueries extends QueryPack {
            FROM ad) WHERE rnk <= 10""",
     "q_sim_ann_ivf" ->
       s"""WITH $quantCte,
-         cents AS (
-           SELECT q.vec_id AS cent_id, q.v AS cv, n.nrm AS cn
-           FROM qv q JOIN norms n ON n.vec_id = q.vec_id
-           WHERE q.vec_id % 25 = 7),
-         vcdot AS (
-           SELECT e.vec_id, c.cent_id, SUM(e.v[i+1]*c.cv[i+1]) AS dot
-           FROM qv e, cents c, range(64) t(i)
-           GROUP BY e.vec_id, c.cent_id),
-         vcs AS (
-           SELECT v.vec_id, v.cent_id,
-                  CAST(v.dot AS DOUBLE)
-                    / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(c.cn AS DOUBLE))) AS cos_vc
-           FROM vcdot v
-           JOIN norms n ON n.vec_id = v.vec_id
-           JOIN cents c ON c.cent_id = v.cent_id),
-         assign AS (
-           SELECT vec_id, cent_id FROM (
-             SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id
-               ORDER BY cos_vc DESC, cent_id) AS rk FROM vcs)
-           WHERE rk = 1),
-         probes AS (
-           SELECT vec_id AS q_id, cent_id FROM (
-             SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id
-               ORDER BY cos_vc DESC, cent_id) AS rk
-             FROM vcs WHERE vec_id % 50 = 0)
-           WHERE rk <= 3),
-         cands AS (
-           SELECT p.q_id, a.vec_id
-           FROM probes p JOIN assign a ON a.cent_id = p.cent_id
-           WHERE a.vec_id <> p.q_id),
-         cdots AS (
-           SELECT c.q_id, c.vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
-           FROM cands c
-           JOIN qv a ON a.vec_id = c.q_id
-           JOIN qv b ON b.vec_id = c.vec_id, range(64) t(i)
-           GROUP BY c.q_id, c.vec_id),
-         scored AS (
-           SELECT d.q_id, d.vec_id,
-                  CAST(d.dot AS DOUBLE)
-                    / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
-           FROM cdots d
-           JOIN norms na ON na.vec_id = d.q_id
-           JOIN norms nb ON nb.vec_id = d.vec_id)
-         SELECT q_id, vec_id, cosine, rnk FROM (
-           SELECT q_id, vec_id, cosine,
-                  RANK() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
-           FROM scored) WHERE rnk <= 10""")
+         $ivfCosineCandsCtes,
+         $cosineRerankSql""",
+    "q_sim_ann_ivf_trained" ->
+      s"""WITH $quantCte,
+         $ivfTrainedCandsCtes,
+         $cosineRerankSql""",
+    "q_sim_ann_ivf_recall" ->
+      s"""WITH $quantCte,
+         $ivfCosineCandsCtes,
+         $recallTailSql""",
+    "q_sim_ann_ivf_recall_trained" ->
+      s"""WITH $quantCte,
+         $ivfTrainedCandsCtes,
+         $recallTailSql""",
+    "q_sim_ann_pq_trained" ->
+      (s"WITH $quantCte,\n" + pqLloydCtes + pqSearchSql(s"pcents_$LloydIters")))
 }
