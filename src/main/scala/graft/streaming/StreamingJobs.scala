@@ -192,6 +192,35 @@ object StreamingJobs {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("text_key")
 
+  /** Streaming benchmark decontamination: winnowed-fingerprint overlap
+    * of a document stream against the (small, broadcast) benchmark
+    * fingerprint set — the streaming face of q_text_decontaminate,
+    * built from the SAME native winnowing kernel, parameters and ≥3
+    * threshold (graft.queries.TextQueries), so stream and batch cannot
+    * drift. Entirely STATELESS map-side work: each row's fingerprints
+    * are computed natively and intersected against the broadcast set
+    * (winnowed fingerprints are distinct per doc, so array_intersect ≡
+    * the batch join+count) — no state store, no watermark, and restart
+    * semantics reduce to the sink's idempotency. At 100 TB/day the
+    * benchmark side stays what it is in batch: a broadcast set.
+    *
+    * @param docs     streaming (doc_id, text, ...) frame
+    * @param benchFps static one-column `fp` frame of benchmark
+    *                 fingerprints (e.g. the winnowed eval corpus)
+    */
+  def decontaminateStream(docs: DataFrame, benchFps: DataFrame): DataFrame = {
+    import graft.functions.TextHashDefaults.{WinB, WinK, WinP, WinW}
+    import graft.functions.TextHashFunctions.winnowedFingerprints
+    val bench = benchFps.agg(collect_set(col("fp")).as("bench_fps"))
+    docs.crossJoin(broadcast(bench))
+      .withColumn("n_overlap",
+        coalesce(size(array_intersect(
+          winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP),
+          col("bench_fps"))).cast(LongType), lit(0L)))
+      .select(col("doc_id"), col("n_overlap"),
+        (col("n_overlap") >= 3).as("is_contaminated"))
+  }
+
   case class DocTok(source: String, doc_id: Long, n_tokens: Long)
   case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
                        tok_offset: Long, first_bin: Long, last_bin: Long)

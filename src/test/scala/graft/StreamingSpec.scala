@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.StreamingJobs
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, explode, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
@@ -234,6 +235,75 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val all = spark.read.parquet(s"$wh/bronze/events")
     assert(all.count() === events.size.toLong)
     assert(all.select("event_id").distinct().count() === events.size.toLong)
+  }
+
+  test("streaming decontamination equals the batch overlap counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_text_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(batch.values.exists(_._2), "no contaminated docs — vacuous")
+
+    // the benchmark fingerprint set, exactly as the batch query builds it
+    import graft.functions.TextHashDefaults.{WinB, WinK, WinP, WinW}
+    import graft.functions.TextHashFunctions.winnowedFingerprints
+    val benchFps = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 100 === 7)
+      .select(explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
+        .as("fp")).distinct()
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").na.fill("", Seq("text"))
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingJobs.decontaminateStream(
+        ms.toDF().toDF("doc_id", "text"), benchFps)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = docs.splitAt(docs.length / 2)
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(rest); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("decon")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.size === batch.size)
+    // overlap counts agree everywhere; the contaminated flag agrees off
+    // the benchmark membership (batch additionally un-flags benchmark
+    // members themselves — a corpus-side rule, not a stream concern)
+    got.foreach { case (id, (n, c)) =>
+      assert(n === batch(id)._1, s"doc $id overlap")
+      if (id % 100 != 7) assert(c === batch(id)._2, s"doc $id flag")
+    }
+  }
+
+  test("streaming decontamination restart: no duplicate verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_decon_").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val benchFps = Seq(1L, 2L).toDF("fp").where(lit(false)) // empty set
+
+    def drainOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(in)
+      val q = StreamingJobs.decontaminateStream(stream, benchFps)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    Seq((1L, "aa bb cc dd ee ff gg hh"), (2L, "ii jj kk ll mm nn oo pp"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    drainOnce()
+    Seq((3L, "qq rr ss tt uu vv ww xx"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    drainOnce() // restart from the checkpoint: docs 1-2 not reprocessed
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === Seq(1L, 2L, 3L))
   }
 
   test("file-source stream resumes exactly-once across restarts") {
