@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,12 +9,43 @@ import org.apache.spark.sql.functions._
   * Integration_dim_customers.sql:2-5 / Integration_dim_products.sql:2-6)
   * and the COALESCE(-1) unknown-member fallback.
   *
-  * Surrogate-key windows are unpartitioned — correct at dimension scale
-  * (≤ tens of thousands of rows); the 100 TB-scale keying pattern
-  * (per-partition row_number + tiny offset table) is demonstrated in
-  * graft.queries.QaQueries.q_surrogate_key_scalable.
+  * Surrogate keys are computed with NO single-partition pass over the
+  * dimension rows (`scalableRowNumber` below): per-bucket ROW_NUMBER
+  * plus an exclusive prefix-sum offset over the tiny bucket-count
+  * table — the q_surrogate_key_scalable pattern promoted from a demo
+  * query to the production keying path, so a 100× dimension never rides
+  * an Exchange-to-1.
   */
 object GoldIntegration {
+
+  /** Global ROW_NUMBER(ORDER BY order…) as `__sk`, without a global
+    * sort: rows shuffle once on `bucket`, get a per-bucket row_number,
+    * and add the exclusive running total of earlier buckets' counts
+    * (a window over ≈#buckets rows, broadcast back).
+    *
+    * CONTRACT: `bucket` must be monotone non-decreasing in the leading
+    * `order` column (an id range, a key prefix — never a hash), so that
+    * bucket-major + within-bucket order ≡ the global order and the
+    * result is bit-identical to the single-window form the oracle
+    * computes. The input is evaluated twice (counts + keying) — at
+    * dimension scale that is two cheap scans; the alternative is a
+    * single-partition sort of every dim row.
+    */
+  private def scalableRowNumber(df: DataFrame, bucket: Column,
+                                order: Seq[Column]): DataFrame = {
+    val withB = df.withColumn("__sk_bucket", bucket)
+    val wPart = Window.partitionBy(col("__sk_bucket")).orderBy(order: _*)
+    val wOff = Window.orderBy(col("__sk_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col("__sk_bucket"))
+      .agg(count(lit(1)).as("__sk_n"))
+      .withColumn("__sk_off", coalesce(sum(col("__sk_n")).over(wOff), lit(0L)))
+      .select(col("__sk_bucket"), col("__sk_off"))
+    withB.join(broadcast(offsets), "__sk_bucket")
+      .withColumn("__sk",
+        (col("__sk_off") + row_number().over(wPart)).cast("long"))
+      .drop("__sk_bucket", "__sk_off")
+  }
 
   /** gold.dim_customers: 3-way silver join + gender merge.
     * `country` is appended as a window tiebreak beyond the reference's
@@ -31,9 +62,12 @@ object GoldIntegration {
       .join(la.alias("la"),
         col("ci.cst_key") === col("la.cid")
           && col("ci.dwh_batch_id") === col("la.dwh_batch_id"), "left")
-    val w = Window.orderBy(col("ci.cst_id"), col("la.cntry"))
-    joined.select(
-      row_number().over(w).cast("long").as("customer_key"),
+    // bucket = id range (monotone in cst_id): scalable two-phase keying
+    val keyed = scalableRowNumber(joined,
+      floor(col("ci.cst_id") / 4096),
+      Seq(col("ci.cst_id"), col("la.cntry")))
+    keyed.select(
+      col("__sk").as("customer_key"),
       col("ci.cst_id").as("customer_id"),
       col("ci.cst_key").as("customer_number"),
       col("ci.cst_firstname").as("customer_firstname"),
@@ -57,9 +91,12 @@ object GoldIntegration {
       .join(px.alias("pc"),
         col("po.cat_id") === col("pc.id")
           && col("po.dwh_batch_id") === col("pc.dwh_batch_id"), "left")
-    val w = Window.orderBy(col("po.prd_key"), col("po.prd_start_dt"), col("po.prd_id"))
-    joined.select(
-      row_number().over(w).cast("long").as("product_key"),
+    // bucket = 2-char key prefix (monotone in prd_key's binary order)
+    val keyed = scalableRowNumber(joined,
+      substring(col("po.prd_key"), 1, 2),
+      Seq(col("po.prd_key"), col("po.prd_start_dt"), col("po.prd_id")))
+    keyed.select(
+      col("__sk").as("product_key"),
       col("po.prd_id").as("product_id"),
       col("po.prd_key").as("product_number"),
       col("po.prd_nm").as("product_name"),

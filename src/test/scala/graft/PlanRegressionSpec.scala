@@ -83,6 +83,43 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastExchange"), "offsets join must broadcast")
   }
 
+  test("dim surrogate keys never ride a single-partition pass over the dim") {
+    import org.apache.spark.sql.functions._
+    // a 200k-row synthetic dim in the silver shapes dimCustomers takes
+    val n = 200000L
+    val cust = spark.range(n).select(
+      (col("id") + 10000).as("cst_id"),
+      concat(lit("AW"), col("id")).as("cst_key"),
+      lit("f").as("cst_firstname"), lit("l").as("cst_lastname"),
+      lit("Unknown").as("cst_gndr"), lit("Single").as("cst_marital_status"),
+      current_date().as("cst_create_date"), lit("B1").as("dwh_batch_id"))
+    val ca = spark.range(0).select(col("id").cast("string").as("cid"),
+      lit("M").as("gen"), current_date().as("bdate"),
+      lit("B1").as("dwh_batch_id"))
+    val la = spark.range(0).select(col("id").cast("string").as("cid"),
+      lit("US").as("cntry"), lit("B1").as("dwh_batch_id"))
+    val dim = graft.pipeline.GoldIntegration.dimCustomers(cust, ca, la)
+    val p = dim.queryExecution.explainString(FormattedMode)
+    // the dim-row ROW_NUMBER window must be partitioned by the key
+    // bucket (shuffled by hashpartitioning, not gathered to 1), and the
+    // offsets come back as a broadcast; the only single-partition stage
+    // is the tiny bucket-count window
+    assert(p.contains("hashpartitioning(__sk_bucket"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), "offsets must broadcast")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      "more than the bucket-count single-partition stage:\n" + p.take(2000))
+
+    // and the two-phase keys are exactly the global ROW_NUMBER contract:
+    // a contiguous 1..n sequence that increases with the order key
+    val sample = dim.select(col("customer_key"), col("customer_id"))
+      .orderBy(col("customer_id")).limit(5).collect()
+    assert(sample.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(dim.agg(count(lit(1)), min(col("customer_key")),
+      max(col("customer_key"))).head() match {
+      case r => r.getLong(0) === n && r.getLong(1) === 1L && r.getLong(2) === n
+    })
+  }
+
   test("q_agg_approx_distinct stays split — no Expand through the HLL") {
     // The mixed distinct+HLL single aggregate plans an Expand that
     // duplicates every row through the imperative HLL update (measured
