@@ -67,6 +67,60 @@ case class QuantizedDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer squared L2 distance between two already-quantized long
+  * vectors, Σ (aᵢ−bᵢ)², in one fused codegen'd loop — the k-means /
+  * IVF-assignment hot path. The composed zip_with→aggregate form is an
+  * interpreted higher-order function (lambda evaluation + boxing per
+  * element); at corpus × centroids assignment pairs that interpretation
+  * dominates the whole training round. Same conventions as
+  * QuantizedDot: null elements contribute 0, length mismatch uses the
+  * common prefix; exact 64-bit arithmetic identical to the oracle's
+  * SUM((qval-cval)*(qval-cval)).
+  */
+case class QuantizedL2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quantized_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xs, ys) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i) && !ys.isNullAt(i)) {
+        val d = xs.getLong(i) - ys.getLong(i)
+        acc += d * d
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, acc, d) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("acc"), ctx.freshName("d"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All hyperplane LSH bits of one embedding in a single fused pass: bit
   * j of the result is set iff Σ floor(vᵢ·1000)·signs[j][i] > 0. The
   * composed form pays one interpreted HOF aggregate per bit per row
@@ -146,6 +200,10 @@ object VectorFunctions {
 
   /** Squared quantized norm: quantizedDot(v, v). */
   def quantizedNorm(v: Column): Column = quantizedDot(v, v)
+
+  def quantizedL2(a: Column, b: Column): Column =
+    GraftColumnBridge.column(QuantizedL2(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   def hyperplaneSketch(v: Column, signs: Array[Array[Long]]): Column =
     GraftColumnBridge.column(

@@ -144,11 +144,12 @@ object SimQueries extends QueryPack {
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("qv"))
 
-  /** Integer squared L2 between two quantized vectors — codegen'd
-    * zip_with/aggregate, no UDF.
+  /** Integer squared L2 between two quantized vectors — the native
+    * fused-loop expression (zip_with/aggregate HOFs are interpreted and
+    * dominated the Lloyd assignment passes; see QuantizedL2).
     */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    VectorFunctions.quantizedL2(a, b)
 
   /** Lloyd-trained IVF centroids: seed = the modulo-sampled vectors (the
     * untrained variant's centroid set), then LloydIters rounds of
@@ -173,6 +174,9 @@ object SimQueries extends QueryPack {
         .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
           col("cent_id").as("cent_id"))).as("best"))
         .select(col("vec_id"), col("best.cent_id").as("cent_id"))
+      // materialize each round's centroids (tiny: nlist × 64 longs) —
+      // otherwise every downstream consumer lazily re-runs the whole
+      // Lloyd lineage; use reliable checkpoint on a cluster
       cents = assign.join(vs, "vec_id")
         .select(col("cent_id"), posexplode(col("qv")).as(Seq("d", "x")))
         .groupBy(col("cent_id"), col("d"))
@@ -181,6 +185,7 @@ object SimQueries extends QueryPack {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           e => e.getField("m")).as("cv"))
+        .localCheckpoint()
     }
     cents
   }
@@ -283,11 +288,13 @@ object SimQueries extends QueryPack {
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d2"), col("code").as("code"))).as("best"))
         .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+      // materialize per round (≤1024 codebook rows) — see ivfTrainedCents
       cents = coords.withColumn("sub", floor(col("d") / PqSubDim))
         .join(codes, Seq("vec_id", "sub"))
         .groupBy(col("sub"), col("code"), col("d"))
         .agg(floor(sum(col("qval")).cast(DoubleType) / count(lit(1)))
           .cast(LongType).as("cval"))
+        .localCheckpoint()
     }
     cents
   }

@@ -34,6 +34,30 @@ class VectorExpressionSpec extends AnyFunSuite with SparkTestBase {
     assert(cross.where(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("native L2 equals composed-HOF L2 on real quantized vectors") {
+    def q(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast(DoubleType) * 1000).cast(LongType))
+    def hofL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
+        (acc, x) => acc + x)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), q(col("embedding")).as("qv"))
+    val s = e.limit(25).select(col("vec_id").as("ida"), col("qv").as("a"))
+    val t = e.limit(25).select(col("vec_id").as("idb"), col("qv").as("b"))
+    val cross = s.crossJoin(t).select(
+      VectorFunctions.quantizedL2(col("a"), col("b")).as("native"),
+      hofL2(col("a"), col("b")).as("hof"))
+    assert(cross.where(col("native") =!= col("hof")).count() === 0)
+    // self-distance is zero; empty arrays give zero
+    import spark.implicits._
+    val edge = Seq((Array(3L, -4L), Array(3L, -4L), 0L),
+      (Array.empty[Long], Array.empty[Long], 0L),
+      (Array(5L), Array(-5L), 100L)).toDF("a", "b", "expected")
+    assert(edge.select(VectorFunctions.quantizedL2(col("a"), col("b"))
+      .as("got"), col("expected"))
+      .where(col("got") =!= col("expected")).count() === 0)
+  }
+
   test("edge cases: empty arrays, negatives") {
     import spark.implicits._
     val df = Seq(
