@@ -367,11 +367,13 @@ object Orchestrator {
     run.flushAudit() // bronze stage boundary
 
     // silver: transformation_config rows (the reference runs them
-    // serially; they are independent per source table)
+    // serially; they are independent per source table). A row's
+    // source_config JSONB can override per-transform parameters —
+    // here the reference date — without touching code.
     ToolsConfig.loadTransforms(spark, warehouse).foreach { t =>
       run.transform(t.source, t.target) { df =>
         ToolsConfig.silverTransforms.get(t.transform) match {
-          case Some(f) => f(df, refDate)
+          case Some(f) => f(df, t.sourceConfig.getOrElse("ref_date", refDate))
           case None => throw new IllegalArgumentException(
             s"unknown transform '${t.transform}' for ${t.target}")
         }

@@ -25,7 +25,8 @@ object ToolsConfig {
   type Builder = (Run, String) => () => DataFrame
 
   final case class TransformRow(source: String, target: String,
-                                transform: String)
+                                transform: String,
+                                sourceConfig: Map[String, String])
 
   // ---------------------------------------------------------------- paths
 
@@ -78,15 +79,22 @@ object ToolsConfig {
       .sortBy(_._1.runOrder).toSeq
   }
 
-  /** transformation_config rows: bronze→silver steps in file order. */
+  /** transformation_config rows: bronze→silver steps in file order.
+    * `source_config` is the reference's JSONB parameter blob
+    * (ddl_tools.sql:22) as a typed map — schema-on-read, so a row can
+    * carry per-transform parameters (e.g. a `ref_date` override) that
+    * the builders consume without code changes.
+    */
   def loadTransforms(spark: SparkSession,
                      warehouse: String): Seq[TransformRow] = {
     spark.read
-      .schema("source_table STRING, target_table STRING, transform_name STRING, enabled BOOLEAN")
+      .schema("source_table STRING, target_table STRING, transform_name STRING, enabled BOOLEAN, source_config MAP<STRING, STRING>")
       .json(transformConfigPath(warehouse))
       .collect()
       .filter(r => r.isNullAt(3) || r.getBoolean(3))
-      .map(r => TransformRow(r.getString(0), r.getString(1), r.getString(2)))
+      .map(r => TransformRow(r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(4)) Map.empty
+        else r.getMap[String, String](4).toMap))
       .toSeq
   }
 

@@ -335,6 +335,28 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(ManifestStore.load(wh, "BATCH000002").size === 5)
   }
 
+  test("source_config JSONB: parsed as a typed map and overrides parameters") {
+    import graft.run.ToolsConfig
+    val wh = Files.createTempDirectory("graft_srccfg").toString
+    ToolsConfig.writeConfigFile(ToolsConfig.transformConfigPath(wh), Seq(
+      """{"source_table":"bronze/a","target_table":"silver/a","transform_name":"crm_cust_info","enabled":true,"source_config":{"ref_date":"2030-01-01","mode":"strict"}}""",
+      """{"source_table":"bronze/b","target_table":"silver/b","transform_name":"erp_loc_a101","enabled":true}"""))
+    val rows = ToolsConfig.loadTransforms(spark, wh)
+    assert(rows.map(_.target) === Seq("silver/a", "silver/b"))
+    assert(rows.head.sourceConfig
+      === Map("ref_date" -> "2030-01-01", "mode" -> "strict"))
+    assert(rows(1).sourceConfig === Map.empty)
+
+    // the override actually reaches the builder: crmCustInfo derives
+    // "today"-relative output from ref_date, so shifting it shifts rows
+    import graft.pipeline.ReferenceFixtures
+    val bronze = ReferenceFixtures.crmCustInfo(spark)
+    val a = graft.pipeline.SilverTransforms.crmCustInfo(bronze, "2025-09-12")
+    val b = graft.pipeline.SilverTransforms.crmCustInfo(bronze,
+      rows.head.sourceConfig("ref_date"))
+    assert(a.exceptAll(b).count() > 0, "ref_date override had no effect")
+  }
+
   test("config plane is data: disabled rows, file deps, unknown builder") {
     import graft.run.ToolsConfig
     val wh = Files.createTempDirectory("graft_cfgdata").toString
