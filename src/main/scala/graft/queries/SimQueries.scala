@@ -277,8 +277,15 @@ object SimQueries extends QueryPack {
     * floored component means — LloydIters rounds from the md5-grid seed.
     * Same exactness discipline as the IVF training; empty codes drop.
     */
-  private def pqTrainedCents(s: SparkSession, dir: String): DataFrame = {
-    val coords = pqCoords(s, dir)
+  private def pqTrainedCents(s: SparkSession, dir: String): DataFrame =
+    pqTrainedCentsFrom(s, pqCoords(s, dir))
+
+  /** PQ training over arbitrary (vec_id, d, qval) coordinates — plain
+    * vectors for q_sim_ann_pq_trained, IVF residuals for the composed
+    * IVF-PQ index.
+    */
+  private def pqTrainedCentsFrom(s: SparkSession,
+                                 coords: DataFrame): DataFrame = {
     var cents = pqGridCents(s)
     for (_ <- 1 to LloydIters) {
       val codes = coords.join(broadcast(cents), "d")
@@ -450,6 +457,76 @@ object SimQueries extends QueryPack {
     // luck.
     "q_sim_ann_pq_trained" -> ((s, dir) =>
       pqSearch(s, dir, pqTrainedCents(s, dir))),
+
+    // Composed IVF-PQ (Jégou et al., "Product Quantization for Nearest
+    // Neighbor Search", 2011) — the billion-vector production shape:
+    // trained coarse centroids partition the corpus into inverted
+    // lists; every vector stores only 8 PQ code bytes of its RESIDUAL
+    // (vector − list centroid, exact integer subtraction on the
+    // lattice); a query probes its 3 nearest lists and scores members
+    // with a per-(query, list) asymmetric-distance LUT over the query's
+    // residual. At 100 TB: lists shard by cent_id, the scan reads
+    // nprobe/nlist of the corpus at 8 bytes/vector, LUTs broadcast.
+    // Everything stays integer-exact → hash-exact oracle.
+    "q_sim_ann_ivfpq_trained" -> ((s, dir) => {
+      val vs = qvecs(s, dir)
+      val cents = ivfTrainedCents(s, dir)
+      val assign = vs.crossJoin(broadcast(cents))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
+          col("cent_id").as("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cent_id"))
+        .localCheckpoint()
+      // residual coordinates of every vector w.r.t. its own list
+      val rcoords = vs.join(assign, "vec_id")
+        .join(broadcast(cents), "cent_id")
+        .select(col("vec_id"), col("cent_id"),
+          posexplode(zip_with(col("qv"), col("cv"), (x, y) => x - y))
+            .as(Seq("d", "rval")))
+        .select(col("vec_id"), col("cent_id"),
+          col("d").cast(LongType).as("d"), col("rval"))
+        .localCheckpoint() // reused by training + encoding (cluster: persist)
+      // PQ codebooks trained on the residual distribution
+      val rcents = pqTrainedCentsFrom(s,
+        rcoords.select(col("vec_id"), col("d"), col("rval").as("qval")))
+      // 8 residual code bytes per vector
+      val codes = rcoords.join(broadcast(rcents), "d")
+        .groupBy(col("vec_id"), col("sub"), col("code"))
+        .agg(sum((col("rval") - col("cval")) * (col("rval") - col("cval")))
+          .as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("code").as("code"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+      // each query probes its 3 nearest lists
+      val byD2 = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("cent_id"))
+      val probes = vs.where(col("vec_id") % 50 === 0)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id").as("q_id"), col("cent_id"), col("qv"), col("cv"),
+          l2sq(col("qv"), col("cv")).as("d2"))
+        .withColumn("rk", row_number().over(byD2)).where(col("rk") <= 3)
+      // per-(query, probed list) LUT over the QUERY residual to that list
+      val lut = probes
+        .select(col("q_id"), col("cent_id"),
+          posexplode(zip_with(col("qv"), col("cv"), (x, y) => x - y))
+            .as(Seq("d", "rq")))
+        .select(col("q_id"), col("cent_id"),
+          col("d").cast(LongType).as("d"), col("rq"))
+        .join(broadcast(rcents), "d")
+        .groupBy(col("q_id"), col("cent_id"), col("sub"), col("code"))
+        .agg(sum((col("rq") - col("cval")) * (col("rq") - col("cval")))
+          .as("pdist"))
+      // score probed-list members through the matching list's LUT
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("approx_dist"), col("vec_id"))
+      assign.join(codes, "vec_id")
+        .join(broadcast(lut), Seq("cent_id", "sub", "code"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("pdist")).as("approx_dist"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .where(col("rnk") <= 10)
+    }),
 
     // IVF-style ANN: fixed centroid set (every 25th vector), each vector
     // assigned to its nearest centroid (the inverted lists); a query
@@ -624,36 +701,35 @@ object SimQueries extends QueryPack {
               CAST(COALESCE(f.n_found, 0) AS DOUBLE) / ne.n_exact AS recall
        FROM ne LEFT JOIN found f ON f.q_id = ne.q_id"""
 
-  /** PQ Lloyd CTEs (SQL mirror of `pqTrainedCents`): md5-grid seed →
-    * LloydIters × (nearest-code assignment per subspace, floored-mean
-    * update) → final `pcents` codebooks.
+  /** PQ Lloyd CTE generator (SQL mirror of `pqTrainedCentsFrom`):
+    * md5-grid seed → LloydIters × (nearest-code assignment per
+    * subspace, floored-mean update) over a `src(vec_id, d, qval)`
+    * relation; CTE names take `pfx` so plain-vector and residual
+    * trainings can coexist.
     */
-  private val pqLloydCtes: String = {
+  private def pqLloydIterCtes(src: String, pfx: String): String = {
     def iter(n: Int): String = {
-      val prev = if (n == 1) "pcents_0" else s"pcents_${n - 1}"
+      val prev = s"${pfx}cents_${n - 1}"
       s""",
-       pdists_$n AS (
+       ${pfx}dists_$n AS (
          SELECT co.vec_id, ce.sub, ce.code,
                 SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
-         FROM coords co JOIN $prev ce ON ce.d = co.d
+         FROM $src co JOIN $prev ce ON ce.d = co.d
          GROUP BY co.vec_id, ce.sub, ce.code),
-       pcodes_$n AS (
+       ${pfx}codes_$n AS (
          SELECT vec_id, sub, code FROM (
            SELECT vec_id, sub, code,
                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                     ORDER BY d2, code) AS rk
-           FROM pdists_$n) WHERE rk = 1),
-       pcents_$n AS (
+           FROM ${pfx}dists_$n) WHERE rk = 1),
+       ${pfx}cents_$n AS (
          SELECT c.sub, c.code, co.d,
                 CAST(FLOOR(CAST(SUM(co.qval) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cval
-         FROM pcodes_$n c
-         JOIN coords co ON co.vec_id = c.vec_id AND co.d // 8 = c.sub
+         FROM ${pfx}codes_$n c
+         JOIN $src co ON co.vec_id = c.vec_id AND co.d // 8 = c.sub
          GROUP BY c.sub, c.code, co.d)"""
     }
-    s"""coords AS (
-         SELECT e.vec_id, CAST(t.i AS BIGINT) AS d, e.v[t.i+1] AS qval
-         FROM qv e, range(64) t(i)),
-       pcents_0 AS (
+    s"""${pfx}cents_0 AS (
          SELECT CAST(sp.s AS BIGINT) AS sub, CAST(cc.c AS BIGINT) AS code,
                 CAST(sp.s*8 + dd.d AS BIGINT) AS d,
                 CAST(CONCAT('0x', SUBSTRING(md5(sp.s || ':' || cc.c || ':' || dd.d),
@@ -661,6 +737,13 @@ object SimQueries extends QueryPack {
          FROM range(8) sp(s), range(16) cc(c), range(8) dd(d))""" +
       (1 to LloydIters).map(iter).mkString
   }
+
+  /** Plain-vector PQ Lloyd CTEs (q_sim_ann_pq_trained). */
+  private val pqLloydCtes: String =
+    s"""coords AS (
+         SELECT e.vec_id, CAST(t.i AS BIGINT) AS d, e.v[t.i+1] AS qval
+         FROM qv e, range(64) t(i)),
+       """ + pqLloydIterCtes("coords", "p")
 
   /** PQ asymmetric-distance search tail over a `pcents` codebook
     * relation — the SQL mirror of `pqSearch`.
@@ -902,5 +985,48 @@ object SimQueries extends QueryPack {
          $ivfTrainedCandsCtes,
          $recallTailSql""",
     "q_sim_ann_pq_trained" ->
-      (s"WITH $quantCte,\n" + pqLloydCtes + pqSearchSql(s"pcents_$LloydIters")))
+      (s"WITH $quantCte,\n" + pqLloydCtes + pqSearchSql(s"pcents_$LloydIters")),
+    "q_sim_ann_ivfpq_trained" ->
+      (s"""WITH $quantCte,
+         $ivfTrainedCandsCtes,
+         rcoords AS (
+           SELECT co.vec_id, a.cent_id, co.d, co.qval - ce.cval AS rval
+           FROM coords co
+           JOIN assign a ON a.vec_id = co.vec_id
+           JOIN cents_$LloydIters ce ON ce.cent_id = a.cent_id AND ce.d = co.d),
+         rqc AS (SELECT vec_id, d, rval AS qval FROM rcoords),
+         """ + pqLloydIterCtes("rqc", "r") + s""",
+         rdists_f AS (
+           SELECT co.vec_id, ce.sub, ce.code,
+                  SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+           FROM rqc co JOIN rcents_$LloydIters ce ON ce.d = co.d
+           GROUP BY co.vec_id, ce.sub, ce.code),
+         rcodes_f AS (
+           SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                      ORDER BY d2, code) AS rk
+             FROM rdists_f) WHERE rk = 1),
+         qres AS (
+           SELECT p.q_id, p.cent_id, co.d, co.qval - ce.cval AS rq
+           FROM probes p
+           JOIN coords co ON co.vec_id = p.q_id
+           JOIN cents_$LloydIters ce ON ce.cent_id = p.cent_id AND ce.d = co.d),
+         rlut AS (
+           SELECT q.q_id, q.cent_id, ce.sub, ce.code,
+                  SUM((q.rq - ce.cval)*(q.rq - ce.cval)) AS pdist
+           FROM qres q JOIN rcents_$LloydIters ce ON ce.d = q.d
+           GROUP BY q.q_id, q.cent_id, ce.sub, ce.code),
+         ivfpq_ad AS (
+           SELECT l.q_id, a.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS approx_dist
+           FROM assign a
+           JOIN rcodes_f c ON c.vec_id = a.vec_id
+           JOIN rlut l ON l.cent_id = a.cent_id AND l.sub = c.sub AND l.code = c.code
+           WHERE a.vec_id <> l.q_id
+           GROUP BY l.q_id, a.vec_id)
+         SELECT q_id, vec_id, approx_dist, rnk FROM (
+           SELECT q_id, vec_id, approx_dist,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY approx_dist, vec_id) AS BIGINT) AS rnk
+           FROM ivfpq_ad) WHERE rnk <= 10"""))
 }
