@@ -52,6 +52,12 @@ object GraftExtensions {
           arity("quantized_dot", "quantized_dot(vec_a, vec_b)", args, 2, 2)
           QuantizedDot(args(0), args(1))
         }),
+      (new FunctionIdentifier("quantized_l2"),
+        new ExpressionInfo(classOf[QuantizedL2].getName, "quantized_l2"),
+        (args: Seq[Expression]) => {
+          arity("quantized_l2", "quantized_l2(qvec_a, qvec_b)", args, 2, 2)
+          QuantizedL2(args(0), args(1))
+        }),
       // simhash64(words_array[, bits]) — default 32-bit fingerprint
       (new FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

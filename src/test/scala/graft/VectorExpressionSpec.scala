@@ -82,6 +82,13 @@ class VectorExpressionSpec extends AnyFunSuite with SparkTestBase {
         "SELECT quantized_dot(embedding, embedding) AS n FROM emb LIMIT 1")
         .collect().head.getLong(0)
       assert(r > 0L)
+      // quantized_l2: self-distance on the quantized lattice is 0
+      val l2 = spark.sql(
+        """SELECT quantized_l2(
+             transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS LONG)),
+             transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS LONG))) AS d
+           FROM emb LIMIT 1""").collect().head.getLong(0)
+      assert(l2 === 0L)
     } finally spark.catalog.dropTempView("emb")
   }
 
