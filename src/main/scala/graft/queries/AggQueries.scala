@@ -133,6 +133,48 @@ object AggQueries extends QueryPack {
         .agg(dsum(col("c_acctbal")).as("total_acctbal"), cnt.as("n_cust"))
     }),
 
+    // A6-ext: CUBE — all four grouping-set combinations in one pass
+    // (Spark expands to a single Expand + hash-agg; no re-scan per set).
+    "q_agg_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("total_price"), cnt.as("n_orders"))
+    }),
+
+    // A6-ext: explicit GROUPING SETS (status-only, priority-only, grand
+    // total) — the general form ROLLUP/CUBE specialize.
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("total_price"), cnt.as("n_orders"))
+    }),
+
+    // A-ext: PIVOT with an explicit value list — listing the pivot values
+    // avoids the extra distinct-collect job Spark otherwise runs, which
+    // also makes the plan static (essential when the pivot feeds a view).
+    "q_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          col("O").as("total_open"), col("F").as("total_fulfilled"),
+          col("P").as("total_pending"))
+    }),
+
+    // A-ext: UNPIVOT (melt) wide metric columns into (metric, value) rows —
+    // map-only Expand, no shuffle; values pass through bit-exact.
+    "q_unpivot_metrics" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+    }),
+
     // A7: HAVING-style duplicate detector (multi-order days per customer).
     // Ref: Methods_crm_cust_info.sql:4-9
     "q_agg_having_dups" -> ((s, dir) => {
@@ -222,6 +264,32 @@ object AggQueries extends QueryPack {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                COUNT(*) AS n_orders
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                COUNT(*) AS n_orders
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_open,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_fulfilled,
+                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_pending
+         FROM orders GROUP BY o_orderpriority""",
+    "q_unpivot_metrics" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+         WHERE l_orderkey % 100 = 0""",
     "q_agg_having_dups" ->
       """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS n_orders
          FROM orders
