@@ -154,10 +154,22 @@ object AggQueries extends QueryPack {
     // A-ext: PIVOT with an explicit value list — listing the pivot values
     // avoids the extra distinct-collect job Spark otherwise runs, which
     // also makes the plan static (essential when the pivot feeds a view).
+    // An explicit list silently drops any value outside it from every
+    // total, so the domain is guarded: one cheap single-row aggregate
+    // (same bounded pattern as RowValidator's profile) fails the query
+    // loudly if o_orderstatus ever drifts outside {O,F,P}.
     "q_pivot_status" -> ((s, dir) => {
-      t(s, dir, "orders")
+      val orders = t(s, dir, "orders")
+      val domain = Seq("O", "F", "P")
+      val nBad = orders
+        .agg(count(when(!col("o_orderstatus").isin(domain: _*), 1)).as("n_bad"))
+        .head().getLong(0)
+      require(nBad == 0L,
+        s"q_pivot_status: $nBad rows with o_orderstatus outside pivot domain " +
+          s"${domain.mkString("{", ",", "}")} would be silently dropped")
+      orders
         .groupBy(col("o_orderpriority"))
-        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .pivot("o_orderstatus", domain)
         .agg(dsum(col("o_totalprice")))
         .select(col("o_orderpriority"),
           col("O").as("total_open"), col("F").as("total_fulfilled"),
@@ -166,12 +178,19 @@ object AggQueries extends QueryPack {
 
     // A-ext: UNPIVOT (melt) wide metric columns into (metric, value) rows —
     // map-only Expand, no shuffle; values pass through bit-exact.
+    // Contract: Spark's UNPIVOT excludes rows whose melted value is NULL,
+    // while the plain UNION ALL form keeps them — so the melted metrics
+    // are COALESCEd to 0.0 on BOTH engines. lineitem's metrics are
+    // non-null (output unchanged here), but reuse on a nullable column
+    // now yields identical results instead of silently diverging.
     "q_unpivot_metrics" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .where(col("l_orderkey") % 100 === 0)
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          Array(coalesce(col("l_quantity"), lit(0.0)).as("l_quantity"),
+            coalesce(col("l_extendedprice"), lit(0.0)).as("l_extendedprice"),
+            coalesce(col("l_discount"), lit(0.0)).as("l_discount")),
           "metric", "value")
     }),
 
@@ -284,11 +303,11 @@ object AggQueries extends QueryPack {
          FROM orders GROUP BY o_orderpriority""",
     "q_unpivot_metrics" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
-           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, COALESCE(l_quantity, 0.0) AS value FROM lineitem
            UNION ALL
-           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', COALESCE(l_extendedprice, 0.0) FROM lineitem
            UNION ALL
-           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+           SELECT l_orderkey, l_linenumber, 'l_discount', COALESCE(l_discount, 0.0) FROM lineitem)
          WHERE l_orderkey % 100 = 0""",
     "q_agg_having_dups" ->
       """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS n_orders

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.pipeline._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The reference's real ETL plane — silver transforms, gold star schema,
   * and all 9 analytic MVs — run on the reference's own fixture batch
@@ -97,7 +98,32 @@ object PipelineQueries extends QueryPack {
     "q_ref_mv_sales_rollup" -> ((s, _) =>
       GoldViews.salesRollupProduct(factSales(s), dimProducts(s))),
     "q_ref_mv_delayed_chain" -> ((s, _) =>
-      GoldViews.delayedOrdersChain(factSales(s))))
+      GoldViews.delayedOrdersChain(factSales(s))),
+    // The reference fixture contains no late shipment, so the row above
+    // proves only 0 = 0. This variant seeds the SAME composed MV
+    // (GoldViews.delayedOrdersChain) with a deterministic fixture-derived
+    // slice — every 13th customer holding 3–5 orders, shipping_date
+    // pushed to due_date + 5 — so the recursion demonstrably reaches
+    // level >= 2 (max level 5, 833 path rows) against the identical
+    // WITH RECURSIVE DuckDB oracle. The 3–5 order bound caps the
+    // UNION-ALL path multiset (paths per customer <= 2^5) so the chain
+    // stays linear in customers at any scale.
+    "q_ref_mv_delayed_chain_seeded" -> ((s, _) => {
+      val orderRows = factSales(s)
+        .where(col("customer_key") > 0 && col("order_date").isNotNull
+          && col("shipping_date").isNotNull && col("due_date").isNotNull)
+        .select("order_number", "customer_key", "order_date",
+          "shipping_date", "due_date")
+        .distinct()
+      val eligible = orderRows.groupBy("customer_key")
+        .agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders").between(3, 5)
+          && col("customer_key") % 13 === 0)
+        .select("customer_key")
+      val slice = orderRows.join(broadcast(eligible), Seq("customer_key"))
+        .withColumn("shipping_date", date_add(col("due_date"), 5))
+      GoldViews.delayedOrdersChain(slice)
+    }))
 
   // ---- DuckDB oracle: the same pipeline as SQL CTEs over the fixture
   // parquet (mirrors the reference procedures' SELECT bodies).
@@ -347,6 +373,33 @@ object PipelineQueries extends QueryPack {
            FROM fact_sales fs JOIN delayed_orders d
              ON fs.customer_key = d.customer_key
             AND fs.order_date > d.shipping_date)
+         SELECT order_number, customer_key, shipping_date, due_date, level
+         FROM delayed_orders""",
+    "q_ref_mv_delayed_chain_seeded" ->
+      s"""WITH RECURSIVE $cte,
+         order_rows AS (
+           SELECT DISTINCT order_number, customer_key, order_date,
+                  shipping_date, due_date
+           FROM fact_sales
+           WHERE customer_key > 0 AND order_date IS NOT NULL
+             AND shipping_date IS NOT NULL AND due_date IS NOT NULL),
+         eligible AS (
+           SELECT customer_key FROM order_rows GROUP BY customer_key
+           HAVING COUNT(*) BETWEEN 3 AND 5 AND customer_key % 13 = 0),
+         slice AS (
+           SELECT o.order_number, o.customer_key, o.order_date,
+                  o.due_date + 5 AS shipping_date, o.due_date
+           FROM order_rows o JOIN eligible e ON o.customer_key = e.customer_key),
+         delayed_orders AS (
+           SELECT s.order_number, s.customer_key, s.order_date,
+                  s.shipping_date, s.due_date, CAST(1 AS BIGINT) AS level
+           FROM slice s WHERE s.shipping_date > s.due_date
+           UNION ALL
+           SELECT s.order_number, s.customer_key, s.order_date,
+                  s.shipping_date, s.due_date, d.level + 1
+           FROM slice s JOIN delayed_orders d
+             ON s.customer_key = d.customer_key
+            AND s.order_date > d.shipping_date)
          SELECT order_number, customer_key, shipping_date, due_date, level
          FROM delayed_orders""")
 }
