@@ -4,30 +4,47 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan of one or more registered
   * queries (all of them if no names given) so scan pruning, broadcasts,
-  * window group limits and exchange placement can be audited.
+  * window group limits and exchange placement can be audited — or, with
+  * `--lint`, run graft.plans.PlanLint's structural rules over the
+  * queries and print only the violations (the same check PlanLintSpec
+  * gates the build on).
   *
-  * Usage: runMain graft.PlanAudit [sfDir] [queryName...]
+  * Usage: runMain graft.PlanAudit [--lint] [sfDir] [queryName...]
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val lintMode = args.headOption.contains("--lint")
+    val rest = if (lintMode) args.drop(1) else args
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
+    val base = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    base.sparkContext.setLogLevel("ERROR")
+    val spark = if (lintMode) graft.plans.PlanLint.lintSession(base) else base
+    var nViolations = 0
     names.foreach { name =>
-      println(s"\n========== $name ==========")
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-      } catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
+        if (lintMode) {
+          val vs = graft.plans.PlanLint.lint(name, df)
+          nViolations += vs.length
+          vs.foreach(v => println(s"LINT $v"))
+        } else {
+          println(s"\n========== $name ==========")
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+      } catch { case e: Throwable =>
+        println(s"ERROR $name: ${e.getMessage}")
+        if (lintMode) nViolations += 1
+      }
     }
-    spark.stop()
+    if (lintMode) println(s"== plan lint: ${names.length} queries, $nViolations violations ==")
+    base.stop()
   }
 }

@@ -105,18 +105,21 @@ object QaQueries extends QueryPack {
     // partition ROW_NUMBER (partitioned by nation) plus an exclusive
     // running offset computed over the tiny per-partition count table.
     // Equals ROW_NUMBER() OVER (ORDER BY c_nationkey, c_custkey) but the
-    // only unpartitioned window runs over ~#partitions rows.
+    // only unpartitioned window runs over ~#partitions rows. The bucket
+    // rides a synthetic `__`-prefixed alias — the PlanLint convention
+    // marking a provably bounded grouping key (one row per bucket enters
+    // the single-partition offsets window).
     // Ref: Integration_dim_customers.sql:2-5; SURVEY §7.3
     "q_surrogate_key_scalable" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val wPart = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
-      val counts = cust.groupBy(col("c_nationkey")).agg(cnt.as("n"))
-      val wOff = Window.orderBy(col("c_nationkey"))
+      val cust = t(s, dir, "customer").withColumn("__bucket", col("c_nationkey"))
+      val wPart = Window.partitionBy(col("__bucket")).orderBy(col("c_custkey"))
+      val counts = cust.groupBy(col("__bucket")).agg(cnt.as("n"))
+      val wOff = Window.orderBy(col("__bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = counts
         .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-        .select(col("c_nationkey"), col("off"))
-      cust.join(broadcast(offsets), "c_nationkey")
+        .select(col("__bucket"), col("off"))
+      cust.join(broadcast(offsets), "__bucket")
         .select(
           (col("off") + row_number().over(wPart)).cast(LongType)
             .as("customer_key"),

@@ -135,6 +135,19 @@ object SimQueries extends QueryPack {
     */
   private val LloydIters = 2
 
+  /** IVF centroid sampling: every 25th vector, HARD-CAPPED at 1024
+    * centroids by a vec_id bound so nlist is a constant, not n/25 —
+    * the broadcast of the centroid table and the n x nlist assignment
+    * crossJoin stay bounded at any corpus size. A no-op at the test SFs
+    * (max vec_id 5000 < 25607); the SQL oracles carry the same bound.
+    */
+  private val MaxNlist = 1024L
+  private val CentIdCap = 7L + 25L * MaxNlist
+  private def centSample(vecId: Column): Column =
+    vecId % 25 === 7 && vecId < CentIdCap
+  private def centSampleSql(col: String): String =
+    s"$col % 25 = 7 AND $col < $CentIdCap"
+
   /** Vectors on the quantized integer lattice as array<long> — the
     * exactness contract (header note) applied once, so every k-means
     * distance/mean below is integer/IEEE-identical in both engines.
@@ -166,7 +179,7 @@ object SimQueries extends QueryPack {
     */
   private def ivfTrainedCents(s: SparkSession, dir: String): DataFrame = {
     val vs = qvecs(s, dir)
-    var cents = vs.where(col("vec_id") % 25 === 7)
+    var cents = vs.where(centSample(col("vec_id")))
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
     for (_ <- 1 to LloydIters) {
       val assign = vs.crossJoin(broadcast(cents))
@@ -223,7 +236,7 @@ object SimQueries extends QueryPack {
     val vecs = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
-    val cents = vecs.where(col("vec_id") % 25 === 7)
+    val cents = vecs.where(centSample(col("vec_id")))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
         col("nrm").as("cn"))
     def simToCent = cosine(
@@ -560,10 +573,10 @@ object SimQueries extends QueryPack {
     * its recall row. Ends with a `cands(q_id, vec_id)` relation.
     */
   private val ivfCosineCandsCtes =
-    """cents AS (
+    s"""cents AS (
          SELECT q.vec_id AS cent_id, q.v AS cv, n.nrm AS cn
          FROM qv q JOIN norms n ON n.vec_id = q.vec_id
-         WHERE q.vec_id % 25 = 7),
+         WHERE ${centSampleSql("q.vec_id")}),
        vcdot AS (
          SELECT e.vec_id, c.cent_id, SUM(e.v[i+1]*c.cv[i+1]) AS dot
          FROM qv e, cents c, range(64) t(i)
@@ -622,7 +635,7 @@ object SimQueries extends QueryPack {
          FROM qv e, range(64) t(i)),
        cents_0 AS (
          SELECT vec_id AS cent_id, d, qval AS cval
-         FROM coords WHERE vec_id % 25 = 7)""" +
+         FROM coords WHERE ${centSampleSql("vec_id")})""" +
       (1 to LloydIters).map(iter).mkString + s""",
        d2_f AS (
          SELECT co.vec_id, ce.cent_id,

@@ -17,7 +17,9 @@ class JaccardPrefixSpec extends AnyFunSuite with SparkTestBase {
 
   test("prefix-filtered pairs equal naive pairs at t=0.8") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val naive = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+      // the UNCAPPED naive witness — the registered query runs on a
+      // bounded slice; the lossless-filter proof needs the full corpus
+      val naive = TextQueries.naiveJaccardPairs(spark, dir, None)
         .select("doc_a", "doc_b", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val prefixed = JaccardPrefixJoin.similarPairs(
