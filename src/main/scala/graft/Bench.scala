@@ -11,6 +11,28 @@ import org.apache.spark.sql.SparkSession
   * timed query doesn't absorb session/codegen/JIT startup.
   */
 object Bench {
+
+  /** Cross-sf scaling guard: a query whose time grew more than
+    * `slack x dataRatio` when the data grew `dataRatio`x is flagged as
+    * super-linear — the only empirical 100x signal available with no
+    * sf > 0.1 on disk. Pure so BenchScalingSpec can prove a seeded
+    * quadratic (t ~ n^2: ratio 100 at dataRatio 10) trips the flag while
+    * linear and constant-overhead queries don't. slack absorbs the
+    * documented ~2x cross-run box variance; at toy scale fixed overheads
+    * dominate, so real ratios sit well BELOW dataRatio and the flag only
+    * fires on genuinely super-linear growth.
+    */
+  def superLinear(tSmall: Map[String, Double], tBig: Map[String, Double],
+                  dataRatio: Double, slack: Double = 1.5): Map[String, Double] = {
+    val floor = 0.05 // below timing resolution: ratios are pure noise
+    tBig.flatMap { case (n, big) =>
+      tSmall.get(n).collect {
+        case small if small >= floor && big / small > dataRatio * slack =>
+          n -> big / small
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,9 +45,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def runAt(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+    def run(name: String): Unit = runAt(name, sfDir)
 
     // Warmup: one join-heavy query, untimed.
     try run("q_surrogate_lookup") catch { case _: Throwable => () }
@@ -57,14 +80,41 @@ object Bench {
       entries.map { case (n, v) => s""""$n":${num(v)}""" }.mkString("{", ",", "}")
     val qs = dict(headline.flatMap(n => byName.get(n).map(n -> _)))
     val total = results.map(_._2).sum
+
+    // Cross-sf scaling pass: re-time the headline queries on the 10x
+    // smaller sibling dataset and record per-query time ratios + the
+    // super-linear flags. q_ref_* are excluded: they pin the reference
+    // fixture regardless of dir AND memoize silver/gold per session, so
+    // their small-pass time is cache-hit noise, not a scaling signal.
+    val smallDir = sys.env.get("SPARK_GRAFT_SCALING_DIR")
+      .orElse(if (sfDir.endsWith("sf0.1")) Some(sfDir.stripSuffix("sf0.1") + "sf0.01")
+              else None)
+      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    val scalingJson = smallDir.map { dir =>
+      val scalingNames = headline.filterNot(_.startsWith("q_ref_"))
+      try runAt("q_surrogate_lookup", dir) catch { case _: Throwable => () }
+      val tSmall = scalingNames.map { name =>
+        val t0 = System.nanoTime()
+        try runAt(name, dir) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      val tBig = scalingNames.flatMap(n => byName.get(n).map(n -> _)).toMap
+      val ratios = scalingNames.flatMap(n =>
+        for (s <- tSmall.get(n); b <- tBig.get(n)) yield n -> b / math.max(s, 1e-3))
+      val flagged = superLinear(tSmall, tBig, dataRatio = 10.0)
+      s""","scaling":{"small_sf":"$dir","data_ratio":10,"flagged":${
+        flagged.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      },"ratios":${dict(ratios)}}"""
+    }.getOrElse("")
+
     val totalJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$scalingJson,"sf":"$sfDir"}"""
     println(totalJson)
     // Full per-query dict to a file so round-over-round diffs cover every
     // query, not just the stdout-tail-safe headline subset.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)},"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)}$scalingJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     spark.stop()
   }
 }
