@@ -14,19 +14,36 @@ import org.apache.spark.sql.types._
   * integer inputs), so double SUMs are order-independent and exact —
   * no decimal-cast discipline needed here.
   * Ref: sql/gold/materialized_view.sql:2-149
+  *
+  * Cross-batch contract: surrogate keys are PER-BATCH (the reference's
+  * delete-then-insert renumbers each batch's dim slice with its own
+  * ROW_NUMBER, tools.load_dim_customers_v1.sql:45-85), so every fact-dim
+  * join here is batch-qualified when both frames carry `dwh_batch_id`.
+  * The reference's MV SQL omits the batch condition
+  * (materialized_view.sql:10,23 — a latent cross-batch key fan-out its
+  * single-batch fixture never exercises); output is identical for a
+  * single batch and well-defined for many.
   */
 object GoldViews {
 
+  /** Join keys for a fact-dim join: batch-qualified iff both sides carry
+    * the batch column (per-batch surrogate keys — see object Scaladoc).
+    */
+  private def keys(a: DataFrame, b: DataFrame, key: String): Seq[String] =
+    if (a.columns.contains("dwh_batch_id") && b.columns.contains("dwh_batch_id"))
+      Seq(key, "dwh_batch_id")
+    else Seq(key)
+
   /** MV1: monthly sales per product. Ref: materialized_view.sql:2-12 */
   def salesMonthlyProductline(fact: DataFrame, dimProd: DataFrame): DataFrame =
-    fact.join(broadcast(dimProd), Seq("product_key"))
+    fact.join(broadcast(dimProd), keys(fact, dimProd, "product_key"))
       .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("month"),
         col("product_name"), col("category"), col("sub_category"))
       .agg(sum(col("sales")).as("total_sales"))
 
   /** MV2: sales per customer per country. Ref: materialized_view.sql:16-25 */
   def salesCustomerCountry(fact: DataFrame, dimCust: DataFrame): DataFrame =
-    fact.join(broadcast(dimCust), Seq("customer_key"))
+    fact.join(broadcast(dimCust), keys(fact, dimCust, "customer_key"))
       .groupBy(col("country"), col("customer_id"),
         concat(col("customer_firstname"), lit(" "), col("customer_lastname"))
           .as("customer_name"))
@@ -34,7 +51,7 @@ object GoldViews {
 
   /** MV3: customer lifetime value. Ref: materialized_view.sql:29-38 */
   def customerLifetimeValue(fact: DataFrame, dimCust: DataFrame): DataFrame =
-    fact.join(broadcast(dimCust), Seq("customer_key"))
+    fact.join(broadcast(dimCust), keys(fact, dimCust, "customer_key"))
       .groupBy(col("customer_id"),
         concat(col("customer_firstname"), lit(" "), col("customer_lastname"))
           .as("customer_name"))
@@ -54,7 +71,7 @@ object GoldViews {
       .orderBy(col("order_date").asc_nulls_last, col("order_number"),
         col("product_key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fact.join(broadcast(dimCust), Seq("customer_key"))
+    fact.join(broadcast(dimCust), keys(fact, dimCust, "customer_key"))
       .select(col("customer_id"), col("order_date"),
         sum(col("sales")).over(w).as("running_sales"))
   }
@@ -63,8 +80,8 @@ object GoldViews {
   def top3ProductsMonthCountry(fact: DataFrame, dimCust: DataFrame,
                                dimProd: DataFrame): DataFrame = {
     val perProduct = fact
-      .join(broadcast(dimCust), Seq("customer_key"))
-      .join(broadcast(dimProd), Seq("product_key"))
+      .join(broadcast(dimCust), keys(fact, dimCust, "customer_key"))
+      .join(broadcast(dimProd), keys(fact, dimProd, "product_key"))
       .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("month"),
         col("country"), col("product_name"))
       .agg(sum(col("sales")).as("total_sales"))
@@ -79,7 +96,7 @@ object GoldViews {
     * Ref: materialized_view.sql:80-91
     */
   def customerChurn(fact: DataFrame, dimCust: DataFrame, refDate: String): DataFrame =
-    fact.join(broadcast(dimCust), Seq("customer_key"))
+    fact.join(broadcast(dimCust), keys(fact, dimCust, "customer_key"))
       .groupBy(col("customer_id"))
       .agg(min(col("order_date")).as("first_purchase"),
         max(col("order_date")).as("last_purchase"))
@@ -90,7 +107,7 @@ object GoldViews {
   def customerOrderGap(fact: DataFrame, dimCust: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("customer_id"))
       .orderBy(col("order_date").asc_nulls_last)
-    fact.join(broadcast(dimCust), Seq("customer_key"))
+    fact.join(broadcast(dimCust), keys(fact, dimCust, "customer_key"))
       .withColumn("prev_date", lag(col("order_date"), 1).over(w))
       .withColumn("order_gap",
         datediff(col("order_date"), col("prev_date")).cast(LongType))
@@ -102,7 +119,7 @@ object GoldViews {
 
   /** MV8: ROLLUP over the product hierarchy. Ref: materialized_view.sql:113-122 */
   def salesRollupProduct(fact: DataFrame, dimProd: DataFrame): DataFrame =
-    fact.join(broadcast(dimProd), Seq("product_key"))
+    fact.join(broadcast(dimProd), keys(fact, dimProd, "product_key"))
       .rollup(col("product_line"), col("category"), col("sub_category"))
       .agg(sum(col("sales")).as("total_sales"))
 
@@ -112,19 +129,24 @@ object GoldViews {
     * Ref: materialized_view.sql:126-149
     */
   def delayedOrdersChain(fact: DataFrame, maxLevels: Int = 30): DataFrame = {
-    val base = fact.select(col("order_number"), col("customer_key"),
-      col("order_date"), col("shipping_date"), col("due_date"))
+    // batch-scoped when the input carries batches: customer_key is a
+    // per-batch surrogate, so a cross-batch chain step would link
+    // unrelated customers (see object Scaladoc)
+    val batched = fact.columns.contains("dwh_batch_id")
+    val baseNames = Seq("order_number", "customer_key", "order_date",
+      "shipping_date", "due_date") ++ (if (batched) Seq("dwh_batch_id") else Nil)
+    val base = fact.select(baseNames.map(col): _*)
     val seed = base
       .where(col("shipping_date") > col("due_date"))
       .withColumn("level", lit(1L))
+    val stepCond = col("fs.customer_key") === col("d.customer_key") &&
+      (if (batched) col("fs.dwh_batch_id") === col("d.dwh_batch_id") else lit(true)) &&
+      col("fs.order_date") > col("d.shipping_date")
     Recursion.iterate(seed,
       prev => base.alias("fs")
-        .join(prev.alias("d"),
-          col("fs.customer_key") === col("d.customer_key")
-            && col("fs.order_date") > col("d.shipping_date"))
-        .select(col("fs.order_number"), col("fs.customer_key"),
-          col("fs.order_date"), col("fs.shipping_date"), col("fs.due_date"),
-          (col("d.level") + 1).as("level")),
+        .join(prev.alias("d"), stepCond)
+        .select(baseNames.map(n => col("fs." + n)) :+
+          (col("d.level") + 1).as("level"): _*),
       maxLevels)
       .select(col("order_number"), col("customer_key"),
         col("shipping_date"), col("due_date"), col("level"))

@@ -154,8 +154,15 @@ object Orchestrator {
       * filter prunes to the one batch directory).
       */
     def readBatch(table: String): DataFrame =
+      readTable(table).where(col("dwh_batch_id") === batchId)
+
+    /** Full (all-batches) read of a layer table — the MV refresh plane's
+      * input: REFRESH MATERIALIZED VIEW recomputes over the WHOLE gold
+      * table, not the triggering batch's slice (MV Refresh
+      * Template.sql:30). Incremental layers use `readBatch`.
+      */
+    def readTable(table: String): DataFrame =
       spark.read.option("mergeSchema", "true").parquet(s"$warehouse/$table")
-        .where(col("dwh_batch_id") === batchId)
 
     /** S11: observed schema of an existing warehouse table. */
     def tableColumns(table: String): Seq[String] =
@@ -352,18 +359,31 @@ object Orchestrator {
     * (the reference's `tools.*` tables, sql/tools/ddl_tools.sql:70-110).
     */
   def runFixtureBatch(spark: SparkSession, warehouse: String,
-                      resume: Boolean = false): Run = {
+                      resume: Boolean = false): Run =
+    runConfiguredBatch(spark, warehouse, ReferenceFixtures.BatchId, resume) { run =>
+      // bronze (readers already apply the mapping; land them as-is)
+      run.writeBatch(ReferenceFixtures.crmCustInfo(spark).drop("dwh_batch_id"), "bronze/crm_cust_info")
+      run.writeBatch(ReferenceFixtures.crmPrdInfo(spark).drop("dwh_batch_id"), "bronze/crm_prd_info")
+      run.writeBatch(ReferenceFixtures.crmSalesDetails(spark).drop("dwh_batch_id"), "bronze/crm_sales_details")
+      run.writeBatch(ReferenceFixtures.erpCustAz12(spark).drop("dwh_batch_id"), "bronze/erp_cust_az12")
+      run.writeBatch(ReferenceFixtures.erpLocA101(spark).drop("dwh_batch_id"), "bronze/erp_loc_a101")
+      run.writeBatch(ReferenceFixtures.erpPxCatG1v2(spark).drop("dwh_batch_id"), "bronze/erp_px_cat_g1v2")
+    }
+
+  /** The batch lifecycle for ANY batch id: caller lands bronze via
+    * `writeBronze` (the per-batch source plane), then the config-driven
+    * silver → gold → MV stages run exactly as for the fixture batch —
+    * the reference's successive-batch model (each batch delete-then-
+    * inserts its own partitions; MVs full-refresh over all of them).
+    */
+  def runConfiguredBatch(spark: SparkSession, warehouse: String,
+                         batchId: String, resume: Boolean = false)
+                        (writeBronze: Run => Unit): Run = {
     ToolsConfig.writeDefaultsIfMissing(warehouse)
-    val run = new Run(spark, warehouse, ReferenceFixtures.BatchId, resume)
+    val run = new Run(spark, warehouse, batchId, resume)
     val refDate = ReferenceFixtures.RefDate
 
-    // bronze (readers already apply the mapping; land them as-is)
-    run.writeBatch(ReferenceFixtures.crmCustInfo(spark).drop("dwh_batch_id"), "bronze/crm_cust_info")
-    run.writeBatch(ReferenceFixtures.crmPrdInfo(spark).drop("dwh_batch_id"), "bronze/crm_prd_info")
-    run.writeBatch(ReferenceFixtures.crmSalesDetails(spark).drop("dwh_batch_id"), "bronze/crm_sales_details")
-    run.writeBatch(ReferenceFixtures.erpCustAz12(spark).drop("dwh_batch_id"), "bronze/erp_cust_az12")
-    run.writeBatch(ReferenceFixtures.erpLocA101(spark).drop("dwh_batch_id"), "bronze/erp_loc_a101")
-    run.writeBatch(ReferenceFixtures.erpPxCatG1v2(spark).drop("dwh_batch_id"), "bronze/erp_px_cat_g1v2")
+    writeBronze(run)
     run.flushAudit() // bronze stage boundary
 
     // silver: transformation_config rows (the reference runs them

@@ -135,11 +135,16 @@ object ToolsConfig {
       run.readBatch("gold/dim_products"),
       run.readBatch("gold/dim_customers"))))
 
-  /** MV builders (mv_refresh_config.builder). */
+  /** MV builders (mv_refresh_config.builder). Full-table reads: a
+    * refresh recomputes the view over EVERY landed batch (REFRESH
+    * MATERIALIZED VIEW semantics), not the triggering batch's slice —
+    * GoldViews batch-qualifies the fact-dim joins because surrogate
+    * keys are per-batch (see GoldViews Scaladoc).
+    */
   val mvBuilders: Map[String, Builder] = {
-    def fact(run: Run) = run.readBatch("gold/fact_sales")
-    def dimC(run: Run) = run.readBatch("gold/dim_customers")
-    def dimP(run: Run) = run.readBatch("gold/dim_products")
+    def fact(run: Run) = run.readTable("gold/fact_sales")
+    def dimC(run: Run) = run.readTable("gold/dim_customers")
+    def dimP(run: Run) = run.readTable("gold/dim_products")
     Map(
       "sales_monthly_productline" -> ((run, _) =>
         () => GoldViews.salesMonthlyProductline(fact(run), dimP(run))),

@@ -129,6 +129,88 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(audit.where(col("status") === "SUCCESS").count() > 10)
   }
 
+  test("two successive batches: partitions, cumulative MV refresh, pruned reads") {
+    import graft.pipeline.ReferenceFixtures
+    val wh = Files.createTempDirectory("graft_twobatch").toString
+    Orchestrator.runFixtureBatch(spark, wh)
+    val fact14 = spark.read.parquet(s"$wh/gold/fact_sales").count()
+    assert(fact14 === 60407)
+    val ltv14 = spark.read.parquet(s"$wh/gold/mv_customer_lifetime_value")
+      .select(col("customer_id"), col("lifetime_value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // BATCH000015: the reference's successive-batch model — a new batch
+    // lands a SLICE of the source plane (every 100th customer + their
+    // sales; products/erp passed whole, they only enrich) and runs the
+    // same config-driven silver -> gold -> MV lifecycle
+    val B15 = "BATCH000015"
+    def writeBronze15(run: Orchestrator.Run): Unit = {
+      run.writeBatch(ReferenceFixtures.crmCustInfo(spark)
+        .where(col("cst_id") % 100 === 0).drop("dwh_batch_id"),
+        "bronze/crm_cust_info")
+      run.writeBatch(ReferenceFixtures.crmPrdInfo(spark).drop("dwh_batch_id"),
+        "bronze/crm_prd_info")
+      run.writeBatch(ReferenceFixtures.crmSalesDetails(spark)
+        .where(col("sls_cust_id") % 100 === 0).drop("dwh_batch_id"),
+        "bronze/crm_sales_details")
+      run.writeBatch(ReferenceFixtures.erpCustAz12(spark).drop("dwh_batch_id"),
+        "bronze/erp_cust_az12")
+      run.writeBatch(ReferenceFixtures.erpLocA101(spark).drop("dwh_batch_id"),
+        "bronze/erp_loc_a101")
+      run.writeBatch(ReferenceFixtures.erpPxCatG1v2(spark).drop("dwh_batch_id"),
+        "bronze/erp_px_cat_g1v2")
+    }
+    val run15 = Orchestrator.runConfiguredBatch(spark, wh, B15)(writeBronze15)
+
+    // partition layout: each layer table now holds one directory per batch
+    for (table <- Seq("silver/crm_cust_info", "gold/dim_customers",
+        "gold/fact_sales")) {
+      val parts = new java.io.File(s"$wh/$table").listFiles()
+        .filter(_.getName.startsWith("dwh_batch_id=")).map(_.getName).toSet
+      assert(parts === Set(s"dwh_batch_id=${ReferenceFixtures.BatchId}",
+        s"dwh_batch_id=$B15"), table)
+    }
+
+    // delete-then-insert: batch 15 added exactly its own fact partition
+    val n15 = spark.read.parquet(s"$wh/gold/fact_sales")
+      .where(col("dwh_batch_id") === B15).count()
+    assert(n15 > 0)
+    assert(spark.read.parquet(s"$wh/gold/fact_sales").count() === fact14 + n15)
+
+    // MV full refresh reflects BOTH batches: batch 15 duplicates the
+    // sliced customers' batch-14 sales, so each sliced customer's
+    // lifetime value exactly doubles and every other customer's is
+    // untouched (sales are integer-valued -> doubles are exact)
+    assert(run15.auditLog.count(l =>
+      l.step == "mv_refresh" && l.status == "SUCCESS") === 9)
+    val ltv15 = spark.read.parquet(s"$wh/gold/mv_customer_lifetime_value")
+      .select(col("customer_id"), col("lifetime_value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ltv15.keySet === ltv14.keySet)
+    val (sliced, rest) = ltv14.partition(_._1 % 100 == 0)
+    assert(sliced.nonEmpty)
+    sliced.foreach { case (id, v) => assert(ltv15(id) === 2 * v, s"customer $id") }
+    rest.foreach { case (id, v) => assert(ltv15(id) === v, s"customer $id") }
+
+    // S9 at the plan level: the batch-pruned read carries a partition
+    // filter (pruning, not a full-table scan plus post-filter) and
+    // returns only the new batch's rows
+    val pruned = run15.readBatch("gold/fact_sales")
+    assert(pruned.count() === n15)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") &&
+      s"""dwh_batch_id#\\d+ = $B15""".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+
+    // idempotent re-run of the SECOND batch: same partitions, same
+    // totals, batch 14 untouched
+    Orchestrator.runConfiguredBatch(spark, wh, B15)(writeBronze15)
+    assert(spark.read.parquet(s"$wh/gold/fact_sales").count() === fact14 + n15)
+    assert(spark.read.parquet(s"$wh/gold/fact_sales")
+      .where(col("dwh_batch_id") === ReferenceFixtures.BatchId).count() === fact14)
+  }
+
   test("restart mode: completed writes skip, missing work runs") {
     val wh = Files.createTempDirectory("graft_restart").toString
     // simulate a run that died after landing two bronze tables
