@@ -93,17 +93,24 @@ object Bench {
     val scalingJson = smallDir.map { dir =>
       val scalingNames = headline.filterNot(_.startsWith("q_ref_"))
       try runAt("q_surrogate_lookup", dir) catch { case _: Throwable => () }
-      val tSmall = scalingNames.map { name =>
+      // a failed small-sf run is EXCLUDED (and named in "errors"), never
+      // timed: recording time-to-exception would fabricate a ratio and
+      // could flag a query that didn't run as super-linear
+      val attempts = scalingNames.map { name =>
         val t0 = System.nanoTime()
-        try runAt(name, dir) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+        val ok = try { runAt(name, dir); true } catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val tSmall = attempts.collect { case (n, t, true) => n -> t }.toMap
+      val errors = attempts.collect { case (n, _, false) => n }
       val tBig = scalingNames.flatMap(n => byName.get(n).map(n -> _)).toMap
       val ratios = scalingNames.flatMap(n =>
         for (s <- tSmall.get(n); b <- tBig.get(n)) yield n -> b / math.max(s, 1e-3))
       val flagged = superLinear(tSmall, tBig, dataRatio = 10.0)
+      def names(ns: Seq[String]) =
+        ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","scaling":{"small_sf":"$dir","data_ratio":10,"flagged":${
-        flagged.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        names(flagged.keys.toSeq)},"errors":${names(errors)
       },"ratios":${dict(ratios)}}"""
     }.getOrElse("")
 

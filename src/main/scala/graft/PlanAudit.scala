@@ -46,5 +46,8 @@ object PlanAudit {
     }
     if (lintMode) println(s"== plan lint: ${names.length} queries, $nViolations violations ==")
     base.stop()
+    // scripted gate contract: violations (or construction errors) must
+    // surface as a nonzero exit, not just log lines
+    if (lintMode && nViolations > 0) sys.exit(1)
   }
 }

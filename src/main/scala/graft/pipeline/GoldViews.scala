@@ -28,11 +28,20 @@ object GoldViews {
 
   /** Join keys for a fact-dim join: batch-qualified iff both sides carry
     * the batch column (per-batch surrogate keys — see object Scaladoc).
+    * A MIXED pair is a contract error, not a fallback: silently joining
+    * a multi-batch fact against a batch-less dim on the bare surrogate
+    * key is exactly the cross-batch fan-out this helper exists to
+    * prevent.
     */
-  private def keys(a: DataFrame, b: DataFrame, key: String): Seq[String] =
-    if (a.columns.contains("dwh_batch_id") && b.columns.contains("dwh_batch_id"))
-      Seq(key, "dwh_batch_id")
-    else Seq(key)
+  private def keys(a: DataFrame, b: DataFrame, key: String): Seq[String] = {
+    val (ab, bb) = (a.columns.contains("dwh_batch_id"),
+      b.columns.contains("dwh_batch_id"))
+    require(ab == bb,
+      s"fact-dim join on $key: one side carries dwh_batch_id and the " +
+        "other does not — per-batch surrogate keys make a key-only join " +
+        "across batches meaningless; carry the batch column on both or drop it on both")
+    if (ab) Seq(key, "dwh_batch_id") else Seq(key)
+  }
 
   /** MV1: monthly sales per product. Ref: materialized_view.sql:2-12 */
   def salesMonthlyProductline(fact: DataFrame, dimProd: DataFrame): DataFrame =

@@ -154,20 +154,25 @@ object AggQueries extends QueryPack {
     // A-ext: PIVOT with an explicit value list — listing the pivot values
     // avoids the extra distinct-collect job Spark otherwise runs, which
     // also makes the plan static (essential when the pivot feeds a view).
-    // An explicit list silently drops any value outside it from every
-    // total, so the domain is guarded: one cheap single-row aggregate
-    // (same bounded pattern as RowValidator's profile) fails the query
-    // loudly if o_orderstatus ever drifts outside {O,F,P}.
+    // An explicit list silently drops any value outside it (NULL
+    // included) from every total, so the domain is guarded INSIDE the
+    // plan: a 1-row broadcast aggregate counts out-of-domain/NULL rows
+    // and assert_true fails the query at execution if any exist. In-plan
+    // (not a construction-time collect) so the builder registry stays
+    // lazy for plan-only consumers, and NULL-safe via the coalesce —
+    // `!isin` alone evaluates to NULL for a NULL status and would slip
+    // the guard.
     "q_pivot_status" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val domain = Seq("O", "F", "P")
-      val nBad = orders
-        .agg(count(when(!col("o_orderstatus").isin(domain: _*), 1)).as("n_bad"))
-        .head().getLong(0)
-      require(nBad == 0L,
-        s"q_pivot_status: $nBad rows with o_orderstatus outside pivot domain " +
-          s"${domain.mkString("{", ",", "}")} would be silently dropped")
-      orders
+      val bad = orders.agg(count(when(
+        !coalesce(col("o_orderstatus").isin(domain: _*), lit(false)), 1))
+        .as("n_bad"))
+      orders.crossJoin(broadcast(bad))
+        .where(coalesce(assert_true(col("n_bad") === 0,
+          lit(s"q_pivot_status: o_orderstatus outside pivot domain " +
+            s"${domain.mkString("{", ",", "}")} would be silently dropped")),
+          lit(true)))
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", domain)
         .agg(dsum(col("o_totalprice")))

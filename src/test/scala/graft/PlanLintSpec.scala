@@ -49,6 +49,33 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
       row_number().over(Window.orderBy(col("l_orderkey"))))
     val vs = PlanLint.lint("seeded_window", bad)
     assert(vs.exists(_.rule == "single-partition"), vs.mkString("\n"))
+    // a CACHED table is as unbounded as what was cached — the same bad
+    // window over a persisted scan must flag too (InMemoryTableScan is
+    // a data-plane leaf)
+    val cached = lintSpark.read.parquet(s"$dir/lineitem.parquet").persist()
+    try {
+      val badCached = cached.withColumn("rn",
+        row_number().over(Window.orderBy(col("l_orderkey"))))
+      assert(PlanLint.lint("seeded_cached_window", badCached)
+        .exists(_.rule == "single-partition"))
+    } finally cached.unpersist()
+  }
+
+  test("allowance cap: a second violation in an allowlisted query still fails") {
+    // q_window_surrogate_key's allowance covers exactly ONE audited
+    // single-partition node; the first seeded window is excused, a
+    // second unrelated one must surface
+    val one = lineitem.withColumn("rn",
+      row_number().over(Window.orderBy(col("l_orderkey"))))
+    assert(PlanLint.lint("q_window_surrogate_key", one).isEmpty)
+    // two INDEPENDENT unpartitioned windows (a chained second window
+    // reuses the first's single-partition distribution — no new node)
+    val a = one.select(col("l_orderkey"), col("rn"))
+    val b = lineitem.withColumn("rn",
+      row_number().over(Window.orderBy(col("l_partkey"))))
+      .select(col("l_orderkey"), col("rn"))
+    assert(PlanLint.lint("q_window_surrogate_key", a.union(b))
+      .exists(_.rule == "single-partition"))
   }
 
   test("lint flags a pushable filter that never reached the scan") {
