@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables.t
 import graft.Exact._
+import graft.operators.{AsofJoin, RangeBinJoin}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,6 +90,48 @@ object CoreQueries extends QueryPack {
             .select(col("o_orderkey"), lit("urgent").as("src")))
     }),
 
+    // Extension: backward AS-OF join — for each click, the latest
+    // purchase of the same user at or before the click. Spark lacks the
+    // operator; operators/AsofJoin implements the one-shuffle union+window
+    // plan. Quotes are pre-deduped to one row per (user_id, ts) keeping
+    // the max event_id so equal-timestamp picks are deterministic on both
+    // engines (oracle: DuckDB ASOF LEFT JOIN over the same dedup).
+    "q_join_asof" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val probes = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("matched_ts"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("matched_ts"))
+        .agg(max(col("event_id")).as("matched_event_id"),
+          max_by(col("value"), col("event_id")).as("matched_value"))
+      AsofJoin.backward(probes, quotes,
+        key = "user_id", probeTime = "ts", quoteTime = "matched_ts",
+        tieBreak = "matched_event_id")
+    }),
+
+    // Extension: banded range join — per event, how many same-type events
+    // (and their value total) land in the following hour. A bare non-equi
+    // join would be quadratic per event_type (5 hot keys);
+    // operators/RangeBinJoin makes it equi on (type, hour-bin) with the
+    // range check residual. Exact decimal sum (Exact.dsum contract).
+    "q_join_range_binned" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val pairs = RangeBinJoin.leftRangeJoin(
+        ev.select(col("event_id"), col("event_type"), col("ts")),
+        ev.select(col("event_type").as("r_type"), col("ts").as("r_ts"),
+          col("event_id").as("r_event_id"), col("value").as("r_value")),
+        leftKey = "event_type", rightKey = "r_type",
+        leftTime = "ts", rightTime = "r_ts",
+        horizonMicros = 3600L * 1000000L)
+      pairs.groupBy(col("event_id"), col("event_type"))
+        .agg(count(col("r_event_id")).cast(LongType).as("n_next_hour"),
+          coalesce(sum(col("r_value").cast(DecimalType(18, 2))),
+            lit(0).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("value_next_hour"))
+    }),
+
     // F7/F2/F4/F8: CASE-WHEN enum decode, UPPER/LOWER, SUBSTRING, COALESCE/NULLIF.
     // Ref: tools.load_crm_cust_info_v1.sql:82-91, tools.load_erp_loc_a101_v1.sql:72-77
     "q_case_decode" -> ((s, dir) => {
@@ -166,6 +209,32 @@ object CoreQueries extends QueryPack {
       """SELECT o_orderkey, 'high_value' AS src FROM orders WHERE o_totalprice > 400000
          UNION ALL
          SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "q_join_asof" ->
+      """WITH probes AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         quotes AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS matched_ts,
+                  MAX(event_id) AS matched_event_id,
+                  MAX_BY(value, event_id) AS matched_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP))
+         SELECT p.event_id, p.user_id, p.ts,
+                q.matched_ts, q.matched_event_id, q.matched_value
+         FROM probes p ASOF LEFT JOIN quotes q
+           ON p.user_id = q.user_id AND p.ts >= q.matched_ts""",
+    "q_join_range_binned" ->
+      """WITH ev AS (
+           SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+           FROM events)
+         SELECT a.event_id, a.event_type,
+                CAST(COUNT(b.event_id) AS BIGINT) AS n_next_hour,
+                CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+                  AS value_next_hour
+         FROM ev a LEFT JOIN ev b
+           ON a.event_type = b.event_type
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         GROUP BY a.event_id, a.event_type""",
     "q_case_decode" ->
       """SELECT o_orderkey,
                 CASE UPPER(TRIM(o_orderstatus))

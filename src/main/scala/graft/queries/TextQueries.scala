@@ -397,6 +397,46 @@ object TextQueries extends QueryPack {
             && col("doc_id") % 100 =!= 7).as("is_contaminated"))
     }),
 
+    // Bloom-prefiltered decontamination — the shape for when the
+    // benchmark set is too large to broadcast AS ROWS: aggregate it into
+    // a Bloom filter (Spark's own BloomFilterAggregate, ~10 bits/item),
+    // ship the one compact blob to every task as a literal (the same
+    // mechanism as Catalyst's runtime row filters), prefilter the corpus
+    // fingerprints MAP-SIDE, and exact-confirm only the survivors
+    // (true hits + ~1% false positives) through a plain shuffle join —
+    // no broadcast of the benchmark rows anywhere. Bloom filters have no
+    // false negatives, so the composed result is exactly the
+    // q_text_decontaminate semantics; the oracle is the same SQL.
+    "q_text_decontaminate_bloom" -> ((s, dir) => {
+      import graft.functions.TextHashFunctions.winnowedFingerprints
+      import graft.functions.SketchFunctions._
+      val fps = t(s, dir, "documents").select(col("doc_id"),
+        explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
+          .as("fp"))
+      val bench = fps.where(col("doc_id") % 100 === 7)
+        .select(col("fp")).distinct()
+      // size the sketch from the benchmark cardinality (~10 bits/item,
+      // 64 Kbit floor); the collected blob is bits/8 bytes of metadata,
+      // NOT data-plane rows — the same bounded-collect class as the
+      // audit plane
+      val nBench = bench.count()
+      val blob = bench
+        .agg(bloomFilterAgg(col("fp"), math.max(nBench, 1L),
+          math.max(nBench * 10L, 65536L)))
+        .head.getAs[Array[Byte]](0)
+      val candidates =
+        if (blob == null) fps.where(lit(false)) // empty benchmark set
+        else fps.where(mightContain(blob, col("fp")))
+      val overlap = candidates.join(bench, "fp")
+        .groupBy(col("doc_id")).agg(cnt.as("n_overlap"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) >= 3
+            && col("doc_id") % 100 =!= 7).as("is_contaminated"))
+    }),
+
     // Sequence packing (concat-and-chunk): the LLM-training prep step
     // that concatenates the token stream in a deterministic document
     // order and slices it into fixed-budget context windows — each doc
@@ -684,6 +724,22 @@ object TextQueries extends QueryPack {
          FROM documents""",
     "q_text_quality" -> qualityOracle,
     "q_text_decontaminate" ->
+      s"""WITH allfps AS ($winnowOracle),
+         bench AS (
+           SELECT DISTINCT fingerprint FROM allfps WHERE doc_id % 100 = 7),
+         ov AS (
+           SELECT f.doc_id, COUNT(*) AS n_overlap
+           FROM allfps f JOIN bench b ON f.fingerprint = b.fingerprint
+           GROUP BY f.doc_id)
+         SELECT d.doc_id,
+                COALESCE(ov.n_overlap, 0) AS n_overlap,
+                COALESCE(ov.n_overlap, 0) >= 3 AND d.doc_id % 100 <> 7
+                  AS is_contaminated
+         FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id""",
+    // the Bloom path is exact end-to-end (no false negatives; false
+    // positives removed by the confirm join), so its oracle is the same
+    // SQL as the exact decontamination
+    "q_text_decontaminate_bloom" ->
       s"""WITH allfps AS ($winnowOracle),
          bench AS (
            SELECT DISTINCT fingerprint FROM allfps WHERE doc_id % 100 = 7),

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics of the backward as-of join: inclusive equal-timestamp
+  * match, deterministic tie-break, left rows with no prior quote, quotes
+  * whose payload FIELDS are null (must still match), and equivalence to
+  * the brute-force per-probe maximum on real event data.
+  */
+class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def probes =
+    Seq((1L, "a", 0L), (2L, "a", 5L), (3L, "a", 7L), (4L, "b", 9L))
+      .toDF("p_id", "k", "p_ts")
+
+  // key a: quotes at t=1, and TWO quotes tied at t=5; key c: never probed
+  private def quotes =
+    Seq(("a", 1L, 10L, "v1"), ("a", 5L, 11L, "v2"), ("a", 5L, 12L, "v3"),
+        ("c", 2L, 13L, "v4"))
+      .toDF("k", "q_ts", "q_id", "q_val")
+
+  test("backward as-of: inclusive bound, max-tieBreak tie, left semantics") {
+    val out = AsofJoin.backward(probes, quotes,
+        key = "k", probeTime = "p_ts", quoteTime = "q_ts", tieBreak = "q_id")
+      .orderBy("p_id")
+      .select("p_id", "q_ts", "q_id", "q_val")
+      .collect()
+    assert(out.toSeq === Seq(
+      Row(1L, null, null, null),       // probe before any quote
+      Row(2L, 5L, 12L, "v3"),          // equal ts included; id 12 beats 11
+      Row(3L, 5L, 12L, "v3"),          // carried forward past the tie
+      Row(4L, null, null, null)))      // key with no quotes at all
+  }
+
+  test("a present quote with null payload fields still matches") {
+    val q = Seq(("a", 1L, 10L, Option.empty[String]), ("a", 3L, 11L, Some("x")))
+      .toDF("k", "q_ts", "q_id", "q_val")
+    val p = Seq((1L, "a", 2L), (2L, "a", 4L)).toDF("p_id", "k", "p_ts")
+    val out = AsofJoin.backward(p, q, "k", "p_ts", "q_ts", "q_id")
+      .orderBy("p_id").select("p_id", "q_id", "q_val").collect()
+    // probe 1 matches quote 10 (whose q_val is null) — the null FIELD must
+    // come through, not fall back to "no quote"
+    assert(out.toSeq === Seq(Row(1L, 10L, null), Row(2L, 11L, "x")))
+  }
+
+  test("matches brute-force per-probe maximum on events testdata") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.where($"event_type" === "click")
+      .select($"event_id".as("p_id"), $"user_id".as("k"), $"ts".as("p_ts"))
+    val q = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("k"), $"ts".as("q_ts"), $"event_id".as("q_id"))
+    val got = AsofJoin.backward(p, q, "k", "p_ts", "q_ts", "q_id")
+      .select("p_id", "q_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // brute force: per probe, the max (q_ts, q_id) among quotes <= p_ts.
+    // Compare on full microseconds (Timestamp.getTime is millis-only and
+    // would order sub-millisecond neighbors differently than the operator).
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val qs = q.collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getLong(2)))
+    val want = p.collect().map { r =>
+      val (pid, k, pts) = (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)))
+      val cand = qs.filter(x => x._1 == k && x._2 <= pts)
+      pid -> (if (cand.isEmpty) None
+              else Some(cand.maxBy(x => (x._2, x._3))._3))
+    }.toMap
+    assert(got === want)
+    assert(want.values.exists(_.nonEmpty), "vacuous: no probe matched")
+    assert(want.values.exists(_.isEmpty), "vacuous: every probe matched")
+  }
+}
