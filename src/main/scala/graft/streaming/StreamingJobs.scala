@@ -254,6 +254,67 @@ object StreamingJobs {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
+
+  case class QuoteState(tsMicros: Long, event_id: Long, value: Double)
+  case class AsofEnriched(event_id: Long, user_id: Long, ts: Timestamp,
+                          matched_ts: Option[Timestamp],
+                          matched_event_id: Option[Long],
+                          matched_value: Option[Double])
+
+  private def tsMicros(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** Streaming backward as-of enrich — the streaming face of
+    * operators/AsofJoin (batch oracle row q_join_asof): every probe-type
+    * event is enriched with the latest quote-type event of the same user
+    * at or before it. State is ONE small record per key (the current
+    * best quote), so the store is bounded by key cardinality, not stream
+    * length, and shards across executors like any keyed state.
+    *
+    * Within a micro-batch rows are processed in full event-time order
+    * with the SAME tie rules as the batch operator (equal-timestamp
+    * quotes visible to probes, max event_id wins among tied quotes), so
+    * an in-event-time-order stream produces exactly the batch as-of
+    * result — StreamingSpec asserts streaming ≡ AsofJoin.backward,
+    * including a quote and its probes split across micro-batches.
+    * ACROSS batches the enrich is necessarily arrival-order best-effort:
+    * a quote arriving after a probe was already emitted cannot
+    * retroactively re-enrich it (the same contract as any streaming
+    * stream-static/lookup enrich; route late data through the batch
+    * operator if retroactive joins are required).
+    */
+  def asofEnrichStream(events: Dataset[Event], probeType: String,
+                       quoteType: String): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == probeType || e.event_type == quoteType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[QuoteState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[QuoteState]) =>
+          var best = state.getOption
+          // event-time order; at equal (ts, kind) larger event_id later;
+          // quotes before probes at the same timestamp (inclusive bound)
+          val ordered = rows.toSeq.sortBy(e =>
+            (tsMicros(e.ts), if (e.event_type == quoteType) 0 else 1, e.event_id))
+          val out = Seq.newBuilder[AsofEnriched]
+          ordered.foreach { e =>
+            if (e.event_type == quoteType) {
+              val m = tsMicros(e.ts)
+              if (best.forall(b =>
+                  m > b.tsMicros || (m == b.tsMicros && e.event_id > b.event_id)))
+                best = Some(QuoteState(m, e.event_id, e.value))
+            } else {
+              out += AsofEnriched(e.event_id, user, e.ts,
+                best.map(b => Timestamp.from(java.time.Instant.ofEpochSecond(
+                  b.tsMicros / 1000000L, (b.tsMicros % 1000000L) * 1000L))),
+                best.map(_.event_id), best.map(_.value))
+            }
+          }
+          best.foreach(state.update)
+          out.result().iterator
+      }
+  }
   case class SessionBuf(start: Long, lastTs: Long, n: Long, value: Double)
   case class ClosedSession(user_id: Long, session_start: Timestamp,
                            n_events: Long, session_value: Double)

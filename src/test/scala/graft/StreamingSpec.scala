@@ -366,4 +366,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         (2L, "2024-01-01 10:05:00.0", 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("streaming as-of enrich equals the batch as-of join across batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1: quote before probe (same batch), a tied-timestamp quote
+    // pair (max event_id must win), an equal-ts probe (inclusive bound),
+    // and a probe in a LATER batch matching a batch-1 quote; user 2:
+    // probe with no quote ever (null enrich)
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 0.0),
+      Event(3, ts("2024-01-01 10:05:00"), 2, "click", 0.0),
+      Event(4, ts("2024-01-01 10:30:00"), 1, "purchase", 7.0),
+      Event(5, ts("2024-01-01 10:30:00"), 1, "purchase", 9.0),
+      Event(6, ts("2024-01-01 10:30:00"), 1, "click", 0.0))
+    val batch2 = Seq(
+      Event(7, ts("2024-01-01 11:00:00"), 1, "click", 0.0))
+    val ms = MemoryStream[Event]
+    val q = StreamingJobs.asofEnrichStream(ms.toDS(), "click", "purchase")
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.get(3)).map(_.toString),
+        Option(r.get(4)).map(_.toString), Option(r.get(5)).map(_.toString))
+    val got = spark.table("asof_enrich")
+      .select("event_id", "user_id", "ts",
+        "matched_ts", "matched_event_id", "matched_value")
+      .collect().map(key).toSet
+    // the batch operator on the same rows is the ground truth
+    val all = (batch1 ++ batch2).toDS()
+    val want = graft.operators.AsofJoin.backward(
+        all.where($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts"),
+        all.where($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("matched_ts"),
+            $"event_id".as("matched_event_id"), $"value".as("matched_value")),
+        key = "user_id", probeTime = "ts", quoteTime = "matched_ts",
+        tieBreak = "matched_event_id")
+      .select("event_id", "user_id", "ts",
+        "matched_ts", "matched_event_id", "matched_value")
+      .collect().map(key).toSet
+    assert(got === want)
+    // the interesting shapes really occurred: a null enrich, a tie
+    // resolved to event 5, and the cross-batch carry to event 7
+    assert(want.exists(_._3.isEmpty))
+    assert(got.contains((6L, Some("2024-01-01 10:30:00.0"), Some("5"), Some("9.0"))))
+    assert(got.contains((7L, Some("2024-01-01 10:30:00.0"), Some("5"), Some("9.0"))))
+  }
 }
