@@ -111,6 +111,25 @@ object CoreQueries extends QueryPack {
         tieBreak = "matched_event_id")
     }),
 
+    // The hot-key production form of q_join_asof: identical semantics,
+    // but the fill is two-phase over (user, 1-day epoch) partitions so
+    // no window task ever holds a whole key. Same DuckDB ASOF oracle —
+    // the two variants must hash-match each other through it.
+    "q_join_asof_epoch" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val probes = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("matched_ts"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("matched_ts"))
+        .agg(max(col("event_id")).as("matched_event_id"),
+          max_by(col("value"), col("event_id")).as("matched_value"))
+      AsofJoin.backwardEpoched(probes, quotes,
+        key = "user_id", probeTime = "ts", quoteTime = "matched_ts",
+        tieBreak = "matched_event_id", epochMicros = 86400L * 1000000L)
+    }),
+
     // Extension: banded range join — per event, how many same-type events
     // (and their value total) land in the following hour. A bare non-equi
     // join would be quadratic per event_type (5 hot keys);
@@ -210,6 +229,20 @@ object CoreQueries extends QueryPack {
          UNION ALL
          SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'""",
     "q_join_asof" ->
+      """WITH probes AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         quotes AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS matched_ts,
+                  MAX(event_id) AS matched_event_id,
+                  MAX_BY(value, event_id) AS matched_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP))
+         SELECT p.event_id, p.user_id, p.ts,
+                q.matched_ts, q.matched_event_id, q.matched_value
+         FROM probes p ASOF LEFT JOIN quotes q
+           ON p.user_id = q.user_id AND p.ts >= q.matched_ts""",
+    "q_join_asof_epoch" ->
       """WITH probes AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
            FROM events WHERE event_type = 'click'),

@@ -397,6 +397,39 @@ object TextQueries extends QueryPack {
             && col("doc_id") % 100 =!= 7).as("is_contaminated"))
     }),
 
+    // Incremental corpus dedup — the shape a daily ingest actually runs:
+    // dedup a NEW batch (doc_id % 10 == 0 stands in for today's arrivals)
+    // against the EXISTING corpus without touching corpus-x-corpus pairs.
+    // Exact membership probes the corpus content-key index (semi-join on
+    // md5 key); near-dup membership probes the corpus LSH band index
+    // (semi-join on band_key) — both joins ship only the batch side plus
+    // matching index entries, so cost scales with the batch, not the
+    // corpus. In production the two index frames are persisted tables
+    // maintained by the pipeline; here they derive from the same scan.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = col("doc_id") % 10 === 0
+      val corpusKeys = docs.where(!isNew)
+        .select(textKeyCol.as("text_key")).distinct()
+      val bands = docs
+        .select(col("doc_id"), isNew.as("is_new"), minhashCol.as("mh"))
+        .where(col("mh").isNotNull)
+        .select(col("doc_id"), col("is_new"),
+          explode(bandKeysCol(col("mh"))).as("band_key"))
+      val corpusBands = bands.where(!col("is_new"))
+        .select(col("band_key")).distinct()
+      val nearDocs = bands.where(col("is_new"))
+        .join(corpusBands, Seq("band_key"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.where(isNew).select(col("doc_id"), textKeyCol.as("text_key"))
+        .join(corpusKeys.withColumn("__e", lit(1L)), Seq("text_key"), "left")
+        .join(nearDocs.withColumn("__n", lit(1L)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("__e").isNotNull.as("exact_dup"),
+          col("__n").isNotNull.as("near_dup"),
+          (col("__e").isNull && col("__n").isNull).as("keep"))
+    }),
+
     // Bloom-prefiltered decontamination — the shape for when the
     // benchmark set is too large to broadcast AS ROWS: aggregate it into
     // a Bloom filter (Spark's own BloomFilterAggregate, ~10 bits/item),
@@ -736,6 +769,24 @@ object TextQueries extends QueryPack {
                 COALESCE(ov.n_overlap, 0) >= 3 AND d.doc_id % 100 <> 7
                   AS is_contaminated
          FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id""",
+    "q_dedup_incremental" -> (minhashOracleCte +
+      """,
+         corpus_keys AS (
+           SELECT DISTINCT md5(LOWER(TRIM(text))) AS text_key
+           FROM documents WHERE doc_id % 10 <> 0),
+         corpus_bands AS (
+           SELECT DISTINCT band_key FROM bands WHERE doc_id % 10 <> 0),
+         near_docs AS (
+           SELECT DISTINCT doc_id FROM bands
+           WHERE doc_id % 10 = 0
+             AND band_key IN (SELECT band_key FROM corpus_bands))
+         SELECT d.doc_id,
+                md5(LOWER(TRIM(d.text))) IN (SELECT text_key FROM corpus_keys)
+                  AS exact_dup,
+                d.doc_id IN (SELECT doc_id FROM near_docs) AS near_dup,
+                NOT (md5(LOWER(TRIM(d.text))) IN (SELECT text_key FROM corpus_keys)
+                     OR d.doc_id IN (SELECT doc_id FROM near_docs)) AS keep
+         FROM documents d WHERE d.doc_id % 10 = 0"""),
     // the Bloom path is exact end-to-end (no false negatives; false
     // positives removed by the confirm join), so its oracle is the same
     // SQL as the exact decontamination

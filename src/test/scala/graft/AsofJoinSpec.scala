@@ -74,4 +74,40 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(want.values.exists(_.nonEmpty), "vacuous: no probe matched")
     assert(want.values.exists(_.isEmpty), "vacuous: every probe matched")
   }
+
+  test("epoched variant carries the fill across empty epochs") {
+    // quote in epoch 0 (t=5, width 10); probes in epochs 3 and 0;
+    // epochs 1-2 contain no rows at all — the carry must jump them
+    val p = Seq((1L, "a", 7L), (2L, "a", 35L), (3L, "b", 35L))
+      .toDF("p_id", "k", "p_ts")
+    val q = Seq(("a", 5L, 10L, "v1")).toDF("k", "q_ts", "q_id", "q_val")
+    val out = AsofJoin.backwardEpoched(p, q, "k", "p_ts", "q_ts", "q_id",
+        epochMicros = 10L)
+      .orderBy("p_id").select("p_id", "q_id", "q_val").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 10L, "v1"),   // same-epoch local fill
+      Row(2L, 10L, "v1"),   // carried across empty epochs 1-2
+      Row(3L, null, null))) // other key untouched
+  }
+
+  test("epoched variant equals the plain backward join on events testdata") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.where($"event_type" === "click")
+      .select($"event_id".as("p_id"), $"user_id".as("k"), $"ts".as("p_ts"))
+    val q = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("k"), $"ts".as("q_ts"), $"event_id".as("q_id"),
+        $"value".as("q_val"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_id", "q_id", "q_val").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val plain = rows(AsofJoin.backward(p, q, "k", "p_ts", "q_ts", "q_id"))
+    // epoch widths both above and below typical inter-event gaps, so
+    // same-epoch, adjacent-epoch and skipped-epoch carries all occur
+    for (width <- Seq(3600L * 1000000L, 6L * 3600 * 1000000L)) {
+      val epoched = rows(AsofJoin.backwardEpoched(
+        p, q, "k", "p_ts", "q_ts", "q_id", width))
+      assert(epoched === plain, s"epoch width $width")
+    }
+    assert(plain.exists(_._2.nonEmpty) && plain.exists(_._2.isEmpty))
+  }
 }

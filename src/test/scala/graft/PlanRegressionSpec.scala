@@ -127,4 +127,36 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("q_agg_approx_distinct")
     assert(!p.contains("Expand"), "mixed distinct+HLL aggregate reintroduced")
   }
+
+  test("q_join_asof fills via one window pass, never a join explosion") {
+    val p = plan("q_join_asof")
+    // two shuffles total: the quote-dedup aggregate + the key-partitioned
+    // fill window; the as-of itself must not plan as any JOIN node
+    assert(shuffles(p) <= 2, p.take(2000))
+    assert(!p.contains("Join"), "as-of degenerated to a join:\n" + p.take(2000))
+    assert(p.contains("Window"), "fill window missing")
+  }
+
+  test("q_join_asof_epoch spreads the fill over (key, epoch) partitions") {
+    val p = plan("q_join_asof_epoch")
+    // the local fill must shuffle on (user_id, __epoch) — the hot-key
+    // spread — and the carry/local recombination must be an equi join
+    assert(p.contains("hashpartitioning(user_id#") && p.contains("__epoch"),
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_join_range_binned joins equi on (key, bin) with range residual") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degenerated to nested-loop:\n" + p.take(2000))
+    // the bin key must be part of the join keys (equi side), visible as
+    // the explode-generated candidate bin column
+    assert(p.contains("__cbin"), "candidate-bin equi key missing")
+  }
+
+  test("q_text_decontaminate_bloom prefilters map-side (no bench broadcast of rows)") {
+    val p = plan("q_text_decontaminate_bloom")
+    assert(p.contains("might_contain"), "bloom prefilter missing from plan")
+  }
 }
