@@ -110,6 +110,36 @@ object AggQueries extends QueryPack {
             .as("approx_ok"))
     }),
 
+    // Mergeable sketch rollup (DataSketches HLL): the 100 TB pattern
+    // where per-partition sketch tables are PERSISTED and any rollup —
+    // here per-event_type distinct users unioned to the global count —
+    // is a cheap sketch merge instead of a re-scan of raw data (plain
+    // approx_count_distinct results can't be merged after the fact).
+    // Bounded-error contract vs the exact distinct, same as
+    // q_agg_approx_distinct; the sketch and exact aggregates stay
+    // separate to avoid the Expand-through-imperative-agg plan.
+    "q_agg_hll_merge" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).cast(LongType).as("n_exact"))
+      val sketches = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val per = exact.join(sketches, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(hll_sketch_estimate(col("sk")) - col("n_exact"))
+            .cast(DoubleType) / col("n_exact") <= 0.05).as("approx_ok"))
+      // the rollup: union the 5 per-type sketches — never re-reads events
+      val merged = sketches.agg(hll_union_agg(col("sk")).as("sku"))
+        .select(hll_sketch_estimate(col("sku")).as("est"))
+      val global = ev.agg(countDistinct(col("user_id")).cast(LongType)
+          .as("n_exact"))
+        .crossJoin(merged) // 1x1: both sides aggregate-reduced
+        .select(lit("ALL").as("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast(DoubleType)
+            / col("n_exact") <= 0.05).as("approx_ok"))
+      per.unionByName(global)
+    }),
+
     // A4: MIN/MAX + churn flag against a pinned reference date
     // (current_date made deterministic — SURVEY §7.4.3).
     // Ref: materialized_view.sql:80-91
@@ -262,6 +292,16 @@ object AggQueries extends QueryPack {
                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
                 TRUE AS approx_ok
          FROM orders GROUP BY o_orderpriority""",
+    "q_agg_hll_merge" ->
+      """SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                TRUE AS approx_ok
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT 'ALL' AS event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                TRUE AS approx_ok
+         FROM events""",
     "q_agg_approx_percentile" ->
       """WITH ranked AS (
            SELECT o_orderpriority,
