@@ -140,6 +140,48 @@ object AggQueries extends QueryPack {
       per.unionByName(global)
     }),
 
+    // Mergeable QUANTILE sketch rollup (DataSketches KLL) — the
+    // quantile sibling of q_agg_hll_merge: per-event_type sketches over
+    // `value` merge to the global median without re-scanning raw data.
+    // Verified by the bound KLL actually guarantees — RANK error: the
+    // exact rank of the estimated p50 must sit within 5% of 0.5
+    // (default k=200 gives ~1.65%). Per-type rows also carry the exact
+    // discrete p50 (window partitioned by type — lint-safe); the ALL
+    // row's exact value is deliberately NULL: a global exact order
+    // statistic needs the very global sort the sketch exists to avoid,
+    // so the honest scalable check is the rank bound alone.
+    "q_agg_kll_merge" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val exactPer = ev
+        .withColumn("rn", row_number().over(
+          byType.orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .where(col("rn") === floor((col("n") + 1) / lit(2.0)).cast(LongType))
+        .select(col("event_type"), col("value").cast(DoubleType).as("exact_p50"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(kll_sketch_agg_double(col("value")).as("sk"))
+      val estPer = sk.select(col("event_type"),
+        kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("est"))
+      def rankOk = (abs(count(when(col("value") <= col("est"), 1))
+        .cast(DoubleType) / count(lit(1)) - 0.5) <= 0.05).as("approx_ok")
+      val per = ev.join(broadcast(estPer), "event_type")
+        .groupBy(col("event_type")).agg(rankOk)
+        .join(exactPer, "event_type")
+        .select(col("event_type").as("scope"), col("exact_p50"),
+          col("approx_ok"))
+      // the rollup: merge the 5 sketches, never re-reading events
+      val estAll = sk.agg(kll_merge_agg_double(col("sk")).as("sku"))
+        .select(kll_sketch_get_quantile_double(col("sku"), lit(0.5)).as("est"))
+      val allRow = ev.crossJoin(estAll) // 1-row est, aggregate-reduced
+        .agg(rankOk)
+        .select(lit("ALL").as("scope"),
+          lit(null).cast(DoubleType).as("exact_p50"), col("approx_ok"))
+      per.unionByName(allRow)
+    }),
+
     // A4: MIN/MAX + churn flag against a pinned reference date
     // (current_date made deterministic — SURVEY §7.4.3).
     // Ref: materialized_view.sql:80-91
@@ -302,6 +344,18 @@ object AggQueries extends QueryPack {
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
                 TRUE AS approx_ok
          FROM events""",
+    "q_agg_kll_merge" ->
+      """WITH ranked AS (
+           SELECT event_type, CAST(value AS DOUBLE) AS v,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type AS scope, v AS exact_p50, TRUE AS approx_ok
+         FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+         UNION ALL
+         SELECT 'ALL' AS scope, CAST(NULL AS DOUBLE) AS exact_p50,
+                TRUE AS approx_ok""",
     "q_agg_approx_percentile" ->
       """WITH ranked AS (
            SELECT o_orderpriority,
