@@ -255,6 +255,39 @@ object StreamingJobs {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
+  /** Stream-stream interval join — the streaming face of
+    * operators/RangeBinJoin (batch oracle row q_join_range_binned):
+    * pair each left event with the right events of the same key whose
+    * time falls in `(l.ts, l.ts + horizon]`. This one is NATIVE in
+    * Structured Streaming: an equi condition plus an event-time range
+    * gives Spark exactly the state-retention bound it needs — the left
+    * watermark tells it when a right row can no longer find future
+    * partners (and vice versa), so both state stores evict by horizon +
+    * lateness instead of growing with the stream. INNER semantics (the
+    * batch operator's LEFT form needs the watermark to close a row
+    * before emitting its no-partner result; Spark supports that too via
+    * left outer stream-stream join, at the cost of results delayed by
+    * the watermark — we keep the inner form as the canonical pattern).
+    *
+    * @param left    streaming events frame (the probe side)
+    * @param right   streaming events frame (the match side)
+    * @param horizon join window, e.g. "1 hour" (also bounds state)
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         horizon: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"),
+        col("event_type").as("l_type"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", "10 minutes")
+    val r = right.select(col("event_id").as("r_id"),
+        col("event_type").as("r_type"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", "10 minutes")
+    l.join(r,
+      col("l_type") === col("r_type") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+  }
+
   case class QuoteState(tsMicros: Long, event_id: Long, value: Double)
   case class AsofEnriched(event_id: Long, user_id: Long, ts: Timestamp,
                           matched_ts: Option[Timestamp],

@@ -419,4 +419,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((6L, Some("2024-01-01 10:30:00.0"), Some("5"), Some("9.0"))))
     assert(got.contains((7L, Some("2024-01-01 10:30:00.0"), Some("5"), Some("9.0"))))
   }
+
+  test("stream-stream interval join equals the batch banded range join") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // boundary shapes on purpose: an exact ts+1h partner (included), an
+    // equal-ts pair (excluded), a just-outside partner, and a
+    // cross-micro-batch pair
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:30:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 10:00:00"), 2, "click", 3.0), // equal ts as 1
+      Event(4, ts("2024-01-01 11:00:00"), 1, "click", 4.0)) // == 1.ts + 1h
+    val batch2 = Seq(
+      Event(5, ts("2024-01-01 11:20:00"), 2, "click", 5.0), // pairs with 2, 4
+      Event(6, ts("2024-01-01 12:00:01"), 1, "click", 6.0)) // 1s past 4's window? no: 4+1h = 12:00 -> excluded
+    val ms = MemoryStream[Event]
+    val q = StreamingJobs.intervalJoinStream(ms.toDF(), ms.toDF())
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("interval_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the batch banded range join on the same rows
+    val all = (batch1 ++ batch2).toDF()
+    val want = graft.operators.RangeBinJoin.leftRangeJoin(
+        all.select($"event_id".as("l_id"), $"event_type".as("k"), $"ts".as("l_ts")),
+        all.select($"event_id".as("r_id"), $"event_type".as("rk"), $"ts".as("r_ts")),
+        "k", "rk", "l_ts", "r_ts", 3600L * 1000000L)
+      .where($"r_id".isNotNull)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // the shapes really occurred: inclusive end (1,4), cross-batch
+    // (2,5) and (4,5), and NOT the equal-ts or past-window pairs
+    assert(got.contains((1L, 4L)) && got.contains((2L, 5L)) && got.contains((4L, 5L)))
+    assert(!got.contains((1L, 3L)) && !got.contains((4L, 6L)))
+  }
 }
