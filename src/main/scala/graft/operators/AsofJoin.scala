@@ -61,6 +61,9 @@ object AsofJoin {
     require(probeCols.intersect(payloadCols).isEmpty,
       s"probe/quote columns must be disjoint apart from '$key'; " +
         s"overlap: ${probeCols.intersect(payloadCols).mkString(", ")}")
+    val reserved = (probeCols ++ payloadCols).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"'__'-prefixed column names are reserved by AsofJoin: ${reserved.mkString(", ")}")
 
     val payloadType = StructType(quotes.schema.fields.filterNot(_.name == key))
     val tieType = quotes.schema(tieBreak).dataType

@@ -51,6 +51,9 @@ object RangeBinJoin {
     val overlap = left.columns.toSeq.intersect(right.columns.toSeq)
     require(overlap.isEmpty,
       s"left/right columns must be disjoint; overlap: ${overlap.mkString(", ")}")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"'__'-prefixed column names are reserved by RangeBinJoin: ${reserved.mkString(", ")}")
 
     def bin(c: org.apache.spark.sql.Column) =
       floor(unix_micros(c).cast(DecimalType(20, 0)) / lit(horizonMicros))

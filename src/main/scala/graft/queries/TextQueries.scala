@@ -273,6 +273,30 @@ object TextQueries extends QueryPack {
           (col("node") === col("component")).as("keep"))
     }),
 
+    // Canonical-document pick per near-dup cluster: production corpus
+    // dedup keeps the BEST document of each transitive near-dup family,
+    // not the arbitrary first — composed from the components operator
+    // and the shared quality score (one row_number per component,
+    // ordered quality DESC with doc_id tiebreak; NULLS LAST pinned on
+    // both engines since empty docs score null).
+    "q_dedup_cluster_pick" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val docs = t(s, dir, "documents")
+      val comp = graft.operators.ConnectedComponents
+        .minLabel(docs.select(col("doc_id").as("node")), edges)
+        .select(col("node").as("doc_id"), col("component"))
+      val quality = docs.select(col("doc_id"), qualityScoreCol.as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("q").desc_nulls_last, col("doc_id").asc)
+      comp.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("component"),
+          (col("rn") === 1).as("keep_best"))
+    }),
+
     // Same transitive closure through the O(log n)-round alternating
     // large-star/small-star operator (Kiveris et al., SoCC 2014) — the
     // adversarial-diameter path: min-label needs diameter-many shuffle
@@ -725,6 +749,47 @@ object TextQueries extends QueryPack {
          SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component,
                 node = MIN(lbl) AS keep
          FROM reach GROUP BY node"""),
+    // same closure + the shared quality formula; ROW_NUMBER picks the
+    // canonical doc per component (quality DESC NULLS LAST, doc_id)
+    "q_dedup_cluster_pick" ->
+      (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
+        """,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM documents
+           UNION
+           SELECT e.src AS node, r.lbl AS lbl
+           FROM edges e JOIN reach r ON e.dst = r.node),
+         comps AS (
+           SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+           FROM reach GROUP BY node),
+         q AS (
+           SELECT doc_id,
+                  (LEAST(n_tok, 100.0) / 100.0 + ttr + n_stop / n_tok
+                   + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0
+                          THEN 1.0 ELSE 0.0 END) / 4.0 AS q
+           FROM (SELECT doc_id,
+                        CAST(len(w) AS DOUBLE) AS n_tok,
+                        CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+                        CAST(len(list_filter(w,
+                          x -> x IN ('the','a','of','and','to','in')))
+                          AS DOUBLE) AS n_stop,
+                        CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+                          AS mean_wl
+                 FROM (SELECT doc_id, text,
+                              regexp_split_to_array(trim(text), '\s+') AS w
+                       FROM documents))),
+         ranked AS (
+           SELECT c.doc_id, c.component,
+                  ROW_NUMBER() OVER (PARTITION BY c.component
+                    ORDER BY q.q DESC NULLS LAST, c.doc_id) AS rn
+           FROM comps c JOIN q ON q.doc_id = c.doc_id)
+         SELECT doc_id, component, rn = 1 AS keep_best FROM ranked"""),
     // same closure, computed by large-star/small-star — same oracle
     "q_dedup_components_star" ->
       (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
