@@ -71,6 +71,22 @@ object IoQueries extends QueryPack {
           col("n_regionkey").cast(LongType).as("n_regionkey"))
     }),
 
+    // ORC round-trip (extension beyond the reference's CSV/Excel/JSON/
+    // parquet matrix): write supplier to ORC, scan it back with a
+    // predicate — ORC is the other columnar format Spark reads natively
+    // with pushdown + column pruning, and the oracle is the ORIGINAL
+    // table, so any round-trip typing/encoding defect breaks the hash.
+    "q_scan_orc" -> ((s, dir) => {
+      val path = "/tmp/graft_supplier_orc"
+      t(s, dir, "supplier").write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .where(col("s_acctbal") > 1000)
+        .select(
+          col("s_suppkey").cast(LongType).as("s_suppkey"),
+          col("s_name").cast(StringType).as("s_name"),
+          col("s_acctbal").cast(DoubleType).as("s_acctbal"))
+    }),
+
     // S8: idempotent batch overwrite. Write all batches, then RE-RUN one
     // batch with dynamic partition overwrite (the Spark replacement for
     // the reference's DELETE WHERE dwh_batch_id + INSERT), and read back.
@@ -98,6 +114,11 @@ object IoQueries extends QueryPack {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the ORC file is a round-trip of supplier, so the oracle reads the
+    // original table
+    "q_scan_orc" ->
+      """SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+         FROM supplier WHERE s_acctbal > 1000""",
     "q_scan_csv" ->
       s"""SELECT CAST(cst_id AS BIGINT) AS cst_id,
                  CAST(cst_key AS VARCHAR) AS cst_key,
