@@ -420,6 +420,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((7L, Some("2024-01-01 10:30:00.0"), Some("5"), Some("9.0"))))
   }
 
+  test("as-of enrich quote state survives a checkpoint restart") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_asof_").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def writeBatch(evs: Seq[Event]): Unit =
+      evs.toDF().write.mode("append").parquet(in)
+    def drainOnce(): Unit = {
+      val q = StreamingJobs.asofEnrichStream(
+          StreamingJobs.readEventsStream(spark, in).as[Event],
+          "click", "purchase")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // the quote lands BEFORE the restart; its probes only after — the
+    // one-record-per-key GroupState must be rebuilt from the state store
+    writeBatch(Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0)))
+    drainOnce()
+    writeBatch(Seq(
+      Event(2, ts("2024-01-01 11:00:00"), 1, "click", 0.0),
+      Event(3, ts("2024-01-01 11:00:00"), 2, "click", 0.0)))
+    drainOnce()
+    val got = spark.read.parquet(out)
+      .select("event_id", "matched_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got === Map(2L -> Some(1L), 3L -> None))
+  }
+
   test("stream-stream interval join equals the batch banded range join") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
