@@ -61,14 +61,17 @@ object TextQueries extends QueryPack {
     * come from the native per-row MinHashSignature expression — the only
     * shuffle in the plan is the band-key candidate self-join.
     */
-  /** Canonical MinHash signature column (null when < 3 words). */
-  private def minhashCol: Column = {
+  /** Canonical MinHash signature column (null when < 3 words). Shared
+    * with the streaming incremental dedup so band construction cannot
+    * drift between the batch index build and the stream probe.
+    */
+  private[graft] def minhashCol: Column = {
     import graft.functions.TextHashFunctions.minhashSignature
     minhashSignature(words(col("text")), 3, MinHashK, MinHashA, MinHashB, MinHashP)
   }
 
   /** Band-key array for a minhash signature column (4 bands of 2). */
-  private def bandKeysCol(mh: Column): Column = array(
+  private[graft] def bandKeysCol(mh: Column): Column = array(
     (0 until MinHashK / 2).map(b =>
       concat_ws("_", lit(b), element_at(mh, 2 * b + 1),
         element_at(mh, 2 * b + 2))): _*)

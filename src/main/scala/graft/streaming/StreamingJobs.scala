@@ -221,6 +221,49 @@ object StreamingJobs {
         (col("n_overlap") >= 3).as("is_contaminated"))
   }
 
+  /** Streaming incremental corpus dedup — the streaming face of
+    * q_dedup_incremental: each arriving document probes the PERSISTED
+    * corpus indexes (content-key table, LSH band-key table) and gets its
+    * exact/near-dup verdict row-by-row. Entirely stateless on the stream
+    * side: exact membership is one stream-static left join on the
+    * content key, and near membership is a FIXED number of stream-static
+    * left joins — one per LSH band (MinHashK/2 = 4) — against the band
+    * index, so no streaming aggregation (and no unbounded state) is ever
+    * needed to fold bands back to one verdict per document. Band
+    * construction reuses the batch builders (TextQueries.minhashCol /
+    * bandKeysCol), so stream and batch cannot drift; StreamingSpec
+    * asserts streaming ≡ the batch q_dedup_incremental verdicts.
+    *
+    * @param docs        streaming (doc_id, text, ...) frame
+    * @param corpusKeys  static one-column `text_key` index of the corpus
+    * @param corpusBands static one-column `band_key` index of the corpus
+    */
+  def dedupIncrementalStream(docs: DataFrame, corpusKeys: DataFrame,
+                             corpusBands: DataFrame): DataFrame = {
+    import graft.queries.TextQueries.{bandKeysCol, minhashCol, textKeyCol}
+    val nBands = graft.functions.TextHashDefaults.MinHashK / 2
+    // a null signature (doc under 3 words) must null the WHOLE band
+    // array — concat_ws skips nulls, so feeding it a null signature
+    // would mint degenerate "b"-only keys instead of no keys
+    val keyed = docs
+      .withColumn("__mh", minhashCol)
+      .select(col("doc_id"), textKeyCol.as("text_key"),
+        when(col("__mh").isNotNull, bandKeysCol(col("__mh"))).as("__bands"))
+    val exact = keyed.join(
+      corpusKeys.withColumn("__e", lit(1L)), Seq("text_key"), "left")
+    val banded = (0 until nBands).foldLeft(exact) { (df, b) =>
+      df.withColumn(s"__bk$b", element_at(col("__bands"), b + 1))
+        .join(corpusBands.select(col("band_key").as(s"__bk$b"),
+          lit(1L).as(s"__n$b")), Seq(s"__bk$b"), "left")
+    }
+    val near = (0 until nBands).map(b => col(s"__n$b").isNotNull)
+      .reduce(_ || _)
+    banded.select(col("doc_id"),
+      col("__e").isNotNull.as("exact_dup"),
+      near.as("near_dup"),
+      (col("__e").isNull && !near).as("keep"))
+  }
+
   case class DocTok(source: String, doc_id: Long, n_tokens: Long)
   case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
                        tok_offset: Long, first_bin: Long, last_bin: Long)

@@ -420,6 +420,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((7L, Some("2024-01-01 10:30:00.0"), Some("5"), Some("9.0"))))
   }
 
+  test("streaming incremental dedup equals the batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // same fixture split as q_dedup_incremental: doc_id % 10 == 0 is the
+    // "new batch" (streamed), the rest is the corpus (static indexes)
+    val dir = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(expected.values.exists(_._2), "no near-dup verdict — vacuous")
+    assert(expected.values.exists(_._3), "nothing kept — vacuous")
+
+    import graft.queries.TextQueries.{bandKeysCol, minhashCol, textKeyCol}
+    import org.apache.spark.sql.functions.explode
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 10 =!= 0)
+    val corpusKeys = corpus.select(textKeyCol.as("text_key")).distinct()
+    val corpusBands = corpus.select(minhashCol.as("mh"))
+      .where(col("mh").isNotNull)
+      .select(explode(bandKeysCol(col("mh"))).as("band_key")).distinct()
+
+    val newDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingJobs.dedupIncrementalStream(
+        ms.toDF().toDF("doc_id", "text"), corpusKeys, corpusBands)
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = newDocs.splitAt(newDocs.length / 2)
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(rest); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("inc_dedup")
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got === expected)
+  }
+
   test("as-of enrich quote state survives a checkpoint restart") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
