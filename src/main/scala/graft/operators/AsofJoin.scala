@@ -89,9 +89,14 @@ object AsofJoin {
 
   /** The shared event-time sort: quotes before probes at equal
     * timestamps (inclusive bound), max tieBreak last among tied quotes.
+    * Backward walks time ascending (running `last` = latest quote <=
+    * probe); forward walks it DESCENDING, so the same running `last`
+    * lands on the EARLIEST quote >= probe.
     */
-  private def eventOrder =
-    Seq(col("__t").asc, col("__probe").asc, col("__tie").asc_nulls_first)
+  private def eventOrder(ascending: Boolean) = {
+    val t = if (ascending) col("__t").asc else col("__t").desc
+    Seq(t, col("__probe").asc, col("__tie").asc_nulls_first)
+  }
 
   private def finish(filled: DataFrame, probeCols: Seq[String],
                      payloadCols: Seq[String]): DataFrame =
@@ -111,10 +116,26 @@ object AsofJoin {
     */
   def backward(probes: DataFrame, quotes: DataFrame,
                key: String, probeTime: String, quoteTime: String,
-               tieBreak: String): DataFrame = {
+               tieBreak: String): DataFrame =
+    directional(probes, quotes, key, probeTime, quoteTime, tieBreak,
+      ascending = true)
+
+  /** Forward as-of: attach the EARLIEST quote with `quoteTime >=
+    * probeTime` (the "next event after" / time-to-conversion shape).
+    * Same plan and tie rule as [[backward]], walking time descending.
+    */
+  def forward(probes: DataFrame, quotes: DataFrame,
+              key: String, probeTime: String, quoteTime: String,
+              tieBreak: String): DataFrame =
+    directional(probes, quotes, key, probeTime, quoteTime, tieBreak,
+      ascending = false)
+
+  private def directional(probes: DataFrame, quotes: DataFrame,
+                          key: String, probeTime: String, quoteTime: String,
+                          tieBreak: String, ascending: Boolean): DataFrame = {
     val tg = tagUnion(probes, quotes, key, probeTime, quoteTime, tieBreak)
     val carry = Window.partitionBy(col(key))
-      .orderBy(eventOrder: _*)
+      .orderBy(eventOrder(ascending): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     finish(
       tg.unioned.withColumn("__m",
@@ -157,7 +178,7 @@ object AsofJoin {
       floor(tNum.cast(DecimalType(20, 0)) / lit(epochMicros)).cast(LongType))
 
     val wLocal = Window.partitionBy(col(key), col("__epoch"))
-      .orderBy(eventOrder: _*)
+      .orderBy(eventOrder(ascending = true): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = u.withColumn("__local",
       last(col("__payload"), ignoreNulls = true).over(wLocal))

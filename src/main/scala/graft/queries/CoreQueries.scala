@@ -111,6 +111,25 @@ object CoreQueries extends QueryPack {
         tieBreak = "matched_event_id")
     }),
 
+    // Forward as-of: for each click, the EARLIEST purchase at or after
+    // it — the time-to-conversion shape. Same plan walking time
+    // descending; oracle = DuckDB ASOF LEFT JOIN with the inequality
+    // flipped.
+    "q_join_asof_forward" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val probes = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("matched_ts"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("matched_ts"))
+        .agg(max(col("event_id")).as("matched_event_id"),
+          max_by(col("value"), col("event_id")).as("matched_value"))
+      AsofJoin.forward(probes, quotes,
+        key = "user_id", probeTime = "ts", quoteTime = "matched_ts",
+        tieBreak = "matched_event_id")
+    }),
+
     // The hot-key production form of q_join_asof: identical semantics,
     // but the fill is two-phase over (user, 1-day epoch) partitions so
     // no window task ever holds a whole key. Same DuckDB ASOF oracle —
@@ -242,6 +261,20 @@ object CoreQueries extends QueryPack {
                 q.matched_ts, q.matched_event_id, q.matched_value
          FROM probes p ASOF LEFT JOIN quotes q
            ON p.user_id = q.user_id AND p.ts >= q.matched_ts""",
+    "q_join_asof_forward" ->
+      """WITH probes AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         quotes AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS matched_ts,
+                  MAX(event_id) AS matched_event_id,
+                  MAX_BY(value, event_id) AS matched_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP))
+         SELECT p.event_id, p.user_id, p.ts,
+                q.matched_ts, q.matched_event_id, q.matched_value
+         FROM probes p ASOF LEFT JOIN quotes q
+           ON p.user_id = q.user_id AND p.ts <= q.matched_ts""",
     "q_join_asof_epoch" ->
       """WITH probes AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -46,6 +46,18 @@ class AsofPropertiesSpec extends AnyFunSuite with SparkTestBase {
       assert(run(AsofJoin.backwardEpoched(
         p, q, "k", "p_ts", "q_ts", "q_id", width)) === want, s"width $width")
     }
+
+    // forward: earliest quote at or after; max q_id among min-ts ties
+    val wantFwd = probes.map { case (pid, k, pts) =>
+      val cand = quotes.filter(x => x._1 == k && x._2 >= pts)
+      pid -> (if (cand.isEmpty) None
+              else {
+                val minTs = cand.map(_._2).min
+                Some(cand.filter(_._2 == minTs).map(_._3).max)
+              })
+    }.toMap
+    assert(run(AsofJoin.forward(p, q, "k", "p_ts", "q_ts", "q_id")) === wantFwd)
+    assert(wantFwd.values.exists(_.isEmpty) && wantFwd.values.exists(_.nonEmpty))
     // the domains really collide: some tie groups and some no-match probes
     assert(want.values.exists(_.isEmpty) && want.values.exists(_.nonEmpty))
     assert(quotes.groupBy(x => (x._1, x._2)).exists(_._2.size > 1),
