@@ -264,6 +264,100 @@ object StreamingJobs {
       (col("__e").isNull && !near).as("keep"))
   }
 
+  case class PendingProbe(event_id: Long, tsMicros: Long)
+  case class Conversion(event_id: Long, user_id: Long, ts: Timestamp,
+                        converted: Boolean,
+                        matched_event_id: Option[Long],
+                        delay_seconds: Option[Double])
+
+  /** Streaming conversion attribution (the funnel pattern): every
+    * probe-type event either converts to the EARLIEST quote-type event
+    * of the same key within `horizon` — emitted the moment that quote
+    * arrives — or is emitted unconverted once the event-time watermark
+    * passes its deadline (probe time + horizon). This is the streaming
+    * form of a forward as-of join with a horizon (AsofJoin.forward +
+    * in-window clamp), and the timeout half is what batch cannot do:
+    * the "did NOT convert" verdict fires as soon as it is KNOWABLE,
+    * horizon + lateness after the probe, not at end-of-day.
+    *
+    * State per key = only the probes still inside their horizon
+    * (bounded by probe rate x horizon); quotes are never stored —
+    * within a micro-batch rows process in event-time order, and a quote
+    * matches (and clears) every pending probe at or before it. Same
+    * cross-batch contract as the other streaming enriches: a quote
+    * arriving out of event-time order across batches cannot match a
+    * probe already timed out.
+    */
+  def conversionStream(events: Dataset[Event], probeType: String,
+                       quoteType: String, horizon: java.time.Duration,
+                       lateness: String = "10 minutes"): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    val hMicros = horizon.toNanos / 1000L
+    events
+      .filter(e => e.event_type == probeType || e.event_type == quoteType)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[PendingProbe], Conversion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Seq[PendingProbe]]) =>
+          def toTs(m: Long) = Timestamp.from(
+            java.time.Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L))
+          def expire(pending: Seq[PendingProbe], wmMicros: Long) = {
+            val (dead, alive) = pending.partition(_.tsMicros + hMicros < wmMicros)
+            (dead.map(p => Conversion(p.event_id, user, toTs(p.tsMicros),
+              converted = false, None, None)), alive)
+          }
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          if (state.hasTimedOut) {
+            val (out, alive) = expire(state.getOption.getOrElse(Seq.empty), wm)
+            if (alive.isEmpty) state.remove()
+            else {
+              state.update(alive)
+              state.setTimeoutTimestamp(math.max(
+                (alive.map(_.tsMicros).min + hMicros) / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          } else {
+            var pending = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[Conversion]
+            // FORWARD tie order: probes BEFORE quotes at equal
+            // timestamps, so an equal-ts quote sees the probe pending
+            // (the p.ts <= q.ts inclusive bound) — the mirror of the
+            // backward enrich's quote-first order. Among equal-ts
+            // quotes the LARGEST event_id processes first and takes the
+            // match — the same max-tieBreak rule as AsofJoin.forward.
+            rows.toSeq.sortBy(e =>
+              (tsMicros(e.ts), if (e.event_type == probeType) 0 else 1,
+                if (e.event_type == quoteType) -e.event_id else e.event_id))
+              .foreach { e =>
+              if (e.event_type == probeType)
+                pending = pending :+ PendingProbe(e.event_id, tsMicros(e.ts))
+              else {
+                val q = tsMicros(e.ts)
+                val (hit, miss) = pending.partition(p =>
+                  p.tsMicros <= q && q <= p.tsMicros + hMicros)
+                hit.foreach(p => out += Conversion(p.event_id, user,
+                  toTs(p.tsMicros), converted = true, Some(e.event_id),
+                  Some((q - p.tsMicros) / 1e6)))
+                pending = miss
+              }
+            }
+            // probes whose deadline the watermark already passed (the
+            // quote never came) leave as unconverted now
+            val (dead, alive) = expire(pending, wm)
+            out ++= dead
+            if (alive.nonEmpty) {
+              state.update(alive)
+              state.setTimeoutTimestamp(math.max(
+                (alive.map(_.tsMicros).min + hMicros) / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+  }
+
   case class DocTok(source: String, doc_id: Long, n_tokens: Long)
   case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
                        tok_offset: Long, first_bin: Long, last_bin: Long)

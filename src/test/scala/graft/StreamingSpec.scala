@@ -492,6 +492,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(2L -> Some(1L), 3L -> None))
   }
 
+  test("conversion attribution: converts on quote arrival, times out unconverted") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingJobs.conversionStream(ms.toDS(), "click", "purchase",
+        java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("conv")
+      .outputMode("append").start()
+    try {
+      // user 1: click converts 10 min later; a second click's window
+      // passes with no purchase; user 2: equal-ts purchase (inclusive),
+      // and a purchase AFTER the window that must NOT match
+      ms.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "purchase", 5.0),
+        Event(3, ts("2024-01-01 10:20:00"), 1, "click", 0.0),
+        Event(4, ts("2024-01-01 10:00:00"), 2, "click", 0.0),
+        Event(5, ts("2024-01-01 10:00:00"), 2, "purchase", 7.0),
+        Event(6, ts("2024-01-01 11:00:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      // watermark advance: 13:00 - 10min lateness = 12:50 is past every
+      // open deadline (10:50, 11:30) -> both pending clicks time out
+      ms.addData(Event(7, ts("2024-01-01 13:00:00"), 2, "purchase", 9.0))
+      q.processAllAvailable()
+      ms.addData(Event(8, ts("2024-01-01 13:30:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("conv")
+      .select("event_id", "converted", "matched_event_id", "delay_seconds")
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got === Map(
+      1L -> ((true, Some(2L), Some(600.0))),   // converted in 10 min
+      3L -> ((false, None, None)),             // window passed, no purchase
+      4L -> ((true, Some(5L), Some(0.0))),     // equal-ts inclusive
+      6L -> ((false, None, None))))            // 13:00 purchase is past 11:30
+  }
+
   test("stream-stream interval join equals the batch banded range join") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
