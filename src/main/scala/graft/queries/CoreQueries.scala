@@ -130,6 +130,23 @@ object CoreQueries extends QueryPack {
         tieBreak = "matched_event_id")
     }),
 
+    // Funnel conversion (batch form of StreamingJobs.conversionStream):
+    // each click either converts to the earliest purchase within 30
+    // minutes (with its delay) or is unconverted — the forward as-of
+    // clamped to a horizon. Delay = integer-micros difference divided
+    // once into double: IEEE-identical on both engines.
+    "q_funnel_conversion" -> ((s, dir) => {
+      val h = 1800L * 1000000L
+      val fwd = queries("q_join_asof_forward")(s, dir)
+      val inWin = col("matched_ts").isNotNull &&
+        unix_micros(col("matched_ts")) <= unix_micros(col("ts")) + h
+      fwd.select(col("event_id"), col("user_id"), col("ts"),
+        inWin.as("converted"),
+        when(inWin, col("matched_event_id")).as("conv_event_id"),
+        when(inWin, (unix_micros(col("matched_ts")) - unix_micros(col("ts")))
+          .cast(DoubleType) / 1e6).as("delay_seconds"))
+    }),
+
     // The hot-key production form of q_join_asof: identical semantics,
     // but the fill is two-phase over (user, 1-day epoch) partitions so
     // no window task ever holds a whole key. Same DuckDB ASOF oracle —
@@ -275,6 +292,31 @@ object CoreQueries extends QueryPack {
                 q.matched_ts, q.matched_event_id, q.matched_value
          FROM probes p ASOF LEFT JOIN quotes q
            ON p.user_id = q.user_id AND p.ts <= q.matched_ts""",
+    "q_funnel_conversion" ->
+      """WITH probes AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         quotes AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS matched_ts,
+                  MAX(event_id) AS matched_event_id
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+         fwd AS (
+           SELECT p.event_id, p.user_id, p.ts, q.matched_ts, q.matched_event_id
+           FROM probes p ASOF LEFT JOIN quotes q
+             ON p.user_id = q.user_id AND p.ts <= q.matched_ts)
+         SELECT event_id, user_id, ts,
+                matched_ts IS NOT NULL
+                  AND epoch_us(matched_ts) <= epoch_us(ts) + 1800000000
+                  AS converted,
+                CASE WHEN matched_ts IS NOT NULL
+                       AND epoch_us(matched_ts) <= epoch_us(ts) + 1800000000
+                     THEN matched_event_id END AS conv_event_id,
+                CASE WHEN matched_ts IS NOT NULL
+                       AND epoch_us(matched_ts) <= epoch_us(ts) + 1800000000
+                     THEN CAST(epoch_us(matched_ts) - epoch_us(ts) AS DOUBLE)
+                          / 1e6 END AS delay_seconds
+         FROM fwd""",
     "q_join_asof_epoch" ->
       """WITH probes AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
