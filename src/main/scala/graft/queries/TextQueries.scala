@@ -424,6 +424,26 @@ object TextQueries extends QueryPack {
             && col("doc_id") % 100 =!= 7).as("is_contaminated"))
     }),
 
+    // Corpus-relative token rarity — a perplexity proxy without a model:
+    // docs dominated by corpus-rare tokens (low mean frequency) are the
+    // gibberish/noise candidates that per-doc-local stats (q_text_token_
+    // stats) cannot see. Two shuffles: the corpus-wide token frequency
+    // aggregate and the token-keyed join back — the standard shape for
+    // any corpus-relative signal; frequencies stay exact integers until
+    // ONE final division, so the oracle hash-matches bit-for-bit.
+    "q_text_rarity" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+      val freq = toks.groupBy(col("tok")).agg(cnt.as("tok_freq"))
+      toks.join(freq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_tokens"),
+          sum(col("tok_freq")).cast(LongType).as("freq_sum"),
+          (sum(col("tok_freq")).cast(DoubleType) / count(lit(1)))
+            .as("mean_tok_freq"))
+    }),
+
     // Incremental corpus dedup — the shape a daily ingest actually runs:
     // dedup a NEW batch (doc_id % 10 == 0 stands in for today's arrivals)
     // against the EXISTING corpus without touching corpus-x-corpus pairs.
@@ -837,6 +857,19 @@ object TextQueries extends QueryPack {
                 COALESCE(ov.n_overlap, 0) >= 3 AND d.doc_id % 100 <> 7
                   AS is_contaminated
          FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id""",
+    "q_text_rarity" ->
+      """WITH tok AS (
+           SELECT doc_id, t AS tok FROM (
+             SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+             FROM documents)
+           WHERE length(t) > 0),
+         freq AS (SELECT tok, COUNT(*) AS tok_freq FROM tok GROUP BY tok)
+         SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(tok_freq) AS BIGINT) AS freq_sum,
+                CAST(SUM(tok_freq) AS DOUBLE) / COUNT(*) AS mean_tok_freq
+         FROM tok JOIN freq USING (tok) GROUP BY doc_id""",
     "q_dedup_incremental" -> (minhashOracleCte +
       """,
          corpus_keys AS (
