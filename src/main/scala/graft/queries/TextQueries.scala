@@ -424,6 +424,30 @@ object TextQueries extends QueryPack {
             && col("doc_id") % 100 =!= 7).as("is_contaminated"))
     }),
 
+    // Stratified quality gate: a GLOBAL quality threshold silently
+    // biases the mix (a clean source passes everything, a noisy one
+    // drops most rows) — the production gate thresholds each source
+    // against its OWN distribution. Keep docs at or above their
+    // source's exact discrete p25 (rank ceil(n/4) in (quality, doc_id)
+    // order, NULLS LAST pinned on both engines); the per-source window
+    // partitions by source, and the threshold table (one row per
+    // source) broadcasts back.
+    "q_text_quality_stratified" -> ((s, dir) => {
+      val q = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), qualityScoreCol.as("q"))
+      val bySource = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val thr = q
+        .withColumn("rn", row_number().over(
+          bySource.orderBy(col("q").asc_nulls_last, col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(bySource))
+        .where(col("rn") === ceil(col("n") / lit(4.0)).cast(LongType))
+        .select(col("source"), col("q").as("q_p25"))
+      q.join(broadcast(thr), "source")
+        .where(col("q") >= col("q_p25"))
+        .select(col("doc_id"), col("source"), col("q").as("quality_score"))
+    }),
+
     // Corpus-relative token rarity — a perplexity proxy without a model:
     // docs dominated by corpus-rare tokens (low mean frequency) are the
     // gibberish/noise candidates that per-doc-local stats (q_text_token_
@@ -857,6 +881,33 @@ object TextQueries extends QueryPack {
                 COALESCE(ov.n_overlap, 0) >= 3 AND d.doc_id % 100 <> 7
                   AS is_contaminated
          FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id""",
+    "q_text_quality_stratified" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+                  (LEAST(n_tok, 100.0) / 100.0 + ttr + n_stop / n_tok
+                   + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0
+                          THEN 1.0 ELSE 0.0 END) / 4.0 AS q
+           FROM (SELECT doc_id, source,
+                        CAST(len(w) AS DOUBLE) AS n_tok,
+                        CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+                        CAST(len(list_filter(w,
+                          x -> x IN ('the','a','of','and','to','in')))
+                          AS DOUBLE) AS n_stop,
+                        CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+                          AS mean_wl
+                 FROM (SELECT doc_id, source, text,
+                              regexp_split_to_array(trim(text), '\s+') AS w
+                       FROM documents))),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY q ASC NULLS LAST, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+           FROM q),
+         thr AS (
+           SELECT source, q AS q_p25 FROM ranked
+           WHERE rn = CAST(CEIL(n / 4.0) AS BIGINT))
+         SELECT q.doc_id, q.source, q.q AS quality_score
+         FROM q JOIN thr USING (source) WHERE q.q >= thr.q_p25""",
     "q_text_rarity" ->
       """WITH tok AS (
            SELECT doc_id, t AS tok FROM (
