@@ -14,6 +14,24 @@ import org.apache.spark.sql.types._
   */
 object CoreQueries extends QueryPack {
 
+  /** Shared probe/quote frames for the as-of family: probes = clicks;
+    * quotes = purchases pre-deduped to one row per (user_id, ts) keeping
+    * the max event_id, so equal-timestamp picks are deterministic on
+    * both engines (the oracle mirrors the dedup with MAX/MAX_BY).
+    */
+  private def asofInputs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = graft.Tables.events(s, dir)
+    val probes = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val quotes = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("matched_ts"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("matched_ts"))
+      .agg(max(col("event_id")).as("matched_event_id"),
+        max_by(col("value"), col("event_id")).as("matched_value"))
+    (probes, quotes)
+  }
+
   val queries: Map[String, Q] = Map(
     // S4/S9 + P4-style pruned scan: projection + predicates reach the
     // parquet reader (PushedFilters + 3-column ReadSchema).
@@ -93,19 +111,9 @@ object CoreQueries extends QueryPack {
     // Extension: backward AS-OF join — for each click, the latest
     // purchase of the same user at or before the click. Spark lacks the
     // operator; operators/AsofJoin implements the one-shuffle union+window
-    // plan. Quotes are pre-deduped to one row per (user_id, ts) keeping
-    // the max event_id so equal-timestamp picks are deterministic on both
-    // engines (oracle: DuckDB ASOF LEFT JOIN over the same dedup).
+    // plan (oracle: DuckDB ASOF LEFT JOIN over the same deduped quotes).
     "q_join_asof" -> ((s, dir) => {
-      val ev = graft.Tables.events(s, dir)
-      val probes = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val quotes = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("matched_ts"),
-          col("event_id"), col("value"))
-        .groupBy(col("user_id"), col("matched_ts"))
-        .agg(max(col("event_id")).as("matched_event_id"),
-          max_by(col("value"), col("event_id")).as("matched_value"))
+      val (probes, quotes) = asofInputs(s, dir)
       AsofJoin.backward(probes, quotes,
         key = "user_id", probeTime = "ts", quoteTime = "matched_ts",
         tieBreak = "matched_event_id")
@@ -116,15 +124,7 @@ object CoreQueries extends QueryPack {
     // descending; oracle = DuckDB ASOF LEFT JOIN with the inequality
     // flipped.
     "q_join_asof_forward" -> ((s, dir) => {
-      val ev = graft.Tables.events(s, dir)
-      val probes = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val quotes = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("matched_ts"),
-          col("event_id"), col("value"))
-        .groupBy(col("user_id"), col("matched_ts"))
-        .agg(max(col("event_id")).as("matched_event_id"),
-          max_by(col("value"), col("event_id")).as("matched_value"))
+      val (probes, quotes) = asofInputs(s, dir)
       AsofJoin.forward(probes, quotes,
         key = "user_id", probeTime = "ts", quoteTime = "matched_ts",
         tieBreak = "matched_event_id")
@@ -152,15 +152,7 @@ object CoreQueries extends QueryPack {
     // no window task ever holds a whole key. Same DuckDB ASOF oracle —
     // the two variants must hash-match each other through it.
     "q_join_asof_epoch" -> ((s, dir) => {
-      val ev = graft.Tables.events(s, dir)
-      val probes = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val quotes = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("matched_ts"),
-          col("event_id"), col("value"))
-        .groupBy(col("user_id"), col("matched_ts"))
-        .agg(max(col("event_id")).as("matched_event_id"),
-          max_by(col("value"), col("event_id")).as("matched_value"))
+      val (probes, quotes) = asofInputs(s, dir)
       AsofJoin.backwardEpoched(probes, quotes,
         key = "user_id", probeTime = "ts", quoteTime = "matched_ts",
         tieBreak = "matched_event_id", epochMicros = 86400L * 1000000L)
@@ -232,6 +224,18 @@ object CoreQueries extends QueryPack {
           .otherwise(col("l_extendedprice")).as("sales_repaired"))
     }))
 
+  /** Shared oracle CTE for the as-of family — mirrors [[asofInputs]]. */
+  private val asofOracleCte =
+    """WITH probes AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         quotes AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS matched_ts,
+                  MAX(event_id) AS matched_event_id,
+                  MAX_BY(value, event_id) AS matched_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP))"""
+
   val oracleSql: Map[String, String] = Map(
     "q_scan_pruned" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
@@ -264,43 +268,20 @@ object CoreQueries extends QueryPack {
       """SELECT o_orderkey, 'high_value' AS src FROM orders WHERE o_totalprice > 400000
          UNION ALL
          SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'""",
-    "q_join_asof" ->
-      """WITH probes AS (
-           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-           FROM events WHERE event_type = 'click'),
-         quotes AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS matched_ts,
-                  MAX(event_id) AS matched_event_id,
-                  MAX_BY(value, event_id) AS matched_value
-           FROM events WHERE event_type = 'purchase'
-           GROUP BY user_id, CAST(ts AS TIMESTAMP))
+    "q_join_asof" -> (asofOracleCte +
+      """
          SELECT p.event_id, p.user_id, p.ts,
                 q.matched_ts, q.matched_event_id, q.matched_value
          FROM probes p ASOF LEFT JOIN quotes q
-           ON p.user_id = q.user_id AND p.ts >= q.matched_ts""",
-    "q_join_asof_forward" ->
-      """WITH probes AS (
-           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-           FROM events WHERE event_type = 'click'),
-         quotes AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS matched_ts,
-                  MAX(event_id) AS matched_event_id,
-                  MAX_BY(value, event_id) AS matched_value
-           FROM events WHERE event_type = 'purchase'
-           GROUP BY user_id, CAST(ts AS TIMESTAMP))
+           ON p.user_id = q.user_id AND p.ts >= q.matched_ts"""),
+    "q_join_asof_forward" -> (asofOracleCte +
+      """
          SELECT p.event_id, p.user_id, p.ts,
                 q.matched_ts, q.matched_event_id, q.matched_value
          FROM probes p ASOF LEFT JOIN quotes q
-           ON p.user_id = q.user_id AND p.ts <= q.matched_ts""",
-    "q_funnel_conversion" ->
-      """WITH probes AS (
-           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-           FROM events WHERE event_type = 'click'),
-         quotes AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS matched_ts,
-                  MAX(event_id) AS matched_event_id
-           FROM events WHERE event_type = 'purchase'
-           GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+           ON p.user_id = q.user_id AND p.ts <= q.matched_ts"""),
+    "q_funnel_conversion" -> (asofOracleCte +
+      """,
          fwd AS (
            SELECT p.event_id, p.user_id, p.ts, q.matched_ts, q.matched_event_id
            FROM probes p ASOF LEFT JOIN quotes q
@@ -316,21 +297,13 @@ object CoreQueries extends QueryPack {
                        AND epoch_us(matched_ts) <= epoch_us(ts) + 1800000000
                      THEN CAST(epoch_us(matched_ts) - epoch_us(ts) AS DOUBLE)
                           / 1e6 END AS delay_seconds
-         FROM fwd""",
-    "q_join_asof_epoch" ->
-      """WITH probes AS (
-           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-           FROM events WHERE event_type = 'click'),
-         quotes AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS matched_ts,
-                  MAX(event_id) AS matched_event_id,
-                  MAX_BY(value, event_id) AS matched_value
-           FROM events WHERE event_type = 'purchase'
-           GROUP BY user_id, CAST(ts AS TIMESTAMP))
+         FROM fwd"""),
+    "q_join_asof_epoch" -> (asofOracleCte +
+      """
          SELECT p.event_id, p.user_id, p.ts,
                 q.matched_ts, q.matched_event_id, q.matched_value
          FROM probes p ASOF LEFT JOIN quotes q
-           ON p.user_id = q.user_id AND p.ts >= q.matched_ts""",
+           ON p.user_id = q.user_id AND p.ts >= q.matched_ts"""),
     "q_join_range_binned" ->
       """WITH ev AS (
            SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
