@@ -294,8 +294,12 @@ object StreamingJobs {
     import events.sparkSession.implicits._
     val hMicros = horizon.toNanos / 1000L
     events
-      .filter(e => e.event_type == probeType || e.event_type == quoteType)
+      // watermark BEFORE the type filter: every event advances event
+      // time, so an unconverted verdict still fires when only unrelated
+      // event types flow (filtered-first would freeze the clock — and
+      // the timeout with it — whenever no probes/quotes arrive)
       .withWatermark("ts", lateness)
+      .filter(e => e.event_type == probeType || e.event_type == quoteType)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[PendingProbe], Conversion](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

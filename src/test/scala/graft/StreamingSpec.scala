@@ -531,6 +531,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       6L -> ((false, None, None))))            // 13:00 purchase is past 11:30
   }
 
+  test("conversion attribution pending probes survive a checkpoint restart") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_conv_").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def writeBatch(evs: Seq[Event]): Unit =
+      evs.toDF().write.mode("append").parquet(in)
+    def drainOnce(): Unit = {
+      val q = StreamingJobs.conversionStream(
+          StreamingJobs.readEventsStream(spark, in).as[Event],
+          "click", "purchase", java.time.Duration.ofMinutes(30))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // two probes land BEFORE the restart, still inside their windows
+    writeBatch(Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(2, ts("2024-01-01 10:05:00"), 2, "click", 0.0)))
+    drainOnce()
+    // after restart: user 1's purchase arrives in-window -> converted;
+    // user 2 never converts — the 12:00 VIEW event advances the
+    // watermark past its 10:35 deadline (the watermark sits before the
+    // type filter precisely so unrelated events keep the clock moving)
+    // and the run's trailing no-data batch fires the timeout
+    writeBatch(Seq(
+      Event(3, ts("2024-01-01 10:20:00"), 1, "purchase", 5.0),
+      Event(4, ts("2024-01-01 12:00:00"), 1, "view", 0.0)))
+    drainOnce()
+    val got = spark.read.parquet(out)
+      .select("event_id", "converted", "matched_event_id")
+      .collect().map(r => (r.getLong(0), (r.getBoolean(1), Option(r.get(2)))))
+      .toMap
+    assert(got === Map(
+      1L -> ((true, Some(3L))),   // state carried the pending probe
+      2L -> ((false, None))))     // timed out after the restart
+  }
+
   test("stream-stream interval join equals the batch banded range join") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
