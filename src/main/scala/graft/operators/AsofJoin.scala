@@ -74,7 +74,14 @@ object AsofJoin {
       .withColumn("__tie", lit(null).cast(tieType))
       .withColumn("__payload", lit(null).cast(payloadType))
 
+    // SQL ASOF semantics: a NULL-timestamped quote never matches.
+    // Unfiltered it would sort FIRST (asc NULLS FIRST) and the running
+    // last() would hand its payload to every probe with no real prior
+    // quote; in the epoched variant its null epoch slot would leak into
+    // the carry. (A NULL-timestamped PROBE needs no filter: it sorts
+    // before every quote and correctly gets null payload.)
     val taggedQuotes = quotes
+      .where(col(quoteTime).isNotNull)
       .withColumn("__t", col(quoteTime))
       .withColumn("__probe", lit(0))
       .withColumn("__tie", col(tieBreak))
@@ -94,7 +101,10 @@ object AsofJoin {
     * lands on the EARLIEST quote >= probe.
     */
   private def eventOrder(ascending: Boolean) = {
-    val t = if (ascending) col("__t").asc else col("__t").desc
+    // NULLS FIRST in BOTH directions: a null-timestamped probe must see
+    // an empty frame (null payload), not sort after the quotes
+    val t = if (ascending) col("__t").asc_nulls_first
+            else col("__t").desc_nulls_first
     Seq(t, col("__probe").asc, col("__tie").asc_nulls_first)
   }
 

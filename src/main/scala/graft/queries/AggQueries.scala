@@ -157,7 +157,7 @@ object AggQueries extends QueryPack {
         .partitionBy(col("event_type"))
       val exactPer = ev
         .withColumn("rn", row_number().over(
-          byType.orderBy(col("value"), col("event_id"))))
+          byType.orderBy(col("value").asc_nulls_last, col("event_id"))))
         .withColumn("n", count(lit(1)).over(byType))
         .where(col("rn") === floor((col("n") + 1) / lit(2.0)).cast(LongType))
         .select(col("event_type"), col("value").cast(DoubleType).as("exact_p50"))
@@ -348,7 +348,8 @@ object AggQueries extends QueryPack {
       """WITH ranked AS (
            SELECT event_type, CAST(value AS DOUBLE) AS v,
                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                     ORDER BY value, event_id) AS rn,
+                                     ORDER BY value ASC NULLS LAST,
+                                              event_id) AS rn,
                   COUNT(*) OVER (PARTITION BY event_type) AS n
            FROM events)
          SELECT event_type AS scope, v AS exact_p50, TRUE AS approx_ok

@@ -517,8 +517,10 @@ object TextQueries extends QueryPack {
       val fps = t(s, dir, "documents").select(col("doc_id"),
         explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
           .as("fp"))
+      // persisted: three consumers (count, blob aggregate, confirm join)
+      // would otherwise each recompute the full winnowing scan + distinct
       val bench = fps.where(col("doc_id") % 100 === 7)
-        .select(col("fp")).distinct()
+        .select(col("fp")).distinct().persist()
       // size the sketch from the benchmark cardinality (~10 bits/item,
       // 64 Kbit floor); the collected blob is bits/8 bytes of metadata,
       // NOT data-plane rows — the same bounded-collect class as the
@@ -929,16 +931,20 @@ object TextQueries extends QueryPack {
          corpus_bands AS (
            SELECT DISTINCT band_key FROM bands WHERE doc_id % 10 <> 0),
          near_docs AS (
-           SELECT DISTINCT doc_id FROM bands
-           WHERE doc_id % 10 = 0
-             AND band_key IN (SELECT band_key FROM corpus_bands))
+           SELECT DISTINCT b.doc_id FROM bands b
+           JOIN corpus_bands cb ON b.band_key = cb.band_key
+           WHERE b.doc_id % 10 = 0)
+         -- LEFT JOIN + IS NOT NULL mirrors the Spark side's null
+         -- semantics: a NULL text_key (null text) is NOT a dup, where
+         -- `md5(...) IN (subquery)` would yield NULL instead of false
          SELECT d.doc_id,
-                md5(LOWER(TRIM(d.text))) IN (SELECT text_key FROM corpus_keys)
-                  AS exact_dup,
-                d.doc_id IN (SELECT doc_id FROM near_docs) AS near_dup,
-                NOT (md5(LOWER(TRIM(d.text))) IN (SELECT text_key FROM corpus_keys)
-                     OR d.doc_id IN (SELECT doc_id FROM near_docs)) AS keep
-         FROM documents d WHERE d.doc_id % 10 = 0"""),
+                ck.text_key IS NOT NULL AS exact_dup,
+                nd.doc_id IS NOT NULL AS near_dup,
+                ck.text_key IS NULL AND nd.doc_id IS NULL AS keep
+         FROM documents d
+         LEFT JOIN corpus_keys ck ON md5(LOWER(TRIM(d.text))) = ck.text_key
+         LEFT JOIN near_docs nd ON d.doc_id = nd.doc_id
+         WHERE d.doc_id % 10 = 0"""),
     // the Bloom path is exact end-to-end (no false negatives; false
     // positives removed by the confirm join), so its oracle is the same
     // SQL as the exact decontamination

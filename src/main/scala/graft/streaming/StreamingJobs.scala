@@ -304,11 +304,9 @@ object StreamingJobs {
       .flatMapGroupsWithState[Seq[PendingProbe], Conversion](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[Seq[PendingProbe]]) =>
-          def toTs(m: Long) = Timestamp.from(
-            java.time.Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L))
           def expire(pending: Seq[PendingProbe], wmMicros: Long) = {
             val (dead, alive) = pending.partition(_.tsMicros + hMicros < wmMicros)
-            (dead.map(p => Conversion(p.event_id, user, toTs(p.tsMicros),
+            (dead.map(p => Conversion(p.event_id, user, microsToTs(p.tsMicros),
               converted = false, None, None)), alive)
           }
           val wm = state.getCurrentWatermarkMs() * 1000L
@@ -342,7 +340,7 @@ object StreamingJobs {
                 val (hit, miss) = pending.partition(p =>
                   p.tsMicros <= q && q <= p.tsMicros + hMicros)
                 hit.foreach(p => out += Conversion(p.event_id, user,
-                  toTs(p.tsMicros), converted = true, Some(e.event_id),
+                  microsToTs(p.tsMicros), converted = true, Some(e.event_id),
                   Some((q - p.tsMicros) / 1e6)))
                 pending = miss
               }
@@ -438,6 +436,10 @@ object StreamingJobs {
   private def tsMicros(t: Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
 
+  private def microsToTs(m: Long): Timestamp = Timestamp.from(
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L))
+
   /** Streaming backward as-of enrich — the streaming face of
     * operators/AsofJoin (batch oracle row q_join_asof): every probe-type
     * event is enriched with the latest quote-type event of the same user
@@ -480,8 +482,7 @@ object StreamingJobs {
                 best = Some(QuoteState(m, e.event_id, e.value))
             } else {
               out += AsofEnriched(e.event_id, user, e.ts,
-                best.map(b => Timestamp.from(java.time.Instant.ofEpochSecond(
-                  b.tsMicros / 1000000L, (b.tsMicros % 1000000L) * 1000L))),
+                best.map(b => microsToTs(b.tsMicros)),
                 best.map(_.event_id), best.map(_.value))
             }
           }

@@ -75,6 +75,29 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(want.values.exists(_.isEmpty), "vacuous: every probe matched")
   }
 
+  test("null timestamps never match: SQL ASOF semantics in all variants") {
+    // a null-ts quote must match NOTHING (not sort first and leak its
+    // payload to quote-less probes); a null-ts probe must get null
+    // payload in BOTH directions (desc default NULLS LAST would hand it
+    // the earliest quote in forward)
+    val p = Seq((1L, "a", Option(5L)), (2L, "a", Option.empty[Long]))
+      .toDF("p_id", "k", "p_ts")
+    val q = Seq(("a", Option.empty[Long], 10L, "leak"),
+        ("a", Option(3L), 11L, "real"))
+      .toDF("k", "q_ts", "q_id", "q_val")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("p_id").select("p_id", "q_val").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(got(AsofJoin.backward(p, q, "k", "p_ts", "q_ts", "q_id")) ===
+      Seq((1L, Some("real")), (2L, None)))
+    assert(got(AsofJoin.backwardEpoched(p, q, "k", "p_ts", "q_ts", "q_id", 10L)) ===
+      Seq((1L, Some("real")), (2L, None)))
+    // forward: probe 1 (t=5) has no quote at or after it; the null-ts
+    // quote must not be treated as "after everything"
+    assert(got(AsofJoin.forward(p, q, "k", "p_ts", "q_ts", "q_id")) ===
+      Seq((1L, None), (2L, None)))
+  }
+
   test("epoched variant carries the fill across empty epochs") {
     // quote in epoch 0 (t=5, width 10); probes in epochs 3 and 0;
     // epochs 1-2 contain no rows at all — the carry must jump them
