@@ -165,8 +165,11 @@ object AggQueries extends QueryPack {
         .agg(kll_sketch_agg_double(col("value")).as("sk"))
       val estPer = sk.select(col("event_type"),
         kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("est"))
+      // denominator = non-null values only: NULL value rows can never
+      // satisfy value <= est, so counting them would bias the measured
+      // rank low and fail the bound spuriously on null-bearing data
       def rankOk = (abs(count(when(col("value") <= col("est"), 1))
-        .cast(DoubleType) / count(lit(1)) - 0.5) <= 0.05).as("approx_ok")
+        .cast(DoubleType) / count(col("value")) - 0.5) <= 0.05).as("approx_ok")
       val per = ev.join(broadcast(estPer), "event_type")
         .groupBy(col("event_type")).agg(rankOk)
         .join(exactPer, "event_type")

@@ -517,8 +517,9 @@ object TextQueries extends QueryPack {
       val fps = t(s, dir, "documents").select(col("doc_id"),
         explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
           .as("fp"))
-      // persisted: three consumers (count, blob aggregate, confirm join)
-      // would otherwise each recompute the full winnowing scan + distinct
+      // persisted for the two EAGER consumers (count, blob aggregate);
+      // released below before returning — a session-lifetime cache per
+      // builder invocation would leak across bench/verify/audit runs
       val bench = fps.where(col("doc_id") % 100 === 7)
         .select(col("fp")).distinct().persist()
       // size the sketch from the benchmark cardinality (~10 bits/item,
@@ -530,6 +531,9 @@ object TextQueries extends QueryPack {
         .agg(bloomFilterAgg(col("fp"), math.max(nBench, 1L),
           math.max(nBench * 10L, 65536L)))
         .head.getAs[Array[Byte]](0)
+      // cache served its eager consumers; the lazy confirm join below
+      // recomputes bench once instead of pinning blocks for the session
+      bench.unpersist()
       val candidates =
         if (blob == null) fps.where(lit(false)) // empty benchmark set
         else fps.where(mightContain(blob, col("fp")))

@@ -283,10 +283,17 @@ object StreamingJobs {
     * State per key = only the probes still inside their horizon
     * (bounded by probe rate x horizon); quotes are never stored —
     * within a micro-batch rows process in event-time order, and a quote
-    * matches (and clears) every pending probe at or before it. Same
-    * cross-batch contract as the other streaming enriches: a quote
-    * arriving out of event-time order across batches cannot match a
-    * probe already timed out.
+    * matches (and clears) every pending probe at or before it. The
+    * cross-batch contract is therefore ARRIVAL-ORDER: because quotes
+    * are not buffered, ANY probe that arrives in a later micro-batch
+    * than its matching quote (probe ts <= quote ts, both inside
+    * watermark lateness) will not convert — not only probes that had
+    * already timed out. An in-event-time-order stream matches batch
+    * q_funnel_conversion exactly; shuffled cross-batch arrival is
+    * best-effort. For exact-under-permutation semantics use the
+    * watermark-buffered pattern of [[asofEnrichStreamExact]] (buffer
+    * quotes for lateness, emit verdicts at watermark), or route late
+    * data through the batch operator.
     */
   def conversionStream(events: Dataset[Event], probeType: String,
                        quoteType: String, horizon: java.time.Duration,
@@ -329,9 +336,11 @@ object StreamingJobs {
             // backward enrich's quote-first order. Among equal-ts
             // quotes the LARGEST event_id processes first and takes the
             // match — the same max-tieBreak rule as AsofJoin.forward.
+            // bitwise complement (not arithmetic negation) for the
+            // descending quote order: -Long.MinValue overflows to itself
             rows.toSeq.sortBy(e =>
               (tsMicros(e.ts), if (e.event_type == probeType) 0 else 1,
-                if (e.event_type == quoteType) -e.event_id else e.event_id))
+                if (e.event_type == quoteType) ~e.event_id else e.event_id))
               .foreach { e =>
               if (e.event_type == probeType)
                 pending = pending :+ PendingProbe(e.event_id, tsMicros(e.ts))
@@ -490,6 +499,84 @@ object StreamingJobs {
           out.result().iterator
       }
   }
+  case class AsofExactBuf(quotes: Seq[QuoteState], probes: Seq[PendingProbe])
+
+  /** EXACT-under-permutation streaming backward as-of enrich — the
+    * watermark-buffered form of [[asofEnrichStream]]. Where the eager
+    * variant emits each probe on arrival (arrival-order best-effort
+    * across micro-batches), this one holds BOTH sides in GroupState and
+    * emits a probe's verdict only once the event-time watermark has
+    * strictly passed the probe's timestamp: from that point Spark drops
+    * any later-arriving quote at-or-before the probe as late data, so
+    * the "latest quote <= probe.ts" answer is final no matter which
+    * micro-batch each row arrived in. Streaming == AsofJoin.backward
+    * for every arrival permutation of non-late rows (StreamingSpec
+    * proves it on a seeded random shuffle across batches, restart-safe).
+    *
+    * State per key is bounded by the lateness window, not the stream:
+    * pending probes still inside lateness, quotes not yet passed by the
+    * watermark, plus ONE compressed best-quote record for everything
+    * older (any future probe has ts >= watermark, so only the max
+    * (ts, event_id) quote below the watermark can ever win again —
+    * the same one-record bound the eager variant keeps). EventTime
+    * timeouts both flush resolvable probes when only unrelated traffic
+    * advances the clock and shrink the quote buffer back to one record.
+    * The trade against the eager variant is the inherent one: verdicts
+    * arrive `lateness` after event time instead of immediately.
+    */
+  def asofEnrichStreamExact(events: Dataset[Event], probeType: String,
+                            quoteType: String,
+                            lateness: String = "10 minutes"): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      // watermark BEFORE the type filter — unrelated event types must
+      // still advance the clock (same rule as conversionStream)
+      .withWatermark("ts", lateness)
+      .filter(e => e.event_type == probeType || e.event_type == quoteType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofExactBuf, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[AsofExactBuf]) =>
+          val prior = state.getOption.getOrElse(AsofExactBuf(Nil, Nil))
+          var quotes = prior.quotes
+          var probes = prior.probes
+          if (!state.hasTimedOut) rows.foreach { e =>
+            if (e.event_type == quoteType)
+              quotes = quotes :+ QuoteState(tsMicros(e.ts), e.event_id, e.value)
+            else probes = probes :+ PendingProbe(e.event_id, tsMicros(e.ts))
+          }
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          // resolve BEFORE compressing: probes strictly below the
+          // watermark are final (future quotes all have ts >= wm)
+          val (done, still) = probes.partition(_.tsMicros < wm)
+          val out = done.sortBy(p => (p.tsMicros, p.event_id)).map { p =>
+            val best = quotes.filter(_.tsMicros <= p.tsMicros)
+              .sortBy(q => (q.tsMicros, q.event_id)).lastOption
+            AsofEnriched(p.event_id, user, microsToTs(p.tsMicros),
+              best.map(b => microsToTs(b.tsMicros)), best.map(_.event_id),
+              best.map(_.value))
+          }
+          // compress: quotes strictly below the watermark collapse to
+          // the single best — every surviving/future probe sits at or
+          // above the watermark, so only the max can ever match again
+          val (old, fresh) = quotes.partition(_.tsMicros < wm)
+          val kept = old.sortBy(q => (q.tsMicros, q.event_id)).lastOption.toSeq ++ fresh
+          if (still.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofExactBuf(kept, still))
+            // wake once the watermark passes the earliest pending probe
+            // (to emit it) or uncompressed quote (to shrink the buffer);
+            // a lone compressed record needs no timeout — it is the
+            // same one-record-per-key residency as the eager variant
+            (still.map(_.tsMicros) ++ fresh.map(_.tsMicros))
+              .reduceOption(_ min _)
+              .foreach(n => state.setTimeoutTimestamp(
+                math.max(n / 1000L, state.getCurrentWatermarkMs() + 1)))
+          }
+          out.iterator
+      }
+  }
+
   case class SessionBuf(start: Long, lastTs: Long, n: Long, value: Double)
   case class ClosedSession(user_id: Long, session_start: Timestamp,
                            n_events: Long, session_value: Double)

@@ -420,6 +420,114 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((7L, Some("2024-01-01 10:30:00.0"), Some("5"), Some("9.0"))))
   }
 
+  test("exact as-of enrich equals batch on a seeded random permutation across batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40 seeded-random events over a 2 h span, then crafted shapes:
+    // user 9's probe (101) arrives in batch 0 but its WINNING quote
+    // (104, an equal-ts tie resolved by max event_id) only in batch 2 —
+    // the out-of-order carry the eager variant cannot produce — plus a
+    // non-winning out-of-order quote (102) in the last batch, and a
+    // never-quoted user 10 probe (null enrich)
+    val rnd = new scala.util.Random(7)
+    def at(sec: Int) = new Timestamp(ts("2024-01-01 10:00:00").getTime + sec * 1000L)
+    val base = (1 to 40).map { i =>
+      Event(i.toLong, at(rnd.nextInt(7200)), 1L + rnd.nextInt(4),
+        if (rnd.nextInt(3) == 0) "purchase" else "click",
+        rnd.nextInt(100).toDouble)
+    }
+    val shuffled = rnd.shuffle(base).grouped(10).toSeq
+    val batches = Seq(
+      shuffled(0) :+ Event(101, ts("2024-01-01 10:30:00"), 9, "click", 0.0)
+        :+ Event(105, ts("2024-01-01 10:05:00"), 10, "click", 0.0),
+      shuffled(1) :+ Event(103, ts("2024-01-01 10:30:00"), 9, "purchase", 2.0),
+      shuffled(2) :+ Event(104, ts("2024-01-01 10:30:00"), 9, "purchase", 3.0),
+      shuffled(3) :+ Event(102, ts("2024-01-01 10:00:00"), 9, "purchase", 1.0))
+    val ms = MemoryStream[Event]
+    // lateness covers the whole fixture span: no permuted row is late
+    val q = StreamingJobs.asofEnrichStreamExact(ms.toDS(), "click", "purchase",
+        lateness = "1 day")
+      .writeStream.format("memory").queryName("asof_exact")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      // two flush batches: the first advances the watermark past every
+      // event, the second runs the timeout batch that emits the verdicts
+      ms.addData(Event(900, ts("2024-01-02 12:00:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(Event(901, ts("2024-01-03 12:00:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.get(3)).map(_.toString),
+        Option(r.get(4)).map(_.toString), Option(r.get(5)).map(_.toString))
+    val got = spark.table("asof_exact")
+      .select("event_id", "user_id", "ts",
+        "matched_ts", "matched_event_id", "matched_value")
+      .collect().map(key).toSet
+    val all = batches.flatten
+    val want = graft.operators.AsofJoin.backward(
+        all.toDS().where($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts"),
+        all.toDS().where($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("matched_ts"),
+            $"event_id".as("matched_event_id"), $"value".as("matched_value")),
+        key = "user_id", probeTime = "ts", quoteTime = "matched_ts",
+        tieBreak = "matched_event_id")
+      .select("event_id", "user_id", "ts",
+        "matched_ts", "matched_event_id", "matched_value")
+      .collect().map(key).toSet
+    assert(got === want)
+    // the witnesses really occurred: the later-batch winning quote
+    // (eager would have emitted 101 unmatched at batch 0) and the
+    // never-quoted null enrich
+    assert(got.contains((101L, Some("2024-01-01 10:30:00.0"), Some("104"), Some("3.0"))))
+    assert(got.contains((105L, None, None, None)))
+  }
+
+  test("exact as-of enrich resolves a post-restart out-of-order quote") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_asofx_").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def writeBatch(evs: Seq[Event]): Unit =
+      evs.toDF().write.mode("append").parquet(in)
+    def drainOnce(): Unit = {
+      val q = StreamingJobs.asofEnrichStreamExact(
+          StreamingJobs.readEventsStream(spark, in).as[Event],
+          "click", "purchase", lateness = "2 hours")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // before the restart: a pending probe, a later quote that must NOT
+    // match it (backward join), and user 2's quote held for a future probe
+    writeBatch(Seq(
+      Event(1, ts("2024-01-01 10:30:00"), 1, "click", 0.0),
+      Event(2, ts("2024-01-01 10:40:00"), 1, "purchase", 5.0),
+      Event(3, ts("2024-01-01 10:00:00"), 2, "purchase", 7.0)))
+    drainOnce()
+    // after the restart: quote 4 arrives OUT OF EVENT-TIME ORDER (before
+    // the still-buffered probe 1 — the rebuilt state must re-resolve it),
+    // probe 5 matches the pre-restart quote 3, and the far-future view
+    // advances the watermark so the trailing no-data batch emits verdicts
+    writeBatch(Seq(
+      Event(4, ts("2024-01-01 10:10:00"), 1, "purchase", 9.0),
+      Event(5, ts("2024-01-01 10:05:00"), 2, "click", 0.0),
+      Event(6, ts("2024-01-01 20:00:00"), 1, "view", 0.0)))
+    drainOnce()
+    val got = spark.read.parquet(out)
+      .select("event_id", "matched_event_id", "matched_value")
+      .collect().map(r => (r.getLong(0),
+        (Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got === Map(
+      1L -> ((Some(4L), Some(9.0))),  // out-of-order quote landed post-restart
+      5L -> ((Some(3L), Some(7.0))))) // quote buffered across the restart
+  }
+
   test("streaming incremental dedup equals the batch verdicts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
