@@ -260,18 +260,23 @@ object TextQueries extends QueryPack {
     }),
 
     // Connected-components dedup: transitive closure of the MinHash-LSH
-    // candidate-pair graph via iterative min-label propagation
-    // (operators/ConnectedComponents.scala). The greedy keep-first
-    // policy under-merges chains a~b~c where a~c never shared a band;
-    // here every doc gets component = min doc_id reachable, and the
-    // component minimum is the canonical survivor. Oracle: a DuckDB
-    // recursive CTE over the identical pair graph.
+    // candidate-pair graph. The greedy keep-first policy under-merges
+    // chains a~b~c where a~c never shared a band; here every doc gets
+    // component = min doc_id reachable, and the component minimum is
+    // the canonical survivor. The registered default is the alternating
+    // large-star/small-star contraction (Kiveris et al., SoCC 2014,
+    // operators/ConnectedComponents.scala): O(log n) shuffle rounds on
+    // ANY graph shape, so an adversarial-diameter chain cannot turn the
+    // round count linear — the 100 TB-safe choice. Min-label
+    // propagation sits beside it as q_dedup_components_minlabel, the
+    // independently-derived verification sibling (same oracle: a DuckDB
+    // recursive CTE over the identical pair graph).
     "q_dedup_components" -> ((s, dir) => {
       val pairs = minhashPairs(s, dir)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
-      graft.operators.ConnectedComponents.minLabel(nodes, edges)
+      graft.operators.ConnectedComponents.largeSmallStar(nodes, edges)
         .select(col("node").as("doc_id"), col("component"),
           (col("node") === col("component")).as("keep"))
     }),
@@ -288,7 +293,7 @@ object TextQueries extends QueryPack {
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val docs = t(s, dir, "documents")
       val comp = graft.operators.ConnectedComponents
-        .minLabel(docs.select(col("doc_id").as("node")), edges)
+        .largeSmallStar(docs.select(col("doc_id").as("node")), edges)
         .select(col("node").as("doc_id"), col("component"))
       val quality = docs.select(col("doc_id"), qualityScoreCol.as("q"))
       val w = org.apache.spark.sql.expressions.Window
@@ -300,17 +305,18 @@ object TextQueries extends QueryPack {
           (col("rn") === 1).as("keep_best"))
     }),
 
-    // Same transitive closure through the O(log n)-round alternating
-    // large-star/small-star operator (Kiveris et al., SoCC 2014) — the
-    // adversarial-diameter path: min-label needs diameter-many shuffle
-    // rounds, star contraction is logarithmic on any graph shape.
+    // Same transitive closure through iterative min-label propagation —
+    // the independently-derived verification sibling of the registered
+    // star-contraction default (one shuffle round per graph-diameter
+    // step; near-dup graphs have small diameter, so it is also a fine
+    // production choice there, but it is NOT diameter-safe in general).
     // Identical output contract and oracle as q_dedup_components.
-    "q_dedup_components_star" -> ((s, dir) => {
+    "q_dedup_components_minlabel" -> ((s, dir) => {
       val pairs = minhashPairs(s, dir)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
-      graft.operators.ConnectedComponents.largeSmallStar(nodes, edges)
+      graft.operators.ConnectedComponents.minLabel(nodes, edges)
         .select(col("node").as("doc_id"), col("component"),
           (col("node") === col("component")).as("keep"))
     }),
@@ -843,8 +849,8 @@ object TextQueries extends QueryPack {
                     ORDER BY q.q DESC NULLS LAST, c.doc_id) AS rn
            FROM comps c JOIN q ON q.doc_id = c.doc_id)
          SELECT doc_id, component, rn = 1 AS keep_best FROM ranked"""),
-    // same closure, computed by large-star/small-star — same oracle
-    "q_dedup_components_star" ->
+    // same closure, computed by min-label propagation — same oracle
+    "q_dedup_components_minlabel" ->
       (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
         """,
          pairs AS (
