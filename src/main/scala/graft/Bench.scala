@@ -8,7 +8,14 @@ import org.apache.spark.sql.SparkSession
   * sink (`format("noop")`) — a bare `.count()` lets Catalyst prune every
   * unreferenced projection column, so expression-heavy queries would be
   * mostly unmeasured. A warmup query runs first (untimed) so the first
-  * timed query doesn't absorb session/codegen/JIT startup.
+  * timed query doesn't absorb session/codegen/JIT startup. Each query
+  * is then timed SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  * the MEDIAN, with the max-min spread recorded beside it: single-run
+  * timings whipsawed up to 4.5x across rounds on same-code queries
+  * (box drift amplified on short queries), burning review cycles on
+  * phantom regressions. q_ref_* queries run once — they memoize the
+  * reference fixture per session, so their re-runs would time the
+  * cache, not the query.
   */
 object Bench {
 
@@ -50,14 +57,33 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     def run(name: String): Unit = runAt(name, sfDir)
 
+    val benchRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    def time(thunk: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try thunk catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // (median, max-min spread, all-runs-succeeded) over benchRuns
+    // timings; q_ref_* memoize the fixture per session, so they get
+    // exactly one timed run (re-runs would time the cache)
+    def timed(name: String, dir: String): (Double, Double, Boolean) = {
+      val n = if (name.startsWith("q_ref_")) 1 else benchRuns
+      var ok = true
+      val ts = (1 to n).map(_ => time(
+        try runAt(name, dir) catch { case _: Throwable => ok = false })).sorted
+      (ts(ts.size / 2), ts.last - ts.head, ok)
+    }
+
     // Warmup: one join-heavy query, untimed.
     try run("q_surrogate_lookup") catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val stats = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val (med, spr, _) = timed(name, sfDir)
+      (name, med, spr)
     }
+    val results = stats.map { case (n, med, _) => n -> med }
+    val spreads = stats.map { case (n, _, spr) => n -> spr }
     // Locale-pinned number formatting: the f-interpolator uses the
     // default locale, which under a comma-decimal JVM would emit
     // "value":54,588 and break the JSON.
@@ -97,11 +123,11 @@ object Bench {
       try runAt("q_surrogate_lookup", dir) catch { case _: Throwable => () }
       // a failed small-sf run is EXCLUDED (and named in "errors"), never
       // timed: recording time-to-exception would fabricate a ratio and
-      // could flag a query that didn't run as super-linear
+      // could flag a query that didn't run as super-linear. Medians on
+      // both sides so one noisy run can't fabricate a ratio either.
       val attempts = scalingNames.map { name =>
-        val t0 = System.nanoTime()
-        val ok = try { runAt(name, dir); true } catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val (med, _, ok) = timed(name, dir)
+        (name, med, ok)
       }
       val tSmall = attempts.collect { case (n, t, true) => n -> t }.toMap
       val errors = attempts.collect { case (n, _, false) => n }
@@ -116,14 +142,18 @@ object Bench {
       },"ratios":${dict(ratios)}}"""
     }.getOrElse("")
 
+    // "queries" stays name->median (same shape as every prior round);
+    // "spread" carries max-min over the runs so a flaky timing is
+    // visible as data instead of whipsawing the median across rounds
+    val sprHead = dict(headline.flatMap(n => spreads.toMap.get(n).map(n -> _)))
     val totalJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$scalingJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$benchRuns,"n_queries":${results.size},"queries":$qs,"spread":$sprHead$scalingJson,"sf":"$sfDir"}"""
     println(totalJson)
     // Full per-query dict to a file so round-over-round diffs cover every
     // query, not just the stdout-tail-safe headline subset.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)}$scalingJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$benchRuns,"n_queries":${results.size},"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     spark.stop()
   }
 }
