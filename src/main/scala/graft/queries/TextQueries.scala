@@ -200,6 +200,103 @@ object TextQueries extends QueryPack {
       .where(col("jaccard") >= 0.8)
   }
 
+  /** How decontamination ships the benchmark fingerprint set to the
+    * corpus scan: AUTO makes the production pick — count the distinct
+    * fingerprints and broadcast them AS ROWS while `rows x FpRowBytes`
+    * fits the session's `spark.sql.autoBroadcastJoinThreshold`,
+    * otherwise aggregate them into ONE Bloom blob (~10 bits/item) and
+    * exact-confirm the map-side survivors. The forced variants pin each
+    * shape for the registered rows and the A/B in PLANS.md.
+    */
+  private[graft] sealed trait DecontamPath
+  private[graft] case object DecontamAuto extends DecontamPath
+  private[graft] case object DecontamBroadcast extends DecontamPath
+  private[graft] case object DecontamBloom extends DecontamPath
+
+  /** Estimated broadcast bytes per benchmark fingerprint row: an 8-byte
+    * long plus hashed-relation entry overhead. Deliberately rough — the
+    * pick only needs the right order of magnitude, like the stats-based
+    * estimates production planners use.
+    */
+  private[graft] val FpRowBytes = 24L
+
+  private def broadcastThresholdBytes(s: SparkSession): Long = {
+    val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // accepts "10MB"-style suffixed values; plain "-1" (disabled) falls
+    // through to toLong and correctly forces the bloom path
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    catch { case _: NumberFormatException => raw.trim.toLong }
+  }
+
+  /** Benchmark decontamination (the pre-training hygiene operator):
+    * flag corpus documents whose winnowed fingerprints overlap the
+    * evaluation set (doc_id%100==7 stands in for the benchmark) in
+    * >= 3 windows. One entry point, two physical strategies — see
+    * [[DecontamPath]]; both registered rows and the spec's pick
+    * assertions route through here.
+    */
+  private[graft] def decontaminate(s: SparkSession, dir: String,
+                                   path: DecontamPath): DataFrame = {
+    import graft.functions.TextHashFunctions.winnowedFingerprints
+    import graft.functions.SketchFunctions._
+    val fps = t(s, dir, "documents").select(col("doc_id"),
+      explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
+        .as("fp"))
+    val bench = fps.where(col("doc_id") % 100 === 7)
+      .select(col("fp")).distinct()
+
+    // corpus fps join the BROADCAST benchmark rows: the corpus side
+    // shuffles only matching fingerprints
+    def broadcastOverlap: DataFrame =
+      fps.join(broadcast(bench), "fp")
+        .groupBy(col("doc_id")).agg(cnt.as("n_overlap"))
+
+    // benchmark rows never broadcast: ship ONE Bloom blob (the same
+    // mechanism as Catalyst's runtime row filters), prefilter the
+    // corpus MAP-SIDE, exact-confirm survivors (true hits + ~1% false
+    // positives) through a plain shuffle join. `nKnown` avoids a second
+    // count when AUTO already measured the set.
+    def bloomOverlap(nKnown: Option[Long]): DataFrame = {
+      // persisted for the eager consumers (count, blob aggregate) and
+      // released before returning — a session-lifetime cache per
+      // builder invocation would leak across bench/verify/audit runs
+      if (nKnown.isEmpty) bench.persist()
+      val nBench = nKnown.getOrElse(bench.count())
+      // ~10 bits/item, 64 Kbit floor; the collected blob is bits/8
+      // bytes of metadata, NOT data-plane rows — the same
+      // bounded-collect class as the audit plane
+      val blob = bench
+        .agg(bloomFilterAgg(col("fp"), math.max(nBench, 1L),
+          math.max(nBench * 10L, 65536L)))
+        .head.getAs[Array[Byte]](0)
+      bench.unpersist()
+      val candidates =
+        if (blob == null) fps.where(lit(false)) // empty benchmark set
+        else fps.where(mightContain(blob, col("fp")))
+      candidates.join(bench, "fp")
+        .groupBy(col("doc_id")).agg(cnt.as("n_overlap"))
+    }
+
+    val overlap = path match {
+      case DecontamBroadcast => broadcastOverlap
+      case DecontamBloom     => bloomOverlap(nKnown = None)
+      case DecontamAuto =>
+        bench.persist() // one scan feeds the count and whichever branch wins
+        val n = bench.count()
+        val thr = broadcastThresholdBytes(s)
+        if (thr > 0 && n * FpRowBytes <= thr) {
+          bench.unpersist() // broadcast build re-derives it once, lazily
+          broadcastOverlap
+        } else bloomOverlap(nKnown = Some(n))
+    }
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= 3
+          && col("doc_id") % 100 =!= 7).as("is_contaminated"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: canonical row per normalized-text group (md5 key).
     // Generalizes A8 (validate_row.py:172-173) to content dedup.
@@ -413,22 +510,12 @@ object TextQueries extends QueryPack {
     // the corpus side shuffles only matching fingerprints; overlap >= 3
     // windows marks contamination (single shared windows collide
     // benignly).
-    "q_text_decontaminate" -> ((s, dir) => {
-      import graft.functions.TextHashFunctions.winnowedFingerprints
-      val fps = t(s, dir, "documents").select(col("doc_id"),
-        explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
-          .as("fp"))
-      val bench = fps.where(col("doc_id") % 100 === 7)
-        .select(col("fp")).distinct()
-      val overlap = fps.join(broadcast(bench), "fp")
-        .groupBy(col("doc_id")).agg(cnt.as("n_overlap"))
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(overlap, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          (coalesce(col("n_overlap"), lit(0L)) >= 3
-            && col("doc_id") % 100 =!= 7).as("is_contaminated"))
-    }),
+    // Routed through the cost-based `decontaminate` entry point: AUTO
+    // compares the measured benchmark-fingerprint cardinality x row
+    // bytes against the session's autoBroadcastJoinThreshold and picks
+    // broadcast-rows (it fits at every test SF — the plan the pins
+    // expect) vs the bloom blob, the way production picks from stats.
+    "q_text_decontaminate" -> (decontaminate(_, _, DecontamAuto)),
 
     // Stratified quality gate: a GLOBAL quality threshold silently
     // biases the mix (a clean source passes everything, a noisy one
@@ -507,51 +594,12 @@ object TextQueries extends QueryPack {
           (col("__e").isNull && col("__n").isNull).as("keep"))
     }),
 
-    // Bloom-prefiltered decontamination — the shape for when the
-    // benchmark set is too large to broadcast AS ROWS: aggregate it into
-    // a Bloom filter (Spark's own BloomFilterAggregate, ~10 bits/item),
-    // ship the one compact blob to every task as a literal (the same
-    // mechanism as Catalyst's runtime row filters), prefilter the corpus
-    // fingerprints MAP-SIDE, and exact-confirm only the survivors
-    // (true hits + ~1% false positives) through a plain shuffle join —
-    // no broadcast of the benchmark rows anywhere. Bloom filters have no
-    // false negatives, so the composed result is exactly the
-    // q_text_decontaminate semantics; the oracle is the same SQL.
-    "q_text_decontaminate_bloom" -> ((s, dir) => {
-      import graft.functions.TextHashFunctions.winnowedFingerprints
-      import graft.functions.SketchFunctions._
-      val fps = t(s, dir, "documents").select(col("doc_id"),
-        explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
-          .as("fp"))
-      // persisted for the two EAGER consumers (count, blob aggregate);
-      // released below before returning — a session-lifetime cache per
-      // builder invocation would leak across bench/verify/audit runs
-      val bench = fps.where(col("doc_id") % 100 === 7)
-        .select(col("fp")).distinct().persist()
-      // size the sketch from the benchmark cardinality (~10 bits/item,
-      // 64 Kbit floor); the collected blob is bits/8 bytes of metadata,
-      // NOT data-plane rows — the same bounded-collect class as the
-      // audit plane
-      val nBench = bench.count()
-      val blob = bench
-        .agg(bloomFilterAgg(col("fp"), math.max(nBench, 1L),
-          math.max(nBench * 10L, 65536L)))
-        .head.getAs[Array[Byte]](0)
-      // cache served its eager consumers; the lazy confirm join below
-      // recomputes bench once instead of pinning blocks for the session
-      bench.unpersist()
-      val candidates =
-        if (blob == null) fps.where(lit(false)) // empty benchmark set
-        else fps.where(mightContain(blob, col("fp")))
-      val overlap = candidates.join(bench, "fp")
-        .groupBy(col("doc_id")).agg(cnt.as("n_overlap"))
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(overlap, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          (coalesce(col("n_overlap"), lit(0L)) >= 3
-            && col("doc_id") % 100 =!= 7).as("is_contaminated"))
-    }),
+    // The forced-bloom pin of the same entry point — the shape the AUTO
+    // pick takes once the benchmark outgrows the broadcast budget at
+    // real scale. Bloom filters have no false negatives, so the
+    // composed result is exactly the q_text_decontaminate semantics;
+    // the oracle is the same SQL.
+    "q_text_decontaminate_bloom" -> (decontaminate(_, _, DecontamBloom)),
 
     // Sequence packing (concat-and-chunk): the LLM-training prep step
     // that concatenates the token stream in a deterministic document

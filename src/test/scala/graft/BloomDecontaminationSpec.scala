@@ -43,4 +43,30 @@ class BloomDecontaminationSpec extends AnyFunSuite with SparkTestBase {
         s"$dir: bloom passed $missPassed of $missTotal non-benchmark fps")
     }
   }
+
+  test("auto pick: broadcast under the budget, bloom above it, same rows") {
+    import graft.queries.TextQueries.{decontaminate, DecontamAuto}
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    def physPlan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val expected = rows(TextQueries.queries("q_text_decontaminate")(spark, dir))
+
+    // default budget (10 MB): the tiny benchmark set fits -> row broadcast
+    val small = decontaminate(spark, dir, DecontamAuto)
+    assert(!physPlan(small).contains("might_contain"),
+      "auto picked bloom although the benchmark fits the broadcast budget")
+
+    // shrink the budget below rows x FpRowBytes: same call flips to bloom
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val big = decontaminate(spark, dir, DecontamAuto)
+      assert(physPlan(big).contains("might_contain"),
+        "auto kept broadcasting rows past the budget")
+      assert(rows(big) === expected, "bloom pick changed the verdicts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
