@@ -168,6 +168,52 @@ object Orchestrator {
     def tableColumns(table: String): Seq[String] =
       spark.read.parquet(s"$warehouse/$table").schema.fieldNames.toSeq
 
+    /** Incremental-dedup index maintenance: append THIS batch's
+      * content-key rows and LSH band-key rows to the two warehouse
+      * index tables, through the same idempotent batch-partition write
+      * as every layer table (S8 — a re-run replaces exactly its own
+      * partition). Once a batch is indexed, later batches dedup against
+      * the TABLES via [[dedupAgainstIndexes]]; the corpus documents are
+      * never re-read, which is what makes incremental dedup O(batch)
+      * instead of O(corpus) per day at 100 TB. Builders are the shared
+      * batch/stream kernels (TextQueries.textKeyCol / minhashCol /
+      * bandKeysCol), so the indexes cannot drift from the query logic.
+      */
+    def indexDedupBatch(docs: DataFrame): (Long, Long) = {
+      import graft.queries.TextQueries.{bandKeysCol, minhashCol, textKeyCol}
+      val keys = docs.select(col("doc_id"), textKeyCol.as("text_key"))
+      // a null signature (doc under 3 words) contributes no band rows
+      val bands = docs.select(col("doc_id"), minhashCol.as("mh"))
+        .where(col("mh").isNotNull)
+        .select(col("doc_id"), explode(bandKeysCol(col("mh"))).as("band_key"))
+      (writeBatch(keys, "indexes/dedup_content_keys"),
+        writeBatch(bands, "indexes/dedup_band_keys"))
+    }
+
+    /** Dedup a new batch of documents against the PERSISTED corpus
+      * indexes — the table-backed production form of
+      * q_dedup_incremental (which derives the same indexes from the
+      * corpus scan because the driver contract gives it no warehouse).
+      * Exact membership probes the content-key table, near membership
+      * the band-key table; both ship only the batch side plus matching
+      * index entries. The current batch's own partition is excluded so
+      * a restart that already indexed this batch does not flag every
+      * document as its own duplicate. Verdict columns come from the
+      * same join shape the streaming face uses
+      * (StreamingJobs.dedupIncrementalStream) — one code path, three
+      * consumers.
+      */
+    def dedupAgainstIndexes(docs: DataFrame): DataFrame = {
+      val corpusKeys = readTable("indexes/dedup_content_keys")
+        .where(col("dwh_batch_id") =!= batchId)
+        .select(col("text_key")).distinct()
+      val corpusBands = readTable("indexes/dedup_band_keys")
+        .where(col("dwh_batch_id") =!= batchId)
+        .select(col("band_key")).distinct()
+      graft.streaming.StreamingJobs.dedupIncrementalStream(
+        docs, corpusKeys, corpusBands)
+    }
+
     /** S10 + transform step: run `f` over the batch slice of `source`
       * unless it is empty, writing to `target`. A failure quarantines
       * the input slice under failed/<target> (the file-plane analog of

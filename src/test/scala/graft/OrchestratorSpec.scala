@@ -488,4 +488,57 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(run.ingest(raw, bad, Seq("cst_id"), "bronze/t2").isLeft)
     assert(!Files.exists(java.nio.file.Paths.get(s"$wh/bronze/t2")))
   }
+
+  test("dedup indexes persist per batch; the next batch probes only the tables") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val wh = Files.createTempDirectory("graft_dedup_idx").toString
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val fresh = docs.where(col("doc_id") % 10 === 0).select("doc_id", "text")
+    // ground truth: the registered scan-derived row on the same split
+    val expected = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+
+    // batch 1 lands the corpus and its two index tables
+    val run1 = new Orchestrator.Run(spark, wh, "B1")
+    run1.writeBatch(corpus, "bronze/documents")
+    val (nKeys, nBands) = run1.indexDedupBatch(corpus)
+    assert(nKeys === corpus.count() && nBands > 0)
+    run1.flushAudit()
+
+    // S8 on the index plane: re-indexing the same batch replaces its
+    // partition — row counts unchanged, no duplicates
+    new Orchestrator.Run(spark, wh, "B1").indexDedupBatch(corpus)
+    assert(spark.read.parquet(s"$wh/indexes/dedup_content_keys").count() === nKeys)
+    assert(spark.read.parquet(s"$wh/indexes/dedup_band_keys").count() === nBands)
+
+    // batch 2: land the fresh docs, dedup them against the PERSISTED
+    // indexes of every prior batch
+    val run2 = new Orchestrator.Run(spark, wh, "B2")
+    run2.writeBatch(fresh, "bronze/documents")
+    val verdicts = run2.dedupAgainstIndexes(
+      run2.readBatch("bronze/documents").select("doc_id", "text"))
+
+    // the plan reads ONLY warehouse tables (the bronze batch slice plus
+    // the two index tables) — the corpus documents are never re-scanned
+    val scanned = verdicts.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(_.contains(wh)),
+      s"plan scans outside the warehouse: $scanned")
+    assert(scanned.exists(_.contains("indexes/dedup_content_keys")))
+    assert(scanned.exists(_.contains("indexes/dedup_band_keys")))
+
+    val got = verdicts.collect().map(r => (r.getLong(0),
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got === expected)
+    assert(got.values.exists(_._2), "no near-dup verdict — vacuous")
+    assert(got.values.exists(_._3), "nothing kept — vacuous")
+  }
 }
