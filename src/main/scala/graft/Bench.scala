@@ -40,6 +40,22 @@ object Bench {
     }
   }
 
+  /** The stdout-tail-safe per-query subset: reported individually in
+    * the bench JSON, re-timed by the cross-sf scaling pass, and linted
+    * post-execution (AQE-final plan) by PlanLintSpec.
+    */
+  val headline: Seq[String] = Seq(
+    "q_scan_pruned", "q_join_enrich", "q_surrogate_lookup",
+    "q_agg_pricing_summary", "q_window_topk_per_group", "q_recursive_chain",
+    "q_events_sessionize", "q_dedup_exact", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_sim_cosine_topk",
+    "q_sim_ann_lsh", "q_ref_fact_sales", "q_ref_mv_top3_month_country",
+    "q_text_quality", "q_text_clean_corpus", "q_write_idempotent",
+    "q_dedup_components", "q_dedup_jaccard_ppjoin", "q_pack_sequences",
+    "q_sim_ann_recall", "q_join_asof", "q_join_asof_epoch",
+    "q_join_range_binned", "q_text_decontaminate_bloom",
+    "q_dedup_incremental", "q_agg_hll_merge", "q_agg_kll_merge")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,17 +108,6 @@ object Bench {
     // The driver captures only the tail of stdout, so the JSON line must
     // stay short: report the headline subset per-query (3 dp) while the
     // headline total still covers every registered query via "value".
-    val headline = Seq(
-      "q_scan_pruned", "q_join_enrich", "q_surrogate_lookup",
-      "q_agg_pricing_summary", "q_window_topk_per_group", "q_recursive_chain",
-      "q_events_sessionize", "q_dedup_exact", "q_dedup_minhash_lsh",
-      "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_sim_cosine_topk",
-      "q_sim_ann_lsh", "q_ref_fact_sales", "q_ref_mv_top3_month_country",
-      "q_text_quality", "q_text_clean_corpus", "q_write_idempotent",
-      "q_dedup_components", "q_dedup_jaccard_ppjoin", "q_pack_sequences",
-      "q_sim_ann_recall", "q_join_asof", "q_join_asof_epoch",
-      "q_join_range_binned", "q_text_decontaminate_bloom",
-      "q_dedup_incremental", "q_agg_hll_merge", "q_agg_kll_merge")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String =
       entries.map { case (n, v) => s""""$n":${num(v)}""" }.mkString("{", ",", "}")

@@ -114,6 +114,38 @@ object PlanLint {
     cartesianRule(name, plan) ++ singlePartitionRule(name, plan) ++
       pushdownRule(name, plan)
 
+  /** Post-execution lint: materialize the frame under its NORMAL
+    * session (AQE on), then apply rules 1-2 to the runtime-final plan —
+    * the one that actually ran, after AQE's re-optimizations. The
+    * static lint deliberately disables AQE to see clean structure, but
+    * that also blinds it to runtime re-plans (a join strategy revised
+    * from runtime stats, skew splits, coalesced readers); this pass
+    * closes that gap for the headline queries. Rule 3 stays
+    * static-only: pushdown is fixed at planning time, AQE never
+    * changes it.
+    */
+  def lintExecuted(name: String, df: DataFrame): Seq[Violation] = {
+    df.queryExecution.toRdd.count() // drives AQE to its final plan
+    val p = unwrapRuntime(df.queryExecution.executedPlan)
+    cartesianRule(name, p) ++ singlePartitionRule(name, p)
+  }
+
+  /** Splice query-stage bodies back into one inspectable tree: in the
+    * adaptive runtime plan every exchange boundary is a leaf
+    * `QueryStageExec` wrapping the materialized subtree, so a plain
+    * `collect` would see none of the joins/exchanges inside. Reused
+    * exchanges stay leaves — their subtree is linted once, where the
+    * original stage lives, and double-splicing would double-count
+    * violations against the node-capped allowlists.
+    */
+  private def unwrapRuntime(p: SparkPlan): SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      unwrapRuntime(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      unwrapRuntime(q.plan)
+    case other => other.withNewChildren(other.children.map(unwrapRuntime))
+  }
+
   // ---- rule 1: Cartesian products -----------------------------------
 
   private def cartesianRule(name: String, plan: SparkPlan): Seq[Violation] = {
@@ -167,12 +199,20 @@ object PlanLint {
 
   /** Rows entering the exchange are bounded if the first
     * cardinality-changing node below it provably caps them, or the
-    * subtree never touches data-plane input at all.
+    * subtree never touches data-plane input at all. Codegen and AQE
+    * reader wrappers are unwrapped first: the static lint session
+    * disables codegen, but the post-execution pass ([[lintExecuted]])
+    * lints plans from the normal session where WholeStageCodegen /
+    * AQEShuffleRead sit between the exchange and the node that proves
+    * the bound.
     */
-  private def boundedInput(p: SparkPlan): Boolean = p match {
+  private def boundedInput(p0: SparkPlan): Boolean =
+  unwrapTransitions(p0) match {
     // row-preserving / row-reducing wrappers: look through
-    case _: ProjectExec | _: FilterExec | _: SortExec =>
+    case p @ (_: ProjectExec | _: FilterExec | _: SortExec) =>
       boundedInput(p.children.head)
+    case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+      boundedInput(r.child)
     case agg: HashAggregateExec => boundedAgg(agg.groupingExpressions)
     case agg: SortAggregateExec => boundedAgg(agg.groupingExpressions)
     case agg: ObjectHashAggregateExec => boundedAgg(agg.groupingExpressions)

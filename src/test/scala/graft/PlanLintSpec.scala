@@ -103,4 +103,49 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     val agg = lineitem.agg(sum(col("l_quantity")))
     assert(PlanLint.lint("global_agg", agg).isEmpty)
   }
+
+  // ---- post-execution (AQE-final) lint ------------------------------
+
+  test("headline queries pass the lint on the AQE-final executed plan") {
+    // the NORMAL session: AQE + codegen on — this is the plan that ran,
+    // after any runtime re-optimization the static (AQE-off) gate
+    // cannot see
+    val violations = Bench.headline.flatMap { name =>
+      PlanLint.lintExecuted(name, SparkEntry.queries(name)(spark, dir))
+    }
+    assert(violations.isEmpty,
+      "runtime plan violations:\n" + violations.mkString("\n"))
+  }
+
+  test("executed-plan lint flags the cartesian a shrunk broadcast budget seeds") {
+    // the demotion A/B: a non-equi join broadcasts its small side under
+    // the default budget (a legal conditioned BNLJ — runtime lint
+    // green); the SAME query with broadcasting disabled executes as a
+    // CartesianProduct — runtime lint red
+    def joined(s: org.apache.spark.sql.SparkSession) = {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      n.join(r, n("n_regionkey") > r("r_regionkey"))
+    }
+    val ok = spark.newSession()
+    ok.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assert(PlanLint.lintExecuted("seeded_bnlj_ok", joined(ok)).isEmpty)
+    val bad = spark.newSession()
+    bad.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    bad.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val vs = PlanLint.lintExecuted("seeded_runtime_cartesian", joined(bad))
+    assert(vs.exists(_.rule == "cartesian"), vs.mkString("\n"))
+  }
+
+  test("executed-plan lint sees inside materialized query stages") {
+    // an unpartitioned window over a table: its SinglePartition exchange
+    // materializes as a leaf ShuffleQueryStageExec in the runtime plan —
+    // only the stage-splicing unwrap can find it
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val bad = s2.read.parquet(s"$dir/lineitem.parquet").withColumn("rn",
+      row_number().over(Window.orderBy(col("l_orderkey"))))
+    val vs = PlanLint.lintExecuted("seeded_runtime_window", bad)
+    assert(vs.exists(_.rule == "single-partition"), vs.mkString("\n"))
+  }
 }
