@@ -237,6 +237,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(all.select("event_id").distinct().count() === events.size.toLong)
   }
 
+  test("warehouse sink: two file-source batches with an overlapping replay") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    // the streaming face of the S8 idempotency contract, across a crash:
+    // batch 0 lands, the checkpoint's commit marker is lost (crash after
+    // the sink wrote but before the commit), new files arrive, and the
+    // restarted query REPLAYS batch 0 under the same batch id before
+    // processing batch 1 — dynamic partition overwrite must absorb the
+    // replay with zero duplicates and one partition per micro-batch
+    val root = java.nio.file.Files.createTempDirectory("graft_whsink2").toString
+    val (in, wh, cp) = (s"$root/in", s"$root/wh", s"$root/cp")
+    def writeFiles(evs: Seq[Event]): Unit =
+      evs.toDF().write.mode("append").parquet(in)
+    def drainOnce(): Unit = {
+      val q = StreamingJobs.warehouseSink(
+        StreamingJobs.readEventsStream(spark, in), wh, "bronze/events", cp)
+      try q.processAllAvailable() finally q.stop()
+      // stop() can return before the manager releases the checkpoint —
+      // the restart below would then see a phantom concurrent query
+      while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+    }
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 2, "view", 2.0),
+      Event(3, ts("2024-01-01 10:10:00"), 1, "click", 3.0))
+    val batch2 = Seq(
+      Event(4, ts("2024-01-01 11:00:00"), 3, "click", 4.0),
+      Event(5, ts("2024-01-01 11:05:00"), 1, "view", 5.0))
+    writeFiles(batch1)
+    drainOnce()
+    assert(spark.read.parquet(s"$wh/bronze/events").count() === 3)
+
+    // crash window: batch 0 wrote its partition, but its commit marker
+    // never landed — the restart must replay it under the SAME id
+    val commit0 = new java.io.File(s"$cp/commits/0")
+    assert(commit0.exists(), "precondition: batch 0 committed")
+    assert(commit0.delete())
+    // the local FS keeps a checksum sibling; left behind it makes the
+    // replay's commit re-write fail as a phantom concurrent writer
+    val crc0 = new java.io.File(s"$cp/commits/.0.crc")
+    if (crc0.exists()) assert(crc0.delete())
+    writeFiles(batch2)
+    drainOnce()
+
+    val all = spark.read.parquet(s"$wh/bronze/events")
+    assert(all.count() === 5, "replayed batch duplicated rows")
+    assert(all.select("event_id").distinct().count() === 5)
+    // partition layout: exactly one dwh_batch_id directory per
+    // micro-batch, both under this checkpoint's id scope
+    val parts = new java.io.File(s"$wh/bronze/events").listFiles()
+      .filter(_.getName.startsWith("dwh_batch_id=")).map(_.getName).sorted
+    assert(parts.length === 2, s"partition layout: ${parts.mkString(", ")}")
+    assert(parts.forall(_.startsWith("dwh_batch_id=SBATCH")))
+    assert(parts(0).endsWith("_000000") && parts(1).endsWith("_000001"))
+    // and each micro-batch's rows live in exactly their own partition
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    val byPart = all.groupBy(col("dwh_batch_id"))
+      .agg(sort_array(collect_list(col("event_id"))).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(byPart.values.toSet === Set(Seq(1L, 2L, 3L), Seq(4L, 5L)))
+  }
+
   test("streaming decontamination equals the batch overlap counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
