@@ -290,10 +290,12 @@ object StreamingJobs {
     * watermark lateness) will not convert — not only probes that had
     * already timed out. An in-event-time-order stream matches batch
     * q_funnel_conversion exactly; shuffled cross-batch arrival is
-    * best-effort. For exact-under-permutation semantics use the
-    * watermark-buffered pattern of [[asofEnrichStreamExact]] (buffer
-    * quotes for lateness, emit verdicts at watermark), or route late
-    * data through the batch operator.
+    * best-effort. For exact-under-permutation semantics use
+    * [[conversionStreamExact]] (watermark-buffered both sides, verdicts
+    * emitted when knowable against the watermark), or route late data
+    * through the batch operator. The trade is verdict latency: this
+    * variant converts the instant the quote ARRIVES, the exact one
+    * `lateness` after the quote's event time.
     */
   def conversionStream(events: Dataset[Event], probeType: String,
                        quoteType: String, horizon: java.time.Duration,
@@ -366,6 +368,96 @@ object StreamingJobs {
             } else state.remove()
             out.result().iterator
           }
+      }
+  }
+
+  case class ConvExactBuf(quotes: Seq[QuoteState], probes: Seq[PendingProbe])
+
+  /** EXACT-under-permutation conversion attribution — the
+    * watermark-buffered form of [[conversionStream]], closing its
+    * documented arrival-order gap: a probe arriving in a later
+    * micro-batch than its matching quote still converts. Both sides
+    * buffer in GroupState; a probe's verdict emits as soon as it is
+    * KNOWABLE against the watermark rather than on arrival order:
+    *
+    *  - CONVERTED once the watermark strictly passes its earliest
+    *    in-window quote (any later-arriving quote has event time at or
+    *    above the watermark, so it can be neither earlier nor an
+    *    equal-ts/larger-id tie) — not at the deadline, so a conversion
+    *    still fires ~lateness after the quote, mirroring the eager
+    *    variant's fire-on-quote up to the lateness delay;
+    *  - UNCONVERTED once the watermark strictly passes the probe's
+    *    deadline (probe ts + horizon) with no in-window quote buffered.
+    *
+    * State per key stays bounded by rate x (horizon + lateness): quotes
+    * are dropped the moment they are both behind the watermark and
+    * outside every pending probe's window (future probes arrive at or
+    * above the watermark, so a behind-watermark quote can never enter a
+    * new window). StreamingSpec proves streaming == the batch
+    * forward-as-of-with-horizon semantics on a seeded random arrival
+    * permutation across micro-batches, restart-safe.
+    */
+  def conversionStreamExact(events: Dataset[Event], probeType: String,
+                            quoteType: String, horizon: java.time.Duration,
+                            lateness: String = "10 minutes"): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    val hMicros = horizon.toNanos / 1000L
+    events
+      .withWatermark("ts", lateness) // BEFORE the filter, as always
+      .filter(e => e.event_type == probeType || e.event_type == quoteType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvExactBuf, Conversion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[ConvExactBuf]) =>
+          val prior = state.getOption.getOrElse(ConvExactBuf(Nil, Nil))
+          var quotes = prior.quotes
+          var probes = prior.probes
+          if (!state.hasTimedOut) rows.foreach { e =>
+            if (e.event_type == quoteType)
+              quotes = quotes :+ QuoteState(tsMicros(e.ts), e.event_id, e.value)
+            else probes = probes :+ PendingProbe(e.event_id, tsMicros(e.ts))
+          }
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val out = Seq.newBuilder[Conversion]
+          val still = Seq.newBuilder[PendingProbe]
+          var wakes = List.empty[Long]
+          probes.sortBy(p => (p.tsMicros, p.event_id)).foreach { p =>
+            val cands = quotes.filter(q =>
+              p.tsMicros <= q.tsMicros && q.tsMicros <= p.tsMicros + hMicros)
+            // earliest quote wins; at equal ts the LARGEST event_id
+            // (bitwise complement orders descending without overflow)
+            val best =
+              if (cands.isEmpty) None
+              else Some(cands.minBy(q => (q.tsMicros, ~q.event_id)))
+            best match {
+              case Some(q) if q.tsMicros < wm =>
+                out += Conversion(p.event_id, user, microsToTs(p.tsMicros),
+                  converted = true, Some(q.event_id),
+                  Some((q.tsMicros - p.tsMicros) / 1e6))
+              case None if p.tsMicros + hMicros < wm =>
+                out += Conversion(p.event_id, user, microsToTs(p.tsMicros),
+                  converted = false, None, None)
+              case Some(q) => still += p; wakes ::= q.tsMicros
+              case None    => still += p; wakes ::= p.tsMicros + hMicros
+            }
+          }
+          val remaining = still.result()
+          val kept = quotes.filter(q => q.tsMicros >= wm ||
+            remaining.exists(p =>
+              p.tsMicros <= q.tsMicros && q.tsMicros <= p.tsMicros + hMicros))
+          if (remaining.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(ConvExactBuf(kept, remaining))
+            // wake at the earliest verdict point; with no probes left,
+            // at the earliest quote so the buffer GCs even on a key
+            // that only ever sees quotes
+            val next =
+              if (wakes.nonEmpty) Some(wakes.min)
+              else kept.map(_.tsMicros).reduceOption(_ min _)
+            next.foreach(n => state.setTimeoutTimestamp(
+              math.max(n / 1000L, state.getCurrentWatermarkMs() + 1)))
+          }
+          out.result().iterator
       }
   }
 

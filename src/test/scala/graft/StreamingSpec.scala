@@ -590,6 +590,106 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       5L -> ((Some(3L), Some(7.0))))) // quote buffered across the restart
   }
 
+  test("exact conversion attribution equals batch on a seeded random permutation") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = java.time.Duration.ofMinutes(30)
+    // seeded random base + crafted witnesses: probe 101 arrives in batch
+    // 0 but its winning quote 103 (equal-ts tie with 102, larger id
+    // wins) only in batch 2 — and probe 105 arrives one batch AFTER its
+    // in-window quote 104 (the documented eager-variant gap: it would
+    // never convert there); probe 106 has no quote in its window
+    val rnd = new scala.util.Random(11)
+    def at(sec: Int) = new Timestamp(ts("2024-01-01 10:00:00").getTime + sec * 1000L)
+    val base = (1 to 40).map { i =>
+      Event(i.toLong, at(rnd.nextInt(7200)), 1L + rnd.nextInt(4),
+        if (rnd.nextInt(3) == 0) "purchase" else "click",
+        rnd.nextInt(100).toDouble)
+    }
+    val shuffled = rnd.shuffle(base).grouped(10).toSeq
+    val batches = Seq(
+      shuffled(0) :+ Event(101, ts("2024-01-01 10:30:00"), 9, "click", 0.0),
+      shuffled(1) :+ Event(102, ts("2024-01-01 10:40:00"), 9, "purchase", 1.0)
+        :+ Event(104, ts("2024-01-01 12:00:00"), 10, "purchase", 2.0),
+      shuffled(2) :+ Event(103, ts("2024-01-01 10:40:00"), 9, "purchase", 3.0)
+        :+ Event(105, ts("2024-01-01 11:50:00"), 10, "click", 0.0),
+      shuffled(3) :+ Event(106, ts("2024-01-01 13:00:00"), 9, "click", 0.0))
+    val ms = MemoryStream[Event]
+    val q = StreamingJobs.conversionStreamExact(ms.toDS(), "click", "purchase",
+        h, lateness = "1 day")
+      .writeStream.format("memory").queryName("conv_exact")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      ms.addData(Event(900, ts("2024-01-03 12:00:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(Event(901, ts("2024-01-04 12:00:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("conv_exact")
+      .select("event_id", "converted", "matched_event_id", "delay_seconds")
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // ground truth: forward as-of with horizon clamp, computed directly
+    // (the oracle-checked q_funnel_conversion semantics): earliest
+    // in-window quote, largest event_id at equal ts
+    val all = batches.flatten
+    val hs = h.getSeconds * 1000
+    val want = all.filter(_.event_type == "click").map { p =>
+      val cands = all.filter(e => e.event_type == "purchase"
+        && e.user_id == p.user_id
+        && e.ts.getTime >= p.ts.getTime && e.ts.getTime <= p.ts.getTime + hs)
+      val best = cands.sortBy(e => (e.ts.getTime, ~e.event_id)).headOption
+      p.event_id -> ((best.isDefined, best.map(_.event_id),
+        best.map(e => (e.ts.getTime - p.ts.getTime) / 1000.0)))
+    }.toMap
+    assert(got === want)
+    // witnesses really occurred: cross-batch tie resolved to 103, the
+    // probe-after-quote conversion (105 -> 104), and a timeout (106)
+    assert(got(101L) === ((true, Some(103L), Some(600.0))))
+    assert(got(105L) === ((true, Some(104L), Some(600.0))))
+    assert(got(106L) === ((false, None, None)))
+  }
+
+  test("exact conversion attribution converts a probe arriving after a restart") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_convx_").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def writeBatch(evs: Seq[Event]): Unit =
+      evs.toDF().write.mode("append").parquet(in)
+    def drainOnce(): Unit = {
+      val q = StreamingJobs.conversionStreamExact(
+          StreamingJobs.readEventsStream(spark, in).as[Event],
+          "click", "purchase", java.time.Duration.ofMinutes(30),
+          lateness = "2 hours")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // the quote lands BEFORE the restart; its probe only after (with an
+    // event time before the quote) — the rebuilt quote buffer must
+    // still convert it; probe 2's window passes with no quote
+    writeBatch(Seq(
+      Event(1, ts("2024-01-01 10:20:00"), 1, "purchase", 5.0),
+      Event(2, ts("2024-01-01 10:00:00"), 2, "click", 0.0)))
+    drainOnce()
+    writeBatch(Seq(
+      Event(3, ts("2024-01-01 10:10:00"), 1, "click", 0.0),
+      Event(4, ts("2024-01-01 20:00:00"), 1, "view", 0.0)))
+    drainOnce()
+    val got = spark.read.parquet(out)
+      .select("event_id", "converted", "matched_event_id")
+      .collect().map(r => (r.getLong(0), (r.getBoolean(1), Option(r.get(2)))))
+      .toMap
+    assert(got === Map(
+      3L -> ((true, Some(1L))),  // quote buffered across the restart
+      2L -> ((false, None))))    // deadline passed, no quote
+  }
+
   test("streaming incremental dedup equals the batch verdicts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
