@@ -75,19 +75,17 @@ object Bench {
 
     val benchRuns = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    def time(thunk: => Unit): Double = {
-      val t0 = System.nanoTime()
-      try thunk catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }
     // (median, max-min spread, all-runs-succeeded) over benchRuns
     // timings; q_ref_* memoize the fixture per session, so they get
     // exactly one timed run (re-runs would time the cache)
     def timed(name: String, dir: String): (Double, Double, Boolean) = {
       val n = if (name.startsWith("q_ref_")) 1 else benchRuns
       var ok = true
-      val ts = (1 to n).map(_ => time(
-        try runAt(name, dir) catch { case _: Throwable => ok = false })).sorted
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        try runAt(name, dir) catch { case _: Throwable => ok = false }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
       (ts(ts.size / 2), ts.last - ts.head, ok)
     }
 
@@ -95,11 +93,15 @@ object Bench {
     try run("q_surrogate_lookup") catch { case _: Throwable => () }
 
     val stats = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val (med, spr, _) = timed(name, sfDir)
-      (name, med, spr)
+      val (med, spr, ok) = timed(name, sfDir)
+      (name, med, spr, ok)
     }
-    val results = stats.map { case (n, med, _) => n -> med }
-    val spreads = stats.map { case (n, _, spr) => n -> spr }
+    // a failing query is NAMED, never timed: its time-to-exception
+    // would read as a phantom speedup in round-over-round diffs (the
+    // same fabrication rule the scaling pass has always applied)
+    val errored = stats.collect { case (n, _, _, false) => n }
+    val results = stats.collect { case (n, med, _, true) => n -> med }
+    val spreads = stats.collect { case (n, _, spr, true) => n -> spr }
     // Locale-pinned number formatting: the f-interpolator uses the
     // default locale, which under a comma-decimal JVM would emit
     // "value":54,588 and break the JSON.
@@ -150,15 +152,17 @@ object Bench {
     // "queries" stays name->median (same shape as every prior round);
     // "spread" carries max-min over the runs so a flaky timing is
     // visible as data instead of whipsawing the median across rounds
-    val sprHead = dict(headline.flatMap(n => spreads.toMap.get(n).map(n -> _)))
+    val sprByName = spreads.toMap
+    val sprHead = dict(headline.flatMap(n => sprByName.get(n).map(n -> _)))
+    val errJson = errored.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$benchRuns,"n_queries":${results.size},"queries":$qs,"spread":$sprHead$scalingJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$benchRuns,"n_queries":${results.size},"errors":$errJson,"queries":$qs,"spread":$sprHead$scalingJson,"sf":"$sfDir"}"""
     println(totalJson)
     // Full per-query dict to a file so round-over-round diffs cover every
     // query, not just the stdout-tail-safe headline subset.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$benchRuns,"n_queries":${results.size},"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$benchRuns,"n_queries":${results.size},"errors":$errJson,"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -258,8 +258,11 @@ object TextQueries extends QueryPack {
     // count when AUTO already measured the set.
     def bloomOverlap(nKnown: Option[Long]): DataFrame = {
       // persisted for the eager consumers (count, blob aggregate) and
-      // released before returning — a session-lifetime cache per
-      // builder invocation would leak across bench/verify/audit runs
+      // released before returning — session-lifetime cache residency
+      // is not worth sparing the confirm join's one recompute: bench
+      // re-derives from the 1% benchmark slice only (the %100 filter
+      // precedes the winnow explode), measured 0.66 s at sf0.1 with
+      // the recompute vs 0.79 s recorded with the held cache (r9)
       if (nKnown.isEmpty) bench.persist()
       val nBench = nKnown.getOrElse(bench.count())
       // ~10 bits/item, 64 Kbit floor; the collected blob is bits/8

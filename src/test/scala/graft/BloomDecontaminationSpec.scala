@@ -45,7 +45,7 @@ class BloomDecontaminationSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("auto pick: broadcast under the budget, bloom above it, same rows") {
-    import graft.queries.TextQueries.{decontaminate, DecontamAuto}
+    import graft.queries.TextQueries.{decontaminate, DecontamAuto, DecontamBroadcast}
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
@@ -53,6 +53,11 @@ class BloomDecontaminationSpec extends AnyFunSuite with SparkTestBase {
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     val expected = rows(TextQueries.queries("q_text_decontaminate")(spark, dir))
+
+    // the forced-broadcast pin: identical verdicts, no bloom prefilter
+    val forced = decontaminate(spark, dir, DecontamBroadcast)
+    assert(!physPlan(forced).contains("might_contain"))
+    assert(rows(forced) === expected)
 
     // default budget (10 MB): the tiny benchmark set fits -> row broadcast
     val small = decontaminate(spark, dir, DecontamAuto)
