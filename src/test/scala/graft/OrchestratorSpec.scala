@@ -540,5 +540,28 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
     assert(got.values.exists(_._2), "no near-dup verdict — vacuous")
     assert(got.values.exists(_._3), "nothing kept — vacuous")
+
+    // the STREAMING face probes the SAME persisted tables: arriving
+    // docs against the warehouse indexes, verdicts identical
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keysTbl = spark.read.parquet(s"$wh/indexes/dedup_content_keys")
+      .where(col("dwh_batch_id") =!= "B2").select("text_key").distinct()
+    val bandsTbl = spark.read.parquet(s"$wh/indexes/dedup_band_keys")
+      .where(col("dwh_batch_id") =!= "B2").select("band_key").distinct()
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.dedupIncrementalStream(
+        ms.toDF().toDF("doc_id", "text"), keysTbl, bandsTbl)
+      .writeStream.format("memory").queryName("idx_dedup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(fresh.na.fill("", Seq("text")).as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val gotStream = spark.table("idx_dedup_stream")
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(gotStream === expected)
   }
 }
