@@ -214,6 +214,82 @@ object Orchestrator {
         docs, corpusKeys, corpusBands)
     }
 
+    /** Embeddings on the quantized integer lattice (floor(x*1000)) —
+      * the same exactness contract as the ANN query family, so index
+      * and search distances are bit-identical wherever computed.
+      */
+    private def lattice(emb: org.apache.spark.sql.Column) =
+      // fully qualified: `transform` alone resolves to Run's ETL step
+      org.apache.spark.sql.functions.transform(emb,
+        x => floor(x.cast(org.apache.spark.sql.types.DoubleType)
+          * 1000).cast(org.apache.spark.sql.types.LongType))
+
+    /** ANN (IVF) warehouse index — the similarity-search sibling of
+      * [[indexDedupBatch]]. The centroid table bootstraps ONCE from the
+      * first indexed batch (a deterministic capped pick; a training job
+      * may rewrite it wholesale later) and every landed batch of
+      * embeddings is then assigned to its nearest list against the
+      * PERSISTED centroids and appended to the list table through the
+      * idempotent S8 write. Indexing a new batch is O(batch x nlist) —
+      * the corpus is never re-assigned and the centroids never
+      * recomputed, which is how a 100 TB vector corpus absorbs a daily
+      * ingest. Distances are integer squared L2 on the quantized
+      * lattice via the native codegen kernel (VectorFunctions).
+      *
+      * @param embeddings (vec_id, embedding array<float>) batch slice
+      */
+    def indexAnnBatch(embeddings: DataFrame, nlist: Int = 1024): Long = {
+      import graft.functions.VectorFunctions.quantizedL2
+      val qv = embeddings.select(col("vec_id"), lattice(col("embedding")).as("qv"))
+      if (!new java.io.File(s"$warehouse/indexes/ann_centroids").exists()) {
+        val seed = qv.orderBy(col("vec_id")).limit(nlist)
+          .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+        writeBatch(seed, "indexes/ann_centroids")
+      }
+      val cents = readTable("indexes/ann_centroids").select("cent_id", "cv")
+      val assign = qv.crossJoin(broadcast(cents))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(quantizedL2(col("qv"), col("cv")).as("d2"),
+          col("cent_id").as("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cent_id"))
+      writeBatch(assign, "indexes/ann_lists")
+    }
+
+    /** Top-k ANN search against the PERSISTED index: probes rank the
+      * centroid table (broadcast — nlist-bounded), fan out to their
+      * `nprobe` nearest lists via the list table, and exact-rerank the
+      * candidates against the stored vectors (bronze/embeddings) — the
+      * plan touches only warehouse tables, with the one corpus-sized
+      * shuffle being the candidate join on cent_id/vec_id. Ties break
+      * deterministically on (distance, id) like the q_sim_ann family.
+      *
+      * @param probes (q_id, embedding array<float>)
+      */
+    def annSearchIndexes(probes: DataFrame, k: Int = 5,
+                         nprobe: Int = 3): DataFrame = {
+      import graft.functions.VectorFunctions.quantizedL2
+      import org.apache.spark.sql.expressions.Window
+      val qp = probes.select(col("q_id"), lattice(col("embedding")).as("qq"))
+      val cents = readTable("indexes/ann_centroids").select("cent_id", "cv")
+      val byCent = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("cent_id"))
+      val lists = qp.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("qq"), col("cent_id"),
+          quantizedL2(col("qq"), col("cv")).as("d2"))
+        .withColumn("rk", row_number().over(byCent)).where(col("rk") <= nprobe)
+        .select(col("q_id"), col("qq"), col("cent_id"))
+      val assigned = readTable("indexes/ann_lists").select("vec_id", "cent_id")
+      val stored = readTable("bronze/embeddings")
+        .select(col("vec_id"), lattice(col("embedding")).as("qv"))
+      val byQ = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+      lists.join(assigned, "cent_id")
+        .join(stored, "vec_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          quantizedL2(col("qq"), col("qv")).as("d2"))
+        .withColumn("rank", row_number().over(byQ)).where(col("rank") <= k)
+    }
+
     /** S10 + transform step: run `f` over the batch slice of `source`
       * unless it is empty, writing to `target`. A failure quarantines
       * the input slice under failed/<target> (the file-plane analog of

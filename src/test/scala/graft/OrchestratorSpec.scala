@@ -564,4 +564,72 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
         (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
     assert(gotStream === expected)
   }
+
+  test("ann index: centroids persist once; batches assign and search via tables") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val wh = Files.createTempDirectory("graft_ann_idx").toString
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val fresh = emb.where(col("vec_id") % 10 === 0)
+
+    val run1 = new Orchestrator.Run(spark, wh, "B1")
+    run1.writeBatch(corpus, "bronze/embeddings")
+    run1.indexAnnBatch(run1.readBatch("bronze/embeddings")
+      .select("vec_id", "embedding"), nlist = 16)
+    run1.flushAudit()
+    // batch 2 assigns against the EXISTING centroids — no re-bootstrap
+    val run2 = new Orchestrator.Run(spark, wh, "B2")
+    run2.writeBatch(fresh, "bronze/embeddings")
+    run2.indexAnnBatch(run2.readBatch("bronze/embeddings")
+      .select("vec_id", "embedding"), nlist = 16)
+    val centParts = new java.io.File(s"$wh/indexes/ann_centroids").listFiles()
+      .filter(_.getName.startsWith("dwh_batch_id=")).map(_.getName)
+    assert(centParts.toSeq === Seq("dwh_batch_id=B1"),
+      s"centroids re-bootstrapped: ${centParts.mkString(", ")}")
+    val lists = spark.read.parquet(s"$wh/indexes/ann_lists")
+    assert(lists.count() === emb.count())
+    assert(lists.select("vec_id").distinct().count() === emb.count())
+
+    val probes = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val result = run2.annSearchIndexes(probes, k = 5, nprobe = 3)
+    // the search plan reads only warehouse tables (centroids, lists,
+    // stored vectors) apart from the probe input itself
+    val scanned = result.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten
+    assert(scanned.exists(_.contains("indexes/ann_centroids")))
+    assert(scanned.exists(_.contains("indexes/ann_lists")))
+    assert(scanned.exists(_.contains("bronze/embeddings")))
+
+    // independent ground truth in plain Scala over the same lattice
+    def q(f: Seq[Float]): Array[Long] =
+      f.map(x => math.floor(x.toDouble * 1000).toLong).toArray
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> q(r.getSeq[Float](1))).toMap
+    val cents = spark.read.parquet(s"$wh/indexes/ann_centroids")
+      .select("cent_id", "cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def nearest(v: Array[Long]) =
+      cents.toSeq.map { case (c, cv) => (l2(v, cv), c) }.min._2
+    val assignGT = vecs.map { case (id, v) => id -> nearest(v) }
+    val want = vecs.keys.filter(_ % 50 == 0).flatMap { qid =>
+      val top3 = cents.toSeq.map { case (c, cv) => (l2(vecs(qid), cv), c) }
+        .sorted.take(3).map(_._2).toSet
+      vecs.keys.filter(v => v != qid && top3.contains(assignGT(v)))
+        .map(v => (l2(vecs(qid), vecs(v)), v))
+        .toSeq.sorted.take(5).zipWithIndex
+        .map { case ((_, v), i) => (qid, v, i + 1) }
+    }.toSet
+    val got = result.select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong.toInt)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "no search results — vacuous")
+  }
 }
