@@ -68,6 +68,25 @@ object EventQueries extends QueryPack {
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(cnt.as("n_events"), dsum(col("value")).as("session_value"))
+    }),
+
+    // Cohort retention: each user joins the cohort of their first-seen
+    // date; the retention curve counts distinct active users per
+    // (cohort, day-offset) cell. Two shuffles — the per-user MIN and
+    // the user-keyed join back — both on user_id, so at 100 TB the
+    // cohort table co-partitions with the event shuffle (no broadcast:
+    // the cohort side is user-cardinality, not dimension-sized). The
+    // cell grid itself is tiny (days x days).
+    "q_events_retention" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast(DateType).as("d"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_date"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_date"),
+          datediff(col("d"), col("cohort_date")).cast(LongType)
+            .as("day_offset"))
+        .agg(countDistinct(col("user_id")).cast(LongType).as("n_active"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -125,5 +144,15 @@ object EventQueries extends QueryPack {
          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-         FROM sessions GROUP BY user_id, session_seq""")
+         FROM sessions GROUP BY user_id, session_seq""",
+    "q_events_retention" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         cohort AS (
+           SELECT user_id, MIN(d) AS cohort_date FROM ev GROUP BY user_id)
+         SELECT cohort_date,
+                CAST(datediff('day', cohort_date, d) AS BIGINT) AS day_offset,
+                CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+         FROM ev JOIN cohort USING (user_id)
+         GROUP BY cohort_date, day_offset""")
 }

@@ -94,6 +94,26 @@ object WindowQueries extends QueryPack {
       revenue
         .withColumn("rank_sales", rank().over(w).cast(LongType))
         .where(col("rank_sales") <= 3)
+    }),
+
+    // Decile analysis per market: purchasing users ranked into NTILE
+    // deciles of total spend WITHIN their nation. The window partitions
+    // by nation (lint-safe — the same per-key bound as every PARTITION
+    // BY window here); the spend aggregate shuffles on user_id and the
+    // small customer dim broadcasts into the join. Spend sums through
+    // the decimal cast so the rank order is cross-engine exact.
+    "q_window_ntile_deciles" -> ((s, dir) => {
+      val spend = graft.Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(dsum(col("value")).as("total_spend"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_nationkey").as("nation"))
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col("total_spend").desc, col("user_id"))
+      spend.join(broadcast(cust), "user_id")
+        .withColumn("decile", ntile(10).over(w).cast(LongType))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -147,5 +167,15 @@ object WindowQueries extends QueryPack {
                 CAST(rank_sales AS BIGINT) AS rank_sales
          FROM (SELECT *, RANK() OVER (PARTITION BY p_brand
                  ORDER BY revenue DESC, p_partkey) AS rank_sales FROM revenue)
-         WHERE rank_sales <= 3""")
+         WHERE rank_sales <= 3""",
+    "q_window_ntile_deciles" ->
+      """WITH spend AS (
+           SELECT user_id,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total_spend
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT s.user_id, c.c_nationkey AS nation, s.total_spend,
+                CAST(NTILE(10) OVER (PARTITION BY c.c_nationkey
+                  ORDER BY s.total_spend DESC, s.user_id) AS BIGINT) AS decile
+         FROM spend s JOIN customer c ON s.user_id = c.c_custkey""")
 }
