@@ -497,6 +497,27 @@ object TextQueries extends QueryPack {
     // whole computation is one native O(n) pass per row
     // (functions/TextHashExpressions.scala WinnowedFingerprints); the
     // oracle recomputes each k-gram hash positionally in SQL.
+    // Cross-source contamination matrix: how many distinct winnow
+    // fingerprints each PAIR of sources shares — the corpus-curation
+    // view of leakage between feeds (mirrored benchmarks, scraped
+    // duplicates) before any doc-level verdict. One fingerprint-keyed
+    // self-join; per-fp pair fan-out is bounded by sources^2 and the
+    // source set is config-scale (tens), not corpus-scale, so the
+    // matrix stays tiny at 100 TB.
+    "q_text_source_overlap" -> ((s, dir) => {
+      import graft.functions.TextHashFunctions.winnowedFingerprints
+      val fps = t(s, dir, "documents")
+        .select(col("source"),
+          explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
+            .as("fp"))
+        .distinct()
+      val a = fps.select(col("source").as("src_a"), col("fp"))
+      val b = fps.select(col("source").as("src_b"), col("fp"))
+      a.join(b, "fp").where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(cnt.as("n_shared_fps"))
+    }),
+
     "q_text_winnow" -> ((s, dir) => {
       import graft.functions.TextHashFunctions.winnowedFingerprints
       t(s, dir, "documents").select(col("doc_id"),
@@ -828,6 +849,16 @@ object TextQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q_text_winnow" -> winnowOracle,
+    "q_text_source_overlap" ->
+      s"""WITH allfps AS ($winnowOracle),
+         sfps AS (
+           SELECT DISTINCT d.source, f.fingerprint
+           FROM allfps f JOIN documents d USING (doc_id))
+         SELECT a.source AS src_a, b.source AS src_b,
+                COUNT(*) AS n_shared_fps
+         FROM sfps a JOIN sfps b
+           ON a.fingerprint = b.fingerprint AND a.source < b.source
+         GROUP BY a.source, b.source""",
     "q_dedup_exact" ->
       """SELECT md5(LOWER(TRIM(text))) AS text_key,
                 MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
