@@ -99,9 +99,12 @@ object WindowQueries extends QueryPack {
     // Decile analysis per market: purchasing users ranked into NTILE
     // deciles of total spend WITHIN their nation. The window partitions
     // by nation (lint-safe — the same per-key bound as every PARTITION
-    // BY window here); the spend aggregate shuffles on user_id and the
-    // small customer dim broadcasts into the join. Spend sums through
-    // the decimal cast so the rank order is cross-engine exact.
+    // BY window here); the spend aggregate shuffles on user_id. The
+    // customer join deliberately carries NO broadcast hint — the user
+    // dim grows with the corpus (millions of rows at 100 TB), so the
+    // planner/AQE must stay free to pick sort-merge; both join sides
+    // already hash by user_id. Spend sums through the decimal cast so
+    // the rank order is cross-engine exact.
     "q_window_ntile_deciles" -> ((s, dir) => {
       val spend = graft.Tables.events(s, dir)
         .where(col("event_type") === "purchase")
@@ -112,7 +115,7 @@ object WindowQueries extends QueryPack {
           col("c_nationkey").as("nation"))
       val w = Window.partitionBy(col("nation"))
         .orderBy(col("total_spend").desc, col("user_id"))
-      spend.join(broadcast(cust), "user_id")
+      spend.join(cust, "user_id")
         .withColumn("decile", ntile(10).over(w).cast(LongType))
     }))
 
