@@ -208,4 +208,22 @@ object VectorFunctions {
   def hyperplaneSketch(v: Column, signs: Array[Array[Long]]): Column =
     GraftColumnBridge.column(
       HyperplaneSketch(GraftColumnBridge.expression(v), signs))
+
+  /** THE quantization of the exactness contract: one embedding
+    * coordinate onto the integer lattice, floor(double(x) * 1000).
+    * Every face that computes lattice distances (the q_sim_ann query
+    * family, the warehouse ANN index, PQ coordinates) must quantize
+    * through here — bit-identical inputs are what make index-side and
+    * query-side distances, and the DuckDB oracles, hash-exact.
+    */
+  def latticeVal(x: Column): Column =
+    org.apache.spark.sql.functions.floor(
+      x.cast(org.apache.spark.sql.types.DoubleType) * 1000)
+      .cast(org.apache.spark.sql.types.LongType)
+
+  /** Whole-embedding form of [[latticeVal]]: array<float> -> the
+    * quantized array<long> the native kernels consume.
+    */
+  def lattice(emb: Column): Column =
+    org.apache.spark.sql.functions.transform(emb, latticeVal(_))
 }

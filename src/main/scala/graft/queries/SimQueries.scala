@@ -154,8 +154,7 @@ object SimQueries extends QueryPack {
     */
   private def qvecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("qv"))
+      VectorFunctions.lattice(col("embedding")).as("qv"))
 
   /** Integer squared L2 between two quantized vectors — the native
     * fused-loop expression (zip_with/aggregate HOFs are interpreted and
@@ -182,23 +181,28 @@ object SimQueries extends QueryPack {
     * once, serve many searches). Without it every trained-variant
     * query invocation re-runs the full Lloyd loop: four registered
     * queries x three bench runs = 12 trainings of the same centroids.
-    * The memoized frames are localCheckpointed (bounded rows), so the
-    * handle is materialized data, not a lazy lineage. Same
-    * get/putIfAbsent discipline as PipelineQueries.cached: builds nest
-    * (the assign memo builds the centroid memo inside itself), and a
-    * nested computeIfAbsent on one map throws "Recursive update".
+    *
+    * Builds run under a REENTRANT lock, not computeIfAbsent: the
+    * builds are eager localCheckpoints (a lost put race would run a
+    * whole duplicate Lloyd training and strand its checkpoint blocks —
+    * unlike persist(), checkpointed RDDs are per-instance, never
+    * deduped by the CacheManager), they nest (the IVF-PQ assign build
+    * invokes the centroid build), and computeIfAbsent forbids exactly
+    * that nesting. Entries live for the owning session's JVM lifetime
+    * by design — bounded rows, the train-once artifact.
     */
   private val trainMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
   private def trained(s: SparkSession, key: String)
                      (build: => DataFrame): DataFrame = {
     val k = (System.identityHashCode(s), key)
-    trainMemo.get(k) match {
-      case null =>
-        val df = build
-        val prev = trainMemo.putIfAbsent(k, df)
-        if (prev != null) prev else df
-      case df => df
+    val hit = trainMemo.get(k)
+    if (hit != null) hit
+    else trainMemo.synchronized {
+      trainMemo.get(k) match {
+        case null => val df = build; trainMemo.put(k, df); df
+        case df => df
+      }
     }
   }
 
@@ -311,7 +315,7 @@ object SimQueries extends QueryPack {
     t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d").cast(LongType).as("d"),
-        floor(col("x").cast(DoubleType) * 1000).cast(LongType).as("qval"))
+        VectorFunctions.latticeVal(col("x")).as("qval"))
 
   /** Lloyd-trained PQ codebooks: per subspace, assign each subvector to
     * its nearest code (ties → smallest code) and re-center codes on the

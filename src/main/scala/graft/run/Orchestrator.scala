@@ -214,33 +214,36 @@ object Orchestrator {
         docs, corpusKeys, corpusBands)
     }
 
-    /** Embeddings on the quantized integer lattice (floor(x*1000)) —
-      * the same exactness contract as the ANN query family, so index
-      * and search distances are bit-identical wherever computed.
-      */
-    private def lattice(emb: org.apache.spark.sql.Column) =
-      // fully qualified: `transform` alone resolves to Run's ETL step
-      org.apache.spark.sql.functions.transform(emb,
-        x => floor(x.cast(org.apache.spark.sql.types.DoubleType)
-          * 1000).cast(org.apache.spark.sql.types.LongType))
-
     /** ANN (IVF) warehouse index — the similarity-search sibling of
       * [[indexDedupBatch]]. The centroid table bootstraps ONCE from the
-      * first indexed batch (a deterministic capped pick; a training job
-      * may rewrite it wholesale later) and every landed batch of
-      * embeddings is then assigned to its nearest list against the
-      * PERSISTED centroids and appended to the list table through the
-      * idempotent S8 write. Indexing a new batch is O(batch x nlist) —
-      * the corpus is never re-assigned and the centroids never
-      * recomputed, which is how a 100 TB vector corpus absorbs a daily
-      * ingest. Distances are integer squared L2 on the quantized
-      * lattice via the native codegen kernel (VectorFunctions).
+      * first NON-EMPTY indexed batch (a deterministic capped pick) and
+      * every landed batch of embeddings is then assigned to its nearest
+      * list against the PERSISTED centroids and appended to the list
+      * table through the idempotent S8 write. Indexing a new batch is
+      * O(batch x nlist) — the corpus is never re-assigned and the
+      * centroids never recomputed, which is how a 100 TB vector corpus
+      * absorbs a daily ingest. Retraining is a REBUILD, not a write
+      * through this method: new centroids invalidate every stored
+      * assignment, so a training job must replace the whole centroid
+      * table directory AND re-index all batches (the S8 writer only
+      * overwrites its own batch partition — it cannot atomically swap a
+      * whole table). Distances are integer squared L2 on the quantized
+      * lattice via the shared kernel + quantizer (VectorFunctions
+      * .quantizedL2 / .lattice), so index-side and query-side numbers
+      * are bit-identical.
       *
       * @param embeddings (vec_id, embedding array<float>) batch slice
       */
     def indexAnnBatch(embeddings: DataFrame, nlist: Int = 1024): Long = {
-      import graft.functions.VectorFunctions.quantizedL2
+      import graft.functions.VectorFunctions.{lattice, quantizedL2}
       val qv = embeddings.select(col("vec_id"), lattice(col("embedding")).as("qv"))
+      // S10 on the index plane: an empty slice must not write — an
+      // empty BOOTSTRAP would permanently lock in a zero-row centroid
+      // table (the existence check would pass forever after)
+      if (qv.isEmpty) {
+        log("index", "indexes/ann_lists", "SKIPPED_EMPTY", 0)
+        return 0L
+      }
       if (!new java.io.File(s"$warehouse/indexes/ann_centroids").exists()) {
         val seed = qv.orderBy(col("vec_id")).limit(nlist)
           .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
@@ -267,20 +270,28 @@ object Orchestrator {
       */
     def annSearchIndexes(probes: DataFrame, k: Int = 5,
                          nprobe: Int = 3): DataFrame = {
-      import graft.functions.VectorFunctions.quantizedL2
+      import graft.functions.VectorFunctions.{lattice, quantizedL2}
       import org.apache.spark.sql.expressions.Window
       val qp = probes.select(col("q_id"), lattice(col("embedding")).as("qq"))
       val cents = readTable("indexes/ann_centroids").select("cent_id", "cv")
       val byCent = Window.partitionBy(col("q_id"))
         .orderBy(col("d2"), col("cent_id"))
+      // rank lists on (q_id, cent_id, d2) ONLY — carrying the 64-long
+      // probe vector through the probes x nlist window exchange would
+      // multiply the shuffled bytes ~20x; qp joins back on the nprobe
+      // survivors (the ivfL2Cands shape)
       val lists = qp.crossJoin(broadcast(cents))
-        .select(col("q_id"), col("qq"), col("cent_id"),
+        .select(col("q_id"), col("cent_id"),
           quantizedL2(col("qq"), col("cv")).as("d2"))
         .withColumn("rk", row_number().over(byCent)).where(col("rk") <= nprobe)
-        .select(col("q_id"), col("qq"), col("cent_id"))
-      val assigned = readTable("indexes/ann_lists").select("vec_id", "cent_id")
+        .select(col("q_id"), col("cent_id"))
+        .join(qp, "q_id")
+      // distinct: a vector re-landed under a second batch id must not
+      // occupy two top-k ranks (same defense as dedupAgainstIndexes)
+      val assigned = readTable("indexes/ann_lists")
+        .select("vec_id", "cent_id").distinct()
       val stored = readTable("bronze/embeddings")
-        .select(col("vec_id"), lattice(col("embedding")).as("qv"))
+        .select(col("vec_id"), lattice(col("embedding")).as("qv")).distinct()
       val byQ = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
       lists.join(assigned, "cent_id")
         .join(stored, "vec_id")
