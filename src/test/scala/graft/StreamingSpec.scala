@@ -548,6 +548,81 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((105L, None, None, None)))
   }
 
+  test("exact variants are permutation-invariant across random seeds") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // four independent seeds, each a fresh random event set AND a fresh
+    // random batch split — the streaming results must equal the batch
+    // operator every time, not just on the crafted fixtures above
+    val h = java.time.Duration.ofMinutes(30)
+    for (seed <- Seq(2, 3, 5, 8)) {
+      val rnd = new scala.util.Random(seed)
+      def at(sec: Int) =
+        new Timestamp(ts("2024-01-01 10:00:00").getTime + sec * 1000L)
+      val base = (1 to 30).map { i =>
+        Event(i.toLong, at(rnd.nextInt(3600)), 1L + rnd.nextInt(3),
+          if (rnd.nextBoolean()) "purchase" else "click",
+          rnd.nextInt(100).toDouble)
+      }
+      val batches = rnd.shuffle(base).grouped(1 + rnd.nextInt(9)).toSeq
+
+      // as-of: streaming == AsofJoin.backward
+      val ms1 = MemoryStream[Event]
+      val q1 = StreamingJobs.asofEnrichStreamExact(ms1.toDS(),
+          "click", "purchase", lateness = "1 day")
+        .writeStream.format("memory").queryName(s"pi_asof_$seed")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms1.addData(b); q1.processAllAvailable() }
+        Seq(ts("2024-01-03 12:00:00"), ts("2024-01-04 12:00:00")).foreach { f =>
+          ms1.addData(Event(900, f, 1, "view", 0.0)); q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      val gotAsof = spark.table(s"pi_asof_$seed")
+        .select("event_id", "matched_event_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      val wantAsof = graft.operators.AsofJoin.backward(
+          base.toDS().where($"event_type" === "click")
+            .select($"event_id", $"user_id", $"ts"),
+          base.toDS().where($"event_type" === "purchase")
+            .select($"user_id", $"ts".as("m_ts"), $"event_id".as("m_id"),
+              $"value".as("m_v")),
+          key = "user_id", probeTime = "ts", quoteTime = "m_ts",
+          tieBreak = "m_id")
+        .select("event_id", "m_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(gotAsof === wantAsof, s"as-of diverged at seed $seed")
+
+      // conversion: streaming == forward-asof-with-horizon model
+      val ms2 = MemoryStream[Event]
+      val q2 = StreamingJobs.conversionStreamExact(ms2.toDS(),
+          "click", "purchase", h, lateness = "1 day")
+        .writeStream.format("memory").queryName(s"pi_conv_$seed")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms2.addData(b); q2.processAllAvailable() }
+        Seq(ts("2024-01-03 12:00:00"), ts("2024-01-04 12:00:00")).foreach { f =>
+          ms2.addData(Event(900, f, 1, "view", 0.0)); q2.processAllAvailable()
+        }
+      } finally q2.stop()
+      val gotConv = spark.table(s"pi_conv_$seed")
+        .select("event_id", "converted", "matched_event_id")
+        .collect().map(r => (r.getLong(0),
+          (r.getBoolean(1), Option(r.get(2))))).toMap
+      val hs = h.getSeconds * 1000
+      val wantConv = base.filter(_.event_type == "click").map { p =>
+        val best = base.filter(e => e.event_type == "purchase"
+            && e.user_id == p.user_id
+            && e.ts.getTime >= p.ts.getTime
+            && e.ts.getTime <= p.ts.getTime + hs)
+          .sortBy(e => (e.ts.getTime, ~e.event_id)).headOption
+        p.event_id -> ((best.isDefined, best.map(_.event_id)))
+      }.toMap
+      assert(gotConv === wantConv, s"conversion diverged at seed $seed")
+    }
+  }
+
   test("exact as-of enrich resolves a post-restart out-of-order quote") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
