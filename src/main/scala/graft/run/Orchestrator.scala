@@ -286,18 +286,24 @@ object Orchestrator {
         .withColumn("rk", row_number().over(byCent)).where(col("rk") <= nprobe)
         .select(col("q_id"), col("cent_id"))
         .join(qp, "q_id")
-      // distinct: a vector re-landed under a second batch id must not
-      // occupy two top-k ranks (same defense as dedupAgainstIndexes)
-      val assigned = readTable("indexes/ann_lists")
-        .select("vec_id", "cent_id").distinct()
+      val assigned = readTable("indexes/ann_lists").select("vec_id", "cent_id")
       val stored = readTable("bronze/embeddings")
-        .select(col("vec_id"), lattice(col("embedding")).as("qv")).distinct()
+        .select(col("vec_id"), lattice(col("embedding")).as("qv"))
       val byQ = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
       lists.join(assigned, "cent_id")
         .join(stored, "vec_id")
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           quantizedL2(col("qq"), col("qv")).as("d2"))
+        // dedup at CANDIDATE scale, not corpus scale: a vec_id
+        // re-landed under a second batch id must not occupy two top-k
+        // ranks, but distinct()-ing the full list/vector tables would
+        // add two corpus-sized shuffles per search — the per-(q, vec)
+        // min collapses replays (and takes the closer version if a
+        // re-land ever changed an embedding, though the contract is
+        // that corrections rewrite their ORIGINAL batch partition) and
+        // reuses the q_id exchange the rank window needs anyway
+        .groupBy(col("q_id"), col("vec_id")).agg(min(col("d2")).as("d2"))
         .withColumn("rank", row_number().over(byQ)).where(col("rank") <= k)
     }
 

@@ -579,9 +579,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
           ms1.addData(Event(900, f, 1, "view", 0.0)); q1.processAllAvailable()
         }
       } finally q1.stop()
-      val gotAsof = spark.table(s"pi_asof_$seed")
+      val asofRows = spark.table(s"pi_asof_$seed")
         .select("event_id", "matched_event_id")
-        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+        .collect().map(r => (r.getLong(0), Option(r.get(1))))
+      val gotAsof = asofRows.toMap
+      // toMap would silently absorb a double emission — the classic
+      // stateful-streaming regression this sweep exists to catch
+      assert(asofRows.length === gotAsof.size,
+        s"duplicate as-of verdicts at seed $seed")
       val wantAsof = graft.operators.AsofJoin.backward(
           base.toDS().where($"event_type" === "click")
             .select($"event_id", $"user_id", $"ts"),
@@ -606,10 +611,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
           ms2.addData(Event(900, f, 1, "view", 0.0)); q2.processAllAvailable()
         }
       } finally q2.stop()
-      val gotConv = spark.table(s"pi_conv_$seed")
+      val convRows = spark.table(s"pi_conv_$seed")
         .select("event_id", "converted", "matched_event_id")
         .collect().map(r => (r.getLong(0),
-          (r.getBoolean(1), Option(r.get(2))))).toMap
+          (r.getBoolean(1), Option(r.get(2)))))
+      val gotConv = convRows.toMap
+      assert(convRows.length === gotConv.size,
+        s"duplicate conversion verdicts at seed $seed")
       val hs = h.getSeconds * 1000
       val wantConv = base.filter(_.event_type == "click").map { p =>
         val best = base.filter(e => e.event_type == "purchase"
