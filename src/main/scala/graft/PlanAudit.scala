@@ -7,13 +7,17 @@ import org.apache.spark.sql.SparkSession
   * window group limits and exchange placement can be audited — or, with
   * `--lint`, run graft.plans.PlanLint's structural rules over the
   * queries and print only the violations (the same check PlanLintSpec
-  * gates the build on).
+  * gates the build on); `--lint-executed` runs the post-execution
+  * face instead (materializes each query under the normal AQE session
+  * and lints the runtime-final plan — the PlanLintSpec headline check,
+  * available here for any registered query).
   *
-  * Usage: runMain graft.PlanAudit [--lint] [sfDir] [queryName...]
+  * Usage: runMain graft.PlanAudit [--lint|--lint-executed] [sfDir] [queryName...]
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val lintMode = args.headOption.contains("--lint")
+    val executedMode = args.headOption.contains("--lint-executed")
+    val lintMode = args.headOption.contains("--lint") || executedMode
     val rest = if (lintMode) args.drop(1) else args
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (rest.length > 1) rest.drop(1).toSeq
@@ -22,16 +26,21 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     base.sparkContext.setLogLevel("ERROR")
-    val spark = if (lintMode) graft.plans.PlanLint.lintSession(base) else base
+    val spark =
+      if (lintMode && !executedMode) graft.plans.PlanLint.lintSession(base)
+      else base
     var nViolations = 0
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (lintMode) {
-          val vs = graft.plans.PlanLint.lint(name, df)
+          val vs =
+            if (executedMode) graft.plans.PlanLint.lintExecuted(name, df)
+            else graft.plans.PlanLint.lint(name, df)
           nViolations += vs.length
           vs.foreach(v => println(s"LINT $v"))
         } else {
