@@ -565,6 +565,23 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(gotStream === expected)
   }
 
+  test("ann index: an empty batch cannot bootstrap (or brick) the centroid table") {
+    val wh = Files.createTempDirectory("graft_ann_empty").toString
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    // an empty slice writes NOTHING — an empty bootstrap would pass the
+    // existence check forever and permanently break every later read
+    val run1 = new Orchestrator.Run(spark, wh, "B0")
+    assert(run1.indexAnnBatch(emb.where(col("vec_id") < 0), nlist = 16) === 0L)
+    assert(!new java.io.File(s"$wh/indexes/ann_centroids").exists())
+    assert(run1.auditLog.exists(l =>
+      l.status == "SKIPPED_EMPTY" && l.target == "indexes/ann_lists"))
+    // the first NON-empty batch still bootstraps normally afterwards
+    val run2 = new Orchestrator.Run(spark, wh, "B1")
+    assert(run2.indexAnnBatch(emb.limit(20), nlist = 16) === 20L)
+    assert(spark.read.parquet(s"$wh/indexes/ann_centroids").count() > 0)
+  }
+
   test("ann index: centroids persist once; batches assign and search via tables") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val wh = Files.createTempDirectory("graft_ann_idx").toString
