@@ -152,9 +152,13 @@ object Bench {
 
     // "queries" stays name->median (same shape as every prior round);
     // "spread" carries max-min over the runs so a flaky timing is
-    // visible as data instead of whipsawing the median across rounds
+    // visible as data instead of whipsawing the median across rounds.
+    // The stdout line reports spread only where it is material
+    // (>= 0.25 s — the flaky ones) to stay inside the driver's
+    // stdout-tail capture; the file artifact keeps every entry.
     val sprByName = spreads.toMap
-    val sprHead = dict(headline.flatMap(n => sprByName.get(n).map(n -> _)))
+    val sprHead = dict(headline.flatMap(n =>
+      sprByName.get(n).filter(_ >= 0.25).map(n -> _)))
     val errJson = errored.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$benchRuns,"n_queries":${results.size},"errors":$errJson,"queries":$qs,"spread":$sprHead$scalingJson,"sf":"$sfDir"}"""
