@@ -87,6 +87,36 @@ object EventQueries extends QueryPack {
           datediff(col("d"), col("cohort_date")).cast(LongType)
             .as("day_offset"))
         .agg(countDistinct(col("user_id")).cast(LongType).as("n_active"))
+    }),
+
+    // Ordered multi-step funnel (view -> click -> purchase): per user,
+    // the earliest step-k event at or after the earliest step-(k-1)
+    // completion AND within its 24 h follow-up horizon — the
+    // sequence-matching operator behind "how far did each user get"
+    // (the horizon is what makes the stage discriminate: unbounded,
+    // every long-lived user trivially completes). Three aggregates
+    // chained by user-keyed joins: every shuffle rides user_id, so at
+    // 100 TB the whole cascade co-partitions after the first exchange
+    // (no broadcast of user-cardinality sides, no windows).
+    "q_events_funnel_stages" -> ((s, dir) => {
+      val step = expr("INTERVAL 24 HOURS")
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id")
+        .where(col("ts") >= col("t1") && col("ts") <= col("t1") + step)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .where(col("ts") >= col("t2") && col("ts") <= col("t2") + step)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (lit(1L) + col("t2").isNotNull.cast(LongType)
+            + col("t3").isNotNull.cast(LongType)).as("stage"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -154,5 +184,31 @@ object EventQueries extends QueryPack {
                 CAST(datediff('day', cohort_date, d) AS BIGINT) AS day_offset,
                 CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
          FROM ev JOIN cohort USING (user_id)
-         GROUP BY cohort_date, day_offset""")
+         GROUP BY cohort_date, day_offset""",
+    "q_events_funnel_stages" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         s1 AS (
+           SELECT user_id, MIN(ts) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, MIN(e.ts) AS t2
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, MIN(e.ts) AS t3
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+             AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+           GROUP BY e.user_id)
+         SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+                CAST(1 + CAST(s2.user_id IS NOT NULL AS INT)
+                       + CAST(s3.user_id IS NOT NULL AS INT) AS BIGINT)
+                  AS stage
+         FROM s1
+         LEFT JOIN s2 ON s1.user_id = s2.user_id
+         LEFT JOIN s3 ON s1.user_id = s3.user_id""")
 }
