@@ -111,6 +111,35 @@ object IoQueries extends QueryPack {
       s.read.parquet(out)
         .groupBy(col("dwh_batch_id"))
         .agg(cnt.as("n_rows"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // Bucketed co-located join: both sides bucketed on the join key at
+    // write time, so the join itself plans with ZERO exchanges — the
+    // 100 TB pattern for repeated large-x-large joins on a stable key
+    // (bucket once, join shuffle-free forever after; the production
+    // maintenance path is Orchestrator.writeBucketedBatch). The merge
+    // hint pins SortMergeJoin so the shuffle-free shape is what runs
+    // regardless of broadcast thresholds; BucketedJoinSpec asserts the
+    // plan, this row proves the result. Paths/names keyed on the sf dir
+    // so concurrent harness JVMs don't collide.
+    "q_join_bucketed" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      def bucketize(src: String, key: String): String = {
+        val name = s"graft_bkt_${src}_$tag"
+        s.read.parquet(s"$dir/$src.parquet").write
+          .mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"/tmp/graft_bkt_$tag/$src")
+          .format("parquet")
+          .saveAsTable(name)
+        name
+      }
+      val orders = s.table(bucketize("orders", "o_custkey"))
+      val customer = s.table(bucketize("customer", "c_custkey"))
+      orders.hint("merge")
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(cnt.as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -140,6 +169,13 @@ object IoQueries extends QueryPack {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                 CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation""",
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "q_write_idempotent" ->
       """SELECT CONCAT('BATCH', LPAD(CAST(o_orderkey % 3 AS VARCHAR), 6, '0'))
                   AS dwh_batch_id,

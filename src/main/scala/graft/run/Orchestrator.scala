@@ -150,6 +150,110 @@ object Orchestrator {
       n
     }
 
+    /** Bucketed layer table (catalog name = path with '/' → '_'): the
+      * co-location contract for repeated large-x-large joins. A table
+      * bucketed on its join key is hash-partitioned AT WRITE TIME, so
+      * every later join or aggregation on that key plans without a
+      * shuffle exchange — at 100 TB the bucket-once cost replaces a
+      * full-corpus shuffle PER QUERY. Maintenance stays batch-shaped:
+      *
+      *  - first write creates the table (external, at the warehouse
+      *    path) via bucketBy + saveAsTable — bucket metadata lives in
+      *    the session catalog (HMS/Glue in production);
+      *  - every later batch lands through insertInto with dynamic
+      *    partition overwrite, which preserves the catalog bucket spec
+      *    per partition — the S8 idempotency contract unchanged (a
+      *    re-run replaces exactly its own batch partition);
+      *  - a catalog that lost the table (fresh cluster attaching to an
+      *    existing warehouse) is re-registered from the files via
+      *    [[ensureBucketedRegistered]] — NEVER by a saveAsTable
+      *    overwrite, which would drop every other batch's partition.
+      */
+    def writeBucketedBatch(df: DataFrame, table: String,
+                           bucketCols: Seq[String], numBuckets: Int): Long = {
+      if (alreadyDone(table)) {
+        log("write", table, "SKIPPED_DONE", 0)
+        return spark.read.parquet(s"$warehouse/$table")
+          .where(col("dwh_batch_id") === batchId).count()
+      }
+      val name = catalogName(table)
+      val obs = org.apache.spark.sql.Observation()
+      val withBatch = df.withColumn("dwh_batch_id", lit(batchId))
+        .observe(obs, count(lit(1)).as("n"))
+      if (spark.catalog.tableExists(name)) insertBucketed(withBatch, name)
+      else if (new java.io.File(s"$warehouse/$table").exists()) {
+        ensureBucketedRegistered(table, bucketCols, numBuckets)
+        insertBucketed(withBatch, name)
+      } else {
+        withBatch.write
+          .partitionBy("dwh_batch_id")
+          .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .option("path", s"$warehouse/$table")
+          .format("parquet")
+          .saveAsTable(name)
+      }
+      val n = obs.get("n").asInstanceOf[Long]
+      log("write", table, "SUCCESS", n)
+      n
+    }
+
+    /** Re-attach an existing bucketed warehouse table to a catalog that
+      * does not know it (the durable-files / fresh-catalog case): CREATE
+      * TABLE with the on-disk schema + the bucket spec, then recover the
+      * batch partitions. The bucket spec must match what the files were
+      * written with — bucket file names carry the bucket id, and the
+      * read path trusts the catalog.
+      */
+    def ensureBucketedRegistered(table: String, bucketCols: Seq[String],
+                                 numBuckets: Int): Unit = {
+      val name = catalogName(table)
+      if (spark.catalog.tableExists(name)) return
+      val path = s"$warehouse/$table"
+      val dataCols = spark.read.parquet(path).schema
+        .filterNot(_.name == "dwh_batch_id")
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val bk = bucketCols.map(c => s"`$c`").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE $name ($dataCols, dwh_batch_id STRING)
+           USING PARQUET
+           PARTITIONED BY (dwh_batch_id)
+           CLUSTERED BY ($bk) SORTED BY ($bk) INTO $numBuckets BUCKETS
+           LOCATION '$path'""")
+      spark.sql(s"MSCK REPAIR TABLE $name")
+    }
+
+    /** Catalog read of a bucketed layer table — reads MUST go through
+      * the catalog (spark.table), not the path: a path read has no
+      * bucket metadata and silently loses the shuffle-free property.
+      */
+    def readBucketed(table: String): DataFrame =
+      spark.table(catalogName(table))
+
+    private def catalogName(table: String): String = table.replace('/', '_')
+
+    // positional insert: align to the catalog column order (partition
+    // column last); dynamic overwrite scopes the write to this batch's
+    // partition, and the bucket spec comes from the table metadata.
+    // insertInto does NOT read writer-level options (unlike the
+    // path-based save), so dynamic mode must be set on the session conf
+    // for the duration of the insert — static mode would drop every
+    // other batch's partition.
+    private def insertBucketed(withBatch: DataFrame, name: String): Unit = {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        val cols = spark.table(name).schema.fieldNames
+        withBatch.select(cols.map(col).toIndexedSeq: _*)
+          .write.mode(SaveMode.Overwrite)
+          .insertInto(name)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
     /** S9: batch-pruned read of a layer table (partition pruning — the
       * filter prunes to the one batch directory).
       */
