@@ -113,6 +113,38 @@ object IoQueries extends QueryPack {
         .agg(cnt.as("n_rows"), dsum(col("o_totalprice")).as("total_price"))
     }),
 
+    // Small-file compaction (maintenance plane): land orders as 4 batch
+    // partitions x ~25 small files (the ingest-cadence storm that makes
+    // a 100 TB scan metadata-bound), bin-pack via
+    // Orchestrator.compactBatches, and read the table back — the oracle
+    // over the original orders proves the rewrite is content-preserving;
+    // the require() proves it actually rewrote (every partition down to
+    // one file), so the row can't pass vacuously.
+    "q_compact_files" -> ((s, dir) => {
+      import graft.run.Orchestrator
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val wh = s"/tmp/graft_compact_$tag"
+      val table = "bronze/orders_cmp"
+      val dirF = new java.io.File(s"$wh/$table")
+      if (dirF.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(dirF)
+      }
+      t(s, dir, "orders")
+        .withColumn("dwh_batch_id",
+          concat(lit("CB"), (col("o_orderkey") % 4).cast(StringType)))
+        .repartition(25)
+        .write.partitionBy("dwh_batch_id").parquet(s"$wh/$table")
+      val done = new Orchestrator.Run(s, wh, "MAINT").compactBatches(table)
+      require(done.size == 4 && done.forall(_._3 == 1),
+        s"compaction did not bin-pack: $done")
+      s.read.parquet(s"$wh/$table")
+        .groupBy(col("dwh_batch_id"))
+        .agg(cnt.as("n_rows"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
     // Bucketed co-located join: both sides bucketed on the join key at
     // write time, so the join itself plans with ZERO exchanges — the
     // 100 TB pattern for repeated large-x-large joins on a stable key
@@ -169,6 +201,13 @@ object IoQueries extends QueryPack {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                 CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation""",
+    "q_compact_files" ->
+      """SELECT CONCAT('CB', CAST(o_orderkey % 4 AS VARCHAR)) AS dwh_batch_id,
+                COUNT(*) AS n_rows,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM orders
+         GROUP BY CONCAT('CB', CAST(o_orderkey % 4 AS VARCHAR))""",
     "q_join_bucketed" ->
       """SELECT c_mktsegment,
                 COUNT(*) AS n_orders,

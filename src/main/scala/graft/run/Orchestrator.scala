@@ -254,6 +254,79 @@ object Orchestrator {
       }
     }
 
+    /** Maintenance: bin-pack the small files of a layer table's batch
+      * partitions into ~`targetBytes` files. Daily batch partitions
+      * each land a task-count's worth of files; after a year of
+      * batches a 100 TB scan is METADATA-bound (file listing + footer
+      * reads + one task per tiny file) long before it is IO-bound —
+      * periodic compaction is what keeps file count proportional to
+      * data size, not to ingest cadence.
+      *
+      * Per partition: if the current layout has more files than the
+      * byte-optimal count (+1 slack so a well-packed partition is
+      * never rewritten), the partition is re-read, repartitioned to
+      * ceil(bytes/targetBytes), written to a STAGING dir outside the
+      * table, and swapped in by directory rename — the old partition
+      * is parked in a trash dir until the swap completes, so readers
+      * of the live path never see a half-written partition. (On HDFS/
+      * object stores the renames are FileSystem.rename; a crash
+      * between the two renames leaves the partition parked in
+      * `.compact_trash` — recovery is restoring that dir or re-running
+      * the batch write, the same S8 idempotency that heals any partial
+      * write. Table formats with metadata commits (Delta/Iceberg)
+      * close that window; a plain-dir warehouse documents it.)
+      *
+      * Compaction is content-preserving by construction (read →
+      * repartition → write of the same rows) and IDEMPOTENT: a second
+      * run finds every partition already at its optimal file count and
+      * rewrites nothing. Bucketed tables are refused — bucket file
+      * names carry the bucket id, and a blind repartition would break
+      * the bucket-to-file mapping the catalog promises.
+      *
+      * @return (partition, filesBefore, filesAfter) per rewritten partition
+      */
+    def compactBatches(table: String, targetBytes: Long = 128L << 20,
+                       minFiles: Int = 2): Seq[(String, Int, Int)] = {
+      val name = catalogName(table)
+      val bucketed = spark.catalog.tableExists(name) &&
+        spark.sql(s"DESC FORMATTED $name").collect()
+          .exists(r => r.getString(0).trim == "Num Buckets")
+      require(!bucketed,
+        s"$table is bucketed — compaction would break the bucket-to-file " +
+          "mapping; rewrite through writeBucketedBatch instead")
+      val root = new java.io.File(s"$warehouse/$table")
+      val parts = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("dwh_batch_id="))
+      val done = parts.toSeq.sortBy(_.getName).flatMap { part =>
+        val files = part.listFiles().filter(_.getName.endsWith(".parquet"))
+        val bytes = files.map(_.length()).sum
+        val nTarget = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        if (files.length < math.max(minFiles, nTarget + 1)) None
+        else {
+          val staging = new java.io.File(s"$warehouse/.compact/$table/${part.getName}")
+          val trash = new java.io.File(s"$warehouse/.compact_trash/$table/${part.getName}")
+          staging.getParentFile.mkdirs(); trash.getParentFile.mkdirs()
+          spark.read.parquet(part.getAbsolutePath)
+            .repartition(nTarget)
+            .write.mode(SaveMode.Overwrite).parquet(staging.getAbsolutePath)
+          // drop the commit marker so the swapped-in dir is data-only
+          staging.listFiles().filterNot(_.getName.endsWith(".parquet"))
+            .foreach(_.delete())
+          val after = staging.listFiles().count(_.getName.endsWith(".parquet"))
+          // swap: live -> trash, staged -> live, then clear trash
+          java.nio.file.Files.move(part.toPath, trash.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.move(staging.toPath, part.toPath)
+          trash.listFiles().foreach(_.delete()); trash.delete()
+          log("compact", table, "SUCCESS", 0,
+            s"${part.getName}: ${files.length} -> $after files")
+          Some((part.getName, files.length, after))
+        }
+      }
+      flushAudit()
+      done
+    }
+
     /** S9: batch-pruned read of a layer table (partition pruning — the
       * filter prunes to the one batch directory).
       */
