@@ -185,6 +185,64 @@ object AggQueries extends QueryPack {
       per.unionByName(allRow)
     }),
 
+    // Mergeable FREQUENT-ITEMS rollup (Misra-Gries) — the heavy-hitters
+    // sibling of q_agg_hll_merge / q_agg_kll_merge: per-event_type
+    // k-counter summaries over the metric's magnitude class (digit
+    // count — integer-exact in both engines, no libm), merged to the
+    // ALL scope WITHOUT re-reading events. k=2 against a 3-value
+    // domain, so the summary genuinely overflows (decrements happen)
+    // and the ~70%-mass bucket is a true heavy hitter at every sf.
+    // mg_ok asserts the DETERMINISTIC MG guarantee per scope: every
+    // item above n/(k+1) is present, and every stored counter
+    // undercounts by at most n/(k+1) — a hard invariant, not a
+    // probabilistic bound. Exact top columns come from a scope-
+    // partitioned window (lint-safe).
+    "q_agg_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.MisraGries
+      import org.apache.spark.sql.expressions.Window
+      val k = 2
+      val mapEnc = implicitly[org.apache.spark.sql.Encoder[Map[Long, Long]]]
+      val ev = graft.Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          length(floor(col("value")).cast(LongType).cast(StringType))
+            .cast(LongType).as("bkt"))
+      val mg = new MisraGries.HeavyHitters[(String, Long)](k, _._2, mapEnc)
+      val sk = ev.as[(String, Long)].groupByKey(_._1)
+        .agg(mg.toColumn.name("summary")).toDF("scope", "summary")
+      val mgAll = new MisraGries.MergeSummaries(k, mapEnc)
+      val skAll = sk.select(col("summary")).as[Map[Long, Long]]
+        .groupByKey(_ => "ALL")
+        .agg(mgAll.toColumn.name("summary")).toDF("scope", "summary")
+      val summaries = sk.unionByName(skAll)
+      val exact = ev.groupBy(col("event_type").as("scope"), col("bkt"))
+        .agg(cnt.as("c"))
+        .unionByName(ev.groupBy(col("bkt")).agg(cnt.as("c"))
+          .select(lit("ALL").as("scope"), col("bkt"), col("c")))
+      val n = exact.groupBy("scope").agg(sum(col("c")).cast(LongType).as("n"))
+      val cand = summaries.select(col("scope"),
+        explode(col("summary")).as(Seq("bkt", "est")))
+      // every stored counter est <= exact <= est + n/(k+1)
+      val errOk = cand.join(exact, Seq("scope", "bkt")).join(n, "scope")
+        .groupBy("scope")
+        .agg(min(col("est") <= col("c")
+          && (col("c") - col("est")) * (k + 1) <= col("n")).as("err_ok"))
+      // every exact-heavy item (freq > n/(k+1)) must be in the summary
+      val missing = exact.join(n, "scope")
+        .where(col("c") * (k + 1) > col("n"))
+        .join(cand.select("scope", "bkt"), Seq("scope", "bkt"), "left_anti")
+        .groupBy("scope").agg(cnt.as("n_missing"))
+      val top = exact
+        .withColumn("rk", row_number().over(Window.partitionBy(col("scope"))
+          .orderBy(col("c").desc, col("bkt"))))
+        .where(col("rk") === 1)
+        .select(col("scope"), col("bkt").as("top_bucket"), col("c").as("n_top"))
+      top.join(errOk, "scope").join(missing, Seq("scope"), "left")
+        .select(col("scope"), col("top_bucket"), col("n_top"),
+          (col("err_ok") && col("n_missing").isNull).as("mg_ok"))
+    }),
+
     // A4: MIN/MAX + churn flag against a pinned reference date
     // (current_date made deterministic — SURVEY §7.4.3).
     // Ref: materialized_view.sql:80-91
@@ -347,6 +405,24 @@ object AggQueries extends QueryPack {
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
                 TRUE AS approx_ok
          FROM events""",
+    "q_agg_heavy_hitters" ->
+      """WITH b AS (
+           SELECT event_type,
+                  CAST(LENGTH(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR))
+                       AS BIGINT) AS bkt
+           FROM events WHERE value IS NOT NULL),
+         e AS (
+           SELECT event_type AS scope, bkt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2
+           UNION ALL
+           SELECT 'ALL', bkt, CAST(COUNT(*) AS BIGINT) FROM b GROUP BY 2),
+         r AS (
+           SELECT scope, bkt, c,
+                  ROW_NUMBER() OVER (PARTITION BY scope
+                                     ORDER BY c DESC, bkt) AS rn
+           FROM e)
+         SELECT scope, bkt AS top_bucket, c AS n_top, TRUE AS mg_ok
+         FROM r WHERE rn = 1""",
     "q_agg_kll_merge" ->
       """WITH ranked AS (
            SELECT event_type, CAST(value AS DOUBLE) AS v,
