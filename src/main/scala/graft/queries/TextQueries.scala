@@ -715,6 +715,44 @@ object TextQueries extends QueryPack {
           bucket.as("bucket"), (bucket < col("keep_pct")).as("keep"))
     }),
 
+    // Temperature-scaled mixture sampling — the production training-mix
+    // operator (multilingual balancing a la XLM-R): sampling weights
+    // DERIVE from the corpus distribution, w_l ∝ p_l^α with α=0.5, so
+    // low-resource languages upsample (rate > 1: every doc repeats,
+    // plus a fractional extra copy) and the dominant language
+    // downsamples — en is ~42% of this corpus at every sf, so the
+    // rebalancing is real, not a flat rate=1 pass. Per-doc copy counts
+    // (floor(rate) + a deterministic md5 coin on the fractional part)
+    // give the epoch-expansion face — downstream repeats each doc
+    // n_copies times. Cross-engine float discipline: the per-language
+    // weights are QUANTIZED to exact integers (floor(sqrt(p)*1e9)) so
+    // the normalizing sum is order-free integer arithmetic, and the
+    // only float op after sqrt is ONE division — a float SUM over the
+    // weights would be summation-order-dependent and break the oracle
+    // hash. Stats side is two tiny aggregates (language-cardinality
+    // frames, broadcast); the corpus pass is map-only.
+    "q_sample_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tot = docs.agg(cnt.as("big_n"))
+      val wq = docs.groupBy(col("lang")).agg(cnt.as("n"))
+        .crossJoin(tot) // 1-row, aggregate-reduced
+        .select(col("lang"), col("n"), col("big_n"),
+          floor(sqrt(col("n").cast(DoubleType) / col("big_n")) * 1e9)
+            .cast(LongType).as("wq"))
+      val sw = wq.agg(sum(col("wq")).cast(LongType).as("sw"))
+      val rates = wq.crossJoin(sw) // 1-row, aggregate-reduced
+        .select(col("lang"),
+          ((col("wq") * col("big_n")).cast(DoubleType)
+            / (col("sw") * col("n")).cast(DoubleType)).as("rate"))
+      val coin = conv(substring(md5(concat(lit("t:"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType) % 10000
+      docs.join(broadcast(rates), "lang")
+        .select(col("doc_id"), col("lang"),
+          (floor(col("rate")).cast(LongType)
+            + when(coin < floor((col("rate") - floor(col("rate"))) * 10000)
+                .cast(LongType), 1L).otherwise(0L)).as("n_copies"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text
     // + an 8-token prefix key (cheap clustering key for near-dup triage).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -1087,6 +1125,29 @@ object TextQueries extends QueryPack {
            FROM documents d JOIN w ON w.source = d.source)
          SELECT source, doc_id, keep_pct, bucket, bucket < keep_pct AS keep
          FROM b""",
+    "q_sample_temperature" ->
+      """WITH c AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+           GROUP BY lang),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM documents),
+         wq AS (
+           SELECT lang, n, big_n,
+                  CAST(FLOOR(SQRT(CAST(n AS DOUBLE) / big_n) * 1e9)
+                       AS BIGINT) AS wq
+           FROM c, tot),
+         sw AS (SELECT CAST(SUM(wq) AS BIGINT) AS sw FROM wq),
+         r AS (
+           SELECT lang,
+                  CAST(wq * big_n AS DOUBLE) / CAST(sw * n AS DOUBLE) AS rate
+           FROM wq, sw)
+         SELECT d.doc_id, d.lang,
+                CAST(FLOOR(rate) AS BIGINT)
+                + CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5('t:' ||
+                            CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                            % 10000
+                       < CAST(FLOOR((rate - FLOOR(rate)) * 10000) AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+         FROM documents d JOIN r USING (lang)""",
     "q_split_train_test" ->
       """SELECT doc_id, source,
                 CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
