@@ -20,6 +20,7 @@ object SparkEntry {
     SimQueries,
     IoQueries,
     QaQueries,
+    MergeQueries,
     PipelineQueries,
     MultimodalQueries)
 

@@ -36,6 +36,15 @@ object Orchestrator {
   final case class StepLog(step: String, target: String, status: String,
                            rows: Long, batchId: String, message: String)
 
+  /** Outcome of one key-bucketed merge: which hash-buckets were
+    * rewritten, and the per-row classification of the change batch.
+    * `noops` are update rows whose attributes already match the current
+    * version — a correct merge neither versions them nor rewrites
+    * anything for them alone.
+    */
+  final case class MergeStats(touched: Seq[Int], inserted: Long,
+                              versioned: Long, noops: Long)
+
   /** One row of the integration config (mirrors tools.integration_config
     * + integration_dependencies, scripts/gold_integration.py:42-64):
     * targets run in `runOrder`; a target whose dependency did not
@@ -482,6 +491,219 @@ object Orchestrator {
         // reuses the q_id exchange the rank window needs anyway
         .groupBy(col("q_id"), col("vec_id")).agg(min(col("d2")).as("d2"))
         .withColumn("rank", row_number().over(byQ)).where(col("rank") <= k)
+    }
+
+    // ------------------------------------------------------------------
+    // Key-bucketed SCD merge plane (copy-on-write upsert).
+    //
+    // The reference rebuilds every dim wholesale per batch (TRUNCATE +
+    // INSERT, tools.load_crm_cust_info_v1.sql); at 100 TB a dim rebuild
+    // is a full-table write for a change batch that touches a fraction
+    // of a percent of keys. These merges store the dim partitioned by
+    // kb = pmod(xxhash64(key), nBuckets) and rewrite ONLY the buckets
+    // the change batch hashes into: IO per merge is proportional to
+    // touched-bucket bytes, not table bytes. The bucket list is the one
+    // driver-side value (bounded by nBuckets — metadata plane); the
+    // touched slice is read via partition pruning, joined once with the
+    // batch, and written back through the same dynamic-partition
+    // overwrite contract as S8 (a crash mid-write damages only touched
+    // buckets, and re-running the merge heals them — change detection
+    // makes replays no-ops). Pure-query faces of the same semantics are
+    // oracle-checked as q_scd1_merge_apply / q_scd2_merge_apply
+    // (queries/MergeQueries.scala); ScdMergeSpec proves untouched bucket
+    // directories stay byte-identical across a merge.
+    // ------------------------------------------------------------------
+
+    private def bucketOf(key: String, nBuckets: Int) =
+      pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int").as("kb")
+
+    /** Bootstrap (or wholesale rebuild — the retrain-analog, see
+      * [[indexAnnBatch]]'s rebuild note) of a key-bucketed SCD2 dim from
+      * a full snapshot: every row becomes version 1, current, effective
+      * from `effective`. Static overwrite — this is the one full-table
+      * write in the dim's life.
+      */
+    def initScdDim(table: String, snapshot: DataFrame, key: String,
+                   effective: java.sql.Date, nBuckets: Int = 64): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      snapshot
+        .withColumn("valid_from", lit(effective))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+        .withColumn("kb", bucketOf(key, nBuckets))
+        .observe(obs, count(lit(1)).as("n"))
+        .write.partitionBy("kb").mode(SaveMode.Overwrite)
+        .parquet(s"$warehouse/$table")
+      val n = obs.get("n").asInstanceOf[Long]
+      log("scd_init", table, "SUCCESS", n)
+      n
+    }
+
+    /** SCD2 merge of a change batch into a dim created by
+      * [[initScdDim]]: genuinely changed keys get their current version
+      * closed (valid_to = effective − 1 day, the W3 convention) and a
+      * new current version opened; unknown keys are inserted; no-op
+      * re-emits (CDC feeds resend unchanged rows constantly) are
+      * dropped. `updates` must carry one row per key — the SQL MERGE
+      * "source matches multiple times" error — which is checked BEFORE
+      * any write and fails the step loudly.
+      *
+      * Two jobs over the touched slice: one small aggregate to classify
+      * the batch (and short-circuit an all-noop merge without rewriting
+      * a single file), then the COW write. Both are partition-pruned to
+      * the touched buckets.
+      */
+    def mergeScd2(table: String, updates: DataFrame, key: String,
+                  attrCols: Seq[String], effective: java.sql.Date,
+                  nBuckets: Int = 64): MergeStats = {
+      val path = s"$warehouse/$table"
+      val upd = updates
+        .select((key +: attrCols).map(col): _*)
+        .withColumn("kb", bucketOf(key, nBuckets))
+      val touched = upd.select("kb").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) {
+        log("scd_merge", table, "SKIPPED_EMPTY", 0)
+        return MergeStats(Nil, 0, 0, 0)
+      }
+      val cur = spark.read.parquet(path)
+        .where(col("kb").isin(touched.map(Int.box): _*))
+      val curCurrent = cur.where(col("is_current"))
+      val uRenamed = attrCols.foldLeft(upd)((d, c) =>
+        d.withColumnRenamed(c, s"__u_$c"))
+      val j = uRenamed.join(curCurrent, Seq("kb", key), "left")
+      val same = attrCols.map(c => col(s"__u_$c") <=> col(c)).reduce(_ && _)
+      val isInsert = col("is_current").isNull
+
+      val st = j.agg(
+        sum(when(isInsert, 1L).otherwise(0L)).as("ins"),
+        sum(when(!isInsert && !same, 1L).otherwise(0L)).as("ver"),
+        sum(when(!isInsert && same, 1L).otherwise(0L)).as("noop"),
+        (count(lit(1)) - countDistinct(col(key))).as("dups")).head()
+      val (ins, ver, noop) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      if (st.getLong(3) > 0) {
+        log("scd_merge", table, "FAILED", 0,
+          s"${st.getLong(3)} duplicate keys in change batch")
+        flushAudit()
+        throw new IllegalArgumentException(
+          s"mergeScd2($table): change batch has ${st.getLong(3)} duplicate " +
+            s"$key rows — a key may match at most once (SQL MERGE contract)")
+      }
+      if (ins + ver == 0) {
+        log("scd_merge", table, "SKIPPED_NOOP", 0, s"noops=$noop")
+        return MergeStats(Nil, 0, 0, noop)
+      }
+
+      val chg = j.where(isInsert || !same)
+      // rewrite only buckets holding an actual insert/version — a batch
+      // where bucket 7's updates are all no-ops must not rewrite bucket 7
+      val chgBuckets = chg.select("kb").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val outCols = Seq(col("kb"), col(key)) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current"))
+      val opened = chg.select(
+        (Seq(col("kb"), col(key)) ++ attrCols.map(c => col(s"__u_$c").as(c))): _*)
+        .withColumn("valid_from", lit(effective))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+        .select(outCols: _*)
+      val closeKeys = chg.where(!isInsert).select(col("kb"), col(key))
+      val closed = curCurrent.join(closeKeys, Seq("kb", key), "semi")
+        .withColumn("valid_to", date_sub(lit(effective), 1))
+        .withColumn("is_current", lit(false))
+        .select(outCols: _*)
+      val passHist = cur.where(!col("is_current")).select(outCols: _*)
+      val passCur = curCurrent.join(closeKeys, Seq("kb", key), "left_anti")
+        .select(outCols: _*)
+      val merged = passHist.unionByName(passCur)
+        .unionByName(closed).unionByName(opened)
+        .where(col("kb").isin(chgBuckets.map(Int.box): _*))
+
+      merged.write.partitionBy("kb")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(path)
+      log("scd_merge", table, "SUCCESS", ins + ver,
+        s"buckets=${chgBuckets.mkString(",")} ins=$ins ver=$ver noop=$noop")
+      MergeStats(chgBuckets, ins, ver, noop)
+    }
+
+    /** SCD1 merge (overwrite-in-place upsert) into a key-bucketed dim:
+      * changed keys take the new attributes and bump `merge_version`;
+      * inserts land at version 1; no-ops and untouched keys are
+      * untouched. Same bucket-pruned COW machinery and duplicate-key
+      * contract as [[mergeScd2]]; the dim is bootstrapped by writing the
+      * snapshot with merge_version = 1 through this method against an
+      * absent table.
+      */
+    def mergeScd1(table: String, updates: DataFrame, key: String,
+                  attrCols: Seq[String],
+                  nBuckets: Int = 64): MergeStats = {
+      val path = s"$warehouse/$table"
+      val upd = updates
+        .select((key +: attrCols).map(col): _*)
+        .withColumn("kb", bucketOf(key, nBuckets))
+      val outCols = Seq(col("kb"), col(key)) ++ attrCols.map(col) :+
+        col("merge_version")
+      if (!new java.io.File(path).exists()) {
+        val obs = org.apache.spark.sql.Observation()
+        upd.withColumn("merge_version", lit(1L))
+          .select(outCols: _*)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.partitionBy("kb").mode(SaveMode.Overwrite).parquet(path)
+        val n = obs.get("n").asInstanceOf[Long]
+        log("scd_merge", table, "SUCCESS", n, "bootstrap")
+        return MergeStats(Nil, n, 0, 0)
+      }
+      val touched = upd.select("kb").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) {
+        log("scd_merge", table, "SKIPPED_EMPTY", 0)
+        return MergeStats(Nil, 0, 0, 0)
+      }
+      val cur = spark.read.parquet(path)
+        .where(col("kb").isin(touched.map(Int.box): _*))
+      val uRenamed = attrCols.foldLeft(upd)((d, c) =>
+        d.withColumnRenamed(c, s"__u_$c"))
+      val j = uRenamed.join(cur, Seq("kb", key), "left")
+      val same = attrCols.map(c => col(s"__u_$c") <=> col(c)).reduce(_ && _)
+      val isInsert = col("merge_version").isNull
+      val st = j.agg(
+        sum(when(isInsert, 1L).otherwise(0L)).as("ins"),
+        sum(when(!isInsert && !same, 1L).otherwise(0L)).as("upd"),
+        sum(when(!isInsert && same, 1L).otherwise(0L)).as("noop"),
+        (count(lit(1)) - countDistinct(col(key))).as("dups")).head()
+      val (ins, chgN, noop) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      if (st.getLong(3) > 0) {
+        log("scd_merge", table, "FAILED", 0,
+          s"${st.getLong(3)} duplicate keys in change batch")
+        flushAudit()
+        throw new IllegalArgumentException(
+          s"mergeScd1($table): change batch has ${st.getLong(3)} duplicate " +
+            s"$key rows — a key may match at most once (SQL MERGE contract)")
+      }
+      if (ins + chgN == 0) {
+        log("scd_merge", table, "SKIPPED_NOOP", 0, s"noops=$noop")
+        return MergeStats(Nil, 0, 0, noop)
+      }
+      val chgBuckets = j.where(isInsert || !same).select("kb").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val applied = j.select(
+        (Seq(col("kb"), col(key)) ++ attrCols.map(c =>
+          when(isInsert || !same, col(s"__u_$c")).otherwise(col(c)).as(c)) :+
+          when(isInsert, lit(1L))
+            .when(!same, col("merge_version") + 1L)
+            .otherwise(col("merge_version")).as("merge_version")): _*)
+      val untouchedKeys = cur.join(uRenamed.select(col("kb"), col(key)),
+        Seq("kb", key), "left_anti").select(outCols: _*)
+      val merged = untouchedKeys.unionByName(applied.select(outCols: _*))
+        .where(col("kb").isin(chgBuckets.map(Int.box): _*))
+
+      merged.write.partitionBy("kb")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(path)
+      log("scd_merge", table, "SUCCESS", ins + chgN,
+        s"buckets=${chgBuckets.mkString(",")} ins=$ins upd=$chgN noop=$noop")
+      MergeStats(chgBuckets, ins, chgN, noop)
     }
 
     /** S10 + transform step: run `f` over the batch slice of `source`
