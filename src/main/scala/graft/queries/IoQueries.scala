@@ -145,6 +145,34 @@ object IoQueries extends QueryPack {
         .agg(cnt.as("n_rows"), dsum(col("o_totalprice")).as("total_price"))
     }),
 
+    // Z-order + zone-map pruned scan (layout plane): lineitem is written
+    // clustered by the interleaved bits of (l_partkey, l_suppkey) with a
+    // per-file min/max manifest, and the read resolves a 2-D range box
+    // against the manifest BEFORE handing Spark a file list — the
+    // Iceberg/Delta manifest-pruning shape, where a selective predicate
+    // on EITHER key touches a handful of files instead of the whole
+    // table. The require() proves files were actually skipped (the row
+    // cannot pass vacuously); the oracle over the original table proves
+    // the skip lost no rows. Layout is memoized per sf dir (the write is
+    // the batch-time cost, the read is the per-query win); the `v1` token
+    // invalidates the memo if the layout code changes shape.
+    "q_scan_zonemap_pruned" -> ((s, dir) => {
+      import graft.sources.ZoneMapLayout
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_zmap_v1_$tag"
+      if (!new java.io.File(s"$path/_zonemap").exists())
+        ZoneMapLayout.writeZordered(
+          t(s, dir, "lineitem"), path,
+          zCols = Seq("l_partkey", "l_suppkey"),
+          statsCols = Seq("l_partkey", "l_suppkey"), nFiles = 16)
+      val (df, kept, total) = ZoneMapLayout.prunedRead(s, path,
+        Seq(("l_partkey", 100L, 180L), ("l_suppkey", 10L, 60L)))
+      require(kept < total, s"zone map pruned nothing ($kept/$total)")
+      df.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity"))
+    }),
+
     // Bucketed co-located join: both sides bucketed on the join key at
     // write time, so the join itself plans with ZERO exchanges — the
     // 100 TB pattern for repeated large-x-large joins on a stable key
@@ -208,6 +236,12 @@ object IoQueries extends QueryPack {
                   AS total_price
          FROM orders
          GROUP BY CONCAT('CB', CAST(o_orderkey % 4 AS VARCHAR))""",
+    "q_scan_zonemap_pruned" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey,
+                CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+         FROM lineitem
+         WHERE l_partkey BETWEEN 100 AND 180
+           AND l_suppkey BETWEEN 10 AND 60""",
     "q_join_bucketed" ->
       """SELECT c_mktsegment,
                 COUNT(*) AS n_orders,

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.Column
+
+/** Multi-dimensional data layout + file-level zone-map pruning.
+  *
+  * A 100 TB table sorted on one key prunes scans on THAT key only; a
+  * predicate on any other column touches every file. Interleaving the
+  * bits of several keys into one Morton/Z-value (Morton 1966 — the
+  * clustering trick behind Delta/Iceberg `ZORDER BY`) and range-
+  * partitioning on it gives every indexed column locality, so a file
+  * covers a small hyper-rectangle of the key space and a selective
+  * predicate on ANY indexed column intersects few files.
+  *
+  * The zone map is the manifest face of the same idea: one tiny table of
+  * per-file min/max for the indexed columns, written next to the data
+  * (`_zonemap/`, underscore-prefixed so data scans ignore it, like
+  * _SUCCESS). [[prunedRead]] resolves a conjunctive range predicate
+  * against the zone map FIRST — a driver-side metadata operation bounded
+  * by file count, exactly what Iceberg/Delta manifests mechanize — and
+  * hands Spark only the intersecting files, then re-applies the exact
+  * predicate as the residual. Parquet row-group stats give a similar
+  * skip per file at read time, but only AFTER listing and opening every
+  * footer; at millions of files the listing itself is the bottleneck,
+  * which is what a persisted zone map removes.
+  *
+  * The reference has no layout plane at all (its engine scans whole
+  * tables; pruning is DB-internal) — this is a scale extension, not a
+  * ported operator.
+  */
+object ZoneMapLayout {
+
+  /** Bit-interleave of pre-scaled non-negative values (each in
+    * [0, 2^bits)): bit j of input i lands at position j*n + i. Plain
+    * shift/mask Catalyst expressions — codegen-friendly, no UDF.
+    */
+  private def interleave(scaled: Seq[Column], bits: Int): Column = {
+    val n = scaled.size
+    val terms = for {
+      j <- 0 until bits
+      i <- 0 until n
+    } yield shiftleft(shiftright(scaled(i), j).bitwiseAND(lit(1L)), j * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Scale a long column from [lo, hi] onto the [0, 2^bits) lattice.
+    * Double arithmetic (IEEE-deterministic) with an explicit clamp; a
+    * null input yields a null z-value, which range-partitions into the
+    * null bucket and never matches a range predicate — conservative on
+    * both the write and prune sides.
+    */
+  private def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val levels = (1L << bits).toDouble
+    val range = math.max(1L, hi - lo + 1).toDouble
+    least(lit((1L << bits) - 1),
+      floor((c.cast(DoubleType) - lit(lo.toDouble)) * (levels / range))
+        .cast(LongType))
+  }
+
+  /** Write `df` clustered by the Z-value of `zCols` (integral-typed)
+    * into ~`nFiles` range partitions, and persist a `_zonemap/` manifest
+    * of per-file min/max for `statsCols`. Two passes over the batch:
+    * the clustered write, then one scan of the written files to collect
+    * stats (the portable stand-in for harvesting parquet footer stats at
+    * commit time, which is what a production writer would do — same
+    * one-extra-pass rationale as Orchestrator.compactBatches).
+    */
+  def writeZordered(df: DataFrame, path: String, zCols: Seq[String],
+                    statsCols: Seq[String], nFiles: Int,
+                    bits: Int = 16): Unit = {
+    require(zCols.nonEmpty && bits * zCols.size <= 62,
+      s"bit budget exceeded: $bits bits x ${zCols.size} cols")
+    val mmAggs = zCols.flatMap(c => Seq(
+      min(col(c)).cast(LongType).as(s"lo_$c"),
+      max(col(c)).cast(LongType).as(s"hi_$c")))
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val z = interleave(zCols.zipWithIndex.map { case (c, i) =>
+      scaleTo(col(c).cast(LongType),
+        mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
+    }, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    val statAggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast(LongType).as(s"lo_$c"),
+      max(col(c)).cast(LongType).as(s"hi_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_zonemap")
+  }
+
+  /** Read `path` under a conjunctive range predicate, skipping every
+    * file whose zone-map box does not intersect it. Returns the residual-
+    * filtered frame plus (filesKept, filesTotal) as the skip evidence.
+    * The file list is driver-side but bounded by file count — the same
+    * metadata plane as partition listing.
+    */
+  def prunedRead(spark: SparkSession, path: String,
+                 box: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    val zm = spark.read.parquet(s"$path/_zonemap")
+    val intersects = box.map { case (c, lo, hi) =>
+      col(s"lo_$c") <= hi && col(s"hi_$c") >= lo
+    }.reduce(_ && _)
+    val all = zm.select(col("file"), intersects.as("keep")).collect()
+    val files = all.filter(_.getBoolean(1)).map(_.getString(0))
+    val residual = box.map { case (c, lo, hi) =>
+      col(c).between(lo, hi)
+    }.reduce(_ && _)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    (base.where(residual), files.length, all.length)
+  }
+}

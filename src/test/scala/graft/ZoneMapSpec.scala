@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.ZoneMapLayout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Z-order layout + zone-map pruning: correctness (pruned read ==
+  * full-scan filter), the multi-dimensional win (a predicate on the
+  * SECOND key prunes files under z-order but not under a linear sort on
+  * the first key), and the conservative edge cases.
+  */
+class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+  private lazy val zPath = {
+    val p = Files.createTempDirectory("zmap").toFile.getAbsolutePath + "/z"
+    ZoneMapLayout.writeZordered(li, p,
+      zCols = Seq("l_partkey", "l_suppkey"),
+      statsCols = Seq("l_partkey", "l_suppkey"), nFiles = 16)
+    p
+  }
+  private lazy val linPath = {
+    val p = Files.createTempDirectory("zmap").toFile.getAbsolutePath + "/lin"
+    // linear layout = the same machinery with a single z column
+    ZoneMapLayout.writeZordered(li, p,
+      zCols = Seq("l_partkey"),
+      statsCols = Seq("l_partkey", "l_suppkey"), nFiles = 16)
+    p
+  }
+
+  private def expected(box: Seq[(String, Long, Long)]): Long =
+    li.where(box.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _)).count()
+
+  test("pruned read equals full-scan filter on a 2-D box") {
+    val box = Seq(("l_partkey", 40L, 90L), ("l_suppkey", 2L, 5L))
+    val (df, kept, total) = ZoneMapLayout.prunedRead(spark, zPath, box)
+    assert(df.count() === expected(box))
+    assert(kept < total, s"2-D box should prune ($kept/$total)")
+  }
+
+  test("second-dimension predicate prunes under z-order, not under linear sort") {
+    // suppkey-only box: the linear layout is sorted by partkey, so every
+    // file spans the whole suppkey domain and nothing can be skipped
+    val box = Seq(("l_suppkey", 1L, 3L))
+    val (zDf, zKept, zTotal) = ZoneMapLayout.prunedRead(spark, zPath, box)
+    val (lDf, lKept, lTotal) = ZoneMapLayout.prunedRead(spark, linPath, box)
+    assert(zDf.count() === expected(box))
+    assert(lDf.count() === expected(box))
+    assert(lKept === lTotal, "linear layout cannot prune on the 2nd key")
+    assert(zKept < zTotal, s"z-order should prune on the 2nd key ($zKept/$zTotal)")
+    assert(zKept < lKept)
+  }
+
+  test("first-key predicate prunes under both layouts") {
+    val box = Seq(("l_partkey", 1L, 20L))
+    val (zDf, zKept, zTotal) = ZoneMapLayout.prunedRead(spark, zPath, box)
+    val (lDf, lKept, _) = ZoneMapLayout.prunedRead(spark, linPath, box)
+    assert(zDf.count() === expected(box))
+    assert(lDf.count() === expected(box))
+    assert(zKept < zTotal && lKept < zTotal)
+  }
+
+  test("box outside the domain keeps zero files and returns no rows") {
+    val box = Seq(("l_partkey", 1000000L, 2000000L))
+    val (df, kept, _) = ZoneMapLayout.prunedRead(spark, zPath, box)
+    assert(kept === 0)
+    assert(df.count() === 0)
+  }
+}
