@@ -753,6 +753,95 @@ object TextQueries extends QueryPack {
                 .cast(LongType), 1L).otherwise(0L)).as("n_copies"))
     }),
 
+    // Stratified EXACT-k sampling: exactly min(k, |stratum|) documents
+    // per language, picked by a deterministic md5 rank — the eval-set /
+    // per-domain-probe builder (a fixed-size, reproducible slice per
+    // stratum, unlike the rate-based q_sample_mixture). The naive plan
+    // is one window over every stratum — a hot-partition bound when a
+    // stratum is 40% of a 100 TB corpus. This plan is two-phase: a tiny
+    // per-stratum count broadcasts back, a map-only hash-threshold
+    // filter keeps ~k*4 candidates per stratum (k*4/n of the corpus),
+    // and the exact top-k window runs over the SURVIVORS — per-stratum
+    // work is O(k), not O(|stratum|). The threshold prune is lossless
+    // unless fewer than min(k, n) docs survive — probability e^{-O(k)}
+    // under the uniform md5 rank, and the in-plan assert_true turns
+    // that tail into a LOUD failure instead of a silent wrong answer
+    // (the oracle computes the unpruned window directly, so the gate
+    // also hash-checks the prune).
+    "q_sample_stratified_k" -> ((s, dir) => {
+      val k = 40
+      val over = 4
+      val rk = conv(substring(md5(concat(lit("strat:"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      val withRk = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), rk.as("rk"))
+      val stats = withRk.groupBy(col("lang")).agg(cnt.as("n_lang"))
+      val domain = lit(math.pow(16.0, 15.0)) // rk is uniform in [0, 16^15)
+      val survivors = withRk.join(broadcast(stats), "lang")
+        .where(col("n_lang") <= k * over ||
+          col("rk").cast(DoubleType)
+            < domain * lit(k.toDouble * over) / col("n_lang"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))
+      survivors
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n_surv", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        .where(coalesce(assert_true(
+          col("n_surv") >= least(lit(k.toLong), col("n_lang")),
+          lit("q_sample_stratified_k: hash-threshold prune lost part of " +
+            "the top-k — raise the oversample factor")), lit(true)))
+        .where(col("rn") <= k)
+        .select(col("lang"), col("doc_id"), col("rn").as("sample_rank"))
+    }),
+
+    // BM25 relevance scoring (Robertson/Spärck Jones; k1=1.2, b=0.75)
+    // of the corpus against a fixed query-term set — the retrieval face
+    // of the curation stack (score-and-rank training docs against a
+    // probe query). Plan: the token explode prunes to the query terms
+    // MAP-SIDE (the only corpus-sized shuffle is the per-(doc,term) tf
+    // aggregate), document frequencies reduce to |Q| rows and
+    // broadcast, corpus stats are a 1-row aggregate, and the final
+    // ranking is a TakeOrdered top-100. Cross-engine float discipline:
+    // the log-idf is replaced by its rational core
+    // (N - df + 0.5)/(df + 0.5) — ln is NOT correctly-rounded-
+    // guaranteed and differs in ulps between libm implementations,
+    // while +,-,*,/ are IEEE-exact in both engines (monotone-in-df like
+    // log-idf, so per-term ordering is preserved); each per-term
+    // contribution is then floor-quantized to an integer so the
+    // per-doc SUM is order-free. Oracle mirrors the exact expression
+    // tree (same parenthesization) so every double op is bit-identical.
+    "q_text_bm25" -> ((s, dir) => {
+      val terms = Seq("vector", "stream", "window")
+      val docs = t(s, dir, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .where(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(cnt.as("df_t"))
+      val corpus = dl.agg(cnt.as("big_n"), sum(col("dl")).as("sum_dl"))
+      val k1 = lit(1.2)
+      val b = lit(0.75)
+      val contrib = floor(lit(1e9) *
+        ((col("big_n").cast(DoubleType) - col("df_t").cast(DoubleType)
+          + lit(0.5)) / (col("df_t").cast(DoubleType) + lit(0.5))) *
+        (col("tf").cast(DoubleType) * (k1 + lit(1.0))) /
+        (col("tf").cast(DoubleType) + k1 * (lit(1.0) - b +
+          b * (col("dl").cast(DoubleType) /
+            (col("sum_dl").cast(DoubleType) / col("big_n").cast(DoubleType))))))
+        .cast(LongType)
+      tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus)) // 1-row, aggregate-reduced
+        .select(col("doc_id"), contrib.as("contrib_q"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib_q")).as("score_q"), cnt.as("n_terms"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text
     // + an 8-token prefix key (cheap clustering key for near-dup triage).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -1148,6 +1237,59 @@ object TextQueries extends QueryPack {
                        < CAST(FLOOR((rate - FLOOR(rate)) * 10000) AS BIGINT)
                   THEN 1 ELSE 0 END AS n_copies
          FROM documents d JOIN r USING (lang)""",
+    // parenthesization mirrors the Spark expression tree exactly —
+    // +,-,*,/ are IEEE-identical across engines only for the SAME
+    // operation sequence
+    "q_text_bm25" ->
+      """WITH dl AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS dl
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           WHERE term IN ('vector', 'stream', 'window')
+           GROUP BY doc_id, term),
+         dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+         corpus AS (
+           SELECT COUNT(*) AS big_n, SUM(dl) AS sum_dl FROM dl)
+         SELECT doc_id,
+                CAST(SUM(contrib_q) AS BIGINT) AS score_q,
+                COUNT(*) AS n_terms
+         FROM (
+           SELECT tf.doc_id,
+                  CAST(FLOOR(1e9 *
+                    ((CAST(big_n AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+                      / (CAST(df_t AS DOUBLE) + 0.5)) *
+                    (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+                    (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+                      0.75 * (CAST(dl AS DOUBLE) /
+                        (CAST(sum_dl AS DOUBLE) / CAST(big_n AS DOUBLE))))))
+                    AS BIGINT) AS contrib_q
+           FROM tf
+           JOIN dft USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN corpus)
+         GROUP BY doc_id
+         ORDER BY score_q DESC, doc_id
+         LIMIT 100""",
+    // the oracle runs the UNPRUNED per-stratum window, so the Spark
+    // side's hash-threshold prune is itself hash-verified lossless
+    "q_sample_stratified_k" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+                  CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('strat:',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS rk
+           FROM documents)
+         SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+         FROM (SELECT lang, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY rk, doc_id) AS rn
+               FROM r)
+         WHERE rn <= 40""",
     "q_split_train_test" ->
       """SELECT doc_id, source,
                 CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
