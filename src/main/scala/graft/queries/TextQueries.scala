@@ -842,6 +842,36 @@ object TextQueries extends QueryPack {
         .limit(100)
     }),
 
+    // Sliding-window document chunking (W=64 tokens, stride 48 → 16
+    // overlap): the context-window splitter that turns long documents
+    // into trainable sequences. Entirely MAP-ONLY — chunk count derives
+    // per row (1 + ceil(max(n−W,0)/S), so the tail is always covered
+    // and a short doc yields exactly one chunk), sequence+explode fans
+    // out in the same stage, and slice() materializes each chunk
+    // without re-tokenizing. No shuffle at any scale; output size is
+    // the inherent ~n/S expansion. Pairs with q_pack_sequences (chunk →
+    // pack) downstream.
+    "q_text_chunk_windows" -> ((s, dir) => {
+      val W = 64
+      val S = 48
+      val w = words(col("text"))
+      val base = t(s, dir, "documents").select(
+        col("doc_id"), w.as("w"), size(w).cast(LongType).as("n"))
+      base
+        .withColumn("n_chunks",
+          (lit(1L) + floor((greatest(col("n") - W, lit(0L)) + (S - 1))
+            / lit(S.toDouble)).cast(LongType)))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L), col("n_chunks") - 1)))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * S).as("chunk_start"),
+          least(lit(W.toLong), col("n") - col("chunk_idx") * S)
+            .as("n_chunk_tokens"),
+          concat_ws(" ", slice(col("w"),
+            (col("chunk_idx") * S + 1).cast("int"), lit(W))).as("chunk_text"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text
     // + an 8-token prefix key (cheap clustering key for near-dup triage).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -1237,6 +1267,25 @@ object TextQueries extends QueryPack {
                        < CAST(FLOOR((rate - FLOOR(rate)) * 10000) AS BIGINT)
                   THEN 1 ELSE 0 END AS n_copies
          FROM documents d JOIN r USING (lang)""",
+    "q_text_chunk_windows" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS w,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, w, n,
+                  unnest(range(0, 1 + CAST(FLOOR((GREATEST(n - 64, 0) + 47)
+                    / 48.0) AS BIGINT))) AS chunk_idx
+           FROM d)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(chunk_idx * 48 AS BIGINT) AS chunk_start,
+                CAST(LEAST(64, n - chunk_idx * 48) AS BIGINT)
+                  AS n_chunk_tokens,
+                array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
+                  ' ') AS chunk_text
+         FROM c""",
     // parenthesization mirrors the Spark expression tree exactly —
     // +,-,*,/ are IEEE-identical across engines only for the SAME
     // operation sequence

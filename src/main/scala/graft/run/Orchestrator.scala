@@ -517,6 +517,26 @@ object Orchestrator {
     private def bucketOf(key: String, nBuckets: Int) =
       pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int").as("kb")
 
+    // The bucket count is a TABLE property, not a call-site choice: a
+    // merge hashing keys over a different modulus than the layout was
+    // written with joins nothing and silently double-inserts every key
+    // (caught by ScdMergeSpec's streaming face in development). It is
+    // persisted at init in an underscore-prefixed sidecar (ignored by
+    // parquet readers, like _zonemap/_SUCCESS) and every merge resolves
+    // it from there; the call-site value only seeds a table that does
+    // not exist yet.
+    private def writeScdBuckets(table: String, nBuckets: Int): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$warehouse/$table/_scd_nbuckets"),
+        nBuckets.toString)
+
+    private def scdBuckets(table: String, fallback: Int): Int = {
+      val p = java.nio.file.Paths.get(s"$warehouse/$table/_scd_nbuckets")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p).trim.toInt
+      else fallback
+    }
+
     /** Bootstrap (or wholesale rebuild — the retrain-analog, see
       * [[indexAnnBatch]]'s rebuild note) of a key-bucketed SCD2 dim from
       * a full snapshot: every row becomes version 1, current, effective
@@ -534,6 +554,7 @@ object Orchestrator {
         .observe(obs, count(lit(1)).as("n"))
         .write.partitionBy("kb").mode(SaveMode.Overwrite)
         .parquet(s"$warehouse/$table")
+      writeScdBuckets(table, nBuckets)
       val n = obs.get("n").asInstanceOf[Long]
       log("scd_init", table, "SUCCESS", n)
       n
@@ -559,7 +580,7 @@ object Orchestrator {
       val path = s"$warehouse/$table"
       val upd = updates
         .select((key +: attrCols).map(col): _*)
-        .withColumn("kb", bucketOf(key, nBuckets))
+        .withColumn("kb", bucketOf(key, scdBuckets(table, nBuckets)))
       val touched = upd.select("kb").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) {
@@ -641,7 +662,7 @@ object Orchestrator {
       val path = s"$warehouse/$table"
       val upd = updates
         .select((key +: attrCols).map(col): _*)
-        .withColumn("kb", bucketOf(key, nBuckets))
+        .withColumn("kb", bucketOf(key, scdBuckets(table, nBuckets)))
       val outCols = Seq(col("kb"), col(key)) ++ attrCols.map(col) :+
         col("merge_version")
       if (!new java.io.File(path).exists()) {
@@ -650,6 +671,7 @@ object Orchestrator {
           .select(outCols: _*)
           .observe(obs, count(lit(1)).as("n"))
           .write.partitionBy("kb").mode(SaveMode.Overwrite).parquet(path)
+        writeScdBuckets(table, nBuckets)
         val n = obs.get("n").asInstanceOf[Long]
         log("scd_merge", table, "SUCCESS", n, "bootstrap")
         return MergeStats(Nil, n, 0, 0)

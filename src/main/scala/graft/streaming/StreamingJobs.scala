@@ -122,6 +122,43 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming CDC apply: drain a change stream into a key-bucketed
+    * SCD2 dim (Orchestrator.mergeScd2). Each micro-batch first
+    * collapses to one row per key (keep-latest by `seqCol` — CDC feeds
+    * emit several changes per key per window, and the merge's
+    * MERGE-style contract is one match per key), then merges with the
+    * batch's max `effCol` as the effective date. Replayed micro-batches
+    * are no-ops by CHANGE DETECTION rather than batch-id bookkeeping:
+    * re-merging already-applied values classifies every row as a noop
+    * and rewrites nothing — the streaming face of the COW contract
+    * ScdMergeSpec pins. Per-key state never accumulates in the stream
+    * itself (the window is within one micro-batch); history lives in
+    * the warehouse table.
+    */
+  def scdMergeSink(updates: DataFrame, warehouse: String, table: String,
+                   key: String, attrCols: Seq[String],
+                   seqCol: String, effCol: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(key)).orderBy(col(seqCol).desc)
+          val latest = batch.toDF()
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+          val eff = latest.agg(max(col(effCol))).head().getDate(0)
+          val run = new graft.run.Orchestrator.Run(
+            batch.sparkSession, warehouse, f"SCDM$id%06d")
+          run.mergeScd2(table, latest.drop(effCol), key, attrCols, eff)
+          run.flushAudit()
+          ()
+        }
+      }
+      .outputMode("append")
+      .start()
+
   case class BandDoc(band_key: String, doc_id: Long)
   case class CandPair(doc_a: Long, doc_b: Long)
 

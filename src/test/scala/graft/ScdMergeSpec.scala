@@ -110,6 +110,45 @@ class ScdMergeSpec extends AnyFunSuite with SparkTestBase {
     assert(layout(s"$wh/gold/dim_flat") === after, "replay must not rewrite")
   }
 
+  test("scdMergeSink: streaming CDC apply with per-batch keep-latest and noop replays") {
+    val wh = Files.createTempDirectory("scdstream").toFile.getAbsolutePath
+    val cp = Files.createTempDirectory("scdcp").toFile.getAbsolutePath
+    val run = new Orchestrator.Run(spark, wh, "B0")
+    run.initScdDim("gold/dim_seg", snapshot(20), "k",
+      Date.valueOf("2026-01-01"), NB)
+
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Date, Long)]
+    val q = graft.streaming.StreamingJobs.scdMergeSink(
+      ms.toDF().toDF("k", "segment", "eff", "seq"),
+      wh, "gold/dim_seg", "k", Seq("segment"), "seq", "eff", cp)
+    try {
+      // two changes for k=3 in one micro-batch: only the seq-latest
+      // ("Y") may become the new version; k=50 is an insert
+      ms.addData((3L, "X", Date.valueOf("2026-06-15"), 1L),
+        (3L, "Y", Date.valueOf("2026-06-15"), 2L),
+        (50L, "NEW", Date.valueOf("2026-06-15"), 1L))
+      q.processAllAvailable()
+      val dim = spark.read.parquet(s"$wh/gold/dim_seg")
+      assert(dim.count() === 22) // 20 + closed k=3 + insert k=50
+      val k3 = dim.where(col("k") === 3 && col("is_current"))
+        .collect().map(_.getAs[String]("segment")).toSeq
+      assert(k3 === Seq("Y"), "keep-latest must pick the max-seq change")
+      assert(dim.where(col("k") === 50).count() === 1)
+
+      // a re-emit of already-applied values is a noop: no new versions,
+      // no file rewrites
+      val before = layout(s"$wh/gold/dim_seg")
+      ms.addData((3L, "Y", Date.valueOf("2026-06-20"), 3L))
+      q.processAllAvailable()
+      assert(layout(s"$wh/gold/dim_seg") === before,
+        "replayed values must not rewrite")
+      assert(spark.read.parquet(s"$wh/gold/dim_seg").count() === 22)
+    } finally q.stop()
+  }
+
   test("duplicate keys in the change batch fail loudly before any write") {
     val wh = Files.createTempDirectory("scddup").toFile.getAbsolutePath
     val run = new Orchestrator.Run(spark, wh, "B1")
