@@ -696,6 +696,36 @@ object TextQueries extends QueryPack {
           .otherwise("test").as("split"))
     }),
 
+    // Leakage-safe split: the per-doc hash split above puts two
+    // NEAR-DUPLICATE documents on different sides whenever their ids
+    // hash apart — a train/test contamination channel that survives
+    // dedup-then-split orderings which only drop exact copies. Here the
+    // split coin is thrown on the near-dup COMPONENT label (transitive
+    // closure of the MinHash-LSH candidate graph), so an entire
+    // duplicate family lands on one side by construction. Cost over the
+    // plain split = exactly the components computation the dedup stage
+    // already runs (O(log n) star-contraction rounds; in production the
+    // component table is the persisted dedup index, making this
+    // map-only again). SplitLeakageSpec proves the property edge-by-edge
+    // and shows the per-doc split violating it on the same fixture.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val docs = t(s, dir, "documents")
+      val comp = graft.operators.ConnectedComponents
+        .largeSmallStar(docs.select(col("doc_id").as("node")), edges)
+        .select(col("node").as("doc_id"), col("component"))
+      val bucket = conv(substring(md5(col("component").cast(StringType)), 1, 15),
+        16, 10).cast(LongType) % 100
+      docs.select(col("doc_id"), col("source")).join(comp, "doc_id")
+        .select(col("doc_id"), col("source"), col("component"),
+          bucket.as("bucket"),
+          when(bucket < 90, "train")
+            .when(bucket < 95, "validation")
+            .otherwise("test").as("split"))
+    }),
+
     // Domain-mixture sampling: per-source target rates (the training-mix
     // config — here a derived 25/50/75/100% cycle standing in for the
     // usual weights table) applied with a deterministic md5 coin per
@@ -1349,6 +1379,35 @@ object TextQueries extends QueryPack {
                           AS BIGINT) % 100 < 95 THEN 'validation'
                      ELSE 'test' END AS split
          FROM documents""",
+    // same recursive-CTE closure as q_dedup_components; the split coin
+    // moves from doc_id to the component label
+    "q_split_leakage_safe" ->
+      (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
+        """,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM documents
+           UNION
+           SELECT e.src AS node, r.lbl AS lbl
+           FROM edges e JOIN reach r ON e.dst = r.node),
+         comps AS (
+           SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+           FROM reach GROUP BY node),
+         b AS (
+           SELECT doc_id, component,
+                  CAST(CONCAT('0x', SUBSTRING(md5(CAST(component AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 100 AS bucket
+           FROM comps)
+         SELECT d.doc_id, d.source, b.component, b.bucket,
+                CASE WHEN b.bucket < 90 THEN 'train'
+                     WHEN b.bucket < 95 THEN 'validation'
+                     ELSE 'test' END AS split
+         FROM documents d JOIN b ON b.doc_id = d.doc_id"""),
     "q_pack_sequences" ->
       """WITH d AS (
            SELECT doc_id,
