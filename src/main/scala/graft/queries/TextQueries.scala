@@ -872,6 +872,75 @@ object TextQueries extends QueryPack {
         .limit(100)
     }),
 
+    // Ranked-retrieval evaluation (self-retrieval protocol): a 10%
+    // md5-selected query set, each query = tokens 5..12 of its source
+    // document, relevant doc = the source itself; BM25-score every
+    // candidate (same quantized rational-idf core as q_text_bm25, so
+    // the sum is order-free and engine-exact) and report, per query,
+    // the relevant doc's rank, its reciprocal rank in micro-units, and
+    // hit@10 — the inputs to corpus-level MRR / recall@k. The rank is
+    // computed WITHOUT a per-query window: join each candidate list to
+    // its query's relevant-doc score (a broadcast of |Q| rows) and
+    // COUNT the dominators under the (score DESC, doc_id ASC) order —
+    // one map-side filter + one aggregate, so a hot query term (a
+    // stopword landing in the slice) inflates a candidate COUNT, never
+    // a single-task sort. Query terms broadcast to the tf scan
+    // map-side; the only corpus shuffles are the per-(doc,term) tf
+    // aggregate and the per-(query,doc) score aggregate.
+    "q_text_retrieval_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isQuery = conv(substring(md5(concat(lit("rq:"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10)
+        .cast(LongType) % 100 < 10
+      val qdocs = docs.where(isQuery)
+        .select(col("doc_id").as("query_id"), words(col("text")).as("w"))
+      val qterms = qdocs
+        .select(col("query_id"), explode(slice(col("w"), 5, 8)).as("term"))
+        .distinct()
+      val dl = docs.select(col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
+          "leftsemi")
+        .groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(cnt.as("df_t"))
+      val corpus = dl.agg(cnt.as("big_n"), sum(col("dl")).as("sum_dl"))
+      val k1 = lit(1.2)
+      val b = lit(0.75)
+      val contrib = floor(lit(1e9) *
+        ((col("big_n").cast(DoubleType) - col("df_t").cast(DoubleType)
+          + lit(0.5)) / (col("df_t").cast(DoubleType) + lit(0.5))) *
+        (col("tf").cast(DoubleType) * (k1 + lit(1.0))) /
+        (col("tf").cast(DoubleType) + k1 * (lit(1.0) - b +
+          b * (col("dl").cast(DoubleType) /
+            (col("sum_dl").cast(DoubleType) / col("big_n").cast(DoubleType))))))
+        .cast(LongType)
+      val scored = tf.join(broadcast(qterms), "term")
+        .join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus)) // 1-row, aggregate-reduced
+        .select(col("query_id"), col("doc_id"), contrib.as("contrib_q"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("contrib_q")).as("score_q"))
+      val rel = scored.where(col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("score_q").as("rel_score"))
+      val beats = scored.join(broadcast(rel), "query_id")
+        .where(col("score_q") > col("rel_score") ||
+          (col("score_q") === col("rel_score") &&
+            col("doc_id") < col("query_id")))
+        .groupBy(col("query_id")).agg(cnt.as("n_beats"))
+      val ranked = rel.join(beats, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_beats"), lit(0L)) + lit(1L)).as("rnk"))
+      qdocs.select(col("query_id")).join(ranked, Seq("query_id"), "left")
+        .select(col("query_id"),
+          col("rnk").as("rank_of_relevant"),
+          coalesce(floor(lit(1000000L) / col("rnk")).cast(LongType), lit(0L))
+            .as("rr_micro"),
+          coalesce(col("rnk") <= 10, lit(false)).as("hit_at_10"))
+    }),
+
     // Sliding-window document chunking (W=64 tokens, stride 48 → 16
     // overlap): the context-window splitter that turns long documents
     // into trainable sequences. Entirely MAP-ONLY — chunk count derives
@@ -1355,6 +1424,69 @@ object TextQueries extends QueryPack {
          GROUP BY doc_id
          ORDER BY score_q DESC, doc_id
          LIMIT 100""",
+    // same quantized BM25 core; rank-of-relevant via dominator count
+    "q_text_retrieval_eval" ->
+      """WITH qdocs AS (
+           SELECT doc_id AS query_id,
+                  regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+           WHERE CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('rq:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 10),
+         qterms AS (
+           SELECT DISTINCT query_id, term
+           FROM (SELECT query_id, unnest(w[5:12]) AS term FROM qdocs)),
+         dl AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS dl
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           WHERE term IN (SELECT DISTINCT term FROM qterms)
+           GROUP BY doc_id, term),
+         dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+         corpus AS (
+           SELECT COUNT(*) AS big_n, SUM(dl) AS sum_dl FROM dl),
+         scored AS (
+           SELECT query_id, doc_id, SUM(contrib_q) AS score_q
+           FROM (
+             SELECT q.query_id, tf.doc_id,
+                    CAST(FLOOR(1e9 *
+                      ((CAST(big_n AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+                        / (CAST(df_t AS DOUBLE) + 0.5)) *
+                      (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+                      (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+                        0.75 * (CAST(dl AS DOUBLE) /
+                          (CAST(sum_dl AS DOUBLE) / CAST(big_n AS DOUBLE))))))
+                      AS BIGINT) AS contrib_q
+             FROM qterms q
+             JOIN tf ON tf.term = q.term
+             JOIN dft ON dft.term = q.term
+             JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN corpus)
+           GROUP BY query_id, doc_id),
+         rel AS (
+           SELECT query_id, score_q AS rel_score
+           FROM scored WHERE doc_id = query_id),
+         beats AS (
+           SELECT s.query_id, COUNT(*) AS n_beats
+           FROM scored s JOIN rel r ON r.query_id = s.query_id
+           WHERE s.score_q > r.rel_score
+              OR (s.score_q = r.rel_score AND s.doc_id < s.query_id)
+           GROUP BY s.query_id),
+         rnk AS (
+           SELECT r.query_id,
+                  CAST(COALESCE(b.n_beats, 0) + 1 AS BIGINT) AS rnk
+           FROM rel r LEFT JOIN beats b ON b.query_id = r.query_id)
+         SELECT q.query_id,
+                rnk.rnk AS rank_of_relevant,
+                CAST(COALESCE(CAST(FLOOR(1000000.0 / rnk.rnk) AS BIGINT), 0)
+                     AS BIGINT) AS rr_micro,
+                COALESCE(rnk.rnk <= 10, FALSE) AS hit_at_10
+         FROM qdocs q LEFT JOIN rnk ON rnk.query_id = q.query_id""",
     // the oracle runs the UNPRUNED per-stratum window, so the Spark
     // side's hash-threshold prune is itself hash-verified lossless
     "q_sample_stratified_k" ->
