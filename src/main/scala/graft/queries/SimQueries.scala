@@ -594,7 +594,69 @@ object SimQueries extends QueryPack {
     // inverted lists around actual data density instead of whatever the
     // modulo sample hit, which is what holds recall as nlist grows.
     "q_sim_ann_ivf_trained" -> ((s, dir) =>
-      cosineRerank(s, dir, ivfL2Cands(s, dir, ivfTrainedCents(s, dir)))))
+      cosineRerank(s, dir, ivfL2Cands(s, dir, ivfTrainedCents(s, dir)))),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    // k-means-cluster the embeddings, then drop near-identical pairs
+    // WITHIN each cluster only — the clustering turns the quadratic
+    // all-pairs problem into per-cluster work, which is the whole trick
+    // (k grows with n, cluster size stays the tuning knob). Reuses the
+    // memoized Lloyd-trained centroids; assignment = one broadcast
+    // crossJoin (<=1024 centroids) + min-struct aggregate, no window.
+    // Keep rule: a vector is dropped iff a SMALLER-id vector of the
+    // same cluster sits within Eps on the quantized lattice — greedy
+    // min-id representative, deterministic on both engines (integer
+    // distances). Eps is calibrated to the fixture's distance floor
+    // the same way q_dedup_embedding's cos>=0.25 demonstration
+    // threshold is; SemanticDedupSpec pins non-vacuity (some drops,
+    // most keeps). The within-cluster self-join shuffles on cent_id;
+    // a pathological giant cluster re-quadratizes it, which is the
+    // documented SemDeDup trade — production raises k (more, smaller
+    // clusters), exactly what the trained-centroid path provides.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val vs = qvecs(s, dir)
+      val assign = semanticAssign(s, dir)
+      val av = assign.join(vs, "vec_id")
+      val left = av.select(col("cent_id"), col("vec_id").as("va"),
+        col("qv").as("qa"))
+      val right = av.select(col("cent_id"), col("vec_id").as("vb"),
+        col("qv").as("qb"))
+      val dropped = left.join(right, "cent_id")
+        .where(col("va") < col("vb") &&
+          l2sq(col("qa"), col("qb")) <= SemanticEps)
+        .select(col("vb").as("vec_id")).distinct()
+        .withColumn("__drop", lit(true))
+      assign.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent_id"), col("d2_centroid"),
+          col("__drop").isNull.as("keep"))
+    }))
+
+  /** Within-cluster duplicate radius for q_dedup_semantic (squared L2
+    * on the x1000 integer lattice). Calibrated against the fixture's
+    * pairwise-distance floor (min ~0.97e6) so the demonstration corpus
+    * exercises both drop and keep — the production analog of picking
+    * the SemDeDup epsilon from a held-out distance histogram.
+    */
+  private val SemanticEps = 1400000L
+
+  /** Memoized nearest-centroid assignment (vec_id, cent_id,
+    * d2_centroid) under the Lloyd-trained centroids — the cluster-
+    * membership table SemDeDup consumes on three branches of its
+    * self-join. Materialized once per session (localCheckpoint, same
+    * discipline as the trained frames it derives from): in production
+    * this IS a persisted warehouse table, and leaving it lazy would
+    * replay the n x nlist assignment crossJoin once per branch.
+    */
+  private def semanticAssign(s: SparkSession, dir: String): DataFrame =
+    trained(s, s"semassign:$dir") {
+      qvecs(s, dir).crossJoin(broadcast(ivfTrainedCents(s, dir)))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
+          col("cent_id").as("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+          col("best.d2").as("d2_centroid"))
+        .localCheckpoint()
+    }
 
   private val quantCte =
     """qv AS (
@@ -1027,6 +1089,33 @@ object SimQueries extends QueryPack {
       s"""WITH $quantCte,
          $ivfTrainedCandsCtes,
          $cosineRerankSql""",
+    // same Lloyd CTEs; assignment kept with its distance, then the
+    // within-cluster pair filter and the greedy min-id drop rule
+    "q_dedup_semantic" ->
+      s"""WITH $quantCte,
+         $ivfTrainedCandsCtes,
+         sem_assign AS (
+           SELECT vec_id, cent_id, CAST(d2 AS BIGINT) AS d2_centroid FROM (
+             SELECT vec_id, cent_id, d2,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY d2, cent_id) AS rk
+             FROM d2_f) WHERE rk = 1),
+         sem_pairs AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb,
+                  SUM((qa.v[i+1]-qb.v[i+1])*(qa.v[i+1]-qb.v[i+1])) AS d2
+           FROM sem_assign a
+           JOIN sem_assign b ON b.cent_id = a.cent_id
+                            AND a.vec_id < b.vec_id
+           JOIN qv qa ON qa.vec_id = a.vec_id
+           JOIN qv qb ON qb.vec_id = b.vec_id,
+           range(64) t(i)
+           GROUP BY a.vec_id, b.vec_id),
+         sem_drop AS (
+           SELECT DISTINCT vb AS vec_id FROM sem_pairs
+           WHERE d2 <= $SemanticEps)
+         SELECT a.vec_id, a.cent_id, a.d2_centroid,
+                d.vec_id IS NULL AS keep
+         FROM sem_assign a LEFT JOIN sem_drop d ON d.vec_id = a.vec_id""",
     "q_sim_ann_ivf_recall" ->
       s"""WITH $quantCte,
          $ivfCosineCandsCtes,

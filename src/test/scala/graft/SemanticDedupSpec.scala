@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the SemDeDup-style semantic dedup: the
+  * greedy min-id keep rule, cluster-local dropping, and a fixture that
+  * exercises both verdicts (the oracle hash-match covers value
+  * equality; these are the properties a reader should be able to rely
+  * on without re-deriving the query).
+  */
+class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val out =
+    SparkEntry.queries("q_dedup_semantic")(spark, dir).cache()
+
+  test("both verdicts present and drop rate below half") {
+    val n = out.count()
+    val dropped = out.where(!col("keep")).count()
+    assert(dropped > 0L, "no drops — epsilon vacuously small")
+    assert(dropped * 2 < n, s"$dropped of $n dropped — epsilon too hot")
+  }
+
+  test("the smallest id of every cluster is always kept") {
+    // greedy min-id representative: nothing precedes the cluster
+    // minimum, so it can never be dropped
+    val minPerCluster = out.groupBy("cent_id")
+      .agg(min(col("vec_id")).as("vec_id"))
+    val bad = out.join(minPerCluster, Seq("cent_id", "vec_id"))
+      .where(!col("keep"))
+    assert(bad.count() === 0L)
+  }
+
+  test("every vector gets exactly one cluster and one verdict") {
+    assert(out.count() === out.select("vec_id").distinct().count())
+    assert(out.where(col("cent_id").isNull || col("keep").isNull)
+      .count() === 0L)
+  }
+}
