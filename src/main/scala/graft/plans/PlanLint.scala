@@ -63,7 +63,12 @@ object PlanLint {
     "q_window_surrogate_key" -> Allowance(1,
       "demo of the naive ROW_NUMBER() surrogate key over the 25-row " +
         "Excel fixture; the scalable two-phase form (q_surrogate_key_" +
-        "scalable) is the production path"))
+        "scalable) is the production path"),
+    "q_text_quality_auc" -> Allowance(1,
+      "cumulative walk over the SCORE-BUCKET aggregate, whose group " +
+        "key floor(quality*1e6) has a bounded domain of <= 1e6+1 rows " +
+        "at any corpus size; the structural rule sees a keyed " +
+        "aggregate and cannot prove the key-domain bound"))
 
   /** Queries allowed condition-free broadcast nested-loop joins whose
     * build side rule 1 can't prove reduced. All five are the IVF family:

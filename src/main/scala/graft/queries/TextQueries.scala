@@ -455,6 +455,39 @@ object TextQueries extends QueryPack {
     // ratio, mean word length band — equal-weight average.
     "q_text_quality" -> (qualityFrame(_, _)),
 
+    // Quality-signal evaluation: exact ROC-AUC of the quality score
+    // against the corpus's planted language label (en = positive) —
+    // the calibration step before trusting any filter signal at scale
+    // ("does this score actually separate the populations I think it
+    // does?"). AUC = Mann-Whitney U with tie correction, computed
+    // WITHOUT ranking rows: scores quantize to <=1e6+1 integer buckets
+    // (floor(q*1e6); exact — the score arithmetic is IEEE-identical on
+    // both engines), one aggregate reduces the corpus to per-bucket
+    // (npos, nneg), and the cumulative walk runs over the BUCKET table
+    // — a single-partition window over provably bounded aggregate
+    // output, never over rows. U2 = sum npos_b*(2*cumneg_<b + nneg_b)
+    // counts strict wins twice and ties once; auc_micro = the integer
+    // division 1e6*U2 div (2*npos*nneg), bit-equal cross-engine. Docs
+    // with a null score (no tokens) are excluded — engines disagree on
+    // null ordering, and a scoreless doc has no rank.
+    "q_text_quality_auc" -> ((s, dir) => {
+      val buckets = t(s, dir, "documents")
+        .select(floor(qualityScoreCol * lit(1000000L)).cast(LongType).as("qs"),
+          (col("lang") === "en").as("pos"))
+        .where(col("qs").isNotNull)
+        .groupBy(col("qs"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("npos"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("nneg"))
+      val below = Window.orderBy(col("qs"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      buckets
+        .withColumn("cumneg", coalesce(sum(col("nneg")).over(below), lit(0L)))
+        .agg(sum(col("npos")).as("n_pos"), sum(col("nneg")).as("n_neg"),
+          sum((lit(2L) * col("cumneg") + col("nneg")) * col("npos")).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          expr("(1000000 * u2) div (2 * n_pos * n_neg)").as("auc_micro"))
+    }),
+
     // Language-ID n-gram heuristic: count distinctive function-word
     // occurrences per language profile; argmax with fixed tie order.
     "q_text_lang_id" -> (langFrame(_, _)),
@@ -1218,6 +1251,43 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    // same quality formula; bucketed Mann-Whitney with tie correction
+    "q_text_quality_auc" ->
+      """WITH f AS (
+           SELECT lang,
+                  CAST(len(w) AS DOUBLE) AS n_tok,
+                  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+                  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))
+                    AS DOUBLE) AS n_stop,
+                  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_wl
+           FROM (SELECT lang, text,
+                        regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents)),
+         b AS (
+           SELECT CAST(FLOOR(((LEAST(n_tok, 100.0) / 100.0 + ttr + n_stop / n_tok
+                    + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0
+                           THEN 1.0 ELSE 0.0 END) / 4.0) * 1000000) AS BIGINT)
+                    AS qs,
+                  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+                  SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nneg
+           FROM f
+           WHERE n_tok > 0
+           GROUP BY 1),
+         c AS (
+           SELECT qs, npos, nneg,
+                  COALESCE(SUM(nneg) OVER (ORDER BY qs
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cumneg
+           FROM b),
+         agg AS (
+           SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+                  CAST(SUM(nneg) AS BIGINT) AS n_neg,
+                  CAST(SUM((2 * cumneg + nneg) * npos) AS BIGINT) AS u2
+           FROM c)
+         SELECT n_pos, n_neg, u2,
+                CAST((1000000 * u2) // (2 * n_pos * n_neg) AS BIGINT)
+                  AS auc_micro
+         FROM agg""",
     "q_text_decontaminate" ->
       s"""WITH allfps AS ($winnowOracle),
          bench AS (
