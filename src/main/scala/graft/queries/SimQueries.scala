@@ -596,6 +596,35 @@ object SimQueries extends QueryPack {
     "q_sim_ann_ivf_trained" -> ((s, dir) =>
       cosineRerank(s, dir, ivfL2Cands(s, dir, ivfTrainedCents(s, dir)))),
 
+    // Hard-negative mining for contrastive training: per probe query,
+    // the top-5 most-similar vectors that are NOT near-duplicates —
+    // high-cosine non-dups are exactly the negatives that teach an
+    // embedding model the boundary (easy negatives are free, positives
+    // come from the dup families; the hard band in between is what
+    // must be mined). Near-dup criterion = the library's one
+    // definition (q_dedup_embedding): LSH candidate pair AND cosine >=
+    // 0.25 — reusing the same sketch builder, so the miner and the
+    // dedup stage cannot disagree about what a duplicate is. Plan =
+    // the shared probe-scored baseline (broadcast probe side) with the
+    // candidate-pair exclusion as one equi-join; the per-probe rank
+    // window is the same bounded shape as the exact top-k baseline.
+    "q_sim_hard_negatives" -> ((s, dir) => {
+      val pairs = graft.operators.LshBandJoin
+        .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")
+      val nd = pairs.select(col("vec_a").as("q_id"), col("vec_b").as("vec_id"))
+        .unionAll(pairs.select(col("vec_b").as("q_id"),
+          col("vec_a").as("vec_id")))
+        .distinct().withColumn("__nd", lit(1))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      probeScored(s, dir)
+        .join(nd, Seq("q_id", "vec_id"), "left")
+        .where(col("__nd").isNull || col("cosine") < 0.25)
+        .withColumn("rnk", rank().over(w).cast(LongType))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cosine"), col("rnk"))
+    }),
+
     // Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     // k-means-cluster the embeddings, then drop near-identical pairs
     // WITHIN each cluster only — the clustering turns the quadratic
@@ -996,6 +1025,51 @@ object SimQueries extends QueryPack {
          FROM documents doc
          JOIN qv ON qv.vec_id = doc.doc_id
          LEFT JOIN dups ON dups.doc_id = doc.doc_id""",
+    // probe-scored baseline minus (LSH candidate AND cos>=0.25) pairs
+    "q_sim_hard_negatives" ->
+      s"""WITH $quantCte,
+         signs AS (
+           SELECT j, i,
+                  CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(j, ':', i)), 1, 15))
+                            AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+           FROM range(16) t1(j), range(64) t2(i)),
+         bits AS (
+           SELECT e.vec_id, s.j,
+                  CASE WHEN SUM(e.v[s.i+1]*s.s) > 0 THEN 1 ELSE 0 END AS bit
+           FROM qv e, signs s GROUP BY e.vec_id, s.j),
+         bands AS (
+           SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
+           FROM bits GROUP BY vec_id, j // 8),
+         cands AS (
+           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+         nd AS (
+           SELECT vec_a AS q_id, vec_b AS vec_id FROM cands
+           UNION
+           SELECT vec_b AS q_id, vec_a AS vec_id FROM cands),
+         dots AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
+           FROM qv a, qv b, range(64) t(i)
+           WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE)
+                    / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+           FROM dots d
+           JOIN norms na ON na.vec_id = d.q_id
+           JOIN norms nb ON nb.vec_id = d.vec_id),
+         filt AS (
+           SELECT s.q_id, s.vec_id, s.cosine
+           FROM scored s
+           LEFT JOIN nd ON nd.q_id = s.q_id AND nd.vec_id = s.vec_id
+           WHERE nd.q_id IS NULL OR s.cosine < 0.25)
+         SELECT q_id, vec_id, cosine, rnk FROM (
+           SELECT q_id, vec_id, cosine,
+                  RANK() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+           FROM filt) WHERE rnk <= 5""",
     "q_sim_ann_recall" ->
       s"""WITH $quantCte,
          dots AS (
