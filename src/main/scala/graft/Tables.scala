@@ -19,17 +19,31 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert with integer division
-    * (double division would lose precision above 2^53 epoch-nanos).
+  /** events.parquet `ts` encoding has varied across testdata drops:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    * nanos as long via the legacy conf and convert with integer division;
+    * double division would lose precision above 2^53 epoch-nanos) vs
+    * native TIMESTAMP(MICROS) (reads as TimestampType directly). Branch
+    * on the dtype Spark actually read so both encodings work — a
+    * regeneration to micros silently broke every events-derived query
+    * when this assumed nanos unconditionally.
     * NOTE the conf is session-global: harness mains (Verify/Bench) set it
     * at session construction; the set here covers ad-hoc sessions and is
     * idempotent.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // isAdjustedToUTC=false parquet reads as NTZ; normalize to the
+        // session-zoned TIMESTAMP every downstream consumer (unix_micros,
+        // epoch casts) expects — a no-op instant under the UTC session TZ.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a session-zoned timestamp column
+    }
   }
 }
 
