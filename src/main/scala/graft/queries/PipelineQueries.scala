@@ -37,7 +37,11 @@ object PipelineQueries extends QueryPack {
     val k = (System.identityHashCode(s), key)
     memo.get(k) match {
       case null =>
-        val df = build.persist()
+        // explicit MEMORY_AND_DISK (the Dataset default, pinned here so
+        // a long bench session demotes these to local disk under cache
+        // pressure instead of silently rebuilding the bronze->gold chain)
+        val df = build.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val prev = memo.putIfAbsent(k, df)
         if (prev != null) prev else df
       case df => df

@@ -970,10 +970,15 @@ object SimQueries extends QueryPack {
          bands AS (
            SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
            FROM bits GROUP BY vec_id, j // 8),
+         bands_ok AS (
+           SELECT band_key FROM bands GROUP BY band_key
+           HAVING COUNT(DISTINCT vec_id)
+             <= ${graft.operators.LshBandJoin.DefaultMaxBucket}),
          cands AS (
            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+             ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+           JOIN bands_ok ok ON ok.band_key = a.band_key),
          dots AS (
            SELECT c.vec_a, c.vec_b, SUM(a.v[i+1]*b.v[i+1]) AS dot
            FROM cands c
@@ -1003,10 +1008,15 @@ object SimQueries extends QueryPack {
          bands AS (
            SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
            FROM bits GROUP BY vec_id, j // 8),
+         bands_ok AS (
+           SELECT band_key FROM bands GROUP BY band_key
+           HAVING COUNT(DISTINCT vec_id)
+             <= ${graft.operators.LshBandJoin.DefaultMaxBucket}),
          cands AS (
            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+             ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+           JOIN bands_ok ok ON ok.band_key = a.band_key),
          dots AS (
            SELECT c.vec_a, c.vec_b, SUM(a.v[i+1]*b.v[i+1]) AS dot
            FROM cands c
@@ -1041,10 +1051,15 @@ object SimQueries extends QueryPack {
          bands AS (
            SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
            FROM bits GROUP BY vec_id, j // 8),
+         bands_ok AS (
+           SELECT band_key FROM bands GROUP BY band_key
+           HAVING COUNT(DISTINCT vec_id)
+             <= ${graft.operators.LshBandJoin.DefaultMaxBucket}),
          cands AS (
            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+             ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+           JOIN bands_ok ok ON ok.band_key = a.band_key),
          nd AS (
            SELECT vec_a AS q_id, vec_b AS vec_id FROM cands
            UNION
@@ -1103,10 +1118,15 @@ object SimQueries extends QueryPack {
          bands AS (
            SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
            FROM bits GROUP BY vec_id, j // 8),
+         bands_ok AS (
+           SELECT band_key FROM bands GROUP BY band_key
+           HAVING COUNT(DISTINCT vec_id)
+             <= ${graft.operators.LshBandJoin.DefaultMaxBucket}),
          cands AS (
            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+             ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+           JOIN bands_ok ok ON ok.band_key = a.band_key),
          ann AS (
            SELECT vec_a AS q_id, vec_b AS vec_id FROM cands
            UNION ALL
