@@ -33,6 +33,11 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->TimestampType cast below is instant-preserving ONLY under
+    // a UTC session zone; self-heal it for ad-hoc sessions the same way
+    // as the nanos conf (harness mains already set both at build time),
+    // so a non-UTC JVM cannot silently shift every events timestamp.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
@@ -42,7 +47,14 @@ object Tables {
         // session-zoned TIMESTAMP every downstream consumer (unix_micros,
         // epoch casts) expects — a no-op instant under the UTC session TZ.
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw // already a session-zoned timestamp column
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // fail fast: a future encoding (say int64-MICROS) would hit the
+        // LongType branch mis-scaled or slip through a blind passthrough
+        // as wrong epochs; a named error beats silently wrong data
+        throw new IllegalStateException(
+          s"events.ts read as unexpected dtype $other — testdata encoding " +
+            "changed; extend Tables.events with an explicit branch")
     }
   }
 }

@@ -87,6 +87,30 @@ object IoQueries extends QueryPack {
           col("s_acctbal").cast(DoubleType).as("s_acctbal"))
     }),
 
+    // S6: CSV export sink — the reference's warehouse staging hop dumps
+    // each table to CSV for a Postgres COPY (scripts/load_to_bronze.py:
+    // 570-571). Spark writes warehouse tables directly (S7/S8), so the
+    // hop is architecturally unnecessary here — this row closes the
+    // coverage line with the round-trip proof anyway: customer goes out
+    // through the distributed CSV sink (header + explicit null marker,
+    // per-partition files like any 100 TB export) and comes back typed;
+    // the oracle is the ORIGINAL table, so any quoting/escaping/null or
+    // float-formatting defect in the sink breaks the hash (Spark's
+    // shortest-repr double formatting round-trips bit-exact).
+    "q_write_csv_export" -> ((s, dir) => {
+      val out = "/tmp/graft_s6_csv_export"
+      t(s, dir, "customer").write
+        .option("header", "true").option("nullValue", "\\N")
+        .mode("overwrite").csv(out)
+      s.read.option("header", "true").option("nullValue", "\\N").csv(out)
+        .select(
+          col("c_custkey").cast(LongType).as("c_custkey"),
+          col("c_name").cast(StringType).as("c_name"),
+          col("c_nationkey").cast(LongType).as("c_nationkey"),
+          col("c_acctbal").cast(DoubleType).as("c_acctbal"),
+          col("c_mktsegment").cast(StringType).as("c_mktsegment"))
+    }),
+
     // S8: idempotent batch overwrite. Write all batches, then RE-RUN one
     // batch with dynamic partition overwrite (the Spark replacement for
     // the reference's DELETE WHERE dwh_batch_id + INSERT), and read back.
@@ -257,6 +281,12 @@ object IoQueries extends QueryPack {
                   AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    // the CSV export is a round-trip of customer, so the oracle reads
+    // the original table
+    "q_write_csv_export" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+         FROM customer""",
     "q_write_idempotent" ->
       """SELECT CONCAT('BATCH', LPAD(CAST(o_orderkey % 3 AS VARCHAR), 6, '0'))
                   AS dwh_batch_id,

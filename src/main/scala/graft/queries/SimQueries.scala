@@ -639,12 +639,15 @@ object SimQueries extends QueryPack {
     // the same way q_dedup_embedding's cos>=0.25 demonstration
     // threshold is; SemanticDedupSpec pins non-vacuity (some drops,
     // most keeps). The within-cluster self-join shuffles on cent_id;
-    // a pathological giant cluster re-quadratizes it, which is the
-    // documented SemDeDup trade — production raises k (more, smaller
-    // clusters), exactly what the trained-centroid path provides.
+    // a pathological giant cluster re-quadratizes it — so the
+    // assignment is GUARDED: any cluster above [[SemanticMaxCluster]]
+    // fails loudly (same never-wrong-just-slow-is-still-wrong policy as
+    // ConnectedComponents' unconverged cap) with the fix in the
+    // message — raise k (more, smaller clusters), exactly what the
+    // trained-centroid path provides.
     "q_dedup_semantic" -> ((s, dir) => {
       val vs = qvecs(s, dir)
-      val assign = semanticAssign(s, dir)
+      val assign = requireBoundedClusters(semanticAssign(s, dir))
       val av = assign.join(vs, "vec_id")
       val left = av.select(col("cent_id"), col("vec_id").as("va"),
         col("qv").as("qa"))
@@ -659,6 +662,40 @@ object SimQueries extends QueryPack {
         .select(col("vec_id"), col("cent_id"), col("d2_centroid"),
           col("__drop").isNull.as("keep"))
     }))
+
+  /** Giant-cluster cap for q_dedup_semantic: the within-cluster
+    * self-join does n(n-1)/2 distance evaluations per cluster, so one
+    * degenerate cluster (all-identical embeddings, a broken encoder
+    * emitting a constant vector) silently re-quadratizes the whole job.
+    * 4096 bounds a cluster's pair work at ~8.4M comparisons — heavy but
+    * executor-safe; anything larger is a clustering failure, not a
+    * workload.
+    */
+  private[graft] val SemanticMaxCluster = 4096L
+
+  /** The guard itself: loud failure over silent quadratic work,
+    * mirroring ConnectedComponents' unconverged-cap policy. One tiny
+    * aggregate over the (memoized) assignment per call — metadata-plane
+    * cost. Package-visible so SemanticDedupSpec can red/green it on a
+    * seeded giant cluster directly.
+    */
+  private[graft] def requireBoundedClusters(
+      assign: DataFrame, cap: Long = SemanticMaxCluster): DataFrame = {
+    val worstRow = assign.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(struct(col("n"), col("cent_id"))).as("w"))
+      .select(col("w.n"), col("w.cent_id")).head()
+    if (!worstRow.isNullAt(0) && worstRow.getLong(0) > cap)
+      throw new IllegalStateException(
+        s"semantic-dedup cluster ${worstRow.get(1)} holds " +
+          s"${worstRow.getLong(0)} vectors (cap $cap): the within-cluster " +
+          "pair join would re-quadratize. This is a clustering failure " +
+          "(degenerate/constant embeddings or k far too small) — raise " +
+          "the centroid count (nlist) so clusters shrink, or repair the " +
+          "embedding column; do not raise the cap without sizing the " +
+          s"${cap * cap / 2}-pair bucket it would admit")
+    assign
+  }
 
   /** Within-cluster duplicate radius for q_dedup_semantic (squared L2
     * on the x1000 integer lattice). Calibrated against the fixture's

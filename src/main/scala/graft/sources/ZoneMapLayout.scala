@@ -90,18 +90,28 @@ object ZoneMapLayout {
     val statAggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast(LongType).as(s"lo_$c"),
       max(col(c)).cast(LongType).as(s"hi_$c")))
+    // The manifest is itself a distributed parquet TABLE (no
+    // coalesce(1)): at millions of data files it is GBs of min/max rows,
+    // and both its write here and the prune-side filter read scale out.
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(statAggs.head, statAggs.tail: _*)
-      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_zonemap")
   }
 
   /** Read `path` under a conjunctive range predicate, skipping every
     * file whose zone-map box does not intersect it. Returns the residual-
     * filtered frame plus (filesKept, filesTotal) as the skip evidence.
-    * The file list is driver-side but bounded by file count — the same
-    * metadata plane as partition listing.
+    *
+    * The prune is a DISTRIBUTED filter over the manifest table; only the
+    * SURVIVING file list is materialized on the driver — the same
+    * planning-time contract as Iceberg/Delta, where the driver holds the
+    * pruned scan-task list, never the full manifest. Driver memory is
+    * therefore bounded by predicate selectivity: a selective box at 100
+    * TB keeps thousands of files, and the degenerate case (nothing
+    * pruned) materializes exactly the list `spark.read.parquet(path)`
+    * would have built on the driver anyway — the prune never makes the
+    * driver worse than a plain scan.
     */
   def prunedRead(spark: SparkSession, path: String,
                  box: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
@@ -109,14 +119,15 @@ object ZoneMapLayout {
     val intersects = box.map { case (c, lo, hi) =>
       col(s"lo_$c") <= hi && col(s"hi_$c") >= lo
     }.reduce(_ && _)
-    val all = zm.select(col("file"), intersects.as("keep")).collect()
-    val files = all.filter(_.getBoolean(1)).map(_.getString(0))
+    val total = zm.count()
+    val files = zm.where(intersects).select(col("file"))
+      .collect().map(_.getString(0))
     val residual = box.map { case (c, lo, hi) =>
       col(c).between(lo, hi)
     }.reduce(_ && _)
     val base =
       if (files.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
-    (base.where(residual), files.length, all.length)
+    (base.where(residual), files.length, total.toInt)
   }
 }

@@ -37,4 +37,26 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.where(col("cent_id").isNull || col("keep").isNull)
       .count() === 0L)
   }
+
+  test("giant-cluster guard: red on a seeded giant cluster, green under cap") {
+    import spark.implicits._
+    // one healthy cluster of 3 + one degenerate cluster of 10 vectors
+    val assign = ((0L until 3L).map(i => (i, 1L)) ++
+      (100L until 110L).map(i => (i, 2L))).toDF("vec_id", "cent_id")
+    val ex = intercept[IllegalStateException] {
+      graft.queries.SimQueries.requireBoundedClusters(assign, cap = 5L)
+    }
+    assert(ex.getMessage.contains("cluster 2"), ex.getMessage)
+    assert(ex.getMessage.contains("10 vectors"), ex.getMessage)
+    // the same frame passes untouched once clusters fit the cap
+    val ok = graft.queries.SimQueries.requireBoundedClusters(assign, cap = 10L)
+    assert(ok.count() === 13L)
+  }
+
+  test("the registered query passes the default guard on the fixture") {
+    // the fixture's trained clusters sit far below SemanticMaxCluster;
+    // a regression that collapses assignment into one cluster would
+    // turn this (and the oracle row) red loudly instead of quadratic
+    assert(out.count() > 0L)
+  }
 }
