@@ -856,6 +856,44 @@ object Orchestrator {
           obs.get("n").asInstanceOf[Long])
       }
 
+    /** Incremental MV maintenance (scale extension — see
+      * [[MvIncremental]]): reduce THIS batch's gold slices to each MV's
+      * partial (the only fact-side work, delta-bounded), land the
+      * partial through the S8 idempotent batch write (a rerun replaces
+      * exactly its own partial — no double counting), then rebuild the
+      * MV from the compact all-batches partial table. `outPrefix`
+      * defaults to the full-refresh targets; OrchestratorSpec points it
+      * elsewhere to prove incremental == full refresh side by side.
+      */
+    def refreshViewsIncremental(specs: Seq[MvIncremental.Spec],
+                                outPrefix: String = "gold"): Unit = {
+      // one delta scan shared by all 8 partial builds, not 8 re-reads
+      // of the batch partition (the delta is the expensive side at
+      // scale; the dims are broadcast anyway)
+      val factB = readBatch("gold/fact_sales")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dimCB = readBatch("gold/dim_customers")
+      val dimPB = readBatch("gold/dim_products")
+      try specs.foreach { sp =>
+        try {
+          writeBatch(sp.partial(factB, dimCB, dimPB).drop("dwh_batch_id"),
+            s"mv_partials/${sp.name}")
+          val obs = org.apache.spark.sql.Observation()
+          sp.rebuild(readTable(s"mv_partials/${sp.name}")
+              .drop("dwh_batch_id"))
+            .observe(obs, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$warehouse/$outPrefix/mv_${sp.name}")
+          log("mv_incremental", s"$outPrefix/mv_${sp.name}", "SUCCESS",
+            obs.get("n").asInstanceOf[Long])
+        } catch { case scala.util.control.NonFatal(e) =>
+          log("mv_incremental", s"$outPrefix/mv_${sp.name}", "FAILED", 0,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        }
+      } finally factB.unpersist()
+      flushAudit()
+    }
+
     /** Manifest-driven start mode: the reference's per-file ingest loop
       * (handlers/batch_processing.py file plane) — every manifest entry
       * goes through the mapping gate + row QA + bronze write, and the

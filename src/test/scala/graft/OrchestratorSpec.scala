@@ -209,6 +209,34 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$wh/gold/fact_sales").count() === fact14 + n15)
     assert(spark.read.parquet(s"$wh/gold/fact_sales")
       .where(col("dwh_batch_id") === ReferenceFixtures.BatchId).count() === fact14)
+
+    // incremental MV maintenance == full refresh, on the same two-batch
+    // warehouse: each batch reduces to its partials (delta-bounded fact
+    // work), the MVs rebuild from the compact partial tables, and every
+    // one of the 8 non-recursive MVs is row-for-row identical to the
+    // full-refresh output the lifecycle wrote above
+    val specs = graft.run.MvIncremental.specs(ReferenceFixtures.RefDate)
+    def sameRows(name: String): Unit = {
+      val full = spark.read.parquet(s"$wh/gold/mv_$name")
+      val inc = spark.read.parquet(s"$wh/goldinc/mv_$name")
+      assert(inc.columns.sorted.toSeq === full.columns.sorted.toSeq, name)
+      assert(full.exceptAll(inc).isEmpty && inc.exceptAll(full).isEmpty,
+        s"mv_$name: incremental != full refresh")
+    }
+    new Orchestrator.Run(spark, wh, ReferenceFixtures.BatchId)
+      .refreshViewsIncremental(specs, outPrefix = "goldinc")
+    val incRun15 = new Orchestrator.Run(spark, wh, B15)
+    incRun15.refreshViewsIncremental(specs, outPrefix = "goldinc")
+    assert(incRun15.auditLog.count(l =>
+      l.step == "mv_incremental" && l.status == "SUCCESS") === 8)
+    specs.foreach(sp => sameRows(sp.name))
+
+    // rerun-idempotency of the partial plane: re-maintaining the SAME
+    // batch replaces its partial partition (never appends), so nothing
+    // double-counts
+    new Orchestrator.Run(spark, wh, B15)
+      .refreshViewsIncremental(specs, outPrefix = "goldinc")
+    specs.foreach(sp => sameRows(sp.name))
   }
 
   test("restart mode: completed writes skip, missing work runs") {
