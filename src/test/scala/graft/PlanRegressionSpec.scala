@@ -40,8 +40,13 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles(plan("q_text_winnow")) === 0)
   }
 
-  test("q_dedup_minhash_lsh shuffles only for the candidate distinct") {
-    assert(shuffles(plan("q_dedup_minhash_lsh")) <= 1)
+  test("q_dedup_minhash_lsh shuffles only band group-by + pair distinct") {
+    // bucketed LshBandJoin (round 12): ONE band-key group-by shuffle
+    // (pair enumeration is post-shuffle codegen) + the cross-band pair
+    // distinct. The prior self-join form showed <= 1 here only because
+    // the fixture-sized band table broadcast; at scale it would pay two
+    // join shuffle sides + the distinct, strictly worse than this pin.
+    assert(shuffles(plan("q_dedup_minhash_lsh")) <= 2)
   }
 
   test("q_dedup_ngram_jaccard needs at most two shuffles") {
