@@ -510,6 +510,39 @@ object TextQueries extends QueryPack {
     // ratio, mean word length band — equal-weight average.
     "q_text_quality" -> (qualityFrame(_, _)),
 
+    // PII redaction — the scrub pass every production corpus runs
+    // before training: emails and phone-shaped numbers are replaced
+    // with typed placeholders and counted per doc (the counts feed the
+    // QA plane; a source whose PII rate spikes gets quarantined, not
+    // silently scrubbed). MAP-ONLY — regexes are per-row, no shuffle at
+    // any scale. The fixture corpus contains no PII, so docs are
+    // deterministically SEEDED first (every 7th doc gets an email +
+    // phone derived from doc_id — same seeding discipline as
+    // q_ref_mv_delayed_chain_seeded) with the identical expression in
+    // the oracle; both engines then redact the same bytes, and the
+    // redacted text itself is hash-compared, so a regex-dialect drift
+    // (Java vs RE2) or a missed occurrence breaks the row. Patterns
+    // stay in the ASCII subset both dialects parse identically;
+    // replace-ALL is Spark's default and pinned with 'g' in DuckDB.
+    "q_text_redact_pii" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b555-[0-9]{4}\\b"
+      val seeded = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com tel 555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), seeded.as("text"))
+        .select(col("doc_id"), col("source"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            .cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+            .cast(LongType).as("n_phones"),
+          regexp_replace(regexp_replace(col("text"), lit(emailRe),
+            lit("<EMAIL>")), lit(phoneRe), lit("<PHONE>")).as("redacted"))
+    }),
+
     // Quality-signal evaluation: exact ROC-AUC of the quality score
     // against the corpus's planted language label (en = positive) —
     // the calibration step before trusting any filter signal at scale
@@ -1324,6 +1357,26 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_text_redact_pii" ->
+      """WITH seeded AS (
+           SELECT doc_id, source,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN CONCAT(text, ' contact user', doc_id,
+                                   '@example.com tel 555-',
+                                   LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                       ELSE text END AS text
+           FROM documents)
+         SELECT doc_id, source,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b'))
+                  AS BIGINT) AS n_phones,
+                regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+         FROM seeded""",
     // same quality formula; bucketed Mann-Whitney with tie correction
     "q_text_quality_auc" ->
       """WITH f AS (
