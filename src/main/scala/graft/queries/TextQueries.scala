@@ -132,6 +132,22 @@ object TextQueries extends QueryPack {
   private[graft] def gatePass(quality: Column, langPred: Column): Column =
     quality >= MinQualityScore && langPred =!= "unknown"
 
+  /** PII scrub kernel — ONE definition of the patterns and placeholders
+    * consumed by the batch row (q_text_redact_pii) and the streaming
+    * scrub (StreamingJobs.scrubDocsStream), so they cannot drift.
+    * Patterns stay in the ASCII subset Java regex and DuckDB's RE2
+    * parse identically; Spark's regexp_replace replaces all
+    * occurrences (the oracle pins 'g').
+    */
+  private[graft] val PiiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhoneRe = "\\b555-[0-9]{4}\\b"
+  private[graft] def piiCountCol(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast(LongType)
+  private[graft] def redactedPiiCol(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(PiiEmailRe), lit("<EMAIL>")),
+      lit(PiiPhoneRe), lit("<PHONE>"))
+
   /** Quality-gate sub-expressions over `text` — all per-row. Shared
     * with the streaming corpus gate (streaming/StreamingJobs), so the
     * stream and batch paths cannot drift.
@@ -525,8 +541,6 @@ object TextQueries extends QueryPack {
     // stay in the ASCII subset both dialects parse identically;
     // replace-ALL is Spark's default and pinned with 'g' in DuckDB.
     "q_text_redact_pii" -> ((s, dir) => {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\b555-[0-9]{4}\\b"
       val seeded = when(col("doc_id") % 7 === 0,
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com tel 555-"),
@@ -535,12 +549,9 @@ object TextQueries extends QueryPack {
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), seeded.as("text"))
         .select(col("doc_id"), col("source"),
-          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
-            .cast(LongType).as("n_emails"),
-          size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
-            .cast(LongType).as("n_phones"),
-          regexp_replace(regexp_replace(col("text"), lit(emailRe),
-            lit("<EMAIL>")), lit(phoneRe), lit("<PHONE>")).as("redacted"))
+          piiCountCol(col("text"), PiiEmailRe).as("n_emails"),
+          piiCountCol(col("text"), PiiPhoneRe).as("n_phones"),
+          redactedPiiCol(col("text")).as("redacted"))
     }),
 
     // Quality-signal evaluation: exact ROC-AUC of the quality score

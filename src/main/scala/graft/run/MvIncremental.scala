@@ -55,6 +55,12 @@ object MvIncremental {
                   partial: (DataFrame, DataFrame, DataFrame) => DataFrame,
                   rebuild: DataFrame => DataFrame)
 
+  /** Specs by builder name (mv_refresh_config.builder) — the lookup the
+    * config-driven lifecycle uses to honor `strategy: "incremental"`.
+    */
+  def byBuilder(refDate: String): Map[String, Spec] =
+    specs(refDate).map(sp => sp.name -> sp).toMap
+
   private def custName =
     concat(col("customer_firstname"), lit(" "), col("customer_lastname"))
       .as("customer_name")

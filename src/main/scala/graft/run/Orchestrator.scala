@@ -89,7 +89,7 @@ object Orchestrator {
       // dead write must NOT mask the target from the reprocess cycle)
       val healed = batch
         .where(col("status") === "SUCCESS"
-          && col("step").isin("write", "mv_refresh"))
+          && col("step").isin("write", "mv_refresh", "mv_incremental"))
         .select("target").collect().map(_.getString(0)).toSet
       failed -- healed
     }
@@ -861,38 +861,45 @@ object Orchestrator {
       * partial (the only fact-side work, delta-bounded), land the
       * partial through the S8 idempotent batch write (a rerun replaces
       * exactly its own partial — no double counting), then rebuild the
-      * MV from the compact all-batches partial table. `outPrefix`
-      * defaults to the full-refresh targets; OrchestratorSpec points it
-      * elsewhere to prove incremental == full refresh side by side.
+      * MV from the compact all-batches partial table. Dependency-gated
+      * and FAILED-logged through the same `runGated` plane as full
+      * refresh, so the reprocess cycle sees incremental MVs too.
       */
-    def refreshViewsIncremental(specs: Seq[MvIncremental.Spec],
-                                outPrefix: String = "gold"): Unit = {
-      // one delta scan shared by all 8 partial builds, not 8 re-reads
-      // of the batch partition (the delta is the expensive side at
-      // scale; the dims are broadcast anyway)
+    def refreshViewsIncremental(
+        steps: Seq[(IntegrationStep, MvIncremental.Spec)]): Unit = {
+      if (steps.isEmpty) return
+      // one delta scan shared by all partial builds, not one re-read
+      // of the batch partition per MV (the delta is the expensive side
+      // at scale; the dims are broadcast anyway)
       val factB = readBatch("gold/fact_sales")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dimCB = readBatch("gold/dim_customers")
       val dimPB = readBatch("gold/dim_products")
-      try specs.foreach { sp =>
-        try {
-          writeBatch(sp.partial(factB, dimCB, dimPB).drop("dwh_batch_id"),
-            s"mv_partials/${sp.name}")
-          val obs = org.apache.spark.sql.Observation()
-          sp.rebuild(readTable(s"mv_partials/${sp.name}")
-              .drop("dwh_batch_id"))
-            .observe(obs, count(lit(1)).as("n"))
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"$warehouse/$outPrefix/mv_${sp.name}")
-          log("mv_incremental", s"$outPrefix/mv_${sp.name}", "SUCCESS",
-            obs.get("n").asInstanceOf[Long])
-        } catch { case scala.util.control.NonFatal(e) =>
-          log("mv_incremental", s"$outPrefix/mv_${sp.name}", "FAILED", 0,
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
-        }
+      val specByTarget = steps.map { case (st, sp) => st.target -> sp }.toMap
+      try runGated("mv_incremental",
+        steps.map { case (st, sp) =>
+          st -> (() => sp.partial(factB, dimCB, dimPB))
+        }) { (st, build) =>
+        val sp = specByTarget(st.target)
+        writeBatch(build().drop("dwh_batch_id"), s"mv_partials/${sp.name}")
+        val obs = org.apache.spark.sql.Observation()
+        sp.rebuild(readTable(s"mv_partials/${sp.name}").drop("dwh_batch_id"))
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$warehouse/${st.target}")
+        log("mv_incremental", st.target, "SUCCESS",
+          obs.get("n").asInstanceOf[Long])
       } finally factB.unpersist()
-      flushAudit()
     }
+
+    /** Convenience face for direct (non-config) use and the
+      * equivalence spec: every spec maintained ungated, MVs written
+      * under `<outPrefix>/mv_<name>`.
+      */
+    def refreshViewsIncremental(specs: Seq[MvIncremental.Spec],
+                                outPrefix: String): Unit =
+      refreshViewsIncremental(specs.map(sp =>
+        IntegrationStep(s"$outPrefix/mv_${sp.name}", 0, Nil) -> sp))
 
     /** Manifest-driven start mode: the reference's per-file ingest loop
       * (handlers/batch_processing.py file plane) — every manifest entry
@@ -1006,11 +1013,20 @@ object Orchestrator {
       st -> ToolsConfig.resolve(ToolsConfig.goldBuilders, b, run, refDate)
     })
 
-    // MVs: mv_refresh_config rows — full refresh, gated on gold inputs
-    run.refreshViews(ToolsConfig.loadSteps(spark, warehouse,
-      ToolsConfig.mvConfigPath(warehouse)).map { case (st, b) =>
-      st -> ToolsConfig.resolve(ToolsConfig.mvBuilders, b, run, refDate)
-    })
+    // MVs: mv_refresh_config rows, gated on gold inputs. Per-row
+    // `strategy` picks the refresh plan: "incremental" routes through
+    // the partial-merge plane (MvIncremental) when the builder has a
+    // merge decomposition; everything else — including an incremental
+    // request the runner can't honor (the recursive chain) — takes the
+    // reference-faithful full refresh.
+    val incSpecs = MvIncremental.byBuilder(refDate)
+    val (inc, full) = ToolsConfig.loadMvSteps(spark, warehouse).partition(
+      ms => ms.strategy == "incremental" && incSpecs.contains(ms.builder))
+    run.refreshViews(full.map(ms =>
+      ms.step -> ToolsConfig.resolve(ToolsConfig.mvBuilders, ms.builder,
+        run, refDate)))
+    run.refreshViewsIncremental(inc.map(ms =>
+      ms.step -> incSpecs(ms.builder)))
     run
   }
 }

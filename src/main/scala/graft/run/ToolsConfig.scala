@@ -79,6 +79,39 @@ object ToolsConfig {
       .sortBy(_._1.runOrder).toSeq
   }
 
+  /** One mv_refresh_config row with its refresh strategy: "full"
+    * (REFRESH MATERIALIZED VIEW — the reference's only mode, and the
+    * default when the column is absent) or "incremental" (per-batch
+    * partial merge, [[graft.run.MvIncremental]]). Schema-on-read like
+    * `source_config`: existing config files parse unchanged.
+    */
+  final case class MvStep(step: IntegrationStep, builder: String,
+                          strategy: String)
+
+  /** mv_refresh_config rows WITH the optional strategy column. A
+    * strategy the runner can't honor (e.g. "incremental" on the
+    * recursive chain, which has no merge decomposition) falls back to
+    * full refresh — config requests a plan, the runner picks the
+    * correct one it can serve (same config-error-is-not-abort policy
+    * as `resolve`).
+    */
+  def loadMvSteps(spark: SparkSession, warehouse: String): Seq[MvStep] = {
+    val deps = loadDependencies(spark, warehouse)
+    spark.read
+      .schema("target_table STRING, run_order INT, enabled BOOLEAN, builder STRING, strategy STRING")
+      .json(mvConfigPath(warehouse))
+      .collect()
+      .filter(r => r.isNullAt(2) || r.getBoolean(2))
+      .map { r =>
+        val target = r.getString(0)
+        MvStep(
+          IntegrationStep(target, r.getInt(1), deps.getOrElse(target, Nil)),
+          r.getString(3),
+          if (r.isNullAt(4)) "full" else r.getString(4))
+      }
+      .sortBy(_.step.runOrder).toSeq
+  }
+
   /** transformation_config rows: bronze→silver steps in file order.
     * `source_config` is the reference's JSONB parameter blob
     * (ddl_tools.sql:22) as a typed map — schema-on-read, so a row can

@@ -229,6 +229,22 @@ object StreamingJobs {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("text_key")
 
+  /** Streaming PII scrub: the batch redaction kernel
+    * (TextQueries.q_text_redact_pii — SAME patterns, placeholders and
+    * count expressions, so stream and batch cannot drift) applied to a
+    * document stream. Entirely STATELESS map-only projection: no state
+    * store, no watermark; restart semantics reduce to the sink's
+    * idempotency. Input: (doc_id, text, ts).
+    */
+  def scrubDocsStream(docs: DataFrame): DataFrame = {
+    import graft.queries.TextQueries.{PiiEmailRe, PiiPhoneRe,
+      piiCountCol, redactedPiiCol}
+    docs.select(col("doc_id"), col("ts"),
+      piiCountCol(col("text"), PiiEmailRe).as("n_emails"),
+      piiCountCol(col("text"), PiiPhoneRe).as("n_phones"),
+      redactedPiiCol(col("text")).as("redacted"))
+  }
+
   /** Streaming benchmark decontamination: winnowed-fingerprint overlap
     * of a document stream against the (small, broadcast) benchmark
     * fingerprint set — the streaming face of q_text_decontaminate,

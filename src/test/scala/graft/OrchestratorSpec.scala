@@ -239,6 +239,55 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     specs.foreach(sp => sameRows(sp.name))
   }
 
+  test("config-driven strategy routes MVs through the incremental plane") {
+    import graft.pipeline.ReferenceFixtures
+    import graft.run.ToolsConfig
+    val wh = Files.createTempDirectory("graft_mvstrat").toString
+    // seed the MV config BEFORE the run (writeDefaultsIfMissing never
+    // clobbers): two mergeable MVs ask for incremental, the recursive
+    // chain asks for incremental it cannot have (falls back to full),
+    // the rest stay default-full
+    def row(t: String, o: Int, b: String, strat: Option[String]) =
+      s"""{"target_table":"$t","run_order":$o,"enabled":true,"builder":"$b"""" +
+        strat.map(s => s""","strategy":"$s"""").getOrElse("") + "}"
+    ToolsConfig.writeConfigFile(ToolsConfig.mvConfigPath(wh), Seq(
+      row("gold/mv_sales_monthly_productline", 1, "sales_monthly_productline", None),
+      row("gold/mv_sales_customer_country", 2, "sales_customer_country", None),
+      row("gold/mv_customer_lifetime_value", 3, "customer_lifetime_value", Some("incremental")),
+      row("gold/mv_running_sales_customer", 4, "running_sales_customer", None),
+      row("gold/mv_top3_products_month_country", 5, "top3_products_month_country", None),
+      row("gold/mv_customer_churn", 6, "customer_churn", Some("incremental")),
+      row("gold/mv_customer_order_gap", 7, "customer_order_gap", None),
+      row("gold/mv_sales_rollup_product", 8, "sales_rollup_product", None),
+      row("gold/mv_delayed_orders_chain", 9, "delayed_orders_chain", Some("incremental"))))
+    val run = Orchestrator.runFixtureBatch(spark, wh)
+
+    // routing: 2 honored incremental, 7 full (including the fallback)
+    val mvLogs = run.auditLog.filter(l => l.status == "SUCCESS" &&
+      (l.step == "mv_refresh" || l.step == "mv_incremental"))
+    assert(mvLogs.count(_.step == "mv_incremental") === 2)
+    assert(mvLogs.count(_.step == "mv_refresh") === 7)
+    assert(run.auditLog.exists(l => l.step == "mv_refresh"
+      && l.target == "gold/mv_delayed_orders_chain" && l.status == "SUCCESS"))
+
+    // the incrementally-maintained MVs equal the direct GoldViews
+    // computation over the landed gold tables
+    import graft.pipeline.GoldViews
+    val fact = spark.read.parquet(s"$wh/gold/fact_sales")
+    val dimC = spark.read.parquet(s"$wh/gold/dim_customers")
+    val ltv = spark.read.parquet(s"$wh/gold/mv_customer_lifetime_value")
+    val ltvFull = GoldViews.customerLifetimeValue(fact, dimC)
+    assert(ltv.exceptAll(ltvFull).isEmpty && ltvFull.exceptAll(ltv).isEmpty)
+    val churn = spark.read.parquet(s"$wh/gold/mv_customer_churn")
+    val churnFull = GoldViews.customerChurn(fact, dimC, ReferenceFixtures.RefDate)
+    assert(churn.exceptAll(churnFull).isEmpty &&
+      churnFull.exceptAll(churn).isEmpty)
+    // and the partial plane landed batch-partitioned
+    assert(new java.io.File(
+      s"$wh/mv_partials/customer_lifetime_value/dwh_batch_id=${ReferenceFixtures.BatchId}")
+      .exists())
+  }
+
   test("restart mode: completed writes skip, missing work runs") {
     val wh = Files.createTempDirectory("graft_restart").toString
     // simulate a run that died after landing two bronze tables

@@ -175,6 +175,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() === expected.size)
   }
 
+  test("streaming PII scrub equals the batch redaction kernel") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = ts("2024-01-01 00:00:00").getTime
+    // seeded the same way the batch row seeds PII (plus a clean doc and
+    // a doc with BOTH kinds twice, so counts > 1 are exercised)
+    val rows = Seq(
+      (1L, "plain words only", new Timestamp(base)),
+      (2L, "mail a@b.io and c.d@e-f.org tel 555-1234 then 555-9999",
+        new Timestamp(base + 1000)),
+      (3L, "edge 555-12345 is not a phone but 555-0042 is",
+        new Timestamp(base + 2000)))
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingJobs.scrubDocsStream(
+      ms.toDF().toDF("doc_id", "text", "ts"))
+    val q = out.writeStream.format("memory").queryName("scrub_docs")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scrub_docs")
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, "plain words only"),
+      (2L, 2L, 2L, "mail <EMAIL> and <EMAIL> tel <PHONE> then <PHONE>"),
+      // 555-12345: the \b after 4 digits fails against the 5th digit,
+      // so it is NOT redacted — the word-boundary contract
+      (3L, 0L, 1L, "edge 555-12345 is not a phone but <PHONE> is")))
+  }
+
   test("continuous packing equals the per-source batch prefix sum") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
