@@ -402,8 +402,12 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), minhashCol.as("mh"))
         .where(col("mh").isNotNull)
         .select(col("doc_id"), explode(bandKeysCol(col("mh"))).as("band_key"))
+      // COUNT(*) == COUNT(DISTINCT doc_id) here: a doc emits each band
+      // index once and keys are band-prefixed, so (doc_id, band_key)
+      // rows are unique by construction — the plain count saves the
+      // distinct aggregate's extra exchange
       bands.groupBy(col("band_key"))
-        .agg(countDistinct(col("doc_id")).as("bucket_size"))
+        .agg(cnt.as("bucket_size"))
         .groupBy(col("bucket_size"))
         .agg(cnt.as("n_buckets"))
         .withColumn("dropped",
@@ -1272,7 +1276,7 @@ object TextQueries extends QueryPack {
                 bucket_size > ${graft.operators.LshBandJoin.DefaultMaxBucket}
                   AS dropped
          FROM (SELECT band_key,
-                      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS bucket_size
+                      CAST(COUNT(*) AS BIGINT) AS bucket_size
                FROM bands GROUP BY band_key)
          GROUP BY bucket_size"""),
     "q_dedup_simhash" -> simhashOracle,
