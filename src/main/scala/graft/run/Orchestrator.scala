@@ -350,6 +350,18 @@ object Orchestrator {
     def readTable(table: String): DataFrame =
       spark.read.option("mergeSchema", "true").parquet(s"$warehouse/$table")
 
+    /** Snapshot (time-travel) read: the table AS OF a batch id. Batch
+      * ids are zero-padded and lexically ordered, and under the S8
+      * discipline every batch partition is an immutable increment —
+      * so the historical state is exactly the partitions at or below
+      * the cut, and the cut itself is ONE range partition filter
+      * (pruned at planning, no data read outside the snapshot). The
+      * Iceberg/Delta `VERSION AS OF` face of the batch-partitioned
+      * warehouse.
+      */
+    def readTableAsOf(table: String, asOfBatch: String): DataFrame =
+      readTable(table).where(col("dwh_batch_id") <= asOfBatch)
+
     /** S11: observed schema of an existing warehouse table. */
     def tableColumns(table: String): Seq[String] =
       spark.read.parquet(s"$warehouse/$table").schema.fieldNames.toSeq

@@ -210,6 +210,15 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$wh/gold/fact_sales")
       .where(col("dwh_batch_id") === ReferenceFixtures.BatchId).count() === fact14)
 
+    // time travel: AS OF batch 14 sees exactly the pre-batch-15 state,
+    // and the snapshot cut is a pruned partition filter, not a scan
+    val asOf = run15.readTableAsOf("gold/fact_sales", ReferenceFixtures.BatchId)
+    assert(asOf.count() === fact14)
+    val asOfPlan = asOf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(asOfPlan.contains("PartitionFilters") &&
+      asOfPlan.contains("dwh_batch_id"), asOfPlan.take(1500))
+
     // incremental MV maintenance == full refresh, on the same two-batch
     // warehouse: each batch reduces to its partials (delta-bounded fact
     // work), the MVs rebuild from the compact partial tables, and every
