@@ -24,7 +24,14 @@ import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
   * True delta windows would need retraction logic (changelog MVs);
   * reducing to a narrow partial and re-windowing is the standard
   * midpoint, and full refresh stays available as the fallback
-  * (`ToolsConfig.mvBuilders`).
+  * (`ToolsConfig.mvBuilders`). Routing is config-driven: an
+  * mv_refresh_config row with `strategy: "incremental"` takes this
+  * plane (Orchestrator.runConfiguredBatch), anything else — including
+  * an incremental request with no merge decomposition, like the
+  * recursive chain — full-refreshes. Partial tables are ordinary
+  * batch-partitioned layer tables, so the maintenance planes compose:
+  * Orchestrator.compactBatches bin-packs their per-batch files like
+  * any other table's.
   *
   * Merge-exactness notes, per MV:
   *  - sums are exact (sales is integer-valued on this data, and
