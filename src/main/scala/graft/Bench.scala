@@ -57,7 +57,8 @@ object Bench {
     "q_dedup_incremental", "q_agg_hll_merge", "q_agg_kll_merge",
     "q_events_retention", "q_window_ntile_deciles", "q_text_source_overlap",
     "q_events_funnel_stages", "q_join_bucketed", "q_compact_files",
-    "q_agg_heavy_hitters", "q_sample_temperature")
+    "q_agg_heavy_hitters", "q_sample_temperature",
+    "q_text_repeated_ngrams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
