@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
   * partials whose size is bounded by groups x batches (sum/min/max
   * MVs) or by the dim-joined column-pruned projection (the two
   * window-shaped MVs), both orders of magnitude below the fact table.
+  * Rebuilding from the partial table — rather than merging the delta
+  * partial into the EXISTING MV — is deliberate: old-MV + delta
+  * double-counts on a batch RERUN unless a retraction log subtracts
+  * the batch's previous contribution first, while the
+  * partition-replaced partial table makes reruns idempotent for free
+  * (the same reason S8 overwrites partitions instead of appending).
   * True delta windows would need retraction logic (changelog MVs);
   * reducing to a narrow partial and re-windowing is the standard
   * midpoint, and full refresh stays available as the fallback

@@ -119,9 +119,14 @@ object ZoneMapLayout {
     val intersects = box.map { case (c, lo, hi) =>
       col(s"lo_$c") <= hi && col(s"hi_$c") >= lo
     }.reduce(_ && _)
-    val total = zm.count()
-    val files = zm.where(intersects).select(col("file"))
-      .collect().map(_.getString(0))
+    // ONE distributed pass over the manifest: total file count and the
+    // surviving list come from the same aggregate, and only survivors
+    // reach the driver
+    val agg = zm.agg(
+      count(lit(1)).as("total"),
+      collect_list(when(intersects, col("file"))).as("kept")).head()
+    val total = agg.getLong(0)
+    val files = agg.getSeq[String](1).toArray
     val residual = box.map { case (c, lo, hi) =>
       col(c).between(lo, hi)
     }.reduce(_ && _)
