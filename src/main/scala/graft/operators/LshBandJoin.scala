@@ -43,6 +43,19 @@ object LshBandJoin {
     bands.groupBy(col("band_key"))
       .agg(array_sort(collect_set(col(idCol))).as("ids"))
 
+  /** Ordered-pair enumeration over a SORTED array column, entirely in
+    * codegen (array_sort upstream + slice/transform here — no second
+    * explode, no self-join): element i pairs with every later element,
+    * yielding exactly the a < b pairs as `struct(a, b)`. Shared by the
+    * band-bucket pair join and any other grouped pair fan-out (e.g. the
+    * source-overlap matrix groups by fingerprint and explodes source
+    * pairs with this).
+    */
+  def orderedPairs(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + lit(2), size(sortedIds)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** @param bands (id, band_key) rows, one per item per band
     * @param idCol name of the id column in `bands`
     * @param maxBucket hot-bucket cap; buckets with more distinct ids
@@ -52,15 +65,9 @@ object LshBandJoin {
   def candidatePairs(bands: DataFrame, idCol: String,
                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val (a, b) = (s"${idCol}_a", s"${idCol}_b")
-    // ids is sorted, so pairing element i with every later element
-    // yields exactly the ordered pairs; slice's 1-based start makes the
-    // tail after position i+1 `slice(ids, i+2, n)`.
-    val pairs: Column = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("a"), y.as("b")))))
     bucketIds(bands, idCol)
       .where(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairs).as("p"))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as(a), col("p.b").as(b))
       .distinct()
   }

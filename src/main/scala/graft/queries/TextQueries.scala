@@ -272,12 +272,37 @@ object TextQueries extends QueryPack {
     */
   private[graft] val FpRowBytes = 24L
 
+  /** shipAuto row-byte estimates for the retrieval-eval frames: a
+    * (query_id, term) row is a long + a short token string + hashed-
+    * relation overhead; a (query_id, rel_score) row is two longs +
+    * overhead (same class as [[FpRowBytes]]).
+    */
+  private[graft] val QTermRowBytes = 48L
+  private[graft] val RelRowBytes = 24L
+
   private def broadcastThresholdBytes(s: SparkSession): Long = {
     val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     // accepts "10MB"-style suffixed values; plain "-1" (disabled) falls
     // through to toLong and correctly forces the bloom path
     try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
     catch { case _: NumberFormatException => raw.trim.toLong }
+  }
+
+  /** The DecontamAuto discipline generalized to any small-side frame: an
+    * explicit `broadcast()` hint OVERRIDES the session threshold, so a
+    * hinted frame that scales with the corpus (e.g. a self-retrieval
+    * query set = 10% of it) would stall the driver at 100x data. Hint
+    * only while `estRows * estRowBytes` fits the session's
+    * autoBroadcastJoinThreshold; above it (or with broadcast disabled)
+    * return the frame UNHINTED so the planner falls back to a shuffle
+    * join. `estRows` comes from cheap stats (a parquet count-star is
+    * metadata-only) — the order-of-magnitude estimate production
+    * planners use, not an extra data-plane scan.
+    */
+  private[graft] def shipAuto(s: SparkSession, df: DataFrame,
+                              estRows: Long, estRowBytes: Long): DataFrame = {
+    val thr = broadcastThresholdBytes(s)
+    if (thr > 0 && estRows * estRowBytes <= thr) broadcast(df) else df
   }
 
   /** Benchmark decontamination (the pre-training hygiene operator):
@@ -665,20 +690,27 @@ object TextQueries extends QueryPack {
     // Cross-source contamination matrix: how many distinct winnow
     // fingerprints each PAIR of sources shares — the corpus-curation
     // view of leakage between feeds (mirrored benchmarks, scraped
-    // duplicates) before any doc-level verdict. One fingerprint-keyed
-    // self-join; per-fp pair fan-out is bounded by sources^2 and the
-    // source set is config-scale (tens), not corpus-scale, so the
-    // matrix stays tiny at 100 TB.
+    // duplicates) before any doc-level verdict. ONE shuffle over the
+    // fingerprint set: groupBy(fp) collects the distinct sources per
+    // fingerprint (collect_set dedups, so no upstream distinct), keeps
+    // only fps seen in >= 2 sources, and the in-codegen orderedPairs
+    // explode (the LshBandJoin pattern) fans each fp out to at most
+    // sources^2/2 pairs — the source set is config-scale (tens), so the
+    // fan-out and the final matrix stay tiny at 100 TB. The r12 plan
+    // (distinct + fp-keyed self-join) shuffled the fingerprint set three
+    // times and re-scaled with the corpus; this shuffles it once.
     "q_text_source_overlap" -> ((s, dir) => {
       import graft.functions.TextHashFunctions.winnowedFingerprints
+      import graft.operators.LshBandJoin.orderedPairs
       val fps = t(s, dir, "documents")
         .select(col("source"),
           explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
             .as("fp"))
-        .distinct()
-      val a = fps.select(col("source").as("src_a"), col("fp"))
-      val b = fps.select(col("source").as("src_b"), col("fp"))
-      a.join(b, "fp").where(col("src_a") < col("src_b"))
+      fps.groupBy(col("fp"))
+        .agg(array_sort(collect_set(col("source"))).as("srcs"))
+        .where(size(col("srcs")) >= 2)
+        .select(explode(orderedPairs(col("srcs"))).as("p"))
+        .select(col("p.a").as("src_a"), col("p.b").as("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(cnt.as("n_shared_fps"))
     }),
@@ -1046,15 +1078,22 @@ object TextQueries extends QueryPack {
     // the relevant doc's rank, its reciprocal rank in micro-units, and
     // hit@10 — the inputs to corpus-level MRR / recall@k. The rank is
     // computed WITHOUT a per-query window: join each candidate list to
-    // its query's relevant-doc score (a broadcast of |Q| rows) and
-    // COUNT the dominators under the (score DESC, doc_id ASC) order —
-    // one map-side filter + one aggregate, so a hot query term (a
-    // stopword landing in the slice) inflates a candidate COUNT, never
-    // a single-task sort. Query terms broadcast to the tf scan
-    // map-side; the only corpus shuffles are the per-(doc,term) tf
-    // aggregate and the per-(query,doc) score aggregate.
+    // its query's relevant-doc score (a |Q|-row frame) and COUNT the
+    // dominators under the (score DESC, doc_id ASC) order — one
+    // map-side filter + one aggregate, so a hot query term (a stopword
+    // landing in the slice) inflates a candidate COUNT, never a
+    // single-task sort. The query-side frames (qterms, dfT, rel) all
+    // scale with the QUERY SET — here 10% of the corpus — so each ships
+    // through the cost-based shipAuto pick (est rows = 0.1 x metadata
+    // doc count x <=8 terms vs the session broadcast threshold):
+    // broadcast at test SFs (the plan the pins expect), shuffle join
+    // when a corpus-sized query set would stall the driver. The only
+    // corpus shuffles are the per-(doc,term) tf aggregate and the
+    // per-(query,doc) score aggregate.
     "q_text_retrieval_eval" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // metadata-only count-star: sizes the shipAuto estimates below
+      val nQEst = math.max(docs.count() / 10L, 1L)
       val isQuery = conv(substring(md5(concat(lit("rq:"),
         col("doc_id").cast(StringType))), 1, 15), 16, 10)
         .cast(LongType) % 100 < 10
@@ -1067,8 +1106,8 @@ object TextQueries extends QueryPack {
         size(words(col("text"))).cast(LongType).as("dl"))
       val tf = docs
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
-        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
-          "leftsemi")
+        .join(shipAuto(s, qterms.select(col("term")).distinct(),
+          nQEst * 8L, QTermRowBytes), Seq("term"), "leftsemi")
         .groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
       val dfT = tf.groupBy(col("term")).agg(cnt.as("df_t"))
       val corpus = dl.agg(cnt.as("big_n"), sum(col("dl")).as("sum_dl"))
@@ -1082,8 +1121,9 @@ object TextQueries extends QueryPack {
           b * (col("dl").cast(DoubleType) /
             (col("sum_dl").cast(DoubleType) / col("big_n").cast(DoubleType))))))
         .cast(LongType)
-      val scored = tf.join(broadcast(qterms), "term")
-        .join(broadcast(dfT), "term")
+      val scored = tf.join(shipAuto(s, qterms, nQEst * 8L, QTermRowBytes),
+          "term")
+        .join(shipAuto(s, dfT, nQEst * 8L, QTermRowBytes), "term")
         .join(dl, "doc_id")
         .crossJoin(broadcast(corpus)) // 1-row, aggregate-reduced
         .select(col("query_id"), col("doc_id"), contrib.as("contrib_q"))
@@ -1091,7 +1131,8 @@ object TextQueries extends QueryPack {
         .agg(sum(col("contrib_q")).as("score_q"))
       val rel = scored.where(col("doc_id") === col("query_id"))
         .select(col("query_id"), col("score_q").as("rel_score"))
-      val beats = scored.join(broadcast(rel), "query_id")
+      val beats = scored.join(shipAuto(s, rel, nQEst, RelRowBytes),
+          "query_id")
         .where(col("score_q") > col("rel_score") ||
           (col("score_q") === col("rel_score") &&
             col("doc_id") < col("query_id")))
