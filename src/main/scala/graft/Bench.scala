@@ -9,13 +9,17 @@ import org.apache.spark.sql.SparkSession
   * unreferenced projection column, so expression-heavy queries would be
   * mostly unmeasured. A warmup query runs first (untimed) so the first
   * timed query doesn't absorb session/codegen/JIT startup. Each query
-  * is then timed SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
-  * the MEDIAN, with the max-min spread recorded beside it: single-run
-  * timings whipsawed up to 4.5x across rounds on same-code queries
-  * (box drift amplified on short queries), burning review cycles on
-  * phantom regressions. q_ref_* queries run once — they memoize the
-  * reference fixture per session, so their re-runs would time the
-  * cache, not the query.
+  * then runs SPARK_GRAFT_BENCH_RUNS times (default 3): the FIRST run is
+  * a per-query warm-up EXCLUDED from the stats (it pays plan-local
+  * codegen/file-listing/JIT that r12 showed as spread > median on
+  * trivial aggregates), the rest report the MEDIAN with the max-min
+  * spread beside it: single-run timings whipsawed up to 4.5x across
+  * rounds on same-code queries (box drift amplified on short queries),
+  * burning review cycles on phantom regressions. Any row whose spread
+  * still exceeds its median is named in "unstable" — a do-not-compare
+  * marker for round-over-round diffs. q_ref_* queries run once — they
+  * memoize the reference fixture per session, so their re-runs would
+  * time the cache, not the query.
   */
 object Bench {
 
@@ -77,20 +81,31 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     def run(name: String): Unit = runAt(name, sfDir)
 
-    val benchRuns = math.max(1,
+    // SPARK_GRAFT_BENCH_RUNS (default 3) = executions per query: one
+    // per-query WARM-UP excluded from the stats + the rest timed. r12
+    // showed first-run costs this plan-local warm-up absorbs (codegen,
+    // file listing, JIT for THIS plan) inflating spreads past medians
+    // on trivial aggregates; the global warm-up query can't absorb
+    // per-plan costs.
+    val benchRuns = math.max(2,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    // (median, max-min spread, all-runs-succeeded) over benchRuns
-    // timings; q_ref_* memoize the fixture per session, so they get
-    // exactly one timed run (re-runs would time the cache)
+    // (median, max-min spread, all-runs-succeeded) over the timed runs;
+    // q_ref_* memoize the fixture per session, so they get exactly one
+    // run, no warm-up (a warm-up would leave every timed run a cache hit)
     def timed(name: String, dir: String): (Double, Double, Boolean) = {
-      val n = if (name.startsWith("q_ref_")) 1 else benchRuns
       var ok = true
-      val ts = (1 to n).map { _ =>
+      def one(): Double = {
         val t0 = System.nanoTime()
         try runAt(name, dir) catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (ts(ts.size / 2), ts.last - ts.head, ok)
+      }
+      if (name.startsWith("q_ref_")) return (one(), 0.0, ok)
+      one() // warm-up, excluded
+      if (!ok) return (0.0, 0.0, false) // failed warm-up: timed runs would too
+      val ts = (1 until benchRuns).map(_ => one()).sorted
+      val med = if (ts.size % 2 == 1) ts(ts.size / 2)
+                else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
+      (med, ts.last - ts.head, ok)
     }
 
     // Warmup: one join-heavy query, untimed.
@@ -123,6 +138,13 @@ object Bench {
     val errored = stats.collect { case (n, _, _, false) => n }
     val results = stats.collect { case (n, med, _, true) => n -> med }
     val spreads = stats.collect { case (n, _, spr, true) => n -> spr }
+    // Timing-sanity flag: a row whose max-min spread exceeds its median
+    // (above the timing-resolution floor) is box noise, not plan cost —
+    // round-over-round perf conclusions must not be drawn from it. r12
+    // drew phantom 40-70x "regressions" from exactly such rows.
+    val unstable = stats.collect {
+      case (n, med, spr, true) if med >= 0.05 && spr > med => n
+    }
     // Locale-pinned number formatting: the f-interpolator uses the
     // default locale, which under a comma-decimal JVM would emit
     // "value":54,588 and break the JSON.
@@ -181,14 +203,20 @@ object Bench {
     val sprHead = dict(headline.flatMap(n =>
       sprByName.get(n).filter(_ >= 0.25).map(n -> _)))
     val errJson = errored.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // stdout stays tail-safe: cap the unstable list (count is the signal);
+    // the file artifact keeps every name.
+    def nameArr(ns: Seq[String]) =
+      ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val unstableHead =
+      s""""n_unstable":${unstable.size},"unstable":${nameArr(unstable.take(12))}"""
     val totalJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$benchRuns,"n_queries":${results.size},"errors":$errJson,"queries":$qs,"spread":$sprHead$scalingJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,$unstableHead,"queries":$qs,"spread":$sprHead$scalingJson,"sf":"$sfDir"}"""
     println(totalJson)
     // Full per-query dict to a file so round-over-round diffs cover every
     // query, not just the stdout-tail-safe headline subset.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$benchRuns,"n_queries":${results.size},"errors":$errJson,"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,"n_unstable":${unstable.size},"unstable":${nameArr(unstable)},"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -37,7 +37,18 @@ object Tables {
     // a UTC session zone; self-heal it for ad-hoc sessions the same way
     // as the nanos conf (harness mains already set both at build time),
     // so a non-UTC JVM cannot silently shift every events timestamp.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // The heal is session-global state: only touch the conf when it
+    // actually differs, and say so LOUDLY — a session that deliberately
+    // ran non-UTC must see that its zone changed, not discover shifted
+    // timestamp rendering downstream.
+    val zone = spark.conf.get("spark.sql.session.timeZone", "")
+    if (zone != "UTC") {
+      System.err.println(
+        s"[graft] Tables.events: overriding session timeZone '$zone' -> " +
+          "'UTC' (required for instant-preserving events.ts reads); " +
+          "set it back after the events-derived queries if needed")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>

@@ -19,23 +19,30 @@ import org.apache.spark.sql.functions._
   *
   * Hot-bucket guard: a band key shared by a near-dup-DENSE family (or
   * a degenerate band — e.g. every short doc hashing to the same two
-  * minima) re-quadratizes the bucket. Standard LSH practice caps the
-  * bucket: buckets larger than `maxBucket` are DROPPED from pair
-  * enumeration — a bucket that saturated the cap carries almost no
-  * discriminating power anyway (its members collide on one band of a
-  * k-band sketch; true near-dup families that large will still meet in
-  * their other, smaller bands). The drop is deterministic (exact bucket
-  * count), so the DuckDB oracles mirror it with the same HAVING bound;
-  * [[oversizedBuckets]] is the loud counter — pipelines surface it as a
-  * QA row rather than silently skipping (registered as
-  * q_dedup_lsh_bucket_profile).
+  * minima) re-quadratizes the bucket. Buckets larger than `maxBucket`
+  * degrade to STAR enumeration: every member pairs with the bucket's
+  * minimum id only (n-1 edges instead of n(n-1)/2), so per-bucket
+  * fan-out is linear above the cap while the bucket stays CONNECTED —
+  * the candidate graph's connected components (what dedup keep-sets
+  * derive from) are exactly those of full enumeration, a graph fact
+  * LshBandJoinSpec proves empirically. r12 DROPPED hot buckets instead,
+  * arguing oversized-bucket pairs re-meet in other, smaller bands; the
+  * r13 recall A/B measured that claim at 10% pair recall on a dense
+  * 80-member near-dup family — star degradation replaced the drop. The
+  * degradation is deterministic (exact bucket count + min id), so the
+  * DuckDB oracles mirror it with the same bound; [[oversizedBuckets]]
+  * is the loud counter — pipelines surface it as a QA row (registered
+  * as q_dedup_lsh_bucket_profile) because pair-LEVEL candidates above
+  * the cap are still reduced (n-1 of n(n-1)/2), even though component-
+  * level recall is preserved.
   */
 object LshBandJoin {
 
-  /** Buckets above this size are excluded from pair enumeration (and
-    * reported by [[oversizedBuckets]]). 1024 bounds per-bucket memory
-    * at ~8 KB of ids and pair fan-out at ~524k pairs — generous for a
-    * real near-dup family, tiny for an executor.
+  /** Buckets above this size degrade to star enumeration (and are
+    * reported by [[oversizedBuckets]]). 1024 bounds full-enumeration
+    * fan-out at ~524k pairs per bucket — generous for a real near-dup
+    * family, tiny for an executor; above it the star keeps fan-out
+    * linear in bucket size.
     */
   val DefaultMaxBucket = 1024
 
@@ -59,26 +66,36 @@ object LshBandJoin {
   /** @param bands (id, band_key) rows, one per item per band
     * @param idCol name of the id column in `bands`
     * @param maxBucket hot-bucket cap; buckets with more distinct ids
-    *                  are dropped (see class doc)
+    *                  degrade to star enumeration (see class doc).
+    *                  DELIBERATELY no default: the degradation thins
+    *                  pair-level candidates unless the caller also
+    *                  surfaces [[oversizedBuckets]], so every call site
+    *                  must state its cap (pass [[DefaultMaxBucket]]) and
+    *                  own the companion probe.
     * @return distinct (<idCol>_a, <idCol>_b) candidate pairs with a < b
     */
   def candidatePairs(bands: DataFrame, idCol: String,
-                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                     maxBucket: Int): DataFrame = {
     val (a, b) = (s"${idCol}_a", s"${idCol}_b")
+    // ids is sorted, so element 1 is the bucket minimum: the star pairs
+    // it with every later element — n-1 edges, same connectivity.
+    val star: Column = transform(slice(col("ids"), lit(2), size(col("ids"))),
+      y => struct(element_at(col("ids"), 1).as("a"), y.as("b")))
     bucketIds(bands, idCol)
-      .where(size(col("ids")).between(2, maxBucket))
-      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(when(size(col("ids")) <= maxBucket,
+        orderedPairs(col("ids"))).otherwise(star)).as("p"))
       .select(col("p.a").as(a), col("p.b").as(b))
       .distinct()
   }
 
   /** The loud counter for the hot-bucket guard: every band bucket the
-    * cap would drop, with its size. Empty on healthy corpora; a QA
-    * plane surfaces non-empty results instead of letting the cap hide
-    * recall loss.
+    * cap degrades to star enumeration, with its size. Empty on healthy
+    * corpora; a QA plane surfaces non-empty results instead of letting
+    * the cap silently thin pair-level candidates.
     */
   def oversizedBuckets(bands: DataFrame, idCol: String,
-                       maxBucket: Int = DefaultMaxBucket): DataFrame =
+                       maxBucket: Int): DataFrame =
     bucketIds(bands, idCol)
       .select(col("band_key"), size(col("ids")).as("bucket_size"))
       .where(col("bucket_size") > maxBucket)

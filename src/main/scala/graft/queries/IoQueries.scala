@@ -98,7 +98,10 @@ object IoQueries extends QueryPack {
     // float-formatting defect in the sink breaks the hash (Spark's
     // shortest-repr double formatting round-trips bit-exact).
     "q_write_csv_export" -> ((s, dir) => {
-      val out = "/tmp/graft_s6_csv_export"
+      // per-dataset-dir output: two concurrent sessions (bench +
+      // correctness, or two SF dirs) must not overwrite each other
+      // mid-read
+      val out = s"/tmp/graft_s6_csv_export_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "customer").write
         .option("header", "true").option("nullValue", "\\N")
         .mode("overwrite").csv(out)
@@ -118,7 +121,9 @@ object IoQueries extends QueryPack {
     // from the oracle computed directly over orders.
     // Ref: scripts/load_to_bronze.py:591-601, README.md:101-106
     "q_write_idempotent" -> ((s, dir) => {
-      val out = "/tmp/graft_s8_idempotent"
+      // per-dataset-dir output, same concurrent-session isolation as the
+      // CSV export above
+      val out = s"/tmp/graft_s8_idempotent_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val batched = t(s, dir, "orders")
         .withColumn("dwh_batch_id",
           concat(lit("BATCH"),

@@ -411,7 +411,8 @@ object SimQueries extends QueryPack {
     // (HyperplaneSketch) instead of 16 interpreted HOF aggregates.
     "q_sim_ann_lsh" -> ((s, dir) => {
       val cands = graft.operators.LshBandJoin
-        .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")
+        .candidatePairs(sketchBands(s, dir), "vec_id",
+          graft.operators.LshBandJoin.DefaultMaxBucket).toDF("vec_a", "vec_b")
       val raw = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
@@ -438,7 +439,8 @@ object SimQueries extends QueryPack {
     // propagation — see plans/Recursion.scala for that machinery).
     "q_dedup_embedding" -> ((s, dir) => {
       val cands = graft.operators.LshBandJoin
-        .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")
+        .candidatePairs(sketchBands(s, dir), "vec_id",
+          graft.operators.LshBandJoin.DefaultMaxBucket).toDF("vec_a", "vec_b")
       val raw = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorFunctions.quantizedNorm(col("embedding")).as("nrm"))
@@ -466,7 +468,8 @@ object SimQueries extends QueryPack {
     // is n_found/n_exact on integers, so it compares bit-exactly.
     "q_sim_ann_recall" -> ((s, dir) => {
       val cands = graft.operators.LshBandJoin
-        .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")
+        .candidatePairs(sketchBands(s, dir), "vec_id",
+          graft.operators.LshBandJoin.DefaultMaxBucket).toDF("vec_a", "vec_b")
       val ann = cands.select(col("vec_a").as("q_id"), col("vec_b").as("vec_id"))
         .unionAll(cands.select(col("vec_b").as("q_id"), col("vec_a").as("vec_id")))
       recallOf(s, dir, ann)
@@ -610,7 +613,8 @@ object SimQueries extends QueryPack {
     // window is the same bounded shape as the exact top-k baseline.
     "q_sim_hard_negatives" -> ((s, dir) => {
       val pairs = graft.operators.LshBandJoin
-        .candidatePairs(sketchBands(s, dir), "vec_id").toDF("vec_a", "vec_b")
+        .candidatePairs(sketchBands(s, dir), "vec_id",
+          graft.operators.LshBandJoin.DefaultMaxBucket).toDF("vec_a", "vec_b")
       val nd = pairs.select(col("vec_a").as("q_id"), col("vec_b").as("vec_id"))
         .unionAll(pairs.select(col("vec_b").as("q_id"),
           col("vec_a").as("vec_id")))
@@ -1007,15 +1011,22 @@ object SimQueries extends QueryPack {
          bands AS (
            SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
            FROM bits GROUP BY vec_id, j // 8),
-         bands_ok AS (
-           SELECT band_key FROM bands GROUP BY band_key
-           HAVING COUNT(DISTINCT vec_id)
-             <= ${graft.operators.LshBandJoin.DefaultMaxBucket}),
+         bstat AS (
+           SELECT band_key, COUNT(DISTINCT vec_id) AS bucket_n,
+                  MIN(vec_id) AS bucket_min
+           FROM bands GROUP BY band_key),
          cands AS (
-           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.vec_id < b.vec_id
-           JOIN bands_ok ok ON ok.band_key = a.band_key),
+           SELECT DISTINCT vec_a, vec_b FROM (
+             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bands a JOIN bands b
+               ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+             JOIN bstat st ON st.band_key = a.band_key
+               AND st.bucket_n <= ${graft.operators.LshBandJoin.DefaultMaxBucket}
+             UNION ALL
+             SELECT st.bucket_min AS vec_a, b.vec_id AS vec_b
+             FROM bands b JOIN bstat st ON st.band_key = b.band_key
+             WHERE st.bucket_n > ${graft.operators.LshBandJoin.DefaultMaxBucket}
+               AND b.vec_id > st.bucket_min)),
          dots AS (
            SELECT c.vec_a, c.vec_b, SUM(a.v[i+1]*b.v[i+1]) AS dot
            FROM cands c
@@ -1045,15 +1056,22 @@ object SimQueries extends QueryPack {
          bands AS (
            SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
            FROM bits GROUP BY vec_id, j // 8),
-         bands_ok AS (
-           SELECT band_key FROM bands GROUP BY band_key
-           HAVING COUNT(DISTINCT vec_id)
-             <= ${graft.operators.LshBandJoin.DefaultMaxBucket}),
+         bstat AS (
+           SELECT band_key, COUNT(DISTINCT vec_id) AS bucket_n,
+                  MIN(vec_id) AS bucket_min
+           FROM bands GROUP BY band_key),
          cands AS (
-           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.vec_id < b.vec_id
-           JOIN bands_ok ok ON ok.band_key = a.band_key),
+           SELECT DISTINCT vec_a, vec_b FROM (
+             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bands a JOIN bands b
+               ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+             JOIN bstat st ON st.band_key = a.band_key
+               AND st.bucket_n <= ${graft.operators.LshBandJoin.DefaultMaxBucket}
+             UNION ALL
+             SELECT st.bucket_min AS vec_a, b.vec_id AS vec_b
+             FROM bands b JOIN bstat st ON st.band_key = b.band_key
+             WHERE st.bucket_n > ${graft.operators.LshBandJoin.DefaultMaxBucket}
+               AND b.vec_id > st.bucket_min)),
          dots AS (
            SELECT c.vec_a, c.vec_b, SUM(a.v[i+1]*b.v[i+1]) AS dot
            FROM cands c
@@ -1088,15 +1106,22 @@ object SimQueries extends QueryPack {
          bands AS (
            SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
            FROM bits GROUP BY vec_id, j // 8),
-         bands_ok AS (
-           SELECT band_key FROM bands GROUP BY band_key
-           HAVING COUNT(DISTINCT vec_id)
-             <= ${graft.operators.LshBandJoin.DefaultMaxBucket}),
+         bstat AS (
+           SELECT band_key, COUNT(DISTINCT vec_id) AS bucket_n,
+                  MIN(vec_id) AS bucket_min
+           FROM bands GROUP BY band_key),
          cands AS (
-           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.vec_id < b.vec_id
-           JOIN bands_ok ok ON ok.band_key = a.band_key),
+           SELECT DISTINCT vec_a, vec_b FROM (
+             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bands a JOIN bands b
+               ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+             JOIN bstat st ON st.band_key = a.band_key
+               AND st.bucket_n <= ${graft.operators.LshBandJoin.DefaultMaxBucket}
+             UNION ALL
+             SELECT st.bucket_min AS vec_a, b.vec_id AS vec_b
+             FROM bands b JOIN bstat st ON st.band_key = b.band_key
+             WHERE st.bucket_n > ${graft.operators.LshBandJoin.DefaultMaxBucket}
+               AND b.vec_id > st.bucket_min)),
          nd AS (
            SELECT vec_a AS q_id, vec_b AS vec_id FROM cands
            UNION
@@ -1155,15 +1180,22 @@ object SimQueries extends QueryPack {
          bands AS (
            SELECT vec_id, CONCAT(j // 8, '_', SUM(bit * (1 << (j % 8)))) AS band_key
            FROM bits GROUP BY vec_id, j // 8),
-         bands_ok AS (
-           SELECT band_key FROM bands GROUP BY band_key
-           HAVING COUNT(DISTINCT vec_id)
-             <= ${graft.operators.LshBandJoin.DefaultMaxBucket}),
+         bstat AS (
+           SELECT band_key, COUNT(DISTINCT vec_id) AS bucket_n,
+                  MIN(vec_id) AS bucket_min
+           FROM bands GROUP BY band_key),
          cands AS (
-           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.vec_id < b.vec_id
-           JOIN bands_ok ok ON ok.band_key = a.band_key),
+           SELECT DISTINCT vec_a, vec_b FROM (
+             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bands a JOIN bands b
+               ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+             JOIN bstat st ON st.band_key = a.band_key
+               AND st.bucket_n <= ${graft.operators.LshBandJoin.DefaultMaxBucket}
+             UNION ALL
+             SELECT st.bucket_min AS vec_a, b.vec_id AS vec_b
+             FROM bands b JOIN bstat st ON st.band_key = b.band_key
+             WHERE st.bucket_n > ${graft.operators.LshBandJoin.DefaultMaxBucket}
+               AND b.vec_id > st.bucket_min)),
          ann AS (
            SELECT vec_a AS q_id, vec_b AS vec_id FROM cands
            UNION ALL

@@ -117,7 +117,8 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), minhashCol.as("mh"))
       .where(col("mh").isNotNull)
       .select(col("doc_id"), explode(bandKeysCol(col("mh"))).as("band_key"))
-    graft.operators.LshBandJoin.candidatePairs(bands, "doc_id")
+    graft.operators.LshBandJoin.candidatePairs(bands, "doc_id",
+        graft.operators.LshBandJoin.DefaultMaxBucket)
       .toDF("doc_a", "doc_b")
   }
 
@@ -417,11 +418,13 @@ object TextQueries extends QueryPack {
     "q_dedup_minhash_lsh" -> (minhashPairs(_, _)),
 
     // The loud counter for the LSH hot-bucket cap (LshBandJoin class
-    // doc): band-bucket-size histogram with the dropped flag. Bounded
-    // output (one row per distinct bucket size); a production QA plane
-    // alerts on any `dropped = true` row, so the cap can never silently
-    // cost recall. Exercised by the same band table every pair query
-    // consumes — the profile and the cap cannot drift.
+    // doc): band-bucket-size histogram with the star_degraded flag.
+    // Bounded output (one row per distinct bucket size); a production
+    // QA plane alerts on any `star_degraded = true` row, because above
+    // the cap pair enumeration degrades to the bucket-min star (n-1
+    // edges — component-preserving, but pair-level candidates thin).
+    // Exercised by the same band table every pair query consumes — the
+    // profile and the cap cannot drift.
     "q_dedup_lsh_bucket_profile" -> ((s, dir) => {
       val bands = t(s, dir, "documents")
         .select(col("doc_id"), minhashCol.as("mh"))
@@ -435,7 +438,7 @@ object TextQueries extends QueryPack {
         .agg(cnt.as("bucket_size"))
         .groupBy(col("bucket_size"))
         .agg(cnt.as("n_buckets"))
-        .withColumn("dropped",
+        .withColumn("star_degraded",
           col("bucket_size") > graft.operators.LshBandJoin.DefaultMaxBucket)
     }),
 
@@ -1204,10 +1207,22 @@ object TextQueries extends QueryPack {
                   FROM documents))),
         mins AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
         bands AS ($bands),
-        bands_ok AS (
-          SELECT band_key FROM bands GROUP BY band_key
-          HAVING COUNT(DISTINCT doc_id)
-            <= ${graft.operators.LshBandJoin.DefaultMaxBucket})"""
+        bstat AS (
+          SELECT band_key, COUNT(DISTINCT doc_id) AS bucket_n,
+                 MIN(doc_id) AS bucket_min
+          FROM bands GROUP BY band_key),
+        cand_pairs AS (
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            JOIN bstat st ON st.band_key = a.band_key
+              AND st.bucket_n <= ${graft.operators.LshBandJoin.DefaultMaxBucket}
+            UNION ALL
+            SELECT st.bucket_min AS doc_a, b.doc_id AS doc_b
+            FROM bands b JOIN bstat st ON st.band_key = b.band_key
+            WHERE st.bucket_n > ${graft.operators.LshBandJoin.DefaultMaxBucket}
+              AND b.doc_id > st.bucket_min))"""
   }
 
   /** Exact-threshold Jaccard pairs over distinct word-3-gram shingles —
@@ -1336,15 +1351,12 @@ object TextQueries extends QueryPack {
     "q_dedup_jaccard_ppjoin" -> jaccardPairsOracle("documents"),
     "q_dedup_minhash_lsh" -> (minhashOracleCte +
       """
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
-           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-         JOIN bands_ok ok ON ok.band_key = a.band_key"""),
+         SELECT doc_a, doc_b FROM cand_pairs"""),
     "q_dedup_lsh_bucket_profile" -> (minhashOracleCte +
       s"""
          SELECT bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
                 bucket_size > ${graft.operators.LshBandJoin.DefaultMaxBucket}
-                  AS dropped
+                  AS star_degraded
          FROM (SELECT band_key,
                       CAST(COUNT(*) AS BIGINT) AS bucket_size
                FROM bands GROUP BY band_key)
@@ -1353,11 +1365,7 @@ object TextQueries extends QueryPack {
     "q_dedup_components" ->
       (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
         """,
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-           JOIN bands_ok ok ON ok.band_key = a.band_key),
+         pairs AS (SELECT doc_a, doc_b FROM cand_pairs),
          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
          reach AS (
@@ -1373,11 +1381,7 @@ object TextQueries extends QueryPack {
     "q_dedup_cluster_pick" ->
       (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
         """,
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-           JOIN bands_ok ok ON ok.band_key = a.band_key),
+         pairs AS (SELECT doc_a, doc_b FROM cand_pairs),
          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
          reach AS (
@@ -1414,11 +1418,7 @@ object TextQueries extends QueryPack {
     "q_dedup_components_minlabel" ->
       (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
         """,
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-           JOIN bands_ok ok ON ok.band_key = a.band_key),
+         pairs AS (SELECT doc_a, doc_b FROM cand_pairs),
          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
          reach AS (
@@ -1814,11 +1814,7 @@ object TextQueries extends QueryPack {
     "q_split_leakage_safe" ->
       (minhashOracleCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
         """,
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-           JOIN bands_ok ok ON ok.band_key = a.band_key),
+         pairs AS (SELECT doc_a, doc_b FROM cand_pairs),
          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
          reach AS (
@@ -1859,11 +1855,7 @@ object TextQueries extends QueryPack {
     "q_text_lang_id" -> langOracle,
     "q_text_clean_corpus" -> (minhashOracleCte +
       s""",
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-           JOIN bands_ok ok ON ok.band_key = a.band_key),
+         pairs AS (SELECT doc_a, doc_b FROM cand_pairs),
          qual AS ($qualityOracle),
          lang AS ($langOracle),
          base AS (

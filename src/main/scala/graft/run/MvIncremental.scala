@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
 
-/** Incremental maintenance for the 8 non-recursive gold MVs — the scale
+/** Incremental maintenance for all 9 gold MVs — the scale
   * extension over the reference's `REFRESH MATERIALIZED VIEW` (full
   * recompute over the whole fact table per batch,
   * sql/tools/MV Refresh Template.sql:30): each landed batch is reduced
@@ -33,8 +33,8 @@ import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
   * (`ToolsConfig.mvBuilders`). Routing is config-driven: an
   * mv_refresh_config row with `strategy: "incremental"` takes this
   * plane (Orchestrator.runConfiguredBatch), anything else — including
-  * an incremental request with no merge decomposition, like the
-  * recursive chain — full-refreshes. Partial tables are ordinary
+  * an incremental request for a builder with no spec here —
+  * full-refreshes. Partial tables are ordinary
   * batch-partitioned layer tables, so the maintenance planes compose:
   * Orchestrator.compactBatches bin-packs their per-batch files like
   * any other table's.
@@ -183,5 +183,20 @@ object MvIncremental {
         .agg(sum(col("sales")).as("total_sales")),
       rebuild = p => p
         .rollup(col("product_line"), col("category"), col("sub_category"))
-        .agg(sum(col("total_sales")).as("total_sales"))))
+        .agg(sum(col("total_sales")).as("total_sales"))),
+
+    // MV9, the recursive chain: batch-scoped BY CONSTRUCTION — surrogate
+    // keys are per-batch, so delayedOrdersChain's step predicate pins
+    // fs.dwh_batch_id = d.dwh_batch_id and no chain can cross batches.
+    // The whole-table chain is therefore EXACTLY the union of per-batch
+    // chains: the partial is this batch's full recursion (delta-seeded —
+    // seed and every step read only the new batch's slice; the fact-side
+    // work per batch is the delta, never the corpus) and the rebuild is
+    // the identity merge over the partial table. MvIncrementalSpec
+    // proves the union equals the full refresh on the adversarial
+    // multi-batch fixture.
+    Spec("delayed_orders_chain",
+      partial = (f, _, _) =>
+        graft.pipeline.GoldViews.delayedOrdersChain(f),
+      rebuild = p => p))
 }

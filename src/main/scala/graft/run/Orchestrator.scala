@@ -882,26 +882,49 @@ object Orchestrator {
       if (steps.isEmpty) return
       // one delta scan shared by all partial builds, not one re-read
       // of the batch partition per MV (the delta is the expensive side
-      // at scale; the dims are broadcast anyway)
-      val factB = readBatch("gold/fact_sales")
+      // at scale; the dims are broadcast anyway). The reads are LAZY:
+      // spark.read.parquet infers schema EAGERLY, so a missing upstream
+      // (first batch whose gold integration failed) must surface as a
+      // per-step FAILED row inside runGated — same degradation as the
+      // full-refresh plane — not an AnalysisException that aborts the
+      // whole configured batch before any audit row lands. A failed
+      // lazy init rethrows on each access, so every step gets its own
+      // FAILED row.
+      lazy val factB = readBatch("gold/fact_sales")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dimCB = readBatch("gold/dim_customers")
-      val dimPB = readBatch("gold/dim_products")
+      lazy val dimCB = readBatch("gold/dim_customers")
+      lazy val dimPB = readBatch("gold/dim_products")
+      var factLoaded = false
+      def sharedFact(): DataFrame = { val f = factB; factLoaded = true; f }
       val specByTarget = steps.map { case (st, sp) => st.target -> sp }.toMap
       try runGated("mv_incremental",
         steps.map { case (st, sp) =>
-          st -> (() => sp.partial(factB, dimCB, dimPB))
+          st -> (() => sp.partial(sharedFact(), dimCB, dimPB))
         }) { (st, build) =>
         val sp = specByTarget(st.target)
-        writeBatch(build().drop("dwh_batch_id"), s"mv_partials/${sp.name}")
+        val partialTable = s"mv_partials/${sp.name}"
+        val built = build()
+        writeBatch(built.drop("dwh_batch_id"), partialTable)
+        // an all-empty partial plane is legitimate (e.g. a batch with no
+        // late shipment for the chain MV): a partitioned empty write
+        // creates the table directory (_SUCCESS only) but no partition
+        // data, so rebuild from an empty frame of the partial's schema
+        // instead of dying on the schema-less read
+        val hasPartitions = Option(
+          new java.io.File(s"$warehouse/$partialTable").listFiles())
+          .exists(_.exists(f => f.isDirectory &&
+            f.getName.startsWith("dwh_batch_id=")))
+        val partials =
+          if (hasPartitions) readTable(partialTable).drop("dwh_batch_id")
+          else built.drop("dwh_batch_id").limit(0)
         val obs = org.apache.spark.sql.Observation()
-        sp.rebuild(readTable(s"mv_partials/${sp.name}").drop("dwh_batch_id"))
+        sp.rebuild(partials)
           .observe(obs, count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$warehouse/${st.target}")
         log("mv_incremental", st.target, "SUCCESS",
           obs.get("n").asInstanceOf[Long])
-      } finally factB.unpersist()
+      } finally if (factLoaded) factB.unpersist()
     }
 
     /** Convenience face for direct (non-config) use and the

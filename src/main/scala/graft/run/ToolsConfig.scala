@@ -89,11 +89,11 @@ object ToolsConfig {
                           strategy: String)
 
   /** mv_refresh_config rows WITH the optional strategy column. A
-    * strategy the runner can't honor (e.g. "incremental" on the
-    * recursive chain, which has no merge decomposition) falls back to
-    * full refresh — config requests a plan, the runner picks the
-    * correct one it can serve (same config-error-is-not-abort policy
-    * as `resolve`).
+    * strategy the runner can't honor (e.g. "incremental" on a builder
+    * with no [[graft.run.MvIncremental]] spec) falls back to full
+    * refresh — config requests a plan, the runner picks the correct
+    * one it can serve (same config-error-is-not-abort policy as
+    * `resolve`).
     */
   def loadMvSteps(spark: SparkSession, warehouse: String): Seq[MvStep] = {
     val deps = loadDependencies(spark, warehouse)

@@ -107,32 +107,44 @@ object ZoneMapLayout {
     * SURVIVING file list is materialized on the driver — the same
     * planning-time contract as Iceberg/Delta, where the driver holds the
     * pruned scan-task list, never the full manifest. Driver memory is
-    * therefore bounded by predicate selectivity: a selective box at 100
-    * TB keeps thousands of files, and the degenerate case (nothing
-    * pruned) materializes exactly the list `spark.read.parquet(path)`
-    * would have built on the driver anyway — the prune never makes the
-    * driver worse than a plain scan.
+    * bounded TWICE: by predicate selectivity (a selective box at 100 TB
+    * keeps thousands of files) and, for the degenerate case where
+    * (almost) nothing prunes, by `maxDriverFiles` — past it the explicit
+    * file list buys nothing over a directory scan, so the read falls
+    * back to the plain path scan (+ the same residual filter; identical
+    * rows) and reports (filesTotal, filesTotal): no skip happened, and
+    * the driver never holds a corpus-scale file list.
     */
   def prunedRead(spark: SparkSession, path: String,
-                 box: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+                 box: Seq[(String, Long, Long)],
+                 maxDriverFiles: Int = 100000): (DataFrame, Int, Int) = {
     val zm = spark.read.parquet(s"$path/_zonemap")
     val intersects = box.map { case (c, lo, hi) =>
       col(s"lo_$c") <= hi && col(s"hi_$c") >= lo
     }.reduce(_ && _)
-    // ONE distributed pass over the manifest: total file count and the
-    // surviving list come from the same aggregate, and only survivors
-    // reach the driver
+    // ONE distributed pass over the manifest: total count, survivor
+    // count, and the survivor list CAPPED at the driver budget come
+    // from the same aggregate — the full list never ships when it
+    // would not be used
     val agg = zm.agg(
       count(lit(1)).as("total"),
-      collect_list(when(intersects, col("file"))).as("kept")).head()
+      count(when(intersects, lit(1))).as("n_kept"),
+      slice(collect_list(when(intersects, col("file"))),
+        1, maxDriverFiles).as("kept")).head()
     val total = agg.getLong(0)
-    val files = agg.getSeq[String](1).toArray
+    val nKept = agg.getLong(1)
     val residual = box.map { case (c, lo, hi) =>
       col(c).between(lo, hi)
     }.reduce(_ && _)
-    val base =
-      if (files.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    (base.where(residual), files.length, total.toInt)
+    if (nKept > maxDriverFiles) {
+      // degenerate prune: survivors at listing scale — plain scan
+      (spark.read.parquet(path).where(residual), total.toInt, total.toInt)
+    } else {
+      val files = agg.getSeq[String](2).toArray
+      val base =
+        if (files.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(files.toIndexedSeq: _*)
+      (base.where(residual), files.length, total.toInt)
+    }
   }
 }

@@ -53,7 +53,10 @@ class MvIncrementalSpec extends AnyFunSuite with SparkTestBase {
 
   // deterministic fact rows; order numbers "o<k>" repeat across batches
   // for the same natural customer, (order_number, product_key) is
-  // unique per (customer, date) so window tiebreaks are total
+  // unique per (customer, date) so window tiebreaks are total.
+  // shipping/due dates feed the recursive chain spec: every 5th order
+  // ships late (due + 3), the rest on time, so per-batch seeds exist
+  // and same-customer later orders chain off them.
   private def fact(b: String): DataFrame = {
     import spark.implicits._
     val bi = batches.indexOf(b)
@@ -68,11 +71,16 @@ class MvIncrementalSpec extends AnyFunSuite with SparkTestBase {
       val date: java.sql.Date =
         if (i % 17 == 0) null
         else java.sql.Date.valueOf(f"2020-0${1 + (i + bi) % 6}%s-${1 + (i * 11) % 27}%02d")
+      def plus(d: java.sql.Date, days: Int): java.sql.Date =
+        if (d == null) null
+        else java.sql.Date.valueOf(d.toLocalDate.plusDays(days))
+      val due = plus(date, 4)
+      val ship = plus(date, if (i % 5 == 0) 7 else 2) // every 5th late
       val sales = ((i % 9) + 1) * 10.0
-      (orderNo, cust + off, prod + off, date, sales, b)
+      (orderNo, cust + off, prod + off, date, ship, due, sales, b)
     }
     rows.toDF("order_number", "customer_key", "product_key",
-      "order_date", "sales", "dwh_batch_id")
+      "order_date", "shipping_date", "due_date", "sales", "dwh_batch_id")
   }
 
   private lazy val factAll = batches.map(fact).reduce(_ unionAll _)
@@ -96,6 +104,8 @@ class MvIncrementalSpec extends AnyFunSuite with SparkTestBase {
       GoldViews.customerOrderGap(factAll, dimCAll)
     case "sales_rollup_product" =>
       GoldViews.salesRollupProduct(factAll, dimPAll)
+    case "delayed_orders_chain" =>
+      GoldViews.delayedOrdersChain(factAll)
   }
 
   for (sp <- MvIncremental.specs(RefDate)) {
@@ -109,6 +119,14 @@ class MvIncrementalSpec extends AnyFunSuite with SparkTestBase {
       assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
         s"${sp.name}: incremental != full")
     }
+  }
+
+  test("the chain fixture recurses past the seed (non-vacuous)") {
+    // without level >= 2 rows the chain equivalence above would only
+    // prove seed = seed, never exercising the per-batch recursion step
+    val maxLevel = GoldViews.delayedOrdersChain(factAll)
+      .agg(max(col("level"))).head.getLong(0)
+    assert(maxLevel >= 2L, s"chain max level $maxLevel — fixture trivial")
   }
 
   test("the fixture actually exercises the cross-batch distinct trap") {

@@ -222,8 +222,9 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     // incremental MV maintenance == full refresh, on the same two-batch
     // warehouse: each batch reduces to its partials (delta-bounded fact
     // work), the MVs rebuild from the compact partial tables, and every
-    // one of the 8 non-recursive MVs is row-for-row identical to the
-    // full-refresh output the lifecycle wrote above
+    // one of the 9 MVs — the recursive chain included (per-batch chain
+    // + identity merge) — is row-for-row identical to the full-refresh
+    // output the lifecycle wrote above
     val specs = graft.run.MvIncremental.specs(ReferenceFixtures.RefDate)
     def sameRows(name: String): Unit = {
       val full = spark.read.parquet(s"$wh/gold/mv_$name")
@@ -237,7 +238,7 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     val incRun15 = new Orchestrator.Run(spark, wh, B15)
     incRun15.refreshViewsIncremental(specs, outPrefix = "goldinc")
     assert(incRun15.auditLog.count(l =>
-      l.step == "mv_incremental" && l.status == "SUCCESS") === 8)
+      l.step == "mv_incremental" && l.status == "SUCCESS") === 9)
     specs.foreach(sp => sameRows(sp.name))
 
     // rerun-idempotency of the partial plane: re-maintaining the SAME
@@ -253,9 +254,9 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     import graft.run.ToolsConfig
     val wh = Files.createTempDirectory("graft_mvstrat").toString
     // seed the MV config BEFORE the run (writeDefaultsIfMissing never
-    // clobbers): two mergeable MVs ask for incremental, the recursive
-    // chain asks for incremental it cannot have (falls back to full),
-    // the rest stay default-full
+    // clobbers): two mergeable MVs and the recursive chain (batch-scoped
+    // by construction, so its incremental spec is the per-batch chain +
+    // identity merge) ask for incremental, the rest stay default-full
     def row(t: String, o: Int, b: String, strat: Option[String]) =
       s"""{"target_table":"$t","run_order":$o,"enabled":true,"builder":"$b"""" +
         strat.map(s => s""","strategy":"$s"""").getOrElse("") + "}"
@@ -271,12 +272,13 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
       row("gold/mv_delayed_orders_chain", 9, "delayed_orders_chain", Some("incremental"))))
     val run = Orchestrator.runFixtureBatch(spark, wh)
 
-    // routing: 2 honored incremental, 7 full (including the fallback)
+    // routing: all 3 requested incrementals honored (the chain gained
+    // its spec in r13), 6 full
     val mvLogs = run.auditLog.filter(l => l.status == "SUCCESS" &&
       (l.step == "mv_refresh" || l.step == "mv_incremental"))
-    assert(mvLogs.count(_.step == "mv_incremental") === 2)
-    assert(mvLogs.count(_.step == "mv_refresh") === 7)
-    assert(run.auditLog.exists(l => l.step == "mv_refresh"
+    assert(mvLogs.count(_.step == "mv_incremental") === 3)
+    assert(mvLogs.count(_.step == "mv_refresh") === 6)
+    assert(run.auditLog.exists(l => l.step == "mv_incremental"
       && l.target == "gold/mv_delayed_orders_chain" && l.status == "SUCCESS"))
 
     // the incrementally-maintained MVs equal the direct GoldViews
@@ -291,6 +293,10 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     val churnFull = GoldViews.customerChurn(fact, dimC, ReferenceFixtures.RefDate)
     assert(churn.exceptAll(churnFull).isEmpty &&
       churnFull.exceptAll(churn).isEmpty)
+    val chain = spark.read.parquet(s"$wh/gold/mv_delayed_orders_chain")
+    val chainFull = GoldViews.delayedOrdersChain(fact)
+    assert(chain.exceptAll(chainFull).isEmpty &&
+      chainFull.exceptAll(chain).isEmpty)
     // and the partial plane landed batch-partitioned
     assert(new java.io.File(
       s"$wh/mv_partials/customer_lifetime_value/dwh_batch_id=${ReferenceFixtures.BatchId}")

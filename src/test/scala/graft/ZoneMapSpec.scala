@@ -72,4 +72,21 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     assert(kept === 0)
     assert(df.count() === 0)
   }
+
+  test("survivor list past the driver budget falls back to the plain scan") {
+    // a whole-domain box keeps every file; with maxDriverFiles below the
+    // file count the read must degrade to the path scan (identical rows,
+    // no skip reported) instead of shipping the full list to the driver
+    val box = Seq(("l_partkey", 0L, 1000000L))
+    val (df, kept, total) = ZoneMapLayout.prunedRead(spark, zPath, box,
+      maxDriverFiles = 4)
+    assert(total > 4, "fixture has too few files to exercise the cap")
+    assert(kept === total, "fallback must report no skip")
+    assert(df.count() === expected(box))
+    // exactly at the budget the explicit list is still used (boundary)
+    val (df2, kept2, total2) = ZoneMapLayout.prunedRead(spark, zPath, box,
+      maxDriverFiles = total)
+    assert(kept2 === total2)
+    assert(df2.count() === expected(box))
+  }
 }
