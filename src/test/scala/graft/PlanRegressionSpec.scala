@@ -53,6 +53,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles(plan("q_dedup_ngram_jaccard")) <= 2)
   }
 
+  test("q_text_source_overlap is join-free: one fingerprint-scale shuffle") {
+    // r12 ran distinct + a fingerprint self-join (three fingerprint-set
+    // shuffles, 49.6x at 10x data). The r13 plan is groupBy(fp) +
+    // in-codegen pair explode: NO join node anywhere, and exactly two
+    // exchanges — the fingerprint group-by (the only corpus-scale one)
+    // and the tiny sources^2 pair-count group-by.
+    val p = plan("q_text_source_overlap")
+    assert(!p.contains("Join"), "source-overlap reintroduced a join")
+    assert(shuffles(p) === 2, p.take(1200))
+  }
+
   test("q_events_sessionize pays exactly one shuffle of the event table") {
     assert(shuffles(plan("q_events_sessionize")) === 1)
   }
