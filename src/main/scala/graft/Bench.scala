@@ -56,7 +56,8 @@ object Bench {
     "q_sim_ann_lsh", "q_ref_fact_sales", "q_ref_mv_top3_month_country",
     "q_text_quality", "q_text_clean_corpus", "q_write_idempotent",
     "q_dedup_components", "q_dedup_jaccard_ppjoin", "q_pack_sequences",
-    "q_sim_ann_recall", "q_join_asof", "q_join_asof_epoch",
+    "q_sim_ann_recall", "q_sim_ann_multiprobe_recall",
+    "q_join_asof", "q_join_asof_epoch",
     "q_join_range_binned", "q_text_decontaminate_bloom",
     "q_dedup_incremental", "q_agg_hll_merge", "q_agg_kll_merge",
     "q_events_retention", "q_window_ntile_deciles", "q_text_source_overlap",

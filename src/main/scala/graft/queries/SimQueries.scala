@@ -475,6 +475,38 @@ object SimQueries extends QueryPack {
       recallOf(s, dir, ann)
     }),
 
+    // Multi-probe LSH (Lv et al., VLDB 2007): instead of more hash
+    // tables, each QUERY also probes the buckets at Hamming distance 1
+    // within each band (8 single-bit flips + the exact key per band =
+    // 9 keys x 2 bands) — the standard recall-vs-memory trade that
+    // recovers neighbors whose sketch differs by one flipped
+    // hyperplane. Plan shape: the probe-key table is query-set-scale
+    // (|Q| x 18 rows, broadcast); the corpus band table ships only
+    // matching keys through the equi-join — the INDEX is never
+    // expanded, so index size and build cost are unchanged at 100 TB.
+    // MultiProbeRecallSpec pins the lift over single-probe
+    // q_sim_ann_recall on the shared exact denominator.
+    "q_sim_ann_multiprobe_recall" -> ((s, dir) => {
+      val sketched = t(s, dir, "embeddings")
+        .where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"),
+          VectorFunctions.hyperplaneSketch(col("embedding"), signs)
+            .as("sketch"))
+      val probeKeys = (0 until NumBands).flatMap { b =>
+        val bandVal = shiftright(col("sketch"), BitsPerBand * b)
+          .bitwiseAND(lit((1L << BitsPerBand) - 1))
+        (bandVal +: (0 until BitsPerBand).map(i =>
+          bandVal.bitwiseXOR(lit(1L << i))))
+          .map(v => concat(lit(b.toString), lit("_"), v.cast(StringType)))
+      }
+      val probes = sketched
+        .select(col("q_id"), explode(array(probeKeys: _*)).as("band_key"))
+      val cands = sketchBands(s, dir).join(broadcast(probes), "band_key")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id")).distinct()
+      recallOf(s, dir, cands)
+    }),
+
     // recall@10 of the untrained IVF's candidate lists — the baseline
     // the trained variant has to beat (same probe set, same exact
     // denominator as every other recall row).
@@ -1200,6 +1232,64 @@ object SimQueries extends QueryPack {
            SELECT vec_a AS q_id, vec_b AS vec_id FROM cands
            UNION ALL
            SELECT vec_b AS q_id, vec_a AS vec_id FROM cands),
+         found AS (
+           SELECT e.q_id, COUNT(*) AS n_found
+           FROM exact e JOIN ann a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+           GROUP BY e.q_id),
+         ne AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id)
+         SELECT ne.q_id, ne.n_exact,
+                COALESCE(f.n_found, 0) AS n_found,
+                CAST(COALESCE(f.n_found, 0) AS DOUBLE) / ne.n_exact AS recall
+         FROM ne LEFT JOIN found f ON f.q_id = ne.q_id""",
+    // same exact denominator; candidates = query-side probe keys (the
+    // exact band key + all 8 single-bit flips per band) joined to the
+    // unexpanded index band table
+    "q_sim_ann_multiprobe_recall" ->
+      s"""WITH $quantCte,
+         dots AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
+           FROM qv a, qv b, range(64) t(i)
+           WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE)
+                    / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+           FROM dots d
+           JOIN norms na ON na.vec_id = d.q_id
+           JOIN norms nb ON nb.vec_id = d.vec_id),
+         exact AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, vec_id) AS rn
+             FROM scored) WHERE rn <= 10),
+         signs AS (
+           SELECT j, i,
+                  CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(j, ':', i)), 1, 15))
+                            AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+           FROM range(16) t1(j), range(64) t2(i)),
+         bits AS (
+           SELECT e.vec_id, s.j,
+                  CASE WHEN SUM(e.v[s.i+1]*s.s) > 0 THEN 1 ELSE 0 END AS bit
+           FROM qv e, signs s GROUP BY e.vec_id, s.j),
+         bvals AS (
+           SELECT vec_id, j // 8 AS band,
+                  CAST(SUM(bit * (1 << (j % 8))) AS BIGINT) AS v
+           FROM bits GROUP BY vec_id, j // 8),
+         bands AS (
+           SELECT vec_id, CONCAT(band, '_', v) AS band_key FROM bvals),
+         probes AS (
+           SELECT DISTINCT bv.vec_id AS q_id,
+                  CONCAT(bv.band, '_', CAST(xor(bv.v, m.m) AS BIGINT)) AS band_key
+           FROM bvals bv,
+                (SELECT UNNEST([0,1,2,4,8,16,32,64,128]) AS m) m
+           WHERE bv.vec_id % 50 = 0),
+         ann AS (
+           SELECT DISTINCT p.q_id, b.vec_id
+           FROM probes p JOIN bands b USING (band_key)
+           WHERE b.vec_id <> p.q_id),
          found AS (
            SELECT e.q_id, COUNT(*) AS n_found
            FROM exact e JOIN ann a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
