@@ -38,6 +38,20 @@ object SimQueries extends QueryPack {
   private val BitsPerBand = 8
   private val NumBands = NumBits / BitsPerBand
 
+  /** shipAuto row-byte estimates (TextQueries.shipAuto — the cost-based
+    * broadcast-vs-shuffle pick shared across packs): an embedding probe
+    * row is 64 quantized coords + norm + hashed-relation overhead; a
+    * probe-key row is a long + a short band-key string.
+    */
+  private val EmbRowBytes = 512L
+  private val KeyRowBytes = 64L
+
+  /** Metadata-only embedding count (parquet count-star) sizing the
+    * shipAuto estimates; the probe protocol selects every 50th vector.
+    */
+  private def nVecEst(s: SparkSession, dir: String): Long =
+    math.max(t(s, dir, "embeddings").count(), 1L)
+
   /** ±1 hyperplane signs from md5 parity — the canonical derivation
     * lives with the operator (graft.functions.HyperplaneSketch).
     */
@@ -77,7 +91,12 @@ object SimQueries extends QueryPack {
     val qs = vecs.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
         col("nrm").as("qn"))
-    vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+    // the query side is 2% of the CORPUS, so it ships via the
+    // cost-based pick: broadcast at test SFs, unhinted (the planner's
+    // nested-loop falls back to a partitioned cross) when a 100x corpus
+    // would stall the driver — same discipline as the retrieval eval
+    vecs.join(TextQueries.shipAuto(s, qs, nVecEst(s, dir) / 50, EmbRowBytes),
+        col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
           col("qn"), col("nrm")).as("cosine"))
@@ -99,7 +118,11 @@ object SimQueries extends QueryPack {
       .orderBy(col("cosine").desc, col("vec_id"))
     cands
       .join(vecs, "vec_id")
-      .join(broadcast(qs), "q_id")
+      // qs is the WHOLE embedding table keyed q_id (only cands' q_ids
+      // survive the join, but a broadcast ships everything): cost-based
+      // pick — broadcast at test SFs, shuffle hash/merge join at scale
+      .join(TextQueries.shipAuto(s, qs, nVecEst(s, dir), EmbRowBytes),
+        "q_id")
       .select(col("q_id"), col("vec_id"),
         cosine(VectorFunctions.quantizedDot(col("qemb"), col("embedding")),
           col("qn"), col("nrm")).as("cosine"))
@@ -501,7 +524,9 @@ object SimQueries extends QueryPack {
       }
       val probes = sketched
         .select(col("q_id"), explode(array(probeKeys: _*)).as("band_key"))
-      val cands = sketchBands(s, dir).join(broadcast(probes), "band_key")
+      val cands = sketchBands(s, dir)
+        .join(TextQueries.shipAuto(s, probes,
+          nVecEst(s, dir) / 50 * 18, KeyRowBytes), "band_key")
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id")).distinct()
       recallOf(s, dir, cands)

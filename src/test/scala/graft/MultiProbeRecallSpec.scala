@@ -32,4 +32,28 @@ class MultiProbeRecallSpec extends AnyFunSuite with SparkTestBase {
       "/root/testdata/sf0.01")
     assert(fm > f1, s"no recall lift at sf0.01 ($fm vs $f1 of $e1)")
   }
+
+  test("sim-pack query-side frames demote past the broadcast budget") {
+    // probeScored / cosineRerank / the multiprobe key table all scale
+    // with the corpus — under a tiny threshold shipAuto must drop every
+    // broadcast-hash plan and the results must not change
+    val dir = "/root/testdata/sf0.001"
+    def run(name: String) = SparkEntry.queries(name)(spark, dir)
+    def physPlan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    for (name <- Seq("q_sim_ann_multiprobe_recall", "q_sim_ann_ivf")) {
+      val rows = run(name).collect().map(_.toString).sorted.toSeq
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+        val demoted = run(name)
+        assert(!physPlan(demoted).contains("BroadcastHashJoin"),
+          s"$name kept a broadcast-hash plan past the budget")
+        assert(demoted.collect().map(_.toString).sorted.toSeq === rows,
+          s"$name: fallback changed the rows")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
 }
