@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded distinct-id collector for LSH bucket enumeration
+  * (operators/LshBandJoin): collects a bucket's distinct ids ONLY while
+  * they fit the cap; past it the id set is released and the bucket is
+  * reported saturated with just its minimum id (the star-degradation
+  * target). This is what makes hot-bucket handling ONE pass with O(cap)
+  * aggregation buffers — a plain collect_set would materialize a
+  * degenerate corpus-scale bucket (every empty doc hashing to one band
+  * key) as a single in-memory set inside one executor's aggregation
+  * buffer BEFORE any size filter could drop it.
+  *
+  * Mergeable by construction: union while unsaturated (saturate on
+  * overflow), saturated absorbs everything; the minimum is tracked
+  * unconditionally so the star target stays exact after ids are
+  * released. Native TypedImperativeAggregate (same plan path as
+  * Spark's own collect_set / the Bloom aggregate above) — the typed
+  * Aggregator/udaf form measured ~0.4 s slower per call on kryo buffer
+  * shipping alone.
+  */
+object BoundedIdSet {
+
+  /** Aggregation buffer: distinct ids while they fit, running min
+    * always. `ids == null` encodes saturation.
+    */
+  final class Buf(var mn: Long, var ids: java.util.HashSet[Long])
+
+  case class BoundedCollectIds(
+      child: Expression, cap: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Buf] with UnaryLike[Expression] {
+
+    override def prettyName: String = "bounded_collect_ids"
+    override def nullable: Boolean = false
+    override def dataType: DataType = StructType(Seq(
+      StructField("ids", ArrayType(LongType, containsNull = false),
+        nullable = false),
+      StructField("bucket_min", LongType, nullable = false),
+      StructField("saturated", BooleanType, nullable = false)))
+
+    override def createAggregationBuffer(): Buf =
+      new Buf(Long.MaxValue, new java.util.HashSet[Long]())
+
+    override def update(b: Buf, input: InternalRow): Buf = {
+      val v = child.eval(input)
+      if (v != null) {
+        val id = v.asInstanceOf[Long]
+        if (id < b.mn) b.mn = id
+        if (b.ids != null) {
+          b.ids.add(id)
+          if (b.ids.size > cap) b.ids = null // saturated: release
+        }
+      }
+      b
+    }
+
+    override def merge(a: Buf, c: Buf): Buf = {
+      if (c.mn < a.mn) a.mn = c.mn
+      if (a.ids != null) {
+        if (c.ids == null) a.ids = null
+        else {
+          a.ids.addAll(c.ids)
+          if (a.ids.size > cap) a.ids = null
+        }
+      }
+      a
+    }
+
+    override def eval(b: Buf): Any = {
+      if (b.ids == null)
+        InternalRow(new GenericArrayData(Array.emptyLongArray), b.mn, true)
+      else {
+        val arr = new Array[Long](b.ids.size)
+        val it = b.ids.iterator(); var i = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        java.util.Arrays.sort(arr)
+        InternalRow(new GenericArrayData(arr), b.mn, false)
+      }
+    }
+
+    // [mn: Long][satFlag: Byte][n: Int][ids: n Longs]
+    override def serialize(b: Buf): Array[Byte] = {
+      val sat = b.ids == null
+      val n = if (sat) 0 else b.ids.size
+      val bb = java.nio.ByteBuffer.allocate(8 + 1 + 4 + 8 * n)
+      bb.putLong(b.mn).put(if (sat) 1.toByte else 0.toByte).putInt(n)
+      if (!sat) { val it = b.ids.iterator()
+        while (it.hasNext) bb.putLong(it.next()) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val mn = bb.getLong
+      val sat = bb.get() == 1.toByte
+      val n = bb.getInt
+      if (sat) new Buf(mn, null)
+      else {
+        val s = new java.util.HashSet[Long](math.max(n * 2, 16))
+        var i = 0
+        while (i < n) { s.add(bb.getLong); i += 1 }
+        new Buf(mn, s)
+      }
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): BoundedCollectIds =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BoundedCollectIds =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression)
+    : BoundedCollectIds = copy(child = c)
+  }
+
+  /** Column face: `boundedIdSet(cap)(col)` in a `groupBy(...).agg`. */
+  def boundedIdSet(cap: Int)(id: Column): Column =
+    GraftColumnBridge.column(
+      BoundedCollectIds(GraftColumnBridge.expression(id), cap)
+        .toAggregateExpression())
+}

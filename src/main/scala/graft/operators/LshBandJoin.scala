@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * band key is the ONLY shuffle key over the big side, so work
   * distributes by bucket at any scale.
   *
-  * Plan shape: ONE shuffle (the band-key group-by) instead of the
-  * self-join form's two scans + two shuffle sides — the upstream
-  * sketch/minhash expression is evaluated once, and pair enumeration
-  * happens post-shuffle inside codegen (array_sort + slice/transform,
-  * no second explode). Pair count per bucket is n(n-1)/2, so memory per
-  * group and output size are both bounded by [[DefaultMaxBucket]].
+  * Plan shape: bucket stats (countDistinct/min — O(1) agg buffers) then
+  * a band-key re-join of the same band table (both sides hash on
+  * band_key, so the exchange is REUSED — still one logical shuffle of
+  * the big side, vs the self-join form's two scans + two shuffle
+  * sides). Pair enumeration happens post-shuffle inside codegen
+  * (array_sort + slice/transform, no second explode) and ONLY for
+  * buckets within the cap, so every per-bucket buffer and the pair
+  * fan-out are both bounded by [[DefaultMaxBucket]] — even a
+  * degenerate corpus-scale bucket never materializes as one array.
   *
   * Hot-bucket guard: a band key shared by a near-dup-DENSE family (or
   * a degenerate band — e.g. every short doc hashing to the same two
@@ -46,9 +49,15 @@ object LshBandJoin {
     */
   val DefaultMaxBucket = 1024
 
-  private def bucketIds(bands: DataFrame, idCol: String): DataFrame =
+  /** (band_key, bucket_n, bucket_min) — countDistinct/min only, so the
+    * aggregation buffer is O(1) per bucket even for a degenerate
+    * corpus-scale bucket (collect_set would build the whole id array in
+    * one executor's agg buffer BEFORE any size filter could drop it).
+    */
+  private def bucketStats(bands: DataFrame, idCol: String): DataFrame =
     bands.groupBy(col("band_key"))
-      .agg(array_sort(collect_set(col(idCol))).as("ids"))
+      .agg(countDistinct(col(idCol)).as("bucket_n"),
+        min(col(idCol)).as("bucket_min"))
 
   /** Ordered-pair enumeration over a SORTED array column, entirely in
     * codegen (array_sort upstream + slice/transform here — no second
@@ -77,16 +86,30 @@ object LshBandJoin {
   def candidatePairs(bands: DataFrame, idCol: String,
                      maxBucket: Int): DataFrame = {
     val (a, b) = (s"${idCol}_a", s"${idCol}_b")
-    // ids is sorted, so element 1 is the bucket minimum: the star pairs
-    // it with every later element — n-1 edges, same connectivity.
-    val star: Column = transform(slice(col("ids"), lit(2), size(col("ids"))),
-      y => struct(element_at(col("ids"), 1).as("a"), y.as("b")))
-    bucketIds(bands, idCol)
-      .where(size(col("ids")) >= 2)
-      .select(explode(when(size(col("ids")) <= maxBucket,
-        orderedPairs(col("ids"))).otherwise(star)).as("p"))
+    // ONE pass with O(maxBucket) aggregation buffers: the bounded
+    // collector (functions/BoundedIdSet) keeps a bucket's distinct ids
+    // only while they fit the cap and degrades to (min, saturated)
+    // past it — a degenerate corpus-scale bucket can no longer
+    // materialize as a single array inside an executor's aggregation
+    // buffer, which plain collect_set would do BEFORE any size filter.
+    // Small buckets enumerate pairs in-codegen from the sorted array;
+    // saturated buckets come back as a (usually EMPTY) broadcast list
+    // whose star-edge join AQE's empty-relation propagation removes at
+    // runtime — the healthy-corpus case pays exactly the one shuffle.
+    val buckets = bands.where(col(idCol).isNotNull)
+      .groupBy(col("band_key"))
+      .agg(graft.functions.BoundedIdSet.boundedIdSet(maxBucket)(col(idCol))
+        .as("bs"))
+    val small = buckets.where(!col("bs.saturated") && size(col("bs.ids")) >= 2)
+      .select(explode(orderedPairs(col("bs.ids"))).as("p"))
       .select(col("p.a").as(a), col("p.b").as(b))
-      .distinct()
+    val hotList = buckets.where(col("bs.saturated"))
+      .select(col("band_key"), col("bs.bucket_min").as("bucket_min"))
+    val hot = bands
+      .join(broadcast(hotList), "band_key")
+      .where(col(idCol) =!= col("bucket_min"))
+      .select(col("bucket_min").as(a), col(idCol).as(b))
+    small.unionAll(hot).distinct()
   }
 
   /** The loud counter for the hot-bucket guard: every band bucket the
@@ -96,7 +119,8 @@ object LshBandJoin {
     */
   def oversizedBuckets(bands: DataFrame, idCol: String,
                        maxBucket: Int): DataFrame =
-    bucketIds(bands, idCol)
-      .select(col("band_key"), size(col("ids")).as("bucket_size"))
+    bucketStats(bands, idCol)
+      .select(col("band_key"),
+        col("bucket_n").cast("int").as("bucket_size"))
       .where(col("bucket_size") > maxBucket)
 }

@@ -41,12 +41,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q_dedup_minhash_lsh shuffles only band group-by + pair distinct") {
-    // bucketed LshBandJoin (round 12): ONE band-key group-by shuffle
-    // (pair enumeration is post-shuffle codegen) + the cross-band pair
-    // distinct. The prior self-join form showed <= 1 here only because
-    // the fixture-sized band table broadcast; at scale it would pay two
-    // join shuffle sides + the distinct, strictly worse than this pin.
-    assert(shuffles(plan("q_dedup_minhash_lsh")) <= 2)
+    // bucketed LshBandJoin (r13 bounded form): the band-key group-by
+    // exchange feeds TWO consumers (pair enumeration + the saturated-
+    // bucket list) — identical subtrees, so AQE reuses one shuffle at
+    // runtime even though the static plan prints both — plus the
+    // cross-band pair distinct: <= 3 static exchanges. The hot-bucket
+    // star branch must stay a BROADCAST join (its probe scan is
+    // AQE-pruned when, as on any healthy corpus, no bucket saturates):
+    // a shuffle join there would re-shuffle the band table per call.
+    val p = plan("q_dedup_minhash_lsh")
+    assert(shuffles(p) <= 3, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "band star branch demoted to SMJ")
   }
 
   test("q_dedup_ngram_jaccard needs at most two shuffles") {
