@@ -122,29 +122,31 @@ object ZoneMapLayout {
     val intersects = box.map { case (c, lo, hi) =>
       col(s"lo_$c") <= hi && col(s"hi_$c") >= lo
     }.reduce(_ && _)
-    // ONE distributed pass over the manifest: total count, survivor
-    // count, and the survivor list CAPPED at the driver budget come
-    // from the same aggregate — the full list never ships when it
-    // would not be used
-    val agg = zm.agg(
+    // Pass 1: counts only — O(1) aggregation buffers at any manifest
+    // size. Pass 2 collects the survivor list ONLY when it fits the
+    // driver budget, so the collect_list buffer is bounded by
+    // maxDriverFiles names by construction (a single-pass
+    // collect_list would buffer EVERY survivor in one executor's
+    // aggregate before any cap applied). The manifest is a small
+    // metadata table, so the second scan is planning-time noise.
+    val cnt = zm.agg(
       count(lit(1)).as("total"),
-      count(when(intersects, lit(1))).as("n_kept"),
-      slice(collect_list(when(intersects, col("file"))),
-        1, maxDriverFiles).as("kept")).head()
-    val total = agg.getLong(0)
-    val nKept = agg.getLong(1)
+      count(when(intersects, lit(1))).as("n_kept")).head()
+    val total = cnt.getLong(0)
+    val nKept = cnt.getLong(1)
     val residual = box.map { case (c, lo, hi) =>
       col(c).between(lo, hi)
     }.reduce(_ && _)
     if (nKept > maxDriverFiles) {
       // degenerate prune: survivors at listing scale — plain scan
       (spark.read.parquet(path).where(residual), total.toInt, total.toInt)
+    } else if (nKept == 0) {
+      (spark.read.parquet(path).limit(0).where(residual), 0, total.toInt)
     } else {
-      val files = agg.getSeq[String](2).toArray
-      val base =
-        if (files.isEmpty) spark.read.parquet(path).limit(0)
-        else spark.read.parquet(files.toIndexedSeq: _*)
-      (base.where(residual), files.length, total.toInt)
+      val files = zm.where(intersects)
+        .agg(collect_list(col("file"))).head().getSeq[String](0).toArray
+      (spark.read.parquet(files.toIndexedSeq: _*).where(residual),
+        files.length, total.toInt)
     }
   }
 }
