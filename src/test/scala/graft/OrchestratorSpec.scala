@@ -303,6 +303,23 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
       .exists())
   }
 
+  test("incremental MVs degrade to per-step FAILED rows on missing gold") {
+    // first batch whose gold integration failed: the incremental plane
+    // must log one FAILED row per MV (the reprocess cycle keys off
+    // them) — NOT abort the configured batch with an AnalysisException
+    // from eager schema inference on the missing fact path
+    val wh = Files.createTempDirectory("graft_mvfail").toString
+    val run = new Orchestrator.Run(spark, wh,
+      graft.pipeline.ReferenceFixtures.BatchId)
+    val specs = graft.run.MvIncremental
+      .specs(graft.pipeline.ReferenceFixtures.RefDate)
+    run.refreshViewsIncremental(specs, outPrefix = "goldinc") // no throw
+    val failed = run.auditLog.filter(l =>
+      l.step == "mv_incremental" && l.status == "FAILED")
+    assert(failed.size === specs.size,
+      s"expected one FAILED row per MV, got: ${run.auditLog}")
+  }
+
   test("restart mode: completed writes skip, missing work runs") {
     val wh = Files.createTempDirectory("graft_restart").toString
     // simulate a run that died after landing two bronze tables
