@@ -203,11 +203,11 @@ object Bench {
     val sprByName = spreads.toMap
     val sprHead = dict(headline.flatMap(n =>
       sprByName.get(n).filter(_ >= 0.25).map(n -> _)))
-    val errJson = errored.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // stdout stays tail-safe: cap the unstable list (count is the signal);
     // the file artifact keeps every name.
     def nameArr(ns: Seq[String]) =
       ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson = nameArr(errored)
     val unstableHead =
       s""""n_unstable":${unstable.size},"unstable":${nameArr(unstable.take(12))}"""
     val totalJson =

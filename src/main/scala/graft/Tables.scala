@@ -41,7 +41,10 @@ object Tables {
     // actually differs, and say so LOUDLY — a session that deliberately
     // ran non-UTC must see that its zone changed, not discover shifted
     // timestamp rendering downstream.
-    val zone = spark.conf.get("spark.sql.session.timeZone", "")
+    // the EFFECTIVE zone (falls back to the JVM default when the conf
+    // was never set) — conf.get with a default would read "" on an
+    // unset UTC JVM and warn about a no-op override
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
     if (zone != "UTC") {
       System.err.println(
         s"[graft] Tables.events: overriding session timeZone '$zone' -> " +

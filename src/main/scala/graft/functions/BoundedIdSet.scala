@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -36,9 +36,14 @@ object BoundedIdSet {
   case class BoundedCollectIds(
       child: Expression, cap: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Buf] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Buf] with UnaryLike[Expression]
+    with ExpectsInputTypes {
 
     override def prettyName: String = "bounded_collect_ids"
+    // fail at ANALYSIS on a non-long id column — update's asInstanceOf
+    // would otherwise throw ClassCastException mid-job (return type
+    // inferred: AbstractDataType is private[sql])
+    override def inputTypes = Seq(LongType)
     override def nullable: Boolean = false
     override def dataType: DataType = StructType(Seq(
       StructField("ids", ArrayType(LongType, containsNull = false),

@@ -93,9 +93,13 @@ object LshBandJoin {
     // materialize as a single array inside an executor's aggregation
     // buffer, which plain collect_set would do BEFORE any size filter.
     // Small buckets enumerate pairs in-codegen from the sorted array;
-    // saturated buckets come back as a (usually EMPTY) broadcast list
-    // whose star-edge join AQE's empty-relation propagation removes at
-    // runtime — the healthy-corpus case pays exactly the one shuffle.
+    // saturated buckets come back as a (usually EMPTY) list whose
+    // star-edge join carries NO broadcast hint on purpose: AQE sees the
+    // materialized size at runtime — empty propagates to nothing (the
+    // healthy-corpus case pays exactly the one shuffle), tiny converts
+    // to broadcast, and an adversarial corpus whose saturated-bucket
+    // list is itself huge falls back to a shuffle join instead of
+    // stalling the driver the way a forced broadcast would.
     val buckets = bands.where(col(idCol).isNotNull)
       .groupBy(col("band_key"))
       .agg(graft.functions.BoundedIdSet.boundedIdSet(maxBucket)(col(idCol))
@@ -106,7 +110,7 @@ object LshBandJoin {
     val hotList = buckets.where(col("bs.saturated"))
       .select(col("band_key"), col("bs.bucket_min").as("bucket_min"))
     val hot = bands
-      .join(broadcast(hotList), "band_key")
+      .join(hotList, "band_key")
       .where(col(idCol) =!= col("bucket_min"))
       .select(col("bucket_min").as(a), col(idCol).as(b))
     small.unionAll(hot).distinct()

@@ -98,10 +98,11 @@ object IoQueries extends QueryPack {
     // float-formatting defect in the sink breaks the hash (Spark's
     // shortest-repr double formatting round-trips bit-exact).
     "q_write_csv_export" -> ((s, dir) => {
-      // per-dataset-dir output: two concurrent sessions (bench +
-      // correctness, or two SF dirs) must not overwrite each other
-      // mid-read
-      val out = s"/tmp/graft_s6_csv_export_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // per-(process, dataset-dir) output: concurrent sessions — two SF
+      // dirs, or bench + correctness over the SAME dir in separate
+      // JVMs — must not overwrite each other mid-read
+      val out = s"/tmp/graft_s6_csv_export_${ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
       t(s, dir, "customer").write
         .option("header", "true").option("nullValue", "\\N")
         .mode("overwrite").csv(out)
@@ -121,9 +122,10 @@ object IoQueries extends QueryPack {
     // from the oracle computed directly over orders.
     // Ref: scripts/load_to_bronze.py:591-601, README.md:101-106
     "q_write_idempotent" -> ((s, dir) => {
-      // per-dataset-dir output, same concurrent-session isolation as the
-      // CSV export above
-      val out = s"/tmp/graft_s8_idempotent_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // per-(process, dataset-dir) output, same concurrent-session
+      // isolation as the CSV export above
+      val out = s"/tmp/graft_s8_idempotent_${ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
       val batched = t(s, dir, "orders")
         .withColumn("dwh_batch_id",
           concat(lit("BATCH"),

@@ -46,11 +46,16 @@ object SimQueries extends QueryPack {
   private val EmbRowBytes = 512L
   private val KeyRowBytes = 64L
 
-  /** Metadata-only embedding count (parquet count-star) sizing the
-    * shipAuto estimates; the probe protocol selects every 50th vector.
+  /** Embedding count sizing the shipAuto estimates (the probe protocol
+    * selects every 50th vector). Memoized per (session, dir): the
+    * count is a column-less scan job, and an un-memoized one per query
+    * invocation would land INSIDE every bench timing of every sim row.
     */
+  private val nVecMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
   private def nVecEst(s: SparkSession, dir: String): Long =
-    math.max(t(s, dir, "embeddings").count(), 1L)
+    nVecMemo.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => math.max(t(s, dir, "embeddings").count(), 1L)).longValue()
 
   /** ±1 hyperplane signs from md5 parity — the canonical derivation
     * lives with the operator (graft.functions.HyperplaneSketch).
@@ -66,15 +71,27 @@ object SimQueries extends QueryPack {
     * mask's b-th BitsPerBand-bit slice, formatted "b_value" exactly like
     * the per-bit-column sum the oracle computes.
     */
+  /** Band b's numeric value: the sketch's b-th BitsPerBand-bit slice.
+    * ONE definition shared by the index (sketchBands) and the
+    * multi-probe query side — two independent copies of this formula
+    * would let a format change silently empty the probe equi-join.
+    */
+  private def bandValue(sketch: Column, b: Int): Column =
+    shiftright(sketch, BitsPerBand * b)
+      .bitwiseAND(lit((1L << BitsPerBand) - 1))
+
+  /** "b_value" band key, exactly the per-bit-column sum the oracle
+    * computes; optional xor mask perturbs the value (multi-probe).
+    */
+  private def bandKey(sketch: Column, b: Int, mask: Long = 0L): Column =
+    concat(lit(b.toString), lit("_"),
+      bandValue(sketch, b).bitwiseXOR(lit(mask)).cast(StringType))
+
   private def sketchBands(s: SparkSession, dir: String): DataFrame = {
     val sketched = t(s, dir, "embeddings")
       .select(col("vec_id"),
         VectorFunctions.hyperplaneSketch(col("embedding"), signs).as("sketch"))
-    val bandKeys = (0 until NumBands).map { b =>
-      concat(lit(b.toString), lit("_"),
-        shiftright(col("sketch"), BitsPerBand * b)
-          .bitwiseAND(lit((1L << BitsPerBand) - 1)).cast(StringType))
-    }
+    val bandKeys = (0 until NumBands).map(b => bandKey(col("sketch"), b))
     sketched.select(col("vec_id"), explode(array(bandKeys: _*)).as("band_key"))
   }
 
@@ -516,11 +533,10 @@ object SimQueries extends QueryPack {
           VectorFunctions.hyperplaneSketch(col("embedding"), signs)
             .as("sketch"))
       val probeKeys = (0 until NumBands).flatMap { b =>
-        val bandVal = shiftright(col("sketch"), BitsPerBand * b)
-          .bitwiseAND(lit((1L << BitsPerBand) - 1))
-        (bandVal +: (0 until BitsPerBand).map(i =>
-          bandVal.bitwiseXOR(lit(1L << i))))
-          .map(v => concat(lit(b.toString), lit("_"), v.cast(StringType)))
+        // exact key (mask 0) + all 8 single-bit flips, via the SHARED
+        // bandKey formula so the probe side cannot drift from the index
+        (0L +: (0 until BitsPerBand).map(i => 1L << i))
+          .map(m => bandKey(col("sketch"), b, m))
       }
       val probes = sketched
         .select(col("q_id"), explode(array(probeKeys: _*)).as("band_key"))

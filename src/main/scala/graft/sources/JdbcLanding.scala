@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   * existing table and leaves creation to the schema owner, which also
   * sidesteps Spark-dialect type-mapping surprises (e.g. StringType →
   * CLOB on Derby, which cannot even be compared in a WHERE clause).
+  *
+  * Atomicity contract, stated honestly: the delete and the distributed
+  * append are SEPARATE transactions (each writer partition commits its
+  * own connection — no RDBMS gives a cross-connection distributed
+  * transaction here, and the reference's single-connection
+  * DELETE+COPY cannot be distributed). A crash between them, a failed
+  * write job, or a retried-after-commit task leaves the batch partial
+  * or row-duplicated — and the RERUN is the recovery mechanism: the
+  * re-land's delete clears every row of the batch (partials and task
+  * duplicates included) before re-inserting, so recovery = re-run the
+  * batch, exactly the reprocess discipline of the parquet S8 plane.
+  * JdbcLandingSpec proves the heal from a seeded partial/duplicated
+  * state.
   */
 object JdbcLanding {
 

@@ -73,4 +73,32 @@ class JdbcLandingSpec extends AnyFunSuite with SparkTestBase {
       new java.util.Properties)
     assert(back.count() === 4)
   }
+
+  test("re-land heals a partial/duplicated crash state (recovery = rerun)") {
+    // the delete and the distributed append are separate transactions
+    // (see JdbcLanding scaladoc): simulate the two bad outcomes — rows
+    // missing after a crash mid-land, and rows duplicated by a
+    // retried-after-commit writer task — and prove one re-land restores
+    // the exact batch
+    exec("""CREATE TABLE crm_prd_info (
+             id BIGINT, payload VARCHAR(64), dwh_batch_id VARCHAR(32))""")
+    // crashed land: only one of three rows made it, and a task retry
+    // double-inserted it
+    exec("INSERT INTO crm_prd_info VALUES (1, 'p1', 'BATCH000009')")
+    exec("INSERT INTO crm_prd_info VALUES (1, 'p1', 'BATCH000009')")
+    JdbcLanding.landBatch(df(Seq(1L -> "p1", 2L -> "p2", 3L -> "p3")),
+      url, "crm_prd_info", "BATCH000009")
+    val c = DriverManager.getConnection(url)
+    val rows = try {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          "SELECT id, payload FROM crm_prd_info ORDER BY id")
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        while (rs.next()) buf += ((rs.getLong(1), rs.getString(2)))
+        buf.toSeq
+      } finally st.close()
+    } finally c.close()
+    assert(rows === Seq((1L, "p1"), (2L, "p2"), (3L, "p3")))
+  }
 }
