@@ -75,4 +75,25 @@ class AdaptiveExecSpec extends AnyFunSuite with SparkTestBase {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("AQE erases the LSH hot-star branch when no bucket saturates") {
+    // LshBandJoin's saturated-bucket star join is UNHINTED by design:
+    // on a healthy corpus the saturated list is empty and AQE's
+    // empty-relation propagation must remove the whole branch at
+    // runtime (LocalTableScan in the final plan, not a join) — the
+    // plan-level proof that the bounded-buffer form pays no second
+    // pass in the common case.
+    import spark.implicits._
+    val bands = (0L until 200L).flatMap(i =>
+      Seq((i, s"b${i % 40}"), (i, s"c${i % 37}"))).toDF("id", "band_key")
+    val pairs = graft.operators.LshBandJoin
+      .candidatePairs(bands, "id", maxBucket = 1024)
+    assert(pairs.count() > 0)
+    val finalPlan = pairs.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("LocalTableScan"),
+      s"empty hot branch not propagated away:\n${finalPlan.take(2000)}")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"hot-star branch survived as a runtime join on a healthy corpus:\n${
+        finalPlan.take(2000)}")
+  }
 }
