@@ -89,6 +89,32 @@ object EventQueries extends QueryPack {
         .agg(countDistinct(col("user_id")).cast(LongType).as("n_active"))
     }),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences — the path-analysis operator behind "what do users do
+    // next" (and the input to Markov-chain attribution). LEAD over the
+    // (ts, event_id)-ordered per-user stream pairs each event with its
+    // successor; one aggregate counts the (cur, next) cells, and the
+    // row-conditional probability P(next|cur) normalizes by the
+    // event_type-partitioned window total — one double division, exact
+    // in both engines. Scale: ONE user_id shuffle for the window, then
+    // the cell aggregate's map-side combine collapses the stream to
+    // |event_types|^2 rows before its exchange; the normalizing window
+    // runs over that tiny cell grid, not the event stream.
+    "q_events_transitions" -> ((s, dir) => {
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("cur_event"),
+          col("ts"), col("event_id"))
+        .withColumn("next_event", lead(col("cur_event"), 1).over(seq))
+        .where(col("next_event").isNotNull)
+        .groupBy(col("cur_event"), col("next_event"))
+        .agg(cnt.as("n_transitions"))
+        .withColumn("p_next", col("n_transitions").cast(DoubleType) /
+          sum(col("n_transitions"))
+            .over(Window.partitionBy(col("cur_event"))))
+    }),
+
     // Ordered multi-step funnel (view -> click -> purchase): per user,
     // the earliest step-k event at or after the earliest step-(k-1)
     // completion AND within its 24 h follow-up horizon — the
@@ -185,6 +211,18 @@ object EventQueries extends QueryPack {
                 CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
          FROM ev JOIN cohort USING (user_id)
          GROUP BY cohort_date, day_offset""",
+    "q_events_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS cur_event,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_event
+           FROM events)
+         SELECT cur_event, next_event,
+                COUNT(*) AS n_transitions,
+                CAST(COUNT(*) AS DOUBLE)
+                  / SUM(COUNT(*)) OVER (PARTITION BY cur_event) AS p_next
+         FROM seq WHERE next_event IS NOT NULL
+         GROUP BY cur_event, next_event""",
     "q_events_funnel_stages" ->
       """WITH ev AS (
            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -564,6 +564,68 @@ object TextQueries extends QueryPack {
           .cast(LongType).as("n_subword_tokens"))
     }),
 
+    // BPE first-iteration pair statistics — the distributed core of
+    // byte-pair-encoding vocabulary training (Sennrich et al. 2016):
+    // adjacent character-pair frequencies over the word-frequency
+    // table, weighted by word occurrence. This is exactly one step of
+    // operators/BpeTrainer.train (which iterates merge-argmax-rewrite
+    // on the same table); surfacing step 1 as an oracle row pins the
+    // pair-counting semantics the trainer's loop is built on. Scale:
+    // the corpus collapses to its DISTINCT-word table in the first
+    // map-side-combined aggregate (vocabulary grows ~ Heaps' law, far
+    // sublinear in corpus bytes), and every later stage works on that
+    // table — the iterative trainer never rescans the corpus.
+    "q_text_bpe_pairs" -> ((s, dir) => {
+      val wf = t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(cnt.as("freq"))
+      wf.where(length(col("word")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+    }),
+
+    // Word-distribution Shannon entropy per doc — the Gopher-style
+    // "natural language or boilerplate" signal (low-entropy docs are
+    // tag soup / template spam; entropy also proxies compression
+    // ratio). ZERO-SHUFFLE by design: instead of exploding tokens and
+    // re-aggregating per doc (a doc_id shuffle of the whole token
+    // stream), each row sorts its own word array, finds run boundaries
+    // (s[i] null-safe-!= s[i+1] via the out-of-bounds-null `get`),
+    // derives run lengths c_i from consecutive boundary positions, and
+    // folds them in-row — O(n log n) per doc, map-only at any corpus
+    // size. Cross-engine float discipline: H = log2 n − (Σ c·log2 c)/n
+    // is order-dependent as a float sum, so each term is QUANTIZED to
+    // integer microbits (floor(c·log2 c·1e6)) and summed in exact long
+    // arithmetic; a 1-ulp log2 divergence between engines would need to
+    // land within ~1e-10 of a floor boundary to flip a term. One double
+    // division at the end.
+    "q_text_entropy" -> ((s, dir) => {
+      val w0 = words(col("text"))
+      val term = (c: Column) =>
+        floor(c.cast(DoubleType) * log2(c) * lit(1000000.0)).cast(LongType)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), sort_array(w0).as("s"),
+          size(w0).as("n"))
+        .withColumn("ends", filter(sequence(lit(1), col("n")),
+          i => !(get(col("s"), i - 1) <=> get(col("s"), i))))
+        .withColumn("cs", transform(sequence(lit(1), size(col("ends"))),
+          j => when(j === 1, element_at(col("ends"), j))
+            .otherwise(element_at(col("ends"), j)
+              - element_at(col("ends"), j - 1))))
+        .withColumn("sum_clogc_micro",
+          aggregate(col("cs"), lit(0L), (acc, c) => acc + term(c)))
+      base.select(
+        col("doc_id"),
+        col("n").cast(LongType).as("n_tokens"),
+        size(col("cs")).cast(LongType).as("n_distinct_tokens"),
+        col("sum_clogc_micro"),
+        ((floor(log2(col("n")) * lit(1000000.0)).cast(LongType) * col("n")
+          - col("sum_clogc_micro")).cast(DoubleType)
+          / (col("n") * lit(1000000.0))).as("entropy_bits"))
+        .withColumn("is_low_entropy", col("entropy_bits") < 3.0)
+    }),
+
     // Repeated-n-gram (duplicate-mass) profile — the span-level dedup
     // signal of Lee et al. 2021 ("Deduplicating Training Data Makes
     // Language Models Better", arXiv:2107.06499): for each doc, how
@@ -591,6 +653,45 @@ object TextQueries extends QueryPack {
           sum(coalesce(col("__rep"), lit(0L))).as("n_repeated"),
           (sum(coalesce(col("__rep"), lit(0L))).cast(DoubleType)
             / count(lit(1))).as("dup_ratio"))
+    }),
+
+    // Duplicated-SPAN extraction — the suffix-array substring dedup of
+    // Lee et al. 2021 (arXiv:2107.06499 §4) re-expressed relationally:
+    // where q_text_repeated_ngrams reports per-doc duplicate MASS, this
+    // returns the actual maximal duplicated spans (start + extent), the
+    // rows a span-removal pass would cut. Positioned word-8-gram
+    // windows (doc_id, i, h) are hashed to 60-bit md5 keys; a window
+    // duplicated ANYWHERE in the corpus (>= 2 positions, same-doc
+    // repeats included — self-repetition is duplication too) marks its
+    // position, and runs of adjacent marked positions merge into
+    // maximal spans with the island trick (i - row_number is constant
+    // on a run). Scale: windows ship as 8-byte hashes, never strings;
+    // one hash-keyed aggregate, one hash-keyed semi-join back, one
+    // doc-keyed window — every stage is a key shuffle with map-side
+    // combine, no driver state, same discipline as LshBandJoin. A 1-ulp
+    // hash collision merging unrelated windows needs a 60-bit md5
+    // collision inside the corpus — negligible at any target scale.
+    "q_text_dup_spans" -> ((s, dir) => {
+      val w = words(col("text"))
+      val win = when(size(w) >= 8,
+        transform(sequence(lit(1), size(w) - 7),
+          i => struct(i.as("i"),
+            conv(substring(md5(concat_ws(" ", slice(w, i, lit(8)))), 1, 15),
+              16, 10).cast(LongType).as("h"))))
+        .otherwise(array())
+      val pos = t(s, dir, "documents")
+        .select(col("doc_id"), explode(win).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+      val dup = pos.groupBy(col("h")).agg(cnt.as("n_occ"))
+        .where(col("n_occ") >= 2).select(col("h"))
+      val grp = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      pos.join(dup, Seq("h"), "left_semi")
+        .withColumn("grp", col("i") - row_number().over(grp))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("i")).cast(LongType).as("span_start"),
+          cnt.as("n_windows"),
+          (cnt + 7).as("span_words"))
+        .drop("grp")
     }),
 
     // Quality score: bounded token count, lexical diversity, stopword
@@ -954,6 +1055,43 @@ object TextQueries extends QueryPack {
         .join(broadcast(weights), "source")
         .select(col("source"), col("doc_id"), col("keep_pct"),
           bucket.as("bucket"), (bucket < col("keep_pct")).as("keep"))
+    }),
+
+    // Token-budget mixture planning — the "hit N tokens per source"
+    // face of training-mix design (q_sample_mixture keeps by doc
+    // percentage; real mix specs are TOKEN budgets). Per-source
+    // available tokens (one tiny integer aggregate) meet a
+    // deterministic per-source budget; the repeat rate is carried as
+    // integer PARTS-PER-MILLION (budget·1e6 div avail — `div`, not
+    // float division, so the rate is exact and order-free), and each
+    // doc gets floor copies plus a fractional extra decided by its
+    // 60-bit md5 coin against the ppm remainder — the same
+    // deterministic-coin discipline as q_sample_temperature, so the
+    // expected token draw matches the budget without any RNG. Scale:
+    // the corpus pass is map-only; the only shuffles are the
+    // source-keyed token sum (map-side combined to |sources| rows) and
+    // the broadcast join of the source-cardinality rate table back.
+    "q_sample_token_budget" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"))
+      val rates = toks.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("avail_tokens"))
+        .withColumn("budget_tokens",
+          lit(10000L) * (lit(1L) +
+            conv(substring(md5(col("source")), 1, 2), 16, 10)
+              .cast(LongType) % 8))
+        .withColumn("repeat_ppm",
+          expr("budget_tokens * 1000000 div avail_tokens"))
+      val coin = conv(substring(md5(concat(col("source"), lit(":"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10)
+        .cast(LongType) % 1000000L
+      toks.join(broadcast(rates), "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("avail_tokens"), col("budget_tokens"), col("repeat_ppm"),
+          (expr("repeat_ppm div 1000000") +
+            when(coin < col("repeat_ppm") % 1000000L, 1L).otherwise(0L))
+            .as("n_copies"))
     }),
 
     // Temperature-scaled mixture sampling — the production training-mix
@@ -1458,6 +1596,96 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_text_dup_spans" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         pos AS (
+           SELECT doc_id, i,
+                  CAST(CONCAT('0x', SUBSTRING(md5(array_to_string(w[i:i+7],
+                    ' ')),1,15)) AS BIGINT) AS h
+           FROM (SELECT doc_id, w,
+                        unnest(range(1, greatest(len(w)-7,0)+1)) AS i
+                 FROM w)),
+         dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
+         marked AS (SELECT pos.doc_id, pos.i
+                    FROM pos JOIN dup ON dup.h = pos.h),
+         isl AS (
+           SELECT doc_id, i,
+                  i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+                    AS grp
+           FROM marked)
+         SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+                CAST(COUNT(*) AS BIGINT) AS n_windows,
+                CAST(COUNT(*) + 7 AS BIGINT) AS span_words
+         FROM isl GROUP BY doc_id, grp""",
+    "q_text_entropy" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  list_sort(regexp_split_to_array(trim(text), '\s+')) AS s,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n
+           FROM documents),
+         runs AS (
+           SELECT doc_id, n,
+                  list_filter(range(1, n+1),
+                    i -> s[i] IS DISTINCT FROM s[i+1]) AS ends
+           FROM base),
+         lens AS (
+           SELECT doc_id, n,
+                  list_transform(range(1, len(ends)+1),
+                    j -> ends[j] - CASE WHEN j = 1 THEN 0
+                                        ELSE ends[j-1] END) AS cs
+           FROM runs)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                CAST(len(cs) AS BIGINT) AS n_distinct_tokens,
+                CAST(list_sum(list_transform(cs,
+                  c -> CAST(floor(c * log2(c) * 1000000) AS BIGINT)))
+                  AS BIGINT) AS sum_clogc_micro,
+                CAST((CAST(floor(log2(n) * 1000000) AS BIGINT) * n
+                      - list_sum(list_transform(cs,
+                          c -> CAST(floor(c * log2(c) * 1000000) AS BIGINT))))
+                     AS DOUBLE) / (n * 1000000.0) AS entropy_bits,
+                CAST((CAST(floor(log2(n) * 1000000) AS BIGINT) * n
+                      - list_sum(list_transform(cs,
+                          c -> CAST(floor(c * log2(c) * 1000000) AS BIGINT))))
+                     AS DOUBLE) / (n * 1000000.0) < 3.0 AS is_low_entropy
+         FROM lens""",
+    "q_text_bpe_pairs" ->
+      """WITH wf AS (
+           SELECT w AS word, COUNT(*) AS freq FROM (
+             SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             FROM documents) GROUP BY w),
+         pairs AS (
+           SELECT unnest(list_transform(range(1, length(word)),
+                    i -> substr(word, CAST(i AS INT), 2))) AS pair, freq
+           FROM wf WHERE length(word) >= 2)
+         SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+         FROM pairs GROUP BY pair""",
+    "q_sample_token_budget" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens
+           FROM documents),
+         rates AS (
+           SELECT source, SUM(n_tokens) AS avail_tokens,
+                  CAST(10000 * (1 + CAST(CONCAT('0x',
+                    SUBSTRING(md5(source),1,2)) AS BIGINT) % 8)
+                    AS BIGINT) AS budget_tokens
+           FROM toks GROUP BY source)
+         SELECT t.doc_id, t.source, t.n_tokens,
+                CAST(r.avail_tokens AS BIGINT) AS avail_tokens,
+                r.budget_tokens,
+                CAST(r.budget_tokens * 1000000 // r.avail_tokens
+                  AS BIGINT) AS repeat_ppm,
+                CAST((r.budget_tokens * 1000000 // r.avail_tokens) // 1000000
+                  + CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(
+                           t.source, ':', t.doc_id)),1,15)) AS BIGINT)
+                           % 1000000
+                         < (r.budget_tokens * 1000000 // r.avail_tokens)
+                           % 1000000
+                    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         FROM toks t JOIN rates r ON r.source = t.source""",
     "q_text_repeated_ngrams" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id, s FROM (
