@@ -626,6 +626,90 @@ object TextQueries extends QueryPack {
         .withColumn("is_low_entropy", col("entropy_bits") < 3.0)
     }),
 
+    // End-to-end classifier-gated quality filtering — the fastText/
+    // CCNet "train a linear model, gate the corpus" operator, with the
+    // FULL TRAINING RUN inside the oracle contract: three rounds of
+    // batch gradient descent (QualityClassifier, rational FastSigmoid
+    // link — no transcendentals anywhere, so every weight is
+    // IEEE-identical across engines) are unrolled as three CTE layers
+    // in the DuckDB oracle, and the learned weights, per-doc logits
+    // and gate verdicts all hash-compare. Label: the repetition flag
+    // (dup-3-gram fraction > 0.2, same definition as
+    // q_text_repetition); features deliberately EXCLUDE that signal
+    // (type-token ratio + bounded length), so the model learns a
+    // proxy, which is the production shape (label from an expensive
+    // signal, inference from cheap ones). Scale: training is
+    // iters × one map-side-combined aggregate; scoring is map-only.
+    "q_text_quality_classifier" -> ((s, dir) => {
+      import graft.functions.TextHashFunctions.shingleHashes
+      import graft.operators.QualityClassifier
+      val w0 = words(col("text"))
+      val nsh = greatest(size(w0) - 2, lit(0))
+      val dupFrac = when(nsh === 0, 0.0)
+        .otherwise(lit(1.0) -
+          size(shingleHashes(w0, 3)).cast(DoubleType) / nsh)
+      val feat = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(dupFrac > 0.2, 1.0).otherwise(0.0).as("y"),
+        (size(array_distinct(w0)).cast(DoubleType) / size(w0)).as("f1"),
+        (least(size(w0), lit(512)) / lit(512.0)).as("f2"))
+      val w = QualityClassifier.train(feat, Seq("f1", "f2"), "y",
+        iters = 3, lr = 1.0, link = QualityClassifier.FastSigmoid)
+      val z = QualityClassifier.logit(w.toSeq, Seq(col("f1"), col("f2")))
+      feat.select(col("doc_id"), col("y").cast(LongType).as("label"),
+        lit(w(0)).as("w_b"), lit(w(1)).as("w_f1"), lit(w(2)).as("w_f2"),
+        floor(z * lit(1000000.0)).cast(LongType).as("logit_micro"),
+        (z > 0).as("pred"))
+    }),
+
+    // Bigram-LM perplexity scoring — the CCNet/KenLM-style quality
+    // filter: train an add-one-smoothed bigram language model on the
+    // corpus (counts only), score every doc by its average bits per
+    // bigram under that model. High-perplexity docs are noise/garble;
+    // the signal complements q_text_entropy (which sees only the doc's
+    // OWN distribution — a doc of valid-but-shuffled words has normal
+    // entropy and high LM perplexity). Cross-engine float discipline:
+    // each bigram's NLL is floor-quantized to integer microbits
+    // (p is the exact rational (c2+1)/(c1+V), one double division +
+    // log2 per DISTINCT bigram), per-doc sums are exact long
+    // arithmetic, one double division at the end. Scale: the corpus
+    // collapses to its distinct-bigram table for training (Heaps-law
+    // sublinear); scoring joins ride the (w1,w2) key the count
+    // aggregate already partitioned by (exchange reuse), then one
+    // doc_id aggregate. V is a 1-row aggregate, broadcast.
+    "q_text_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = words(col("text"))
+      val bigrams = docs.select(col("doc_id"),
+        explode(when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("w1"),
+              element_at(w, i + 1).as("w2"))))
+          .otherwise(array())).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(cnt.as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val v = docs.select(explode(w).as("x"))
+        .agg(countDistinct(col("x")).as("v"))
+      val nll = floor(log2((col("c1").cast(DoubleType) + col("v")) /
+        (col("c2").cast(DoubleType) + lit(1.0))) * lit(1000000.0))
+        .cast(LongType)
+      val sc = bigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v)) // 1-row, aggregate-reduced
+        .select(col("doc_id"), nll.as("nll_micro"))
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_bigrams"), sum(col("nll_micro")).as("sum_nll_micro"))
+      docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("sum_nll_micro"), lit(0L)).as("sum_nll_micro"),
+          when(col("n_bigrams").isNull, lit(0.0))
+            .otherwise(col("sum_nll_micro").cast(DoubleType) /
+              (col("n_bigrams") * lit(1000000.0)))
+            .as("bits_per_bigram"))
+        .withColumn("is_high_ppl", col("bits_per_bigram") > 5.0)
+    }),
+
     // Repeated-n-gram (duplicate-mass) profile — the span-level dedup
     // signal of Lee et al. 2021 ("Deduplicating Training Data Makes
     // Language Models Better", arXiv:2107.06499): for each doc, how
@@ -1686,6 +1770,109 @@ object TextQueries extends QueryPack {
                            % 1000000
                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
          FROM toks t JOIN rates r ON r.source = t.source""",
+    "q_text_quality_classifier" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         feat AS (
+           SELECT doc_id,
+                  CASE WHEN (CASE WHEN greatest(len(w)-2,0) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                               range(1, greatest(len(w)-2,0)+1),
+                               i -> array_to_string(w[i:i+2], ' '))))
+                             AS DOUBLE) / greatest(len(w)-2,0) END) > 0.2
+                       THEN 1.0 ELSE 0.0 END AS y,
+                  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS f1,
+                  least(len(w), 512) / 512.0 AS f2
+           FROM d),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM feat),
+         e1 AS (
+           SELECT y, f1, f2,
+                  (0.5 + ((0.0 + f1*0.0) + f2*0.0)
+                    / (2.0*(1.0 + abs((0.0 + f1*0.0) + f2*0.0)))) - y AS err
+           FROM feat),
+         w1 AS (
+           SELECT
+             0.0 - 1.0 * (CAST(SUM(CAST(floor(err*1000000000.0) AS BIGINT))
+                   AS DOUBLE)/1000000000.0) / n.c AS b,
+             0.0 - 1.0 * (CAST(SUM(CAST(floor((err*f1)*1000000000.0)
+                   AS BIGINT)) AS DOUBLE)/1000000000.0) / n.c AS wf1,
+             0.0 - 1.0 * (CAST(SUM(CAST(floor((err*f2)*1000000000.0)
+                   AS BIGINT)) AS DOUBLE)/1000000000.0) / n.c AS wf2
+           FROM e1 CROSS JOIN n GROUP BY n.c),
+         e2 AS (
+           SELECT y, f1, f2,
+                  (0.5 + ((w1.b + f1*w1.wf1) + f2*w1.wf2)
+                    / (2.0*(1.0 + abs((w1.b + f1*w1.wf1) + f2*w1.wf2))))
+                    - y AS err
+           FROM feat CROSS JOIN w1),
+         w2 AS (
+           SELECT
+             w1.b - 1.0 * (CAST(SUM(CAST(floor(err*1000000000.0) AS BIGINT))
+                   AS DOUBLE)/1000000000.0) / n.c AS b,
+             w1.wf1 - 1.0 * (CAST(SUM(CAST(floor((err*f1)*1000000000.0)
+                   AS BIGINT)) AS DOUBLE)/1000000000.0) / n.c AS wf1,
+             w1.wf2 - 1.0 * (CAST(SUM(CAST(floor((err*f2)*1000000000.0)
+                   AS BIGINT)) AS DOUBLE)/1000000000.0) / n.c AS wf2
+           FROM e2 CROSS JOIN w1 CROSS JOIN n
+           GROUP BY w1.b, w1.wf1, w1.wf2, n.c),
+         e3 AS (
+           SELECT y, f1, f2,
+                  (0.5 + ((w2.b + f1*w2.wf1) + f2*w2.wf2)
+                    / (2.0*(1.0 + abs((w2.b + f1*w2.wf1) + f2*w2.wf2))))
+                    - y AS err
+           FROM feat CROSS JOIN w2),
+         w3 AS (
+           SELECT
+             w2.b - 1.0 * (CAST(SUM(CAST(floor(err*1000000000.0) AS BIGINT))
+                   AS DOUBLE)/1000000000.0) / n.c AS b,
+             w2.wf1 - 1.0 * (CAST(SUM(CAST(floor((err*f1)*1000000000.0)
+                   AS BIGINT)) AS DOUBLE)/1000000000.0) / n.c AS wf1,
+             w2.wf2 - 1.0 * (CAST(SUM(CAST(floor((err*f2)*1000000000.0)
+                   AS BIGINT)) AS DOUBLE)/1000000000.0) / n.c AS wf2
+           FROM e3 CROSS JOIN w2 CROSS JOIN n
+           GROUP BY w2.b, w2.wf1, w2.wf2, n.c)
+         SELECT feat.doc_id, CAST(feat.y AS BIGINT) AS label,
+                w3.b AS w_b, w3.wf1 AS w_f1, w3.wf2 AS w_f2,
+                CAST(floor(((w3.b + feat.f1*w3.wf1) + feat.f2*w3.wf2)
+                  * 1000000.0) AS BIGINT) AS logit_micro,
+                ((w3.b + feat.f1*w3.wf1) + feat.f2*w3.wf2) > 0 AS pred
+         FROM feat CROSS JOIN w3""",
+    "q_text_lm_perplexity" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         big AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM (SELECT doc_id, w,
+                        unnest(range(1, greatest(len(w)-1,0)+1)) AS i
+                 FROM w)),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+         c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+         v AS (SELECT COUNT(DISTINCT x) AS v FROM (
+                 SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS x
+                 FROM documents)),
+         sc AS (
+           SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(CAST(floor(log2(
+                      (CAST(c1.c1 AS DOUBLE) + v.v)
+                      / (CAST(c2.c2 AS DOUBLE) + 1.0)) * 1000000)
+                    AS BIGINT)) AS BIGINT) AS sum_nll_micro
+           FROM big b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+                      JOIN c1 ON c1.w1 = b.w1
+                      CROSS JOIN v
+           GROUP BY b.doc_id)
+         SELECT d.doc_id,
+                COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+                COALESCE(sc.sum_nll_micro, 0) AS sum_nll_micro,
+                CASE WHEN sc.n_bigrams IS NULL THEN 0.0
+                     ELSE CAST(sc.sum_nll_micro AS DOUBLE)
+                          / (sc.n_bigrams * 1000000.0) END AS bits_per_bigram,
+                CASE WHEN sc.n_bigrams IS NULL THEN 0.0
+                     ELSE CAST(sc.sum_nll_micro AS DOUBLE)
+                          / (sc.n_bigrams * 1000000.0) END > 5.0
+                  AS is_high_ppl
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""",
     "q_text_repeated_ngrams" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id, s FROM (
