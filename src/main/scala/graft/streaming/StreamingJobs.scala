@@ -774,4 +774,65 @@ object StreamingJobs {
           }
       }
   }
+
+  case class PendingEvt(tsMicros: Long, event_id: Long, event_type: String)
+  case class Transition(user_id: Long, cur_event: String,
+                        next_event: String, cur_ts: Timestamp,
+                        cur_event_id: Long)
+
+  /** EXACT-under-permutation streaming event transitions — the
+    * streaming face of q_events_transitions' LEAD pairing (downstream,
+    * a watermarked groupBy over the emitted rows yields the running
+    * Markov matrix). Each per-user event pairs with its SUCCESSOR in
+    * final event-time order (ts, event_id); the pair (e1 -> e2) is
+    * emitted only once the event-time watermark has STRICTLY passed
+    * e2's timestamp: from then on every non-late future arrival has
+    * ts >= watermark > e2.ts, so nothing can ever slot between e1 and
+    * e2 and the pairing is final no matter which micro-batch each row
+    * arrived in (the asofEnrichStreamExact discipline). Emitting
+    * consumes e1; e2 becomes the head awaiting ITS successor.
+    *
+    * State per key is bounded by the lateness window: the buffer holds
+    * at most the events whose successor is not yet watermark-final —
+    * everything older has been consumed — plus one head element.
+    * EventTime timeouts flush pairs when only other keys' traffic
+    * advances the clock.
+    */
+  def transitionsStreamExact(events: Dataset[Event],
+                             lateness: String = "10 minutes"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[PendingEvt], Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Seq[PendingEvt]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty)
+          if (!state.hasTimedOut) rows.foreach { e =>
+            buf = buf :+ PendingEvt(tsMicros(e.ts), e.event_id, e.event_type)
+          }
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          var remaining = buf.sortBy(p => (p.tsMicros, p.event_id))
+          val out = Seq.newBuilder[Transition]
+          while (remaining.size >= 2 && remaining(1).tsMicros < wm) {
+            val e1 = remaining.head
+            val e2 = remaining(1)
+            out += Transition(user, e1.event_type, e2.event_type,
+              microsToTs(e1.tsMicros), e1.event_id)
+            remaining = remaining.tail
+          }
+          if (remaining.isEmpty) state.remove()
+          else {
+            state.update(remaining)
+            // wake once the watermark passes the 2nd pending event so
+            // its pair emits without needing same-key traffic; a lone
+            // head has no emittable pair and needs no timeout
+            if (remaining.size >= 2)
+              state.setTimeoutTimestamp(
+                math.max(remaining(1).tsMicros / 1000L,
+                  state.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+      }
+  }
 }

@@ -998,4 +998,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((1L, 4L)) && got.contains((2L, 5L)) && got.contains((4L, 5L)))
     assert(!got.contains((1L, 3L)) && !got.contains((4L, 6L)))
   }
+
+  test("exact streaming transitions equal batch LEAD pairs on a seeded permutation") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // seeded random events shuffled ACROSS micro-batches: successors
+    // routinely arrive before their predecessors, which the
+    // watermark-buffered pairing must reorder back to event time
+    val rnd = new scala.util.Random(11)
+    def at(sec: Int) =
+      new Timestamp(ts("2024-01-01 10:00:00").getTime + sec * 1000L)
+    val base = (1 to 60).map { i =>
+      Event(i.toLong, at(rnd.nextInt(7200)), 1L + rnd.nextInt(5),
+        Seq("view", "click", "purchase")(rnd.nextInt(3)), 0.0)
+    }
+    val batches = rnd.shuffle(base).grouped(12).toSeq
+    val ms = MemoryStream[Event]
+    val q = StreamingJobs.transitionsStreamExact(ms.toDS(), lateness = "1 day")
+      .writeStream.format("memory").queryName("trans_exact")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      // flush 1 advances the watermark past every base event; flush 2
+      // runs the timeout batch that emits the remaining pairs
+      ms.addData(Event(900, ts("2024-01-02 12:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(Event(901, ts("2024-01-03 12:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans_exact")
+      .select("user_id", "cur_event", "next_event", "cur_event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // ground truth: per-user consecutive pairs in (ts, event_id) order —
+    // the q_events_transitions LEAD semantics
+    val want = base.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e.ts.getTime, e.event_id)).sliding(2).collect {
+        case Seq(a, b) => (u, a.event_type, b.event_type, a.event_id)
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.size >= 50) // 60 events over 5 users -> 55 pairs
+  }
 }
