@@ -1141,6 +1141,40 @@ object TextQueries extends QueryPack {
           bucket.as("bucket"), (bucket < col("keep_pct")).as("keep"))
     }),
 
+    // Deterministic epoch shuffling — the training-order permutation:
+    // each epoch assigns every doc a dense global position 1..N in the
+    // order of its 60-bit md5("ep<epoch>:<doc_id>") key, so the
+    // permutation is reproducible (rerun-stable, resumable mid-epoch)
+    // and epochs decorrelate (different salt → independent order).
+    // A naive ROW_NUMBER over the full corpus is a single-partition
+    // sort; this is the two-phase global rank (q_surrogate_key_scalable
+    // discipline): hash keys bucket by their TOP bits (so buckets are
+    // order-aligned ranges), per-bucket counts prefix-sum into offsets
+    // over the tiny |epochs|×256 grid, and each bucket ranks locally —
+    // the only full-data shuffle is the 256-way bucket exchange.
+    "q_shuffle_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("epoch", explode(array(lit(1), lit(2))))
+      val h = conv(substring(md5(concat(lit("ep"), col("epoch"), lit(":"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      // top 8 of the 60 hash bits: 256 buckets, bucket order == h order
+      val keyed = docs.withColumn("h", h)
+        .withColumn("__bucket", expr("h div 4503599627370496"))
+      val counts = keyed.groupBy(col("epoch"), col("__bucket"))
+        .agg(cnt.as("n"))
+      val wOff = Window.partitionBy(col("epoch")).orderBy(col("__bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts
+        .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+        .select(col("epoch"), col("__bucket"), col("off"))
+      val wPart = Window.partitionBy(col("epoch"), col("__bucket"))
+        .orderBy(col("h"), col("doc_id"))
+      keyed.join(broadcast(offsets), Seq("epoch", "__bucket"))
+        .select(col("doc_id"), col("epoch").cast(LongType).as("epoch"),
+          (col("off") + row_number().over(wPart)).cast(LongType)
+            .as("shuffle_pos"))
+    }),
+
     // Token-budget mixture planning — the "hit N tokens per source"
     // face of training-mix design (q_sample_mixture keeps by doc
     // percentage; real mix specs are TOKEN budgets). Per-source
@@ -1745,6 +1779,20 @@ object TextQueries extends QueryPack {
            FROM wf WHERE length(word) >= 2)
          SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
          FROM pairs GROUP BY pair""",
+    "q_shuffle_epochs" ->
+      """WITH e AS (
+           SELECT doc_id, epoch
+           FROM (SELECT doc_id FROM documents)
+           CROSS JOIN (SELECT unnest([1, 2]) AS epoch)),
+         k AS (
+           SELECT doc_id, epoch,
+                  CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('ep', epoch, ':',
+                    doc_id)),1,15)) AS BIGINT) AS h
+           FROM e)
+         SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+                CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                  ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
+         FROM k""",
     "q_sample_token_budget" ->
       """WITH toks AS (
            SELECT doc_id, source,
