@@ -417,6 +417,34 @@ object SimQueries extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    // Per-dimension embedding health stats — the QA probe run before
+    // any index build: mean drift and DEAD dimensions (near-zero
+    // variance — an encoder bug or a truncated export; dead dims waste
+    // PQ codebook capacity and skew IVF centroids). One posexplode +
+    // one dim-keyed aggregate collapsing the corpus to D rows; the
+    // moment sums ride the pack's quantized-integer discipline (per
+    // element floor(x·1e6)/floor(x²·1e9) → exact order-free long sums,
+    // mean/variance derived by a fixed IEEE double sequence).
+    "q_embed_dim_stats" -> ((s, dir) => {
+      val x = col("x").cast(DoubleType)
+      val stats = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast(LongType).as("dim"),
+          floor(x * lit(1000000.0)).cast(LongType).as("q1"),
+          floor(x * x * lit(1000000000.0)).cast(LongType).as("q2"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).cast(LongType).as("n"), sum(col("q1")).as("s1_micro"),
+          sum(col("q2")).as("s2_nano"))
+        .withColumn("mean",
+          col("s1_micro").cast(DoubleType) / (col("n") * lit(1000000.0)))
+        .withColumn("m2",
+          col("s2_nano").cast(DoubleType) / (col("n") * lit(1000000000.0)))
+      stats
+        .withColumn("variance", col("m2") - col("mean") * col("mean"))
+        .withColumn("is_dead", col("variance") < 0.0001)
+        .drop("m2")
+    }),
+
     // Exact brute-force cosine top-10 for each query vector. Query side
     // broadcasts; rank window collapses to per-partition top-k
     // (WindowGroupLimit) — no global sort.
@@ -1032,6 +1060,26 @@ object SimQueries extends QueryPack {
          FROM ad) WHERE rnk <= 10"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_dim_stats" ->
+      """WITH ex AS (
+           SELECT t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)),
+         agg AS (
+           SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+                  CAST(SUM(CAST(floor(x*1000000.0) AS BIGINT)) AS BIGINT)
+                    AS s1_micro,
+                  CAST(SUM(CAST(floor(x*x*1000000000.0) AS BIGINT))
+                    AS BIGINT) AS s2_nano
+           FROM ex GROUP BY dim),
+         m AS (
+           SELECT dim, n, s1_micro, s2_nano,
+                  CAST(s1_micro AS DOUBLE)/(n*1000000.0) AS mean,
+                  CAST(s2_nano AS DOUBLE)/(n*1000000000.0) AS m2
+           FROM agg)
+         SELECT dim, n, s1_micro, s2_nano, mean,
+                m2 - mean*mean AS variance,
+                (m2 - mean*mean) < 0.0001 AS is_dead
+         FROM m""",
     "q_sim_cosine_topk" ->
       s"""WITH $quantCte,
          dots AS (
