@@ -1141,6 +1141,40 @@ object TextQueries extends QueryPack {
           bucket.as("bucket"), (bucket < col("keep_pct")).as("keep"))
     }),
 
+    // Length-bucketed batch planning — the padded-batching face of
+    // sequence prep (q_pack_sequences is the concat face): docs are
+    // bucketed by token length (data-independent 32-token bands, so
+    // bucketing is map-only — no global ntile sort), ranked inside
+    // their bucket by (n_tokens, doc_id), and cut into fixed-size
+    // batches of 8; each batch pads to its max length, and the output
+    // reports the padding waste per batch (pad_tokens, efficiency) —
+    // the number a pipeline watches to tune its bucket bands. Scale:
+    // ONE bucket-keyed window; the (bucket, batch) aggregate rides the
+    // same partitioning (batch refines bucket), so there is exactly
+    // one full-data exchange.
+    "q_pack_length_buckets" -> ((s, dir) => {
+      val B = 8
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("bucket",
+          least(expr("n_tokens div 32"), lit(15L)))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+      toks
+        .withColumn("batch",
+          floor((row_number().over(w) - 1) / lit(B)).cast(LongType))
+        .groupBy(col("bucket"), col("batch"))
+        .agg(cnt.as("n_docs"),
+          max(col("n_tokens")).as("max_len"),
+          sum(col("n_tokens")).as("sum_len"))
+        .withColumn("pad_tokens",
+          col("n_docs") * col("max_len") - col("sum_len"))
+        .withColumn("efficiency",
+          col("sum_len").cast(DoubleType) /
+            (col("n_docs") * col("max_len")))
+    }),
+
     // Deterministic epoch shuffling — the training-order permutation:
     // each epoch assigns every doc a dense global position 1..N in the
     // order of its 60-bit md5("ep<epoch>:<doc_id>") key, so the
@@ -1779,6 +1813,31 @@ object TextQueries extends QueryPack {
            FROM wf WHERE length(word) >= 2)
          SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
          FROM pairs GROUP BY pair""",
+    "q_pack_length_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tokens,
+                  least(n_tokens // 32, 15) AS bucket
+           FROM toks),
+         r AS (
+           SELECT bucket, n_tokens,
+                  (ROW_NUMBER() OVER (PARTITION BY bucket
+                    ORDER BY n_tokens, doc_id) - 1) // 8 AS batch
+           FROM b)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(batch AS BIGINT) AS batch,
+                COUNT(*) AS n_docs,
+                CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+                CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+                CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+                  AS pad_tokens,
+                CAST(SUM(n_tokens) AS DOUBLE)
+                  / (COUNT(*) * MAX(n_tokens)) AS efficiency
+         FROM r GROUP BY bucket, batch""",
     "q_shuffle_epochs" ->
       """WITH e AS (
            SELECT doc_id, epoch
