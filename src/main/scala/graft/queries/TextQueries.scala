@@ -26,6 +26,20 @@ object TextQueries extends QueryPack {
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
+  /** DuckDB-side BPE encode: the delimited base rendering (chars
+    * wrapped `|c|`, words joined by `#`) with the committed BpeVocab
+    * merges replayed as a replace() chain — replace() is a single
+    * forward scan over non-overlapping occurrences, which IS the
+    * trainer's greedy left-to-right rewrite, so this expression equals
+    * the native BpeEncodeDelim kernel bit-for-bit (BpeEncoderSpec).
+    */
+  private lazy val bpeOracleEncExpr: String =
+    graft.operators.BpeVocab.merges.foldLeft(
+      """regexp_replace(regexp_replace(trim(text), '\s+', '#', 'g'),
+         '([^#])', '|\1|', 'g')""") { (acc, m) =>
+      s"replace($acc, '|${m.l}||${m.r}|', '|${m.l}${m.r}|')"
+    }
+
   /** Word n-gram shingles. Guarded: Spark sequence(1,0) counts DOWN, so
     * short docs need an explicit empty-array branch (DuckDB range(1,1)
     * is already empty).
@@ -575,6 +589,51 @@ object TextQueries extends QueryPack {
     // map-side-combined aggregate (vocabulary grows ~ Heaps' law, far
     // sublinear in corpus bytes), and every later stage works on that
     // table — the iterative trainer never rescans the corpus.
+    // BPE tokenizer APPLICATION with the committed trained vocabulary
+    // (operators/BpeVocab — trained once on sf0.01 by BpeTrainer,
+    // frozen; BpeEncoderSpec pins provenance): the production encode
+    // path of an LLM pipeline. MAP-ONLY at any corpus size — the merge
+    // table rides inside the native BpeEncodeDelim expression (no
+    // join, no shuffle), and a per-thread Zipf-amortizing word cache
+    // makes cost per token ≈ a hash lookup. The delimited rendering
+    // ("|th||e|#|cat|") is the cross-engine contract: the oracle
+    // replays the same merges as a replace() chain (both sides are
+    // single forward scans — provably the same greedy non-overlapping
+    // rewrite), and n_tokens/md5 derive from the rendering by pure
+    // string ops on both engines.
+    "q_text_bpe_encode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.BpeFunctions.bpeEncodeDelim(
+            col("text"), graft.operators.BpeVocab.merges).as("enc"))
+        .select(col("doc_id"),
+          ((length(col("enc")) - length(translate(col("enc"), "|", "")))
+            .cast(LongType) / lit(2L)).cast(LongType).as("n_tokens"),
+          md5(col("enc")).as("enc_md5"))
+    }),
+
+    // Corpus token accounting per source with the SAME frozen vocab —
+    // the budgeting face of the encoder (feeds q_sample_token_budget:
+    // mixture weights are set in TOKENS, not documents). One map-only
+    // encode + one small group-by; chars_per_mtok is integer-quantized
+    // (floor of chars·1000/tokens) so the engines agree exactly.
+    "q_text_bpe_token_stats" -> ((s, dir) => {
+      val enc = graft.functions.BpeFunctions.bpeEncodeDelim(
+        col("text"), graft.operators.BpeVocab.merges)
+      t(s, dir, "documents")
+        .select(col("source"), enc.as("enc"))
+        .select(col("source"),
+          ((length(col("enc")) - length(translate(col("enc"), "|", "")))
+            .cast(LongType) / lit(2L)).cast(LongType).as("toks"),
+          length(translate(col("enc"), "|#", "")).cast(LongType).as("chs"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("chs")).as("n_chars"),
+          floor(sum(col("chs")) * lit(1000L) / sum(col("toks")))
+            .cast(LongType).as("chars_per_mtok"))
+    }),
+
     "q_text_bpe_pairs" -> ((s, dir) => {
       val wf = t(s, dir, "documents")
         .select(explode(words(col("text"))).as("word"))
@@ -1802,6 +1861,28 @@ object TextQueries extends QueryPack {
                           c -> CAST(floor(c * log2(c) * 1000000) AS BIGINT))))
                      AS DOUBLE) / (n * 1000000.0) < 3.0 AS is_low_entropy
          FROM lens""",
+    "q_text_bpe_encode" ->
+      s"""WITH enc AS (
+           SELECT doc_id, $bpeOracleEncExpr AS enc FROM documents)
+         SELECT doc_id,
+                CAST((length(enc) - length(replace(enc, '|', ''))) // 2
+                  AS BIGINT) AS n_tokens,
+                md5(enc) AS enc_md5
+         FROM enc""",
+    "q_text_bpe_token_stats" ->
+      s"""WITH enc AS (
+           SELECT source, $bpeOracleEncExpr AS enc FROM documents),
+         per_doc AS (
+           SELECT source,
+                  (length(enc) - length(replace(enc, '|', ''))) // 2 AS toks,
+                  length(replace(replace(enc, '|', ''), '#', '')) AS chs
+           FROM enc)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(toks) AS BIGINT) AS n_tokens,
+                CAST(SUM(chs) AS BIGINT) AS n_chars,
+                CAST(floor((SUM(chs) * 1000) / SUM(toks)) AS BIGINT)
+                  AS chars_per_mtok
+         FROM per_doc GROUP BY source""",
     "q_text_bpe_pairs" ->
       """WITH wf AS (
            SELECT w AS word, COUNT(*) AS freq FROM (
