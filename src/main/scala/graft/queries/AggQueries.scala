@@ -364,6 +364,56 @@ object AggQueries extends QueryPack {
           nulls("text").as("text_blank"),
           nulls("lang").as("lang_blank"),
           cnt.as("n_rows"))
+    }),
+
+    // A-ext: EXACT grouped median with NO global sort — the two-level
+    // histogram-selection algorithm. percentile_approx (and the KLL row)
+    // cover the sketch path; this is the exact path at scale: pass 1
+    // builds a coarse value histogram per group (bounded by
+    // |groups| x |value domain / width| — a metadata-sized aggregate),
+    // an in-plan window over THAT bounded table selects the one bucket
+    // per group holding the global k-th element (and the element's
+    // local rank inside it), and pass 2 re-scans with a broadcast
+    // semi-filter on the selected (group, bucket) pairs, ranking only
+    // the <= width/cent distinct values inside each. Total cost: two
+    // scans + one bucket-local rank — never a corpus-wide sort; every
+    // window here runs over histogram-sized frames. At 100 TB the same
+    // two passes hold (a bucket-partitioned layout would turn the
+    // pass-2 broadcast filter into partition pruning); a pathologically
+    // wide bucket would recurse one more level with the identical step.
+    // Fully lazy — no construction-time job, per the builder-registry
+    // contract. k = FLOOR((n+1)/2) matches the q_agg_approx_percentile /
+    // q_agg_kll_merge exact-rank convention (the VALUE at rank k is
+    // well-defined regardless of tie order).
+    "q_agg_exact_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        // 1000-wide coarse buckets; l_extendedprice sits on a 2-decimal
+        // grid, so each bucket holds at most 100k distinct values
+        .withColumn("__bucket", expr("CAST(v AS BIGINT) div 1000"))
+      // Pass 1: bounded histogram — |flags| x ~|price range / 1000| rows
+      val hist = vals.groupBy(col("flag"), col("__bucket")).agg(cnt.as("c"))
+      val wCum = Window.partitionBy(col("flag")).orderBy(col("__bucket"))
+      // target bucket per group: first bucket whose cumulative count
+      // reaches k; local_k = k's rank within it
+      val tgt = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("k",
+          expr("(SUM(c) OVER (PARTITION BY flag) + 1) div 2"))
+        .where(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+        .select(col("flag"), col("__bucket"),
+          (col("k") - (col("cum") - col("c"))).as("local_k"))
+      // Pass 2: bucket-filtered re-scan + rank within the target bucket
+      val wFlag = Window.partitionBy(col("flag")).orderBy(col("v"))
+      vals.join(broadcast(tgt), Seq("flag", "__bucket"))
+        .groupBy(col("flag"), col("local_k"), col("v")).agg(cnt.as("c"))
+        .withColumn("cum", sum(col("c")).over(wFlag))
+        .where(col("cum") >= col("local_k") &&
+          col("cum") - col("c") < col("local_k"))
+        .select(col("flag").as("l_returnflag"),
+          col("v").cast(DoubleType).as("exact_p50"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -503,5 +553,15 @@ object AggQueries extends QueryPack {
                 CAST(SUM(CASE WHEN text IS NULL OR TRIM(CAST(text AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS text_blank,
                 CAST(SUM(CASE WHEN lang IS NULL OR TRIM(CAST(lang AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS lang_blank,
                 COUNT(*) AS n_rows
-         FROM documents GROUP BY source""")
+         FROM documents GROUP BY source""",
+    "q_agg_exact_median" ->
+      """WITH ranked AS (
+           SELECT l_returnflag,
+                  CAST(l_extendedprice AS DOUBLE) AS v,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS rn,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag, v AS exact_p50
+         FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)""")
 }

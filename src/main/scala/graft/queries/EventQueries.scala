@@ -143,6 +143,35 @@ object EventQueries extends QueryPack {
         .select(col("user_id"), col("t1"), col("t2"), col("t3"),
           (lit(1L) + col("t2").isNotNull.cast(LongType)
             + col("t3").isNotNull.cast(LongType)).as("stage"))
+    }),
+
+    // Top-k session paths (sequence mining): each user's first 5 events
+    // in (ts, event_id) order collapse to one '>'-joined path string;
+    // the 20 most common paths (ties broken by path) are the behavioral
+    // fingerprint report q_events_transitions's first-order matrix
+    // can't express (it forgets everything before the previous step).
+    // Scale discipline: the per-user prefix is cut BEFORE collection —
+    // a row_number window on the user-keyed shuffle keeps only rank
+    // <= 5, so the collect_list state is bounded at 5 elements per user
+    // regardless of user activity skew; array_sort on the (rn, event)
+    // structs makes the collected order deterministic (collect_list
+    // order is not); the final top-20 is TakeOrderedAndProject (per-
+    // partition heaps, no global sort).
+    "q_events_top_paths" -> ((s, dir) => {
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(wU))
+        .where(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("rn"), col("event_type"))))
+          .as("a"))
+        .select(concat_ws(">", expr("transform(a, x -> x.event_type)"))
+          .as("path"))
+        .groupBy(col("path")).agg(cnt.as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -223,6 +252,20 @@ object EventQueries extends QueryPack {
                   / SUM(COUNT(*)) OVER (PARTITION BY cur_event) AS p_next
          FROM seq WHERE next_event IS NOT NULL
          GROUP BY cur_event, next_event""",
+    "q_events_top_paths" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id,
+                  string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM r WHERE rn <= 5 GROUP BY user_id)
+         SELECT path, COUNT(*) AS n_users
+         FROM p GROUP BY path
+         ORDER BY n_users DESC, path
+         LIMIT 20""",
     "q_events_funnel_stages" ->
       """WITH ev AS (
            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -753,9 +753,15 @@ object TextQueries extends QueryPack {
       val nll = floor(log2((col("c1").cast(DoubleType) + col("v")) /
         (col("c2").cast(DoubleType) + lit(1.0))) * lit(1000000.0))
         .cast(LongType)
-      val sc = bigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      // The model is assembled entirely on the DISTINCT-bigram table
+      // (c1 and V fold into c2 before any contact with the stream), so
+      // the full bigram stream shuffles exactly ONCE — on (w1,w2) for
+      // the scoring join. Joining c1 after the stream join would
+      // reshuffle the whole stream a second time on w1.
+      val model = c2.join(c1, Seq("w1"))
         .crossJoin(broadcast(v)) // 1-row, aggregate-reduced
-        .select(col("doc_id"), nll.as("nll_micro"))
+        .select(col("w1"), col("w2"), nll.as("nll_micro"))
+      val sc = bigrams.join(model, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(cnt.as("n_bigrams"), sum(col("nll_micro")).as("sum_nll_micro"))
       docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
@@ -1303,6 +1309,54 @@ object TextQueries extends QueryPack {
           (expr("repeat_ppm div 1000000") +
             when(coin < col("repeat_ppm") % 1000000L, 1L).otherwise(0L))
             .as("n_copies"))
+    }),
+
+    // Systematic probability-proportional-to-size (PPS) sampling: draw
+    // exactly k documents with inclusion probability proportional to
+    // length — the classic survey-sampling design (one grid of k
+    // equally-spaced points over the cumulative-weight axis; a doc is
+    // hit once per grid point inside its weight interval, so a doc
+    // longer than the stride is drawn multiple times — that's PPS with
+    // replacement-like multiplicity, reported as n_hits). Fully
+    // deterministic and integer-exact: stride and offset come from
+    // `div`, the hit count is a closed-form floor-division difference —
+    // no RNG, no floats, engine-exact. Scale: the cumulative axis is
+    // the q_pack_sequences two-phase prefix sum (per-shard exclusive
+    // sums + a broadcast offsets table over the tiny shard-total frame
+    // — no corpus-wide single-partition window), and the total-weight
+    // frame is a 1-row aggregate; the corpus pass is otherwise
+    // map-only. Exactly k hits are distributed across the output by
+    // construction (sum(n_hits) = k for any corpus with total >= k).
+    "q_sample_pps_systematic" -> ((s, dir) => {
+      val k = 10L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(col("n_chars").cast(LongType), lit(0L)).as("w"),
+          expr("doc_id div 1000").as("__shard"))
+      val wShard = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wOff = Window.orderBy(col("__shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("__shard")).agg(sum(col("w")).as("n"))
+        .withColumn("shard_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+        .select(col("__shard"), col("shard_off"))
+      val tot = docs.agg(sum(col("w")).as("wtot")) // 1-row, aggregate-reduced
+      // grid points p_m = off + m*stride, m = 0..k-1; hits(doc) =
+      // f(cum_hi) - f(cum_lo) with f(x) = #points < x
+      def gridBelow(c: String): Column =
+        when(col(c) <= col("off"), 0L).otherwise(
+          least(lit(k), expr(s"($c - off + stride - 1) div stride")))
+      docs.join(broadcast(offsets), "__shard")
+        .withColumn("cum_lo",
+          col("shard_off") + coalesce(sum(col("w")).over(wShard), lit(0L)))
+        .withColumn("cum_hi", col("cum_lo") + col("w"))
+        .crossJoin(broadcast(tot))
+        .withColumn("stride", expr(s"wtot div $k"))
+        .withColumn("off", expr("stride div 2"))
+        .withColumn("n_hits",
+          (gridBelow("cum_hi") - gridBelow("cum_lo")).cast(LongType))
+        .where(col("n_hits") > 0)
+        .select(col("doc_id"), col("w"), col("n_hits"))
     }),
 
     // Temperature-scaled mixture sampling — the production training-mix
@@ -1958,6 +2012,34 @@ object TextQueries extends QueryPack {
                            % 1000000
                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
          FROM toks t JOIN rates r ON r.source = t.source""",
+    "q_sample_pps_systematic" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CAST(COALESCE(n_chars, 0) AS BIGINT) AS w,
+                  COALESCE(SUM(CAST(COALESCE(n_chars, 0) AS BIGINT))
+                    OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_lo,
+                  SUM(CAST(COALESCE(n_chars, 0) AS BIGINT)) OVER ()
+                    AS wtot
+           FROM documents),
+         p AS (
+           SELECT doc_id, w, cum_lo, cum_lo + w AS cum_hi,
+                  wtot // 10 AS stride, (wtot // 10) // 2 AS off
+           FROM w)
+         SELECT doc_id, w,
+                CAST((CASE WHEN cum_hi <= off THEN 0
+                      ELSE LEAST(10, (cum_hi - off + stride - 1) // stride)
+                      END)
+                   - (CASE WHEN cum_lo <= off THEN 0
+                      ELSE LEAST(10, (cum_lo - off + stride - 1) // stride)
+                      END) AS BIGINT) AS n_hits
+         FROM p
+         WHERE (CASE WHEN cum_hi <= off THEN 0
+                ELSE LEAST(10, (cum_hi - off + stride - 1) // stride) END)
+             - (CASE WHEN cum_lo <= off THEN 0
+                ELSE LEAST(10, (cum_lo - off + stride - 1) // stride) END)
+               > 0""",
     "q_text_quality_classifier" ->
       """WITH d AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

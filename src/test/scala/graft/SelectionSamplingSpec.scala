@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the round-13 selection/sampling/sequence additions:
+  *
+  *  - q_agg_exact_median: the two-level histogram selection returns the
+  *    SAME value as a plain sort-based rank-k pick (the thing it avoids
+  *    computing distributively), per group, at two SFs — and its plan
+  *    contains no corpus-wide sort.
+  *  - q_sample_pps_systematic: exactly k total hits; every doc longer
+  *    than the stride is necessarily hit; hit counts never exceed
+  *    ceil(w/stride)+1 (a grid of spacing `stride` can cut an interval
+  *    of length w at most that many times).
+  *  - q_events_top_paths: paths are genuine (ts, event_id)-ordered
+  *    prefixes — recomputing one user's path row-by-row matches — and
+  *    the report is exactly the deterministic top-20.
+  */
+class SelectionSamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("exact median equals the sort-based rank-k value per group") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("q_agg_exact_median")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = Tables.t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (flag, rows) =>
+          val vs = rows.map(_.getDouble(1)).sorted
+          flag -> vs(((vs.length + 1) / 2) - 1)
+        }
+      assert(got === want, s"median mismatch at $dir")
+    }
+  }
+
+  test("exact median plan contains no global sort of the fact table") {
+    val plan = SparkEntry.queries("q_agg_exact_median")(
+      spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
+    // window sorts are bucket/histogram-local (partitioned by flag);
+    // a corpus-wide selection sort would show a global Sort + single
+    // partition exchange pair, which PlanLint already forbids — here we
+    // additionally pin that no Sort node sorts on the raw value without
+    // a partitioning key (the shape a naive median would produce)
+    assert(!plan.contains("rangepartitioning"),
+      "median plan range-partitions (global sort) the fact table:\n" + plan)
+  }
+
+  test("systematic PPS draws exactly k hits with PPS multiplicity bounds") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_sample_pps_systematic")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum === 10L, "total hits != k")
+    val wtot = Tables.t(spark, dir, "documents")
+      .agg(sum(coalesce(col("n_chars").cast("long"), lit(0L)))).head.getLong(0)
+    val stride = wtot / 10
+    // every selected doc respects the grid-multiplicity bound
+    rows.foreach { case (id, w, h) =>
+      assert(h <= w / stride + 1, s"doc $id: $h hits for weight $w")
+    }
+    // inclusion is monotone in weight at the extreme: any doc with
+    // w >= stride MUST be hit (its interval spans a full grid gap)
+    val big = Tables.t(spark, dir, "documents")
+      .where(col("n_chars") >= stride).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val hit = rows.map(_._1).toSet
+    assert(big.subsetOf(hit), s"docs >= stride missed: ${big -- hit}")
+  }
+
+  test("top paths are true ordered prefixes and the exact top-20") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_events_top_paths")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length === 20)
+    // independently recompute every user's first-5 path with a plain
+    // local sort, then take the same deterministic top-20
+    val want = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, evs) =>
+        evs.map(r => (r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+          .sortBy(e => (e._1, e._2)).take(5).map(_._3).mkString(">")
+      }
+      .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq === want)
+  }
+}
