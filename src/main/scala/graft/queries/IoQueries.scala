@@ -204,6 +204,35 @@ object IoQueries extends QueryPack {
         col("l_quantity"))
     }),
 
+    // Bloom-manifest point-lookup pruning — the skip a min/max zone map
+    // CANNOT make: the table is laid out by o_orderdate (the natural
+    // production time layout), so every file's o_orderkey [min, max]
+    // spans essentially the whole domain (fixture-verified: orderkey is
+    // uncorrelated with date) and a range manifest keeps all files for
+    // an orderkey probe. The per-file Bloom manifest keeps ~1 file per
+    // probe key + fpp noise instead. No false negatives → the pruned
+    // read is exactly the plain filtered scan, which is what the oracle
+    // checks; the kept < total require makes the SKIP itself part of
+    // the contract (and BloomIndexSpec quantifies it). Layout is
+    // memoized per sf dir like the zone-map row: the one-time write is
+    // batch maintenance, the per-query win is the pruned read.
+    "q_scan_bloom_pruned" -> ((s, dir) => {
+      import graft.sources.BloomIndexLayout
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_bloomidx_v1_$tag"
+      if (!new java.io.File(s"$path/_bloomidx").exists())
+        BloomIndexLayout.writeBloomIndexed(
+          t(s, dir, "orders"), path,
+          keyCol = "o_orderkey", layoutCol = "o_orderdate",
+          nFiles = 16, expectedItemsPerFile = 1 << 16)
+      val probes = Seq(1L, 7L, 33L, 512L, 4242L)
+      val (df, kept, total) = BloomIndexLayout.prunedRead(
+        s, path, "o_orderkey", probes)
+      require(kept < total, s"bloom index pruned nothing ($kept/$total)")
+      df.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate").cast(DateType).as("o_orderdate"))
+    }),
+
     // Bucketed co-located join: both sides bucketed on the join key at
     // write time, so the join itself plans with ZERO exchanges — the
     // 100 TB pattern for repeated large-x-large joins on a stable key
@@ -281,6 +310,11 @@ object IoQueries extends QueryPack {
          FROM lineitem
          WHERE l_partkey BETWEEN 100 AND 180
            AND l_suppkey BETWEEN 10 AND 60""",
+    "q_scan_bloom_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(o_orderdate AS DATE) AS o_orderdate
+         FROM orders
+         WHERE o_orderkey IN (1, 7, 33, 512, 4242)""",
     "q_join_bucketed" ->
       """SELECT c_mktsegment,
                 COUNT(*) AS n_orders,

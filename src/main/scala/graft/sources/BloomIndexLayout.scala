@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file Bloom-filter manifest for POINT-lookup file skipping — the
+  * complement of [[ZoneMapLayout]]'s min/max boxes.
+  *
+  * A min/max zone map prunes only predicates correlated with the
+  * layout: a table laid out by date answers "orderkey = 4242" by
+  * opening every file, because each file's orderkey [min, max] spans
+  * essentially the whole domain (verified on the fixture: all 8
+  * date-ranged files cover ~[0, n)). A per-file Bloom filter of the
+  * lookup key has no such correlation requirement — a point probe
+  * keeps only the files whose filter MIGHT contain the key (expected
+  * files-kept ≈ hits + fpp x filesTotal), regardless of layout. This
+  * is the Iceberg/Delta/Parquet `bloom_filter` column-index idea
+  * lifted to the manifest plane, where it prunes BEFORE listing or
+  * footer-reading any file.
+  *
+  * No false negatives (BloomFilter's contract), so pruned-read ≡
+  * plain-scan-and-filter exactly; false positives cost only an extra
+  * file read that the residual predicate then empties. Same
+  * driver-budget discipline as [[ZoneMapLayout.prunedRead]]: the
+  * manifest is filtered DISTRIBUTED (the membership test runs in the
+  * manifest scan, deserializing each file's filter once per manifest
+  * row), counts are checked first, and only a bounded survivor list is
+  * ever collected.
+  *
+  * The reference has no layout/index plane (its engine delegates
+  * storage to Postgres b-trees); this is a scale extension.
+  */
+object BloomIndexLayout {
+
+  /** Typed aggregate building one BloomFilter per group (per file).
+    * BloomFilter is Serializable and mergeable (`mergeInPlace`), so
+    * partial aggregation composes; the finished buffer serializes to
+    * the manifest as bytes.
+    */
+  private class BloomAgg(expectedItems: Long, fpp: Double)
+      extends Aggregator[Long, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    def reduce(b: BloomFilter, a: Long): BloomFilter = { b.putLong(a); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+      { a.mergeInPlace(b); a }
+    def finish(r: BloomFilter): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      r.writeTo(out)
+      out.toByteArray
+    }
+    def bufferEncoder: Encoder[BloomFilter] =
+      Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Write `df` range-laid-out by `layoutCol` into ~`nFiles` files and
+    * persist a `_bloomidx/` manifest: one (file, filter-bytes) row per
+    * data file, filter over `keyCol` (integral). Like the zone map,
+    * two passes: the clustered write, then one scan building the
+    * per-file filters (the stand-in for harvesting them at commit
+    * time). The manifest write itself is distributed — at millions of
+    * files it is a table, not a driver artifact.
+    */
+  def writeBloomIndexed(df: DataFrame, path: String, keyCol: String,
+                        layoutCol: String, nFiles: Int,
+                        expectedItemsPerFile: Long = 1 << 20,
+                        fpp: Double = 0.01): Unit = {
+    df.repartitionByRange(nFiles, col(layoutCol))
+      .sortWithinPartitions(layoutCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new BloomAgg(expectedItemsPerFile, fpp).toColumn
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        col(keyCol).cast("long").as("key"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("bloom"))
+      .toDF("file", "bloom")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_bloomidx")
+  }
+
+  /** Point-lookup read: `keyCol IN (probes)`, skipping every file whose
+    * Bloom filter rules out ALL probe keys. Returns the residual-
+    * filtered frame plus (filesKept, filesTotal). Mirrors
+    * [[ZoneMapLayout.prunedRead]]'s budget contract: membership tests
+    * run distributed over the manifest table; past `maxDriverFiles`
+    * survivors the explicit list buys nothing over a directory scan,
+    * so the read falls back to the plain path scan (identical rows).
+    */
+  def prunedRead(spark: SparkSession, path: String, keyCol: String,
+                 probes: Seq[Long],
+                 maxDriverFiles: Int = 100000): (DataFrame, Int, Int) = {
+    import spark.implicits._
+    val probeArr = probes.toArray
+    val manifest: Dataset[(String, Array[Byte])] =
+      spark.read.parquet(s"$path/_bloomidx")
+        .select(col("file"), col("bloom")).as[(String, Array[Byte])]
+    val survivors = manifest.filter { case (_, bytes) =>
+      val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      probeArr.exists(bf.mightContainLong)
+    }
+    val total = manifest.count()
+    val nKept = survivors.count()
+    val residual = col(keyCol).isin(probes: _*)
+    if (nKept > maxDriverFiles) {
+      (spark.read.parquet(path).where(residual), total.toInt, total.toInt)
+    } else if (nKept == 0) {
+      (spark.read.parquet(path).limit(0).where(residual), 0, total.toInt)
+    } else {
+      val files = survivors.map(_._1).collect()
+      (spark.read.parquet(files.toIndexedSeq: _*).where(residual),
+        files.length, total.toInt)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.BloomIndexLayout
+
+/** BloomIndexLayout contracts:
+  *  - no false negatives: the pruned read returns EXACTLY the plain
+  *    filtered scan's rows, for present and absent probe keys alike;
+  *  - the skip is real where a min/max zone map is blind: on the
+  *    date-laid-out table an orderkey probe keeps a small fraction of
+  *    files (each file's orderkey [min,max] spans ~the whole domain,
+  *    so a range manifest would keep ALL of them);
+  *  - the driver-budget fallback reads the same rows while reporting
+  *    no skip.
+  */
+class BloomIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val path = "/tmp/graft_bloomspec_idx"
+
+  private def ensureLayout(): Unit =
+    if (!new java.io.File(s"$path/_bloomidx").exists())
+      BloomIndexLayout.writeBloomIndexed(
+        Tables.t(spark, dir, "orders"), path,
+        keyCol = "o_orderkey", layoutCol = "o_orderdate",
+        nFiles = 16, expectedItemsPerFile = 1 << 16)
+
+  test("pruned read equals plain filter; absent keys prune to nothing") {
+    ensureLayout()
+    val probes = Seq(3L, 99L, 1234L, 999999999L) // last one absent
+    val (df, kept, total) =
+      BloomIndexLayout.prunedRead(spark, path, "o_orderkey", probes)
+    val got = df.select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    val want = Tables.t(spark, dir, "orders")
+      .where(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    assert(kept <= total)
+
+    // a definitely-absent key keeps zero files (bloom "definitely not")
+    val (none, kept0, total0) =
+      BloomIndexLayout.prunedRead(spark, path, "o_orderkey",
+        Seq(888888888L))
+    assert(kept0 === 0 && total0 === total)
+    assert(none.count() === 0L)
+  }
+
+  test("the skip is real where min/max is blind") {
+    ensureLayout()
+    val (_, kept, total) =
+      BloomIndexLayout.prunedRead(spark, path, "o_orderkey", Seq(4242L))
+    assert(total === 16, s"expected 16 files, got $total")
+    // one present key: expected files = 1 + fpp*total ≈ 1; allow slack
+    assert(kept <= 4, s"bloom kept $kept/$total files for one key")
+    // min/max blindness on the same layout: every file's orderkey
+    // range contains the probe, so a zone map would keep all 16
+    val spans = spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .where(col("lo") <= 4242L && col("hi") >= 4242L)
+      .count()
+    assert(spans === 16L,
+      s"fixture no longer blinds min/max (kept $spans) — test premise broken")
+  }
+
+  test("driver-budget fallback returns identical rows with no skip") {
+    ensureLayout()
+    val probes = Seq(3L, 99L)
+    val (df, kept, total) =
+      BloomIndexLayout.prunedRead(spark, path, "o_orderkey", probes,
+        maxDriverFiles = 0)
+    assert(kept === total, "fallback must report no skip")
+    val got = df.select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    val want = Tables.t(spark, dir, "orders")
+      .where(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+  }
+}
