@@ -101,11 +101,26 @@ object BpeKernel {
   /** Encode a document: whitespace words (same splitter as the trainer:
     * trim + `\s+`), each encoded and `#`-joined. Static so whole-stage
     * codegen calls it directly.
+    *
+    * Splitter parity is exact, not approximate: SQL `trim` (Spark and
+    * DuckDB both) strips ASCII SPACES ONLY — Java's `String.trim` also
+    * eats \t\n\r and would render "\tcat" as "|c||a||t|" while the
+    * oracle's trim leaves the tab for the `\s+`→`#` rewrite and emits
+    * "#|c||a||t|". Likewise Spark's `split` runs with limit -1 (keeps
+    * trailing empty strings), so "cat\t" must render "|c||a||t|#".
+    * Hence the hand-rolled space-only trim and `split(s, -1)` below;
+    * empty words encode to "" and cost nothing downstream (token count
+    * is pipe-pairs, char count strips delimiters).
     */
   def encodeDelim(text: UTF8String, v: Vocab): UTF8String = {
-    val s = text.toString.trim
+    val raw = text.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val s = raw.substring(b, e)
     if (s.isEmpty) return UTF8String.EMPTY_UTF8
-    val ws = Ws.split(s)
+    val ws = Ws.split(s, -1)
     val sb = new java.lang.StringBuilder(s.length * 3)
     var i = 0
     while (i < ws.length) {

@@ -70,6 +70,13 @@ object EmbeddingPca {
       }.collect()
     require(parts.nonEmpty, "empty embedding frame")
     val d = parts.head._2.length
+    // The per-row ragged check above is partition-local; two internally
+    // consistent partitions with different widths would otherwise merge
+    // into a silently truncated (or AIOOBE-crashing) covariance here.
+    parts.foreach { case (_, p1, _) =>
+      require(p1.length == d,
+        s"ragged embedding across partitions: ${p1.length} vs $d")
+    }
     val n = parts.map(_._1).sum
     val s1 = new Array[Long](d)
     val s2 = new Array[Long](d * (d + 1) / 2)

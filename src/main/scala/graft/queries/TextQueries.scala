@@ -615,7 +615,7 @@ object TextQueries extends QueryPack {
     // Corpus token accounting per source with the SAME frozen vocab —
     // the budgeting face of the encoder (feeds q_sample_token_budget:
     // mixture weights are set in TOKENS, not documents). One map-only
-    // encode + one small group-by; chars_per_mtok is integer-quantized
+    // encode + one small group-by; chars_per_ktok is integer-quantized
     // (floor of chars·1000/tokens) so the engines agree exactly.
     "q_text_bpe_token_stats" -> ((s, dir) => {
       val enc = graft.functions.BpeFunctions.bpeEncodeDelim(
@@ -631,7 +631,7 @@ object TextQueries extends QueryPack {
           sum(col("toks")).as("n_tokens"),
           sum(col("chs")).as("n_chars"),
           floor(sum(col("chs")) * lit(1000L) / sum(col("toks")))
-            .cast(LongType).as("chars_per_mtok"))
+            .cast(LongType).as("chars_per_ktok"))
     }),
 
     "q_text_bpe_pairs" -> ((s, dir) => {
@@ -1935,7 +1935,7 @@ object TextQueries extends QueryPack {
                 CAST(SUM(toks) AS BIGINT) AS n_tokens,
                 CAST(SUM(chs) AS BIGINT) AS n_chars,
                 CAST(floor((SUM(chs) * 1000) / SUM(toks)) AS BIGINT)
-                  AS chars_per_mtok
+                  AS chars_per_ktok
          FROM per_doc GROUP BY source""",
     "q_text_bpe_pairs" ->
       """WITH wf AS (

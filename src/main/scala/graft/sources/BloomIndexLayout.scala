@@ -101,21 +101,37 @@ object BloomIndexLayout {
     val manifest: Dataset[(String, Array[Byte])] =
       spark.read.parquet(s"$path/_bloomidx")
         .select(col("file"), col("bloom")).as[(String, Array[Byte])]
-    val survivors = manifest.filter { case (_, bytes) =>
+    // Deserializing a file's Bloom filter is the whole cost of the
+    // probe (the serialized blob is ~MB-scale at production nExpected),
+    // so the membership verdicts are computed in ONE distributed pass
+    // and persisted as a tiny (file, keep) projection; the count
+    // aggregate and the budget-gated survivor collect below re-scan
+    // only that boolean table, never the blobs. Same two-phase budget
+    // discipline as [[ZoneMapLayout.prunedRead]]: O(1) count buffers
+    // first, the collect_list only once nKept is known to fit the
+    // driver budget.
+    val flags = manifest.map { case (f, bytes) =>
       val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
-      probeArr.exists(bf.mightContainLong)
-    }
-    val total = manifest.count()
-    val nKept = survivors.count()
-    val residual = col(keyCol).isin(probes: _*)
-    if (nKept > maxDriverFiles) {
-      (spark.read.parquet(path).where(residual), total.toInt, total.toInt)
-    } else if (nKept == 0) {
-      (spark.read.parquet(path).limit(0).where(residual), 0, total.toInt)
-    } else {
-      val files = survivors.map(_._1).collect()
-      (spark.read.parquet(files.toIndexedSeq: _*).where(residual),
-        files.length, total.toInt)
-    }
+      (f, probeArr.exists(bf.mightContainLong))
+    }.toDF("file", "keep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = flags.agg(
+        count(lit(1)).as("total"),
+        count(when(col("keep"), lit(1))).as("n_kept")).head()
+      val total = cnt.getLong(0)
+      val nKept = cnt.getLong(1)
+      val residual = col(keyCol).isin(probes: _*)
+      if (nKept > maxDriverFiles) {
+        (spark.read.parquet(path).where(residual), total.toInt, total.toInt)
+      } else if (nKept == 0) {
+        (spark.read.parquet(path).limit(0).where(residual), 0, total.toInt)
+      } else {
+        val files = flags.where(col("keep"))
+          .agg(collect_list(col("file"))).head().getSeq[String](0).toArray
+        (spark.read.parquet(files.toIndexedSeq: _*).where(residual),
+          files.length, total.toInt)
+      }
+    } finally flags.unpersist(false)
   }
 }

@@ -807,27 +807,47 @@ object StreamingJobs {
       .flatMapGroupsWithState[Seq[PendingEvt], Transition](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[Seq[PendingEvt]]) =>
-          var buf = state.getOption.getOrElse(Seq.empty)
+          // Stored state is ALWAYS (ts, event_id)-sorted (every update
+          // below writes the sorted remainder), so a timeout-only
+          // invocation pays no sort at all, and an invocation with k
+          // new rows pays one O((n+k) log(n+k)) array sort — never the
+          // O(n^2) per-batch cost of List :+ appends, which a hot user
+          // with a deep lateness buffer would otherwise hit every
+          // micro-batch.
+          val prev = state.getOption.getOrElse(Seq.empty)
+          val added = scala.collection.mutable.ArrayBuffer.empty[PendingEvt]
           if (!state.hasTimedOut) rows.foreach { e =>
-            buf = buf :+ PendingEvt(tsMicros(e.ts), e.event_id, e.event_type)
+            added += PendingEvt(tsMicros(e.ts), e.event_id, e.event_type)
           }
+          val merged: Array[PendingEvt] =
+            if (added.isEmpty) prev.toArray
+            else {
+              val a = new Array[PendingEvt](prev.length + added.length)
+              prev.copyToArray(a)
+              added.copyToArray(a, prev.length)
+              java.util.Arrays.sort(a, Ordering.by(
+                (p: PendingEvt) => (p.tsMicros, p.event_id)))
+              a
+            }
           val wm = state.getCurrentWatermarkMs() * 1000L
-          var remaining = buf.sortBy(p => (p.tsMicros, p.event_id))
           val out = Seq.newBuilder[Transition]
-          while (remaining.size >= 2 && remaining(1).tsMicros < wm) {
-            val e1 = remaining.head
-            val e2 = remaining(1)
+          var i = 0
+          while (merged.length - i >= 2 && merged(i + 1).tsMicros < wm) {
+            val e1 = merged(i)
+            val e2 = merged(i + 1)
             out += Transition(user, e1.event_type, e2.event_type,
               microsToTs(e1.tsMicros), e1.event_id)
-            remaining = remaining.tail
+            i += 1
           }
-          if (remaining.isEmpty) state.remove()
+          if (i == merged.length) state.remove()
           else {
-            state.update(remaining)
+            val remaining = java.util.Arrays
+              .copyOfRange(merged, i, merged.length)
+            state.update(remaining.toIndexedSeq)
             // wake once the watermark passes the 2nd pending event so
             // its pair emits without needing same-key traffic; a lone
             // head has no emittable pair and needs no timeout
-            if (remaining.size >= 2)
+            if (remaining.length >= 2)
               state.setTimeoutTimestamp(
                 math.max(remaining(1).tsMicros / 1000L,
                   state.getCurrentWatermarkMs() + 1))

@@ -88,11 +88,27 @@ class AdaptiveExecSpec extends AnyFunSuite with SparkTestBase {
       Seq((i, s"b${i % 40}"), (i, s"c${i % 37}"))).toDF("id", "band_key")
     val pairs = graft.operators.LshBandJoin
       .candidatePairs(bands, "id", maxBucket = 1024)
-    assert(pairs.count() > 0)
-    val finalPlan = pairs.queryExecution.executedPlan.toString
-    assert(finalPlan.contains("LocalTableScan"),
+    // Execute THIS Dataset (count() builds its own QueryExecution, which
+    // would leave pairs' adaptive plan un-finalized — isFinalPlan=false —
+    // and the assertions below reading the initial, pre-AQE plan).
+    assert(pairs.collect().length > 0)
+    val planStr = pairs.queryExecution.executedPlan.toString
+    assert(planStr.contains("isFinalPlan=true"),
+      s"adaptive plan not finalized — assertions would be vacuous:\n${
+        planStr.take(2000)}")
+    // The finalized string prints BOTH sections; the initial plan still
+    // (correctly) shows the pre-AQE union + hot-star join, so the
+    // assertions must scope to the final section only.
+    val finalPlan = planStr.split("== Initial Plan ==").head
+    // The healthy-corpus contract: AQE's empty-relation propagation
+    // erases the hot-star side entirely — no Union of the two branches
+    // and NO runtime join of any strategy remains (the hot-star branch
+    // is the plan's only join; on local inputs it would plan as
+    // BroadcastHashJoin, so checking just SortMergeJoin proves
+    // nothing).
+    assert(!finalPlan.contains("Union"),
       s"empty hot branch not propagated away:\n${finalPlan.take(2000)}")
-    assert(!finalPlan.contains("SortMergeJoin"),
+    assert(!finalPlan.contains("Join"),
       s"hot-star branch survived as a runtime join on a healthy corpus:\n${
         finalPlan.take(2000)}")
   }

@@ -87,6 +87,33 @@ class BpeEncoderSpec extends AnyFunSuite with SparkTestBase {
     assert(viaFold.except(viaKernel).isEmpty && viaKernel.except(viaFold).isEmpty)
   }
 
+  /** Independent replica of the DuckDB oracle expression
+    * (bpeOracleEncExpr): SQL trim (ASCII spaces ONLY — unlike Java's
+    * String.trim), `\s+` → '#', wrap each non-# char in pipes, then the
+    * merge replace() chain. Pins the kernel's hand-rolled space-only
+    * trim and limit(-1) split on edge whitespace the fixture corpus
+    * never exercises (leading/trailing tabs and newlines).
+    */
+  private def duckRender(text: String, merges: Seq[Merge]): String = {
+    val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val base = t.replaceAll("\\s+", "#")
+      .flatMap(c => if (c == '#') "#" else s"|$c|")
+    merges.foldLeft(base) { (acc, m) =>
+      acc.replace(s"|${m.l}||${m.r}|", s"|${m.l}${m.r}|")
+    }
+  }
+
+  test("kernel matches the oracle rendering on edge whitespace") {
+    import spark.implicits._
+    val merges = BpeVocab.merges
+    val texts = Seq("\tcat", "cat\t", "  cat  ", "a \t b", " \t ", "   ",
+      "a\nb\n", "\n\nhot dog", "the\tcat sat\n")
+    val got = texts.toDF("text")
+      .select(BpeFunctions.bpeEncodeDelim(col("text"), merges).as("enc"))
+      .as[String].collect().toSeq
+    assert(got === texts.map(duckRender(_, merges)))
+  }
+
   test("tokenization is lossless: stripping delimiters recovers the text") {
     val docs = spark.read.parquet(s"$smallDir/documents.parquet")
     // translate: '#' -> ' ', '|' -> deleted — the inverse rendering.
