@@ -65,7 +65,8 @@ object Bench {
     "q_agg_heavy_hitters", "q_sample_temperature",
     "q_text_repeated_ngrams", "q_text_dup_spans", "q_text_entropy",
     "q_text_lm_perplexity", "q_events_transitions", "q_text_bpe_encode",
-    "q_agg_exact_median", "q_sample_pps_systematic", "q_events_top_paths")
+    "q_agg_exact_median", "q_sample_pps_systematic", "q_events_top_paths",
+    "q_pack_bins", "q_multimodal_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

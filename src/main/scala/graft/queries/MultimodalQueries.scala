@@ -42,7 +42,22 @@ object MultimodalQueries extends QueryPack {
       import s.implicits._
       Multimodal.resize(media(s, dir), 64, 64).toDF()
         .withColumn("payload", hex(col("payload")))
-    }))
+    }),
+
+    // Exact media dedup — the byte-identical-payload face of W1/exact
+    // dedup for binary columns (re-scraped images, mirrored audio): one
+    // hash group-by per (modality, payload digest), keep-first verdict
+    // by min doc_id. At 100 TB the group key is the 16-byte digest, not
+    // the payload — a real build hashes each blob map-side (here the
+    // synthetic payload IS its digest) and shuffles only (kind, digest,
+    // doc_id), so dedup cost is independent of media size.
+    "q_multimodal_dedup" -> ((s, dir) =>
+      Multimodal.synthesize(
+        t(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
+        .groupBy(col("kind"), hex(col("payload")).as("payload_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies"))))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_features" ->
@@ -84,5 +99,14 @@ object MultimodalQueries extends QueryPack {
                 CAST(64 AS INT) AS height,
                 UPPER(CONCAT(SUBSTRING(h, 1, 2), SUBSTRING(h, 9, 2),
                              SUBSTRING(h, 17, 2), SUBSTRING(h, 25, 2))) AS payload
-         FROM hexed""")
+         FROM hexed""",
+    "q_multimodal_dedup" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                UPPER(md5(COALESCE(text, ''))) AS payload_md5,
+                MIN(doc_id) AS keep_doc_id,
+                COUNT(*) AS n_copies
+         FROM documents
+         GROUP BY 1, 2""")
 }

@@ -40,6 +40,40 @@ object TextQueries extends QueryPack {
       s"replace($acc, '|${m.l}||${m.r}|', '|${m.l}${m.r}|')"
     }
 
+  /** Fixed context-window budget for sequence packing (tokens per bin). */
+  private val PackBin = 2048L
+
+  /** Sequence packing (concat-and-chunk): each doc's global token
+    * offset on the concatenated stream, in deterministic doc_id order,
+    * plus the bin range it lands in. The global running offset is
+    * computed with NO single-partition window: per-shard exclusive
+    * prefix sums (shard = doc_id div 1000, an order-preserving range
+    * shard; the `__` prefix is the PlanLint bounded-bucket convention)
+    * plus a running offset over the tiny shard-total table, broadcast
+    * back — the same two-phase shape as q_surrogate_key_scalable, so
+    * packing scales to any corpus. Shared by q_pack_sequences (per-doc
+    * face) and q_pack_bins (per-bin manifest face).
+    */
+  private def packFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tokens"),
+        expr("doc_id div 1000").as("__shard"))
+    val wShard = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("__shard")).agg(sum(col("n_tokens")).as("n"))
+      .withColumn("shard_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("__shard"), col("shard_off"))
+    docs.join(broadcast(offsets), "__shard")
+      .withColumn("tok_offset",
+        col("shard_off") + coalesce(sum(col("n_tokens")).over(wShard), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $PackBin").as("first_bin"),
+        expr(s"(tok_offset + n_tokens - 1) div $PackBin").as("last_bin"))
+  }
+
   /** Word n-gram shingles. Guarded: Spark sequence(1,0) counts DOWN, so
     * short docs need an explicit empty-array branch (DuckDB range(1,1)
     * is already empty).
@@ -1096,29 +1130,31 @@ object TextQueries extends QueryPack {
     // offset over the tiny shard-total table, broadcast back — the same
     // two-phase shape as q_surrogate_key_scalable, so packing scales to
     // any corpus. All outputs are integers — cross-engine exact.
-    "q_pack_sequences" -> ((s, dir) => {
-      val B = 2048L
-      // `__shard` follows the PlanLint `__` bounded-bucket convention:
-      // only the per-shard totals (one row per 1000 docs) enter the
-      // single-partition offsets window
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(words(col("text"))).cast(LongType).as("n_tokens"),
-          expr("doc_id div 1000").as("__shard"))
-      val wShard = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wOff = Window.orderBy(col("__shard"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("__shard")).agg(sum(col("n_tokens")).as("n"))
-        .withColumn("shard_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-        .select(col("__shard"), col("shard_off"))
-      docs.join(broadcast(offsets), "__shard")
-        .withColumn("tok_offset",
-          col("shard_off") + coalesce(sum(col("n_tokens")).over(wShard), lit(0L)))
+    "q_pack_sequences" -> ((s, dir) => packFrame(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        col("first_bin"), col("last_bin"),
+        (col("tok_offset") % PackBin).as("offset_in_bin"))),
+
+    // The consumable face of packing: the SHARD MANIFEST a training
+    // loader actually reads — one row per (bin, doc) overlap with the
+    // doc's token span inside that bin (docs straddling a boundary
+    // appear in every bin they touch). Derived from the same two-phase
+    // prefix-sum frame; the bin explode fans each doc out to
+    // (n_tokens / B) + 1 rows — output-proportional, map-only after
+    // the offsets join, so the manifest costs what it sizes at any
+    // corpus scale. All integers — cross-engine exact.
+    "q_pack_bins" -> ((s, dir) => {
+      val B = PackBin
+      packFrame(s, dir)
         .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
-          expr(s"tok_offset div $B").as("first_bin"),
-          expr(s"(tok_offset + n_tokens - 1) div $B").as("last_bin"),
-          (col("tok_offset") % B).as("offset_in_bin"))
+          explode(sequence(col("first_bin"), col("last_bin"))).as("bin"))
+        .select(col("bin"), col("doc_id"),
+          (greatest(col("tok_offset"), col("bin") * B)
+            - col("bin") * B).as("bin_tok_start"),
+          (least(col("tok_offset") + col("n_tokens"), (col("bin") + 1) * B)
+            - col("bin") * B).as("bin_tok_end"))
+        .withColumn("n_tokens_in_bin",
+          col("bin_tok_end") - col("bin_tok_start"))
     }),
 
     // Repetition quality signal (the Gopher-rules family): fraction of
@@ -2553,6 +2589,36 @@ object TextQueries extends QueryPack {
                 CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_bin,
                 CAST(tok_offset % 2048 AS BIGINT) AS offset_in_bin
          FROM o""",
+    "q_pack_bins" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS tok_offset
+           FROM d),
+         p AS (
+           SELECT doc_id, n_tokens, tok_offset,
+                  tok_offset // 2048 AS first_bin,
+                  (tok_offset + n_tokens - 1) // 2048 AS last_bin
+           FROM o),
+         x AS (
+           SELECT doc_id, n_tokens, tok_offset,
+                  unnest(range(first_bin, last_bin + 1)) AS bin
+           FROM p)
+         SELECT CAST(bin AS BIGINT) AS bin, doc_id,
+                CAST(greatest(tok_offset, bin * 2048) - bin * 2048
+                  AS BIGINT) AS bin_tok_start,
+                CAST(least(tok_offset + n_tokens, (bin + 1) * 2048)
+                  - bin * 2048 AS BIGINT) AS bin_tok_end,
+                CAST(least(tok_offset + n_tokens, (bin + 1) * 2048)
+                  - greatest(tok_offset, bin * 2048)
+                  AS BIGINT) AS n_tokens_in_bin
+         FROM x""",
     "q_text_lang_id" -> langOracle,
     "q_text_clean_corpus" -> (minhashOracleCte +
       s""",

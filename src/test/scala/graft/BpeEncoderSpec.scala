@@ -114,6 +114,29 @@ class BpeEncoderSpec extends AnyFunSuite with SparkTestBase {
     assert(got === texts.map(duckRender(_, merges)))
   }
 
+  test("kernel matches the oracle rendering on randomized whitespace soup") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val alphabet = "abcdefghijklmnopqrstuvwy"
+    val ws = " \t\n\r"
+    // words separated by random whitespace runs, with random edge runs —
+    // the property form of the edge-case pins above
+    val texts = Seq.tabulate(200) { _ =>
+      val sep = () => Seq.fill(1 + rnd.nextInt(3))(
+        ws(rnd.nextInt(ws.length))).mkString
+      val word = () => Seq.fill(1 + rnd.nextInt(6))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      (if (rnd.nextBoolean()) sep() else "") +
+        Seq.fill(1 + rnd.nextInt(5))(word()).mkString(sep()) +
+        (if (rnd.nextBoolean()) sep() else "")
+    }
+    val merges = BpeVocab.merges
+    val got = texts.toDF("text")
+      .select(BpeFunctions.bpeEncodeDelim(col("text"), merges).as("enc"))
+      .as[String].collect().toSeq
+    assert(got === texts.map(duckRender(_, merges)))
+  }
+
   test("tokenization is lossless: stripping delimiters recovers the text") {
     val docs = spark.read.parquet(s"$smallDir/documents.parquet")
     // translate: '#' -> ' ', '|' -> deleted — the inverse rendering.

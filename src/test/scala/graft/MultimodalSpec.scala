@@ -59,6 +59,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.collect().forall(_.getAs[Array[Byte]]("frame").length === 4))
   }
 
+  test("exact media dedup collapses byte-identical payloads within a modality") {
+    // doc_ids 0/3/6 are all 'image' (doc_id % 3 == 0); 0 and 6 share
+    // text, so their payloads are byte-identical and must collapse to
+    // one group keeping the min doc_id; 3 differs and stands alone.
+    // The fixture corpus has no exact payload dups, so this is the
+    // non-vacuous pin of q_multimodal_dedup's collapse semantics.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "same bytes"), Row(3L, "other"), Row(6L, "same bytes")), 2),
+      schema)
+    import org.apache.spark.sql.functions._
+    val grouped = Multimodal.synthesize(d)
+      .groupBy(col("kind"), hex(col("payload")).as("payload_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .collect()
+    assert(grouped.length === 2)
+    val dup = grouped.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_doc_id") === 0L)
+    assert(grouped.find(_.getAs[Long]("n_copies") == 1L)
+      .get.getAs[Long]("keep_doc_id") === 3L)
+  }
+
   test("decode-stub features match direct md5 byte statistics") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val expected = md.digest("hello world".getBytes("UTF-8")).map(_ & 0xff)
