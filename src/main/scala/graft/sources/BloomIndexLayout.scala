@@ -85,6 +85,56 @@ object BloomIndexLayout {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_bloomidx")
   }
 
+  /** Incremental manifest maintenance for APPEND-ONLY tables (the
+    * warehouse's append-by-batch layer): build Bloom filters ONLY for
+    * data files not yet in the manifest and append their rows —
+    * per-batch cost is O(new files' bytes), never a table rescan.
+    * Returns (filesAdded, filesTotal).
+    *
+    * File identity is the unique part-file basename, so the
+    * input_file_name() rendering in manifest rows and the listing's
+    * URI form cannot drift. The file LISTS touch the driver — the same
+    * metadata plane Spark's own FileIndex already holds for any scan
+    * of this table, so this adds no new driver-memory class.
+    *
+    * Loud guard instead of silent wrongness: if the manifest names a
+    * file the table no longer has (the table was OVERWRITTEN, not
+    * appended), pruned reads could route probes to vanished files, so
+    * this fails with a rebuild instruction rather than appending on
+    * top of a stale manifest.
+    */
+  def refreshIndex(spark: SparkSession, path: String, keyCol: String,
+                   expectedItemsPerFile: Long = 1 << 20,
+                   fpp: Double = 0.01): (Int, Int) = {
+    import spark.implicits._
+    val idx = s"$path/_bloomidx"
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val allFiles = spark.read.parquet(path).inputFiles
+    val allBase = allFiles.map(base).toSet
+    val haveBase = scala.util.Try(
+      spark.read.parquet(idx).select(col("file")).as[String].collect())
+      .getOrElse(Array.empty[String]).map(base).toSet
+    val stale = haveBase.diff(allBase)
+    if (stale.nonEmpty) throw new IllegalStateException(
+      s"bloom manifest at $idx names ${stale.size} file(s) the table no " +
+        "longer has (table overwritten, not appended) — rebuild with " +
+        "writeBloomIndexed instead of refreshIndex")
+    val missing = allFiles.filterNot(f => haveBase(base(f)))
+    if (missing.nonEmpty) {
+      val agg = new BloomAgg(expectedItemsPerFile, fpp).toColumn
+      spark.read.parquet(missing.toIndexedSeq: _*)
+        .select(input_file_name().as("file"),
+          col(keyCol).cast("long").as("key"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.name("bloom"))
+        .toDF("file", "bloom")
+        .write.mode(SaveMode.Append).parquet(idx)
+    }
+    (missing.length, allFiles.length)
+  }
+
   /** Point-lookup read: `keyCol IN (probes)`, skipping every file whose
     * Bloom filter rules out ALL probe keys. Returns the residual-
     * filtered frame plus (filesKept, filesTotal). Mirrors

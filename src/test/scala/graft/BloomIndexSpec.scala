@@ -64,6 +64,47 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestBase {
       s"fixture no longer blinds min/max (kept $spans) — test premise broken")
   }
 
+  test("refreshIndex builds filters only for appended files; stale manifests fail loudly") {
+    import org.apache.spark.sql.SaveMode
+    val p = "/tmp/graft_bloomspec_refresh_" +
+      ProcessHandle.current().pid()
+    val orders = Tables.t(spark, dir, "orders")
+    val half1 = orders.where(col("o_orderkey") % 2 === 0)
+    val half2 = orders.where(col("o_orderkey") % 2 === 1)
+    BloomIndexLayout.writeBloomIndexed(half1, p,
+      keyCol = "o_orderkey", layoutCol = "o_orderdate",
+      nFiles = 4, expectedItemsPerFile = 1 << 16)
+    // append a batch of new files, then refresh: only they get filters
+    half2.repartition(3)
+      .write.mode(SaveMode.Append).parquet(p)
+    val (added, total) =
+      BloomIndexLayout.refreshIndex(spark, p, "o_orderkey",
+        expectedItemsPerFile = 1 << 16)
+    assert(added === 3 && total === 7,
+      s"expected 3 new of 7 total, got $added/$total")
+    // idempotent: nothing new on a second refresh
+    assert(BloomIndexLayout.refreshIndex(spark, p, "o_orderkey") === ((0, 7)))
+    // the refreshed manifest prunes across old AND new files, exactly
+    val probes = Seq(4L, 7L, 999999999L)
+    val (df, kept, nTotal) =
+      BloomIndexLayout.prunedRead(spark, p, "o_orderkey", probes)
+    assert(nTotal === 7 && kept < 7)
+    val got = df.select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    val want = orders.where(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    // a data file vanishing out from under the manifest (compaction /
+    // overwrite without a manifest rebuild) → loud fail, not a pruned
+    // read routed at a missing file
+    val victim = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val ex = intercept[IllegalStateException](
+      BloomIndexLayout.refreshIndex(spark, p, "o_orderkey"))
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
   test("driver-budget fallback returns identical rows with no skip") {
     ensureLayout()
     val probes = Seq(3L, 99L)
