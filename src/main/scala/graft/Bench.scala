@@ -66,7 +66,7 @@ object Bench {
     "q_text_repeated_ngrams", "q_text_dup_spans", "q_text_entropy",
     "q_text_lm_perplexity", "q_events_transitions", "q_text_bpe_encode",
     "q_agg_exact_median", "q_sample_pps_systematic", "q_events_top_paths",
-    "q_pack_bins", "q_multimodal_dedup")
+    "q_pack_bins", "q_multimodal_dedup", "q_text_hash_embed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1491,6 +1491,49 @@ object TextQueries extends QueryPack {
     // contribution is then floor-quantized to an integer so the
     // per-doc SUM is order-free. Oracle mirrors the exact expression
     // tree (same parenthesization) so every double op is bit-identical.
+    // Feature-hashing text embeddings (the hashing trick): project each
+    // document onto a fixed D=64-dim vector — bucket = term-hash mod D,
+    // a second hash bit gives the ±1 sign that keeps collisions
+    // unbiased — weighted by tf x a rational idf core. This is the
+    // in-engine text FEATURIZER: fixed-width vectors from raw text with
+    // no vocabulary table to build, ship, or version (the property that
+    // makes the trick the production choice for corpus-scale featurize;
+    // cf. sklearn/Vowpal Wabbit HashingVectorizer semantics). Output is
+    // the sparse (doc_id, bucket, weight) form — the dense array face
+    // is a trivial pivot; downstream ANN consumes either.
+    // Scale: one token explode + per-(doc,term) tf aggregate (the only
+    // corpus-sized shuffle), a term-keyed df join with NO broadcast
+    // hint (the vocabulary scales with the corpus — Zipf-hot terms are
+    // AQE skew-join territory, not driver memory), a 1-row corpus
+    // crossJoin, then the (doc, bucket) aggregate whose state is
+    // bounded at D rows per doc. Cross-engine: same no-ln discipline as
+    // BM25 — idf is the rational (N - df + 0.5)/(df + 0.5), each term's
+    // magnitude floor-quantized to micro-units BEFORE the ±sign applies
+    // in integer arithmetic (floor(-x) != -floor(x)), so the per-bucket
+    // SUM is order-free and bit-identical on both engines.
+    "q_text_hash_embed" -> ((s, dir) => {
+      val D = 64L
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(cnt.as("df_t"))
+      val corpus = docs.agg(cnt.as("big_n"))
+      tf.join(dfT, "term")
+        .crossJoin(broadcast(corpus)) // 1-row, aggregate-reduced
+        .withColumn("h",
+          conv(substring(md5(col("term")), 1, 9), 16, 10).cast(LongType))
+        .withColumn("sgn",
+          when(expr(s"(h div $D) % 2") === 0, lit(1L)).otherwise(lit(-1L)))
+        .withColumn("w_micro", col("sgn") *
+          floor(lit(1e6) * col("tf").cast(DoubleType) *
+            ((col("big_n").cast(DoubleType) - col("df_t").cast(DoubleType)
+              + lit(0.5)) / (col("df_t").cast(DoubleType) + lit(0.5))))
+            .cast(LongType))
+        .groupBy(col("doc_id"), (col("h") % D).as("bucket"))
+        .agg(sum(col("w_micro")).as("weight_micro"))
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       val terms = Seq("vector", "stream", "window")
       val docs = t(s, dir, "documents")
@@ -2423,6 +2466,30 @@ object TextQueries extends QueryPack {
     // parenthesization mirrors the Spark expression tree exactly —
     // +,-,*,/ are IEEE-identical across engines only for the SAME
     // operation sequence
+    "q_text_hash_embed" ->
+      """WITH tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY doc_id, term),
+         dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+         corpus AS (SELECT COUNT(*) AS big_n FROM documents),
+         h AS (
+           SELECT doc_id, tf, df_t, big_n,
+                  CAST(CONCAT('0x', SUBSTRING(md5(term), 1, 9)) AS BIGINT)
+                    AS hv
+           FROM tf JOIN dft USING (term) CROSS JOIN corpus)
+         SELECT doc_id,
+                CAST(hv % 64 AS BIGINT) AS bucket,
+                CAST(SUM(
+                  (CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) *
+                  CAST(FLOOR(1e6 * CAST(tf AS DOUBLE) *
+                    ((CAST(big_n AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+                      / (CAST(df_t AS DOUBLE) + 0.5))) AS BIGINT))
+                  AS BIGINT) AS weight_micro
+         FROM h
+         GROUP BY doc_id, hv % 64""",
     "q_text_bm25" ->
       """WITH dl AS (
            SELECT doc_id,
