@@ -115,6 +115,46 @@ object ZoneMapLayout {
     * rows) and reports (filesTotal, filesTotal): no skip happened, and
     * the driver never holds a corpus-scale file list.
     */
+  /** Incremental zone-map maintenance for APPEND-ONLY tables — the
+    * min/max twin of [[BloomIndexLayout.refreshIndex]]: stats are
+    * computed only for data files the manifest does not name yet and
+    * appended, so per-batch cost is the new files' bytes, never a
+    * table rescan. Appended batches are not z-clustered against the
+    * existing layout (their boxes may span wider ranges and prune
+    * less — correctness is unaffected; re-cluster with writeZordered
+    * when skip rates degrade). File identity is the part-file
+    * basename; a manifest naming a vanished file (overwrite or
+    * compaction without a rebuild) fails loudly. Returns
+    * (filesAdded, filesTotal).
+    */
+  def refreshIndex(spark: SparkSession, path: String,
+                   statsCols: Seq[String]): (Int, Int) = {
+    import spark.implicits._
+    val idx = s"$path/_zonemap"
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val allFiles = spark.read.parquet(path).inputFiles
+    val allBase = allFiles.map(base).toSet
+    val haveBase = scala.util.Try(
+      spark.read.parquet(idx).select(col("file")).as[String].collect())
+      .getOrElse(Array.empty[String]).map(base).toSet
+    val stale = haveBase.diff(allBase)
+    if (stale.nonEmpty) throw new IllegalStateException(
+      s"zone-map manifest at $idx names ${stale.size} file(s) the table " +
+        "no longer has (table overwritten, not appended) — rebuild with " +
+        "writeZordered instead of refreshIndex")
+    val missing = allFiles.filterNot(f => haveBase(base(f)))
+    if (missing.nonEmpty) {
+      val statAggs = statsCols.flatMap(c => Seq(
+        min(col(c)).cast(LongType).as(s"lo_$c"),
+        max(col(c)).cast(LongType).as(s"hi_$c")))
+      spark.read.parquet(missing.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(statAggs.head, statAggs.tail: _*)
+        .write.mode(SaveMode.Append).parquet(idx)
+    }
+    (missing.length, allFiles.length)
+  }
+
   def prunedRead(spark: SparkSession, path: String,
                  box: Seq[(String, Long, Long)],
                  maxDriverFiles: Int = 100000): (DataFrame, Int, Int) = {

@@ -73,6 +73,35 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() === 0)
   }
 
+  test("refreshIndex appends stats only for new files; stale manifests fail") {
+    import org.apache.spark.sql.SaveMode
+    val p = Files.createTempDirectory("zmap").toFile.getAbsolutePath + "/inc"
+    val half1 = li.where(col("l_orderkey") % 2 === 0)
+    val half2 = li.where(col("l_orderkey") % 2 === 1)
+    ZoneMapLayout.writeZordered(half1, p,
+      zCols = Seq("l_partkey"), statsCols = Seq("l_partkey"), nFiles = 4)
+    half2.repartition(3).write.mode(SaveMode.Append).parquet(p)
+    val (added, total) =
+      ZoneMapLayout.refreshIndex(spark, p, Seq("l_partkey"))
+    assert(added === 3 && total === 7, s"got $added/$total")
+    assert(ZoneMapLayout.refreshIndex(spark, p, Seq("l_partkey")) === ((0, 7)))
+    // refreshed manifest prunes across old and new files, exactly
+    val box = Seq(("l_partkey", 40L, 90L))
+    val (df, kept, nTotal) = ZoneMapLayout.prunedRead(spark, p, box)
+    assert(nTotal === 7)
+    assert(df.count() ===
+      li.where(col("l_partkey").between(40L, 90L)).count())
+    assert(kept <= nTotal)
+    // a vanished data file → loud fail, not a read routed at it
+    val victim = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val ex = intercept[IllegalStateException](
+      ZoneMapLayout.refreshIndex(spark, p, Seq("l_partkey")))
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
   test("survivor list past the driver budget falls back to the plain scan") {
     // a whole-domain box keeps every file; with maxDriverFiles below the
     // file count the read must degrade to the path scan (identical rows,
