@@ -52,9 +52,7 @@ object MultimodalQueries extends QueryPack {
     // synthetic payload IS its digest) and shuffles only (kind, digest,
     // doc_id), so dedup cost is independent of media size.
     "q_multimodal_dedup" -> ((s, dir) =>
-      Multimodal.synthesize(
-        t(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
+      media(s, dir)
         .groupBy(col("kind"), hex(col("payload")).as("payload_md5"))
         .agg(min(col("doc_id")).as("keep_doc_id"),
           count(lit(1)).as("n_copies"))))

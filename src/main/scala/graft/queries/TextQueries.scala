@@ -1475,22 +1475,6 @@ object TextQueries extends QueryPack {
         .select(col("lang"), col("doc_id"), col("rn").as("sample_rank"))
     }),
 
-    // BM25 relevance scoring (Robertson/Spärck Jones; k1=1.2, b=0.75)
-    // of the corpus against a fixed query-term set — the retrieval face
-    // of the curation stack (score-and-rank training docs against a
-    // probe query). Plan: the token explode prunes to the query terms
-    // MAP-SIDE (the only corpus-sized shuffle is the per-(doc,term) tf
-    // aggregate), document frequencies reduce to |Q| rows and
-    // broadcast, corpus stats are a 1-row aggregate, and the final
-    // ranking is a TakeOrdered top-100. Cross-engine float discipline:
-    // the log-idf is replaced by its rational core
-    // (N - df + 0.5)/(df + 0.5) — ln is NOT correctly-rounded-
-    // guaranteed and differs in ulps between libm implementations,
-    // while +,-,*,/ are IEEE-exact in both engines (monotone-in-df like
-    // log-idf, so per-term ordering is preserved); each per-term
-    // contribution is then floor-quantized to an integer so the
-    // per-doc SUM is order-free. Oracle mirrors the exact expression
-    // tree (same parenthesization) so every double op is bit-identical.
     // Feature-hashing text embeddings (the hashing trick): project each
     // document onto a fixed D=64-dim vector — bucket = term-hash mod D,
     // a second hash bit gives the ±1 sign that keeps collisions
@@ -1534,6 +1518,22 @@ object TextQueries extends QueryPack {
         .agg(sum(col("w_micro")).as("weight_micro"))
     }),
 
+    // BM25 relevance scoring (Robertson/Spärck Jones; k1=1.2, b=0.75)
+    // of the corpus against a fixed query-term set — the retrieval face
+    // of the curation stack (score-and-rank training docs against a
+    // probe query). Plan: the token explode prunes to the query terms
+    // MAP-SIDE (the only corpus-sized shuffle is the per-(doc,term) tf
+    // aggregate), document frequencies reduce to |Q| rows and
+    // broadcast, corpus stats are a 1-row aggregate, and the final
+    // ranking is a TakeOrdered top-100. Cross-engine float discipline:
+    // the log-idf is replaced by its rational core
+    // (N - df + 0.5)/(df + 0.5) — ln is NOT correctly-rounded-
+    // guaranteed and differs in ulps between libm implementations,
+    // while +,-,*,/ are IEEE-exact in both engines (monotone-in-df like
+    // log-idf, so per-term ordering is preserved); each per-term
+    // contribution is then floor-quantized to an integer so the
+    // per-doc SUM is order-free. Oracle mirrors the exact expression
+    // tree (same parenthesization) so every double op is bit-identical.
     "q_text_bm25" -> ((s, dir) => {
       val terms = Seq("vector", "stream", "window")
       val docs = t(s, dir, "documents")
@@ -2463,9 +2463,9 @@ object TextQueries extends QueryPack {
                 array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
                   ' ') AS chunk_text
          FROM c""",
-    // parenthesization mirrors the Spark expression tree exactly —
-    // +,-,*,/ are IEEE-identical across engines only for the SAME
-    // operation sequence
+    // in this oracle and q_text_bm25's below, parenthesization mirrors
+    // the Spark expression tree exactly — +,-,*,/ are IEEE-identical
+    // across engines only for the SAME operation sequence
     "q_text_hash_embed" ->
       """WITH tf AS (
            SELECT doc_id, term, COUNT(*) AS tf

@@ -82,6 +82,7 @@ object BloomIndexLayout {
       .mapValues(_._2)
       .agg(agg.name("bloom"))
       .toDF("file", "bloom")
+      .withColumn("key_col", lit(keyCol)) // provenance for refresh guard
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_bloomidx")
   }
 
@@ -108,18 +109,22 @@ object BloomIndexLayout {
                    fpp: Double = 0.01): (Int, Int) = {
     import spark.implicits._
     val idx = s"$path/_bloomidx"
-    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
-    val allFiles = spark.read.parquet(path).inputFiles
-    val allBase = allFiles.map(base).toSet
-    val haveBase = scala.util.Try(
-      spark.read.parquet(idx).select(col("file")).as[String].collect())
-      .getOrElse(Array.empty[String]).map(base).toSet
-    val stale = haveBase.diff(allBase)
-    if (stale.nonEmpty) throw new IllegalStateException(
-      s"bloom manifest at $idx names ${stale.size} file(s) the table no " +
-        "longer has (table overwritten, not appended) — rebuild with " +
-        "writeBloomIndexed instead of refreshIndex")
-    val missing = allFiles.filterNot(f => haveBase(base(f)))
+    val (missing, total) = ManifestRefresh.missingFiles(
+      spark, path, "_bloomidx", rebuildWith = "writeBloomIndexed")
+    // A filter built over a DIFFERENT key column than the manifest's
+    // would make point lookups on the original key falsely skip files —
+    // the manifest records its key (key_col) so a mismatched refresh
+    // fails loudly instead.
+    if (ManifestRefresh.indexExists(spark, idx)) {
+      val m = spark.read.parquet(idx)
+      if (m.columns.contains("key_col")) {
+        val keys = m.select(col("key_col")).distinct().as[String].collect()
+        require(keys.forall(_ == keyCol),
+          s"bloom manifest at $idx was built over key " +
+            s"'${keys.mkString(",")}', refresh requested '$keyCol' — " +
+            "rebuild with writeBloomIndexed to change the key")
+      }
+    }
     if (missing.nonEmpty) {
       val agg = new BloomAgg(expectedItemsPerFile, fpp).toColumn
       spark.read.parquet(missing.toIndexedSeq: _*)
@@ -130,9 +135,10 @@ object BloomIndexLayout {
         .mapValues(_._2)
         .agg(agg.name("bloom"))
         .toDF("file", "bloom")
+        .withColumn("key_col", lit(keyCol))
         .write.mode(SaveMode.Append).parquet(idx)
     }
-    (missing.length, allFiles.length)
+    (missing.length, total)
   }
 
   /** Point-lookup read: `keyCol IN (probes)`, skipping every file whose

@@ -129,20 +129,24 @@ object ZoneMapLayout {
     */
   def refreshIndex(spark: SparkSession, path: String,
                    statsCols: Seq[String]): (Int, Int) = {
-    import spark.implicits._
     val idx = s"$path/_zonemap"
-    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
-    val allFiles = spark.read.parquet(path).inputFiles
-    val allBase = allFiles.map(base).toSet
-    val haveBase = scala.util.Try(
-      spark.read.parquet(idx).select(col("file")).as[String].collect())
-      .getOrElse(Array.empty[String]).map(base).toSet
-    val stale = haveBase.diff(allBase)
-    if (stale.nonEmpty) throw new IllegalStateException(
-      s"zone-map manifest at $idx names ${stale.size} file(s) the table " +
-        "no longer has (table overwritten, not appended) — rebuild with " +
-        "writeZordered instead of refreshIndex")
-    val missing = allFiles.filterNot(f => haveBase(base(f)))
+    val (missing, total) = ManifestRefresh.missingFiles(
+      spark, path, "_zonemap", rebuildWith = "writeZordered")
+    // Appending rows with a DIFFERENT stats-column set would leave the
+    // old columns NULL on the new rows; prunedRead's intersects
+    // predicate evaluates NULL there, the count treats the file as
+    // non-intersecting, and matching rows silently vanish from pruned
+    // reads. Guard: the requested columns must reproduce the existing
+    // manifest schema exactly.
+    if (ManifestRefresh.indexExists(spark, idx)) {
+      val have = spark.read.parquet(idx).columns.toSet
+      val want = Set("file") ++
+        statsCols.flatMap(c => Seq(s"lo_$c", s"hi_$c"))
+      require(have == want,
+        s"zone-map manifest at $idx has columns ${have.toSeq.sorted}, " +
+          s"refresh requested ${want.toSeq.sorted} — rebuild with " +
+          "writeZordered to change the stats columns")
+    }
     if (missing.nonEmpty) {
       val statAggs = statsCols.flatMap(c => Seq(
         min(col(c)).cast(LongType).as(s"lo_$c"),
@@ -152,7 +156,7 @@ object ZoneMapLayout {
         .agg(statAggs.head, statAggs.tail: _*)
         .write.mode(SaveMode.Append).parquet(idx)
     }
-    (missing.length, allFiles.length)
+    (missing.length, total)
   }
 
   def prunedRead(spark: SparkSession, path: String,

@@ -93,6 +93,11 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestBase {
     val want = orders.where(col("o_orderkey").isin(probes: _*))
       .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
     assert(got.toSeq === want.toSeq)
+    // refreshing over a DIFFERENT key column would build filters that
+    // falsely skip files on the original key → loud fail
+    val keyEx = intercept[IllegalArgumentException](
+      BloomIndexLayout.refreshIndex(spark, p, "o_custkey"))
+    assert(keyEx.getMessage.contains("key"))
     // a data file vanishing out from under the manifest (compaction /
     // overwrite without a manifest rebuild) → loud fail, not a pruned
     // read routed at a missing file

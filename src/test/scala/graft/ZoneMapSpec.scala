@@ -92,6 +92,11 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() ===
       li.where(col("l_partkey").between(40L, 90L)).count())
     assert(kept <= nTotal)
+    // a different stats-column set would append NULL-stat rows that
+    // prunedRead silently treats as non-intersecting → loud fail
+    val colsEx = intercept[IllegalArgumentException](
+      ZoneMapLayout.refreshIndex(spark, p, Seq("l_suppkey")))
+    assert(colsEx.getMessage.contains("stats"))
     // a vanished data file → loud fail, not a read routed at it
     val victim = new java.io.File(p).listFiles()
       .filter(f => f.getName.startsWith("part-") &&
