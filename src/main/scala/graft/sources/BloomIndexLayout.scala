@@ -141,6 +141,44 @@ object BloomIndexLayout {
     (missing.length, total)
   }
 
+  /** Partition-scoped manifest refresh — the composition of Bloom file
+    * skipping with the warehouse's S8 idempotency contract (dynamic
+    * partition overwrite): the manifest rows for table partition
+    * `partitionCol=value` live under their own manifest partition
+    * `_bloomidx/pid=value`, so re-running a batch refreshes exactly
+    * that manifest partition the same way the batch re-run overwrites
+    * exactly its data partition — every other partition's manifest
+    * rows are untouched, and a rerun is idempotent by construction
+    * (no stale-file guard needed: the overwrite replaces the rows that
+    * could go stale). [[prunedRead]] reads the manifest tree whole and
+    * ignores the inferred pid column. One scheme per table: a flat
+    * [[writeBloomIndexed]] rebuild replaces the whole `_bloomidx/`
+    * directory, partitioned tables maintain it per-partition with
+    * this. Returns the number of files indexed in the partition.
+    */
+  def refreshPartition(spark: SparkSession, path: String,
+                       partitionCol: String, value: String, keyCol: String,
+                       expectedItemsPerFile: Long = 1 << 20,
+                       fpp: Double = 0.01): Int = {
+    import spark.implicits._
+    val partPath = s"$path/$partitionCol=$value"
+    val agg = new BloomAgg(expectedItemsPerFile, fpp).toColumn
+    val rows = spark.read.parquet(partPath)
+      .select(input_file_name().as("file"),
+        col(keyCol).cast("long").as("key"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("bloom"))
+      .toDF("file", "bloom")
+      .withColumn("key_col", lit(keyCol))
+    val idxPart = s"$path/_bloomidx/pid=$value"
+    rows.write.mode(SaveMode.Overwrite).parquet(idxPart)
+    // count from the written manifest partition — re-counting `rows`
+    // would build every Bloom filter a second time
+    spark.read.parquet(idxPart).count().toInt
+  }
+
   /** Point-lookup read: `keyCol IN (probes)`, skipping every file whose
     * Bloom filter rules out ALL probe keys. Returns the residual-
     * filtered frame plus (filesKept, filesTotal). Mirrors
@@ -185,7 +223,12 @@ object BloomIndexLayout {
       } else {
         val files = flags.where(col("keep"))
           .agg(collect_list(col("file"))).head().getSeq[String](0).toArray
-        (spark.read.parquet(files.toIndexedSeq: _*).where(residual),
+        // basePath keeps directory-inferred partition columns in the
+        // schema when reading an explicit leaf-file list (partitioned
+        // tables would otherwise return a narrower frame than the
+        // fallback's whole-table read)
+        (spark.read.option("basePath", path)
+          .parquet(files.toIndexedSeq: _*).where(residual),
           files.length, total.toInt)
       }
     } finally flags.unpersist(false)

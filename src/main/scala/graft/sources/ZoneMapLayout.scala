@@ -189,7 +189,12 @@ object ZoneMapLayout {
     } else {
       val files = zm.where(intersects)
         .agg(collect_list(col("file"))).head().getSeq[String](0).toArray
-      (spark.read.parquet(files.toIndexedSeq: _*).where(residual),
+      // basePath keeps directory-inferred partition columns in the
+      // schema when reading an explicit leaf-file list (partitioned
+      // tables would otherwise return a narrower frame than the
+      // fallback's whole-table read)
+      (spark.read.option("basePath", path)
+        .parquet(files.toIndexedSeq: _*).where(residual),
         files.length, total.toInt)
     }
   }

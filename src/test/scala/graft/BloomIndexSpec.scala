@@ -110,6 +110,45 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage.contains("rebuild"))
   }
 
+  test("partition-scoped manifests survive an idempotent batch overwrite") {
+    import org.apache.spark.sql.SaveMode
+    val p = "/tmp/graft_bloomspec_part_" + ProcessHandle.current().pid()
+    val orders = Tables.t(spark, dir, "orders")
+    val b1 = orders.where(col("o_orderkey") % 2 === 0)
+    val b2 = orders.where(col("o_orderkey") % 2 === 1)
+    b1.repartition(3).write.parquet(s"$p/b=1")
+    b2.repartition(3).write.parquet(s"$p/b=2")
+    assert(BloomIndexLayout.refreshPartition(spark, p, "b", "1",
+      "o_orderkey", expectedItemsPerFile = 1 << 16) === 3)
+    assert(BloomIndexLayout.refreshPartition(spark, p, "b", "2",
+      "o_orderkey", expectedItemsPerFile = 1 << 16) === 3)
+    val probes = Seq(4L, 7L, 999999999L)
+    def prunedKeys() = {
+      val (df, kept, total) =
+        BloomIndexLayout.prunedRead(spark, p, "o_orderkey", probes)
+      (df.select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq,
+        kept, total)
+    }
+    val want = orders.where(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    val (got1, kept1, total1) = prunedKeys()
+    assert(got1 === want && total1 === 6 && kept1 < 6)
+    // the pruned read keeps the inferred partition column (basePath)
+    val (dfB, _, _) =
+      BloomIndexLayout.prunedRead(spark, p, "o_orderkey", Seq(4L))
+    assert(dfB.columns.contains("b"),
+      "explicit-file pruned read lost the partition column")
+    // batch-2 re-run: overwrite ITS data partition with a different
+    // file layout, then refresh ITS manifest partition — batch 1's
+    // manifest rows are untouched and probes stay exact
+    b2.repartition(2).write.mode(SaveMode.Overwrite).parquet(s"$p/b=2")
+    assert(BloomIndexLayout.refreshPartition(spark, p, "b", "2",
+      "o_orderkey", expectedItemsPerFile = 1 << 16) === 2)
+    val (got2, _, total2) = prunedKeys()
+    assert(got2 === want && total2 === 5,
+      s"expected 5 manifest rows after the 2-file rerun, got $total2")
+  }
+
   test("driver-budget fallback returns identical rows with no skip") {
     ensureLayout()
     val probes = Seq(3L, 99L)
