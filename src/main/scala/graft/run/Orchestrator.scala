@@ -159,6 +159,45 @@ object Orchestrator {
       n
     }
 
+    /** [[writeBatch]] + per-batch Bloom manifest maintenance: after the
+      * batch's data partition lands (dynamic overwrite), its manifest
+      * partition under `_bloomidx/pid=<batchId>` is refreshed the same
+      * way ([[graft.sources.BloomIndexLayout.refreshPartition]]), so a
+      * re-run replaces data and skip-index consistently and point
+      * lookups on `bloomKey` via [[readTablePointLookup]] skip to
+      * ~1 file per probe across every landed batch. On a SKIPPED_DONE
+      * restart the manifest partition is intact alongside its data
+      * partition, so the refresh is skipped with it.
+      */
+    def writeBatchIndexed(df: DataFrame, table: String,
+                          bloomKey: String): Long = {
+      val skipped = alreadyDone(table)
+      val n = writeBatch(df, table)
+      if (!skipped)
+        graft.sources.BloomIndexLayout.refreshPartition(
+          spark, s"$warehouse/$table", "dwh_batch_id", batchId, bloomKey)
+      n
+    }
+
+    /** Bloom-pruned point lookup over a [[writeBatchIndexed]] table:
+      * `keyCol IN (probes)` reading only the files whose per-file
+      * filters might contain a probe. Coverage is verified first — a
+      * batch landed through plain [[writeBatch]] has no manifest rows,
+      * and a pruned read over a partially-indexed table would silently
+      * miss its rows, so an incomplete manifest fails loudly instead.
+      */
+    def readTablePointLookup(table: String, keyCol: String,
+                             probes: Seq[Long]): DataFrame = {
+      val path = s"$warehouse/$table"
+      val nData = spark.read.parquet(path).inputFiles.length
+      val (df, _, total) = graft.sources.BloomIndexLayout.prunedRead(
+        spark, path, keyCol, probes)
+      require(total == nData,
+        s"bloom manifest covers $total of $nData files of $table — land " +
+          "every batch through writeBatchIndexed before point lookups")
+      df
+    }
+
     /** Bucketed layer table (catalog name = path with '/' → '_'): the
       * co-location contract for repeated large-x-large joins. A table
       * bucketed on its join key is hash-partitioned AT WRITE TIME, so

@@ -429,6 +429,38 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
       .map(_.status).contains("SUCCESS"))
   }
 
+  test("bloom-indexed batch writes: point lookups prune across batches and reruns") {
+    val wh = Files.createTempDirectory("graft_bloomwh").toString
+    val orders = Tables.t(spark, "/root/testdata/sf0.01", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val b1 = orders.where(col("o_orderkey") % 2 === 0)
+    val b2 = orders.where(col("o_orderkey") % 2 === 1)
+    val run1 = new Orchestrator.Run(spark, wh, "B1")
+    val run2 = new Orchestrator.Run(spark, wh, "B2")
+    run1.writeBatchIndexed(b1.repartition(3), "silver/orders_pt", "o_orderkey")
+    run2.writeBatchIndexed(b2.repartition(3), "silver/orders_pt", "o_orderkey")
+    val probes = Seq(7L, 32L, 999999999L)
+    def lookup() = new Orchestrator.Run(spark, wh, "BQ")
+      .readTablePointLookup("silver/orders_pt", "o_orderkey", probes)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    val want = orders.where(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(lookup() === want)
+    // rerun batch 2 (S8): data partition and its manifest partition are
+    // both replaced; lookups stay exact and batch 1's manifest survives
+    new Orchestrator.Run(spark, wh, "B2")
+      .writeBatchIndexed(b2.repartition(2), "silver/orders_pt", "o_orderkey")
+    assert(lookup() === want)
+    val manifest = spark.read.parquet(s"$wh/silver/orders_pt/_bloomidx")
+    assert(manifest.count() === 5,
+      "expected 3 batch-1 + 2 rerun batch-2 manifest rows")
+    // a batch landed WITHOUT indexing breaks coverage → loud fail
+    new Orchestrator.Run(spark, wh, "B3")
+      .writeBatch(orders.limit(10), "silver/orders_pt")
+    val ex = intercept[IllegalArgumentException](lookup())
+    assert(ex.getMessage.contains("writeBatchIndexed"))
+  }
+
   test("two clients run isolated under separate warehouse prefixes") {
     import graft.pipeline.{ReferenceFixtures, SilverTransforms}
     val B = ReferenceFixtures.BatchId
