@@ -81,6 +81,27 @@ object WindowQueries extends QueryPack {
           .cast(DoubleType).as("running_sales"))
     }),
 
+    // Time-RANGE window frame (RANGE BETWEEN 30 PRECEDING AND CURRENT
+    // ROW over epoch days): trailing-30-day spend per customer — the
+    // frame rows-offsets cannot express (bounded by VALUE distance:
+    // same-day orders are peers sharing one frame, calendar gaps
+    // shrink it). Range frames are peer-inclusive, so ties need no
+    // ordering tiebreak to be deterministic. Scale: one custkey
+    // shuffle like any partitioned window; the epoch-day long keeps
+    // the range arithmetic integer-exact and the decimal sum keeps
+    // money exact on both engines.
+    "q_window_trailing_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_day")).rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("epoch_day",
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast(LongType))
+        .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("trailing30_sales"))
+    }),
+
     // W6 + P6 + O2: RANK top-3 parts per brand by exact revenue.
     // Ref: materialized_view.sql:57-76
     "q_window_topk_per_group" -> ((s, dir) => {
@@ -158,6 +179,17 @@ object WindowQueries extends QueryPack {
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS running_sales
+         FROM orders""",
+    "q_window_trailing_range" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                  AS epoch_day,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS trailing30_sales
          FROM orders""",
     "q_window_topk_per_group" ->
       """WITH revenue AS (
