@@ -108,6 +108,25 @@ object CoreQueries extends QueryPack {
             .select(col("o_orderkey"), lit("urgent").as("src")))
     }),
 
+    // U-family completion: INTERSECT / EXCEPT with set (distinct)
+    // semantics on both engines — retained vs churned customer keys
+    // across two order years. Spark plans these as an aggregate-dedup +
+    // semi/anti join, i.e. two key shuffles, the same cost class as any
+    // distinct — no row explosion at scale.
+    "q_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate").cast(DateType)).as("y"))
+      o.where(col("y") === 1995).select(col("o_custkey"))
+        .intersect(o.where(col("y") === 1996).select(col("o_custkey")))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate").cast(DateType)).as("y"))
+      o.where(col("y") === 1995).select(col("o_custkey"))
+        .except(o.where(col("y") === 1996).select(col("o_custkey")))
+    }),
+
     // Extension: backward AS-OF join — for each click, the latest
     // purchase of the same user at or before the click. Spark lacks the
     // operator; operators/AsofJoin implements the one-shuffle union+window
@@ -268,6 +287,18 @@ object CoreQueries extends QueryPack {
       """SELECT o_orderkey, 'high_value' AS src FROM orders WHERE o_totalprice > 400000
          UNION ALL
          SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders
+         WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE EXTRACT(YEAR FROM o_orderdate) = 1996""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders
+         WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders
+         WHERE EXTRACT(YEAR FROM o_orderdate) = 1996""",
     "q_join_asof" -> (asofOracleCte +
       """
          SELECT p.event_id, p.user_id, p.ts,
