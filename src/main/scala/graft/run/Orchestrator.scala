@@ -165,37 +165,71 @@ object Orchestrator {
       * way ([[graft.sources.BloomIndexLayout.refreshPartition]]), so a
       * re-run replaces data and skip-index consistently and point
       * lookups on `bloomKey` via [[readTablePointLookup]] skip to
-      * ~1 file per probe across every landed batch. On a SKIPPED_DONE
-      * restart the manifest partition is intact alongside its data
-      * partition, so the refresh is skipped with it.
+      * ~1 file per probe across every landed batch.
+      *
+      * The refresh decision is taken from manifest-vs-data STATE, not
+      * the audit log: a restart where the data landed but the earlier
+      * refresh failed (or never ran) HEALS the manifest partition
+      * instead of skipping it forever, and an intact manifest skips
+      * the rebuild at the cost of two metadata listings. An empty
+      * batch writes no partition directory, so it also refreshes
+      * nothing (the S10 tolerance plain writeBatch has).
       */
     def writeBatchIndexed(df: DataFrame, table: String,
                           bloomKey: String): Long = {
-      val skipped = alreadyDone(table)
+      import graft.sources.ManifestRefresh
       val n = writeBatch(df, table)
-      if (!skipped)
+      val path = s"$warehouse/$table"
+      val needsRefresh = n > 0 && {
+        val idxPart = s"$path/_bloomidx/pid=$batchId"
+        ManifestRefresh.readManifest(spark, idxPart) match {
+          case None => true
+          case Some(m) =>
+            import spark.implicits._
+            val have = m.select(col("file")).as[String].collect()
+              .map(ManifestRefresh.base).toSet
+            val data = spark.read
+              .parquet(s"$path/dwh_batch_id=$batchId").inputFiles
+              .map(ManifestRefresh.base).toSet
+            have != data
+        }
+      }
+      if (needsRefresh)
         graft.sources.BloomIndexLayout.refreshPartition(
-          spark, s"$warehouse/$table", "dwh_batch_id", batchId, bloomKey)
+          spark, path, "dwh_batch_id", batchId, bloomKey)
       n
     }
 
     /** Bloom-pruned point lookup over a [[writeBatchIndexed]] table:
       * `keyCol IN (probes)` reading only the files whose per-file
-      * filters might contain a probe. Coverage is verified first — a
-      * batch landed through plain [[writeBatch]] has no manifest rows,
-      * and a pruned read over a partially-indexed table would silently
-      * miss its rows, so an incomplete manifest fails loudly instead.
+      * filters might contain a probe. Coverage is verified BY FILE
+      * IDENTITY first, both directions — a batch landed through plain
+      * [[writeBatch]] has no manifest rows (pruned reads would miss
+      * its rows), and a batch re-landed without a refresh leaves
+      * manifest rows naming vanished files (probes absent from the
+      * stale filters would prune everything) — counts alone can
+      * coincide across those states, so they are not trusted.
       */
     def readTablePointLookup(table: String, keyCol: String,
                              probes: Seq[Long]): DataFrame = {
+      import graft.sources.ManifestRefresh
       val path = s"$warehouse/$table"
-      val nData = spark.read.parquet(path).inputFiles.length
-      val (df, _, total) = graft.sources.BloomIndexLayout.prunedRead(
-        spark, path, keyCol, probes)
-      require(total == nData,
-        s"bloom manifest covers $total of $nData files of $table — land " +
-          "every batch through writeBatchIndexed before point lookups")
-      df
+      val allFiles = spark.read.parquet(path).inputFiles
+      val haveFiles = ManifestRefresh
+        .readManifest(spark, s"$path/_bloomidx") match {
+          case None => Array.empty[String]
+          case Some(m) =>
+            import spark.implicits._
+            m.select(col("file")).as[String].collect()
+        }
+      val missing = ManifestRefresh.missingOrStale(allFiles, haveFiles,
+        s"$path/_bloomidx", rebuildWith = "writeBatchIndexed")
+      require(missing.isEmpty,
+        s"bloom manifest misses ${missing.length} of ${allFiles.length} " +
+          s"files of $table — land every batch through writeBatchIndexed " +
+          "before point lookups")
+      graft.sources.BloomIndexLayout.prunedRead(
+        spark, path, keyCol, probes)._1
     }
 
     /** Bucketed layer table (catalog name = path with '/' → '_'): the

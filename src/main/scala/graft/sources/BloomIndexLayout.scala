@@ -109,22 +109,30 @@ object BloomIndexLayout {
                    fpp: Double = 0.01): (Int, Int) = {
     import spark.implicits._
     val idx = s"$path/_bloomidx"
-    val (missing, total) = ManifestRefresh.missingFiles(
-      spark, path, "_bloomidx", rebuildWith = "writeBloomIndexed")
-    // A filter built over a DIFFERENT key column than the manifest's
-    // would make point lookups on the original key falsely skip files —
-    // the manifest records its key (key_col) so a mismatched refresh
-    // fails loudly instead.
-    if (ManifestRefresh.indexExists(spark, idx)) {
-      val m = spark.read.parquet(idx)
-      if (m.columns.contains("key_col")) {
-        val keys = m.select(col("key_col")).distinct().as[String].collect()
-        require(keys.forall(_ == keyCol),
-          s"bloom manifest at $idx was built over key " +
-            s"'${keys.mkString(",")}', refresh requested '$keyCol' — " +
-            "rebuild with writeBloomIndexed to change the key")
+    val allFiles = spark.read.parquet(path).inputFiles
+    // ONE manifest read + collect serves both the missing/stale
+    // computation and the key-provenance guard (a filter built over a
+    // DIFFERENT key column would make point lookups on the original
+    // key falsely skip files). Legacy manifests without the key_col
+    // column read it as null under mergeSchema; null rows predate the
+    // provenance and are exempt from the guard.
+    val entries: Array[(String, Option[String])] =
+      ManifestRefresh.readManifest(spark, idx) match {
+        case None => Array.empty
+        case Some(m) if m.columns.contains("key_col") =>
+          m.select(col("file"), col("key_col"))
+            .as[(String, Option[String])].collect()
+        case Some(m) =>
+          m.select(col("file")).as[String].collect().map(f => (f, None))
       }
-    }
+    val badKeys = entries.flatMap(_._2).filter(_ != keyCol).distinct
+    require(badKeys.isEmpty,
+      s"bloom manifest at $idx was built over key " +
+        s"'${badKeys.mkString(",")}', refresh requested '$keyCol' — " +
+        "rebuild with writeBloomIndexed to change the key")
+    val missing = ManifestRefresh.missingOrStale(allFiles, entries.map(_._1),
+      idx, rebuildWith = "writeBloomIndexed")
+    val total = allFiles.length
     if (missing.nonEmpty) {
       val agg = new BloomAgg(expectedItemsPerFile, fpp).toColumn
       spark.read.parquet(missing.toIndexedSeq: _*)
@@ -161,6 +169,28 @@ object BloomIndexLayout {
                        expectedItemsPerFile: Long = 1 << 20,
                        fpp: Double = 0.01): Int = {
     import spark.implicits._
+    // The data path is composed by hand while partitionBy Hive-escapes
+    // special characters in partition values — a value needing escaping
+    // would read a nonexistent path (or write an unescaped pid dir), so
+    // restrict to the escape-free charset and fail loudly otherwise.
+    require(value.matches("[A-Za-z0-9_.\\-]+"),
+      s"partition value '$value' needs Hive escaping — only " +
+        "[A-Za-z0-9_.-] values are supported by refreshPartition")
+    // Key provenance must hold across the WHOLE manifest, not just this
+    // partition: prunedRead probes every partition's filters with one
+    // key, so partitions indexed over different keys would silently
+    // drop matching rows. One read; legacy null key_col rows exempt.
+    ManifestRefresh.readManifest(spark, s"$path/_bloomidx").foreach { m =>
+      if (m.columns.contains("key_col")) {
+        val others = m.select(col("key_col")).where(
+          col("key_col").isNotNull && col("key_col") =!= keyCol)
+          .distinct().as[String].collect()
+        require(others.isEmpty,
+          s"bloom manifest at $path/_bloomidx has partitions built over " +
+            s"key '${others.mkString(",")}', refresh requested '$keyCol' — " +
+            "one lookup key per table")
+      }
+    }
     val partPath = s"$path/$partitionCol=$value"
     val agg = new BloomAgg(expectedItemsPerFile, fpp).toColumn
     val rows = spark.read.parquet(partPath)

@@ -129,24 +129,31 @@ object ZoneMapLayout {
     */
   def refreshIndex(spark: SparkSession, path: String,
                    statsCols: Seq[String]): (Int, Int) = {
+    import spark.implicits._
     val idx = s"$path/_zonemap"
-    val (missing, total) = ManifestRefresh.missingFiles(
-      spark, path, "_zonemap", rebuildWith = "writeZordered")
-    // Appending rows with a DIFFERENT stats-column set would leave the
-    // old columns NULL on the new rows; prunedRead's intersects
-    // predicate evaluates NULL there, the count treats the file as
-    // non-intersecting, and matching rows silently vanish from pruned
-    // reads. Guard: the requested columns must reproduce the existing
-    // manifest schema exactly.
-    if (ManifestRefresh.indexExists(spark, idx)) {
-      val have = spark.read.parquet(idx).columns.toSet
-      val want = Set("file") ++
-        statsCols.flatMap(c => Seq(s"lo_$c", s"hi_$c"))
-      require(have == want,
-        s"zone-map manifest at $idx has columns ${have.toSeq.sorted}, " +
-          s"refresh requested ${want.toSeq.sorted} — rebuild with " +
-          "writeZordered to change the stats columns")
-    }
+    val allFiles = spark.read.parquet(path).inputFiles
+    // ONE manifest read serves the missing/stale computation and the
+    // schema guard: appending rows with a DIFFERENT stats-column set
+    // would leave the old columns NULL on the new rows; prunedRead's
+    // intersects predicate evaluates NULL there, the count treats the
+    // file as non-intersecting, and matching rows silently vanish from
+    // pruned reads.
+    val haveFiles: Array[String] =
+      ManifestRefresh.readManifest(spark, idx) match {
+        case None => Array.empty
+        case Some(m) =>
+          val have = m.columns.toSet
+          val want = Set("file") ++
+            statsCols.flatMap(c => Seq(s"lo_$c", s"hi_$c"))
+          require(have == want,
+            s"zone-map manifest at $idx has columns ${have.toSeq.sorted}, " +
+              s"refresh requested ${want.toSeq.sorted} — rebuild with " +
+              "writeZordered to change the stats columns")
+          m.select(col("file")).as[String].collect()
+      }
+    val missing = ManifestRefresh.missingOrStale(allFiles, haveFiles,
+      idx, rebuildWith = "writeZordered")
+    val total = allFiles.length
     if (missing.nonEmpty) {
       val statAggs = statsCols.flatMap(c => Seq(
         min(col(c)).cast(LongType).as(s"lo_$c"),

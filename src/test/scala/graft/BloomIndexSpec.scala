@@ -138,6 +138,15 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestBase {
       BloomIndexLayout.prunedRead(spark, p, "o_orderkey", Seq(4L))
     assert(dfB.columns.contains("b"),
       "explicit-file pruned read lost the partition column")
+    // one lookup key per table: a partition refresh over a different
+    // key would silently drop rows from probes on the original key
+    val keyEx = intercept[IllegalArgumentException](
+      BloomIndexLayout.refreshPartition(spark, p, "b", "2", "o_custkey"))
+    assert(keyEx.getMessage.contains("one lookup key"))
+    // partition values needing Hive escaping are rejected loudly
+    val escEx = intercept[IllegalArgumentException](
+      BloomIndexLayout.refreshPartition(spark, p, "b", "2:x", "o_orderkey"))
+    assert(escEx.getMessage.contains("escaping"))
     // batch-2 re-run: overwrite ITS data partition with a different
     // file layout, then refresh ITS manifest partition — batch 1's
     // manifest rows are untouched and probes stay exact

@@ -454,6 +454,21 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     val manifest = spark.read.parquet(s"$wh/silver/orders_pt/_bloomidx")
     assert(manifest.count() === 5,
       "expected 3 batch-1 + 2 rerun batch-2 manifest rows")
+    // an empty batch writes no partition and refreshes nothing (S10)
+    assert(new Orchestrator.Run(spark, wh, "B_EMPTY").writeBatchIndexed(
+      b1.where(lit(false)), "silver/orders_pt", "o_orderkey") === 0L)
+    assert(lookup() === want)
+    // heal-on-resume: a lost/failed manifest partition is rebuilt from
+    // state, not skipped off the audit log
+    val pidDir = new java.io.File(s"$wh/silver/orders_pt/_bloomidx/pid=B2")
+    assert(pidDir.exists())
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete()
+    }
+    rmRf(pidDir)
+    new Orchestrator.Run(spark, wh, "B2")
+      .writeBatchIndexed(b2.repartition(2), "silver/orders_pt", "o_orderkey")
+    assert(lookup() === want)
     // a batch landed WITHOUT indexing breaks coverage → loud fail
     new Orchestrator.Run(spark, wh, "B3")
       .writeBatch(orders.limit(10), "silver/orders_pt")
