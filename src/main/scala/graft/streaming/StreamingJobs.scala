@@ -122,6 +122,40 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming ANN index ingest: drain an embedding stream
+    * (vec_id, embedding) into the PERSISTED IVF index
+    * (Orchestrator.indexAnnBatch) — the streaming face of the
+    * index-maintenance plane. Each micro-batch becomes one
+    * dwh_batch_id partition of indexes/ann_lists, so a replayed
+    * micro-batch overwrites exactly its own partition (the
+    * warehouseSink idempotency discipline); centroids bootstrap once
+    * from the first non-empty batch and stay frozen, so assignments
+    * remain comparable across the stream (the indexAnnBatch rebuild
+    * contract). annSearchIndexes serves over the same tables while
+    * the stream appends lists — index growth is O(batch x nlist) per
+    * micro-batch, never a corpus rescan. Each micro-batch lands BOTH
+    * the raw vectors (bronze/embeddings — the store annSearchIndexes
+    * exact-reranks against; an index without its vectors cannot serve)
+    * and the list assignments, under the same batch id, so data and
+    * index replay together.
+    */
+  def annIngestSink(embeddings: DataFrame, warehouse: String,
+                    checkpoint: String, nlist: Int = 1024,
+                    batchPrefix: String = "STREAMANN_")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val run = new graft.run.Orchestrator.Run(
+          batch.sparkSession, warehouse, f"$batchPrefix$id%06d")
+        val b = batch.toDF().localCheckpoint() // two sinks, one compute
+        run.writeBatch(b, "bronze/embeddings")
+        run.indexAnnBatch(b, nlist)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming CDC apply: drain a change stream into a key-bucketed
     * SCD2 dim (Orchestrator.mergeScd2). Each micro-batch first
     * collapses to one row per key (keep-latest by `seqCol` — CDC feeds

@@ -270,6 +270,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(all.select("event_id").distinct().count() === events.size.toLong)
   }
 
+  test("ann ingest sink: streaming index equals batch index, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_annsink").toString
+    val vecs = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (slice1, slice2) = vecs.splitAt(vecs.length / 2)
+    // batch reference: two Run ingests over the same two slices
+    val whB = s"$root/whB"
+    new graft.run.Orchestrator.Run(spark, whB, "STREAMANN_000000")
+      .indexAnnBatch(slice1.toSeq.toDF("vec_id", "embedding"), nlist = 8)
+    new graft.run.Orchestrator.Run(spark, whB, "STREAMANN_000001")
+      .indexAnnBatch(slice2.toSeq.toDF("vec_id", "embedding"), nlist = 8)
+    // streaming: same slices as two micro-batches
+    val whS = s"$root/whS"
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamingJobs.annIngestSink(
+      ms.toDF().toDF("vec_id", "embedding"), whS, s"$root/cp", nlist = 8)
+    try {
+      ms.addData(slice1.toSeq); q.processAllAvailable()
+      ms.addData(slice2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    def lists(wh: String) = spark.read.parquet(s"$wh/indexes/ann_lists")
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(lists(whS) === lists(whB), "streaming index != batch index")
+    assert(lists(whS).map(_._1) === vecs.map(_._1).toSeq)
+    // replayed micro-batch: same batch id overwrites its own partition
+    new graft.run.Orchestrator.Run(spark, whS, "STREAMANN_000001")
+      .indexAnnBatch(slice2.toSeq.toDF("vec_id", "embedding"), nlist = 8)
+    assert(lists(whS) === lists(whB), "replay changed the index")
+    // and search serves over the streamed index
+    val probe = Seq((1L, vecs.head._2)).toDF("q_id", "embedding")
+    val hits = new graft.run.Orchestrator.Run(spark, whS, "Q")
+      .annSearchIndexes(probe, k = 3, nprobe = 2)
+    assert(hits.count() === 3)
+  }
+
   test("warehouse sink: two file-source batches with an overlapping replay") {
     import spark.implicits._
     import graft.streaming.StreamingJobs.Event
