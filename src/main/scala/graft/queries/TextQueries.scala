@@ -1475,6 +1475,41 @@ object TextQueries extends QueryPack {
         .select(col("lang"), col("doc_id"), col("rn").as("sample_rank"))
     }),
 
+    // Vocabulary-growth curve (the Heaps-law profile): how many NEW
+    // distinct terms each tranche of the corpus introduces, in
+    // deterministic doc_id order, plus the cumulative vocabulary — the
+    // tokenizer-sizing signal (how fast does the vocab still grow at
+    // the corpus tail?) and a drift probe (a tranche with an anomalous
+    // new-term burst is a feed change). Tranche width 1 doc here —
+    // the synthetic fixture's ~30-word vocabulary saturates within the
+    // first few docs, so wider tranches collapse to one row; at real
+    // corpus scale widen the divisor. The tranche table scales with
+    // the corpus either way, so the cumulative sum uses the packFrame
+    // two-phase prefix shape (per-shard running sums + a broadcast
+    // offset from the tiny shard-total table) — NO single-partition
+    // pass over an unbounded table (PlanLint enforces this). One term
+    // shuffle (groupBy term, min doc_id = first sighting) is the only
+    // corpus-sized exchange. All integers, engine-exact.
+    "q_text_vocab_growth" -> ((s, dir) => {
+      val buckets = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc").as("bucket")).agg(cnt.as("new_terms"))
+        .withColumn("__shard", expr("bucket div 1000"))
+      val wShard = Window.partitionBy(col("__shard")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy(col("__shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = buckets.groupBy(col("__shard"))
+        .agg(sum(col("new_terms")).as("n"))
+        .withColumn("shard_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+        .select(col("__shard"), col("shard_off"))
+      buckets.join(broadcast(offs), "__shard")
+        .select(col("bucket"), col("new_terms"),
+          (col("shard_off") + sum(col("new_terms")).over(wShard))
+            .as("cum_vocab"))
+    }),
+
     // Feature-hashing text embeddings (the hashing trick): project each
     // document onto a fixed D=64-dim vector — bucket = term-hash mod D,
     // a second hash bit gives the ±1 sign that keeps collisions
@@ -2463,6 +2498,22 @@ object TextQueries extends QueryPack {
                 array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
                   ' ') AS chunk_text
          FROM c""",
+    "q_text_vocab_growth" ->
+      """WITH fs AS (
+           SELECT term, MIN(doc_id) AS first_doc
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY term),
+         b AS (
+           SELECT first_doc AS bucket, COUNT(*) AS new_terms
+           FROM fs GROUP BY first_doc)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(new_terms AS BIGINT) AS new_terms,
+                CAST(SUM(new_terms) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_vocab
+         FROM b""",
     // in this oracle and q_text_bm25's below, parenthesization mirrors
     // the Spark expression tree exactly — +,-,*,/ are IEEE-identical
     // across engines only for the SAME operation sequence
