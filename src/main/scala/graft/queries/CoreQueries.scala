@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables.t
 import graft.Exact._
-import graft.operators.{AsofJoin, RangeBinJoin}
+import graft.operators.{AsofJoin, IntervalOverlapJoin, RangeBinJoin}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -198,6 +198,34 @@ object CoreQueries extends QueryPack {
             .cast(DoubleType).as("value_next_hour"))
     }),
 
+    // Extension: interval-OVERLAP join (both sides ranged) — concurrent
+    // activity-window detection: each purchase's 30-min window against
+    // each same-user click's 30-min window. operators/IntervalOverlapJoin
+    // bins both sides by the length bound so the join is equi on
+    // (user, bin) with <=3x left fan-out and every true pair meeting
+    // exactly once — never the per-user quadratic residual of a bare
+    // overlap predicate. Inner semantics; the aggregate keeps output at
+    // one row per purchase with an overlapping click.
+    "q_join_interval_overlap" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val win = expr("INTERVAL 30 MINUTES")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("ts") + win).as("ts_end"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user_id"),
+          col("ts").as("c_ts"), (col("ts") + win).as("c_ts_end"))
+      IntervalOverlapJoin.overlapJoin(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user_id",
+        leftStart = "ts", leftEnd = "ts_end",
+        rightStart = "c_ts", rightEnd = "c_ts_end",
+        maxLenMicros = 1800L * 1000000L)
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(cnt.as("n_overlap_clicks"),
+          min(col("c_event_id")).as("first_click_id"))
+    }),
+
     // F7/F2/F4/F8: CASE-WHEN enum decode, UPPER/LOWER, SUBSTRING, COALESCE/NULLIF.
     // Ref: tools.load_crm_cust_info_v1.sql:82-91, tools.load_erp_loc_a101_v1.sql:72-77
     "q_case_decode" -> ((s, dir) => {
@@ -347,6 +375,23 @@ object CoreQueries extends QueryPack {
            ON a.event_type = b.event_type
           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
          GROUP BY a.event_id, a.event_type""",
+    "q_join_interval_overlap" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         p AS (
+           SELECT event_id, user_id, ts, ts + INTERVAL 30 MINUTE AS ts_end
+           FROM ev WHERE event_type = 'purchase'),
+         c AS (
+           SELECT event_id AS c_event_id, user_id AS c_user_id,
+                  ts AS c_ts, ts + INTERVAL 30 MINUTE AS c_ts_end
+           FROM ev WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id,
+                CAST(COUNT(*) AS BIGINT) AS n_overlap_clicks,
+                MIN(c.c_event_id) AS first_click_id
+         FROM p JOIN c ON p.user_id = c.c_user_id
+           AND p.ts <= c.c_ts_end AND c.c_ts <= p.ts_end
+         GROUP BY p.event_id, p.user_id""",
     "q_case_decode" ->
       """SELECT o_orderkey,
                 CASE UPPER(TRIM(o_orderstatus))
