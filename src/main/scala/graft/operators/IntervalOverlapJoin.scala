@@ -68,15 +68,21 @@ object IntervalOverlapJoin {
           s"($maxLenMicros us) or negative — matches would be silently " +
           "lost; widen maxLen or pre-split intervals"))
 
-    // the guard rides a WHERE (assert_true yields null on success →
-    // coalesce true) — a dropped helper column would be pruned out of
-    // the plan and the check would never run
+    // A NULL bound can never satisfy the overlap predicate, so a bare
+    // SQL overlap join simply drops such rows — mirror that (inner
+    // semantics) instead of letting the null reach assert_true, whose
+    // null condition would ABORT the job with a misleading over-long
+    // message. The guard itself rides a WHERE (assert_true yields null
+    // on success → coalesce true) — a dropped helper column would be
+    // pruned out of the plan and the check would never run.
     val l = left
+      .where(col(leftStart).isNotNull && col(leftEnd).isNotNull)
       .where(coalesce(checkLen("left", col(leftStart), col(leftEnd)),
         lit(true)))
       .withColumn("__cbin", explode(sequence(
         bin(col(leftStart)) - 1, bin(col(leftEnd)))))
     val r = right
+      .where(col(rightStart).isNotNull && col(rightEnd).isNotNull)
       .where(coalesce(checkLen("right", col(rightStart), col(rightEnd)),
         lit(true)))
       .withColumn("__rbin", bin(col(rightStart)))

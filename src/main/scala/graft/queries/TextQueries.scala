@@ -43,6 +43,36 @@ object TextQueries extends QueryPack {
   /** Fixed context-window budget for sequence packing (tokens per bin). */
   private val PackBin = 2048L
 
+  /** Two-phase sharded prefix sum — the ONE implementation of the
+    * no-single-partition running-sum shape (shard = orderCol div 1000,
+    * an order-preserving range shard; the `__` prefix is the PlanLint
+    * bounded-bucket convention): per-shard window sums plus a running
+    * offset over the tiny shard-total table, broadcast back. Used by
+    * packFrame (exclusive token offsets), q_sample_pps_systematic
+    * (exclusive cumulative-weight axis) and q_text_vocab_growth
+    * (inclusive cumulative vocabulary), so a fix to the pattern lands
+    * once. `orderCol` must be a non-negative integral column (div on
+    * negatives truncates toward zero and would mis-shard).
+    */
+  private def shardedPrefixSum(df: DataFrame, orderCol: String,
+                               valCol: String, out: String,
+                               inclusive: Boolean): DataFrame = {
+    val frameEnd = if (inclusive) Window.currentRow else -1L
+    val wShard = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withShard = df.withColumn("__shard", expr(s"$orderCol div 1000"))
+    val offsets = withShard.groupBy(col("__shard"))
+      .agg(sum(col(valCol)).as("__n"))
+      .withColumn("__shard_off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__shard"), col("__shard_off"))
+    withShard.join(broadcast(offsets), "__shard")
+      .withColumn(out, col("__shard_off") +
+        coalesce(sum(col(valCol)).over(wShard), lit(0L)))
+      .drop("__shard", "__shard_off")
+  }
+
   /** Sequence packing (concat-and-chunk): each doc's global token
     * offset on the concatenated stream, in deterministic doc_id order,
     * plus the bin range it lands in. The global running offset is
@@ -54,25 +84,14 @@ object TextQueries extends QueryPack {
     * packing scales to any corpus. Shared by q_pack_sequences (per-doc
     * face) and q_pack_bins (per-bin manifest face).
     */
-  private def packFrame(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"),
-        size(words(col("text"))).cast(LongType).as("n_tokens"),
-        expr("doc_id div 1000").as("__shard"))
-    val wShard = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.orderBy(col("__shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = docs.groupBy(col("__shard")).agg(sum(col("n_tokens")).as("n"))
-      .withColumn("shard_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-      .select(col("__shard"), col("shard_off"))
-    docs.join(broadcast(offsets), "__shard")
-      .withColumn("tok_offset",
-        col("shard_off") + coalesce(sum(col("n_tokens")).over(wShard), lit(0L)))
+  private def packFrame(s: SparkSession, dir: String): DataFrame =
+    shardedPrefixSum(
+      t(s, dir, "documents").select(col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tokens")),
+      "doc_id", "n_tokens", "tok_offset", inclusive = false)
       .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
         expr(s"tok_offset div $PackBin").as("first_bin"),
         expr(s"(tok_offset + n_tokens - 1) div $PackBin").as("last_bin"))
-  }
 
   /** Word n-gram shingles. Guarded: Spark sequence(1,0) counts DOWN, so
     * short docs need an explicit empty-array branch (DuckDB range(1,1)
@@ -1367,24 +1386,14 @@ object TextQueries extends QueryPack {
       val k = 10L
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
-          coalesce(col("n_chars").cast(LongType), lit(0L)).as("w"),
-          expr("doc_id div 1000").as("__shard"))
-      val wShard = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wOff = Window.orderBy(col("__shard"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("__shard")).agg(sum(col("w")).as("n"))
-        .withColumn("shard_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-        .select(col("__shard"), col("shard_off"))
+          coalesce(col("n_chars").cast(LongType), lit(0L)).as("w"))
       val tot = docs.agg(sum(col("w")).as("wtot")) // 1-row, aggregate-reduced
       // grid points p_m = off + m*stride, m = 0..k-1; hits(doc) =
       // f(cum_hi) - f(cum_lo) with f(x) = #points < x
       def gridBelow(c: String): Column =
         when(col(c) <= col("off"), 0L).otherwise(
           least(lit(k), expr(s"($c - off + stride - 1) div stride")))
-      docs.join(broadcast(offsets), "__shard")
-        .withColumn("cum_lo",
-          col("shard_off") + coalesce(sum(col("w")).over(wShard), lit(0L)))
+      shardedPrefixSum(docs, "doc_id", "w", "cum_lo", inclusive = false)
         .withColumn("cum_hi", col("cum_lo") + col("w"))
         .crossJoin(broadcast(tot))
         .withColumn("stride", expr(s"wtot div $k"))
@@ -1495,19 +1504,9 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
         .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
         .groupBy(col("first_doc").as("bucket")).agg(cnt.as("new_terms"))
-        .withColumn("__shard", expr("bucket div 1000"))
-      val wShard = Window.partitionBy(col("__shard")).orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOff = Window.orderBy(col("__shard"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = buckets.groupBy(col("__shard"))
-        .agg(sum(col("new_terms")).as("n"))
-        .withColumn("shard_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-        .select(col("__shard"), col("shard_off"))
-      buckets.join(broadcast(offs), "__shard")
-        .select(col("bucket"), col("new_terms"),
-          (col("shard_off") + sum(col("new_terms")).over(wShard))
-            .as("cum_vocab"))
+      shardedPrefixSum(buckets, "bucket", "new_terms", "cum_vocab",
+        inclusive = true)
+        .select(col("bucket"), col("new_terms"), col("cum_vocab"))
     }),
 
     // Feature-hashing text embeddings (the hashing trick): project each

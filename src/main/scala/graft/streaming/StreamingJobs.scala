@@ -142,12 +142,22 @@ object StreamingJobs {
   def annIngestSink(embeddings: DataFrame, warehouse: String,
                     checkpoint: String, nlist: Int = 1024,
                     batchPrefix: String = "STREAMANN_")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // batch ids are scoped to the CHECKPOINT (the warehouseSink
+    // invariant): the micro-batch counter is only stable within one
+    // checkpoint lineage, so a fresh checkpoint or a second stream
+    // into the same warehouse must mint fresh ids — otherwise its
+    // batch 0 dynamic-partition-overwrites the old stream's partition
+    // 0 in BOTH the vector store and the list table (silent index
+    // corruption).
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val run = new graft.run.Orchestrator.Run(
-          batch.sparkSession, warehouse, f"$batchPrefix$id%06d")
+          batch.sparkSession, warehouse, f"$batchPrefix${scope}_$id%06d")
         val b = batch.toDF().localCheckpoint() // two sinks, one compute
         run.writeBatch(b, "bronze/embeddings")
         run.indexAnnBatch(b, nlist)
@@ -155,6 +165,7 @@ object StreamingJobs {
       }
       .outputMode("append")
       .start()
+  }
 
   /** Streaming CDC apply: drain a change stream into a key-bucketed
     * SCD2 dim (Orchestrator.mergeScd2). Each micro-batch first

@@ -278,11 +278,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val (slice1, slice2) = vecs.splitAt(vecs.length / 2)
+    // batch ids are checkpoint-scoped (the warehouseSink invariant, so
+    // a fresh checkpoint cannot overwrite an old stream's partitions) —
+    // compute the scope the sink will use
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$root/cp".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     // batch reference: two Run ingests over the same two slices
     val whB = s"$root/whB"
-    new graft.run.Orchestrator.Run(spark, whB, "STREAMANN_000000")
+    new graft.run.Orchestrator.Run(spark, whB, s"STREAMANN_${scope}_000000")
       .indexAnnBatch(slice1.toSeq.toDF("vec_id", "embedding"), nlist = 8)
-    new graft.run.Orchestrator.Run(spark, whB, "STREAMANN_000001")
+    new graft.run.Orchestrator.Run(spark, whB, s"STREAMANN_${scope}_000001")
       .indexAnnBatch(slice2.toSeq.toDF("vec_id", "embedding"), nlist = 8)
     // streaming: same slices as two micro-batches
     val whS = s"$root/whS"
@@ -298,7 +304,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(lists(whS) === lists(whB), "streaming index != batch index")
     assert(lists(whS).map(_._1) === vecs.map(_._1).toSeq)
     // replayed micro-batch: same batch id overwrites its own partition
-    new graft.run.Orchestrator.Run(spark, whS, "STREAMANN_000001")
+    new graft.run.Orchestrator.Run(spark, whS, s"STREAMANN_${scope}_000001")
       .indexAnnBatch(slice2.toSeq.toDF("vec_id", "embedding"), nlist = 8)
     assert(lists(whS) === lists(whB), "replay changed the index")
     // and search serves over the streamed index
