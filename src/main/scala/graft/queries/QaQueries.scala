@@ -48,6 +48,26 @@ object QaQueries extends QueryPack {
         cnt.as("n_rows"))
     }),
 
+    // Cross-table pairing QA: every document should carry exactly one
+    // embedding and vice versa — the text↔vector alignment invariant a
+    // multimodal/retrieval pipeline silently corrupts when one side is
+    // re-keyed or partially reprocessed. Two anti-join counts + totals
+    // in one row; anti joins are key-shuffle class, no row explosion.
+    "q_qa_embedding_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val vecs = t(s, dir, "embeddings").select(col("vec_id"))
+      val docsOnly = docs.join(vecs, col("doc_id") === col("vec_id"),
+        "left_anti").agg(cnt.as("n")).select(col("n"))
+      val vecsOnly = vecs.join(docs, col("vec_id") === col("doc_id"),
+        "left_anti").agg(cnt.as("n")).select(col("n"))
+      docs.agg(cnt.as("n_docs"))
+        .crossJoin(vecs.agg(cnt.as("n_vecs")))          // 1-row frames:
+        .crossJoin(docsOnly.withColumnRenamed("n", "docs_without_vec"))
+        .crossJoin(vecsOnly.withColumnRenamed("n", "vecs_without_doc"))
+        .withColumn("aligned",
+          col("docs_without_vec") === 0 && col("vecs_without_doc") === 0)
+    }),
+
     // P9 (full): NaN-aware null/blank detector — the reference's
     // `c <> c` NaN check (Spark: isnan; `c =!= c` is NOT a NaN test in
     // Spark, whose NaN = NaN evaluates true).
@@ -134,6 +154,25 @@ object QaQueries extends QueryPack {
                 CAST(LENGTH(p_type) AS BIGINT) AS type_len,
                 CONCAT(p_brand, ' / ', p_type) AS brand_type
          FROM part WHERE p_type LIKE 'PROMO%'""",
+    "q_qa_embedding_coverage" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+                (SELECT COUNT(*) FROM documents d
+                 WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                                   WHERE e.vec_id = d.doc_id))
+                  AS docs_without_vec,
+                (SELECT COUNT(*) FROM embeddings e
+                 WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                   WHERE d.doc_id = e.vec_id))
+                  AS vecs_without_doc,
+                (SELECT COUNT(*) FROM documents d
+                 WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                                   WHERE e.vec_id = d.doc_id)) = 0
+                AND
+                (SELECT COUNT(*) FROM embeddings e
+                 WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                   WHERE d.doc_id = e.vec_id)) = 0
+                  AS aligned""",
     "q_validity_ranges" ->
       """SELECT CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
                                OR l_shipdate > TIMESTAMP '1998-12-31'

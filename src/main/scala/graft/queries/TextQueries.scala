@@ -1509,6 +1509,46 @@ object TextQueries extends QueryPack {
         .select(col("bucket"), col("new_terms"), col("cum_vocab"))
     }),
 
+    // Zipf slope of the rank-frequency curve — the second corpus law
+    // (vocab growth is Heaps): least-squares slope of log2(freq) vs
+    // log2(rank), ~-1 for natural language; a drifting slope flags
+    // template spam or feed contamination. Scale-safe by algebra: the
+    // regression runs over ONE POINT PER DISTINCT FREQUENCY (group
+    // leader rank = 1 + #terms with strictly higher freq), and the
+    // number of distinct frequencies is bounded by sqrt(2 x total
+    // tokens) — a histogram table, not the vocabulary. Ranks come from
+    // the shardedPrefixSum two-phase pass over that table (ordered by
+    // max_freq - freq so the order key is non-negative); log2 coords
+    // are milli-quantized so the moment sums stay exact in longs, and
+    // the one double slope expression is parenthesized identically on
+    // both engines.
+    "q_text_zipf_slope" -> ((s, dir) => {
+      val hist = t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("term"))
+        .groupBy(col("term")).agg(cnt.as("freq"))
+        .groupBy(col("freq")).agg(cnt.as("n_terms"))
+      val mx = hist.agg(max(col("freq")).as("max_freq")) // 1-row
+      val ranked = shardedPrefixSum(
+        hist.crossJoin(broadcast(mx))
+          .withColumn("ord", col("max_freq") - col("freq")),
+        "ord", "n_terms", "n_higher", inclusive = false)
+        .withColumn("min_rank", col("n_higher") + 1)
+      val q = (c: Column) =>
+        floor(log2(c.cast(DoubleType)) * lit(1000.0)).cast(LongType)
+      val d = (c: Column) => c.cast(DoubleType)
+      val sums = ranked
+        .select(q(col("min_rank")).as("x"), q(col("freq")).as("y"))
+        .agg(cnt.as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val den = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      sums.select(col("n").as("n_points"),
+        when(col("n") <= 1 || den === 0.0, lit(null))
+          .otherwise(floor((d(col("n")) * d(col("sxy"))
+            - d(col("sx")) * d(col("sy"))) / den * lit(1000000.0))
+            .cast(LongType)).as("slope_micro"))
+    }),
+
     // Feature-hashing text embeddings (the hashing trick): project each
     // document onto a fixed D=64-dim vector — bucket = term-hash mod D,
     // a second hash bit gives the ±1 sign that keeps collisions
@@ -2497,6 +2537,40 @@ object TextQueries extends QueryPack {
                 array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
                   ' ') AS chunk_text
          FROM c""",
+    "q_text_zipf_slope" ->
+      """WITH tf AS (
+           SELECT term, COUNT(*) AS freq
+           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY term),
+         hist AS (SELECT freq, COUNT(*) AS n_terms FROM tf GROUP BY freq),
+         rk AS (
+           SELECT freq, n_terms,
+                  1 + COALESCE(SUM(n_terms) OVER (ORDER BY freq DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS min_rank
+           FROM hist),
+         pts AS (
+           SELECT CAST(FLOOR(log2(CAST(min_rank AS DOUBLE)) * 1000)
+                    AS BIGINT) AS x,
+                  CAST(FLOOR(log2(CAST(freq AS DOUBLE)) * 1000)
+                    AS BIGINT) AS y
+           FROM rk),
+         s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x*y) AS sxy, SUM(x*x) AS sxx
+               FROM pts)
+         SELECT CAST(n AS BIGINT) AS n_points,
+                CASE WHEN n <= 1 OR
+                       CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                  THEN NULL
+                  ELSE CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
+                END AS slope_micro
+         FROM s""",
     "q_text_vocab_growth" ->
       """WITH fs AS (
            SELECT term, MIN(doc_id) AS first_doc
