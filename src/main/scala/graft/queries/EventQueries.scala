@@ -34,6 +34,34 @@ object EventQueries extends QueryPack {
           col("n_events"), col("total_value"))
     }),
 
+    // Feed-health anomaly detection: hours where an event type's count
+    // exceeds its own mean + 3 sigma — EXACTLY. The textbook float
+    // z-score diverges across engines, so the test is algebra instead:
+    // with n hours, S = sum(c), Q = sum(c^2), population variance =
+    // (nQ - S^2)/n^2, and c > mean + 3*sigma is equivalent to
+    // L = c*n - S > 0 AND L^2 > 9*(nQ - S^2) — every term an integer,
+    // computed in Decimal(38,0) so the squares cannot overflow longs at
+    // production hour counts. Plan: one (type, hour) aggregate, a
+    // type-keyed stats aggregate (rows = #types), broadcast-joined
+    // back; hour ids are epoch-hour longs so the engines agree without
+    // timestamp rendering.
+    "q_events_anomaly" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val hourly = graft.Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour_id"))
+        .agg(cnt.as("c"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(cnt.as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("q"))
+      val lift = col("c").cast(D) * col("n").cast(D) - col("s").cast(D)
+      hourly.join(broadcast(stats), "event_type")
+        .where(lift > 0 && lift * lift >
+          (col("n").cast(D) * col("q").cast(D)
+            - col("s").cast(D) * col("s").cast(D)) * lit(9))
+        .select(col("event_type"), col("hour_id"), col("c").as("n_events"))
+    }),
+
     // Semi-structured extraction: parse the props JSON column with an
     // explicit schema (from_json — schema-on-read, codegen'd, no UDF)
     // and aggregate the extracted field. Integer sums stay exact in
@@ -175,6 +203,23 @@ object EventQueries extends QueryPack {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_anomaly" ->
+      """WITH h AS (
+           SELECT event_type,
+                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                    AS BIGINT) AS hour_id,
+                  COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
+                       SUM(c*c) AS q
+                FROM h GROUP BY 1)
+         SELECT h.event_type, hour_id, CAST(c AS BIGINT) AS n_events
+         FROM h JOIN st USING (event_type)
+         WHERE CAST(c AS DECIMAL(38,0)) * n - s > 0
+           AND (CAST(c AS DECIMAL(38,0)) * n - s)
+               * (CAST(c AS DECIMAL(38,0)) * n - s)
+               > 9 * (CAST(n AS DECIMAL(38,0)) * q
+                      - CAST(s AS DECIMAL(38,0)) * s)""",
     "q_events_tumbling_daily" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
                 COUNT(*) AS n_events,
