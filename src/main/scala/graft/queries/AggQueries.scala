@@ -341,6 +341,25 @@ object AggQueries extends QueryPack {
         .where(col("n_orders") > 1)
     }),
 
+    // Exact grouped MODE with a deterministic tiebreak: the most
+    // frequent market segment per nation — the imputation/profiling
+    // aggregate (fill missing categoricals with the group's mode).
+    // Two map-side-combined aggregates, no window: count per (group,
+    // value), then max(struct(count, value)) — ties break on the
+    // LARGER value string, mirrored by the oracle's ROW_NUMBER pick
+    // over (count DESC, value DESC).
+    "q_agg_grouped_mode" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(cnt.as("c"))
+        .groupBy(col("c_nationkey"))
+        .agg(max(struct(col("c"), col("c_mktsegment"))).as("best"),
+          sum(col("c")).as("n_rows"))
+        .select(col("c_nationkey"),
+          col("best.c_mktsegment").as("mode_segment"),
+          col("best.c").as("mode_count"), col("n_rows"))
+    }),
+
     // A8: count-minus-distinct duplicate stats over normalized keys.
     // Ref: scripts/validate_row.py:172-173,413-419
     "q_agg_dup_stats" -> ((s, dir) => {
@@ -543,6 +562,20 @@ object AggQueries extends QueryPack {
          FROM orders
          GROUP BY o_custkey, CAST(o_orderdate AS DATE)
          HAVING COUNT(*) > 1""",
+    "q_agg_grouped_mode" ->
+      """WITH c AS (
+           SELECT c_nationkey, c_mktsegment, COUNT(*) AS c
+           FROM customer GROUP BY 1, 2),
+         r AS (
+           SELECT c_nationkey, c_mktsegment, c,
+                  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                    ORDER BY c DESC, c_mktsegment DESC) AS rn,
+                  SUM(c) OVER (PARTITION BY c_nationkey) AS nr
+           FROM c)
+         SELECT c_nationkey, c_mktsegment AS mode_segment,
+                CAST(c AS BIGINT) AS mode_count,
+                CAST(nr AS BIGINT) AS n_rows
+         FROM r WHERE rn = 1""",
     "q_agg_dup_stats" ->
       """SELECT COUNT(*) AS n_rows,
                 CAST(COUNT(DISTINCT COALESCE(NULLIF(LOWER(TRIM(text)), ''), '<NULL>')) AS BIGINT) AS n_distinct,

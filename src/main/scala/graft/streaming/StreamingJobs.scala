@@ -43,6 +43,33 @@ object StreamingJobs {
       .select(col("w.start").cast(DateType).as("day"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming feed-health anomaly detection — the streaming face of
+    * q_events_anomaly: hourly windowed counts per event type compared
+    * against a STATIC per-type baseline (n, s=Σc, q=Σc² from history,
+    * e.g. the batch row's stats plane) with the same exact integer
+    * algebra (L = c·n − s > 0 AND L² > 9(nq − s²), Decimal(38,0)) —
+    * spike verdicts are bit-identical to batch over the same counts.
+    * Stream-static broadcast join (baseline is types-sized); windowed
+    * state evicts past the watermark.
+    */
+  def anomalyStream(events: DataFrame, baseline: DataFrame,
+                    lateness: String = "1 hour"): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lift = col("c").cast(D) * col("n").cast(D) - col("s").cast(D)
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(baseline), "event_type")
+      .where(lift > 0 && lift * lift >
+        (col("n").cast(D) * col("q").cast(D)
+          - col("s").cast(D) * col("s").cast(D)) * lit(9))
+      .select(col("event_type"),
+        (unix_micros(col("w.start")) / lit(3600000000L)).cast("long")
+          .as("hour_id"),
+        col("c").as("n_events"))
+  }
+
   /** Sliding 1-day windows every 12 hours — each event contributes to
     * two overlapping windows (batch analog: q_events_sliding_daily).
     */

@@ -2,7 +2,7 @@ package graft
 
 import graft.streaming.StreamingJobs
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode, lit}
+import org.apache.spark.sql.functions.{col, count, explode, expr, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
@@ -56,6 +56,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val got = spark.table("slide")
     assert(got.agg(org.apache.spark.sql.functions.sum("n_events"))
       .collect().head.getLong(0) === 2L * events.length)
+  }
+
+  test("streaming anomaly verdicts equal the batch detector on fixture events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth + its stats plane over the same data
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"))
+      .agg(count(lit(1)).as("c"))
+    val baseline = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    val want = graft.queries.EventQueries.queries("q_events_anomaly")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(want.nonEmpty, "no spikes in fixture — test is vacuous")
+    val rows = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[graft.streaming.StreamingJobs.Event].collect().toSeq
+    val ms = MemoryStream[graft.streaming.StreamingJobs.Event]
+    ms.addData(rows)
+    val q = StreamingJobs.anomalyStream(ms.toDF(), baseline)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("anom")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === want, "streaming verdicts != batch verdicts")
   }
 
   test("session windows (30-min gap) match batch sessionization") {
