@@ -66,7 +66,14 @@ object Bench {
     "q_text_repeated_ngrams", "q_text_dup_spans", "q_text_entropy",
     "q_text_lm_perplexity", "q_events_transitions", "q_text_bpe_encode",
     "q_agg_exact_median", "q_sample_pps_systematic", "q_events_top_paths",
-    "q_pack_bins", "q_multimodal_dedup", "q_text_hash_embed")
+    "q_pack_bins", "q_multimodal_dedup", "q_text_hash_embed",
+    // r13 blind spot: the heaviest rows were absent from the scaling
+    // subset — exactly how r11's 38.7x flag stayed hidden.
+    // q_ref_mv_delayed_chain_seeded stays q_ref_-excluded from ratios
+    // (it pins the fixture regardless of dir) but its median is now a
+    // tracked headline number.
+    "q_dedup_cluster_pick", "q_text_retrieval_eval", "q_split_leakage_safe",
+    "q_ref_mv_delayed_chain_seeded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,7 +133,11 @@ object Bench {
     // can't misread that asymmetry as a speedup.
     def prewarm(dir: String, refToo: Boolean): Unit = {
       val memoized = Seq("q_join_bucketed", "q_dedup_incremental",
-        "q_sim_ann_ivf_trained", "q_dedup_semantic") ++
+        "q_sim_ann_ivf_trained", "q_dedup_semantic",
+        // builds BOTH memoized dedup frames (LSH candidate pairs + the
+        // star-contraction component table) that cluster_pick /
+        // leakage-safe-split / minhash_lsh then probe
+        "q_dedup_components") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

@@ -91,7 +91,15 @@ object TextQueries extends QueryPack {
       "doc_id", "n_tokens", "tok_offset", inclusive = false)
       .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
         expr(s"tok_offset div $PackBin").as("first_bin"),
-        expr(s"(tok_offset + n_tokens - 1) div $PackBin").as("last_bin"))
+        // greatest(first, last): for n_tokens = 0 at a bin boundary the
+        // raw formula yields last_bin < first_bin — Spark's `div`
+        // truncates toward zero where DuckDB's `//` floors, and the
+        // downstream sequence(first, last) would count DOWN where
+        // DuckDB's range() is empty. The guard pins last_bin >=
+        // first_bin (a zero-token doc spans exactly its first bin) so
+        // parity never depends on the fixture lacking empty documents.
+        greatest(expr(s"tok_offset div $PackBin"),
+          expr(s"(tok_offset + n_tokens - 1) div $PackBin")).as("last_bin"))
 
   /** Word n-gram shingles. Guarded: Spark sequence(1,0) counts DOWN, so
     * short docs need an explicit empty-array branch (DuckDB range(1,1)
@@ -179,15 +187,69 @@ object TextQueries extends QueryPack {
     }
   }
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = t(s, dir, "documents")
-      .select(col("doc_id"), minhashCol.as("mh"))
-      .where(col("mh").isNotNull)
-      .select(col("doc_id"), explode(bandKeysCol(col("mh"))).as("band_key"))
-    graft.operators.LshBandJoin.candidatePairs(bands, "doc_id",
-        graft.operators.LshBandJoin.DefaultMaxBucket)
-      .toDF("doc_a", "doc_b")
+  /** Per-(session, SF) memo of the shared dedup frames: the MinHash-LSH
+    * candidate-pair frame and the star-contraction component labels
+    * derived from it. Production persists both as warehouse tables (the
+    * band index via run/Orchestrator.indexDedupBatch; the component
+    * table is THE dedup index a pipeline materializes once per corpus
+    * snapshot) — memoizing + persisting here models exactly that, the
+    * same build-once discipline as SimQueries' trained-centroid memo.
+    * Six registered rows consume one or both; un-memoized, the three
+    * closure consumers each re-ran the full O(log n)-round contraction
+    * (~14 s of the r13 bench total was triplicated closure work).
+    *
+    * Builds run under a REENTRANT lock (the components build nests the
+    * pairs build — computeIfAbsent forbids that nesting). MEMORY_AND_DISK
+    * so cache pressure demotes to local disk instead of silently
+    * recomputing the corpus scan.
+    */
+  private val dedupFrameMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), DataFrame]()
+  private def dedupFrame(s: SparkSession, dir: String, what: String)
+                        (build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(s), dir, what)
+    val hit = dedupFrameMemo.get(k)
+    if (hit != null) hit
+    else dedupFrameMemo.synchronized {
+      dedupFrameMemo.get(k) match {
+        case null =>
+          val df = build
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          dedupFrameMemo.put(k, df); df
+        case df => df
+      }
+    }
   }
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    dedupFrame(s, dir, "pairs") {
+      val bands = t(s, dir, "documents")
+        .select(col("doc_id"), minhashCol.as("mh"))
+        .where(col("mh").isNotNull)
+        .select(col("doc_id"), explode(bandKeysCol(col("mh"))).as("band_key"))
+      graft.operators.LshBandJoin.candidatePairs(bands, "doc_id",
+          graft.operators.LshBandJoin.DefaultMaxBucket)
+        .toDF("doc_a", "doc_b")
+    }
+
+  /** Transitive closure of the candidate-pair graph by large/small-star
+    * contraction — the ONE component table q_dedup_components,
+    * q_dedup_cluster_pick and q_split_leakage_safe all consume
+    * (identical nodes and edges; building it per-row tripled the most
+    * expensive work in the bench). q_dedup_components_minlabel
+    * deliberately does NOT use this: it is the independently-derived
+    * verification sibling, so it recomputes the closure with the other
+    * algorithm every time.
+    */
+  private def lshComponents(s: SparkSession, dir: String): DataFrame =
+    dedupFrame(s, dir, "components") {
+      val pairs = minhashPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+      graft.operators.ConnectedComponents.largeSmallStar(nodes, edges)
+        .select(col("node").as("doc_id"), col("component"))
+    }
 
   /** Shared corpus-gate contract — ONE definition of the thresholds and
     * the content key consumed by the batch cleaning pipeline
@@ -551,15 +613,10 @@ object TextQueries extends QueryPack {
     // propagation sits beside it as q_dedup_components_minlabel, the
     // independently-derived verification sibling (same oracle: a DuckDB
     // recursive CTE over the identical pair graph).
-    "q_dedup_components" -> ((s, dir) => {
-      val pairs = minhashPairs(s, dir)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
-      graft.operators.ConnectedComponents.largeSmallStar(nodes, edges)
-        .select(col("node").as("doc_id"), col("component"),
-          (col("node") === col("component")).as("keep"))
-    }),
+    "q_dedup_components" -> ((s, dir) =>
+      lshComponents(s, dir)
+        .select(col("doc_id"), col("component"),
+          (col("doc_id") === col("component")).as("keep"))),
 
     // Canonical-document pick per near-dup cluster: production corpus
     // dedup keeps the BEST document of each transitive near-dup family,
@@ -568,14 +625,9 @@ object TextQueries extends QueryPack {
     // ordered quality DESC with doc_id tiebreak; NULLS LAST pinned on
     // both engines since empty docs score null).
     "q_dedup_cluster_pick" -> ((s, dir) => {
-      val pairs = minhashPairs(s, dir)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val docs = t(s, dir, "documents")
-      val comp = graft.operators.ConnectedComponents
-        .largeSmallStar(docs.select(col("doc_id").as("node")), edges)
-        .select(col("node").as("doc_id"), col("component"))
-      val quality = docs.select(col("doc_id"), qualityScoreCol.as("q"))
+      val comp = lshComponents(s, dir)
+      val quality = t(s, dir, "documents")
+        .select(col("doc_id"), qualityScoreCol.as("q"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("component"))
         .orderBy(col("q").desc_nulls_last, col("doc_id").asc)
@@ -792,29 +844,44 @@ object TextQueries extends QueryPack {
     "q_text_lm_perplexity" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val w = words(col("text"))
+      // 60-bit md5 keys for the unigram (h1) and bigram (hb) identities
+      // — the q_text_dup_spans discipline: the stream shuffle ships
+      // 8-byte longs, never word strings (r13 measured the string-keyed
+      // form as the heaviest linear-ratio row; the key bytes dominated
+      // the stream shuffle). words() splits on whitespace, so the
+      // space-joined bigram preimage is collision-free by construction;
+      // a residual 60-bit md5 collision inside the corpus is negligible
+      // and the exact oracle gate would catch one.
+      def h60(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
       val bigrams = docs.select(col("doc_id"),
         explode(when(size(w) >= 2,
           transform(sequence(lit(1), size(w) - 1),
             i => struct(element_at(w, i).as("w1"),
               element_at(w, i + 1).as("w2"))))
           .otherwise(array())).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(cnt.as("c2"))
-      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        .select(col("doc_id"), h60(col("b.w1")).as("h1"),
+          h60(concat_ws(" ", col("b.w1"), col("b.w2"))).as("hb"))
+      // h1 rides in the grouping key (functionally dependent on hb) so
+      // c1 derives from the distinct-bigram table without re-touching
+      // the stream and the groupBy exchange is reusable by the scoring
+      // join below (same child, same (h1, hb) partitioning).
+      val c2 = bigrams.groupBy(col("h1"), col("hb")).agg(cnt.as("c2"))
+      val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
       val v = docs.select(explode(w).as("x"))
-        .agg(countDistinct(col("x")).as("v"))
+        .agg(countDistinct(h60(col("x"))).as("v"))
       val nll = floor(log2((col("c1").cast(DoubleType) + col("v")) /
         (col("c2").cast(DoubleType) + lit(1.0))) * lit(1000000.0))
         .cast(LongType)
       // The model is assembled entirely on the DISTINCT-bigram table
       // (c1 and V fold into c2 before any contact with the stream), so
-      // the full bigram stream shuffles exactly ONCE — on (w1,w2) for
+      // the full bigram stream shuffles exactly ONCE — on (h1, hb) for
       // the scoring join. Joining c1 after the stream join would
-      // reshuffle the whole stream a second time on w1.
-      val model = c2.join(c1, Seq("w1"))
+      // reshuffle the whole stream a second time on h1.
+      val model = c2.join(c1, Seq("h1"))
         .crossJoin(broadcast(v)) // 1-row, aggregate-reduced
-        .select(col("w1"), col("w2"), nll.as("nll_micro"))
-      val sc = bigrams.join(model, Seq("w1", "w2"))
+        .select(col("h1"), col("hb"), nll.as("nll_micro"))
+      val sc = bigrams.join(model, Seq("h1", "hb"))
         .groupBy(col("doc_id"))
         .agg(cnt.as("n_bigrams"), sum(col("nll_micro")).as("sum_nll_micro"))
       docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
@@ -1225,16 +1292,11 @@ object TextQueries extends QueryPack {
     // map-only again). SplitLeakageSpec proves the property edge-by-edge
     // and shows the per-doc split violating it on the same fixture.
     "q_split_leakage_safe" -> ((s, dir) => {
-      val pairs = minhashPairs(s, dir)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val docs = t(s, dir, "documents")
-      val comp = graft.operators.ConnectedComponents
-        .largeSmallStar(docs.select(col("doc_id").as("node")), edges)
-        .select(col("node").as("doc_id"), col("component"))
+      val comp = lshComponents(s, dir)
       val bucket = conv(substring(md5(col("component").cast(StringType)), 1, 15),
         16, 10).cast(LongType) % 100
-      docs.select(col("doc_id"), col("source")).join(comp, "doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source")).join(comp, "doc_id")
         .select(col("doc_id"), col("source"), col("component"),
           bucket.as("bucket"),
           when(bucket < 90, "train")
@@ -2777,7 +2839,8 @@ object TextQueries extends QueryPack {
            FROM d)
          SELECT doc_id, n_tokens, tok_offset,
                 CAST(tok_offset // 2048 AS BIGINT) AS first_bin,
-                CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_bin,
+                CAST(greatest(tok_offset // 2048,
+                  (tok_offset + n_tokens - 1) // 2048) AS BIGINT) AS last_bin,
                 CAST(tok_offset % 2048 AS BIGINT) AS offset_in_bin
          FROM o""",
     "q_pack_bins" ->
@@ -2795,7 +2858,8 @@ object TextQueries extends QueryPack {
          p AS (
            SELECT doc_id, n_tokens, tok_offset,
                   tok_offset // 2048 AS first_bin,
-                  (tok_offset + n_tokens - 1) // 2048 AS last_bin
+                  greatest(tok_offset // 2048,
+                    (tok_offset + n_tokens - 1) // 2048) AS last_bin
            FROM o),
          x AS (
            SELECT doc_id, n_tokens, tok_offset,

@@ -82,7 +82,10 @@ object WindowQueries extends QueryPack {
     }),
 
     // Time-RANGE window frame (RANGE BETWEEN 30 PRECEDING AND CURRENT
-    // ROW over epoch days): trailing-30-day spend per customer — the
+    // ROW over epoch days): trailing spend per customer over the
+    // current day plus the prior 30 — 31 calendar days inclusive
+    // (day-30 through day-0; a true 30-day window would be
+    // rangeBetween(-29, 0)) — the
     // frame rows-offsets cannot express (bounded by VALUE distance:
     // same-day orders are peers sharing one frame, calendar gaps
     // shrink it). Range frames are peer-inclusive, so ties need no

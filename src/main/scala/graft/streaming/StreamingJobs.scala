@@ -65,8 +65,11 @@ object StreamingJobs {
         (col("n").cast(D) * col("q").cast(D)
           - col("s").cast(D) * col("s").cast(D)) * lit(9))
       .select(col("event_type"),
-        (unix_micros(col("w.start")) / lit(3600000000L)).cast("long")
-          .as("hour_id"),
+        // integer `div`, matching the batch q_events_anomaly exactly —
+        // float division then cast relies on micros < 2^53 and
+        // hour-aligned starts, a fragile equivalence for a contract of
+        // bit-identical verdicts
+        expr("unix_micros(w.start) div 3600000000").as("hour_id"),
         col("c").as("n_events"))
   }
 
@@ -115,6 +118,16 @@ object StreamingJobs {
   def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Checkpoint-scope prefix for stream-minted batch ids: 12 hex chars
+    * (48 bits) of the checkpoint path's MD5. ONE definition for every
+    * foreachBatch sink so no sink can silently keep a narrower —
+    * collision-prone — scope.
+    */
+  private def scopeOf(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+
   /** Streaming warehouse ingestion: drain a stream into a
     * batch-partitioned warehouse table through the Orchestrator's
     * idempotent writer — each micro-batch becomes one dwh_batch_id
@@ -134,9 +147,10 @@ object StreamingJobs {
     // otherwise its batch 0 dynamically overwrites the old stream's
     // partition 0 (silent data loss). A moved checkpoint degrades to
     // duplicate ids-with-new-scope (detectable), never to overwrite.
-    val scope = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    // 12 hex chars (48 bits): a 32-bit scope reaches birthday-collision
+    // odds at ~65k streams sharing one warehouse — within reach of a
+    // large deployment; 48 bits pushes that past 16M streams.
+    val scope = scopeOf(checkpoint)
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -177,9 +191,7 @@ object StreamingJobs {
     // batch 0 dynamic-partition-overwrites the old stream's partition
     // 0 in BOTH the vector store and the list table (silent index
     // corruption).
-    val scope = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    val scope = scopeOf(checkpoint)
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
