@@ -12,6 +12,66 @@ import org.apache.spark.sql.types._
   */
 object AggQueries extends QueryPack {
 
+  /** Distinct-value cap on the exact-median pass-2 bucket. The 1000-wide
+    * buckets over a 2-decimal value grid hold at most 100,001 distinct
+    * values, so the in-plan guard (1.5x slack for a coarser grid) can
+    * only fire when the domain is NOT on the expected grid — the case
+    * where "bucket-local rank" silently degrades toward a corpus-wide
+    * rank. Package-visible so SelectionSamplingSpec can drive the
+    * degenerate case with a tiny cap.
+    */
+  private[graft] val MedianMaxBucketDistinct = 150000L
+
+  /** EXACT grouped median by two-level histogram selection — see the
+    * q_agg_exact_median registration for the algorithm and scale notes.
+    * Factored so the spec can run it on a degenerate (single-bucket,
+    * off-grid) distribution; `maxBucketDistinct` is the loud-failure
+    * bound on pass 2's frame ([[MedianMaxBucketDistinct]]).
+    */
+  private[graft] def exactGroupedMedian(
+      vals0: org.apache.spark.sql.DataFrame, groupCol: String,
+      valCol: String, out: String,
+      maxBucketDistinct: Long = MedianMaxBucketDistinct)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = vals0
+      .select(col(groupCol).as("flag"), col(valCol).as("v"))
+      .withColumn("__bucket", expr("CAST(v AS BIGINT) div 1000"))
+    // Pass 1: bounded histogram — |groups| x ~|value range / 1000| rows
+    val hist = vals.groupBy(col("flag"), col("__bucket")).agg(cnt.as("c"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("__bucket"))
+    // target bucket per group: first bucket whose cumulative count
+    // reaches k; local_k = k's rank within it
+    val tgt = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("k",
+        expr("(SUM(c) OVER (PARTITION BY flag) + 1) div 2"))
+      .where(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+      .select(col("flag"), col("__bucket"),
+        (col("k") - (col("cum") - col("c"))).as("local_k"))
+    // Pass 2: bucket-filtered re-scan + rank within the target bucket.
+    // The guard window shares wFlag's partitioning (one exchange): if
+    // the selected bucket holds more distinct values than the grid
+    // argument bounds, pass 2 is no longer bucket-local — fail loudly
+    // (the IntervalOverlapJoin discipline) instead of silently ranking
+    // the whole group.
+    val wFlag = Window.partitionBy(col("flag")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("flag"))
+    vals.join(broadcast(tgt), Seq("flag", "__bucket"))
+      .groupBy(col("flag"), col("local_k"), col("v")).agg(cnt.as("c"))
+      .withColumn("__nd", count(lit(1)).over(wAll))
+      .where(coalesce(assert_true(col("__nd") <= lit(maxBucketDistinct),
+        lit("exact-median pass-2 bucket exceeds the distinct-value bound " +
+          s"($maxBucketDistinct): the value domain is not on the expected " +
+          "grid — narrow the bucket width (or add a selection level) " +
+          "before trusting bucket-local ranking")), lit(true)))
+      .withColumn("cum", sum(col("c")).over(wFlag))
+      .where(col("cum") >= col("local_k") &&
+        col("cum") - col("c") < col("local_k"))
+      .select(col("flag").as(groupCol),
+        col("v").cast(DoubleType).as(out))
+  }
+
   val queries: Map[String, Q] = Map(
     // A1: TPC-H Q1-style pricing summary (hash group-by + multiple SUMs,
     // derived-expression sums, COUNT).
@@ -398,42 +458,22 @@ object AggQueries extends QueryPack {
     // scans + one bucket-local rank — never a corpus-wide sort; every
     // window here runs over histogram-sized frames. At 100 TB the same
     // two passes hold (a bucket-partitioned layout would turn the
-    // pass-2 broadcast filter into partition pruning); a pathologically
-    // wide bucket would recurse one more level with the identical step.
+    // pass-2 broadcast filter into partition pruning). A pathologically
+    // wide bucket — a value domain OFF the 2-decimal grid concentrated
+    // in one 1000-wide bucket — fails LOUDLY via the in-plan
+    // distinct-value guard (see exactGroupedMedian) rather than
+    // silently degrading pass 2 to a whole-group rank.
     // Fully lazy — no construction-time job, per the builder-registry
     // contract. k = FLOOR((n+1)/2) matches the q_agg_approx_percentile /
     // q_agg_kll_merge exact-rank convention (the VALUE at rank k is
-    // well-defined regardless of tie order).
-    "q_agg_exact_median" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val vals = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("flag"),
-          col("l_extendedprice").as("v"))
-        // 1000-wide coarse buckets; l_extendedprice sits on a 2-decimal
-        // grid, so each bucket holds at most 100k distinct values
-        .withColumn("__bucket", expr("CAST(v AS BIGINT) div 1000"))
-      // Pass 1: bounded histogram — |flags| x ~|price range / 1000| rows
-      val hist = vals.groupBy(col("flag"), col("__bucket")).agg(cnt.as("c"))
-      val wCum = Window.partitionBy(col("flag")).orderBy(col("__bucket"))
-      // target bucket per group: first bucket whose cumulative count
-      // reaches k; local_k = k's rank within it
-      val tgt = hist
-        .withColumn("cum", sum(col("c")).over(wCum))
-        .withColumn("k",
-          expr("(SUM(c) OVER (PARTITION BY flag) + 1) div 2"))
-        .where(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
-        .select(col("flag"), col("__bucket"),
-          (col("k") - (col("cum") - col("c"))).as("local_k"))
-      // Pass 2: bucket-filtered re-scan + rank within the target bucket
-      val wFlag = Window.partitionBy(col("flag")).orderBy(col("v"))
-      vals.join(broadcast(tgt), Seq("flag", "__bucket"))
-        .groupBy(col("flag"), col("local_k"), col("v")).agg(cnt.as("c"))
-        .withColumn("cum", sum(col("c")).over(wFlag))
-        .where(col("cum") >= col("local_k") &&
-          col("cum") - col("c") < col("local_k"))
-        .select(col("flag").as("l_returnflag"),
-          col("v").cast(DoubleType).as("exact_p50"))
-    }))
+    // well-defined regardless of tie order). l_extendedprice sits on a
+    // 2-decimal grid, so each 1000-wide bucket holds at most 100k
+    // distinct values.
+    "q_agg_exact_median" -> ((s, dir) =>
+      exactGroupedMedian(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", "exact_p50")))
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_pricing_summary" ->

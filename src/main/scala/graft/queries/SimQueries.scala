@@ -175,6 +175,72 @@ object SimQueries extends QueryPack {
     */
   private val LloydIters = 2
 
+  /** Integer power-iteration rounds for q_embed_pca_project — fixed
+    * (no convergence race) so both engines compute the identical
+    * component; 12 rounds converge the dominant direction to well
+    * under the lattice resolution on any non-degenerate spectrum.
+    */
+  private val PcaIters = 12
+
+  /** The q_embed_pca_project oracle: the whole integer-lattice recipe
+    * (scatter sums → scaled matrix → PcaIters unrolled power-iteration
+    * CTEs → sign fix → n-scaled projection) replayed in DuckDB SQL.
+    * Every step is BIGINT/HUGEINT-exact with truncating division
+    * (DuckDB `//` truncates toward zero like Java/Spark — verified),
+    * so the hash compare is byte-exact.
+    */
+  private def pcaOracleSql: String = {
+    val iterCtes = (1 to PcaIters).map { k =>
+      val p = s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (
+           SELECT c.i AS i, CAST(SUM(c.c * $p.v) AS BIGINT) AS w
+           FROM c JOIN $p ON $p.i = c.j GROUP BY c.i),
+         v$k AS MATERIALIZED (
+           SELECT i, CAST(w // ((SELECT max(abs(w)) FROM w$k) // 1000 + 1)
+             AS BIGINT) AS v
+           FROM w$k)"""
+    }.mkString(",\n         ")
+    s"""WITH q AS MATERIALIZED (
+           SELECT vec_id, CAST(i AS BIGINT) AS i,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    AS qx
+           FROM (SELECT vec_id, embedding,
+                        unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         s1 AS MATERIALIZED (SELECT i, CAST(SUM(qx) AS BIGINT) AS s1 FROM q GROUP BY i),
+         s2 AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS s2
+           FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i),
+         den AS MATERIALIZED (
+           SELECT CAST(CAST(n AS HUGEINT) * n // 10000 + 1 AS BIGINT) AS den
+           FROM nn),
+         c AS MATERIALIZED (
+           SELECT s2.i, s2.j,
+                  CAST((CAST(nn.n AS HUGEINT) * s2.s2
+                        - CAST(sa.s1 AS HUGEINT) * sb.s1) // den.den
+                    AS BIGINT) AS c
+           FROM s2 CROSS JOIN nn CROSS JOIN den
+           JOIN s1 sa ON sa.i = s2.i
+           JOIN s1 sb ON sb.i = s2.j),
+         v0 AS MATERIALIZED (SELECT i, CAST(1000 AS BIGINT) AS v FROM s1),
+         $iterCtes,
+         sgn AS MATERIALIZED (
+           SELECT CASE WHEN (SELECT v FROM v$PcaIters WHERE i = (
+               SELECT min(i) FROM v$PcaIters WHERE abs(v) = (
+                 SELECT max(abs(v)) FROM v$PcaIters))) < 0
+             THEN -1 ELSE 1 END AS s),
+         vf AS MATERIALIZED (SELECT i, CAST(v * s AS BIGINT) AS v
+                FROM v$PcaIters CROSS JOIN sgn)
+         SELECT q.vec_id,
+                CAST(SUM((nn.n * q.qx - s1.s1) * vf.v) AS BIGINT)
+                  AS proj_scaled
+         FROM q CROSS JOIN nn
+         JOIN s1 ON s1.i = q.i
+         JOIN vf ON vf.i = q.i
+         GROUP BY q.vec_id"""
+  }
+
   /** IVF centroid sampling: every 25th vector, HARD-CAPPED at 1024
     * centroids by a vec_id bound so nlist is a constant, not n/25 —
     * the broadcast of the centroid table and the n x nlist assignment
@@ -444,6 +510,31 @@ object SimQueries extends QueryPack {
         .withColumn("is_dead", col("variance") < 0.0001)
         .drop("m2")
     }),
+
+    // Distributed PCA (integer-lattice face): project every embedding
+    // onto the dominant principal axis of the corpus scatter matrix —
+    // the whitening/rotation probe in front of PQ/SemDeDup (correlated
+    // dims waste codebook capacity). Split of labor: ONE treeAggregate
+    // pass builds the exact long scatter sums (executor-side log-depth
+    // merges — no per-partition driver collect), the D x D eigensolve
+    // runs driver-side in integer power iteration (PcaIters rounds,
+    // truncating-division renormalization — a recipe DuckDB replays
+    // bit-for-bit in the oracle's unrolled CTE chain), and the
+    // projection is a map-only 64-term long expression. Memoized per
+    // (session, SF): train once, project many (the trained-centroid
+    // discipline). Output is n-scaled (score = Σ (n·qx − S1)·v) so no
+    // division ever touches the per-row path.
+    "q_embed_pca_project" -> ((s, dir) =>
+      trained(s, s"pca:$dir") {
+        import graft.operators.EmbeddingPca
+        val embs = t(s, dir, "embeddings")
+        val (n, s1, s2) = EmbeddingPca.latticeScatter(embs, "embedding")
+        val c = EmbeddingPca.latticeScatterMatrix(n, s1, s2)
+        val v = EmbeddingPca.latticePowerIter(c, PcaIters)
+        embs.select(col("vec_id"),
+          EmbeddingPca.latticeProjectExpr(col("embedding"), n, s1, v)
+            .as("proj_scaled"))
+      }),
 
     // Exact brute-force cosine top-10 for each query vector. Query side
     // broadcasts; rank window collapses to per-partition top-k
@@ -1060,6 +1151,7 @@ object SimQueries extends QueryPack {
          FROM ad) WHERE rnk <= 10"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_pca_project" -> pcaOracleSql,
     "q_embed_dim_stats" ->
       """WITH ex AS (
            SELECT t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x

@@ -86,6 +86,56 @@ class EmbeddingPcaSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(dot(comps(0), comps(1))) < 1e-6)
   }
 
+  test("lattice scatter is partitioning-invariant and matches a local replay") {
+    val (n, s1, s2) = EmbeddingPca.latticeScatter(df.repartition(7), "embedding")
+    val (n2, s12, s22) = EmbeddingPca.latticeScatter(df.coalesce(1), "embedding")
+    assert(n === n2 && s1.toSeq === s12.toSeq && s2.toSeq === s22.toSeq)
+    // local replay of the identical recipe
+    val ls1 = new Array[Long](d)
+    val ls2 = new Array[Long](d * (d + 1) / 2)
+    vecs.foreach { v =>
+      val q = Array.tabulate(d)(i => math.floor(v(i).toDouble * 1000.0).toLong)
+      var i = 0; var t = 0
+      while (i < d) {
+        ls1(i) += q(i)
+        var j = i
+        while (j < d) { ls2(t) += q(i) * q(j); j += 1; t += 1 }
+        i += 1
+      }
+    }
+    assert(n === vecs.size.toLong)
+    assert(s1.toSeq === ls1.toSeq)
+    assert(s2.toSeq === ls2.toSeq)
+  }
+
+  test("integer power iteration recovers the planted direction") {
+    val (n, s1, s2) = EmbeddingPca.latticeScatter(df, "embedding")
+    val c = EmbeddingPca.latticeScatterMatrix(n, s1, s2)
+    val v = EmbeddingPca.latticePowerIter(c, 12)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val cos = math.abs(v.indices.map(i => v(i) / norm * u(i)).sum)
+    assert(cos > 0.99, s"|cos(lattice pc1, planted)| = $cos")
+    // canonical sign: the first max-|v| coordinate is non-negative
+    val mx = v.map(math.abs).max
+    assert(v(v.indexWhere(x => math.abs(x) == mx)) >= 0)
+  }
+
+  test("lattice projection correlates with the planted amplitude") {
+    val (n, s1, s2) = EmbeddingPca.latticeScatter(df, "embedding")
+    val c = EmbeddingPca.latticeScatterMatrix(n, s1, s2)
+    val v = EmbeddingPca.latticePowerIter(c, 12)
+    val scores = df
+      .select(EmbeddingPca.latticeProjectExpr(col("embedding"), n, s1, v).as("p"))
+      .collect().map(_.getLong(0).toDouble)
+    val amp = (0 until 300).map(i => (i % 21 - 10).toDouble)
+    val ms = scores.sum / scores.length
+    val ma = amp.sum / amp.length
+    val covSA = scores.indices.map(i => (scores(i) - ms) * (amp(i) - ma)).sum
+    val vS = math.sqrt(scores.map(x => (x - ms) * (x - ms)).sum)
+    val vA = math.sqrt(amp.map(x => (x - ma) * (x - ma)).sum)
+    assert(math.abs(covSA / (vS * vA)) > 0.99)
+  }
+
   test("projection scores carry the planted amplitude ordering") {
     val (_, mean, cov) = EmbeddingPca.covariance(df, "embedding")
     val comps = EmbeddingPca.topComponents(cov, k = 1)

@@ -35,6 +35,26 @@ class SelectionSamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("exact median fails loudly on a bucket that is not grid-bounded") {
+    import spark.implicits._
+    import graft.queries.AggQueries
+    // every value inside ONE 1000-wide bucket, with more distinct values
+    // than the cap: the promised bucket-local pass 2 would silently rank
+    // the whole group — the in-plan guard must fail the query instead
+    val df = (1 to 50).map(i => ("g", 500.0 + i * 0.001)).toDF("g", "x")
+    val e = intercept[Exception] {
+      AggQueries.exactGroupedMedian(df, "g", "x", "p50",
+        maxBucketDistinct = 10L).collect()
+    }
+    assert(e.getMessage.contains("distinct-value bound") ||
+      Option(e.getCause).exists(_.getMessage.contains("distinct-value bound")),
+      s"wrong failure: $e")
+    // under the real bound the same frame yields the true rank-k median
+    val ok = AggQueries.exactGroupedMedian(df, "g", "x", "p50").collect()
+    assert(ok.length === 1)
+    assert(ok(0).getDouble(1) === 500.0 + 25 * 0.001)
+  }
+
   test("exact median plan contains no global sort of the fact table") {
     val plan = SparkEntry.queries("q_agg_exact_median")(
       spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
