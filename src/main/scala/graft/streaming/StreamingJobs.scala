@@ -140,7 +140,8 @@ object StreamingJobs {
     */
   def warehouseSink(df: DataFrame, warehouse: String, table: String,
                     checkpoint: String,
-                    batchPrefix: String = "SBATCH"): org.apache.spark.sql.streaming.StreamingQuery = {
+                    batchPrefix: String = "SBATCH",
+                    bloomKey: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // batch ids are scoped to the CHECKPOINT: the micro-batch counter is
     // only stable within one checkpoint lineage, so a fresh checkpoint
     // (or a second stream into the same table) must mint fresh ids —
@@ -156,7 +157,17 @@ object StreamingJobs {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val run = new graft.run.Orchestrator.Run(
           batch.sparkSession, warehouse, f"$batchPrefix${scope}_$id%06d")
-        run.writeBatch(batch.toDF(), table)
+        // With a bloomKey, each micro-batch also refreshes exactly its
+        // own Bloom-manifest partition (writeBatchIndexed) — streamed
+        // tables get the same point-lookup file skipping as batch-landed
+        // ones, and a REPLAYED micro-batch rewrites data partition and
+        // manifest partition under the same batch id (the S8 argument:
+        // an index row naming a vanished file would make point probes
+        // silently skip live data).
+        bloomKey match {
+          case Some(key) => run.writeBatchIndexed(batch.toDF(), table, key)
+          case None => run.writeBatch(batch.toDF(), table)
+        }
         ()
       }
       .outputMode("append")

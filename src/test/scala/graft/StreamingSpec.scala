@@ -302,6 +302,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(all.select("event_id").distinct().count() === events.size.toLong)
   }
 
+  test("warehouse sink with bloom key: streamed table point-skips, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_whbloom").toString
+    val wh = s"$root/wh"
+    val cp = s"$root/cp"
+    val ms = MemoryStream[Ev]
+    val q1 = StreamingJobs.warehouseSink(ms.toDF(), wh, "bronze/events", cp,
+      bloomKey = Some("event_id"))
+    try {
+      ms.addData(events.take(3)); q1.processAllAvailable()
+      ms.addData(events.drop(3)); q1.processAllAvailable()
+    } finally q1.stop()
+    val path = s"$wh/bronze/events"
+    // point probe reads FEWER files than the table holds, same rows as
+    // a plain filtered scan (no false negatives by Bloom contract)
+    val (pruned, kept, total) = graft.sources.BloomIndexLayout.prunedRead(
+      spark, path, "event_id", Seq(events.head.event_id))
+    assert(total >= 2, s"expected a file per micro-batch, saw $total")
+    assert(kept < total, s"probe kept $kept of $total files — no skipping")
+    assert(pruned.select("event_id").as[Long].collect().toSeq ===
+      Seq(events.head.event_id))
+    // replayed micro-batch (the restart contract): same batch id re-lands
+    // data AND its manifest partition; the identity-checked point lookup
+    // stays consistent instead of tripping on vanished files
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(cp.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val replayRows = events.drop(3)
+      .map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    new graft.run.Orchestrator.Run(spark, wh, f"SBATCH${scope}_${1L}%06d")
+      .writeBatchIndexed(replayRows, "bronze/events", "event_id")
+    val after = new graft.run.Orchestrator.Run(spark, wh, "Q")
+      .readTablePointLookup("bronze/events", "event_id",
+        events.drop(3).map(_.event_id))
+    assert(after.select("event_id").as[Long].collect().sorted.toSeq ===
+      events.drop(3).map(_.event_id).sorted)
+    assert(spark.read.parquet(path).count() === events.size.toLong)
+  }
+
   test("ann ingest sink: streaming index equals batch index, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -315,7 +356,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // compute the scope the sink will use
     val scope = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$root/cp".getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+      .take(6).map("%02x".format(_)).mkString
     // batch reference: two Run ingests over the same two slices
     val whB = s"$root/whB"
     new graft.run.Orchestrator.Run(spark, whB, s"STREAMANN_${scope}_000000")
