@@ -473,7 +473,53 @@ object AggQueries extends QueryPack {
       exactGroupedMedian(
         t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice")),
-        "l_returnflag", "l_extendedprice", "exact_p50")))
+        "l_returnflag", "l_extendedprice", "exact_p50")),
+
+    // A-ext: EXACT grouped quartiles (p25/p50/p75) — the multi-rank
+    // generalization of the histogram selection: ONE pass-1 histogram
+    // serves all three targets (each rank picks its own bucket from
+    // the same cumulative table), pass 2 re-scans once with the union
+    // of selected (group, bucket) pairs broadcast, and the in-bucket
+    // rank window partitions by (group, pct) so a bucket serving two
+    // quartiles ranks each independently. Same cost class as the
+    // median — two scans + bucket-local ranks, never a corpus-wide
+    // sort — and the same loud distinct-value guard. Rank convention
+    // k_m = max(1, (m·(n+1)) div 4), which reduces to the median's
+    // (n+1) div 2 at m = 2.
+    "q_agg_exact_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+        .withColumn("__bucket", expr("CAST(v AS BIGINT) div 1000"))
+      val hist = vals.groupBy(col("flag"), col("__bucket")).agg(cnt.as("c"))
+      val wCum = Window.partitionBy(col("flag")).orderBy(col("__bucket"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", expr("SUM(c) OVER (PARTITION BY flag)"))
+      val tgt = Seq(1, 2, 3).map { m =>
+        cum.withColumn("k",
+            greatest(lit(1L), expr(s"($m * (n + 1)) div 4")))
+          .where(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+          .select(col("flag"), col("__bucket"),
+            (col("k") - (col("cum") - col("c"))).as("local_k"),
+            lit(m * 25L).as("pct"))
+      }.reduce(_ unionAll _)
+      val wFlagQ = Window.partitionBy(col("flag"), col("pct")).orderBy(col("v"))
+      val wAllQ = Window.partitionBy(col("flag"), col("pct"))
+      vals.join(broadcast(tgt), Seq("flag", "__bucket"))
+        .groupBy(col("flag"), col("pct"), col("local_k"), col("v"))
+        .agg(cnt.as("c"))
+        .withColumn("__nd", count(lit(1)).over(wAllQ))
+        .where(coalesce(assert_true(col("__nd") <= lit(MedianMaxBucketDistinct),
+          lit("exact-quartiles pass-2 bucket exceeds the distinct-value " +
+            s"bound ($MedianMaxBucketDistinct) — see exactGroupedMedian")),
+          lit(true)))
+        .withColumn("cum", sum(col("c")).over(wFlagQ))
+        .where(col("cum") >= col("local_k") &&
+          col("cum") - col("c") < col("local_k"))
+        .select(col("flag").as("l_returnflag"), col("pct"),
+          col("v").cast(DoubleType).as("value"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -636,5 +682,18 @@ object AggQueries extends QueryPack {
                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
            FROM lineitem)
          SELECT l_returnflag, v AS exact_p50
-         FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)""")
+         FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)""",
+    "q_agg_exact_quartiles" ->
+      """WITH ranked AS (
+           SELECT l_returnflag,
+                  CAST(l_extendedprice AS DOUBLE) AS v,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS rn,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+         m AS (SELECT unnest([1, 2, 3]) AS m)
+         SELECT r.l_returnflag, CAST(m.m * 25 AS BIGINT) AS pct,
+                r.v AS value
+         FROM ranked r JOIN m
+           ON r.rn = greatest(1, (m.m * (r.n + 1)) // 4)""")
 }

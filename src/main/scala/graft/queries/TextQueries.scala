@@ -251,6 +251,26 @@ object TextQueries extends QueryPack {
         .select(col("node").as("doc_id"), col("component"))
     }
 
+  /** Positioned word-8-gram windows (doc_id, i, h) with 60-bit md5
+    * hashes — ONE definition shared by the duplicated-span REPORT
+    * (q_text_dup_spans) and the span REMOVAL (q_text_strip_dup_spans),
+    * so locate and cut can never disagree on what a duplicated window
+    * is. Hashes ship as 8-byte longs; strings never leave the per-row
+    * projection.
+    */
+  private def dupWindowPositions(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val win = when(size(w) >= 8,
+      transform(sequence(lit(1), size(w) - 7),
+        i => struct(i.cast(LongType).as("i"),
+          conv(substring(md5(concat_ws(" ", slice(w, i, lit(8)))), 1, 15),
+            16, 10).cast(LongType).as("h"))))
+      .otherwise(array())
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(win).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+  }
+
   /** Shared corpus-gate contract — ONE definition of the thresholds and
     * the content key consumed by the batch cleaning pipeline
     * (q_text_clean_corpus), the exact-dedup query, and the streaming
@@ -941,16 +961,7 @@ object TextQueries extends QueryPack {
     // hash collision merging unrelated windows needs a 60-bit md5
     // collision inside the corpus — negligible at any target scale.
     "q_text_dup_spans" -> ((s, dir) => {
-      val w = words(col("text"))
-      val win = when(size(w) >= 8,
-        transform(sequence(lit(1), size(w) - 7),
-          i => struct(i.as("i"),
-            conv(substring(md5(concat_ws(" ", slice(w, i, lit(8)))), 1, 15),
-              16, 10).cast(LongType).as("h"))))
-        .otherwise(array())
-      val pos = t(s, dir, "documents")
-        .select(col("doc_id"), explode(win).as("p"))
-        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+      val pos = dupWindowPositions(s, dir)
       val dup = pos.groupBy(col("h")).agg(cnt.as("n_occ"))
         .where(col("n_occ") >= 2).select(col("h"))
       val grp = Window.partitionBy(col("doc_id")).orderBy(col("i"))
@@ -961,6 +972,44 @@ object TextQueries extends QueryPack {
           cnt.as("n_windows"),
           (cnt + 7).as("span_words"))
         .drop("grp")
+    }),
+
+    // Duplicated-span REMOVAL — the cleanup pass the span report above
+    // feeds (Lee et al. 2021 §4 actually CUTS the duplicated
+    // substrings; the report row only locates them): every token
+    // covered by ANY corpus-duplicated 8-gram window is dropped and
+    // the survivors re-join in order. Same window marking as
+    // q_text_dup_spans (one shared builder, so report and removal
+    // cannot drift). Plan: the marked windows explode into their 8
+    // covered positions (8x the MARKED windows — duplicate mass, not
+    // corpus mass), one (doc_id, pos) anti-join drops covered tokens,
+    // and one doc-keyed aggregate rebuilds the text via an in-row sort
+    // of (pos, token) structs — per-doc state bounded by doc length,
+    // the floor for any text rewrite. Every shuffle is a key shuffle
+    // with map-side combine; no driver state.
+    "q_text_strip_dup_spans" -> ((s, dir) => {
+      val pos = dupWindowPositions(s, dir)
+      val dup = pos.groupBy(col("h")).agg(cnt.as("n_occ"))
+        .where(col("n_occ") >= 2).select(col("h"))
+      val covered = pos.join(dup, Seq("h"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + 7)).as("i"))
+        .distinct()
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("i"),
+          col("tok"))
+      val kept = toks.join(covered, Seq("doc_id", "i"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_kept_tokens"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+              x => x.getField("tok"))).as("clean_text"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
     }),
 
     // Quality score: bounded token count, lexical diversity, stopword
@@ -2099,6 +2148,36 @@ object TextQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n_windows,
                 CAST(COUNT(*) + 7 AS BIGINT) AS span_words
          FROM isl GROUP BY doc_id, grp""",
+    "q_text_strip_dup_spans" ->
+      """WITH w AS MATERIALIZED (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         pos AS MATERIALIZED (
+           SELECT doc_id, i,
+                  CAST(CONCAT('0x', SUBSTRING(md5(array_to_string(w[i:i+7],
+                    ' ')),1,15)) AS BIGINT) AS h
+           FROM (SELECT doc_id, w,
+                        unnest(range(1, greatest(len(w)-7,0)+1)) AS i
+                 FROM w)),
+         dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
+         cov AS (
+           SELECT DISTINCT doc_id, i FROM (
+             SELECT pos.doc_id, unnest(range(pos.i, pos.i + 8)) AS i
+             FROM pos JOIN dup ON dup.h = pos.h)),
+         toks AS (
+           SELECT doc_id, i, w[i] AS tok
+           FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM w)),
+         kept AS (
+           SELECT t.doc_id, t.i, t.tok
+           FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.i = t.i
+           WHERE c.i IS NULL),
+         agg AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  string_agg(tok, ' ' ORDER BY i) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+                CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept_tokens
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""",
     "q_text_entropy" ->
       """WITH base AS (
            SELECT doc_id,

@@ -67,6 +67,58 @@ class SelectionSamplingSpec extends AnyFunSuite with SparkTestBase {
       "median plan range-partitions (global sort) the fact table:\n" + plan)
   }
 
+  test("exact quartiles are ordered and match sort-based rank-k values") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_agg_exact_quartiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val byFlag = Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    byFlag.foreach { case (flag, rows) =>
+      val vs = rows.map(_.getDouble(1)).sorted
+      val n = vs.length
+      for (m <- 1 to 3) {
+        val k = math.max(1, (m * (n + 1)) / 4)
+        assert(got((flag, m * 25L)) === vs(k - 1),
+          s"quartile p${m * 25} mismatch for $flag")
+      }
+      assert(got((flag, 25L)) <= got((flag, 50L)) &&
+        got((flag, 50L)) <= got((flag, 75L)))
+    }
+  }
+
+  test("span stripping removes exactly the covered tokens") {
+    val dir = "/root/testdata/sf0.01"
+    val stripped = SparkEntry.queries("q_text_strip_dup_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val spans = SparkEntry.queries("q_text_dup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(spans.nonEmpty, "fixture lost its planted duplicate spans")
+    val spanned = spans.map(_._1).toSet
+    docs.foreach { case (id, text) =>
+      val words = text.trim.split("\\s+").toSeq
+      val (clean, nKept) = stripped(id)
+      if (!spanned(id)) {
+        // no duplicated window -> text survives verbatim (token-joined)
+        assert(clean === words.mkString(" "), s"doc $id altered")
+        assert(nKept === words.length.toLong)
+      } else {
+        // covered tokens = union of the reported spans
+        val covered = spans.filter(_._1 == id)
+          .flatMap { case (_, start, len) => start until (start + len) }.toSet
+        val want = words.zipWithIndex.collect {
+          case (w, i) if !covered(i + 1L) => w
+        }
+        assert(clean === want.mkString(" "), s"doc $id wrong strip")
+        assert(nKept === want.length.toLong)
+      }
+    }
+  }
+
   test("systematic PPS draws exactly k hits with PPS multiplicity bounds") {
     val dir = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("q_sample_pps_systematic")(spark, dir)
