@@ -73,7 +73,11 @@ object Bench {
     // (it pins the fixture regardless of dir) but its median is now a
     // tracked headline number.
     "q_dedup_cluster_pick", "q_text_retrieval_eval", "q_split_leakage_safe",
-    "q_ref_mv_delayed_chain_seeded")
+    "q_ref_mv_delayed_chain_seeded",
+    // r14 rows: strip is among the slowest rows, so it joins the
+    // scaling subset immediately (the r13 lesson); quartiles and the
+    // PCA projection are cheap but new — tracked from day one.
+    "q_text_strip_dup_spans", "q_agg_exact_quartiles", "q_embed_pca_project")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
