@@ -77,7 +77,8 @@ object Bench {
     // r14 rows: strip is among the slowest rows, so it joins the
     // scaling subset immediately (the r13 lesson); quartiles and the
     // PCA projection are cheap but new — tracked from day one.
-    "q_text_strip_dup_spans", "q_agg_exact_quartiles", "q_embed_pca_project")
+    "q_text_strip_dup_spans", "q_agg_exact_quartiles", "q_embed_pca_project",
+    "q_dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,7 +142,10 @@ object Bench {
         // builds BOTH memoized dedup frames (LSH candidate pairs + the
         // star-contraction component table) that cluster_pick /
         // leakage-safe-split / minhash_lsh then probe
-        "q_dedup_components") ++
+        "q_dedup_components",
+        // builds the memoized duplicated-window frame (the persisted
+        // span-report artifact) the report + removal rows both probe
+        "q_text_dup_spans") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

@@ -271,6 +271,24 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
   }
 
+  /** Corpus-duplicated window positions (doc_id, i) — the MARKED subset
+    * of [[dupWindowPositions]] (hash seen at >= 2 positions anywhere).
+    * Memoized per (session, SF) in the dedup-frame memo: this IS the
+    * span-report artifact a production pipeline persists once and both
+    * the report row and the removal row consume; un-memoized, each of
+    * the two rows re-ran the full window explode + corpus-wide hash
+    * aggregate (~2x the heaviest text work in the bench). The frame is
+    * duplicate-mass-sized, far below corpus size.
+    */
+  private def dupMarkedPositions(s: SparkSession, dir: String): DataFrame =
+    dedupFrame(s, dir, "dup_windows") {
+      val pos = dupWindowPositions(s, dir)
+      val dup = pos.groupBy(col("h")).agg(cnt.as("n_occ"))
+        .where(col("n_occ") >= 2).select(col("h"))
+      pos.join(dup, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("i"))
+    }
+
   /** Shared corpus-gate contract — ONE definition of the thresholds and
     * the content key consumed by the batch cleaning pipeline
     * (q_text_clean_corpus), the exact-dedup query, and the streaming
@@ -375,6 +393,14 @@ object TextQueries extends QueryPack {
     * quadratic-per-shingle join.
     */
   private[graft] val NaiveJaccardCap = 1000
+
+  /** Containment-dedup candidate gate: only shingles with document
+    * frequency in [2, this] generate candidate pairs — hot shingles
+    * (boilerplate) are excluded, which is both the recall argument
+    * (a contained doc needs ONE rare shingle to pair with its
+    * container) and the fan-out bound (per-shingle pairs <= df²/2).
+    */
+  private[graft] val ContainRareDf = 10
 
   /** Naive exact co-shingle Jaccard pairs. `cap` bounds the input to the
     * first n doc_ids (the registered verification slice); None is the
@@ -566,6 +592,47 @@ object TextQueries extends QueryPack {
     // ~ d²/2^61 — vanishing, and the exact oracle gate would catch one).
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       naiveJaccardPairs(s, dir, Some(NaiveJaccardCap))),
+
+    // Containment (asymmetric Jaccard) dedup — superset/quote-inclusion
+    // detection: symmetric Jaccard misses a SMALL doc fully contained
+    // in a big one (the union denominator dominates), so production
+    // dedup also checks C = |A∩B| / min(|A|,|B|) (Broder's containment;
+    // the CCNet/RefinedWeb inclusion filters). Candidates pair on RARE
+    // shingles (2 <= document frequency <= ContainRareDf): a contained
+    // doc shares EVERY shingle with its container, so the pair is found
+    // unless all its shingles are corpus-hot — the prefix-filter recall
+    // argument — and the per-shingle join fan-out is df-bounded, so hot
+    // keys (exactly the excluded ones) cannot blow up the self-join.
+    // Exact intersection then runs only over the candidate pairs'
+    // shingle sets (candidate-bounded, never all-pairs); shingles ride
+    // as 8-byte native-kernel hashes end to end.
+    "q_dedup_containment" -> ((s, dir) => {
+      import graft.functions.TextHashFunctions.shingleHashes
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), shingleHashes(words(col("text")), 3).as("hs"))
+        .select(col("doc_id"), size(col("hs")).cast(LongType).as("n"),
+          explode(col("hs")).as("h"))
+        .persist() // three consumers: rare filter, candidate join, intersection
+      val rare = sh.groupBy(col("h")).agg(cnt.as("df"))
+        .where(col("df") >= 2 && col("df") <= ContainRareDf)
+        .select(col("h"))
+      val rsh = sh.join(rare, Seq("h"), "left_semi")
+      val cands = rsh.select(col("doc_id").as("doc_a"), col("h"))
+        .join(rsh.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
+          col("h") === col("h_r") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("h"))
+      cands.join(a, Seq("doc_a"))
+        .join(b, Seq("doc_b", "h"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(cnt.as("n_shared"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          (col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")))
+            .as("containment"))
+        .where(col("containment") >= 0.8)
+    }),
 
     // MinHash + LSH banding: the 100TB-scale near-dup path. k=8 linear
     // permutations of one md5 base hash, 4 bands of 2 -> candidate pairs
@@ -961,11 +1028,8 @@ object TextQueries extends QueryPack {
     // hash collision merging unrelated windows needs a 60-bit md5
     // collision inside the corpus — negligible at any target scale.
     "q_text_dup_spans" -> ((s, dir) => {
-      val pos = dupWindowPositions(s, dir)
-      val dup = pos.groupBy(col("h")).agg(cnt.as("n_occ"))
-        .where(col("n_occ") >= 2).select(col("h"))
       val grp = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      pos.join(dup, Seq("h"), "left_semi")
+      dupMarkedPositions(s, dir)
         .withColumn("grp", col("i") - row_number().over(grp))
         .groupBy(col("doc_id"), col("grp"))
         .agg(min(col("i")).cast(LongType).as("span_start"),
@@ -988,10 +1052,7 @@ object TextQueries extends QueryPack {
     // the floor for any text rewrite. Every shuffle is a key shuffle
     // with map-side combine; no driver state.
     "q_text_strip_dup_spans" -> ((s, dir) => {
-      val pos = dupWindowPositions(s, dir)
-      val dup = pos.groupBy(col("h")).agg(cnt.as("n_occ"))
-        .where(col("n_occ") >= 2).select(col("h"))
-      val covered = pos.join(dup, Seq("h"), "left_semi")
+      val covered = dupMarkedPositions(s, dir)
         .select(col("doc_id"),
           explode(sequence(col("i"), col("i") + 7)).as("i"))
         .distinct()
@@ -2030,6 +2091,32 @@ object TextQueries extends QueryPack {
          FROM documents GROUP BY md5(LOWER(TRIM(text)))""",
     "q_dedup_ngram_jaccard" -> jaccardPairsOracle(
       s"(SELECT * FROM documents ORDER BY doc_id LIMIT $NaiveJaccardCap)"),
+    "q_dedup_containment" ->
+      s"""WITH sh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-2,0)+1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents))),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         rare AS (SELECT s FROM sh GROUP BY s
+                  HAVING COUNT(*) BETWEEN 2 AND $ContainRareDf),
+         cands AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN rare r ON r.s = a.s
+           JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+           FROM cands c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+           GROUP BY c.doc_a, c.doc_b)
+         SELECT i.doc_a, i.doc_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+                CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+         FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         JOIN sizes sb ON sb.doc_id = i.doc_b
+         WHERE CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.8""",
     // identical output contract — the prefix filter is lossless
     "q_dedup_jaccard_ppjoin" -> jaccardPairsOracle("documents"),
     "q_dedup_minhash_lsh" -> (minhashOracleCte +
