@@ -87,6 +87,30 @@ object IoQueries extends QueryPack {
           col("s_acctbal").cast(DoubleType).as("s_acctbal"))
     }),
 
+    // XML round-trip (extension; Spark 4 ships the XML source natively
+    // — the spark-xml package was merged upstream): part goes out
+    // through the distributed XML sink (one element per row under
+    // rowTag) and comes back typed with a predicate; the oracle is the
+    // ORIGINAL table, so any escaping/typing/formatting defect in
+    // either direction breaks the hash. Same per-process temp-path
+    // isolation as the CSV export.
+    "q_scan_xml" -> ((s, dir) => {
+      val out = s"/tmp/graft_xml_part_${ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_retailprice"))
+        .write.format("xml").option("rowTag", "part")
+        .mode("overwrite").save(out)
+      s.read.format("xml").option("rowTag", "part").load(out)
+        .where(col("p_retailprice") > 950)
+        .select(
+          col("p_partkey").cast(LongType).as("p_partkey"),
+          col("p_name").cast(StringType).as("p_name"),
+          col("p_brand").cast(StringType).as("p_brand"),
+          col("p_retailprice").cast(DoubleType).as("p_retailprice"))
+    }),
+
     // S6: CSV export sink — the reference's warehouse staging hop dumps
     // each table to CSV for a Postgres COPY (scripts/load_to_bronze.py:
     // 570-571). Spark writes warehouse tables directly (S7/S8), so the
@@ -276,6 +300,13 @@ object IoQueries extends QueryPack {
     "q_scan_orc" ->
       """SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
          FROM supplier WHERE s_acctbal > 1000""",
+    // the XML tree is a round-trip of part, so the oracle reads the
+    // original table
+    "q_scan_xml" ->
+      """SELECT p_partkey, CAST(p_name AS VARCHAR) AS p_name,
+                CAST(p_brand AS VARCHAR) AS p_brand,
+                CAST(p_retailprice AS DOUBLE) AS p_retailprice
+         FROM part WHERE p_retailprice > 950""",
     "q_scan_csv" ->
       s"""SELECT CAST(cst_id AS BIGINT) AS cst_id,
                  CAST(cst_key AS VARCHAR) AS cst_key,
