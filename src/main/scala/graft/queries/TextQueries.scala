@@ -402,6 +402,42 @@ object TextQueries extends QueryPack {
     */
   private[graft] val ContainRareDf = 10
 
+  /** Bottom-k size of the containment sketch row. */
+  private[graft] val ContainSketchK = 8
+
+  /** Exact containment pairs (doc_a, doc_b, n_shared, n_a, n_b,
+    * containment >= 0.8) — shared by the exact row and the bottom-k
+    * sketch eval. See the q_dedup_containment registration for the
+    * candidate-gate and scale rationale.
+    */
+  private def containmentFrame(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.shingleHashes
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), shingleHashes(words(col("text")), 3).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast(LongType).as("n"),
+        explode(col("hs")).as("h"))
+      .persist() // three consumers: rare filter, candidate join, intersection
+    val rare = sh.groupBy(col("h")).agg(cnt.as("df"))
+      .where(col("df") >= 2 && col("df") <= ContainRareDf)
+      .select(col("h"))
+    val rsh = sh.join(rare, Seq("h"), "left_semi")
+    val cands = rsh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(rsh.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
+        col("h") === col("h_r") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("h"))
+    cands.join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(cnt.as("n_shared"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")))
+          .as("containment"))
+      .where(col("containment") >= 0.8)
+  }
+
   /** Naive exact co-shingle Jaccard pairs. `cap` bounds the input to the
     * first n doc_ids (the registered verification slice); None is the
     * uncapped witness JaccardPrefixSpec compares against PPJoin.
@@ -606,32 +642,37 @@ object TextQueries extends QueryPack {
     // Exact intersection then runs only over the candidate pairs'
     // shingle sets (candidate-bounded, never all-pairs); shingles ride
     // as 8-byte native-kernel hashes end to end.
-    "q_dedup_containment" -> ((s, dir) => {
+    "q_dedup_containment" -> (containmentFrame(_, _)),
+
+    // Bottom-k containment SKETCH beside the exact row — the
+    // q_sim_ann_recall A/B discipline applied to containment: for every
+    // exact-confirmed pair, the estimate a production bottom-sketch
+    // index would serve (Broder's bottom-k: m = |bottom-8(S_small) ∩
+    // S_big|, est = m / min(8, |S_small|)) sits next to the exact
+    // value, so sketch quality is MEASURED, not assumed. Deterministic
+    // on both engines: the 60-bit hashes ARE the uniform order and the
+    // native kernel returns them sorted, so bottom-k is a plain slice
+    // and the one division is IEEE-identical. At scale the bottom-k
+    // column is a 64-byte per-doc index; the eval joins only the
+    // candidate pairs' sets.
+    "q_dedup_containment_sketch" -> ((s, dir) => {
       import graft.functions.TextHashFunctions.shingleHashes
-      val sh = t(s, dir, "documents")
+      val sets = t(s, dir, "documents")
         .select(col("doc_id"), shingleHashes(words(col("text")), 3).as("hs"))
-        .select(col("doc_id"), size(col("hs")).cast(LongType).as("n"),
-          explode(col("hs")).as("h"))
-        .persist() // three consumers: rare filter, candidate join, intersection
-      val rare = sh.groupBy(col("h")).agg(cnt.as("df"))
-        .where(col("df") >= 2 && col("df") <= ContainRareDf)
-        .select(col("h"))
-      val rsh = sh.join(rare, Seq("h"), "left_semi")
-      val cands = rsh.select(col("doc_id").as("doc_a"), col("h"))
-        .join(rsh.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
-          col("h") === col("h_r") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("h"))
-      cands.join(a, Seq("doc_a"))
-        .join(b, Seq("doc_b", "h"))
-        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-        .agg(cnt.as("n_shared"))
-        .select(col("doc_a"), col("doc_b"), col("n_shared"),
-          col("n_a"), col("n_b"),
-          (col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")))
-            .as("containment"))
-        .where(col("containment") >= 0.8)
+      val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      val small = when(col("n_a") <= col("n_b"), col("hs_a"))
+        .otherwise(col("hs_b"))
+      val big = when(col("n_a") <= col("n_b"), col("hs_b"))
+        .otherwise(col("hs_a"))
+      val m = size(array_intersect(slice(small, 1, ContainSketchK), big))
+        .cast(LongType)
+      containmentFrame(s, dir).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("containment"),
+          m.as("m_sketch"),
+          (m.cast(DoubleType) /
+            least(lit(ContainSketchK.toLong), least(col("n_a"), col("n_b"))))
+            .as("est_containment"))
     }),
 
     // MinHash + LSH banding: the 100TB-scale near-dup path. k=8 linear
@@ -1974,6 +2015,42 @@ object TextQueries extends QueryPack {
     * lossless PPJoin variant (over the full corpus), whose output
     * contracts are identical.
     */
+  /** Shared CTE chain of the containment rows: DISTINCT 60-bit shingle
+    * hashes per doc (IDENTICAL values to the native kernel — the sketch
+    * row's bottom-k needs the same hash ORDER, not just the same
+    * counts), sizes, the rare-shingle candidate gate, exact
+    * intersections, and `ex` = pairs with containment >= 0.8.
+    */
+  private def containmentOracleCte: String =
+    s"""WITH sh AS MATERIALIZED (
+           SELECT DISTINCT doc_id,
+                  CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 15)) AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-2,0)+1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents))),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         rare AS (SELECT h FROM sh GROUP BY h
+                  HAVING COUNT(*) BETWEEN 2 AND $ContainRareDf),
+         cands AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN rare r ON r.h = a.h
+           JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+           FROM cands c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+           GROUP BY c.doc_a, c.doc_b),
+         ex AS (
+           SELECT i.doc_a, i.doc_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+                  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                  CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+           FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.doc_id = i.doc_b
+           WHERE CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.8)"""
+
   private def jaccardPairsOracle(src: String) =
     s"""WITH sh AS (
          SELECT DISTINCT doc_id, s FROM (
@@ -2091,32 +2168,23 @@ object TextQueries extends QueryPack {
          FROM documents GROUP BY md5(LOWER(TRIM(text)))""",
     "q_dedup_ngram_jaccard" -> jaccardPairsOracle(
       s"(SELECT * FROM documents ORDER BY doc_id LIMIT $NaiveJaccardCap)"),
-    "q_dedup_containment" ->
-      s"""WITH sh AS MATERIALIZED (
-           SELECT DISTINCT doc_id, s FROM (
-             SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-2,0)+1),
-                    i -> array_to_string(w[i:i+2], ' '))) AS s
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-                   FROM documents))),
-         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         rare AS (SELECT s FROM sh GROUP BY s
-                  HAVING COUNT(*) BETWEEN 2 AND $ContainRareDf),
-         cands AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM sh a JOIN rare r ON r.s = a.s
-           JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
-         inter AS (
-           SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
-           FROM cands c
-           JOIN sh a ON a.doc_id = c.doc_a
-           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-           GROUP BY c.doc_a, c.doc_b)
-         SELECT i.doc_a, i.doc_b, CAST(i.n_shared AS BIGINT) AS n_shared,
-                CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-                CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
-         FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-         JOIN sizes sb ON sb.doc_id = i.doc_b
-         WHERE CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.8""",
+    "q_dedup_containment" -> (containmentOracleCte + """
+         SELECT doc_a, doc_b, n_shared, n_a, n_b, containment FROM ex"""),
+    "q_dedup_containment_sketch" -> (containmentOracleCte + s""",
+         bot AS (SELECT doc_id, list_sort(list(h)) AS hs FROM sh GROUP BY doc_id),
+         sk AS (
+           SELECT e.doc_a, e.doc_b, e.containment, e.n_a, e.n_b,
+                  CASE WHEN e.n_a <= e.n_b THEN ba.hs ELSE bb.hs END AS hs_small,
+                  CASE WHEN e.n_a <= e.n_b THEN bb.hs ELSE ba.hs END AS hs_big
+           FROM ex e JOIN bot ba ON ba.doc_id = e.doc_a
+                     JOIN bot bb ON bb.doc_id = e.doc_b)
+         SELECT doc_a, doc_b, containment,
+                CAST(len(list_intersect(hs_small[1:$ContainSketchK], hs_big))
+                  AS BIGINT) AS m_sketch,
+                CAST(len(list_intersect(hs_small[1:$ContainSketchK], hs_big))
+                  AS DOUBLE) / least($ContainSketchK, least(n_a, n_b))
+                  AS est_containment
+         FROM sk"""),
     // identical output contract — the prefix filter is lossless
     "q_dedup_jaccard_ppjoin" -> jaccardPairsOracle("documents"),
     "q_dedup_minhash_lsh" -> (minhashOracleCte +
