@@ -258,7 +258,11 @@ object TextQueries extends QueryPack {
     * is. Hashes ship as 8-byte longs; strings never leave the per-row
     * projection.
     */
-  private def dupWindowPositions(s: SparkSession, dir: String): DataFrame = {
+  /** Positioned word-8-gram windows (doc_id, i, h) of an arbitrary
+    * documents frame — the per-frame body of [[dupWindowPositions]],
+    * reused by the incremental face over the batch slice.
+    */
+  private def windowPositionsOf(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val win = when(size(w) >= 8,
       transform(sequence(lit(1), size(w) - 7),
@@ -266,10 +270,26 @@ object TextQueries extends QueryPack {
           conv(substring(md5(concat_ws(" ", slice(w, i, lit(8)))), 1, 15),
             16, 10).cast(LongType).as("h"))))
       .otherwise(array())
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"), explode(win).as("p"))
       .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
   }
+
+  private def dupWindowPositions(s: SparkSession, dir: String): DataFrame =
+    windowPositionsOf(t(s, dir, "documents"))
+
+  /** Distinct window hashes of the EXISTING corpus (doc_id % 10 != 0) —
+    * the persisted window-hash index the incremental span row probes;
+    * memoized + persisted like [[corpusDedupIndexes]] (production
+    * maintains it batch-over-batch next to the content-key and band
+    * indexes).
+    */
+  private def corpusWindowIndex(s: SparkSession, dir: String): DataFrame =
+    dedupFrame(s, dir, "corpus_windows") {
+      windowPositionsOf(
+        t(s, dir, "documents").where(col("doc_id") % 10 =!= 0))
+        .select(col("h")).distinct()
+    }
 
   /** Corpus-duplicated window positions (doc_id, i) — the MARKED subset
     * of [[dupWindowPositions]] (hash seen at >= 2 positions anywhere).
@@ -1112,6 +1132,36 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"),
           coalesce(col("clean_text"), lit("")).as("clean_text"),
           coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+    }),
+
+    // Incremental duplicated-span detection — the daily-ingest face of
+    // q_text_dup_spans (the q_dedup_incremental discipline): a NEW
+    // batch (doc_id % 10 == 0) is span-checked against the EXISTING
+    // corpus's persisted window-hash index plus its own internal
+    // repeats, without ever re-scanning corpus windows. A batch window
+    // is duplicated iff its hash is in the corpus index OR occurs >= 2
+    // times within the batch — exactly the full-corpus >= 2 rule
+    // restricted to batch docs, so incremental and full answers agree
+    // on the shared rows by construction. Cost scales with the BATCH:
+    // one batch window explode, one semi-join against the index, one
+    // batch-internal count, one per-doc island window.
+    "q_text_dup_spans_incremental" -> ((s, dir) => {
+      val pos = windowPositionsOf(
+        t(s, dir, "documents").where(col("doc_id") % 10 === 0))
+      val inCorpus = pos.join(corpusWindowIndex(s, dir), Seq("h"), "left_semi")
+        .select(col("doc_id"), col("i"))
+      val batchDup = pos.groupBy(col("h")).agg(cnt.as("n"))
+        .where(col("n") >= 2).select(col("h"))
+      val inBatch = pos.join(batchDup, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("i"))
+      val grp = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      inCorpus.unionAll(inBatch).distinct()
+        .withColumn("grp", col("i") - row_number().over(grp))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("i")).cast(LongType).as("span_start"),
+          cnt.as("n_windows"),
+          (cnt + 7).as("span_words"))
+        .drop("grp")
     }),
 
     // Quality score: bounded token count, lexical diversity, stopword
@@ -2294,6 +2344,35 @@ object TextQueries extends QueryPack {
          dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
          marked AS (SELECT pos.doc_id, pos.i
                     FROM pos JOIN dup ON dup.h = pos.h),
+         isl AS (
+           SELECT doc_id, i,
+                  i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+                    AS grp
+           FROM marked)
+         SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+                CAST(COUNT(*) AS BIGINT) AS n_windows,
+                CAST(COUNT(*) + 7 AS BIGINT) AS span_words
+         FROM isl GROUP BY doc_id, grp""",
+    "q_text_dup_spans_incremental" ->
+      """WITH w AS MATERIALIZED (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         pos AS MATERIALIZED (
+           SELECT doc_id, i,
+                  CAST(CONCAT('0x', SUBSTRING(md5(array_to_string(w[i:i+7],
+                    ' ')),1,15)) AS BIGINT) AS h
+           FROM (SELECT doc_id, w,
+                        unnest(range(1, greatest(len(w)-7,0)+1)) AS i
+                 FROM w)),
+         bpos AS (SELECT * FROM pos WHERE doc_id % 10 = 0),
+         cidx AS (SELECT DISTINCT h FROM pos WHERE doc_id % 10 <> 0),
+         bdup AS (SELECT h FROM bpos GROUP BY h HAVING COUNT(*) >= 2),
+         marked AS (
+           SELECT DISTINCT b.doc_id, b.i
+           FROM bpos b
+           LEFT JOIN cidx c ON c.h = b.h
+           LEFT JOIN bdup d ON d.h = b.h
+           WHERE c.h IS NOT NULL OR d.h IS NOT NULL),
          isl AS (
            SELECT doc_id, i,
                   i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
