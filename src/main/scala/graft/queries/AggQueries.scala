@@ -475,6 +475,27 @@ object AggQueries extends QueryPack {
           .select(col("l_returnflag"), col("l_extendedprice")),
         "l_returnflag", "l_extendedprice", "exact_p50")),
 
+    // A-ext: EXACT grouped MAD (median absolute deviation) — the robust
+    // dispersion measure outlier gates want (stddev is itself dragged
+    // by the outliers it should flag). Composes the histogram-selection
+    // machinery twice: the group medians (|groups| rows) broadcast back
+    // over the fact table, absolute deviations re-enter the identical
+    // two-pass selection. Four scans total, never a corpus-wide sort;
+    // deviations stay on the value grid (|v - med| of grid values is
+    // grid-valued), so the bucket arithmetic and the guard hold
+    // unchanged. abs/- are IEEE-exact, so both engines derive identical
+    // deviation values.
+    "q_agg_exact_mad" -> ((s, dir) => {
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = exactGroupedMedian(vals, "l_returnflag", "l_extendedprice",
+        "med")
+      val dev = vals.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("med")).as("adev"))
+      exactGroupedMedian(dev, "l_returnflag", "adev", "exact_mad")
+    }),
+
     // A-ext: EXACT grouped quartiles (p25/p50/p75) — the multi-rank
     // generalization of the histogram selection: ONE pass-1 histogram
     // serves all three targets (each rank picks its own bucket from
@@ -683,6 +704,29 @@ object AggQueries extends QueryPack {
            FROM lineitem)
          SELECT l_returnflag, v AS exact_p50
          FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)""",
+    "q_agg_exact_mad" ->
+      """WITH ranked AS (
+           SELECT l_returnflag,
+                  CAST(l_extendedprice AS DOUBLE) AS v,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS rn,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+         med AS (
+           SELECT l_returnflag, v AS med
+           FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)),
+         dev AS (
+           SELECT l.l_returnflag,
+                  abs(CAST(l.l_extendedprice AS DOUBLE) - m.med) AS adev
+           FROM lineitem l JOIN med m USING (l_returnflag)),
+         ranked2 AS (
+           SELECT l_returnflag, adev,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY adev) AS rn,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM dev)
+         SELECT l_returnflag, adev AS exact_mad
+         FROM ranked2 WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)""",
     "q_agg_exact_quartiles" ->
       """WITH ranked AS (
            SELECT l_returnflag,
