@@ -260,9 +260,13 @@ object TextQueries extends QueryPack {
     */
   /** Positioned word-8-gram windows (doc_id, i, h) of an arbitrary
     * documents frame — the per-frame body of [[dupWindowPositions]],
-    * reused by the incremental face over the batch slice.
+    * reused by the incremental face over the batch slice, the
+    * Orchestrator's span-index maintenance (indexSpanBatch) and the
+    * streaming mark face (StreamingJobs.spanMarkStream) — ONE window
+    * definition everywhere, so index, report, removal and stream
+    * cannot drift.
     */
-  private def windowPositionsOf(docs: DataFrame): DataFrame = {
+  private[graft] def windowPositionsOf(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val win = when(size(w) >= 8,
       transform(sequence(lit(1), size(w) - 7),
@@ -290,6 +294,22 @@ object TextQueries extends QueryPack {
         t(s, dir, "documents").where(col("doc_id") % 10 =!= 0))
         .select(col("h")).distinct()
     }
+
+  /** Maximal-span aggregation of marked window positions (doc_id, i):
+    * runs of adjacent marked positions merge via the island trick —
+    * shared by the span rows and the Orchestrator's table-backed
+    * report.
+    */
+  private[graft] def spanIslands(marked: DataFrame): DataFrame = {
+    val grp = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    marked
+      .withColumn("grp", col("i") - row_number().over(grp))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).cast(LongType).as("span_start"),
+        cnt.as("n_windows"),
+        (cnt + 7).as("span_words"))
+      .drop("grp")
+  }
 
   /** Corpus-duplicated window positions (doc_id, i) — the MARKED subset
     * of [[dupWindowPositions]] (hash seen at >= 2 positions anywhere).
@@ -1088,16 +1108,8 @@ object TextQueries extends QueryPack {
     // combine, no driver state, same discipline as LshBandJoin. A 1-ulp
     // hash collision merging unrelated windows needs a 60-bit md5
     // collision inside the corpus — negligible at any target scale.
-    "q_text_dup_spans" -> ((s, dir) => {
-      val grp = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      dupMarkedPositions(s, dir)
-        .withColumn("grp", col("i") - row_number().over(grp))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("i")).cast(LongType).as("span_start"),
-          cnt.as("n_windows"),
-          (cnt + 7).as("span_words"))
-        .drop("grp")
-    }),
+    "q_text_dup_spans" -> ((s, dir) =>
+      spanIslands(dupMarkedPositions(s, dir))),
 
     // Duplicated-span REMOVAL — the cleanup pass the span report above
     // feeds (Lee et al. 2021 §4 actually CUTS the duplicated
@@ -1154,14 +1166,7 @@ object TextQueries extends QueryPack {
         .where(col("n") >= 2).select(col("h"))
       val inBatch = pos.join(batchDup, Seq("h"), "left_semi")
         .select(col("doc_id"), col("i"))
-      val grp = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      inCorpus.unionAll(inBatch).distinct()
-        .withColumn("grp", col("i") - row_number().over(grp))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("i")).cast(LongType).as("span_start"),
-          cnt.as("n_windows"),
-          (cnt + 7).as("span_words"))
-        .drop("grp")
+      spanIslands(inCorpus.unionAll(inBatch).distinct())
     }),
 
     // Quality score: bounded token count, lexical diversity, stopword

@@ -461,6 +461,44 @@ object Orchestrator {
         writeBatch(bands, "indexes/dedup_band_keys"))
     }
 
+    /** Span-index maintenance: append THIS batch's DISTINCT word-8-gram
+      * window hashes to the warehouse span index through the idempotent
+      * batch-partition write (S8). The builder is the shared batch
+      * kernel (TextQueries.windowPositionsOf), so the index cannot
+      * drift from the span report/removal rows. Per-batch rows are the
+      * batch's distinct hashes — duplicate-mass bounded, far below the
+      * window stream.
+      */
+    def indexSpanBatch(docs: DataFrame): Long =
+      writeBatch(
+        graft.queries.TextQueries.windowPositionsOf(docs)
+          .select(col("h")).distinct(),
+        "indexes/span_window_hashes")
+
+    /** Duplicated-span report for a new batch against the PERSISTED
+      * span index — the table-backed production form of
+      * q_text_dup_spans_incremental: a batch window is duplicated iff
+      * its hash is in the corpus index (own batch partition excluded,
+      * so a restart that already indexed this batch does not mark every
+      * window as its own duplicate) OR occurs >= 2 times within the
+      * batch; runs of marked positions merge to maximal spans via the
+      * shared island aggregation. Cost scales with the BATCH.
+      */
+    def spanReportAgainstIndex(docs: DataFrame): DataFrame = {
+      import graft.queries.TextQueries
+      val pos = TextQueries.windowPositionsOf(docs)
+      val corpus = readTable("indexes/span_window_hashes")
+        .where(col("dwh_batch_id") =!= batchId)
+        .select(col("h")).distinct()
+      val inCorpus = pos.join(corpus, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("i"))
+      val batchDup = pos.groupBy(col("h"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 2).select(col("h"))
+      val inBatch = pos.join(batchDup, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("i"))
+      TextQueries.spanIslands(inCorpus.unionAll(inBatch).distinct())
+    }
+
     /** Dedup a new batch of documents against the PERSISTED corpus
       * indexes — the table-backed production form of
       * q_dedup_incremental (which derives the same indexes from the

@@ -412,6 +412,27 @@ object StreamingJobs {
       (col("__e").isNull && !near).as("keep"))
   }
 
+  /** Streaming duplicated-window marking — the streaming face of the
+    * span plane: each arriving document's word-8-gram windows (the
+    * shared TextQueries.windowPositionsOf builder, so stream and batch
+    * cannot drift) probe the PERSISTED corpus window-hash index; the
+    * output is the marked-window stream (doc_id, i) — per-WINDOW
+    * verdicts, deliberately un-aggregated so the job is STATELESS
+    * (explode is a flatMap, the index probe one stream-static
+    * semi-join; a per-doc verdict would need a variable-width streaming
+    * aggregation and watermark state). Downstream batch passes (the
+    * island/span merge, the strip) group the marks exactly as the batch
+    * rows do. Batch-internal repeats are intentionally NOT part of the
+    * stream contract — micro-batch boundaries are arbitrary, so a
+    * within-batch >= 2 rule would make verdicts depend on batching; the
+    * ingest's batch report (Orchestrator.spanReportAgainstIndex) owns
+    * that rule at indexing time.
+    */
+  def spanMarkStream(docs: DataFrame, corpusWindowIdx: DataFrame): DataFrame =
+    graft.queries.TextQueries.windowPositionsOf(docs)
+      .join(corpusWindowIdx.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("i"))
+
   case class PendingProbe(event_id: Long, tsMicros: Long)
   case class Conversion(event_id: Long, user_id: Long, ts: Timestamp,
                         converted: Boolean,

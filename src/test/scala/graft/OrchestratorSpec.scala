@@ -721,6 +721,63 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(gotStream === expected)
   }
 
+  test("span index persists per batch; report and stream marks probe the table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_span_idx").toString
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val fresh = docs.where(col("doc_id") % 10 === 0).select("doc_id", "text")
+    // ground truth: the registered scan-derived row on the same split
+    val expected = SparkEntry.queries("q_text_dup_spans_incremental")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty, "fixture lost its planted duplicate spans")
+
+    val run1 = new Orchestrator.Run(spark, wh, "B1")
+    val n1 = run1.indexSpanBatch(corpus)
+    assert(n1 > 0)
+    run1.flushAudit()
+    // S8 on the span-index plane: re-indexing replaces its partition
+    new Orchestrator.Run(spark, wh, "B1").indexSpanBatch(corpus)
+    assert(spark.read.parquet(s"$wh/indexes/span_window_hashes").count() === n1)
+
+    // batch 2 indexes itself, then reports against every OTHER batch's
+    // partition (own excluded) + its internal repeats
+    val run2 = new Orchestrator.Run(spark, wh, "B2")
+    run2.indexSpanBatch(fresh)
+    val got = run2.spanReportAgainstIndex(fresh)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+
+    // the STREAMING face: arriving docs emit their corpus-marked window
+    // positions, stateless; equal to the batch corpus-hit marks
+    val idx = spark.read.parquet(s"$wh/indexes/span_window_hashes")
+      .where(col("dwh_batch_id") =!= "B2").select("h").distinct()
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.spanMarkStream(
+        ms.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("span_marks")
+      .outputMode("append").start()
+    try {
+      ms.addData(fresh.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val gotStream = spark.table("span_marks")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.queries.TextQueries.windowPositionsOf(fresh)
+      .join(idx, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("i"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotStream === want)
+    assert(gotStream.nonEmpty, "no streamed marks — vacuous")
+  }
+
   test("ann index: an empty batch cannot bootstrap (or brick) the centroid table") {
     val wh = Files.createTempDirectory("graft_ann_empty").toString
     val dir = "/root/testdata/sf0.001"
