@@ -1173,6 +1173,49 @@ object TextQueries extends QueryPack {
     // ratio, mean word length band — equal-weight average.
     "q_text_quality" -> (qualityFrame(_, _)),
 
+    // Distribution-drift monitor (chi-square) — the per-ingest QA gate:
+    // the NEW batch's quality-score histogram per source against the
+    // EXISTING corpus's, on the fixed decile grid floor(q·10) (no
+    // reference-quantile estimation — the grid is deterministic, so
+    // drift verdicts are reproducible). Counts are exact longs from one
+    // aggregate; the expected count e = (c+1)·n_batch/n_corpus (add-one
+    // smoothing keeps a batch-only bucket finite) and each chi-square
+    // term ride ONE pinned double expression tree over those integers —
+    // cross-engine equality needs identical operations on identical
+    // inputs, not magnitude bounds — then floor-quantize to micro-units
+    // so the per-source total is an order-free long sum. Chi-square,
+    // not PSI/KL: those need ln, which is not correctly-rounded across
+    // libm implementations (the q_text_bm25 rational-idf rationale).
+    // Scale: one (source, bucket) aggregate with map-side combine; the
+    // windows run over the |sources|×12 cell grid, never the corpus.
+    "q_qa_drift_chi2" -> ((s, dir) => {
+      val q = qualityScoreCol
+      val bucket = least(floor(q * 10).cast(LongType), lit(10L))
+      val b = t(s, dir, "documents")
+        .select(col("source"), coalesce(bucket, lit(-1L)).as("bucket"),
+          (col("doc_id") % 10 === 0).as("is_new"))
+      val cells = b.groupBy(col("source"), col("bucket"))
+        .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("o"),
+          sum(when(!col("is_new"), 1L).otherwise(0L)).as("c"))
+      val w = Window.partitionBy(col("source"))
+      val tot = cells
+        .withColumn("nb", sum(col("o")).over(w))
+        .withColumn("nc", sum(col("c")).over(w))
+      val e = (col("c") + lit(1L)).cast(DoubleType) *
+        col("nb").cast(DoubleType) / col("nc").cast(DoubleType)
+      val term = (col("o").cast(DoubleType) - e) *
+        (col("o").cast(DoubleType) - e) / e
+      // nb = 0 (a source with no batch docs) zeroes e and nc = 0 zeroes
+      // its denominator: both leave the term undefined, and ANSI mode
+      // (Spark 4 default) turns ANY division by zero into a runtime
+      // error — so the guard must cover both totals, not just nc
+      tot.select(col("source"), col("bucket"),
+          col("o").as("n_batch"), col("c").as("n_corpus"),
+          when(col("nc") > 0 && col("nb") > 0,
+            floor(term * lit(1000000.0)).cast(LongType)).as("term_micro"))
+        .withColumn("chi2_micro", sum(col("term_micro")).over(w))
+    }),
+
     // PII redaction — the scrub pass every production corpus runs
     // before training: emails and phone-shaped numbers are replaced
     // with typed placeholders and counted per doc (the counts feed the
@@ -2335,6 +2378,41 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_qa_drift_chi2" ->
+      s"""WITH qual AS ($qualityOracle),
+         b AS (
+           SELECT source,
+                  COALESCE(LEAST(CAST(floor(quality_score * 10) AS BIGINT),
+                    10), -1) AS bucket,
+                  (doc_id % 10 = 0) AS is_new
+           FROM qual),
+         cells AS (
+           SELECT source, bucket,
+                  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS o,
+                  CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM b GROUP BY source, bucket),
+         tot AS (
+           SELECT source, bucket, o, c,
+                  SUM(o) OVER (PARTITION BY source) AS nb,
+                  SUM(c) OVER (PARTITION BY source) AS nc
+           FROM cells),
+         t AS (
+           SELECT source, bucket, o AS n_batch, c AS n_corpus,
+                  CASE WHEN nc > 0 AND nb > 0 THEN CAST(floor(
+                    (CAST(o AS DOUBLE)
+                       - CAST(c + 1 AS DOUBLE) * CAST(nb AS DOUBLE)
+                         / CAST(nc AS DOUBLE))
+                    * (CAST(o AS DOUBLE)
+                       - CAST(c + 1 AS DOUBLE) * CAST(nb AS DOUBLE)
+                         / CAST(nc AS DOUBLE))
+                    / (CAST(c + 1 AS DOUBLE) * CAST(nb AS DOUBLE)
+                       / CAST(nc AS DOUBLE))
+                    * 1000000.0) AS BIGINT) END AS term_micro
+           FROM tot)
+         SELECT source, bucket, n_batch, n_corpus, term_micro,
+                CAST(SUM(term_micro) OVER (PARTITION BY source) AS BIGINT)
+                  AS chi2_micro
+         FROM t""",
     "q_text_dup_spans" ->
       """WITH w AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
