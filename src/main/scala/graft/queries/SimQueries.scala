@@ -689,6 +689,34 @@ object SimQueries extends QueryPack {
     // is integer arithmetic, so the oracle compares hash-exactly.
     "q_sim_ann_pq" -> ((s, dir) => pqSearch(s, dir, pqGridCents(s))),
 
+    // PQ distortion report — the quantization-error QA beside the PQ
+    // search rows (the recall rows measure RANKING quality; this
+    // measures the DISTANCES themselves): for each query's PQ top-10,
+    // the asymmetric-distance estimate sits next to the exact quantized
+    // L2, and |error| aggregates per query. Production uses this to
+    // size codebooks (distortion too high -> more codes / more
+    // subspaces / train on residuals). Everything is integer-exact
+    // (codes, LUT distances, exact L2 all live on the floor(x·1000)
+    // lattice), so the oracle hash-matches. Scale: the top-10 frame is
+    // |Q|x10 rows and broadcasts; the exact side joins the quantized
+    // vectors by id — no new shuffle class.
+    "q_sim_pq_distortion" -> ((s, dir) => {
+      val top = pqSearch(s, dir, pqGridCents(s))
+        .select(col("q_id"), col("vec_id"), col("approx_dist"))
+      val vs = qvecs(s, dir)
+      val qa = vs.select(col("vec_id").as("q_id"), col("qv").as("qa"))
+      val qb = vs.select(col("vec_id"), col("qv").as("qb"))
+      val err = qb.join(broadcast(top), Seq("vec_id"))
+        .join(TextQueries.shipAuto(s, qa, nVecEst(s, dir) / 50, EmbRowBytes),
+          Seq("q_id"))
+        .select(col("q_id"),
+          abs(col("approx_dist") - l2sq(col("qa"), col("qb"))).as("abs_err"))
+      err.groupBy(col("q_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+          sum(col("abs_err")).cast(LongType).as("sum_abs_err"),
+          max(col("abs_err")).cast(LongType).as("max_abs_err"))
+    }),
+
     // PQ with Lloyd-TRAINED codebooks: the md5-grid seed re-centered on
     // the data per subspace (LloydIters deterministic rounds), then the
     // identical asymmetric-distance search. Training makes the 16 codes
@@ -1515,6 +1543,57 @@ object SimQueries extends QueryPack {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                     ORDER BY approx_dist, vec_id) AS BIGINT) AS rnk
            FROM ad) WHERE rnk <= 10""",
+    "q_sim_pq_distortion" ->
+      s"""WITH $quantCte,
+         coords AS (
+           SELECT e.vec_id, CAST(t.i AS BIGINT) AS d, e.v[t.i+1] AS qval
+           FROM qv e, range(64) t(i)),
+         cents AS (
+           SELECT CAST(sp.s AS BIGINT) AS sub, CAST(cc.c AS BIGINT) AS code,
+                  CAST(sp.s*8 + dd.d AS BIGINT) AS d,
+                  CAST(CONCAT('0x', SUBSTRING(md5(sp.s || ':' || cc.c || ':' || dd.d),
+                       1, 15)) AS BIGINT) % 2001 - 1000 AS cval
+           FROM range(8) sp(s), range(16) cc(c), range(8) dd(d)),
+         dists AS (
+           SELECT co.vec_id, ce.sub, ce.code,
+                  SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+           FROM coords co JOIN cents ce ON ce.d = co.d
+           GROUP BY co.vec_id, ce.sub, ce.code),
+         codes AS (
+           SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                      ORDER BY d2, code) AS rk
+             FROM dists) WHERE rk = 1),
+         lut AS (
+           SELECT vec_id AS q_id, sub, code, d2 AS pdist
+           FROM dists WHERE vec_id % 50 = 0),
+         ad AS (
+           SELECT l.q_id, c.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS approx_dist
+           FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+           WHERE c.vec_id <> l.q_id
+           GROUP BY l.q_id, c.vec_id),
+         top AS (
+           SELECT q_id, vec_id, approx_dist FROM (
+             SELECT q_id, vec_id, approx_dist,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY approx_dist, vec_id) AS rnk
+             FROM ad) WHERE rnk <= 10),
+         exd AS (
+           SELECT t.q_id, t.vec_id, t.approx_dist,
+                  CAST(SUM((a.v[i+1]-b.v[i+1])*(a.v[i+1]-b.v[i+1]))
+                    AS BIGINT) AS exact_dist
+           FROM top t
+           JOIN qv a ON a.vec_id = t.q_id
+           JOIN qv b ON b.vec_id = t.vec_id
+           CROSS JOIN range(64) r(i)
+           GROUP BY t.q_id, t.vec_id, t.approx_dist)
+         SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(abs(approx_dist - exact_dist)) AS BIGINT)
+                  AS sum_abs_err,
+                CAST(MAX(abs(approx_dist - exact_dist)) AS BIGINT)
+                  AS max_abs_err
+         FROM exd GROUP BY q_id""",
     "q_sim_ann_ivf" ->
       s"""WITH $quantCte,
          $ivfCosineCandsCtes,
