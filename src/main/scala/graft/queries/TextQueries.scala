@@ -1173,6 +1173,48 @@ object TextQueries extends QueryPack {
     // ratio, mean word length band — equal-weight average.
     "q_text_quality" -> (qualityFrame(_, _)),
 
+    // Gopher-rules quality filter (Rae et al. 2021, "Scaling Language
+    // Models: ... Gopher" §A1.1 — the published rule-based corpus
+    // filter family): per-doc hard-threshold rules over cheap surface
+    // statistics, each reported as its metric + verdict so the QA plane
+    // can tune thresholds per source. Rules here: word-count bounds
+    // [50, 100k], mean word length [3, 10], alphabetic-word fraction
+    // >= 0.8, >= 2 stopword hits, '#'-symbol ratio <= 0.1. MAP-ONLY at
+    // any scale (one projection, no shuffle); expressions stay in the
+    // ASCII regex subset both engines parse identically, and the one
+    // ratio division is guarded (ANSI errors on any division by zero).
+    "q_text_gopher_rules" -> ((s, dir) => {
+      val w = words(col("text"))
+      val nW = size(w).cast(LongType)
+      val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) /
+        size(w)
+      val stops = Seq("the", "a", "of", "and", "to", "in")
+      val nStop = size(filter(w, x => x.isin(stops: _*))).cast(LongType)
+      val nAlpha = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast(LongType)
+      val nHash = (length(col("text")) -
+        length(regexp_replace(col("text"), lit("#"), lit("")))).cast(LongType)
+      t(s, dir, "documents")
+        .select(col("doc_id"), nW.as("n_words"), meanWl.as("mean_wl"),
+          nStop.as("n_stop"), nAlpha.as("n_alpha"), nHash.as("n_hash"))
+        .withColumn("alpha_frac",
+          when(col("n_words") > 0,
+            col("n_alpha").cast(DoubleType) / col("n_words"))
+            .otherwise(lit(0.0)))
+        .withColumn("hash_ratio",
+          when(col("n_words") > 0,
+            col("n_hash").cast(DoubleType) / col("n_words"))
+            .otherwise(lit(0.0)))
+        .withColumn("r_words",
+          col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("r_mean_wl", col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0)
+        .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("r_hash", col("hash_ratio") <= 0.1)
+        .withColumn("gopher_pass",
+          col("r_words") && col("r_mean_wl") && col("r_alpha") &&
+            col("r_stop") && col("r_hash"))
+    }),
+
     // Distribution-drift monitor (chi-square) — the per-ingest QA gate:
     // the NEW batch's quality-score histogram per source against the
     // EXISTING corpus's, on the fixed decile grid floor(q·10) (no
@@ -2378,6 +2420,43 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_text_gopher_rules" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(len(w) AS BIGINT) AS n_words,
+                  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+                    AS mean_wl,
+                  CAST(len(list_filter(w,
+                    x -> x IN ('the','a','of','and','to','in')))
+                    AS BIGINT) AS n_stop,
+                  CAST(len(list_filter(w,
+                    x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+                  CAST(length(text) - length(replace(text, '#', ''))
+                    AS BIGINT) AS n_hash
+           FROM (SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents)),
+         m AS (
+           SELECT doc_id, n_words, mean_wl, n_stop, n_alpha, n_hash,
+                  CASE WHEN n_words > 0
+                       THEN CAST(n_alpha AS DOUBLE) / n_words
+                       ELSE 0.0 END AS alpha_frac,
+                  CASE WHEN n_words > 0
+                       THEN CAST(n_hash AS DOUBLE) / n_words
+                       ELSE 0.0 END AS hash_ratio
+           FROM f)
+         SELECT doc_id, n_words, mean_wl, n_stop, n_alpha, n_hash,
+                alpha_frac, hash_ratio,
+                (n_words >= 50 AND n_words <= 100000) AS r_words,
+                (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_mean_wl,
+                (alpha_frac >= 0.8) AS r_alpha,
+                (n_stop >= 2) AS r_stop,
+                (hash_ratio <= 0.1) AS r_hash,
+                ((n_words >= 50 AND n_words <= 100000)
+                 AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                 AND alpha_frac >= 0.8 AND n_stop >= 2
+                 AND hash_ratio <= 0.1) AS gopher_pass
+         FROM m""",
     "q_qa_drift_chi2" ->
       s"""WITH qual AS ($qualityOracle),
          b AS (
