@@ -917,6 +917,40 @@ object TextQueries extends QueryPack {
         .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
     }),
 
+    // Top-bigram mass — Gopher's other repetition rule (Rae et al.
+    // §A1.1: drop docs whose most frequent 2-gram covers too much of
+    // the text; q_text_repetition covers duplicate-3-gram MASS, this
+    // covers single-phrase domination; threshold corpus-calibrated at
+    // 0.10 — this synthetic corpus tops out at ~0.17 where production
+    // uses ~0.20 — the q_dedup_embedding calibration precedent, so the
+    // flag is non-vacuous). ZERO-SHUFFLE like
+    // q_text_entropy: each row sorts its own bigram array, finds run
+    // boundaries in-row, and takes the MAX run length — map-only at any
+    // corpus size, one guarded division (ANSI).
+    "q_text_top_ngram_mass" -> ((s, dir) => {
+      val w = words(col("text"))
+      val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), sort_array(bigrams).as("s"))
+        .withColumn("n", size(col("s")))
+        .withColumn("ends", filter(sequence(lit(1), col("n")),
+          i => !(get(col("s"), i - 1) <=> get(col("s"), i))))
+        .withColumn("cs", transform(sequence(lit(1), size(col("ends"))),
+          j => when(j === 1, element_at(col("ends"), j))
+            .otherwise(element_at(col("ends"), j)
+              - element_at(col("ends"), j - 1))))
+        .withColumn("top", coalesce(array_max(col("cs")), lit(0)))
+      base.select(col("doc_id"),
+          col("n").cast(LongType).as("n_bigrams"),
+          col("top").cast(LongType).as("top_bigram_count"),
+          when(col("n") > 0, col("top").cast(DoubleType) / col("n"))
+            .otherwise(lit(0.0)).as("top_bigram_mass"))
+        .withColumn("is_repetitive", col("top_bigram_mass") > 0.10)
+    }),
+
     // Word-distribution Shannon entropy per doc — the Gopher-style
     // "natural language or boilerplate" signal (low-entropy docs are
     // tag soup / template spam; entropy also proxies compression
@@ -2420,6 +2454,32 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_text_top_ngram_mass" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  list_sort(list_transform(range(1, greatest(len(w)-1,0)+1),
+                    i -> array_to_string(w[i:i+1], ' '))) AS s
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents)),
+         r AS (
+           SELECT doc_id, s, len(s) AS n,
+                  list_filter(range(1, len(s)+1),
+                    i -> s[i] IS DISTINCT FROM s[i+1]) AS ends
+           FROM b),
+         c AS (
+           SELECT doc_id, n,
+                  list_transform(range(1, len(ends)+1),
+                    j -> ends[j] - CASE WHEN j = 1 THEN 0
+                                        ELSE ends[j-1] END) AS cs
+           FROM r),
+         m AS (SELECT doc_id, n, COALESCE(list_max(cs), 0) AS top FROM c)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+                CAST(top AS BIGINT) AS top_bigram_count,
+                CASE WHEN n > 0 THEN CAST(top AS DOUBLE) / n
+                     ELSE 0.0 END AS top_bigram_mass,
+                (CASE WHEN n > 0 THEN CAST(top AS DOUBLE) / n
+                      ELSE 0.0 END) > 0.10 AS is_repetitive
+         FROM m""",
     "q_text_gopher_rules" ->
       """WITH f AS (
            SELECT doc_id,
