@@ -147,7 +147,10 @@ object Bench {
         "q_dedup_components",
         // builds the memoized duplicated-window frame (the persisted
         // span-report artifact) the report + removal rows both probe
-        "q_text_dup_spans") ++
+        "q_text_dup_spans",
+        // builds the memoized exact-containment verdict frame the
+        // exact + sketch rows both probe
+        "q_dedup_containment") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

@@ -447,10 +447,17 @@ object TextQueries extends QueryPack {
 
   /** Exact containment pairs (doc_a, doc_b, n_shared, n_a, n_b,
     * containment >= 0.8) — shared by the exact row and the bottom-k
-    * sketch eval. See the q_dedup_containment registration for the
-    * candidate-gate and scale rationale.
+    * sketch eval, and memoized per (session, SF) like the other dedup
+    * artifacts (the containment verdict table is what a production
+    * dedup pipeline persists; un-memoized, the two rows each re-ran the
+    * rare-gate candidate join + exact intersection — ~7 s of duplicated
+    * bench work at sf0.1). See the q_dedup_containment registration for
+    * the candidate-gate and scale rationale.
     */
-  private def containmentFrame(s: SparkSession, dir: String): DataFrame = {
+  private def containmentFrame(s: SparkSession, dir: String): DataFrame =
+    dedupFrame(s, dir, "containment")(containmentFrameUncached(s, dir))
+
+  private def containmentFrameUncached(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextHashFunctions.shingleHashes
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), shingleHashes(words(col("text")), 3).as("hs"))
