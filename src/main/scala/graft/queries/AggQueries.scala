@@ -31,14 +31,22 @@ object AggQueries extends QueryPack {
   private[graft] def exactGroupedMedian(
       vals0: org.apache.spark.sql.DataFrame, groupCol: String,
       valCol: String, out: String,
-      maxBucketDistinct: Long = MedianMaxBucketDistinct)
+      maxBucketDistinct: Long = MedianMaxBucketDistinct,
+      weightCol: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // With a weight column the selection runs over cumulative WEIGHT
+    // (median = the value at half the total mass — e.g. token-weighted
+    // document statistics); the algebra below is unchanged because
+    // weights are positive integers, so the cumulative is still
+    // strictly increasing and rank k falls in exactly one bucket/value.
+    val wt = weightCol.map(col(_).cast(LongType)).getOrElse(lit(1L))
     val vals = vals0
-      .select(col(groupCol).as("flag"), col(valCol).as("v"))
+      .select(col(groupCol).as("flag"), col(valCol).as("v"), wt.as("__wt"))
       .withColumn("__bucket", expr("CAST(v AS BIGINT) div 1000"))
     // Pass 1: bounded histogram — |groups| x ~|value range / 1000| rows
-    val hist = vals.groupBy(col("flag"), col("__bucket")).agg(cnt.as("c"))
+    val hist = vals.groupBy(col("flag"), col("__bucket"))
+      .agg(sum(col("__wt")).as("c"))
     val wCum = Window.partitionBy(col("flag")).orderBy(col("__bucket"))
     // target bucket per group: first bucket whose cumulative count
     // reaches k; local_k = k's rank within it
@@ -58,7 +66,8 @@ object AggQueries extends QueryPack {
     val wFlag = Window.partitionBy(col("flag")).orderBy(col("v"))
     val wAll = Window.partitionBy(col("flag"))
     vals.join(broadcast(tgt), Seq("flag", "__bucket"))
-      .groupBy(col("flag"), col("local_k"), col("v")).agg(cnt.as("c"))
+      .groupBy(col("flag"), col("local_k"), col("v"))
+      .agg(sum(col("__wt")).as("c"))
       .withColumn("__nd", count(lit(1)).over(wAll))
       .where(coalesce(assert_true(col("__nd") <= lit(maxBucketDistinct),
         lit("exact-median pass-2 bucket exceeds the distinct-value bound " +
@@ -475,6 +484,21 @@ object AggQueries extends QueryPack {
           .select(col("l_returnflag"), col("l_extendedprice")),
         "l_returnflag", "l_extendedprice", "exact_p50")),
 
+    // A-ext: EXACT grouped WEIGHTED median — the value at half the
+    // total MASS (here: price at half the shipped quantity; in a
+    // corpus: the doc-stat value at half the token mass). Same
+    // histogram selection with cumulative weights instead of counts —
+    // positive integer weights keep the cumulative strictly increasing,
+    // so every step of the two-pass algebra and the loud guard hold
+    // unchanged.
+    "q_agg_exact_weighted_median" -> ((s, dir) =>
+      exactGroupedMedian(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_quantity")),
+        "l_returnflag", "l_extendedprice", "exact_wmedian",
+        weightCol = Some("l_quantity"))),
+
     // A-ext: EXACT grouped MAD (median absolute deviation) — the robust
     // dispersion measure outlier gates want (stddev is itself dragged
     // by the outliers it should flag). Composes the histogram-selection
@@ -704,6 +728,20 @@ object AggQueries extends QueryPack {
            FROM lineitem)
          SELECT l_returnflag, v AS exact_p50
          FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)""",
+    "q_agg_exact_weighted_median" ->
+      """WITH v AS (
+           SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+                  CAST(l_quantity AS BIGINT) AS wt
+           FROM lineitem),
+         g AS (SELECT l_returnflag, v, SUM(wt) AS c
+               FROM v GROUP BY l_returnflag, v),
+         r AS (SELECT l_returnflag, v, c,
+                      SUM(c) OVER (PARTITION BY l_returnflag
+                                   ORDER BY v) AS cum,
+                      SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+               FROM g)
+         SELECT l_returnflag, v AS exact_wmedian
+         FROM r WHERE cum >= (tot + 1) // 2 AND cum - c < (tot + 1) // 2""",
     "q_agg_exact_mad" ->
       """WITH ranked AS (
            SELECT l_returnflag,
