@@ -122,6 +122,33 @@ object TextHash {
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
+  /** Most-frequent word-n-gram count — EXACT string counts (no
+    * hashing: a collision could merge two phrases' counts, and the
+    * contract is parity with the oracle's string runs), one hash-map
+    * pass per row, O(total n-gram bytes).
+    */
+  def topNgramCount(words: ArrayData, n: Int): Long = {
+    val m = words.numElements() - n + 1
+    if (m <= 0) return 0L
+    val counts = new java.util.HashMap[String, Integer]()
+    var best = 0
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val c = counts.merge(sb.toString, Integer.valueOf(1),
+        (a, b) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > best) best = c.intValue
+      i += 1
+    }
+    best.toLong
+  }
+
   /** Winnowed rolling-hash fingerprints (the MOSS scheme: polynomial
     * rolling hash over char k-grams, then the minimum in each window of
     * w consecutive hashes; public algorithm — Schleimer, Wilkerson,
@@ -307,6 +334,29 @@ case class SimHash64(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Most-frequent word-n-gram count as a native expression — the
+  * phrase-domination repetition primitive (q_text_top_ngram_mass). One
+  * hash-map pass per row; the composed form (build n-gram strings,
+  * sort the array, run-length fold through interpreted HOF lambdas)
+  * measured ~7x slower at sf0.1. EXACT counts over the n-gram strings
+  * — no hashing — so the DuckDB sorted-run oracle matches bit-for-bit.
+  */
+case class TopNgramCount(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_ngram_count"
+
+  override def nullSafeEval(in: Any): Any =
+    TextHash.topNgramCount(in.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.topNgramCount($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCount =
+    copy(child = newChild)
+}
+
 /** Canonical parameter sets shared by the query packs and the SQL
   * function registration (graft.functions.GraftExtensions): one md5
   * base hash + k linear permutations mod the Mersenne prime, and the
@@ -341,4 +391,8 @@ object TextHashFunctions {
   def winnowedFingerprints(text: Column, k: Int, w: Int, b: Long, p: Long): Column =
     GraftColumnBridge.column(
       WinnowedFingerprints(GraftColumnBridge.expression(text), k, w, b, p))
+
+  def topNgramCount(words: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      TopNgramCount(GraftColumnBridge.expression(words), n))
 }

@@ -731,6 +731,37 @@ object TextQueries extends QueryPack {
     // paid two extra full shuffles of the exploded shingle table).
     "q_dedup_minhash_lsh" -> (minhashPairs(_, _)),
 
+    // MinHash estimate vs exact Jaccard, per candidate pair — the
+    // measure-don't-assume row completing the sketch-accuracy family
+    // (LSH recall, containment bottom-k, PQ distortion): the signature
+    // agreement fraction (the textbook unbiased Jaccard estimator,
+    // Broder) sits next to the exact shingle-set Jaccard for every
+    // LSH candidate, so the k=8 signature's variance is DATA, not
+    // folklore, when tuning k/bands. In-row throughout: signatures and
+    // shingle-hash sets ride as per-doc arrays into the (tiny,
+    // memoized) candidate-pair join; agreement and intersection are
+    // array expressions — no new shuffle class.
+    "q_dedup_minhash_est_eval" -> ((s, dir) => {
+      import graft.functions.TextHashFunctions.shingleHashes
+      val sets = t(s, dir, "documents")
+        .select(col("doc_id"), minhashCol.as("mh"),
+          shingleHashes(words(col("text")), 3).as("hs"))
+      val a = sets.select(col("doc_id").as("doc_a"), col("mh").as("mha"),
+        col("hs").as("hsa"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("mh").as("mhb"),
+        col("hs").as("hsb"))
+      val nEq = size(filter(
+        zip_with(col("mha"), col("mhb"), (x, y) => x === y), x => x))
+      val nCommon = size(array_intersect(col("hsa"), col("hsb")))
+      minhashPairs(s, dir).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          nEq.cast(LongType).as("n_eq_components"),
+          (nEq.cast(DoubleType) / lit(MinHashK)).as("est_jaccard"),
+          nCommon.cast(LongType).as("n_common"),
+          (nCommon.cast(DoubleType) /
+            (size(col("hsa")) + size(col("hsb")) - nCommon)).as("jaccard"))
+    }),
+
     // The loud counter for the LSH hot-bucket cap (LshBandJoin class
     // doc): band-bucket-size histogram with the star_degraded flag.
     // Bounded output (one row per distinct bucket size); a production
@@ -930,31 +961,22 @@ object TextQueries extends QueryPack {
     // covers single-phrase domination; threshold corpus-calibrated at
     // 0.10 — this synthetic corpus tops out at ~0.17 where production
     // uses ~0.20 — the q_dedup_embedding calibration precedent, so the
-    // flag is non-vacuous). ZERO-SHUFFLE like
-    // q_text_entropy: each row sorts its own bigram array, finds run
-    // boundaries in-row, and takes the MAX run length — map-only at any
-    // corpus size, one guarded division (ANSI).
+    // flag is non-vacuous). ZERO-SHUFFLE and map-only at any corpus
+    // size: the max count comes from the native TopNgramCount kernel
+    // (one hash-map pass per row; the composed sort + run-length HOF
+    // chain measured ~7x slower — functions/TextHashExpressions.scala),
+    // and the one division is guarded (ANSI).
     "q_text_top_ngram_mass" -> ((s, dir) => {
+      import graft.functions.TextHashFunctions.topNgramCount
       val w = words(col("text"))
-      val bigrams = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-        .otherwise(array().cast(ArrayType(StringType)))
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), sort_array(bigrams).as("s"))
-        .withColumn("n", size(col("s")))
-        .withColumn("ends", filter(sequence(lit(1), col("n")),
-          i => !(get(col("s"), i - 1) <=> get(col("s"), i))))
-        .withColumn("cs", transform(sequence(lit(1), size(col("ends"))),
-          j => when(j === 1, element_at(col("ends"), j))
-            .otherwise(element_at(col("ends"), j)
-              - element_at(col("ends"), j - 1))))
-        .withColumn("top", coalesce(array_max(col("cs")), lit(0)))
-      base.select(col("doc_id"),
-          col("n").cast(LongType).as("n_bigrams"),
-          col("top").cast(LongType).as("top_bigram_count"),
-          when(col("n") > 0, col("top").cast(DoubleType) / col("n"))
-            .otherwise(lit(0.0)).as("top_bigram_mass"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          greatest(lit(0), size(w) - 1).cast(LongType).as("n_bigrams"),
+          topNgramCount(w, 2).as("top_bigram_count"))
+        .withColumn("top_bigram_mass",
+          when(col("n_bigrams") > 0,
+            col("top_bigram_count").cast(DoubleType) / col("n_bigrams"))
+            .otherwise(lit(0.0)))
         .withColumn("is_repetitive", col("top_bigram_mass") > 0.10)
     }),
 
@@ -2371,6 +2393,34 @@ object TextQueries extends QueryPack {
     "q_dedup_minhash_lsh" -> (minhashOracleCte +
       """
          SELECT doc_a, doc_b FROM cand_pairs"""),
+    "q_dedup_minhash_est_eval" -> (minhashOracleCte + {
+      val eqSum = (0 until MinHashK)
+        .map(i => s"CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s""",
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+           FROM cand_pairs c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+           GROUP BY c.doc_a, c.doc_b),
+         eqc AS (
+           SELECT c.doc_a, c.doc_b, ($eqSum) AS n_eq
+           FROM cand_pairs c
+           JOIN mins ma ON ma.doc_id = c.doc_a
+           JOIN mins mb ON mb.doc_id = c.doc_b)
+         SELECT e.doc_a, e.doc_b,
+                CAST(e.n_eq AS BIGINT) AS n_eq_components,
+                CAST(e.n_eq AS DOUBLE) / $MinHashK AS est_jaccard,
+                CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+                CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                  / (sa.n + sb.n - COALESCE(i.n_common, 0)) AS jaccard
+         FROM eqc e
+         LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         JOIN sizes sa ON sa.doc_id = e.doc_a
+         JOIN sizes sb ON sb.doc_id = e.doc_b"""
+    }),
     "q_dedup_lsh_bucket_profile" -> (minhashOracleCte +
       s"""
          SELECT bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
