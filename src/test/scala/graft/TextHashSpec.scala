@@ -90,6 +90,36 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TopNgramCount = max group size over exploded n-gram strings") {
+    import graft.functions.TextHashFunctions.topNgramCount
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.t(spark, dir, "documents")
+      val native = docs.select(col("doc_id"),
+          topNgramCount(words(col("text")), 2).as("top"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val composed = docs
+        .select(col("doc_id"), explode(when(size(words(col("text"))) >= 2,
+          transform(sequence(lit(1), size(words(col("text"))) - 1),
+            i => concat_ws(" ", element_at(words(col("text")), i),
+              element_at(words(col("text")), i + 1))))
+          .otherwise(array())).as("g"))
+        .groupBy(col("doc_id"), col("g")).count()
+        .groupBy(col("doc_id")).agg(max(col("count")).as("top"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // docs with < 2 words have no composed rows; kernel returns 0
+      native.foreach { case (id, top) =>
+        assert(top === composed.getOrElse(id, 0L), s"doc $id at $dir")
+      }
+    }
+    // edge cases: empty, single-word, all-equal
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "x x x x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), topNgramCount(words(col("text")), 2).as("top"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edge === Set((1L, 0L), (2L, 0L), (3L, 3L)))
+  }
+
   test("short and empty docs: null signature, empty shingle set") {
     import spark.implicits._
     val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("doc_id", "text")
