@@ -101,6 +101,14 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           arity("winnowed_fingerprints", "winnowed_fingerprints(text)", args, 1, 1)
           WinnowedFingerprints(args(0), WinK, WinW, WinB, WinP)
+        }),
+      // top_ngram_count(words_array, n) — most frequent n-gram's count
+      (new FunctionIdentifier("top_ngram_count"),
+        new ExpressionInfo(classOf[TopNgramCount].getName, "top_ngram_count"),
+        (args: Seq[Expression]) => {
+          val usage = "top_ngram_count(words_array, n)"
+          arity("top_ngram_count", usage, args, 2, 2)
+          TopNgramCount(args(0), intArg("top_ngram_count", usage, args(1)))
         }))
 
   def install(spark: SparkSession): Unit =

@@ -101,11 +101,13 @@ class VectorExpressionSpec extends AnyFunSuite with SparkTestBase {
         """SELECT simhash64(split(trim(text), '\\s+')) AS sh,
                   size(shingle_hashes(split(trim(text), '\\s+'), 3)) AS nsh,
                   size(minhash_signature(split(trim(text), '\\s+'), 3)) AS nmh,
-                  size(winnowed_fingerprints(text)) AS nfp
+                  size(winnowed_fingerprints(text)) AS nfp,
+                  top_ngram_count(split(trim(text), '\\s+'), 2) AS topc
            FROM docs_ext WHERE length(text) > 50 LIMIT 1""").collect().head
       assert(row.getInt(1) > 0, "shingle set empty")
       assert(row.getInt(2) === 8, "minhash signature should have k=8 values")
       assert(row.getInt(3) > 0, "no winnowed fingerprints")
+      assert(row.getLong(4) > 0, "top n-gram count empty")
     } finally spark.catalog.dropTempView("docs_ext")
   }
 
