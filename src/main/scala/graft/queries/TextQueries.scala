@@ -373,6 +373,44 @@ object TextQueries extends QueryPack {
       + when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)) / lit(4.0)
   }
 
+  /** Gopher-rules frame over an arbitrary documents frame — ONE
+    * definition of every rule metric and verdict, shared by the batch
+    * row (q_text_gopher_rules) and the streaming gate
+    * (StreamingJobs.gopherGateStream), so stream and batch cannot
+    * drift. Map-only: works unchanged on a streaming frame.
+    */
+  private[graft] def gopherFrameOf(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nW = size(w).cast(LongType)
+    val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) /
+      size(w)
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val nStop = size(filter(w, x => x.isin(stops: _*))).cast(LongType)
+    val nAlpha = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast(LongType)
+    val nHash = (length(col("text")) -
+      length(regexp_replace(col("text"), lit("#"), lit("")))).cast(LongType)
+    docs
+      .select(col("doc_id"), nW.as("n_words"), meanWl.as("mean_wl"),
+        nStop.as("n_stop"), nAlpha.as("n_alpha"), nHash.as("n_hash"))
+      .withColumn("alpha_frac",
+        when(col("n_words") > 0,
+          col("n_alpha").cast(DoubleType) / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("hash_ratio",
+        when(col("n_words") > 0,
+          col("n_hash").cast(DoubleType) / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("r_words",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_wl", col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_hash", col("hash_ratio") <= 0.1)
+      .withColumn("gopher_pass",
+        col("r_words") && col("r_mean_wl") && col("r_alpha") &&
+          col("r_stop") && col("r_hash"))
+  }
+
   /** Language-ID sub-expressions over a MATERIALIZED padded column
     * (callers compute `padded` in its own projection first so the
     * concat/lower/trim isn't replicated into all twelve regex
@@ -1246,37 +1284,8 @@ object TextQueries extends QueryPack {
     // any scale (one projection, no shuffle); expressions stay in the
     // ASCII regex subset both engines parse identically, and the one
     // ratio division is guarded (ANSI errors on any division by zero).
-    "q_text_gopher_rules" -> ((s, dir) => {
-      val w = words(col("text"))
-      val nW = size(w).cast(LongType)
-      val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) /
-        size(w)
-      val stops = Seq("the", "a", "of", "and", "to", "in")
-      val nStop = size(filter(w, x => x.isin(stops: _*))).cast(LongType)
-      val nAlpha = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast(LongType)
-      val nHash = (length(col("text")) -
-        length(regexp_replace(col("text"), lit("#"), lit("")))).cast(LongType)
-      t(s, dir, "documents")
-        .select(col("doc_id"), nW.as("n_words"), meanWl.as("mean_wl"),
-          nStop.as("n_stop"), nAlpha.as("n_alpha"), nHash.as("n_hash"))
-        .withColumn("alpha_frac",
-          when(col("n_words") > 0,
-            col("n_alpha").cast(DoubleType) / col("n_words"))
-            .otherwise(lit(0.0)))
-        .withColumn("hash_ratio",
-          when(col("n_words") > 0,
-            col("n_hash").cast(DoubleType) / col("n_words"))
-            .otherwise(lit(0.0)))
-        .withColumn("r_words",
-          col("n_words") >= 50 && col("n_words") <= 100000)
-        .withColumn("r_mean_wl", col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0)
-        .withColumn("r_alpha", col("alpha_frac") >= 0.8)
-        .withColumn("r_stop", col("n_stop") >= 2)
-        .withColumn("r_hash", col("hash_ratio") <= 0.1)
-        .withColumn("gopher_pass",
-          col("r_words") && col("r_mean_wl") && col("r_alpha") &&
-            col("r_stop") && col("r_hash"))
-    }),
+    "q_text_gopher_rules" -> ((s, dir) =>
+      gopherFrameOf(t(s, dir, "documents"))),
 
     // Distribution-drift monitor (chi-square) — the per-ingest QA gate:
     // the NEW batch's quality-score histogram per source against the

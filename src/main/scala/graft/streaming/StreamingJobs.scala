@@ -412,6 +412,16 @@ object StreamingJobs {
       (col("__e").isNull && !near).as("keep"))
   }
 
+  /** Streaming Gopher-rules gate — the streaming face of
+    * q_text_gopher_rules: each arriving document gets every rule
+    * metric + verdict row-by-row through the ONE shared builder
+    * (TextQueries.gopherFrameOf), so the stream gate and the batch
+    * filter cannot drift. Map-only — no state, no watermark, append
+    * mode at any rate.
+    */
+  def gopherGateStream(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.gopherFrameOf(docs)
+
   /** Streaming duplicated-window marking — the streaming face of the
     * span plane: each arriving document's word-8-gram windows (the
     * shared TextQueries.windowPositionsOf builder, so stream and batch

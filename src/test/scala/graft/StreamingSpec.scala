@@ -207,6 +207,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() === expected.size)
   }
 
+  test("streaming gopher gate equals the batch rules row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").na.fill("", Seq("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingJobs.gopherGateStream(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gopher_gate")
+      .select("doc_id", "gopher_pass")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = SparkEntry.queries("q_text_gopher_rules")(spark, dir)
+      .select(col("doc_id"), col("gopher_pass"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === want)
+    assert(got.values.exists(identity) && got.values.exists(!_),
+      "gate verdicts degenerate — vacuous")
+  }
+
   test("streaming PII scrub equals the batch redaction kernel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
