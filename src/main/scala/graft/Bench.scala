@@ -81,7 +81,8 @@ object Bench {
     "q_dedup_containment", "q_scan_xml", "q_dedup_containment_sketch",
     "q_text_dup_spans_incremental", "q_agg_exact_mad", "q_qa_drift_chi2",
     "q_sim_pq_distortion", "q_text_gopher_rules", "q_text_top_ngram_mass",
-    "q_agg_exact_weighted_median", "q_dedup_minhash_est_eval")
+    "q_agg_exact_weighted_median", "q_dedup_minhash_est_eval",
+    "q_text_chunk_hash_embed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2178,6 +2178,53 @@ object TextQueries extends QueryPack {
             (col("chunk_idx") * S + 1).cast("int"), lit(W))).as("chunk_text"))
     }),
 
+    // Chunk-level feature-hash embeddings — the RAG-prep composition of
+    // the two rows above (chunk → embed): every sliding-window chunk
+    // gets its own sparse 64-bucket hashed embedding, with DOC-level
+    // idf (document frequency is the established rarity signal; chunk
+    // frequency would reward splitting). Same discipline end to end:
+    // the chunk fan-out is map-only, tf is one (doc, chunk, term)
+    // map-side-combined aggregate, the df join carries NO broadcast
+    // hint (vocabulary scales with the corpus), and weights
+    // floor-quantize to micro-units BEFORE the integer sign applies so
+    // the per-bucket sum is order-free and engine-exact.
+    "q_text_chunk_hash_embed" -> ((s, dir) => {
+      val D = 64L
+      val W = 64
+      val S = 48
+      val w = words(col("text"))
+      val docs = t(s, dir, "documents")
+      val chunkTerms = docs
+        .select(col("doc_id"), w.as("w"), size(w).cast(LongType).as("n"))
+        .withColumn("n_chunks", lit(1L) +
+          floor((greatest(col("n") - W, lit(0L)) + (S - 1))
+            / lit(S.toDouble)).cast(LongType))
+        .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          explode(slice(col("w"), (col("chunk_idx") * S + 1).cast("int"),
+            lit(W))).as("term"))
+      val tf = chunkTerms
+        .groupBy(col("doc_id"), col("chunk_idx"), col("term"))
+        .agg(cnt.as("tf"))
+      val docTf = docs.select(col("doc_id"), explode(w).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(cnt.as("__tf"))
+      val dfT = docTf.groupBy(col("term")).agg(cnt.as("df_t"))
+      val corpus = docs.agg(cnt.as("big_n"))
+      tf.join(dfT, "term")
+        .crossJoin(broadcast(corpus)) // 1-row, aggregate-reduced
+        .withColumn("h",
+          conv(substring(md5(col("term")), 1, 9), 16, 10).cast(LongType))
+        .withColumn("sgn",
+          when(expr(s"(h div $D) % 2") === 0, lit(1L)).otherwise(lit(-1L)))
+        .withColumn("w_micro", col("sgn") *
+          floor(lit(1e6) * col("tf").cast(DoubleType) *
+            ((col("big_n").cast(DoubleType) - col("df_t").cast(DoubleType)
+              + lit(0.5)) / (col("df_t").cast(DoubleType) + lit(0.5))))
+            .cast(LongType))
+        .groupBy(col("doc_id"), col("chunk_idx"), (col("h") % D).as("bucket"))
+        .agg(sum(col("w_micro")).as("weight_micro"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text
     // + an 8-token prefix key (cheap clustering key for near-dup triage).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -3200,6 +3247,48 @@ object TextQueries extends QueryPack {
                 array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
                   ' ') AS chunk_text
          FROM c""",
+    "q_text_chunk_hash_embed" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS w,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, w, n,
+                  unnest(range(0, 1 + CAST(FLOOR((GREATEST(n - 64, 0) + 47)
+                    / 48.0) AS BIGINT))) AS chunk_idx
+           FROM d),
+         ct AS (
+           SELECT doc_id, chunk_idx,
+                  unnest(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS term
+           FROM c),
+         tf AS (
+           SELECT doc_id, chunk_idx, term, COUNT(*) AS tf
+           FROM ct GROUP BY doc_id, chunk_idx, term),
+         dtf AS (
+           SELECT doc_id, term
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY doc_id, term),
+         dft AS (SELECT term, COUNT(*) AS df_t FROM dtf GROUP BY term),
+         corpus AS (SELECT COUNT(*) AS big_n FROM documents),
+         h AS (
+           SELECT doc_id, chunk_idx, tf, df_t, big_n,
+                  CAST(CONCAT('0x', SUBSTRING(md5(term), 1, 9)) AS BIGINT)
+                    AS hv
+           FROM tf JOIN dft USING (term) CROSS JOIN corpus)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(hv % 64 AS BIGINT) AS bucket,
+                CAST(SUM(
+                  (CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) *
+                  CAST(FLOOR(1e6 * CAST(tf AS DOUBLE) *
+                    ((CAST(big_n AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+                      / (CAST(df_t AS DOUBLE) + 0.5))) AS BIGINT))
+                  AS BIGINT) AS weight_micro
+         FROM h
+         GROUP BY doc_id, chunk_idx, hv % 64""",
     "q_text_zipf_slope" ->
       """WITH tf AS (
            SELECT term, COUNT(*) AS freq
