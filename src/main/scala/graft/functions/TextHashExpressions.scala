@@ -125,7 +125,11 @@ object TextHash {
   /** Most-frequent word-n-gram count — EXACT string counts (no
     * hashing: a collision could merge two phrases' counts, and the
     * contract is parity with the oracle's string runs), one hash-map
-    * pass per row, O(total n-gram bytes).
+    * pass per row, O(total n-gram bytes). Null elements are SKIPPED
+    * inside each window like concat_ws — the [[shingleBytes]]
+    * convention: the internal word splitter never produces them, but
+    * the public top_ngram_count SQL function accepts arbitrary arrays
+    * and must not NPE.
     */
   def topNgramCount(words: ArrayData, n: Int): Long = {
     val m = words.numElements() - n + 1
@@ -135,10 +139,14 @@ object TextHash {
     var i = 0
     while (i < m) {
       val sb = new java.lang.StringBuilder()
+      var first = true
       var j = 0
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + j).toString)
+        if (!words.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          first = false
+          sb.append(words.getUTF8String(i + j).toString)
+        }
         j += 1
       }
       val c = counts.merge(sb.toString, Integer.valueOf(1),

@@ -223,13 +223,17 @@ object EmbeddingPca {
     * S1_i·S1_j (= n² times the covariance — exact), then C_ij =
     * floor(M_ij / (floor(n²/10^4)+1)) so C is INDEPENDENT of corpus
     * size (no overflow at any n) while keeping ~4 decimal digits of
-    * covariance resolution. BigInt only for the n² denominators —
-    * per-entry M fits a long for any n ≤ ~10^13 at |qx| ≤ 8000.
+    * covariance resolution. M itself is n²-scaled (M = n²·cov on the
+    * lattice — it EXCEEDS a long somewhere around n ~ 10^7 at typical
+    * coordinate magnitudes), so both M and the division stay in BigInt
+    * and only the bounded QUOTIENT narrows to long; BigInt division
+    * truncates toward zero exactly like DuckDB's HUGEINT `//`, which
+    * is how the oracle computes the same step.
     */
   def latticeScatterMatrix(n: Long, s1: Array[Long],
                            s2: Array[Long]): Array[Array[Long]] = {
     val d = s1.length
-    val denom = (BigInt(n) * BigInt(n) / 10000L + 1).toLong
+    val denom = BigInt(n) * BigInt(n) / 10000L + 1
     val c = Array.ofDim[Long](d, d)
     var i = 0
     var t = 0
@@ -237,8 +241,9 @@ object EmbeddingPca {
       var j = i
       while (j < d) {
         val m = BigInt(n) * BigInt(s2(t)) - BigInt(s1(i)) * BigInt(s1(j))
-        require(m.isValidLong, s"scatter entry overflows long at ($i,$j)")
-        val v = tdiv(m.toLong, denom)
+        val q = m / denom
+        require(q.isValidLong, s"scatter quotient overflows long at ($i,$j)")
+        val v = q.toLong
         c(i)(j) = v
         c(j)(i) = v
         j += 1; t += 1

@@ -704,7 +704,12 @@ object SimQueries extends QueryPack {
       val top = pqSearch(s, dir, pqGridCents(s))
         .select(col("q_id"), col("vec_id"), col("approx_dist"))
       val vs = qvecs(s, dir)
-      val qa = vs.select(col("vec_id").as("q_id"), col("qv").as("qa"))
+      // the query side must be FILTERED to the probe subset before the
+      // shipAuto estimate: top's q_ids are all % 50 == 0, so the join
+      // result is unchanged, but an unfiltered frame would be 50x the
+      // n/50-row estimate the broadcast guard is computed from
+      val qa = vs.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"))
       val qb = vs.select(col("vec_id"), col("qv").as("qb"))
       val err = qb.join(broadcast(top), Seq("vec_id"))
         .join(TextQueries.shipAuto(s, qa, nVecEst(s, dir) / 50, EmbRowBytes),

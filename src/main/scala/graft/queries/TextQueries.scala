@@ -92,12 +92,13 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
         expr(s"tok_offset div $PackBin").as("first_bin"),
         // greatest(first, last): for n_tokens = 0 at a bin boundary the
-        // raw formula yields last_bin < first_bin — Spark's `div`
-        // truncates toward zero where DuckDB's `//` floors, and the
-        // downstream sequence(first, last) would count DOWN where
-        // DuckDB's range() is empty. The guard pins last_bin >=
-        // first_bin (a zero-token doc spans exactly its first bin) so
-        // parity never depends on the fixture lacking empty documents.
+        // raw formula yields last_bin < first_bin (both engines' integer
+        // division truncates toward zero — verified), and the engines
+        // then DIVERGE downstream: Spark's sequence(first, last) counts
+        // DOWN and emits a phantom bin row where DuckDB's range() is
+        // empty. The guard pins last_bin >= first_bin (a zero-token doc
+        // spans exactly its first bin) so parity never depends on the
+        // fixture lacking empty documents.
         greatest(expr(s"tok_offset div $PackBin"),
           expr(s"(tok_offset + n_tokens - 1) div $PackBin")).as("last_bin"))
 
@@ -251,13 +252,6 @@ object TextQueries extends QueryPack {
         .select(col("node").as("doc_id"), col("component"))
     }
 
-  /** Positioned word-8-gram windows (doc_id, i, h) with 60-bit md5
-    * hashes — ONE definition shared by the duplicated-span REPORT
-    * (q_text_dup_spans) and the span REMOVAL (q_text_strip_dup_spans),
-    * so locate and cut can never disagree on what a duplicated window
-    * is. Hashes ship as 8-byte longs; strings never leave the per-row
-    * projection.
-    */
   /** Positioned word-8-gram windows (doc_id, i, h) of an arbitrary
     * documents frame — the per-frame body of [[dupWindowPositions]],
     * reused by the incremental face over the batch slice, the
@@ -512,7 +506,7 @@ object TextQueries extends QueryPack {
       .select(col("doc_a"), col("doc_b")).distinct()
     val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("h"))
-    cands.join(a, Seq("doc_a"))
+    val out = cands.join(a, Seq("doc_a"))
       .join(b, Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(cnt.as("n_shared"))
@@ -521,6 +515,14 @@ object TextQueries extends QueryPack {
         (col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")))
           .as("containment"))
       .where(col("containment") >= 0.8)
+    // eager build (the trainMemo precedent): materialize the (tiny)
+    // verdict frame once, then RELEASE the corpus-scale exploded
+    // shingle cache — left persisted, sh would pin executor
+    // memory/disk for the whole session after its one-time use
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    sh.unpersist(false)
+    out
   }
 
   /** Naive exact co-shingle Jaccard pairs. `cap` bounds the input to the
@@ -1304,9 +1306,14 @@ object TextQueries extends QueryPack {
     // windows run over the |sources|×12 cell grid, never the corpus.
     "q_qa_drift_chi2" -> ((s, dir) => {
       val q = qualityScoreCol
-      val bucket = least(floor(q * 10).cast(LongType), lit(10L))
+      // the null branch must be EXPLICIT: least() SKIPS null arguments
+      // on both engines, so least(floor(null*10), 10) = 10 would count
+      // an unscoreable doc in the TOP-quality decile instead of the
+      // dedicated -1 cell
+      val bucket = when(q.isNull, lit(-1L))
+        .otherwise(least(floor(q * 10).cast(LongType), lit(10L)))
       val b = t(s, dir, "documents")
-        .select(col("source"), coalesce(bucket, lit(-1L)).as("bucket"),
+        .select(col("source"), bucket.as("bucket"),
           (col("doc_id") % 10 === 0).as("is_new"))
       val cells = b.groupBy(col("source"), col("bucket"))
         .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("o"),
@@ -2634,8 +2641,9 @@ object TextQueries extends QueryPack {
       s"""WITH qual AS ($qualityOracle),
          b AS (
            SELECT source,
-                  COALESCE(LEAST(CAST(floor(quality_score * 10) AS BIGINT),
-                    10), -1) AS bucket,
+                  CASE WHEN quality_score IS NULL THEN -1
+                       ELSE LEAST(CAST(floor(quality_score * 10) AS BIGINT),
+                         10) END AS bucket,
                   (doc_id % 10 = 0) AS is_new
            FROM qual),
          cells AS (

@@ -122,6 +122,14 @@ object StreamingJobs {
     * (48 bits) of the checkpoint path's MD5. ONE definition for every
     * foreachBatch sink so no sink can silently keep a narrower —
     * collision-prone — scope.
+    *
+    * MIGRATION NOTE: the scope width is part of the partition naming,
+    * so changing it (8 -> 12 hex in round 14) breaks replay idempotence
+    * across the upgrade boundary — a restart's replayed micro-batch
+    * would land in a NEW `SBATCH<scope>_N` partition beside the
+    * old-scope one instead of overwriting it. Before upgrading a live
+    * deployment: stop the stream at a fully-committed checkpoint (no
+    * pending replay), or re-land/compact the old-scope partitions.
     */
   private def scopeOf(checkpoint: String): String =
     java.security.MessageDigest.getInstance("MD5")
