@@ -50,6 +50,25 @@ object IoQueries extends QueryPack {
           col("note").cast(StringType).as("note"))
     }),
 
+    // S3's whole-document fallback: the reference's JSON loader falls
+    // back from JSONL to one whole-file document (handlers/
+    // convert_to_parquet.py:187-191 — pd.read_json without lines=True);
+    // Spark's native multiLine mode is that branch. Same rows as the
+    // JSONL fixture, pretty-printed as one array (each file parses as a
+    // unit, so at scale parallelism is per-FILE — the documented cost
+    // of the fallback; JSONL stays the scalable default).
+    "q_scan_json_multiline" -> ((s, _) => {
+      s.read.option("multiLine", "true")
+        .json("/root/repo/fixtures/api_orders_multiline.json")
+        .select(
+          col("id").cast(LongType).as("id"),
+          col("sku").cast(StringType).as("sku"),
+          col("qty").cast(LongType).as("qty"),
+          col("price").cast(DoubleType).as("price"),
+          col("order_date").cast(DateType).as("order_date"),
+          col("note").cast(StringType).as("note"))
+    }),
+
     // S2: Excel scan — round-trip proof: the nation table is written to
     // a minimal xlsx (deterministic order) and read back through the
     // StAX-based ExcelScan; the oracle is the original table, so any
@@ -324,6 +343,16 @@ object IoQueries extends QueryPack {
                  CAST(order_date AS DATE) AS order_date,
                  CAST(note AS VARCHAR) AS note
           FROM read_json_auto('$JsonPath', format='newline_delimited')""",
+    "q_scan_json_multiline" ->
+      s"""SELECT CAST(id AS BIGINT) AS id,
+                 CAST(sku AS VARCHAR) AS sku,
+                 CAST(qty AS BIGINT) AS qty,
+                 CAST(price AS DOUBLE) AS price,
+                 CAST(order_date AS DATE) AS order_date,
+                 CAST(note AS VARCHAR) AS note
+          FROM read_json_auto(
+            '/root/repo/fixtures/api_orders_multiline.json',
+            format='array')""",
     "q_scan_excel" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                 CAST(n_regionkey AS BIGINT) AS n_regionkey
