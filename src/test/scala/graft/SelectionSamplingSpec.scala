@@ -67,6 +67,30 @@ class SelectionSamplingSpec extends AnyFunSuite with SparkTestBase {
       "median plan range-partitions (global sort) the fact table:\n" + plan)
   }
 
+  test("weighted median equals the sort-based cumulative-weight pick") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_agg_exact_weighted_median")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (flag, rows) =>
+        val vs = rows.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+        val total = vs.map(_._2).sum
+        val k = (total + 1) / 2
+        var cum = 0L
+        flag -> vs.find { case (_, w) => cum += w; cum >= k }.get._1
+      }
+    assert(got === want)
+    // weighting matters: at least one group's weighted median must
+    // differ from the unweighted one, or the test is vacuous
+    val unweighted = SparkEntry.queries("q_agg_exact_median")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got != unweighted, "weighted == unweighted — vacuous fixture")
+  }
+
   test("exact quartiles are ordered and match sort-based rank-k values") {
     val dir = "/root/testdata/sf0.01"
     val got = SparkEntry.queries("q_agg_exact_quartiles")(spark, dir)
