@@ -520,6 +520,34 @@ object AggQueries extends QueryPack {
       exactGroupedMedian(dev, "l_returnflag", "adev", "exact_mad")
     }),
 
+    // A-ext: robust outlier report — the QA gate the exact median and
+    // MAD exist to feed: a row is an outlier when its absolute
+    // deviation from the group median exceeds a MAD multiple (the
+    // Hampel / robust-z rule; mean±k·stddev is dragged by the very
+    // outliers it should flag). Threshold corpus-calibrated at 1.5×MAD
+    // (uniform-ish fixture prices put the production 3·1.4826·MAD cut
+    // beyond the max deviation — the q_dedup_embedding calibration
+    // precedent); per-group output, so the result is |groups|-sized.
+    // Third composition of the histogram selection: two selection
+    // passes + one final scan — still no corpus-wide sort anywhere.
+    "q_agg_robust_outliers" -> ((s, dir) => {
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = exactGroupedMedian(vals, "l_returnflag", "l_extendedprice",
+        "med")
+      val dev = vals.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("med")).as("adev"))
+      val mad = exactGroupedMedian(dev, "l_returnflag", "adev", "mad")
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(cnt.as("n_rows"),
+          sum(when(col("adev") > col("mad") * lit(1.5), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .withColumn("outlier_rate",
+          col("n_outliers").cast(DoubleType) / col("n_rows"))
+    }),
+
     // A-ext: EXACT grouped quartiles (p25/p50/p75) — the multi-rank
     // generalization of the histogram selection: ONE pass-1 histogram
     // serves all three targets (each rank picks its own bucket from
@@ -728,6 +756,40 @@ object AggQueries extends QueryPack {
            FROM lineitem)
          SELECT l_returnflag, v AS exact_p50
          FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)""",
+    "q_agg_robust_outliers" ->
+      """WITH ranked AS (
+           SELECT l_returnflag,
+                  CAST(l_extendedprice AS DOUBLE) AS v,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS rn,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+         med AS (
+           SELECT l_returnflag, v AS med
+           FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)),
+         dev AS (
+           SELECT l.l_returnflag,
+                  abs(CAST(l.l_extendedprice AS DOUBLE) - m.med) AS adev
+           FROM lineitem l JOIN med m USING (l_returnflag)),
+         ranked2 AS (
+           SELECT l_returnflag, adev,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY adev) AS rn,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM dev),
+         mad AS (
+           SELECT l_returnflag, adev AS mad
+           FROM ranked2 WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)),
+         agg AS (
+           SELECT d.l_returnflag,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(CASE WHEN d.adev > m.mad * 1.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+           FROM dev d JOIN mad m USING (l_returnflag)
+           GROUP BY d.l_returnflag)
+         SELECT l_returnflag, n_rows, n_outliers,
+                CAST(n_outliers AS DOUBLE) / n_rows AS outlier_rate
+         FROM agg""",
     "q_agg_exact_weighted_median" ->
       """WITH v AS (
            SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
