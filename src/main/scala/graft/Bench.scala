@@ -82,7 +82,9 @@ object Bench {
     "q_text_dup_spans_incremental", "q_agg_exact_mad", "q_qa_drift_chi2",
     "q_sim_pq_distortion", "q_text_gopher_rules", "q_text_top_ngram_mass",
     "q_agg_exact_weighted_median", "q_dedup_minhash_est_eval",
-    "q_text_chunk_hash_embed", "q_agg_robust_outliers")
+    "q_text_chunk_hash_embed", "q_agg_robust_outliers",
+    // r14 second wave: tracked from day one
+    "q_sample_dsir", "q_text_quality_calibrated")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1276,6 +1276,40 @@ object TextQueries extends QueryPack {
     // ratio, mean word length band — equal-weight average.
     "q_text_quality" -> (qualityFrame(_, _)),
 
+    // Cross-source quality-score calibration: a fixed GLOBAL threshold
+    // on the raw quality score keeps a different fraction of each
+    // source (sources differ in length/style priors), so raw-score
+    // gating silently reweights the source mixture. Calibration maps
+    // each doc's score to its within-source mid-rank ECDF — uniform on
+    // [0,1] per source — so one global percentile cut keeps the same
+    // share of every source (per-source quantile normalization, the
+    // classifier-mixing discipline when scores come from per-source
+    // models). Plan/scale: scores milli-quantize to <=1001 buckets, so
+    // the histogram aggregate reduces map-side to (sources x 1001)
+    // rows; the cumulative window runs over that TINY frame
+    // (partitioned by source); the corpus then joins the histogram
+    // BROADCAST on (source, bucket) — map-only, no corpus-sized window
+    // anywhere. Integer-exact past the (already cross-engine-pinned)
+    // score expression: ECDF = (1e6*(2*below+eq+1)) div (2*n) in long
+    // arithmetic (headroom to n_source ~ 4.6e12 docs per source).
+    "q_text_quality_calibrated" -> ((s, dir) => {
+      val scores = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        floor(qualityScoreCol * lit(1000.0)).cast(LongType).as("score_milli"))
+      val hist = scores.groupBy(col("source"), col("score_milli"))
+        .agg(cnt.as("eq"))
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("score_milli"))
+      val stats = hist
+        .withColumn("below", sum(col("eq")).over(wSrc) - col("eq"))
+        .withColumn("n_source",
+          sum(col("eq")).over(Window.partitionBy(col("source"))))
+      scores.join(broadcast(stats), Seq("source", "score_milli"))
+        .select(col("doc_id"), col("source"), col("score_milli"),
+          expr("(1000000 * (2*below + eq + 1)) div (2*n_source)")
+            .cast(LongType).as("pct_rank_micro"))
+        .withColumn("calibrated_keep", col("pct_rank_micro") >= lit(200000L))
+    }),
+
     // Gopher-rules quality filter (Rae et al. 2021, "Scaling Language
     // Models: ... Gopher" §A1.1 — the published rule-based corpus
     // filter family): per-doc hard-threshold rules over cheap surface
@@ -1872,6 +1906,65 @@ object TextQueries extends QueryPack {
           (floor(col("rate")).cast(LongType)
             + when(coin < floor((col("rate") - floor(col("rate"))) * 10000)
                 .cast(LongType), 1L).otherwise(0L)).as("n_copies"))
+    }),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): pick the raw-corpus docs that look most like a
+    // TARGET distribution. Features are hashed bigram buckets (B=1024);
+    // two add-one-smoothed unigram bucket models (target = the lang='en'
+    // slice standing in for the curated target corpus; raw = everything)
+    // give each bucket a log-likelihood ratio; a doc's importance weight
+    // is the sum of its buckets' LLRs; selection is Gumbel top-k, which
+    // samples WITHOUT replacement proportionally to exp(weight) — the
+    // paper's resampling step — from a deterministic md5 coin.
+    // Scale: the bucket-model aggregate reduces map-side to <=B rows per
+    // task (broadcast after); scoring is a broadcast model join on the
+    // exploded stream + ONE doc_id shuffle with partial aggregation;
+    // selection is TakeOrdered top-k. No corpus-sized state anywhere.
+    // Cross-engine float discipline: the LLR is log2 of an exact
+    // rational, floor-quantized to micro-units per DISTINCT bucket
+    // (<=B doubles total), so per-doc sums are exact long arithmetic;
+    // the base-2 Gumbel -log2(-log2(u)) differs from the natural-log
+    // Gumbel by a positive scale (1/ln 2, applied to weights and noise
+    // alike) plus a shared additive constant, so the argsort — hence
+    // the selected set — is exactly the paper's.
+    "q_sample_dsir" -> ((s, dir) => {
+      val B = 1024L
+      val k = 100
+      val docs = t(s, dir, "documents")
+      val w = words(col("text"))
+      def h60(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      val feats = docs.select(col("doc_id"), col("lang"),
+          explode(when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+            .otherwise(array())).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          (h60(col("bg")) % B).as("bucket"))
+      val counts = feats.groupBy(col("bucket")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        cnt.as("cr"))
+      val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      val llr = floor(log2(
+        ((col("ct").cast(DoubleType) + lit(1.0)) /
+          (col("tt").cast(DoubleType) + lit(B.toDouble))) /
+        ((col("cr").cast(DoubleType) + lit(1.0)) /
+          (col("tr").cast(DoubleType) + lit(B.toDouble)))) *
+        lit(1000000.0)).cast(LongType)
+      val model = counts.crossJoin(broadcast(tot)) // 1-row, agg-reduced
+        .select(col("bucket"), llr.as("llr_micro"))
+      val wts = feats.join(broadcast(model), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_feats"), sum(col("llr_micro")).as("w_micro"))
+      val u = ((h60(concat(lit("dsir:"), col("doc_id").cast(StringType)))
+        % lit(1000000L)).cast(DoubleType) + lit(0.5)) / lit(1000000.0)
+      val gum = floor(-log2(-log2(u)) * lit(1000000.0)).cast(LongType)
+      docs.select(col("doc_id"), col("lang")).join(wts, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_feats"), col("w_micro"),
+          (col("w_micro") + gum).as("key_micro"))
+        .orderBy(col("key_micro").desc, col("doc_id"))
+        .limit(k)
     }),
 
     // Stratified EXACT-k sampling: exactly min(k, |stratum|) documents
@@ -2574,6 +2667,28 @@ object TextQueries extends QueryPack {
                   AS n_subword_tokens
          FROM documents""",
     "q_text_quality" -> qualityOracle,
+    "q_text_quality_calibrated" ->
+      s"""WITH qual AS ($qualityOracle),
+         sc AS (SELECT doc_id, source,
+                       CAST(FLOOR(quality_score * 1000.0) AS BIGINT)
+                         AS score_milli
+                FROM qual),
+         hist AS (SELECT source, score_milli,
+                         CAST(COUNT(*) AS BIGINT) AS eq
+                  FROM sc GROUP BY source, score_milli),
+         stats AS (SELECT source, score_milli, eq,
+                          CAST(SUM(eq) OVER (PARTITION BY source
+                            ORDER BY score_milli) - eq AS BIGINT) AS below,
+                          CAST(SUM(eq) OVER (PARTITION BY source)
+                            AS BIGINT) AS n_source
+                   FROM hist)
+         SELECT doc_id, sc.source, sc.score_milli,
+                CAST((1000000 * (2*below + eq + 1)) // (2*n_source)
+                  AS BIGINT) AS pct_rank_micro,
+                (1000000 * (2*below + eq + 1)) // (2*n_source) >= 200000
+                  AS calibrated_keep
+         FROM sc JOIN stats ON sc.source = stats.source
+                           AND sc.score_milli = stats.score_milli""",
     "q_text_top_ngram_mass" ->
       """WITH b AS (
            SELECT doc_id,
@@ -3236,6 +3351,46 @@ object TextQueries extends QueryPack {
                        < CAST(FLOOR((rate - FLOOR(rate)) * 10000) AS BIGINT)
                   THEN 1 ELSE 0 END AS n_copies
          FROM documents d JOIN r USING (lang)""",
+    "q_sample_dsir" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         feats AS (
+           SELECT doc_id, lang,
+                  CAST(CONCAT('0x', SUBSTRING(md5(
+                    CONCAT(w[i], ' ', w[i+1])), 1, 15)) AS BIGINT) % 1024
+                    AS bucket
+           FROM (SELECT doc_id, lang, w,
+                        unnest(range(1, greatest(len(w)-1,0)+1)) AS i
+                 FROM w)),
+         counts AS (
+           SELECT bucket,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct,
+                  CAST(COUNT(*) AS BIGINT) AS cr
+           FROM feats GROUP BY bucket),
+         tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                        CAST(SUM(cr) AS BIGINT) AS tr FROM counts),
+         model AS (
+           SELECT bucket,
+                  CAST(FLOOR(log2(
+                    ((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 1024.0))
+                    / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 1024.0)))
+                    * 1000000.0) AS BIGINT) AS llr_micro
+           FROM counts CROSS JOIN tot),
+         wts AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                  CAST(SUM(llr_micro) AS BIGINT) AS w_micro
+           FROM feats JOIN model USING (bucket) GROUP BY doc_id)
+         SELECT d.doc_id, d.lang, n_feats, w_micro,
+                w_micro + CAST(FLOOR(-log2(-log2(
+                  (CAST(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('dsir:',
+                     CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                     % 1000000 AS DOUBLE) + 0.5) / 1000000.0))
+                  * 1000000.0) AS BIGINT) AS key_micro
+         FROM documents d JOIN wts USING (doc_id)
+         ORDER BY key_micro DESC, doc_id LIMIT 100""",
     "q_text_chunk_windows" ->
       """WITH d AS (
            SELECT doc_id,

@@ -164,6 +164,95 @@ class SelectionSamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(big.subsetOf(hit), s"docs >= stride missed: ${big -- hit}")
   }
 
+  test("DSIR weights match a local bag-of-buckets recompute; selection " +
+    "is the exact Gumbel top-k and enriches the target language") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val B = 1024L
+    val got = SparkEntry.queries("q_sample_dsir")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length === 100)
+    // independent recompute of bucketing/counting/summation/top-k: local
+    // bigram bag per doc, local bucket counts — only the llr quantization
+    // reuses the engine's log2 (evaluated on a 1-row-per-bucket frame) so
+    // the test pins the PLUMBING, not libm; the DuckDB oracle row is the
+    // cross-engine float gate
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bags = docs.map { case (id, lang, text) =>
+      val w = text.trim.split("\\s+")
+      val bg = if (w.length >= 2)
+        w.sliding(2).map(p => h60(p.mkString(" ")) % B).toSeq else Seq.empty
+      (id, lang, bg)
+    }
+    val ct = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cr = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    bags.foreach { case (_, lang, bg) =>
+      bg.foreach { b => cr(b) += 1; if (lang == "en") ct(b) += 1 }
+    }
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    val llr = cr.keys.toSeq.map { b => (b, ct(b), cr(b)) }
+      .toDF("bucket", "ct", "cr")
+      .select(col("bucket"), floor(log2(
+        ((col("ct").cast("double") + lit(1.0)) / lit(tt.toDouble + B)) /
+          ((col("cr").cast("double") + lit(1.0)) / lit(tr.toDouble + B))) *
+        lit(1000000.0)).cast("long").as("llr"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gumVals = docs.toSeq.map { case (id, _, _) =>
+      (id, ((h60(s"dsir:$id") % 1000000L).toDouble + 0.5) / 1000000.0)
+    }.toDF("id", "u")
+      .select(col("id"), floor(-log2(-log2(col("u"))) * lit(1000000.0))
+        .cast("long").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = bags.filter(_._3.nonEmpty).map { case (id, lang, bg) =>
+      val w = bg.map(llr).sum
+      (id, lang, bg.length.toLong, w, w + gumVals(id))
+    }.sortBy { case (id, _, _, _, k) => (-k, id) }.take(100)
+    assert(got.toSeq === want.toSeq)
+    // the selected slice must be enriched in the target language vs the
+    // corpus rate — the operator's entire point
+    val corpusEn = docs.count(_._2 == "en").toDouble / docs.length
+    val selEn = got.count(_._2 == "en").toDouble / got.length
+    assert(selEn > corpusEn,
+      s"DSIR did not enrich the target: selected en=$selEn corpus=$corpusEn")
+  }
+
+  test("calibrated quality rank is the within-source mid-rank ECDF and " +
+    "the global cut keeps ~the same share of every source") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_text_quality_calibrated")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // independent mid-rank ECDF recompute from the raw quality frame
+    val raw = SparkEntry.queries("q_text_quality")(spark, dir)
+      .select(col("doc_id"), col("source"),
+        floor(col("quality_score") * lit(1000.0)).cast("long").as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = raw.groupBy(_._2)
+    val want = raw.map { case (id, src, m) =>
+      val ms = bySrc(src).map(_._3)
+      val below = ms.count(_ < m).toLong
+      val eq = ms.count(_ == m).toLong
+      val pct = (1000000L * (2 * below + eq + 1)) / (2 * ms.length)
+      (id, src, m, pct, pct >= 200000L)
+    }
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
+    // the calibrated cut keeps close to 80% of EVERY source (slack for
+    // bucket-boundary ties); a raw-score global cut has no such bound
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val kept = rows.count(_._5).toDouble / rows.length
+      assert(kept >= 0.7 && kept <= 0.9,
+        s"source $src kept $kept — calibration failed to equalize")
+    }
+  }
+
   test("top paths are true ordered prefixes and the exact top-20") {
     val dir = "/root/testdata/sf0.01"
     val got = SparkEntry.queries("q_events_top_paths")(spark, dir)
