@@ -459,6 +459,111 @@ object TextQueries extends QueryPack {
         langPredCol(col("padded")).as("lang_pred"))
   }
 
+  /** DSIR feature-space size (hashed-bigram buckets) — small enough
+    * that the frozen model is metadata-plane (<=1024 longs), large
+    * enough that the fixture's bigram vocabulary spreads (Xie et al.
+    * 2023 use 10k buckets at web scale; the ratio estimator is unbiased
+    * at any B, B only trades variance).
+    */
+  private[graft] val DsirB = 1024L
+
+  private def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Hashed-bigram string array of `text` — the DSIR feature bag. */
+  private def dsirBigramsCol: Column = {
+    val w = words(col("text"))
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Floor-micro-quantized add-one-smoothed base-2 log likelihood ratio
+    * of a bucket (columns ct/cr) under target/raw totals tt/tr — ONE
+    * expression shared by the batch model, the frozen-array builder and
+    * the specs, so the three cannot drift.
+    */
+  private def dsirLlrCol(tt: Column, tr: Column): Column =
+    floor(log2(
+      ((col("ct").cast(DoubleType) + lit(1.0)) /
+        (tt.cast(DoubleType) + lit(DsirB.toDouble))) /
+      ((col("cr").cast(DoubleType) + lit(1.0)) /
+        (tr.cast(DoubleType) + lit(DsirB.toDouble)))) *
+      lit(1000000.0)).cast(LongType)
+
+  /** Distributed DSIR per-doc importance weights (doc_id, n_feats,
+    * w_micro) — the scoring half of q_sample_dsir (see that
+    * registration for the plan/scale notes). Featureless docs (<2
+    * words) carry no weight and are absent.
+    */
+  private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(dsirBigramsCol).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (md5Long60(col("bg")) % DsirB).as("bucket"))
+    val counts = feats.groupBy(col("bucket")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+      cnt.as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val model = counts.crossJoin(broadcast(tot)) // 1-row, agg-reduced
+      .select(col("bucket"),
+        dsirLlrCol(col("tt"), col("tr")).as("llr_micro"))
+    feats.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(cnt.as("n_feats"), sum(col("llr_micro")).as("w_micro"))
+  }
+
+  /** FROZEN dense DSIR model for the streaming gate: index = bucket,
+    * value = llr_micro, absent buckets at the add-one-smoothed default
+    * (ct=cr=0). <=DsirB rows collect — metadata-plane at ANY corpus
+    * scale (the model size is a constant, not a function of the data).
+    * The llr is evaluated by the SAME Spark expression the batch model
+    * uses, so frozen-array and join-based weights are bit-identical.
+    */
+  private[graft] def dsirModelArray(s: SparkSession,
+                                    dir: String): Array[Long] = {
+    import s.implicits._
+    val seen = t(s, dir, "documents")
+      .select(col("lang"), explode(dsirBigramsCol).as("bg"))
+      .select(col("lang"), (md5Long60(col("bg")) % DsirB).as("bucket"))
+      .groupBy(col("bucket")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        cnt.as("cr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tt = seen.map(_._2).sum
+    val tr = seen.map(_._3).sum
+    val byB = seen.map(x => x._1 -> (x._2, x._3)).toMap
+    (0L until DsirB).map { b =>
+      val (ct, cr) = byB.getOrElse(b, (0L, 0L)); (b, ct, cr)
+    }.toDF("bucket", "ct", "cr")
+      .select(col("bucket"), dsirLlrCol(lit(tt), lit(tr)).as("llr"))
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+  }
+
+  /** Map-only DSIR scoring of an arbitrary documents frame against a
+    * frozen model array — ZERO shuffles (the model rides in the plan as
+    * a literal), so it works unchanged on a STREAMING frame: the
+    * streaming corpus gate (StreamingJobs.dsirGateStream). Featureless
+    * docs score 0 (the batch row drops them — a Gumbel draw needs at
+    * least one feature; a gate must emit a verdict for every doc).
+    */
+  private[graft] def dsirScoreFrameOf(docs: DataFrame,
+                                      model: Array[Long]): DataFrame = {
+    require(model.length == DsirB.toInt,
+      s"DSIR model must cover all $DsirB buckets, got ${model.length}")
+    val mlit = typedLit(model.toSeq)
+    val bgs = dsirBigramsCol
+    docs.select(col("doc_id"),
+      size(bgs).cast(LongType).as("n_feats"),
+      aggregate(
+        transform(bgs, bg => md5Long60(bg) % DsirB),
+        lit(0L),
+        (acc, b) => acc + element_at(mlit, (b + lit(1L)).cast(IntegerType)))
+        .as("w_micro"))
+      .withColumn("dsir_keep", col("w_micro") >= lit(0L))
+  }
+
   /** Registered-query input bound for the naive Jaccard baseline: the
     * first 1000 doc_ids (TakeOrdered top-k — constant work at any corpus
     * size), so no query in the library carries an unbounded
@@ -1929,38 +2034,14 @@ object TextQueries extends QueryPack {
     // alike) plus a shared additive constant, so the argsort — hence
     // the selected set — is exactly the paper's.
     "q_sample_dsir" -> ((s, dir) => {
-      val B = 1024L
       val k = 100
-      val docs = t(s, dir, "documents")
-      val w = words(col("text"))
       def h60(c: Column): Column =
         conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-      val feats = docs.select(col("doc_id"), col("lang"),
-          explode(when(size(w) >= 2,
-            transform(sequence(lit(1), size(w) - 1),
-              i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-            .otherwise(array())).as("bg"))
-        .select(col("doc_id"), col("lang"),
-          (h60(col("bg")) % B).as("bucket"))
-      val counts = feats.groupBy(col("bucket")).agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-        cnt.as("cr"))
-      val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-      val llr = floor(log2(
-        ((col("ct").cast(DoubleType) + lit(1.0)) /
-          (col("tt").cast(DoubleType) + lit(B.toDouble))) /
-        ((col("cr").cast(DoubleType) + lit(1.0)) /
-          (col("tr").cast(DoubleType) + lit(B.toDouble)))) *
-        lit(1000000.0)).cast(LongType)
-      val model = counts.crossJoin(broadcast(tot)) // 1-row, agg-reduced
-        .select(col("bucket"), llr.as("llr_micro"))
-      val wts = feats.join(broadcast(model), Seq("bucket"))
-        .groupBy(col("doc_id"))
-        .agg(cnt.as("n_feats"), sum(col("llr_micro")).as("w_micro"))
       val u = ((h60(concat(lit("dsir:"), col("doc_id").cast(StringType)))
         % lit(1000000L)).cast(DoubleType) + lit(0.5)) / lit(1000000.0)
       val gum = floor(-log2(-log2(u)) * lit(1000000.0)).cast(LongType)
-      docs.select(col("doc_id"), col("lang")).join(wts, Seq("doc_id"))
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(dsirWeights(s, dir), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_feats"), col("w_micro"),
           (col("w_micro") + gum).as("key_micro"))
         .orderBy(col("key_micro").desc, col("doc_id"))

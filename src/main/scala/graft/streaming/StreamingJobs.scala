@@ -430,6 +430,22 @@ object StreamingJobs {
   def gopherGateStream(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.gopherFrameOf(docs)
 
+  /** Streaming DSIR gate — the streaming face of q_sample_dsir's
+    * scoring half: each arriving document is scored against a FROZEN
+    * model (the <=1024-long LLR array from TextQueries.dsirModelArray,
+    * trained once on the reference corpus — the production shape:
+    * train-on-warehouse, gate-the-feed) entirely map-side via the ONE
+    * shared builder (TextQueries.dsirScoreFrameOf), so stream and
+    * batch weights are bit-identical. Zero shuffles, no state, no
+    * watermark — the model rides in the plan as a literal; append mode
+    * at any rate. Retrain cadence is a redeploy (the model is frozen
+    * by design — DSIR weights must be comparable across the whole
+    * selection pass, so a drifting online model would be WRONG, not
+    * just stale).
+    */
+  def dsirGateStream(docs: DataFrame, model: Array[Long]): DataFrame =
+    graft.queries.TextQueries.dsirScoreFrameOf(docs, model)
+
   /** Streaming duplicated-window marking — the streaming face of the
     * span plane: each arriving document's word-8-gram windows (the
     * shared TextQueries.windowPositionsOf builder, so stream and batch

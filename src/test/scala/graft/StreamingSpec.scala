@@ -233,6 +233,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "gate verdicts degenerate — vacuous")
   }
 
+  test("streaming DSIR gate equals the join-based batch weights") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // frozen model trained on the batch corpus (the warehouse side)
+    val model = graft.queries.TextQueries.dsirModelArray(spark, dir)
+    assert(model.length === 1024)
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").na.fill("", Seq("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingJobs.dsirGateStream(
+      ms.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dsir_gate")
+      .select("doc_id", "n_feats", "w_micro")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === docs.length, "gate must emit a verdict per doc")
+    // the batch path is a genuinely different execution: explode +
+    // bucket-model JOIN + doc_id aggregate vs the stream's map-only
+    // frozen-array fold — bit-identical weights required
+    val want = graft.queries.TextQueries.dsirWeights(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    want.foreach { case (id, nw) =>
+      assert(got(id) === nw, s"doc $id stream/batch weight drift")
+    }
+    // docs the batch row drops (featureless) must gate with weight 0
+    (got.keySet -- want.keySet).foreach { id =>
+      assert(got(id)._2 === 0L, s"featureless doc $id scored nonzero")
+    }
+    assert(got.values.map(_._2).toSet.size > 1, "weights degenerate")
+  }
+
   test("streaming PII scrub equals the batch redaction kernel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
