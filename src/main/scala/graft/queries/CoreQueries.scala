@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables.t
 import graft.Exact._
-import graft.operators.{AsofJoin, IntervalOverlapJoin, RangeBinJoin}
+import graft.operators.{AsofJoin, HorizonAgg, IntervalOverlapJoin, RangeBinJoin}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,6 +13,23 @@ import org.apache.spark.sql.types._
   * broadcast-hash for the small dimension sides.
   */
 object CoreQueries extends QueryPack {
+
+  /** One oracle for both range-join forms (pair-join q_join_range_binned
+    * and two-grid-window q_join_range_window): the forms must hash-match
+    * each other through it.
+    */
+  private val rangeNextHourOracle =
+    """WITH ev AS (
+           SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+           FROM events)
+         SELECT a.event_id, a.event_type,
+                CAST(COUNT(b.event_id) AS BIGINT) AS n_next_hour,
+                CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+                  AS value_next_hour
+         FROM ev a LEFT JOIN ev b
+           ON a.event_type = b.event_type
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         GROUP BY a.event_id, a.event_type"""
 
   /** Shared probe/quote frames for the as-of family: probes = clicks;
     * quotes = purchases pre-deduped to one row per (user_id, ts) keeping
@@ -198,6 +215,30 @@ object CoreQueries extends QueryPack {
             .cast(DoubleType).as("value_next_hour"))
     }),
 
+    // The aggregate-pushdown form of q_join_range_binned: when the
+    // consumer is a per-event aggregate, the candidate-pair stream is
+    // pure overhead — and it grows with per-(type, hour) DENSITY²
+    // (this fixture: 10x events in the same 30-day span -> 100x
+    // pairs, 27.7k -> 2.77M). operators/HorizonAgg computes the
+    // identical answer with two (type, cell) window shuffles — linear
+    // in events, density-INDEPENDENT: the plan that survives a 100x
+    // scale-up of a hot event type. Same oracle as
+    // q_join_range_binned; the two forms must hash-match through it.
+    "q_join_range_window" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("t_us"))
+      HorizonAgg.forward(ev, Seq("event_type"), "t_us",
+        horizonMicros = 3600L * 1000000L,
+        aggs = Seq(
+          "n_raw" -> count(col("event_id")),
+          "v_raw" -> sum(col("value").cast(DecimalType(18, 2)))))
+        .select(col("event_id"), col("event_type"),
+          col("n_raw").cast(LongType).as("n_next_hour"),
+          coalesce(col("v_raw"), lit(0).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("value_next_hour"))
+    }),
+
     // Extension: interval-OVERLAP join (both sides ranged) — concurrent
     // activity-window detection: each purchase's 30-min window against
     // each same-user click's 30-min window. operators/IntervalOverlapJoin
@@ -363,18 +404,10 @@ object CoreQueries extends QueryPack {
                 q.matched_ts, q.matched_event_id, q.matched_value
          FROM probes p ASOF LEFT JOIN quotes q
            ON p.user_id = q.user_id AND p.ts >= q.matched_ts"""),
-    "q_join_range_binned" ->
-      """WITH ev AS (
-           SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
-           FROM events)
-         SELECT a.event_id, a.event_type,
-                CAST(COUNT(b.event_id) AS BIGINT) AS n_next_hour,
-                CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))), 0) AS DOUBLE)
-                  AS value_next_hour
-         FROM ev a LEFT JOIN ev b
-           ON a.event_type = b.event_type
-          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-         GROUP BY a.event_id, a.event_type""",
+    "q_join_range_binned" -> rangeNextHourOracle,
+    // identical contract on purpose: the pair-join and two-grid-window
+    // forms must agree through one oracle
+    "q_join_range_window" -> rangeNextHourOracle,
     "q_join_interval_overlap" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
