@@ -459,6 +459,84 @@ object TextQueries extends QueryPack {
         langPredCol(col("padded")).as("lang_pred"))
   }
 
+  /** Bigram-LM scoring frame (doc_id, n_bigrams, sum_nll_micro) —
+    * shared by q_text_lm_perplexity (which derives bits_per_bigram)
+    * and q_text_ccnet_buckets (which ECDF-buckets it per language).
+    * See the q_text_lm_perplexity registration for semantics.
+    *
+    * 60-bit md5 keys for the unigram (h1) and bigram (hb) identities —
+    * the q_text_dup_spans discipline: the stream shuffle ships 8-byte
+    * longs, never word strings (r13 measured the string-keyed form as
+    * the heaviest linear-ratio row; the key bytes dominated the stream
+    * shuffle). words() splits on whitespace, so the space-joined bigram
+    * preimage is collision-free by construction; a residual 60-bit md5
+    * collision inside the corpus is negligible and the exact oracle
+    * gate would catch one.
+    */
+  private def lmScoreFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = words(col("text"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"),
+            element_at(w, i + 1).as("w2"))))
+        .otherwise(array())).as("b"))
+      .select(col("doc_id"), md5Long60(col("b.w1")).as("h1"),
+        md5Long60(concat_ws(" ", col("b.w1"), col("b.w2"))).as("hb"))
+    // h1 rides in the grouping key (functionally dependent on hb) so
+    // c1 derives from the distinct-bigram table without re-touching
+    // the stream and the groupBy exchange is reusable by the scoring
+    // join below (same child, same (h1, hb) partitioning).
+    val c2 = bigrams.groupBy(col("h1"), col("hb")).agg(cnt.as("c2"))
+    val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
+    val v = docs.select(explode(w).as("x"))
+      .agg(countDistinct(md5Long60(col("x"))).as("v"))
+    val nll = floor(log2((col("c1").cast(DoubleType) + col("v")) /
+      (col("c2").cast(DoubleType) + lit(1.0))) * lit(1000000.0))
+      .cast(LongType)
+    // The model is assembled entirely on the DISTINCT-bigram table
+    // (c1 and V fold into c2 before any contact with the stream), so
+    // the full bigram stream shuffles exactly ONCE — on (h1, hb) for
+    // the scoring join. Joining c1 after the stream join would
+    // reshuffle the whole stream a second time on h1.
+    val model = c2.join(c1, Seq("h1"))
+      .crossJoin(broadcast(v)) // 1-row, aggregate-reduced
+      .select(col("h1"), col("hb"), nll.as("nll_micro"))
+    val sc = bigrams.join(model, Seq("h1", "hb"))
+      .groupBy(col("doc_id"))
+      .agg(cnt.as("n_bigrams"), sum(col("nll_micro")).as("sum_nll_micro"))
+    docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_nll_micro"), lit(0L)).as("sum_nll_micro"))
+  }
+
+  /** Mid-rank ECDF in micro-units over a BOUNDED bucket histogram —
+    * the no-corpus-window percentile machinery shared by
+    * q_text_quality_calibrated and q_text_ccnet_buckets: the
+    * (part, bucket) histogram reduces map-side to a tiny frame, the
+    * cumulative window runs over that frame only, and the input joins
+    * it BROADCAST — map-only. Integer-exact:
+    * pct = (1e6*(2*below+eq+1)) div (2*n) (headroom to ~4.6e12 rows
+    * per partition value). `bucket` must be an integral column that
+    * orders the same as the metric it quantizes.
+    */
+  private def midRankEcdfMicro(df: DataFrame, part: String,
+                               bucket: String): DataFrame = {
+    val hist = df.groupBy(col(part), col(bucket)).agg(cnt.as("eq"))
+    val wp = Window.partitionBy(col(part)).orderBy(col(bucket))
+    val stats = hist
+      .withColumn("below", sum(col("eq")).over(wp) - col("eq"))
+      .withColumn("n_part",
+        sum(col("eq")).over(Window.partitionBy(col(part))))
+    df.join(broadcast(stats), Seq(part, bucket))
+      .withColumn("pct_rank_micro",
+        expr("(1000000 * (2*below + eq + 1)) div (2*n_part)")
+          .cast(LongType))
+      .drop("eq", "below", "n_part")
+  }
+
   /** DSIR feature-space size (hashed-bigram buckets) — small enough
     * that the frozen model is metadata-plane (<=1024 longs), large
     * enough that the fixture's bigram vocabulary spreads (Xie et al.
@@ -1217,59 +1295,13 @@ object TextQueries extends QueryPack {
     // sublinear); scoring joins ride the (w1,w2) key the count
     // aggregate already partitioned by (exchange reuse), then one
     // doc_id aggregate. V is a 1-row aggregate, broadcast.
-    "q_text_lm_perplexity" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val w = words(col("text"))
-      // 60-bit md5 keys for the unigram (h1) and bigram (hb) identities
-      // — the q_text_dup_spans discipline: the stream shuffle ships
-      // 8-byte longs, never word strings (r13 measured the string-keyed
-      // form as the heaviest linear-ratio row; the key bytes dominated
-      // the stream shuffle). words() splits on whitespace, so the
-      // space-joined bigram preimage is collision-free by construction;
-      // a residual 60-bit md5 collision inside the corpus is negligible
-      // and the exact oracle gate would catch one.
-      def h60(c: Column): Column =
-        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-      val bigrams = docs.select(col("doc_id"),
-        explode(when(size(w) >= 2,
-          transform(sequence(lit(1), size(w) - 1),
-            i => struct(element_at(w, i).as("w1"),
-              element_at(w, i + 1).as("w2"))))
-          .otherwise(array())).as("b"))
-        .select(col("doc_id"), h60(col("b.w1")).as("h1"),
-          h60(concat_ws(" ", col("b.w1"), col("b.w2"))).as("hb"))
-      // h1 rides in the grouping key (functionally dependent on hb) so
-      // c1 derives from the distinct-bigram table without re-touching
-      // the stream and the groupBy exchange is reusable by the scoring
-      // join below (same child, same (h1, hb) partitioning).
-      val c2 = bigrams.groupBy(col("h1"), col("hb")).agg(cnt.as("c2"))
-      val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
-      val v = docs.select(explode(w).as("x"))
-        .agg(countDistinct(h60(col("x"))).as("v"))
-      val nll = floor(log2((col("c1").cast(DoubleType) + col("v")) /
-        (col("c2").cast(DoubleType) + lit(1.0))) * lit(1000000.0))
-        .cast(LongType)
-      // The model is assembled entirely on the DISTINCT-bigram table
-      // (c1 and V fold into c2 before any contact with the stream), so
-      // the full bigram stream shuffles exactly ONCE — on (h1, hb) for
-      // the scoring join. Joining c1 after the stream join would
-      // reshuffle the whole stream a second time on h1.
-      val model = c2.join(c1, Seq("h1"))
-        .crossJoin(broadcast(v)) // 1-row, aggregate-reduced
-        .select(col("h1"), col("hb"), nll.as("nll_micro"))
-      val sc = bigrams.join(model, Seq("h1", "hb"))
-        .groupBy(col("doc_id"))
-        .agg(cnt.as("n_bigrams"), sum(col("nll_micro")).as("sum_nll_micro"))
-      docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("sum_nll_micro"), lit(0L)).as("sum_nll_micro"),
-          when(col("n_bigrams").isNull, lit(0.0))
-            .otherwise(col("sum_nll_micro").cast(DoubleType) /
-              (col("n_bigrams") * lit(1000000.0)))
-            .as("bits_per_bigram"))
-        .withColumn("is_high_ppl", col("bits_per_bigram") > 5.0)
-    }),
+    "q_text_lm_perplexity" -> ((s, dir) => lmScoreFrame(s, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_nll_micro"),
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise(col("sum_nll_micro").cast(DoubleType) /
+            (col("n_bigrams") * lit(1000000.0)))
+          .as("bits_per_bigram"))
+      .withColumn("is_high_ppl", col("bits_per_bigram") > 5.0)),
 
     // Repeated-n-gram (duplicate-mass) profile — the span-level dedup
     // signal of Lee et al. 2021 ("Deduplicating Training Data Makes
@@ -1401,18 +1433,39 @@ object TextQueries extends QueryPack {
       val scores = t(s, dir, "documents").select(
         col("doc_id"), col("source"),
         floor(qualityScoreCol * lit(1000.0)).cast(LongType).as("score_milli"))
-      val hist = scores.groupBy(col("source"), col("score_milli"))
-        .agg(cnt.as("eq"))
-      val wSrc = Window.partitionBy(col("source")).orderBy(col("score_milli"))
-      val stats = hist
-        .withColumn("below", sum(col("eq")).over(wSrc) - col("eq"))
-        .withColumn("n_source",
-          sum(col("eq")).over(Window.partitionBy(col("source"))))
-      scores.join(broadcast(stats), Seq("source", "score_milli"))
+      midRankEcdfMicro(scores, "source", "score_milli")
         .select(col("doc_id"), col("source"), col("score_milli"),
-          expr("(1000000 * (2*below + eq + 1)) div (2*n_source)")
-            .cast(LongType).as("pct_rank_micro"))
+          col("pct_rank_micro"))
         .withColumn("calibrated_keep", col("pct_rank_micro") >= lit(200000L))
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data", arXiv:1911.00359 §4.4): split the corpus per LANGUAGE
+    // into head/middle/tail thirds by LM perplexity — head (lowest
+    // perplexity) feeds high-quality training mixes, tail is
+    // noise-audit material. Thresholds are per-language BY DESIGN
+    // (absolute perplexity is not comparable across languages — the
+    // same argument as q_text_quality_calibrated's per-source ECDF).
+    // Composition: the shared bigram-LM scoring frame (ONE corpus
+    // stream shuffle) + the shared bounded-histogram mid-rank ECDF
+    // (map-only after a tiny broadcast); the tercile label is integer
+    // algebra on pct_rank_micro. bits_milli = sum_nll div (n*1000) is
+    // an exact integer quantization of bits_per_bigram (same ordering;
+    // <=~30k buckets per language at any corpus size).
+    "q_text_ccnet_buckets" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(lmScoreFrame(s, dir), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          when(col("n_bigrams") === 0L, lit(0L))
+            .otherwise(expr("sum_nll_micro div (n_bigrams * 1000)"))
+            .cast(LongType).as("bits_milli"))
+      midRankEcdfMicro(scored, "lang", "bits_milli")
+        .select(col("doc_id"), col("lang"), col("bits_milli"),
+          col("pct_rank_micro"),
+          when(col("pct_rank_micro") * 3 < 1000000L, lit("head"))
+            .when(col("pct_rank_micro") * 3 < 2000000L, lit("middle"))
+            .otherwise(lit("tail")).as("ccnet_bucket"))
     }),
 
     // Gopher-rules quality filter (Rae et al. 2021, "Scaling Language
@@ -2770,6 +2823,55 @@ object TextQueries extends QueryPack {
                   AS calibrated_keep
          FROM sc JOIN stats ON sc.source = stats.source
                            AND sc.score_milli = stats.score_milli""",
+    "q_text_ccnet_buckets" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         big AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM (SELECT doc_id, w,
+                        unnest(range(1, greatest(len(w)-1,0)+1)) AS i
+                 FROM w)),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+         c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+         v AS (SELECT COUNT(DISTINCT x) AS v FROM (
+                 SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS x
+                 FROM documents)),
+         sc AS (
+           SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(CAST(floor(log2(
+                      (CAST(c1.c1 AS DOUBLE) + v.v)
+                      / (CAST(c2.c2 AS DOUBLE) + 1.0)) * 1000000)
+                    AS BIGINT)) AS BIGINT) AS sum_nll_micro
+           FROM big b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+                      JOIN c1 ON c1.w1 = b.w1
+                      CROSS JOIN v
+           GROUP BY b.doc_id),
+         scored AS (
+           SELECT d.doc_id, d.lang,
+                  CAST(CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0
+                       ELSE sc.sum_nll_micro // (sc.n_bigrams * 1000) END
+                    AS BIGINT) AS bits_milli
+           FROM documents d LEFT JOIN sc USING (doc_id)),
+         hist AS (
+           SELECT lang, bits_milli, CAST(COUNT(*) AS BIGINT) AS eq
+           FROM scored GROUP BY lang, bits_milli),
+         stats AS (
+           SELECT lang, bits_milli, eq,
+                  CAST(SUM(eq) OVER (PARTITION BY lang
+                    ORDER BY bits_milli) - eq AS BIGINT) AS below,
+                  CAST(SUM(eq) OVER (PARTITION BY lang) AS BIGINT) AS n_part
+           FROM hist)
+         SELECT s.doc_id, s.lang, s.bits_milli,
+                CAST((1000000 * (2*below + eq + 1)) // (2*n_part)
+                  AS BIGINT) AS pct_rank_micro,
+                CASE WHEN (1000000 * (2*below + eq + 1)) // (2*n_part) * 3
+                          < 1000000 THEN 'head'
+                     WHEN (1000000 * (2*below + eq + 1)) // (2*n_part) * 3
+                          < 2000000 THEN 'middle'
+                     ELSE 'tail' END AS ccnet_bucket
+         FROM scored s JOIN stats ON s.lang = stats.lang
+                                 AND s.bits_milli = stats.bits_milli""",
     "q_text_top_ngram_mass" ->
       """WITH b AS (
            SELECT doc_id,

@@ -253,6 +253,31 @@ class SelectionSamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CCNet buckets are perplexity-ordered terciles within each lang") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_text_ccnet_buckets")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(4)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byB = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      // ordering: every head doc's perplexity <= every middle's <= tail's
+      for {
+        h <- byB.get("head"); m <- byB.get("middle")
+      } assert(h.max <= m.min, s"$lang: head above middle")
+      for {
+        m <- byB.get("middle"); t <- byB.get("tail")
+      } assert(m.max <= t.min, s"$lang: middle above tail")
+      // balance: mid-rank terciles put roughly a third in each bucket
+      // (slack for bucket-level ties)
+      val n = rs.length.toDouble
+      byB.foreach { case (b, xs) =>
+        assert(xs.length / n > 0.15 && xs.length / n < 0.55,
+          s"$lang/$b grossly unbalanced: ${xs.length}/$n")
+      }
+      assert(byB.keySet === Set("head", "middle", "tail"),
+        s"$lang missing a bucket: ${byB.keySet}")
+    }
+  }
+
   test("top paths are true ordered prefixes and the exact top-20") {
     val dir = "/root/testdata/sf0.01"
     val got = SparkEntry.queries("q_events_top_paths")(spark, dir)
