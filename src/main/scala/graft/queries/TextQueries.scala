@@ -522,19 +522,85 @@ object TextQueries extends QueryPack {
     * per partition value). `bucket` must be an integral column that
     * orders the same as the metric it quantizes.
     */
-  private def midRankEcdfMicro(df: DataFrame, part: String,
-                               bucket: String): DataFrame = {
+  private def ecdfStatsOf(df: DataFrame, part: String,
+                          bucket: String): DataFrame = {
     val hist = df.groupBy(col(part), col(bucket)).agg(cnt.as("eq"))
     val wp = Window.partitionBy(col(part)).orderBy(col(bucket))
-    val stats = hist
+    hist
       .withColumn("below", sum(col("eq")).over(wp) - col("eq"))
       .withColumn("n_part",
         sum(col("eq")).over(Window.partitionBy(col(part))))
-    df.join(broadcast(stats), Seq(part, bucket))
+  }
+
+  private def midRankEcdfMicro(df: DataFrame, part: String,
+                               bucket: String): DataFrame =
+    df.join(broadcast(ecdfStatsOf(df, part, bucket)), Seq(part, bucket))
       .withColumn("pct_rank_micro",
         expr("(1000000 * (2*below + eq + 1)) div (2*n_part)")
           .cast(LongType))
       .drop("eq", "below", "n_part")
+
+  /** FROZEN per-source calibration model for the streaming gate: one
+    * row per source with DENSE eq/below arrays over the whole bounded
+    * score_milli domain [0, 1000] — so an arriving doc's mid-rank ECDF
+    * is exact even for a (source, bucket) the training corpus never
+    * produced (eq=0 ⇒ pct = below/n, the left-limit ECDF — an
+    * equi-join against the sparse histogram would MISS unseen buckets
+    * instead). <=|sources| x 1001 cells collect —
+    * metadata-plane at any corpus scale (the domain is bounded, not
+    * data-sized).
+    */
+  private[graft] def calibrationModelFrame(s: SparkSession,
+                                           dir: String): DataFrame = {
+    import s.implicits._
+    val stats = ecdfStatsOf(
+      t(s, dir, "documents").select(col("source"),
+        floor(qualityScoreCol * lit(1000.0)).cast(LongType)
+          .as("score_milli")),
+      "source", "score_milli")
+      .select(col("source"), col("score_milli"), col("eq"), col("n_part"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    stats.groupBy(_._1).toSeq.map { case (src, rs) =>
+      val eq = Array.fill(1001)(0L)
+      rs.foreach { case (_, m, e, _) => eq(m.toInt) = e }
+      val below = eq.scanLeft(0L)(_ + _).take(1001)
+      (src, eq.toSeq, below.toSeq, rs.head._4)
+    }.toDF("source", "eq_arr", "below_arr", "n_part")
+  }
+
+  /** Map-only calibrated quality scoring of an arbitrary documents
+    * frame against a frozen calibration model — the ONE shared builder
+    * behind the batch semantics and the streaming gate
+    * (StreamingJobs.calibratedGateStream). The model join is
+    * stream-static broadcast on `source`; everything after is per-row.
+    * Docs from a source the model never saw get a NULL pct and
+    * known_source=false (gate policy for novel feeds is the caller's
+    * call — silently passing or failing them would both be wrong
+    * defaults).
+    */
+  private[graft] def calibratedScoreFrameOf(docs: DataFrame,
+                                            model: DataFrame): DataFrame = {
+    val m = floor(qualityScoreCol * lit(1000.0)).cast(LongType)
+    docs.select(col("doc_id"), col("source"), m.as("score_milli"))
+      .join(broadcast(model), Seq("source"), "left")
+      .withColumn("__i", (col("score_milli") + lit(1L)).cast(IntegerType))
+      .withColumn("below_m", element_at(col("below_arr"), col("__i")))
+      .withColumn("eq_m", element_at(col("eq_arr"), col("__i")))
+      .withColumn("pct_rank_micro",
+        // seen bucket: the batch row's mid-rank; unseen bucket (eq=0):
+        // the plain left-limit ECDF below/n — the mid-rank +1/2 tie
+        // correction has no tie to correct and would exceed 100% for a
+        // score above everything seen
+        when(col("eq_m") > 0L,
+          expr("(1000000 * (2*below_m + eq_m + 1)) div (2*n_part)"))
+          .otherwise(expr("(1000000 * below_m) div n_part"))
+          .cast(LongType))
+      .withColumn("known_source", col("n_part").isNotNull)
+      .withColumn("calibrated_keep",
+        col("known_source") && col("pct_rank_micro") >= lit(200000L))
+      .select(col("doc_id"), col("source"), col("score_milli"),
+        col("pct_rank_micro"), col("known_source"), col("calibrated_keep"))
   }
 
   /** DSIR feature-space size (hashed-bigram buckets) — small enough

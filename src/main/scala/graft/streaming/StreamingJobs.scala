@@ -446,6 +446,22 @@ object StreamingJobs {
   def dsirGateStream(docs: DataFrame, model: Array[Long]): DataFrame =
     graft.queries.TextQueries.dsirScoreFrameOf(docs, model)
 
+  /** Streaming calibrated-quality gate — the streaming face of
+    * q_text_quality_calibrated: each arriving document's raw quality
+    * score maps to its mid-rank ECDF under a FROZEN per-source
+    * calibration model (TextQueries.calibrationModelFrame, trained
+    * once on the warehouse corpus: one row per source with dense
+    * eq/below arrays over the bounded score_milli domain, so even a
+    * score bucket the training corpus never produced gets its exact
+    * mid-rank percentile). Stream-static broadcast join on `source`
+    * (|sources| rows), map-only after — no state, no watermark.
+    * Unknown sources surface as known_source=false, never a silent
+    * pass/fail. Frozen like the DSIR model and for the same reason:
+    * percentile cuts must be comparable across the whole gating pass.
+    */
+  def calibratedGateStream(docs: DataFrame, model: DataFrame): DataFrame =
+    graft.queries.TextQueries.calibratedScoreFrameOf(docs, model)
+
   /** Streaming duplicated-window marking — the streaming face of the
     * span plane: each arriving document's word-8-gram windows (the
     * shared TextQueries.windowPositionsOf builder, so stream and batch

@@ -271,6 +271,61 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.map(_._2).toSet.size > 1, "weights degenerate")
   }
 
+  test("streaming calibrated-quality gate equals the batch ECDF row " +
+    "and handles unseen sources/buckets") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.queries.TextQueries.calibrationModelFrame(spark, dir)
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "text").na.fill("", Seq("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // plus one doc from a source the model never saw, and one empty-text
+    // doc from a KNOWN source (its score bucket is unseen in any corpus
+    // slice that has real text)
+    val novel = (900001L, "src_never_seen", "the quick brown fox")
+    val unseenBucket = (900002L, docs.head._2, "")
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingJobs.calibratedGateStream(
+      ms.toDF().toDF("doc_id", "source", "text"), model)
+      .writeStream.format("memory").queryName("calib_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.toSeq :+ novel :+ unseenBucket)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("calib_gate").collect().map { r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else Long.box(r.getLong(3)),
+        r.getBoolean(4), r.getBoolean(5))
+    }.toMap
+    // corpus docs: bit-identical to the batch registered row
+    val want = SparkEntry.queries("q_text_quality_calibrated")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    want.foreach { case (id, (src, milli, pct, keep)) =>
+      val (gSrc, gMilli, gPct, gKnown, gKeep) = got(id)
+      assert(gSrc === src && gMilli === milli && gPct === Long.box(pct) &&
+        gKnown && gKeep === keep, s"doc $id stream/batch drift")
+    }
+    // unknown source: no silent verdict
+    val (_, _, nPct, nKnown, nKeep) = got(900001L)
+    assert(nPct === null && !nKnown && !nKeep)
+    // known source, unseen score bucket: exact left-limit ECDF
+    val (uSrc, uMilli, uPct, uKnown, _) = got(900002L)
+    assert(uKnown, "known source misreported")
+    val srcDocs = want.values.filter(_._1 == uSrc).toSeq
+    val below = srcDocs.count(_._2 < uMilli).toLong
+    val eqCnt = srcDocs.count(_._2 == uMilli).toLong
+    // empty text lands at bucket 252 (ttr exactly 1), which real docs
+    // essentially never hit — but compute the expectation by the full
+    // seen/unseen formula so a fixture coincidence can't flake the test
+    val expected =
+      if (eqCnt > 0) 1000000L * (2 * below + eqCnt + 1) / (2 * srcDocs.size)
+      else 1000000L * below / srcDocs.size
+    assert(uPct === Long.box(expected), s"unseen-bucket ECDF wrong: $uPct")
+  }
+
   test("streaming PII scrub equals the batch redaction kernel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
