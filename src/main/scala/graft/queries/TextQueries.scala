@@ -636,16 +636,37 @@ object TextQueries extends QueryPack {
         (tr.cast(DoubleType) + lit(DsirB.toDouble)))) *
       lit(1000000.0)).cast(LongType)
 
+  /** Exploded DSIR feature stream (doc_id, lang, bucket). */
+  private def dsirFeats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(dsirBigramsCol).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (md5Long60(col("bg")) % DsirB).as("bucket"))
+
+  /** Deterministic Gumbel top-k over the importance weights — the
+    * selection half of q_sample_dsir (see that registration).
+    */
+  private[graft] def dsirTopK(s: SparkSession, dir: String,
+                              k: Int): DataFrame = {
+    val u = ((md5Long60(concat(lit("dsir:"), col("doc_id")
+      .cast(StringType))) % lit(1000000L)).cast(DoubleType) + lit(0.5)) /
+      lit(1000000.0)
+    val gum = floor(-log2(-log2(u)) * lit(1000000.0)).cast(LongType)
+    t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(dsirWeights(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("w_micro"),
+        (col("w_micro") + gum).as("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Distributed DSIR per-doc importance weights (doc_id, n_feats,
     * w_micro) — the scoring half of q_sample_dsir (see that
     * registration for the plan/scale notes). Featureless docs (<2
     * words) carry no weight and are absent.
     */
   private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val feats = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(dsirBigramsCol).as("bg"))
-      .select(col("doc_id"), col("lang"),
-        (md5Long60(col("bg")) % DsirB).as("bucket"))
+    val feats = dsirFeats(s, dir)
     val counts = feats.groupBy(col("bucket")).agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
       cnt.as("cr"))
@@ -668,9 +689,7 @@ object TextQueries extends QueryPack {
   private[graft] def dsirModelArray(s: SparkSession,
                                     dir: String): Array[Long] = {
     import s.implicits._
-    val seen = t(s, dir, "documents")
-      .select(col("lang"), explode(dsirBigramsCol).as("bg"))
-      .select(col("lang"), (md5Long60(col("bg")) % DsirB).as("bucket"))
+    val seen = dsirFeats(s, dir)
       .groupBy(col("bucket")).agg(
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
         cnt.as("cr"))
@@ -2152,19 +2171,71 @@ object TextQueries extends QueryPack {
     // Gumbel by a positive scale (1/ln 2, applied to weights and noise
     // alike) plus a shared additive constant, so the argsort — hence
     // the selected set — is exactly the paper's.
-    "q_sample_dsir" -> ((s, dir) => {
+    "q_sample_dsir" -> ((s, dir) => dsirTopK(s, dir, 100)),
+
+    // DSIR selection-quality evaluation — the paper's distribution-
+    // distance metric (Xie et al. 2023 §5): one row with the KL of the
+    // add-one-smoothed hashed-bigram bucket distributions, in
+    // microbits, from the target to (a) the raw corpus, (b) the
+    // q_sample_dsir top-100, and (c) an EQUAL-SIZE deterministic random
+    // slice. The random baseline is load-bearing: a k-doc empirical
+    // histogram carries ~B/(2N·ln2) bits of finite-sample KL floor
+    // regardless of selection quality, so comparing the slice to the
+    // full-corpus number would misread sampling noise as regression.
+    // MEASURED on this fixture (committed honestly): target ≈ raw at
+    // bucket level (kl_raw ~0.004 bits at sf0.1 — the synthetic
+    // languages share most bigram buckets), so kl_selected and
+    // kl_random land within noise of each other (~0.15-0.17 bits at
+    // k=100); the doc-level target enrichment the operator exists for
+    // is asserted by SelectionSamplingSpec instead. On a real corpus
+    // with divergent sources the same three numbers separate — this
+    // row is the dashboard for that. Plan: histograms are bounded
+    // map-side aggregates (<=B rows); slice histograms are one
+    // semi-join each against a 100-row frame; everything lands on a
+    // literal 1024-bucket spine (absent buckets DO contribute under
+    // add-one smoothing); per-bucket KL terms floor-micro-quantize
+    // before the final 1-row sum (order-free long arithmetic).
+    "q_sample_dsir_eval" -> ((s, dir) => {
       val k = 100
-      def h60(c: Column): Column =
-        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-      val u = ((h60(concat(lit("dsir:"), col("doc_id").cast(StringType)))
-        % lit(1000000L)).cast(DoubleType) + lit(0.5)) / lit(1000000.0)
-      val gum = floor(-log2(-log2(u)) * lit(1000000.0)).cast(LongType)
-      t(s, dir, "documents").select(col("doc_id"), col("lang"))
-        .join(dsirWeights(s, dir), Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("n_feats"), col("w_micro"),
-          (col("w_micro") + gum).as("key_micro"))
-        .orderBy(col("key_micro").desc, col("doc_id"))
-        .limit(k)
+      val feats = dsirFeats(s, dir)
+      val counts = feats.groupBy(col("bucket")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        cnt.as("cr"))
+      val sel = feats.join(dsirTopK(s, dir, k).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .groupBy(col("bucket")).agg(cnt.as("cs"))
+      val rndIds = t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5Long60(concat(lit("rnd:"), col("doc_id").cast(StringType)))
+            .as("rk"))
+        .orderBy(col("rk"), col("doc_id")).limit(k).select(col("doc_id"))
+      val rnd = feats.join(rndIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("bucket")).agg(cnt.as("cn"))
+      val spine = s.range(0, DsirB).select(col("id").as("bucket"))
+      val dense = spine
+        .join(broadcast(counts), Seq("bucket"), "left")
+        .join(broadcast(sel), Seq("bucket"), "left")
+        .join(broadcast(rnd), Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("cs"), lit(0L)).as("cs"),
+          coalesce(col("cn"), lit(0L)).as("cn"))
+      val tot = dense.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+        sum(col("cs")).as("ts"), sum(col("cn")).as("tn"))
+      def p(c: String, total: String): Column =
+        (col(c).cast(DoubleType) + lit(1.0)) /
+          (col(total).cast(DoubleType) + lit(DsirB.toDouble))
+      def klTerm(pa: Column, pb: Column): Column =
+        floor(pa * log2(pa / pb) * lit(1000000.0)).cast(LongType)
+      dense.crossJoin(broadcast(tot)) // 1-row, agg-reduced
+        .select(
+          klTerm(p("ct", "tt"), p("cr", "tr")).as("t_r"),
+          klTerm(p("ct", "tt"), p("cs", "ts")).as("t_s"),
+          klTerm(p("ct", "tt"), p("cn", "tn")).as("t_n"))
+        .agg(sum(col("t_r")).as("kl_target_raw_microbits"),
+          sum(col("t_s")).as("kl_target_selected_microbits"),
+          sum(col("t_n")).as("kl_target_random_microbits"))
     }),
 
     // Stratified EXACT-k sampling: exactly min(k, |stratum|) documents
@@ -3640,6 +3711,89 @@ object TextQueries extends QueryPack {
                   * 1000000.0) AS BIGINT) AS key_micro
          FROM documents d JOIN wts USING (doc_id)
          ORDER BY key_micro DESC, doc_id LIMIT 100""",
+    "q_sample_dsir_eval" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         feats AS (
+           SELECT doc_id, lang,
+                  CAST(CONCAT('0x', SUBSTRING(md5(
+                    CONCAT(w[i], ' ', w[i+1])), 1, 15)) AS BIGINT) % 1024
+                    AS bucket
+           FROM (SELECT doc_id, lang, w,
+                        unnest(range(1, greatest(len(w)-1,0)+1)) AS i
+                 FROM w)),
+         counts AS (
+           SELECT bucket,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct,
+                  CAST(COUNT(*) AS BIGINT) AS cr
+           FROM feats GROUP BY bucket),
+         tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                        CAST(SUM(cr) AS BIGINT) AS tr FROM counts),
+         model AS (
+           SELECT bucket,
+                  CAST(FLOOR(log2(
+                    ((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 1024.0))
+                    / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 1024.0)))
+                    * 1000000.0) AS BIGINT) AS llr_micro
+           FROM counts CROSS JOIN tot),
+         wts AS (
+           SELECT doc_id, CAST(SUM(llr_micro) AS BIGINT) AS w_micro
+           FROM feats JOIN model USING (bucket) GROUP BY doc_id),
+         sel AS (
+           SELECT d.doc_id,
+                  w_micro + CAST(FLOOR(-log2(-log2(
+                    (CAST(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('dsir:',
+                       CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % 1000000 AS DOUBLE) + 0.5) / 1000000.0))
+                    * 1000000.0) AS BIGINT) AS key_micro
+           FROM documents d JOIN wts USING (doc_id)
+           ORDER BY key_micro DESC, d.doc_id LIMIT 100),
+         rnd AS (
+           SELECT doc_id FROM documents
+           ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('rnd:',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id
+           LIMIT 100),
+         shist AS (
+           SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs
+           FROM feats WHERE doc_id IN (SELECT doc_id FROM sel)
+           GROUP BY bucket),
+         rhist AS (
+           SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cn
+           FROM feats WHERE doc_id IN (SELECT doc_id FROM rnd)
+           GROUP BY bucket),
+         spine AS (SELECT unnest(range(0, 1024)) AS bucket),
+         dense AS (
+           SELECT s.bucket, COALESCE(c.ct, 0) AS ct, COALESCE(c.cr, 0) AS cr,
+                  COALESCE(sh.cs, 0) AS cs, COALESCE(rh.cn, 0) AS cn
+           FROM spine s LEFT JOIN counts c ON c.bucket = s.bucket
+                        LEFT JOIN shist sh ON sh.bucket = s.bucket
+                        LEFT JOIN rhist rh ON rh.bucket = s.bucket),
+         tot3 AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                         CAST(SUM(cr) AS BIGINT) AS tr,
+                         CAST(SUM(cs) AS BIGINT) AS ts,
+                         CAST(SUM(cn) AS BIGINT) AS tn FROM dense)
+         SELECT CAST(SUM(CAST(FLOOR(
+                  ((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 1024.0))
+                  * log2(((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 1024.0))
+                    / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 1024.0)))
+                  * 1000000.0) AS BIGINT)) AS BIGINT)
+                  AS kl_target_raw_microbits,
+                CAST(SUM(CAST(FLOOR(
+                  ((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 1024.0))
+                  * log2(((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 1024.0))
+                    / ((CAST(cs AS DOUBLE) + 1.0) / (CAST(ts AS DOUBLE) + 1024.0)))
+                  * 1000000.0) AS BIGINT)) AS BIGINT)
+                  AS kl_target_selected_microbits,
+                CAST(SUM(CAST(FLOOR(
+                  ((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 1024.0))
+                  * log2(((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 1024.0))
+                    / ((CAST(cn AS DOUBLE) + 1.0) / (CAST(tn AS DOUBLE) + 1024.0)))
+                  * 1000000.0) AS BIGINT)) AS BIGINT)
+                  AS kl_target_random_microbits
+         FROM dense CROSS JOIN tot3""",
     "q_text_chunk_windows" ->
       """WITH d AS (
            SELECT doc_id,

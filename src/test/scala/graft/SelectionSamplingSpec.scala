@@ -253,6 +253,25 @@ class SelectionSamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("DSIR eval KLs carry the finite-sample structure, not a pathology") {
+    val dir = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("q_sample_dsir_eval")(spark, dir).head
+    val (raw, sel, rnd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // KL >= 0 up to floor-quantization (each of the 1024 terms loses
+    // < 1 micro)
+    Seq(raw, sel, rnd).foreach(v => assert(v >= -1024L, s"negative KL $v"))
+    // both k-doc slices sit on the same finite-sample noise floor,
+    // far above the full-corpus number (B/(2N ln2) scaling) — and the
+    // selected slice must be WITHIN noise of the random one, not
+    // pathologically concentrated (an all-one-language selection would
+    // blow it past 3x random; the doc-level enrichment the operator
+    // exists for is the separate DSIR spec above)
+    assert(raw < sel && raw < rnd,
+      s"slice KLs below corpus KL: raw=$raw sel=$sel rnd=$rnd")
+    assert(sel < 3 * rnd && rnd < 3 * sel,
+      s"slice KLs not within noise: sel=$sel rnd=$rnd")
+  }
+
   test("CCNet buckets are perplexity-ordered terciles within each lang") {
     val dir = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("q_text_ccnet_buckets")(spark, dir)
