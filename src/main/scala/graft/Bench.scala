@@ -155,7 +155,13 @@ object Bench {
         "q_text_dup_spans",
         // builds the memoized exact-containment verdict frame the
         // exact + sketch rows both probe
-        "q_dedup_containment") ++
+        "q_dedup_containment",
+        // builds the memoized DSIR bucket histogram + weight table
+        // (the two once-per-snapshot artifacts selection/eval probe)
+        "q_sample_dsir",
+        // builds the memoized per-doc bigram-LM score table the
+        // perplexity + ccnet-tercile rows both probe
+        "q_text_lm_perplexity") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

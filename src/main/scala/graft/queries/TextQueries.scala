@@ -463,6 +463,10 @@ object TextQueries extends QueryPack {
     * shared by q_text_lm_perplexity (which derives bits_per_bigram)
     * and q_text_ccnet_buckets (which ECDF-buckets it per language).
     * See the q_text_lm_perplexity registration for semantics.
+    * Memoized per (session, SF): per-doc perplexity is scored once per
+    * corpus snapshot and persisted as a warehouse table in production;
+    * both consumers probe it (the dedupFrame build-once discipline —
+    * un-memoized, ccnet re-ran the full scoring join every time).
     *
     * 60-bit md5 keys for the unigram (h1) and bigram (hb) identities —
     * the q_text_dup_spans discipline: the stream shuffle ships 8-byte
@@ -473,7 +477,10 @@ object TextQueries extends QueryPack {
     * collision inside the corpus is negligible and the exact oracle
     * gate would catch one.
     */
-  private def lmScoreFrame(s: SparkSession, dir: String): DataFrame = {
+  private def lmScoreFrame(s: SparkSession, dir: String): DataFrame =
+    dedupFrame(s, dir, "lm_scores")(lmScoreFrameUncached(s, dir))
+
+  private def lmScoreFrameUncached(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val w = words(col("text"))
     val bigrams = docs.select(col("doc_id"),
@@ -636,12 +643,28 @@ object TextQueries extends QueryPack {
         (tr.cast(DoubleType) + lit(DsirB.toDouble)))) *
       lit(1000000.0)).cast(LongType)
 
-  /** Exploded DSIR feature stream (doc_id, lang, bucket). */
-  private def dsirFeats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(dsirBigramsCol).as("bg"))
+  /** Exploded DSIR feature stream (doc_id, lang, bucket) of an
+    * arbitrary documents frame — take the frame AFTER any doc-level
+    * prune so a k-doc slice explodes k docs, not the corpus.
+    */
+  private def dsirFeatsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(dsirBigramsCol).as("bg"))
       .select(col("doc_id"), col("lang"),
         (md5Long60(col("bg")) % DsirB).as("bucket"))
+
+  /** Per-(session, SF) memoized full-corpus DSIR bucket histogram
+    * (bucket, ct, cr) — <=DsirB rows; the trained model every DSIR
+    * consumer derives from. Production persists this as a warehouse
+    * table once per corpus snapshot (it IS the trained model, modulo
+    * one tiny projection) — the dedupFrame build-once discipline.
+    */
+  private def dsirCounts(s: SparkSession, dir: String): DataFrame =
+    dedupFrame(s, dir, "dsir_counts") {
+      dsirFeatsOf(t(s, dir, "documents"))
+        .groupBy(col("bucket")).agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          cnt.as("cr"))
+    }
 
   /** Deterministic Gumbel top-k over the importance weights — the
     * selection half of q_sample_dsir (see that registration).
@@ -663,21 +686,24 @@ object TextQueries extends QueryPack {
   /** Distributed DSIR per-doc importance weights (doc_id, n_feats,
     * w_micro) — the scoring half of q_sample_dsir (see that
     * registration for the plan/scale notes). Featureless docs (<2
-    * words) carry no weight and are absent.
+    * words) carry no weight and are absent. Memoized per (session,
+    * SF): the weight table is the OTHER once-per-snapshot warehouse
+    * artifact (selection, eval and re-draws all probe it; un-memoized,
+    * q_sample_dsir_eval re-ran the corpus explode five times — 18.5 s
+    * -> probe cost in the r14 bench).
     */
-  private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val feats = dsirFeats(s, dir)
-    val counts = feats.groupBy(col("bucket")).agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-      cnt.as("cr"))
-    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val model = counts.crossJoin(broadcast(tot)) // 1-row, agg-reduced
-      .select(col("bucket"),
-        dsirLlrCol(col("tt"), col("tr")).as("llr_micro"))
-    feats.join(broadcast(model), Seq("bucket"))
-      .groupBy(col("doc_id"))
-      .agg(cnt.as("n_feats"), sum(col("llr_micro")).as("w_micro"))
-  }
+  private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dedupFrame(s, dir, "dsir_weights") {
+      val counts = dsirCounts(s, dir)
+      val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      val model = counts.crossJoin(broadcast(tot)) // 1-row, agg-reduced
+        .select(col("bucket"),
+          dsirLlrCol(col("tt"), col("tr")).as("llr_micro"))
+      dsirFeatsOf(t(s, dir, "documents"))
+        .join(broadcast(model), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_feats"), sum(col("llr_micro")).as("w_micro"))
+    }
 
   /** FROZEN dense DSIR model for the streaming gate: index = bucket,
     * value = llr_micro, absent buckets at the add-one-smoothed default
@@ -689,10 +715,7 @@ object TextQueries extends QueryPack {
   private[graft] def dsirModelArray(s: SparkSession,
                                     dir: String): Array[Long] = {
     import s.implicits._
-    val seen = dsirFeats(s, dir)
-      .groupBy(col("bucket")).agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-        cnt.as("cr"))
+    val seen = dsirCounts(s, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val tt = seen.map(_._2).sum
     val tr = seen.map(_._3).sum
@@ -2197,19 +2220,21 @@ object TextQueries extends QueryPack {
     // before the final 1-row sum (order-free long arithmetic).
     "q_sample_dsir_eval" -> ((s, dir) => {
       val k = 100
-      val feats = dsirFeats(s, dir)
-      val counts = feats.groupBy(col("bucket")).agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-        cnt.as("cr"))
-      val sel = feats.join(dsirTopK(s, dir, k).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
+      val docs = t(s, dir, "documents")
+      val counts = dsirCounts(s, dir)
+      // slice histograms explode AFTER the doc-level semi-join — k docs
+      // each, never the corpus (the corpus-sized passes live in the two
+      // memoized once-per-snapshot artifacts)
+      val sel = dsirFeatsOf(
+          docs.join(dsirTopK(s, dir, k).select(col("doc_id")),
+            Seq("doc_id"), "left_semi"))
         .groupBy(col("bucket")).agg(cnt.as("cs"))
-      val rndIds = t(s, dir, "documents")
+      val rndIds = docs
         .select(col("doc_id"),
           md5Long60(concat(lit("rnd:"), col("doc_id").cast(StringType)))
             .as("rk"))
         .orderBy(col("rk"), col("doc_id")).limit(k).select(col("doc_id"))
-      val rnd = feats.join(rndIds, Seq("doc_id"), "left_semi")
+      val rnd = dsirFeatsOf(docs.join(rndIds, Seq("doc_id"), "left_semi"))
         .groupBy(col("bucket")).agg(cnt.as("cn"))
       val spine = s.range(0, DsirB).select(col("id").as("bucket"))
       val dense = spine
