@@ -46,6 +46,16 @@ object HorizonAgg {
     *   aggregate is evaluated over the horizon frame (count/sum/min/
     *   max/avg — anything `.over`-able). Output columns keep the
     *   aggregate's natural type; cast/coalesce downstream.
+    *
+    * NULL handling matches the join-predicate semantics (`b.k = a.k
+    * AND b.t > a.t AND b.t <= a.t + H` never matches through a NULL):
+    * a row with a NULL key or NULL time stays in the output with NULL
+    * aggregate columns (coalesce downstream for count-like zeros) and
+    * contributes to NO other row's frame — window partitionBy would
+    * otherwise group NULL keys together like GROUP BY and invent
+    * matches the join form does not have. Such rows are quarantined
+    * into a sentinel cell (-1 is unreachable for valid rows: cells are
+    * non-negative) so they cannot pollute a valid partition.
     */
   def forward(df: DataFrame, keys: Seq[String], timeMicros: String,
               horizonMicros: Long,
@@ -59,25 +69,35 @@ object HorizonAgg {
       s"__-prefixed columns are reserved: ${reserved.mkString(", ")}")
     val h = horizonMicros
     val c = 2 * h
-    val cellA = expr(s"$timeMicros div ${c}L")
-    val cellB = expr(s"($timeMicros + ${h}L) div ${c}L")
-    val condA = cellA === expr(s"($timeMicros + ${h}L) div ${c}L")
-    val condB = cellB === expr(s"($timeMicros + ${2 * h}L) div ${c}L")
-    def win(cell: String) = Window
-      .partitionBy(keys.map(col) :+ col(cell): _*)
+    val valid = keys.map(col(_).isNotNull).reduce(_ && _) &&
+      col(timeMicros).isNotNull
+    def cell(shift: Long) =
+      when(valid, expr(s"($timeMicros + ${shift}L) div ${c}L"))
+        .otherwise(lit(-1L))
+    val cellA = cell(0)
+    val cellB = cell(h)
+    // the cover invariant, stated on the cells themselves: grid A
+    // contains (t, t+H] iff t and t+H share an A cell; grid B iff the
+    // H-shifted pair shares a B cell (cell(2h) is cellB of t+H)
+    val condA = cellA === cellB
+    val condB = cellB === cell(2 * h)
+    def win(cellName: String) = Window
+      .partitionBy(keys.map(col) :+ col(cellName): _*)
       .orderBy(col(timeMicros)).rangeBetween(1L, h)
     val base = df.withColumn("__cellA", cellA).withColumn("__cellB", cellB)
     val withAggs = aggs.foldLeft(base) { case (d, (name, a)) =>
       d.withColumn(s"__${name}_a", a.over(win("__cellA")))
         .withColumn(s"__${name}_b", a.over(win("__cellB")))
     }
-    val guarded = withAggs.where(coalesce(assert_true(condA || condB,
+    val guarded = withAggs.where(coalesce(assert_true(!valid ||
+      condA || condB,
       lit("HorizonAgg: neither grid cell contains the horizon window — " +
         "the two-grid cover invariant is broken (negative time?)")),
       lit(true)))
     val out = aggs.foldLeft(guarded) { case (d, (name, _)) =>
       d.withColumn(name,
-        when(condA, col(s"__${name}_a")).otherwise(col(s"__${name}_b")))
+        when(!valid, lit(null))
+          .when(condA, col(s"__${name}_a")).otherwise(col(s"__${name}_b")))
     }
     out.drop(aggs.flatMap { case (n, _) => Seq(s"__${n}_a", s"__${n}_b") }
       ++ Seq("__cellA", "__cellB"): _*)

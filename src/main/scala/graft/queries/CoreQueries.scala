@@ -234,7 +234,9 @@ object CoreQueries extends QueryPack {
           "n_raw" -> count(col("event_id")),
           "v_raw" -> sum(col("value").cast(DecimalType(18, 2)))))
         .select(col("event_id"), col("event_type"),
-          col("n_raw").cast(LongType).as("n_next_hour"),
+          // coalesce mirrors the pair join: no matches (including the
+          // NULL-key/NULL-time quarantine rows) count 0 and sum 0
+          coalesce(col("n_raw"), lit(0L)).cast(LongType).as("n_next_hour"),
           coalesce(col("v_raw"), lit(0).cast(DecimalType(18, 2)))
             .cast(DoubleType).as("value_next_hour"))
     }),

@@ -604,8 +604,13 @@ object TextQueries extends QueryPack {
           .otherwise(expr("(1000000 * below_m) div n_part"))
           .cast(LongType))
       .withColumn("known_source", col("n_part").isNotNull)
+      // the verdict is NEVER null: an unscorable doc (null text ⇒ null
+      // score ⇒ null pct) gets an explicit keep=false quarantine — a
+      // null boolean would vanish from BOTH filter(keep) and
+      // filter(!keep), the silent loss this gate exists to prevent
       .withColumn("calibrated_keep",
-        col("known_source") && col("pct_rank_micro") >= lit(200000L))
+        coalesce(col("known_source") &&
+          col("pct_rank_micro") >= lit(200000L), lit(false)))
       .select(col("doc_id"), col("source"), col("score_milli"),
         col("pct_rank_micro"), col("known_source"), col("calibrated_keep"))
   }

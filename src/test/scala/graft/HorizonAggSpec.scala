@@ -42,6 +42,26 @@ class HorizonAggSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("NULL keys and NULL times quarantine like the join predicate") {
+    import spark.implicits._
+    val h = 100L
+    // two NULL-key rows within h of each other: the join predicate
+    // k = k never matches through NULL, so they must NOT see each other
+    // (window partitionBy alone would group them); a NULL-time row must
+    // yield a NULL aggregate, not crash the in-plan cover assert
+    val rows: Seq[(Option[String], Option[Long], Long)] = Seq(
+      (Some("x"), Some(10L), 1L), (Some("x"), Some(50L), 2L),
+      (None, Some(20L), 3L), (None, Some(30L), 4L),
+      (Some("x"), None, 5L), (Some("y"), Some(10L), 6L))
+    val got = HorizonAgg.forward(rows.toDF("k", "t", "v"), Seq("k"), "t", h,
+      Seq("n" -> count(lit(1))))
+      .select(col("v"), col("n"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 0L, 3L -> -1L, 4L -> -1L,
+      5L -> -1L, 6L -> 0L))
+  }
+
   test("window form equals the pair-join form row-for-row") {
     val dir = "/root/testdata/sf0.01"
     def canon(name: String) =

@@ -285,17 +285,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // slice that has real text)
     val novel = (900001L, "src_never_seen", "the quick brown fox")
     val unseenBucket = (900002L, docs.head._2, "")
+    val nullText: (Long, String, String) = (900003L, docs.head._2, null)
     val ms = MemoryStream[(Long, String, String)]
     val q = StreamingJobs.calibratedGateStream(
       ms.toDF().toDF("doc_id", "source", "text"), model)
       .writeStream.format("memory").queryName("calib_gate")
       .outputMode("append").start()
     try {
-      ms.addData(docs.toSeq :+ novel :+ unseenBucket)
+      ms.addData(docs.toSeq :+ novel :+ unseenBucket :+ nullText)
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("calib_gate").collect().map { r =>
-      r.getLong(0) -> (r.getString(1), r.getLong(2),
+      r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
         if (r.isNullAt(3)) null else Long.box(r.getLong(3)),
         r.getBoolean(4), r.getBoolean(5))
     }.toMap
@@ -324,6 +326,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       if (eqCnt > 0) 1000000L * (2 * below + eqCnt + 1) / (2 * srcDocs.size)
       else 1000000L * below / srcDocs.size
     assert(uPct === Long.box(expected), s"unseen-bucket ECDF wrong: $uPct")
+    // unscorable doc (null text, known source): the verdict must be an
+    // explicit false, never a null that vanishes from both filters
+    val (_, _, zPct, zKnown, zKeep) = got(900003L)
+    assert(zPct === null && zKnown && zKeep === false,
+      s"null-text verdict wrong: pct=$zPct known=$zKnown keep=$zKeep")
   }
 
   test("streaming PII scrub equals the batch redaction kernel") {
