@@ -615,6 +615,23 @@ object TextQueries extends QueryPack {
         col("pct_rank_micro"), col("known_source"), col("calibrated_keep"))
   }
 
+  /** Frozen-vocab BPE encode frame (doc_id, n_tokens, enc_md5) of an
+    * arbitrary documents frame — ONE builder shared by the batch row
+    * (q_text_bpe_encode) and the streaming face
+    * (StreamingJobs.bpeEncodeStream), so the two cannot drift.
+    * Map-only through the native BpeEncodeDelim kernel with the
+    * committed vocabulary: zero shuffles at any scale or rate.
+    */
+  private[graft] def bpeEncodeFrameOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.BpeFunctions.bpeEncodeDelim(
+          col("text"), graft.operators.BpeVocab.merges).as("enc"))
+      .select(col("doc_id"),
+        ((length(col("enc")) - length(translate(col("enc"), "|", "")))
+          .cast(LongType) / lit(2L)).cast(LongType).as("n_tokens"),
+        md5(col("enc")).as("enc_md5"))
+
   /** DSIR feature-space size (hashed-bigram buckets) — small enough
     * that the frozen model is metadata-plane (<=1024 longs), large
     * enough that the fixture's bigram vocabulary spreads (Xie et al.
@@ -1248,16 +1265,8 @@ object TextQueries extends QueryPack {
     // single forward scans — provably the same greedy non-overlapping
     // rewrite), and n_tokens/md5 derive from the rendering by pure
     // string ops on both engines.
-    "q_text_bpe_encode" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.functions.BpeFunctions.bpeEncodeDelim(
-            col("text"), graft.operators.BpeVocab.merges).as("enc"))
-        .select(col("doc_id"),
-          ((length(col("enc")) - length(translate(col("enc"), "|", "")))
-            .cast(LongType) / lit(2L)).cast(LongType).as("n_tokens"),
-          md5(col("enc")).as("enc_md5"))
-    }),
+    "q_text_bpe_encode" -> ((s, dir) =>
+      bpeEncodeFrameOf(t(s, dir, "documents"))),
 
     // Corpus token accounting per source with the SAME frozen vocab —
     // the budgeting face of the encoder (feeds q_sample_token_budget:

@@ -462,6 +462,20 @@ object StreamingJobs {
   def calibratedGateStream(docs: DataFrame, model: DataFrame): DataFrame =
     graft.queries.TextQueries.calibratedScoreFrameOf(docs, model)
 
+  /** Streaming frozen-vocab BPE encode — the streaming face of
+    * q_text_bpe_encode: each arriving document encodes map-only
+    * through the native BpeEncodeDelim kernel with the COMMITTED
+    * vocabulary (the ONE shared builder, TextQueries.bpeEncodeFrameOf,
+    * so stream and batch token counts cannot drift). Zero shuffles,
+    * zero state, append at any rate — live token accounting for a
+    * landing feed (the per-batch face of q_text_bpe_token_stats'
+    * budgeting role). Vocabulary changes are a redeploy: tokens must
+    * mean the same thing across the whole corpus, so an online-mutating
+    * vocab would be wrong, not just stale (the DSIR-model argument).
+    */
+  def bpeEncodeStream(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.bpeEncodeFrameOf(docs)
+
   /** Streaming duplicated-window marking — the streaming face of the
     * span plane: each arriving document's word-8-gram windows (the
     * shared TextQueries.windowPositionsOf builder, so stream and batch

@@ -333,6 +333,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"null-text verdict wrong: pct=$zPct known=$zKnown keep=$zKeep")
   }
 
+  test("streaming BPE encode equals the batch row per document") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").na.fill("", Seq("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingJobs.bpeEncodeStream(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpe_enc")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bpe_enc")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    val want = SparkEntry.queries("q_text_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got === want)
+    assert(want.values.map(_._1).sum > 0, "no tokens — vacuous")
+  }
+
   test("streaming PII scrub equals the batch redaction kernel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
