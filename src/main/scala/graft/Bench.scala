@@ -85,7 +85,8 @@ object Bench {
     "q_text_chunk_hash_embed", "q_agg_robust_outliers",
     // r14 second wave: tracked from day one
     "q_sample_dsir", "q_text_quality_calibrated", "q_join_range_window",
-    "q_text_ccnet_buckets", "q_sample_dsir_eval")
+    "q_text_ccnet_buckets", "q_sample_dsir_eval",
+    "q_window_trailing_scalable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -13,6 +13,23 @@ import org.apache.spark.sql.types._
   */
 object WindowQueries extends QueryPack {
 
+  /** One oracle for both trailing-window forms (whole-key-window
+    * q_window_trailing_range and two-grid-cell
+    * q_window_trailing_scalable): the forms must hash-match each other
+    * through it.
+    */
+  private val trailingRangeOracle =
+    """SELECT o_custkey, o_orderkey,
+                CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                  AS epoch_day,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS trailing30_sales
+         FROM orders"""
+
   val queries: Map[String, Q] = Map(
     // W1: ROW_NUMBER dedup-keep-latest (latest order per customer).
     // Ref: tools.load_crm_cust_info_v1.sql:102-112
@@ -105,6 +122,29 @@ object WindowQueries extends QueryPack {
             .cast(DoubleType).as("trailing30_sales"))
     }),
 
+    // The hot-key production form of q_window_trailing_range: identical
+    // semantics, but the trailing frame runs inside (custkey, time-cell)
+    // partitions over HorizonAgg's two offset grids, so a customer who
+    // is 40% of a 100 TB fact table spreads across its time cells
+    // instead of landing one whole-history window task (the
+    // q_join_asof_epoch argument, for RANGE frames). Same oracle as
+    // q_window_trailing_range — the two forms must hash-match
+    // through it.
+    "q_window_trailing_scalable" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .withColumn("epoch_day",
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast(LongType))
+        .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+          col("o_totalprice"))
+      graft.operators.HorizonAgg.backward(base, Seq("o_custkey"),
+          "epoch_day", horizonMicros = 30L,
+          aggs = Seq("t30" ->
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))))
+        .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+          col("t30").cast(DoubleType).as("trailing30_sales"))
+    }),
+
     // W6 + P6 + O2: RANK top-3 parts per brand by exact revenue.
     // Ref: materialized_view.sql:57-76
     "q_window_topk_per_group" -> ((s, dir) => {
@@ -183,17 +223,10 @@ object WindowQueries extends QueryPack {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS running_sales
          FROM orders""",
-    "q_window_trailing_range" ->
-      """SELECT o_custkey, o_orderkey,
-                CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-                  AS epoch_day,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-                  PARTITION BY o_custkey
-                  ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
-                    AS BIGINT)
-                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
-                  AS trailing30_sales
-         FROM orders""",
+    "q_window_trailing_range" -> trailingRangeOracle,
+    // identical contract on purpose: the whole-key-window and
+    // two-grid-cell forms must agree through one oracle
+    "q_window_trailing_scalable" -> trailingRangeOracle,
     "q_window_topk_per_group" ->
       """WITH revenue AS (
            SELECT p_brand, p_partkey,

@@ -75,6 +75,49 @@ class HorizonAggSpec extends AnyFunSuite with SparkTestBase {
     assert(win.values.exists(_._1 > 0L), "no matches anywhere — vacuous")
   }
 
+  test("backward boundary torture matches a brute-force recompute") {
+    import spark.implicits._
+    val h = 100L // trailing cells are width 202, offset 101
+    // alignment classes around both trailing grids' boundaries —
+    // including t < h (negative clamp truncation), exact multiples of
+    // h+1 (the combined boundary lattice) and ties
+    val times = Seq(0L, 1L, 50L, 100L, 101L, 102L, 150L, 201L, 202L,
+      203L, 252L, 302L, 303L, 303L, 403L, 404L, 500L, 505L, 606L)
+    val rows = for {
+      k <- Seq("x", "y"); (t, i) <- times.zipWithIndex
+    } yield (k, t, i.toLong + (if (k == "x") 0L else 1000L))
+    val df = rows.toDF("k", "t", "v")
+    val got = HorizonAgg.backward(df, Seq("k"), "t", h,
+      Seq("n" -> count(lit(1)), "sv" -> sum(col("v"))))
+      .select(col("k"), col("t"), col("v"), col("n").cast("long"),
+        coalesce(col("sv"), lit(0L)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got.size === rows.size)
+    rows.foreach { case (k, t, v) =>
+      val in = rows.filter { case (k2, t2, _) =>
+        k2 == k && t2 >= t - h && t2 <= t }
+      assert(got((k, t, v)) === (in.size.toLong, in.map(_._3).sum),
+        s"mismatch at ($k, $t)")
+    }
+  }
+
+  test("scalable trailing form equals the whole-key-window form") {
+    val dir = "/root/testdata/sf0.01"
+    def canon(name: String) =
+      SparkEntry.queries(name)(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+    val scalable = canon("q_window_trailing_scalable")
+    val window = canon("q_window_trailing_range")
+    assert(scalable.size === window.size)
+    assert(scalable === window)
+    // non-vacuous: some customer must have a multi-order trailing frame
+    val single = SparkEntry.queries("q_window_trailing_scalable")(spark, dir)
+      .collect()
+    assert(single.map(_.getDouble(3)).distinct.length > 1)
+  }
+
   test("window form plans no self-join of the event stream") {
     val plan = SparkEntry.queries("q_join_range_window")(
       spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
