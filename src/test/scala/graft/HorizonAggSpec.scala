@@ -113,9 +113,7 @@ class HorizonAggSpec extends AnyFunSuite with SparkTestBase {
     assert(scalable.size === window.size)
     assert(scalable === window)
     // non-vacuous: some customer must have a multi-order trailing frame
-    val single = SparkEntry.queries("q_window_trailing_scalable")(spark, dir)
-      .collect()
-    assert(single.map(_.getDouble(3)).distinct.length > 1)
+    assert(scalable.values.map(_._2).toSeq.distinct.length > 1)
   }
 
   test("window form plans no self-join of the event stream") {
