@@ -109,6 +109,15 @@ object GraftExtensions {
           val usage = "top_ngram_count(words_array, n)"
           arity("top_ngram_count", usage, args, 2, 2)
           TopNgramCount(args(0), intArg("top_ngram_count", usage, args(1)))
+        }),
+      // damerau_levenshtein(a, b) — unrestricted DL distance, DuckDB-
+      // compatible byte semantics (graft.functions.StringDistance)
+      (new FunctionIdentifier("damerau_levenshtein"),
+        new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+          "damerau_levenshtein"),
+        (args: Seq[Expression]) => {
+          arity("damerau_levenshtein", "damerau_levenshtein(a, b)", args, 2, 2)
+          DamerauLevenshtein(args(0), args(1))
         }))
 
   def install(spark: SparkSession): Unit =
