@@ -93,7 +93,10 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == StringType && right.dataType == StringType)
+    // isInstanceOf, not ==: Spark 4 string columns may carry a non-default
+    // collation; the byte-level kernel is collation-agnostic.
+    if (left.dataType.isInstanceOf[StringType] &&
+        right.dataType.isInstanceOf[StringType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

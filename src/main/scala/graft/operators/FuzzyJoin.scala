@@ -47,6 +47,14 @@ object FuzzyJoin {
     */
   val DefaultMaxBucket = 10000
 
+  /** One side's exploded deletion-variant stream: the input rows, each
+    * repeated once per variant, keyed by the 8-byte variant hash.
+    */
+  private def side(df: DataFrame, strCol: String, maxDist: Int): DataFrame =
+    df.withColumn("__vh",
+      explode(deletionVariants(col(strCol), maxDist)))
+      .withColumn("__vh", xxhash64(col("__vh")))
+
   /** Deletion neighborhood of `s` up to depth `d`: `s` itself plus every
     * string reachable by deleting at most `d` characters. Distinct,
     * computed entirely with codegen collection functions.
@@ -63,7 +71,7 @@ object FuzzyJoin {
                       x.substr(i + 1, length(x)))))
     var v = array(s)
     (1 to d).foreach { _ =>
-      v = array_distinct(concat(v, flatten(transform(v, del1))))
+      v = array_distinct(concat(v, flatten(transform(v, x => del1(x)))))
     }
     v
   }
@@ -81,19 +89,22 @@ object FuzzyJoin {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column collision across sides: $overlap")
-
-    def side(df: DataFrame, strCol: String): DataFrame =
-      df.withColumn("__vh",
-        explode(deletionVariants(col(strCol), maxDist)))
-        .withColumn("__vh", xxhash64(col("__vh")))
+    val reserved = Set("__vh", "dist", "__rn")
+    val clobbered =
+      (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
+    require(clobbered.isEmpty,
+      s"inputs must not contain reserved internal columns: $clobbered")
 
     // Loud hot-bucket guard: count distinct strings per variant hash on
     // each side; any bucket over the cap fails the query at execution
     // (assert_true), never silently drops candidates. The guard frames
     // aggregate the already-exploded variant stream — one extra
     // count-distinct shuffle each, on data the join shuffles anyway.
+    // The exploded frame is persisted so the guard aggregation and the
+    // blocking join share one explode/hash pass (same discipline as
+    // JaccardPrefixJoin's shingle cache).
     def guarded(df: DataFrame, strCol: String, sideName: String): DataFrame = {
-      val v = side(df, strCol)
+      val v = side(df, strCol, maxDist).persist()
       val sizes = v.groupBy(col("__vh"))
         .agg(countDistinct(col(strCol)).as("__bsz"))
         .where(coalesce(assert_true(col("__bsz") <= lit(maxBucket),
@@ -137,9 +148,7 @@ object FuzzyJoin {
     * the observability twin of the loud guard, for capacity planning.
     */
   def maxBucketSize(df: DataFrame, strCol: String, maxDist: Int): Long = {
-    val v = df.withColumn("__vh",
-      explode(deletionVariants(col(strCol), maxDist)))
-      .withColumn("__vh", xxhash64(col("__vh")))
+    val v = side(df, strCol, maxDist)
     val top = v.groupBy(col("__vh"))
       .agg(countDistinct(col(strCol)).cast(LongType).as("n"))
       .agg(max(col("n")).as("m"))

@@ -55,14 +55,22 @@ object PageRank {
       require(n > 0, "PageRank: empty graph")
       val r0 = Scale / n
       val tp = 15L * r0 / 100L
-      var ranks = deg.select(col("node"), lit(r0).as("r"))
+      // The node spine: every node (deg requires each to appear as src).
+      // Each round's aggregation only yields rows for nodes with IN-edges;
+      // left-joining the shares back onto the spine keeps zero-in-degree
+      // nodes (out-edges only — ubiquitous in crawl graphs) in the frame
+      // at rank = teleport, so their outgoing contributions survive into
+      // the next round instead of silently vanishing.
+      val spine = deg.select(col("node")).localCheckpoint()
+      var ranks = spine.select(col("node"), lit(r0).as("r"))
       (1 to iters).foreach { _ =>
-        ranks = ewd.join(ranks, ewd("src") === ranks("node"))
+        val shares = ewd.join(ranks, ewd("src") === ranks("node"))
           .select(col("dst"), expr("r div deg").as("share"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("share")).as("s"))
+        ranks = spine.join(shares, Seq("node"), "left")
           .select(col("node"),
-            (lit(tp) + expr("(85 * s) div 100")).as("r"))
+            (lit(tp) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
           .localCheckpoint()
       }
       ranks.select(col("node"), col("r").as("rank_scaled"))
