@@ -892,6 +892,14 @@ object TextQueries extends QueryPack {
   private[graft] val QTermRowBytes = 48L
   private[graft] val RelRowBytes = 24L
 
+  /** Fixed query-sample size for the retrieval-eval protocol: the k
+    * docs with the smallest md5 sample hash. Pinning |Q| (instead of a
+    * %-of-corpus set) keeps the row LINEAR in the corpus — the measured
+    * r14 cost was |Q| x candidates ~ corpus^2/10 (13.8x at a 10x data
+    * step); with |Q| fixed only the tf aggregate scales.
+    */
+  private[graft] val RetrievalQuerySample = 256
+
   private def broadcastThresholdBytes(s: SparkSession): Long = {
     val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     // accepts "10MB"-style suffixed values; plain "-1" (disabled) falls
@@ -2474,35 +2482,39 @@ object TextQueries extends QueryPack {
         .limit(100)
     }),
 
-    // Ranked-retrieval evaluation (self-retrieval protocol): a 10%
-    // md5-selected query set, each query = tokens 5..12 of its source
-    // document, relevant doc = the source itself; BM25-score every
-    // candidate (same quantized rational-idf core as q_text_bm25, so
-    // the sum is order-free and engine-exact) and report, per query,
+    // Ranked-retrieval evaluation (self-retrieval protocol): a FIXED-
+    // SIZE query sample — the 256 docs with the smallest md5 sample
+    // hash (deterministic on both engines; a distributed TakeOrdered
+    // top-k, never a corpus sort) — each query = tokens 5..12 of its
+    // source document, relevant doc = the source itself; BM25-score
+    // every candidate (same quantized rational-idf core as q_text_bm25,
+    // so the sum is order-free and engine-exact) and report, per query,
     // the relevant doc's rank, its reciprocal rank in micro-units, and
-    // hit@10 — the inputs to corpus-level MRR / recall@k. The rank is
-    // computed WITHOUT a per-query window: join each candidate list to
-    // its query's relevant-doc score (a |Q|-row frame) and COUNT the
+    // hit@10 — the inputs to corpus-level MRR / recall@k. The fixed
+    // sample is the scale decision: a %-of-corpus query set made total
+    // work |Q|x|candidates| ~ corpus^2/10 (measured 13.8x at a 10x data
+    // step, r14g); with |Q| pinned the row is linear in the corpus (the
+    // tf aggregate) like every other scoring row. The rank is computed
+    // WITHOUT a per-query window: join each candidate list to its
+    // query's relevant-doc score (a |Q|-row frame) and COUNT the
     // dominators under the (score DESC, doc_id ASC) order — one
     // map-side filter + one aggregate, so a hot query term (a stopword
     // landing in the slice) inflates a candidate COUNT, never a
-    // single-task sort. The query-side frames (qterms, dfT, rel) all
-    // scale with the QUERY SET — here 10% of the corpus — so each ships
-    // through the cost-based shipAuto pick (est rows = 0.1 x metadata
-    // doc count x <=8 terms vs the session broadcast threshold):
-    // broadcast at test SFs (the plan the pins expect), shuffle join
-    // when a corpus-sized query set would stall the driver. The only
-    // corpus shuffles are the per-(doc,term) tf aggregate and the
-    // per-(query,doc) score aggregate.
+    // single-task sort. The query-side frames (qterms, dfT, rel) are
+    // now all O(|Q|) and broadcast outright.
     "q_text_retrieval_eval" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // memoized doc count sizing the shipAuto estimates below
-      val nQEst = math.max(nDocEst(s, dir) / 10L, 1L)
-      val isQuery = conv(substring(md5(concat(lit("rq:"),
+      val qh = conv(substring(md5(concat(lit("rq:"),
         col("doc_id").cast(StringType))), 1, 15), 16, 10)
-        .cast(LongType) % 100 < 10
-      val qdocs = docs.where(isQuery)
+        .cast(LongType)
+      val qids = docs
+        .select(col("doc_id").as("query_id"), qh.as("qh"))
+        .orderBy(col("qh"), col("query_id"))
+        .limit(RetrievalQuerySample)
+        .select(col("query_id"))
+      val qdocs = docs
         .select(col("doc_id").as("query_id"), words(col("text")).as("w"))
+        .join(broadcast(qids), Seq("query_id"), "leftsemi")
       val qterms = qdocs
         .select(col("query_id"), explode(slice(col("w"), 5, 8)).as("term"))
         .distinct()
@@ -2510,8 +2522,8 @@ object TextQueries extends QueryPack {
         size(words(col("text"))).cast(LongType).as("dl"))
       val tf = docs
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
-        .join(shipAuto(s, qterms.select(col("term")).distinct(),
-          nQEst * 8L, QTermRowBytes), Seq("term"), "leftsemi")
+        .join(broadcast(qterms.select(col("term")).distinct()),
+          Seq("term"), "leftsemi")
         .groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
       val dfT = tf.groupBy(col("term")).agg(cnt.as("df_t"))
       val corpus = dl.agg(cnt.as("big_n"), sum(col("dl")).as("sum_dl"))
@@ -2531,9 +2543,8 @@ object TextQueries extends QueryPack {
       // explicit localCheckpoint only added an extra materialization
       // pass — measured r13 at sf0.1: 11.8 s checkpointed vs 11.5 s
       // declarative. Keep the plan declarative and AQE-replannable.
-      val scored = tf.join(shipAuto(s, qterms, nQEst * 8L, QTermRowBytes),
-          "term")
-        .join(shipAuto(s, dfT, nQEst * 8L, QTermRowBytes), "term")
+      val scored = tf.join(broadcast(qterms), "term")
+        .join(broadcast(dfT), "term")
         .join(dl, "doc_id")
         .crossJoin(broadcast(corpus)) // 1-row, aggregate-reduced
         .select(col("query_id"), col("doc_id"), contrib.as("contrib_q"))
@@ -2541,8 +2552,7 @@ object TextQueries extends QueryPack {
         .agg(sum(col("contrib_q")).as("score_q"))
       val rel = scored.where(col("doc_id") === col("query_id"))
         .select(col("query_id"), col("score_q").as("rel_score"))
-      val beats = scored.join(shipAuto(s, rel, nQEst, RelRowBytes),
-          "query_id")
+      val beats = scored.join(broadcast(rel), "query_id")
         .where(col("score_q") > col("rel_score") ||
           (col("score_q") === col("rel_score") &&
             col("doc_id") < col("query_id")))
@@ -4009,12 +4019,16 @@ object TextQueries extends QueryPack {
          LIMIT 100""",
     // same quantized BM25 core; rank-of-relevant via dominator count
     "q_text_retrieval_eval" ->
-      """WITH qdocs AS (
+      """WITH qids AS (
+           SELECT doc_id AS query_id
+           FROM documents
+           ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('rq:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id
+           LIMIT 256),
+         qdocs AS (
            SELECT doc_id AS query_id,
                   regexp_split_to_array(trim(text), '\s+') AS w
-           FROM documents
-           WHERE CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('rq:',
-                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 10),
+           FROM documents JOIN qids ON doc_id = query_id),
          qterms AS (
            SELECT DISTINCT query_id, term
            FROM (SELECT query_id, unnest(w[5:12]) AS term FROM qdocs)),

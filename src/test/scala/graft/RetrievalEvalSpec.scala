@@ -1,5 +1,6 @@
 package graft
 
+import graft.queries.TextQueries
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -34,44 +35,24 @@ class RetrievalEvalSpec extends AnyFunSuite with SparkTestBase {
       "every query hits @10 — metric saturated, fixture too easy")
   }
 
-  test("every query doc gets a verdict row") {
-    // the md5 gate selects ~10% of 500 docs; the output must cover
-    // exactly that set, misses included
-    val n = out.count()
-    assert(n > 30L && n < 80L, s"query-set size $n outside expected band")
+  test("every query doc gets a verdict row, and the sample size is fixed") {
+    // the protocol takes the 256 smallest-hash docs as queries; the
+    // output must cover exactly that set, misses included. A fixed |Q|
+    // (never a %-of-corpus set) is what keeps the row linear in the
+    // corpus — this assertion pins it.
+    assert(out.count() === TextQueries.RetrievalQuerySample.toLong)
   }
 
-  test("shipAuto: broadcast under the budget, shuffle join above it") {
-    // the query-side frames (qterms, dfT, rel) scale with the query set
-    // (10% of the corpus) — an unconditional broadcast() hint would
-    // override the session threshold and stall the driver at 100x data.
-    // shipAuto must keep the broadcast plan under the default budget
-    // (the shape the PLANS.md pin expects) and fall back to shuffle
-    // joins when the estimate exceeds it; rows must be identical.
-    val small = "/root/testdata/sf0.001"
-    def physPlan(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), Option(r.get(1)),
-        r.getLong(2), r.getBoolean(3))).toSet
-
-    // default 10 MB budget: every equi-join side fits -> broadcast hash
-    val hinted = SparkEntry.queries("q_text_retrieval_eval")(spark, small)
-    assert(physPlan(hinted).contains("BroadcastHashJoin"),
-      "under the budget the query-side frames should broadcast")
-    val expected = rows(hinted)
-
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      // below any frame's estimate: ALL equi-joins must demote (the
-      // 1-row corpus stats crossJoin legitimately stays a broadcast
-      // nested-loop — it is aggregate-reduced, not corpus-scaling)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
-      val demoted = SparkEntry.queries("q_text_retrieval_eval")(spark, small)
-      assert(!physPlan(demoted).contains("BroadcastHashJoin"),
-        "shipAuto kept a broadcast hint past the budget")
-      assert(rows(demoted) === expected, "fallback changed the metrics")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  test("query-side frames broadcast (bounded by the fixed sample)") {
+    // with |Q| pinned at 256, every query-side frame (qids, qterms,
+    // dfT, rel) is bounded by |Q| x the 8-token slice regardless of
+    // corpus size, so the plan must broadcast them — a shuffle join on
+    // a few-KB frame would add corpus-sized exchanges for nothing
+    val df = SparkEntry.queries("q_text_retrieval_eval")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      "query-side frames should broadcast-join the corpus")
   }
 }
