@@ -86,7 +86,10 @@ object Bench {
     // r14 second wave: tracked from day one
     "q_sample_dsir", "q_text_quality_calibrated", "q_join_range_window",
     "q_text_ccnet_buckets", "q_sample_dsir_eval",
-    "q_window_trailing_scalable")
+    "q_window_trailing_scalable",
+    // r15 rows: tracked from day one
+    "q_dedup_fuzzy_join", "q_dedup_fuzzy_cluster", "q_graph_pagerank",
+    "q_text_fuzzy_distance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

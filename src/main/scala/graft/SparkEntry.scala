@@ -20,6 +20,7 @@ object SparkEntry {
     SimQueries,
     IoQueries,
     QaQueries,
+    GraphQueries,
     MergeQueries,
     PipelineQueries,
     MultimodalQueries)

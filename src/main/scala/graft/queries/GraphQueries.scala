@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.operators.{ConnectedComponents, FuzzyJoin, PageRank}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Entity-resolution and link-graph operators — the record-linkage face
+  * of the reference's duplicate detection (scripts/validate_row.py:172-173
+  * generalized from exact-key to near-key matching) plus the crawl-graph
+  * scoring a pretraining pipeline applies to host links:
+  *
+  *  - q_dedup_fuzzy_join     — SymSpell deletion-blocked edit-distance
+  *                             join (operators/FuzzyJoin): lossless
+  *                             candidates, exact levenshtein post-filter.
+  *  - q_dedup_fuzzy_cluster  — the fuzzy pairs composed into transitive
+  *                             entity clusters via the O(log n)
+  *                             star-contraction components operator.
+  *  - q_graph_pagerank       — fixed-iteration integer-lattice PageRank
+  *                             (operators/PageRank) over a host link
+  *                             graph; hosts 7..19 have out-edges only,
+  *                             so the row itself exercises the
+  *                             zero-in-degree spine path.
+  *  - q_text_fuzzy_distance  — the SQL-registered damerau_levenshtein
+  *                             kernel beside the built-in levenshtein
+  *                             (the transposition delta is visible on
+  *                             reversed strings: dl("ab","ba")=1, lev=2).
+  *
+  * Scale notes: the fuzzy join runs on the DISTINCT key frame (64 names
+  * here; vocabulary-sized, not corpus-sized, at any SF — near-key
+  * matching on raw rows would square duplicate keys for nothing), the
+  * components contraction is O(log n) shuffle rounds, and PageRank is
+  * one edge-list join + one aggregation per fixed iteration.
+  */
+object GraphQueries extends QueryPack {
+
+  private val FuzzyDist = 2
+  private val PageRankIters = 5
+
+  /** Distinct part names, renamed for the two sides of the self fuzzy
+    * join (FuzzyJoin requires disjoint column names across sides).
+    */
+  private def nameSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val names = t(s, dir, "part").select(col("p_name")).distinct()
+    (names.select(col("p_name").as("name_a")),
+      names.select(col("p_name").as("name_b")))
+  }
+
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = nameSides(s, dir)
+    // a < b keeps one row per unordered pair (the join emits both
+    // orientations of a symmetric relation)
+    FuzzyJoin.join(l, r, "name_a", "name_b", FuzzyDist)
+      .where(col("name_a") < col("name_b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Near-key record linkage on the distinct name frame: every
+    // unordered pair within edit distance 2, found via deletion-
+    // neighborhood blocking (never an all-pairs scan), exact-filtered.
+    "q_dedup_fuzzy_join" -> ((s, dir) =>
+      fuzzyPairs(s, dir).select(col("name_a"), col("name_b"),
+        col("dist").cast(LongType).as("dist"))),
+
+    // Entity resolution: the fuzzy pair graph's transitive closure via
+    // alternating large-star/small-star contraction — component = the
+    // lexicographically smallest name reachable, keep = the canonical
+    // representative. Same composition as q_dedup_components, with the
+    // near-key (edit-distance) pair generator instead of MinHash-LSH.
+    "q_dedup_fuzzy_cluster" -> ((s, dir) => {
+      val pairs = fuzzyPairs(s, dir)
+      val edges = pairs
+        .select(col("name_a").as("src"), col("name_b").as("dst"))
+        .unionAll(pairs
+          .select(col("name_b").as("src"), col("name_a").as("dst")))
+      val nodes = t(s, dir, "part")
+        .select(col("p_name").as("node")).distinct()
+      ConnectedComponents.largeSmallStar(nodes, edges)
+        .select(col("node").as("p_name"), col("component"),
+          (col("node") === col("component")).as("keep"))
+    }),
+
+    // Host-graph link scoring: each document "links" its host to host
+    // (doc_id mod 7), so hosts src7.. have out-edges but ZERO in-edges
+    // — the crawl-graph shape (hub pages nobody links back to) that
+    // must keep teleport rank, not vanish. Integer-lattice arithmetic
+    // makes the result hash-exact against the oracle's unrolled CTEs.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .select(col("source").as("src"),
+          concat(lit("src"), (col("doc_id") % 7).cast(StringType)).as("dst"))
+        .distinct()
+      PageRank.run(s, edges, PageRankIters)
+        .select(col("node").as("host"), col("rank_scaled"))
+    }),
+
+    // The SQL-registered native kernel beside the built-in: unrestricted
+    // Damerau-Levenshtein counts a transposition as 1 where plain
+    // levenshtein needs 2 — visible on name-vs-reversed-name. ASCII
+    // input, so Spark's codepoint semantics and the kernel's (and
+    // DuckDB's) byte semantics coincide.
+    "q_text_fuzzy_distance" -> ((s, dir) => {
+      graft.functions.GraftExtensions.install(s)
+      t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+        .selectExpr("p_partkey",
+          "CAST(damerau_levenshtein(p_name, reverse(p_name)) AS BIGINT) AS dl_rev",
+          "CAST(levenshtein(p_name, reverse(p_name)) AS BIGINT) AS lev_rev")
+    }))
+
+  /** Unrolled integer-lattice PageRank CTE chain (the Lloyd-rows
+    * discipline: both engines run the same K iterations; all values are
+    * nonnegative BIGINTs so DuckDB's floor `//` equals Spark's
+    * truncating `div`, and the per-dst SUM is order-free).
+    */
+  private val pageRankOracle: String = {
+    def iter(k: Int): String =
+      s""",
+         r_$k AS (
+           SELECT d.node,
+                  CAST((15 * (1000000000000 // nn.n)) // 100
+                       + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           FROM deg d CROSS JOIN nn
+           LEFT JOIN (SELECT e.dst AS node, SUM(r.r // g.deg) AS s
+                      FROM edges e
+                      JOIN r_${k - 1} r ON r.node = e.src
+                      JOIN deg g ON g.node = e.src
+                      GROUP BY e.dst) s ON s.node = d.node)"""
+    """WITH edges AS (
+           SELECT DISTINCT source AS src,
+                  'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+           FROM documents),
+         deg AS (
+           SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY src),
+         nn AS (SELECT COUNT(*) AS n FROM deg),
+         r_0 AS (
+           SELECT d.node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+           FROM deg d CROSS JOIN nn)""" +
+      (1 to PageRankIters).map(iter).mkString +
+      s"""
+         SELECT node AS host, r AS rank_scaled FROM r_$PageRankIters"""
+  }
+
+  private val fuzzyPairsCte =
+    s"""WITH w AS (SELECT DISTINCT p_name FROM part),
+         pairs AS (
+           SELECT a.p_name AS name_a, b.p_name AS name_b,
+                  levenshtein(a.p_name, b.p_name) AS dist
+           FROM w a JOIN w b ON a.p_name < b.p_name
+           WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyDist)"""
+
+  val oracleSql: Map[String, String] = Map(
+    // oracle = the plain all-pairs filter: the deletion blocking is a
+    // Spark-side candidate generator only, so losslessness is exactly
+    // what the hash compare certifies
+    "q_dedup_fuzzy_join" -> (fuzzyPairsCte +
+      """
+         SELECT name_a, name_b, CAST(dist AS BIGINT) AS dist FROM pairs"""),
+
+    "q_dedup_fuzzy_cluster" ->
+      (fuzzyPairsCte.replace("WITH w AS", "WITH RECURSIVE w AS") +
+        """,
+         edges AS (SELECT name_a AS src, name_b AS dst FROM pairs
+                   UNION ALL SELECT name_b AS src, name_a AS dst FROM pairs),
+         reach AS (
+           SELECT p_name AS node, p_name AS lbl FROM w
+           UNION
+           SELECT e.src AS node, r.lbl AS lbl
+           FROM edges e JOIN reach r ON e.dst = r.node)
+         SELECT node AS p_name, MIN(lbl) AS component,
+                node = MIN(lbl) AS keep
+         FROM reach GROUP BY node"""),
+
+    "q_graph_pagerank" -> pageRankOracle,
+
+    "q_text_fuzzy_distance" ->
+      """SELECT p_partkey,
+                CAST(damerau_levenshtein(p_name, reverse(p_name)) AS BIGINT)
+                  AS dl_rev,
+                CAST(levenshtein(p_name, reverse(p_name)) AS BIGINT)
+                  AS lev_rev
+         FROM part""")
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.PageRank
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank must keep EVERY node in the frame each round — including
+  * zero-in-degree nodes (out-edges only), whose rank is exactly the
+  * teleport term and whose outgoing contributions must keep flowing.
+  * Reference: an in-memory loop over the same integer recurrence.
+  */
+class PageRankSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  /** In-memory twin of the documented recurrence:
+    * r_{k+1}(v) = tp + (85 * Σ_{u→v} (r_k(u) div deg(u))) div 100.
+    */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size
+    val r0 = PageRank.Scale / n
+    val tp = 15L * r0 / 100L
+    var r = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val shares = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(v => v -> (tp + 85L * shares.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    PageRank.run(spark, edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("zero-in-degree node keeps teleport rank and keeps contributing") {
+    // 1 -> 2 -> 3 -> 2: node 1 has out-edges but NO in-edges (the crawl
+    // hub shape). It must stay in the output at rank = teleport every
+    // round, and its share into 2 must survive rounds >= 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L))
+    for (iters <- Seq(1, 2, 5)) {
+      val got = run(edges, iters)
+      val want = reference(edges, iters)
+      assert(got === want, s"mismatch at iters=$iters")
+      val tp = 15L * (PageRank.Scale / 3) / 100L
+      assert(got(1L) === tp, "source-only node should hold teleport rank")
+      assert(got.keySet === Set(1L, 2L, 3L), "every node must get a row")
+    }
+    // non-vacuity of the regression: node 1's contribution is visible
+    // in node 2's rank (2 receives from both 1 and 3)
+    val r2 = run(edges, 2)
+    val starved = {
+      // the buggy recurrence: drop node 1 after round 1
+      val r1 = reference(edges, 1) - 1L
+      val deg = Map(2L -> 1L, 3L -> 1L)
+      val tp = 15L * (PageRank.Scale / 3) / 100L
+      val s2 = r1(3L) / deg(3L) // only 3 -> 2 survives
+      tp + 85L * s2 / 100L
+    }
+    assert(r2(2L) !== starved,
+      "fixture cannot distinguish the spine fix from the dropped-node bug")
+  }
+
+  test("matches the in-memory reference on a denser graph") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 2L),
+      (5L, 4L), (5L, 5L), (6L, 3L), (6L, 5L))
+    assert(run(edges, 6) === reference(edges, 6))
+  }
+
+  test("rank mass is conserved up to truncation dust") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L))
+    val got = run(edges, 4)
+    val total = got.values.sum
+    // each round loses < 1 unit per node to the two integer divisions
+    // per term, plus the initial Scale div n remainder
+    assert(total <= PageRank.Scale)
+    assert(total >= PageRank.Scale - 3L * 3L * 4L - 3L)
+  }
+}
