@@ -367,6 +367,70 @@ object TextQueries extends QueryPack {
       + when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)) / lit(4.0)
   }
 
+  /** Quality-score decile cell for the drift plane. The null branch
+    * must be EXPLICIT: least() SKIPS null arguments on both engines, so
+    * least(floor(null*10), 10) = 10 would count an unscoreable doc in
+    * the TOP-quality decile instead of the dedicated -1 cell.
+    */
+  private def driftBucketCol: Column = {
+    val q = qualityScoreCol
+    when(q.isNull, lit(-1L))
+      .otherwise(least(floor(q * 10).cast(LongType), lit(10L)))
+  }
+
+  /** Frozen per-source decile histogram over a documents frame — the
+    * drift gate's corpus model (one (source, bucket) aggregate with
+    * map-side combine; |sources| x 12 rows out).
+    */
+  private[graft] def driftHistogramOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), driftBucketCol.as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(graft.Exact.cnt.as("c"))
+
+  /** Chi-square drift report of a batch against a frozen corpus
+    * histogram — ONE definition shared by the batch row
+    * (q_qa_drift_chi2) and the streaming per-ingest gate
+    * (StreamingJobs.driftGateSink), so verdicts cannot drift. The
+    * expected count e = (c+1)·nb/nc (add-one smoothing keeps a
+    * batch-only bucket finite) and each term ride ONE pinned double
+    * expression tree over exact longs, then floor-quantize to
+    * micro-units so the per-source total is an order-free long sum.
+    * Chi-square, not PSI/KL: those need ln, which is not
+    * correctly-rounded across libm implementations. Scale: one
+    * (source, bucket) aggregate over the batch; every window runs over
+    * the |sources| x 12 cell grid, never the corpus.
+    */
+  private[graft] def chi2DriftOf(batch: DataFrame,
+                                 corpusCells: DataFrame): DataFrame = {
+    val o = batch.select(col("source"), driftBucketCol.as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(graft.Exact.cnt.as("o"))
+    // full outer: a cell seen only in the corpus still contributes a
+    // term (o=0 against its expectation), and a batch-only cell is the
+    // drift signal itself (c=0, smoothed)
+    val cells = o.join(corpusCells, Seq("source", "bucket"), "full_outer")
+      .select(col("source"), col("bucket"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("source"))
+    val tot = cells
+      .withColumn("nb", sum(col("o")).over(w))
+      .withColumn("nc", sum(col("c")).over(w))
+    val e = (col("c") + lit(1L)).cast(DoubleType) *
+      col("nb").cast(DoubleType) / col("nc").cast(DoubleType)
+    val term = (col("o").cast(DoubleType) - e) *
+      (col("o").cast(DoubleType) - e) / e
+    // nb = 0 (a source with no batch docs) zeroes e and nc = 0 zeroes
+    // its denominator: both leave the term undefined, and ANSI mode
+    // (Spark 4 default) turns ANY division by zero into a runtime
+    // error — so the guard must cover both totals, not just nc
+    tot.select(col("source"), col("bucket"),
+        col("o").as("n_batch"), col("c").as("n_corpus"),
+        when(col("nc") > 0 && col("nb") > 0,
+          floor(term * lit(1000000.0)).cast(LongType)).as("term_micro"))
+      .withColumn("chi2_micro", sum(col("term_micro")).over(w))
+  }
+
   /** Gopher-rules frame over an arbitrary documents frame — ONE
     * definition of every rule metric and verdict, shared by the batch
     * row (q_text_gopher_rules) and the streaming gate
@@ -1627,36 +1691,12 @@ object TextQueries extends QueryPack {
     // Scale: one (source, bucket) aggregate with map-side combine; the
     // windows run over the |sources|×12 cell grid, never the corpus.
     "q_qa_drift_chi2" -> ((s, dir) => {
-      val q = qualityScoreCol
-      // the null branch must be EXPLICIT: least() SKIPS null arguments
-      // on both engines, so least(floor(null*10), 10) = 10 would count
-      // an unscoreable doc in the TOP-quality decile instead of the
-      // dedicated -1 cell
-      val bucket = when(q.isNull, lit(-1L))
-        .otherwise(least(floor(q * 10).cast(LongType), lit(10L)))
-      val b = t(s, dir, "documents")
-        .select(col("source"), bucket.as("bucket"),
-          (col("doc_id") % 10 === 0).as("is_new"))
-      val cells = b.groupBy(col("source"), col("bucket"))
-        .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("o"),
-          sum(when(!col("is_new"), 1L).otherwise(0L)).as("c"))
-      val w = Window.partitionBy(col("source"))
-      val tot = cells
-        .withColumn("nb", sum(col("o")).over(w))
-        .withColumn("nc", sum(col("c")).over(w))
-      val e = (col("c") + lit(1L)).cast(DoubleType) *
-        col("nb").cast(DoubleType) / col("nc").cast(DoubleType)
-      val term = (col("o").cast(DoubleType) - e) *
-        (col("o").cast(DoubleType) - e) / e
-      // nb = 0 (a source with no batch docs) zeroes e and nc = 0 zeroes
-      // its denominator: both leave the term undefined, and ANSI mode
-      // (Spark 4 default) turns ANY division by zero into a runtime
-      // error — so the guard must cover both totals, not just nc
-      tot.select(col("source"), col("bucket"),
-          col("o").as("n_batch"), col("c").as("n_corpus"),
-          when(col("nc") > 0 && col("nb") > 0,
-            floor(term * lit(1000000.0)).cast(LongType)).as("term_micro"))
-        .withColumn("chi2_micro", sum(col("term_micro")).over(w))
+      // ONE shared builder pair (driftHistogramOf + chi2DriftOf) with
+      // the streaming gate (StreamingJobs.driftGateSink), so stream and
+      // batch verdicts cannot drift
+      val docs = t(s, dir, "documents")
+      chi2DriftOf(docs.where(col("doc_id") % 10 === 0),
+        driftHistogramOf(docs.where(col("doc_id") % 10 =!= 0)))
     }),
 
     // PII redaction — the scrub pass every production corpus runs

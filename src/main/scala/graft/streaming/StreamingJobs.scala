@@ -497,6 +497,42 @@ object StreamingJobs {
       .join(corpusWindowIdx.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"), col("i"))
 
+  /** Streaming distribution-drift gate — the per-ingest face of
+    * q_qa_drift_chi2: every micro-batch's per-source quality-decile
+    * histogram is chi-squared against a FROZEN corpus histogram
+    * (TextQueries.driftHistogramOf, built once on the warehouse corpus
+    * — the train-on-warehouse, gate-the-feed shape of the DSIR and
+    * calibrated gates) through the ONE shared builder
+    * (TextQueries.chi2DriftOf), so stream and batch verdicts over the
+    * same rows are bit-identical. foreachBatch, not a streaming
+    * aggregation, because the drift CONTRACT is per-ingest-batch — a
+    * running all-time histogram would dilute a drifting feed into the
+    * stream's own history, and chi-square needs the batch's per-source
+    * totals (a second aggregation level streaming update mode cannot
+    * stack). Reports land as idempotent dwh_batch_id partitions
+    * (warehouseSink discipline: a replayed micro-batch rewrites its own
+    * report, never appends a duplicate). The model is frozen for the
+    * DSIR reason: drift verdicts must be comparable across batches, so
+    * a drifting reference would be WRONG, not just stale.
+    */
+  def driftGateSink(docs: DataFrame, corpusHist: DataFrame,
+                    warehouse: String, checkpoint: String,
+                    batchPrefix: String = "DRIFT"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = scopeOf(checkpoint)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val run = new graft.run.Orchestrator.Run(
+          batch.sparkSession, warehouse, f"$batchPrefix${scope}_$id%06d")
+        run.writeBatch(
+          graft.queries.TextQueries.chi2DriftOf(batch.toDF(), corpusHist),
+          "qa/drift_chi2")
+        ()
+      }
+      .outputMode("append")
+      .start()
+  }
+
   case class PendingProbe(event_id: Long, tsMicros: Long)
   case class Conversion(event_id: Long, user_id: Long, ts: Timestamp,
                         converted: Boolean,

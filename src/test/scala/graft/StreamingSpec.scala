@@ -333,6 +333,70 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"null-text verdict wrong: pct=$zPct known=$zKnown keep=$zKeep")
   }
 
+  test("streaming drift gate: per-micro-batch chi2 reports equal the " +
+    "batch builder and replay idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // frozen corpus model = the high-id warehouse slice; feed = the
+    // low-id docs, split in two micro-batches so per-batch semantics
+    // are visible. An ID-RANGE split, not mod-10: this fixture assigns
+    // source = src(doc_id % 20), so any mod-10 split makes feed and
+    // corpus sources DISJOINT and every chi2 term degenerates to the
+    // guarded null — the range split gives every source both corpus
+    // and feed docs, so real terms exist
+    val corpus = all.filter(_._1 >= 100)
+    val feed = all.filter(_._1 < 100)
+    val (feedA, feedB) = feed.splitAt(feed.length / 2)
+    val hist = graft.queries.TextQueries.driftHistogramOf(
+      corpus.toSeq.toDF("doc_id", "source", "text")).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val wh = s"$root/wh"
+    val cp = s"$root/cp"
+    val ms = MemoryStream[(Long, String, String)]
+    val q1 = StreamingJobs.driftGateSink(
+      ms.toDF().toDF("doc_id", "source", "text"), hist, wh, cp)
+    try {
+      ms.addData(feedA.toSeq); q1.processAllAvailable()
+      ms.addData(feedB.toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    val reports = spark.read.parquet(s"$wh/qa/drift_chi2")
+    val batchIds = reports.select("dwh_batch_id").distinct()
+      .as[String].collect().sorted
+    assert(batchIds.length === 2, s"one report per micro-batch: $batchIds")
+    // each micro-batch's report must equal the shared builder applied
+    // to exactly that batch's rows — the stream/batch no-drift contract
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else Long.box(r.getLong(4)),
+          if (r.isNullAt(5)) null else Long.box(r.getLong(5)))
+    val cols = Seq("source", "bucket", "n_batch", "n_corpus",
+      "term_micro", "chi2_micro")
+    Seq(feedA, feedB).zip(batchIds).foreach { case (slice, bid) =>
+      val got = reports.where(col("dwh_batch_id") === bid)
+        .select(cols.head, cols.tail: _*).collect().map(key).toMap
+      val want = graft.queries.TextQueries.chi2DriftOf(
+        slice.toSeq.toDF("doc_id", "source", "text"), hist)
+        .select(cols.head, cols.tail: _*).collect().map(key).toMap
+      assert(got === want, s"stream/batch drift in report $bid")
+      assert(want.nonEmpty, "vacuous report")
+    }
+    // non-vacuity: the fixture must produce at least one real chi2 term
+    assert(reports.where(col("term_micro").isNotNull).count() > 0)
+    // restart from the same checkpoint with no new data: no duplicate
+    // reports (the idempotent-partition discipline)
+    val q2 = StreamingJobs.driftGateSink(
+      ms.toDF().toDF("doc_id", "source", "text"), hist, wh, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$wh/qa/drift_chi2")
+      .select("dwh_batch_id").distinct().count() === 2)
+    hist.unpersist()
+  }
+
   test("streaming BPE encode equals the batch row per document") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
