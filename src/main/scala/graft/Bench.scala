@@ -89,7 +89,7 @@ object Bench {
     "q_window_trailing_scalable",
     // r15 rows: tracked from day one
     "q_dedup_fuzzy_join", "q_dedup_fuzzy_cluster", "q_graph_pagerank",
-    "q_text_fuzzy_distance")
+    "q_text_fuzzy_distance", "q_dedup_fuzzy_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -165,7 +165,11 @@ object Bench {
         "q_sample_dsir",
         // builds the memoized per-doc bigram-LM score table the
         // perplexity + ccnet-tercile rows both probe
-        "q_text_lm_perplexity") ++
+        "q_text_lm_perplexity",
+        // builds the memoized master variant index (the persisted
+        // entity-resolution blocking table) the incremental fuzzy
+        // match probes
+        "q_dedup_fuzzy_incremental") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

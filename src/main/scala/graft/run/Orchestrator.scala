@@ -523,6 +523,46 @@ object Orchestrator {
         docs, corpusKeys, corpusBands)
     }
 
+    /** Entity-resolution index maintenance: append THIS batch's
+      * master-key deletion-variant rows to the warehouse fuzzy index
+      * through the idempotent batch-partition write (S8 — a re-run
+      * replaces exactly its own partition). Once a batch of master
+      * keys is indexed, later ingests match against the TABLE via
+      * [[fuzzyMatchAgainstIndex]]; the master list is never re-blocked,
+      * which keeps per-ingest cost O(batch) — the
+      * [[indexDedupBatch]] discipline on the near-KEY plane. The
+      * neighborhood builder is the shared FuzzyJoin.deletionVariants,
+      * so the index cannot drift from the registered row or the
+      * streaming gate.
+      */
+    def indexFuzzyBatch(keys: DataFrame, keyCol: String,
+                        maxDist: Int): Long =
+      writeBatch(
+        keys.select(col(keyCol).as("name_master")).distinct()
+          .withColumn("__vh", explode(graft.operators.FuzzyJoin
+            .deletionVariants(col("name_master"), maxDist)))
+          .withColumn("__vh", xxhash64(col("__vh"))),
+        "indexes/fuzzy_key_variants")
+
+    /** Fuzzy-match a new batch of keys against the PERSISTED master
+      * variant index — the table-backed production form of
+      * q_dedup_fuzzy_incremental (which memoizes the same index because
+      * the driver contract gives it no warehouse). The current batch's
+      * own partition is excluded so a restart that already indexed this
+      * batch does not match every key to itself. Probe semantics come
+      * from the ONE shared builder (GraphQueries.fuzzyMatchKeys) — one
+      * code path for the row, the table form, and (via the same
+      * neighborhoods) the streaming gate.
+      */
+    def fuzzyMatchAgainstIndex(keys: DataFrame, keyCol: String,
+                               maxDist: Int): DataFrame = {
+      val idx = readTable("indexes/fuzzy_key_variants")
+        .where(col("dwh_batch_id") =!= batchId)
+        .select(col("__vh"), col("name_master")).distinct()
+      graft.queries.GraphQueries.fuzzyMatchKeys(
+        keys.select(col(keyCol).as("name_new")).distinct(), idx, maxDist)
+    }
+
     /** ANN (IVF) warehouse index — the similarity-search sibling of
       * [[indexDedupBatch]]. The centroid table bootstraps ONCE from the
       * first NON-EMPTY indexed batch (a deterministic capped pick) and

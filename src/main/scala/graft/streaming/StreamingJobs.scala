@@ -533,6 +533,50 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming fuzzy key-match gate — the streaming face of
+    * q_dedup_fuzzy_incremental: each arriving key is matched against
+    * the FROZEN master variant model (GraphQueries.masterVariantModel,
+    * built once on the warehouse master list and shipped as a plan
+    * literal — the DSIR-gate pattern, with the same loud size cap at
+    * build time) entirely MAP-SIDE: the key's deletion-neighborhood
+    * hashes probe the literal map (per-variant lookups, never a
+    * |master| scan), the candidate names take the exact
+    * threshold-levenshtein filter, and the best match reduces with the
+    * batch row's exact tiebreak (min dist, then lexicographic). Zero
+    * shuffles, zero state, no watermark — append at any rate. The
+    * model is frozen for the DSIR reason: match verdicts must be
+    * comparable across the whole gating pass. Shares
+    * FuzzyJoin.deletionVariants with the batch index build, so stream
+    * and batch neighborhoods cannot drift.
+    */
+  def fuzzyMatchStream(keys: DataFrame, nameCol: String,
+                       model: Map[Long, Seq[String]],
+                       maxDist: Int): DataFrame = {
+    val name = col(nameCol)
+    val idx = typedlit(model)
+    val vhs = transform(
+      graft.operators.FuzzyJoin.deletionVariants(name, maxDist),
+      v => xxhash64(v))
+    val cands = array_distinct(flatten(transform(vhs,
+      h => coalesce(element_at(idx, h), array().cast("array<string>")))))
+    // levenshtein's threshold form returns -1 above maxDist, so >= 0 is
+    // the full within-bound test
+    val matches = filter(cands, c => levenshtein(name, c, maxDist) >= 0)
+    val best = aggregate(matches, lit(null).cast("string"), (acc, c) =>
+      when(acc.isNull, c)
+        .when(levenshtein(name, c, maxDist) <
+          levenshtein(name, acc, maxDist), c)
+        .when(levenshtein(name, c, maxDist) ===
+          levenshtein(name, acc, maxDist) && c < acc, c)
+        .otherwise(acc))
+    keys.select(name.as("name_new"))
+      .withColumn("matched_master", best)
+      .withColumn("dist",
+        levenshtein(col("name_new"), col("matched_master"), maxDist)
+          .cast("long"))
+      .withColumn("matched", col("matched_master").isNotNull)
+  }
+
   case class PendingProbe(event_id: Long, tsMicros: Long)
   case class Conversion(event_id: Long, user_id: Long, ts: Timestamp,
                         converted: Boolean,

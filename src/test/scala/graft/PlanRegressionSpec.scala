@@ -36,6 +36,40 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles(plan("q_dedup_simhash")) === 0)
   }
 
+  test("q_text_fuzzy_distance is map-only (no shuffle at all)") {
+    assert(shuffles(plan("q_text_fuzzy_distance")) === 0)
+  }
+
+  test("q_dedup_fuzzy_join: blocking join + guard aggs, bounded shuffles") {
+    // per side: one count-distinct guard agg on the variant hash (2
+    // static exchanges each under partial/final split) + the candidate
+    // distinct; the __vh equi-joins broadcast at test SFs and
+    // hash-partition on the already-exchanged 8-byte key at scale —
+    // never more than the 6 static exchanges measured at registration
+    assert(shuffles(plan("q_dedup_fuzzy_join")) <= 6)
+  }
+
+  test("q_dedup_fuzzy_incremental probes the persisted index, bounded shuffles") {
+    val p = plan("q_dedup_fuzzy_incremental")
+    // the master side must come from the memoized (persisted) variant
+    // index — an InMemoryTableScan leaf — not a re-blocked parquet scan
+    assert(p.contains("InMemoryTableScan"),
+      "master variant index not served from the persisted memo")
+    // probe explode is map-side; candidate distinct + the bounded
+    // per-key window + the left join account for the static exchanges.
+    // <= 4, not 3: one join's broadcast-vs-shuffle pick differs between
+    // a cold memo (no stats yet) and a warm one (suite order decides
+    // which this test sees)
+    assert(shuffles(p) <= 4)
+  }
+
+  test("q_graph_pagerank's returned frame reads the checkpointed fixpoint") {
+    // the iteration loop materializes per round via localCheckpoint
+    // (flat lineage — the scale contract), so the registered frame's
+    // own plan is a zero-exchange scan over the final rank frame
+    assert(shuffles(plan("q_graph_pagerank")) === 0)
+  }
+
   test("q_text_winnow is map-only (no shuffle at all)") {
     assert(shuffles(plan("q_text_winnow")) === 0)
   }

@@ -397,6 +397,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     hist.unpersist()
   }
 
+  test("streaming fuzzy key-match gate equals the batch incremental row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.queries.GraphQueries.masterVariantModel(spark, dir)
+    val d = graft.queries.GraphQueries.IncrFuzzyDist
+    val keys = graft.queries.GraphQueries.dirtyBatchKeys(spark, dir)
+      .as[String].collect().sorted
+    // plus a key no master is within distance d of: the gate must say
+    // so explicitly (matched=false), never drop the row
+    val novel = "zzzz qqqq"
+    val ms = MemoryStream[String]
+    val q = StreamingJobs.fuzzyMatchStream(
+      ms.toDF().toDF("name_new"), "name_new", model, d)
+      .writeStream.format("memory").queryName("fuzzy_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(keys.toSeq :+ novel)
+      q.processAllAvailable()
+    } finally q.stop()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getString(0) -> (Option(r.getString(1)),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2)),
+        r.getBoolean(3))).toMap
+    val got = asMap(spark.table("fuzzy_gate").collect())
+    assert(got.size === keys.length + 1, "one verdict per input key")
+    // the batch path is a genuinely different execution (persisted
+    // variant-index equi-join + window pick vs the stream's map-only
+    // literal-map probe + lambda reduce) — verdicts must be identical
+    val want = asMap(
+      SparkEntry.queries("q_dedup_fuzzy_incremental")(spark, dir).collect())
+    want.foreach { case (k, v) =>
+      assert(got(k) === v, s"key '$k' stream/batch drift")
+    }
+    assert(got(novel) === ((None, null, false)))
+    // non-vacuity: the dirty feed must actually fuzzy-match (dist 1 —
+    // not exact-equality hits), or the fixture proves nothing
+    assert(want.values.exists(v => v._3 && v._2 == Long.box(1L)),
+      "no near-match in the fixture")
+  }
+
   test("streaming BPE encode equals the batch row per document") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
