@@ -169,7 +169,10 @@ object Bench {
         // builds the memoized master variant index (the persisted
         // entity-resolution blocking table) the incremental fuzzy
         // match probes
-        "q_dedup_fuzzy_incremental") ++
+        "q_dedup_fuzzy_incremental",
+        // builds the memoized fuzzy pair frame the join + cluster
+        // rows both consume
+        "q_dedup_fuzzy_join") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

@@ -948,14 +948,6 @@ object TextQueries extends QueryPack {
     */
   private[graft] val FpRowBytes = 24L
 
-  /** shipAuto row-byte estimates for the retrieval-eval frames: a
-    * (query_id, term) row is a long + a short token string + hashed-
-    * relation overhead; a (query_id, rel_score) row is two longs +
-    * overhead (same class as [[FpRowBytes]]).
-    */
-  private[graft] val QTermRowBytes = 48L
-  private[graft] val RelRowBytes = 24L
-
   /** Fixed query-sample size for the retrieval-eval protocol: the k
     * docs with the smallest md5 sample hash. Pinning |Q| (instead of a
     * %-of-corpus set) keeps the row LINEAR in the corpus — the measured

@@ -541,7 +541,11 @@ object Orchestrator {
         keys.select(col(keyCol).as("name_master")).distinct()
           .withColumn("__vh", explode(graft.operators.FuzzyJoin
             .deletionVariants(col("name_master"), maxDist)))
-          .withColumn("__vh", xxhash64(col("__vh"))),
+          .withColumn("__vh", xxhash64(col("__vh")))
+          // the build depth is part of the index's CONTRACT (the
+          // SymSpell theorem needs both sides at the same d), so each
+          // batch records it for the probe's loud mismatch check
+          .withColumn("__d", lit(maxDist)),
         "indexes/fuzzy_key_variants")
 
     /** Fuzzy-match a new batch of keys against the PERSISTED master
@@ -556,9 +560,21 @@ object Orchestrator {
       */
     def fuzzyMatchAgainstIndex(keys: DataFrame, keyCol: String,
                                maxDist: Int): DataFrame = {
-      val idx = readTable("indexes/fuzzy_key_variants")
+      val rows = readTable("indexes/fuzzy_key_variants")
         .where(col("dwh_batch_id") =!= batchId)
-        .select(col("__vh"), col("name_master")).distinct()
+      // LOUD depth check (one tiny distinct over a metadata-sized
+      // column): the SymSpell losslessness theorem needs BOTH sides at
+      // the same d — probing a depth-1 index at maxDist=2 would
+      // silently drop true matches whose common variant needs two
+      // master-side deletions, violating the fail-loudly discipline
+      val depths = rows.select(col("__d")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      require(depths.forall(_ == maxDist),
+        s"fuzzy index depth mismatch: index batches were built at " +
+          s"d=${depths.mkString(",")} but the probe asks d=$maxDist — " +
+          "matches would be silently lost; rebuild the index at the " +
+          "probe depth")
+      val idx = rows.select(col("__vh"), col("name_master")).distinct()
       graft.queries.GraphQueries.fuzzyMatchKeys(
         keys.select(col(keyCol).as("name_new")).distinct(), idx, maxDist)
     }

@@ -519,13 +519,20 @@ object StreamingJobs {
                     warehouse: String, checkpoint: String,
                     batchPrefix: String = "DRIFT"): org.apache.spark.sql.streaming.StreamingQuery = {
     val scope = scopeOf(checkpoint)
+    // SNAPSHOT the model at sink construction: a lazy frame referenced
+    // inside foreachBatch would re-read its source per micro-batch —
+    // one corpus scan per ingest, and a mid-stream warehouse append
+    // would silently CHANGE the "frozen" reference, making verdicts
+    // incomparable across batches (the contract the docstring pins).
+    // localCheckpoint materializes the |sources| x 12 cell grid once.
+    val frozenHist = corpusHist.localCheckpoint()
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val run = new graft.run.Orchestrator.Run(
           batch.sparkSession, warehouse, f"$batchPrefix${scope}_$id%06d")
         run.writeBatch(
-          graft.queries.TextQueries.chi2DriftOf(batch.toDF(), corpusHist),
+          graft.queries.TextQueries.chi2DriftOf(batch.toDF(), frozenHist),
           "qa/drift_chi2")
         ()
       }
@@ -552,29 +559,33 @@ object StreamingJobs {
   def fuzzyMatchStream(keys: DataFrame, nameCol: String,
                        model: Map[Long, Seq[String]],
                        maxDist: Int): DataFrame = {
-    val name = col(nameCol)
+    // rename FIRST, derive everything from the renamed column — deriving
+    // from col(nameCol) after the select would fail analysis for any
+    // nameCol other than "name_new"
+    val keyed = keys.select(col(nameCol).as("name_new"))
+    val name = col("name_new")
     val idx = typedlit(model)
     val vhs = transform(
       graft.operators.FuzzyJoin.deletionVariants(name, maxDist),
       v => xxhash64(v))
     val cands = array_distinct(flatten(transform(vhs,
       h => coalesce(element_at(idx, h), array().cast("array<string>")))))
-    // levenshtein's threshold form returns -1 above maxDist, so >= 0 is
-    // the full within-bound test
-    val matches = filter(cands, c => levenshtein(name, c, maxDist) >= 0)
-    val best = aggregate(matches, lit(null).cast("string"), (acc, c) =>
-      when(acc.isNull, c)
-        .when(levenshtein(name, c, maxDist) <
-          levenshtein(name, acc, maxDist), c)
-        .when(levenshtein(name, c, maxDist) ===
-          levenshtein(name, acc, maxDist) && c < acc, c)
-        .otherwise(acc))
-    keys.select(name.as("name_new"))
-      .withColumn("matched_master", best)
-      .withColumn("dist",
-        levenshtein(col("name_new"), col("matched_master"), maxDist)
-          .cast("long"))
-      .withColumn("matched", col("matched_master").isNotNull)
+    // one O(|s|^2) distance per candidate, computed exactly once: score
+    // every candidate into (dist, name) structs, drop the over-bound
+    // ones (threshold levenshtein returns -1 above maxDist), and let
+    // array_sort's field-order struct comparator realize the batch
+    // row's exact tiebreak (min dist, then lexicographic). get(_, 0) is
+    // the ANSI-safe head: null on no match, never an index error.
+    val scored = array_sort(filter(
+      transform(cands, c =>
+        struct(levenshtein(name, c, maxDist).as("dist"), c.as("m"))),
+      s => s.getField("dist") >= 0))
+    keyed
+      .withColumn("__best", get(scored, lit(0)))
+      .withColumn("matched_master", col("__best.m"))
+      .withColumn("dist", col("__best.dist").cast("long"))
+      .withColumn("matched", col("__best").isNotNull)
+      .drop("__best")
   }
 
   case class PendingProbe(event_id: Long, tsMicros: Long)

@@ -49,5 +49,14 @@ class FuzzyIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(self("small ring") === ((None, -1L, false)),
       "own-batch index rows must be excluded from the probe")
     assert(self("blue boltz") === ((Some("blue bolt"), 1L, true)))
+
+    // probing at a DIFFERENT depth than the index was built with must
+    // fail loudly — the SymSpell theorem needs both sides at the same
+    // d, so a deeper probe would silently lose true matches
+    val e = intercept[IllegalArgumentException] {
+      b3.fuzzyMatchAgainstIndex(Seq("mall ring").toDF("k"), "k",
+        maxDist = 2).collect()
+    }
+    assert(e.getMessage.contains("depth mismatch"), e.getMessage)
   }
 }

@@ -56,11 +56,12 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("InMemoryTableScan"),
       "master variant index not served from the persisted memo")
     // probe explode is map-side; candidate distinct + the bounded
-    // per-key window + the left join account for the static exchanges.
-    // <= 4, not 3: one join's broadcast-vs-shuffle pick differs between
-    // a cold memo (no stats yet) and a warm one (suite order decides
-    // which this test sees)
-    assert(shuffles(p) <= 4)
+    // per-key window + the joins account for the static exchanges.
+    // The bound is the WORST-case pick (every equi-join demoted to
+    // shuffle): broadcast-vs-shuffle choices flip with the memo's
+    // materialization state (suite order decides what this test sees),
+    // so only the all-shuffle ceiling is deterministic
+    assert(shuffles(p) <= 6)
   }
 
   test("q_graph_pagerank's returned frame reads the checkpointed fixpoint") {
