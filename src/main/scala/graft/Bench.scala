@@ -89,7 +89,8 @@ object Bench {
     "q_window_trailing_scalable",
     // r15 rows: tracked from day one
     "q_dedup_fuzzy_join", "q_dedup_fuzzy_cluster", "q_graph_pagerank",
-    "q_text_fuzzy_distance", "q_dedup_fuzzy_incremental")
+    "q_text_fuzzy_distance", "q_dedup_fuzzy_incremental",
+    "q_graph_pagerank_weighted", "q_graph_pagerank_personalized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -11,14 +11,28 @@ import org.apache.spark.sql.types.LongType
   *
   *   r0(v)      = SCALE div n
   *   teleport   = (15 * (SCALE div n)) div 100
-  *   r_{k+1}(v) = teleport + (85 * Σ_{u→v} (r_k(u) div deg(u))) div 100
+  *   r_{k+1}(v) = teleport + (85 * Σ_{u→v} (r_k(u)·w(u,v) div totw(u))) div 100
   *
-  * All quantities are nonnegative BIGINTs, so Spark's `div` (truncate
+  * (uniform weights collapse the share to the classic r div deg). All
+  * quantities are nonnegative BIGINTs, so Spark's `div` (truncate
   * toward zero) and DuckDB's `//` (floor) coincide, and integer sums
   * are order-independent — the same quantized-lattice discipline as
   * graft.operators.EmbeddingPca / the Lloyd-trained ANN rows. Rank mass
   * leaks only truncation dust (< 1 unit per node per round at
   * SCALE = 1e12).
+  *
+  * Three faces, one loop:
+  *  - [[run]]            — uniform weights, uniform teleport (classic);
+  *  - [[runWeighted]]    — per-edge positive integer weights (link
+  *                         counts): a host that links B 99 times and C
+  *                         once sends B 99x the share;
+  *  - [[runPersonalized]] — teleport restricted to a SEED set
+  *                         (topic-sensitive PageRank, Haveliwala 2002):
+  *                         the seed-biased host scoring crawl curation
+  *                         uses to rank hosts by proximity to trusted
+  *                         seeds. Non-seed teleport is 0, so rank
+  *                         reaches a node only through link paths from
+  *                         the seeds.
   *
   * The damping split (85/100) is Brin & Page's 0.85. Dangling nodes are
   * the caller's problem by contract: `edges` must give every node at
@@ -31,49 +45,126 @@ import org.apache.spark.sql.types.LongType
   * shuffles of the edge list; the rank frame is |V| rows (≪ |E|) and is
   * `localCheckpoint`ed per round so the loop's lineage stays flat (use
   * a reliable checkpoint dir on a real cluster). The edge list is
-  * degree-annotated ONCE and persisted; with K fixed and small the
-  * driver holds only `n` (one metadata-plane scalar).
+  * weight-annotated ONCE and persisted; the driver holds only the node
+  * count (one metadata-plane scalar).
   */
 object PageRank {
 
   val Scale = 1000000000000L
 
-  /** @param edges  columns `src`, `dst` (LongType node ids); every node
+  /** Overflow margin for the weighted share r·w: r ≤ SCALE = 1e12, so
+    * w ≤ 2^20 keeps the product < 2^60 — loudly required, never
+    * silently wrapped.
+    */
+  val MaxWeight = 1L << 20
+
+  /** The shared iteration core. `ewt` must carry (src, dst, w, totw)
+    * and be persisted by the caller; `init` carries one row per node
+    * with its teleport term and initial rank.
+    */
+  private def loop(ewt: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    // The node spine: every node. Each round's aggregation only yields
+    // rows for nodes with IN-edges; left-joining the shares back onto
+    // the spine keeps zero-in-degree nodes (out-edges only — ubiquitous
+    // in crawl graphs) in the frame at rank = teleport, so their
+    // outgoing contributions survive into the next round instead of
+    // silently vanishing.
+    val spine = init.localCheckpoint()
+    var ranks = spine.select(col("node"), col("r0").as("r"))
+    (1 to iters).foreach { _ =>
+      val shares = ewt.join(ranks, ewt("src") === ranks("node"))
+        .select(col("dst"), expr("(r * w) div totw").as("share"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("s"))
+      ranks = spine.join(shares, Seq("node"), "left")
+        .select(col("node"),
+          (col("tp") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+
+  /** Weight-annotate an edge list: w per edge (uniform lit(1) for the
+    * classic form), totw = Σw per src.
+    */
+  private def annotate(edges: DataFrame, w: Column): DataFrame = {
+    val weighted = edges.select(col("src"), col("dst"),
+      w.cast(LongType).as("w"))
+    val tot = weighted.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("totw"))
+    weighted.join(tot.select(col("node").as("src"), col("totw")), "src")
+  }
+
+  /** @param edges  columns `src`, `dst` (node ids); every node
     *               referenced must appear as a `src` at least once
     * @param iters  fixed iteration count (both engines unroll the same K)
     * @return (node, rank_scaled) — one row per node, rank in SCALE units
     */
   def run(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast(LongType).as("deg"))
-    val ewd = edges.join(
-      deg.select(col("node").as("src"), col("deg")), "src")
-      .persist() // reused every round
+    val ewt = annotate(edges, lit(1L)).persist() // reused every round
     try {
-      val n = deg.count() // ONE driver scalar: |V|
+      val nodes = ewt.select(col("src").as("node")).distinct()
+      val n = nodes.count() // ONE driver scalar: |V|
       require(n > 0, "PageRank: empty graph")
       val r0 = Scale / n
       val tp = 15L * r0 / 100L
-      // The node spine: every node (deg requires each to appear as src).
-      // Each round's aggregation only yields rows for nodes with IN-edges;
-      // left-joining the shares back onto the spine keeps zero-in-degree
-      // nodes (out-edges only — ubiquitous in crawl graphs) in the frame
-      // at rank = teleport, so their outgoing contributions survive into
-      // the next round instead of silently vanishing.
-      val spine = deg.select(col("node")).localCheckpoint()
-      var ranks = spine.select(col("node"), lit(r0).as("r"))
-      (1 to iters).foreach { _ =>
-        val shares = ewd.join(ranks, ewd("src") === ranks("node"))
-          .select(col("dst"), expr("r div deg").as("share"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("share")).as("s"))
-        ranks = spine.join(shares, Seq("node"), "left")
-          .select(col("node"),
-            (lit(tp) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-          .localCheckpoint()
-      }
-      ranks.select(col("node"), col("r").as("rank_scaled"))
-    } finally ewd.unpersist()
+      loop(ewt, nodes.select(col("node"), lit(tp).as("tp"),
+        lit(r0).as("r0")), iters)
+    } finally ewt.unpersist()
+  }
+
+  /** Weighted form: `edges` carries a positive integer weight column
+    * `w` (e.g. the LINK COUNT between two hosts — the natural weight a
+    * crawl graph provides); a node's rank splits proportionally,
+    * share(u→v) = (r(u)·w(u,v)) div (Σ_x w(u,x)). Weights are loudly
+    * bounded by [[MaxWeight]] (one metadata-plane aggregate on the
+    * persisted frame) so the BIGINT product cannot wrap.
+    */
+  def runWeighted(spark: SparkSession, edges: DataFrame,
+                  iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ewt = annotate(edges, col("w")).persist()
+    try {
+      val bounds = ewt.agg(min(col("w")), max(col("w"))).head()
+      require(!bounds.isNullAt(0) && bounds.getLong(0) >= 1L,
+        "PageRank.runWeighted: weights must be positive")
+      require(bounds.getLong(1) <= MaxWeight,
+        s"PageRank.runWeighted: max weight ${bounds.getLong(1)} exceeds " +
+          s"$MaxWeight — r*w would overflow the integer lattice")
+      val nodes = ewt.select(col("src").as("node")).distinct()
+      val n = nodes.count()
+      require(n > 0, "PageRank: empty graph")
+      val r0 = Scale / n
+      val tp = 15L * r0 / 100L
+      loop(ewt, nodes.select(col("node"), lit(tp).as("tp"),
+        lit(r0).as("r0")), iters)
+    } finally ewt.unpersist()
+  }
+
+  /** Personalized (topic-sensitive) form: teleport mass goes ONLY to
+    * the `seeds` node set — rank measures link-proximity to the seeds.
+    * Initial rank = the teleport vector (SCALE div |S| on seeds, 0
+    * elsewhere), the classic PPR start. Seeds not present in the graph
+    * are ignored (they get no spine row); an empty intersection fails
+    * loudly.
+    */
+  def runPersonalized(spark: SparkSession, edges: DataFrame,
+                      seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ewt = annotate(edges, lit(1L)).persist()
+    try {
+      val nodes = ewt.select(col("src").as("node")).distinct()
+      val flagged = nodes.join(
+        seeds.select(col("node"), lit(true).as("__seed")).distinct(),
+        Seq("node"), "left")
+      val ns = flagged.where(col("__seed")).count() // metadata scalar
+      require(ns > 0, "PageRank.runPersonalized: no seed is in the graph")
+      val r0 = Scale / ns
+      val tp = 15L * r0 / 100L
+      loop(ewt, flagged.select(col("node"),
+        when(col("__seed"), tp).otherwise(0L).as("tp"),
+        when(col("__seed"), r0).otherwise(0L).as("r0")), iters)
+    } finally ewt.unpersist()
   }
 }

@@ -233,6 +233,37 @@ object GraphQueries extends QueryPack {
         .select(col("node").as("host"), col("rank_scaled"))
     }),
 
+    // Weighted variant: the link COUNT between two hosts is the weight
+    // (the natural strength signal a crawl graph provides — no distinct,
+    // the multi-edge multiplicity IS the data). A host linking B 24x
+    // and C once sends B 24x the share; integer lattice as above, with
+    // the loud MaxWeight overflow guard inside the operator.
+    "q_graph_pagerank_weighted" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .select(col("source").as("src"),
+          concat(lit("src"), (col("doc_id") % 7).cast(StringType)).as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast(LongType).as("w"))
+      PageRank.runWeighted(s, edges, PageRankIters)
+        .select(col("node").as("host"), col("rank_scaled"))
+    }),
+
+    // Personalized (topic-sensitive, Haveliwala 2002) variant: teleport
+    // mass restricted to a 3-host seed set — rank measures
+    // link-proximity to trusted seeds (the seed-biased host scoring
+    // crawl curation runs). Hosts unreachable from the seeds rank 0.
+    "q_graph_pagerank_personalized" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .select(col("source").as("src"),
+          concat(lit("src"), (col("doc_id") % 7).cast(StringType)).as("dst"))
+        .distinct()
+      val seeds = t(s, dir, "documents")
+        .select(col("source").as("node")).distinct()
+        .where(col("node").isin("src0", "src1", "src2"))
+      PageRank.runPersonalized(s, edges, seeds, PageRankIters)
+        .select(col("node").as("host"), col("rank_scaled"))
+    }),
+
     // Incremental entity resolution — the shape a daily ingest actually
     // runs: match a NEW batch's (dirty) keys against the EXISTING
     // master key list without re-blocking the master side. The batch
@@ -295,6 +326,79 @@ object GraphQueries extends QueryPack {
          SELECT node AS host, r AS rank_scaled FROM r_$PageRankIters"""
   }
 
+  /** Weighted unrolled chain: share = (r·w) // totw on the lattice. */
+  private val pageRankWeightedOracle: String = {
+    def iter(k: Int): String =
+      s""",
+         r_$k AS (
+           SELECT t.node,
+                  CAST((15 * (1000000000000 // nn.n)) // 100
+                       + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           FROM tot t CROSS JOIN nn
+           LEFT JOIN (SELECT e.dst AS node,
+                             SUM((r.r * e.w) // g.totw) AS s
+                      FROM edges e
+                      JOIN r_${k - 1} r ON r.node = e.src
+                      JOIN tot g ON g.node = e.src
+                      GROUP BY e.dst) s ON s.node = t.node)"""
+    """WITH edges AS (
+           SELECT source AS src,
+                  'src' || CAST(doc_id % 7 AS VARCHAR) AS dst,
+                  CAST(COUNT(*) AS BIGINT) AS w
+           FROM documents GROUP BY 1, 2),
+         tot AS (
+           SELECT src AS node, CAST(SUM(w) AS BIGINT) AS totw
+           FROM edges GROUP BY src),
+         nn AS (SELECT COUNT(*) AS n FROM tot),
+         r_0 AS (
+           SELECT t.node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+           FROM tot t CROSS JOIN nn)""" +
+      (1 to PageRankIters).map(iter).mkString +
+      s"""
+         SELECT node AS host, r AS rank_scaled FROM r_$PageRankIters"""
+  }
+
+  /** Personalized unrolled chain: teleport and r0 are the seed-masked
+    * vector; everything else is the classic recurrence.
+    */
+  private val pageRankPersonalizedOracle: String = {
+    def iter(k: Int): String =
+      s""",
+         r_$k AS (
+           SELECT d.node,
+                  CAST(CASE WHEN sd.node IS NOT NULL
+                            THEN (15 * (1000000000000 // ns.n)) // 100
+                            ELSE 0 END
+                       + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           FROM deg d CROSS JOIN ns
+           LEFT JOIN seeds sd ON sd.node = d.node
+           LEFT JOIN (SELECT e.dst AS node, SUM(r.r // g.deg) AS s
+                      FROM edges e
+                      JOIN r_${k - 1} r ON r.node = e.src
+                      JOIN deg g ON g.node = e.src
+                      GROUP BY e.dst) s ON s.node = d.node)"""
+    """WITH edges AS (
+           SELECT DISTINCT source AS src,
+                  'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+           FROM documents),
+         deg AS (
+           SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY src),
+         seeds AS (
+           SELECT node FROM deg WHERE node IN ('src0', 'src1', 'src2')),
+         ns AS (SELECT COUNT(*) AS n FROM seeds),
+         r_0 AS (
+           SELECT d.node,
+                  CAST(CASE WHEN s.node IS NOT NULL
+                            THEN 1000000000000 // ns.n ELSE 0 END
+                       AS BIGINT) AS r
+           FROM deg d CROSS JOIN ns
+           LEFT JOIN seeds s ON s.node = d.node)""" +
+      (1 to PageRankIters).map(iter).mkString +
+      s"""
+         SELECT node AS host, r AS rank_scaled FROM r_$PageRankIters"""
+  }
+
   private val fuzzyPairsCte =
     s"""WITH w AS (SELECT DISTINCT p_name FROM part),
          pairs AS (
@@ -326,6 +430,8 @@ object GraphQueries extends QueryPack {
          FROM reach GROUP BY node"""),
 
     "q_graph_pagerank" -> pageRankOracle,
+    "q_graph_pagerank_weighted" -> pageRankWeightedOracle,
+    "q_graph_pagerank_personalized" -> pageRankPersonalizedOracle,
 
     // oracle = the plain all-pairs threshold join over the same two
     // distinct key frames + the identical ROW_NUMBER best pick — the

@@ -70,6 +70,86 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(run(edges, 6) === reference(edges, 6))
   }
 
+  test("weighted: matches an in-memory twin, splits shares by weight") {
+    def reference(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = edges.map(_._1).distinct.sorted
+      val totw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val n = nodes.size
+      val r0 = PageRank.Scale / n
+      val tp = 15L * r0 / 100L
+      var r = nodes.map(_ -> r0).toMap
+      for (_ <- 1 to iters) {
+        val shares = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _, w) => r(u) * w / totw(u) }.sum).toMap
+        r = nodes.map(v => v -> (tp + 85L * shares.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    // node 1 sends 9/10 of its mass to 2 and 1/10 to 3
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val got = PageRank.runWeighted(spark, edges.toDF("src", "dst", "w"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === reference(edges, 4))
+    assert(got(2L) > got(3L), "heavier edge must carry more rank")
+    // uniform weights must equal the classic form exactly
+    val uni = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+    assert(PageRank.runWeighted(spark, uni.toDF("src", "dst", "w"), 3)
+      .as[(Long, Long)].collect().toMap ===
+      run(uni.map(e => (e._1, e._2)), 3))
+  }
+
+  test("weighted: loud guards on non-positive and oversized weights") {
+    val zero = Seq((1L, 2L, 0L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    assert(intercept[IllegalArgumentException] {
+      PageRank.runWeighted(spark, zero, 1)
+    }.getMessage.contains("positive"))
+    val huge = Seq((1L, 2L, PageRank.MaxWeight + 1), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    assert(intercept[IllegalArgumentException] {
+      PageRank.runWeighted(spark, huge, 1)
+    }.getMessage.contains("overflow"))
+  }
+
+  test("personalized: teleport only reaches seeds; unreachable nodes rank 0") {
+    import org.apache.spark.sql.functions.col
+    // 1 -> 2 -> 3 -> 2 and isolated pair 4 <-> 5; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
+    val seeds = Seq(1L).toDF("node")
+    val got = PageRank.runPersonalized(
+        spark, edges.toDF("src", "dst"), seeds, 4)
+      .as[(Long, Long)].collect().toMap
+    val r0 = PageRank.Scale / 1
+    val tp = 15L * r0 / 100L
+    // the seed has no in-edges: rank = its teleport, every round
+    assert(got(1L) === tp)
+    // nodes unreachable from the seed get exactly 0 — the curation
+    // verdict "no trust path from the seeds"
+    assert(got(4L) === 0L && got(5L) === 0L)
+    // reachable non-seeds accumulate strictly positive rank via links
+    assert(got(2L) > 0L && got(3L) > 0L)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // in-memory twin over the same recurrence
+    def reference(iters: Int): Map[Long, Long] = {
+      val nodes = edges.map(_._1).distinct.sorted
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      def tpOf(v: Long) = if (v == 1L) tp else 0L
+      var r = nodes.map(v => v -> (if (v == 1L) r0 else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val shares = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+        r = nodes.map(v =>
+          v -> (tpOf(v) + 85L * shares.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    assert(got === reference(4))
+    // a seed set disjoint from the graph must fail loudly
+    assert(intercept[IllegalArgumentException] {
+      PageRank.runPersonalized(spark, edges.toDF("src", "dst"),
+        Seq(99L).toDF("node"), 1)
+    }.getMessage.contains("no seed"))
+  }
+
   test("rank mass is conserved up to truncation dust") {
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L))
     val got = run(edges, 4)
