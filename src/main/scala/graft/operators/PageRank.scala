@@ -126,15 +126,24 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val ewt = annotate(edges, col("w")).persist()
     try {
-      val bounds = ewt.agg(min(col("w")), max(col("w"))).head()
-      require(!bounds.isNullAt(0) && bounds.getLong(0) >= 1L,
+      // one metadata-plane aggregate covers every guard: emptiness,
+      // NULL weights (min/max SKIP nulls, so a null-weighted edge would
+      // otherwise pass the bounds checks and then silently drop its
+      // rank mass in the loop), positivity, and the overflow cap
+      val b = ewt.agg(count(lit(1)), count(col("w")),
+        min(col("w")), max(col("w"))).head()
+      val total = b.getLong(0)
+      require(total > 0, "PageRank: empty graph")
+      require(b.getLong(1) == total,
+        s"PageRank.runWeighted: ${total - b.getLong(1)} edges carry a " +
+          "NULL weight — their rank mass would silently vanish")
+      require(b.getLong(2) >= 1L,
         "PageRank.runWeighted: weights must be positive")
-      require(bounds.getLong(1) <= MaxWeight,
-        s"PageRank.runWeighted: max weight ${bounds.getLong(1)} exceeds " +
+      require(b.getLong(3) <= MaxWeight,
+        s"PageRank.runWeighted: max weight ${b.getLong(3)} exceeds " +
           s"$MaxWeight — r*w would overflow the integer lattice")
       val nodes = ewt.select(col("src").as("node")).distinct()
       val n = nodes.count()
-      require(n > 0, "PageRank: empty graph")
       val r0 = Scale / n
       val tp = 15L * r0 / 100L
       loop(ewt, nodes.select(col("node"), lit(tp).as("tp"),

@@ -55,29 +55,19 @@ object GraphQueries extends QueryPack {
     * MEMORY_AND_DISK so cache pressure demotes to disk instead of
     * silently recomputing.
     */
-  private val fuzzyIdxMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), DataFrame]()
+  private val fuzzyIdxMemo = new SessionMemo[String, DataFrame]()
 
-  private[graft] def masterFuzzyIndex(s: SparkSession, dir: String): DataFrame = {
-    val k = (System.identityHashCode(s), dir)
-    val hit = fuzzyIdxMemo.get(k)
-    if (hit != null) hit
-    else fuzzyIdxMemo.synchronized {
-      fuzzyIdxMemo.get(k) match {
-        case null =>
-          import org.apache.spark.storage.StorageLevel
-          val idx = t(s, dir, "part")
-            .where(col("p_partkey") % 10 =!= 0)
-            .select(col("p_name").as("name_master")).distinct()
-            .withColumn("__vh", explode(
-              FuzzyJoin.deletionVariants(col("name_master"), IncrFuzzyDist)))
-            .withColumn("__vh", xxhash64(col("__vh")))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          fuzzyIdxMemo.put(k, idx); idx
-        case v => v
-      }
+  private[graft] def masterFuzzyIndex(s: SparkSession, dir: String): DataFrame =
+    fuzzyIdxMemo.get(s, dir) {
+      import org.apache.spark.storage.StorageLevel
+      t(s, dir, "part")
+        .where(col("p_partkey") % 10 =!= 0)
+        .select(col("p_name").as("name_master")).distinct()
+        .withColumn("__vh", explode(
+          FuzzyJoin.deletionVariants(col("name_master"), IncrFuzzyDist)))
+        .withColumn("__vh", xxhash64(col("__vh")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
-  }
 
   /** Loud cap on the streaming gate's frozen variant model: master KEY
     * sets are dimension-sized by contract (names, codes, titles — not
@@ -98,15 +88,15 @@ object GraphQueries extends QueryPack {
     val grouped = masterFuzzyIndex(s, dir)
       .groupBy(col("__vh"))
       .agg(sort_array(collect_list(col("name_master"))).as("names"))
-    // the cap must fire BEFORE the driver materializes anything — a
-    // require after collect() would OOM the driver on the very input
-    // it exists to reject. limit(cap+1).count() stops at the evidence.
-    val n = grouped.limit(MaxVariantModelEntries + 1).count()
-    require(n <= MaxVariantModelEntries,
+    // ONE job, capped driver materialization: limit(cap+1) bounds what
+    // the driver ever holds (the require fires on the sentinel row), and
+    // a compliant model is collected in the same pass instead of
+    // re-running the aggregation for a separate count
+    val rows = grouped.limit(MaxVariantModelEntries + 1).collect()
+    require(rows.length <= MaxVariantModelEntries,
       s"masterVariantModel: > $MaxVariantModelEntries variant entries " +
         "exceed the plan-literal cap — use the batch prober")
-    grouped.collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    rows.map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
   }
 
   /** The new-batch key frame for the incremental match: today's
@@ -170,28 +160,18 @@ object GraphQueries extends QueryPack {
     * per (session, SF) — they have no owner to unpersist them, so the
     * cap on rebuilds is the leak control.
     */
-  private val fuzzyPairsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), DataFrame]()
+  private val fuzzyPairsMemo = new SessionMemo[String, DataFrame]()
 
-  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
-    val k = (System.identityHashCode(s), dir)
-    val hit = fuzzyPairsMemo.get(k)
-    if (hit != null) hit
-    else fuzzyPairsMemo.synchronized {
-      fuzzyPairsMemo.get(k) match {
-        case null =>
-          import org.apache.spark.storage.StorageLevel
-          val (l, r) = nameSides(s, dir)
-          // a < b keeps one row per unordered pair (the join emits both
-          // orientations of a symmetric relation)
-          val pairs = FuzzyJoin.join(l, r, "name_a", "name_b", FuzzyDist)
-            .where(col("name_a") < col("name_b"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          fuzzyPairsMemo.put(k, pairs); pairs
-        case v => v
-      }
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairsMemo.get(s, dir) {
+      import org.apache.spark.storage.StorageLevel
+      val (l, r) = nameSides(s, dir)
+      // a < b keeps one row per unordered pair (the join emits both
+      // orientations of a symmetric relation)
+      FuzzyJoin.join(l, r, "name_a", "name_b", FuzzyDist)
+        .where(col("name_a") < col("name_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
-  }
 
   val queries: Map[String, Q] = Map(
     // Near-key record linkage on the distinct name frame: every

@@ -24,29 +24,17 @@ object PipelineQueries extends QueryPack {
     * recomputed per query). Without it every MV query would re-run the
     * whole bronze→gold chain.
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-  // NOT computeIfAbsent: builds nest (factSales builds dimProducts inside
-  // its own build), and a nested computeIfAbsent on the same map throws
-  // IllegalStateException("Recursive update"). get/putIfAbsent tolerates
-  // the nesting. On a lost race the loser is NOT unpersisted: Spark's
-  // CacheManager keys entries by canonicalized plan, so both builds share
-  // ONE cache entry and unpersisting the loser would evict the winner's
-  // too — the duplicate handle is free, the storage is shared.
-  private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(s), key)
-    memo.get(k) match {
-      case null =>
-        // explicit MEMORY_AND_DISK (the Dataset default, pinned here so
-        // a long bench session demotes these to local disk under cache
-        // pressure instead of silently rebuilding the bronze->gold chain)
-        val df = build.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val prev = memo.putIfAbsent(k, df)
-        if (prev != null) prev else df
-      case df => df
+  private val memo = new SessionMemo[String, DataFrame]()
+  // SessionMemo's monitor is reentrant, so nested builds (factSales
+  // builds dimProducts inside its own build) work — the property the
+  // earlier get/putIfAbsent pattern existed to preserve.
+  private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memo.get(s, key) {
+      // explicit MEMORY_AND_DISK (the Dataset default, pinned here so
+      // a long bench session demotes these to local disk under cache
+      // pressure instead of silently rebuilding the bronze->gold chain)
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-  }
 
   private def silverCust(s: SparkSession) =
     SilverTransforms.crmCustInfo(ReferenceFixtures.crmCustInfo(s), RefDate)

@@ -51,11 +51,10 @@ object SimQueries extends QueryPack {
     * count is a column-less scan job, and an un-memoized one per query
     * invocation would land INSIDE every bench timing of every sim row.
     */
-  private val nVecMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+  private val nVecMemo = new SessionMemo[String, java.lang.Long]()
   private def nVecEst(s: SparkSession, dir: String): Long =
-    nVecMemo.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => math.max(t(s, dir, "embeddings").count(), 1L)).longValue()
+    nVecMemo.get(s, dir)(
+      Long.box(math.max(t(s, dir, "embeddings").count(), 1L))).longValue()
 
   /** ±1 hyperplane signs from md5 parity — the canonical derivation
     * lives with the operator (graft.functions.HyperplaneSketch).
@@ -297,20 +296,10 @@ object SimQueries extends QueryPack {
     * that nesting. Entries live for the owning session's JVM lifetime
     * by design — bounded rows, the train-once artifact.
     */
-  private val trainMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private val trainMemo = new SessionMemo[String, DataFrame]()
   private def trained(s: SparkSession, key: String)
-                     (build: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(s), key)
-    val hit = trainMemo.get(k)
-    if (hit != null) hit
-    else trainMemo.synchronized {
-      trainMemo.get(k) match {
-        case null => val df = build; trainMemo.put(k, df); df
-        case df => df
-      }
-    }
-  }
+                     (build: => DataFrame): DataFrame =
+    trainMemo.get(s, key)(build)
 
   private def ivfTrainedCents(s: SparkSession, dir: String): DataFrame =
     trained(s, s"ivf:$dir") { ivfTrainedCentsUncached(s, dir) }

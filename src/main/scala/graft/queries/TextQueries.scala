@@ -162,31 +162,21 @@ object TextQueries extends QueryPack {
     * MEMORY_AND_DISK so cache pressure in a long bench session demotes
     * to local disk instead of silently recomputing the corpus scan.
     */
-  private val corpusIdxMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame)]()
+  private val corpusIdxMemo = new SessionMemo[String, (DataFrame, DataFrame)]()
 
   private[graft] def corpusDedupIndexes(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val k = (System.identityHashCode(s), dir)
-    val hit = corpusIdxMemo.get(k)
-    if (hit != null) hit
-    else corpusIdxMemo.synchronized {
-      corpusIdxMemo.get(k) match {
-        case null =>
-          import org.apache.spark.storage.StorageLevel
-          val corpus = t(s, dir, "documents").where(col("doc_id") % 10 =!= 0)
-          val keys = corpus.select(textKeyCol.as("text_key")).distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val bands = corpus.select(minhashCol.as("mh"))
-            .where(col("mh").isNotNull)
-            .select(explode(bandKeysCol(col("mh"))).as("band_key")).distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val v = (keys, bands)
-          corpusIdxMemo.put(k, v); v
-        case v => v
-      }
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    corpusIdxMemo.get(s, dir) {
+      import org.apache.spark.storage.StorageLevel
+      val corpus = t(s, dir, "documents").where(col("doc_id") % 10 =!= 0)
+      val keys = corpus.select(textKeyCol.as("text_key")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bands = corpus.select(minhashCol.as("mh"))
+        .where(col("mh").isNotNull)
+        .select(explode(bandKeysCol(col("mh"))).as("band_key")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (keys, bands)
     }
-  }
 
   /** Per-(session, SF) memo of the shared dedup frames: the MinHash-LSH
     * candidate-pair frame and the star-contraction component labels
@@ -204,23 +194,12 @@ object TextQueries extends QueryPack {
     * so cache pressure demotes to local disk instead of silently
     * recomputing the corpus scan.
     */
-  private val dedupFrameMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String), DataFrame]()
+  private val dedupFrameMemo = new SessionMemo[(String, String), DataFrame]()
   private def dedupFrame(s: SparkSession, dir: String, what: String)
-                        (build: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(s), dir, what)
-    val hit = dedupFrameMemo.get(k)
-    if (hit != null) hit
-    else dedupFrameMemo.synchronized {
-      dedupFrameMemo.get(k) match {
-        case null =>
-          val df = build
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          dedupFrameMemo.put(k, df); df
-        case df => df
-      }
+                        (build: => DataFrame): DataFrame =
+    dedupFrameMemo.get(s, (dir, what)) {
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-  }
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     dedupFrame(s, dir, "pairs") {
@@ -985,11 +964,10 @@ object TextQueries extends QueryPack {
     * (session, dir) — an un-memoized count is a job per query
     * invocation that lands inside bench timings.
     */
-  private val nDocMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+  private val nDocMemo = new SessionMemo[String, java.lang.Long]()
   private[graft] def nDocEst(s: SparkSession, dir: String): Long =
-    nDocMemo.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => math.max(t(s, dir, "documents").count(), 1L)).longValue()
+    nDocMemo.get(s, dir)(
+      Long.box(math.max(t(s, dir, "documents").count(), 1L))).longValue()
 
   /** Benchmark decontamination (the pre-training hygiene operator):
     * flag corpus documents whose winnowed fingerprints overlap the

@@ -566,10 +566,17 @@ object Orchestrator {
       // column): the SymSpell losslessness theorem needs BOTH sides at
       // the same d — probing a depth-1 index at maxDist=2 would
       // silently drop true matches whose common variant needs two
-      // master-side deletions, violating the fail-loudly discipline
-      val depths = rows.select(col("__d")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      require(depths.forall(_ == maxDist),
+      // master-side deletions, violating the fail-loudly discipline.
+      // Batches landed before the __d column existed (missing column,
+      // or null under mergeSchema) read as UNKNOWN depth and fail the
+      // same require with the rebuild message — never an opaque
+      // NPE/AnalysisException, and never a silent assume-it-matches.
+      val depths: Seq[String] =
+        if (!rows.schema.fieldNames.contains("__d")) Seq("unknown")
+        else rows.select(col("__d")).distinct().collect()
+          .map(r => if (r.isNullAt(0)) "unknown" else r.getInt(0).toString)
+          .sorted.toSeq
+      require(depths.forall(_ == maxDist.toString),
         s"fuzzy index depth mismatch: index batches were built at " +
           s"d=${depths.mkString(",")} but the probe asks d=$maxDist — " +
           "matches would be silently lost; rebuild the index at the " +

@@ -58,5 +58,20 @@ class FuzzyIndexSpec extends AnyFunSuite with SparkTestBase {
         maxDist = 2).collect()
     }
     assert(e.getMessage.contains("depth mismatch"), e.getMessage)
+
+    // an index partition landed by pre-__d code (missing the depth
+    // column; reads as null under mergeSchema) must hit the SAME loud
+    // require as "unknown" — never an opaque NPE, never a silent
+    // assume-it-matches
+    import org.apache.spark.sql.functions.{lit, xxhash64, col => c}
+    Seq("green gear").toDF("name_master")
+      .withColumn("__vh", xxhash64(c("name_master")))
+      .withColumn("dwh_batch_id", lit("LEGACY"))
+      .write.mode("append").partitionBy("dwh_batch_id")
+      .parquet(s"$wh/indexes/fuzzy_key_variants")
+    val e2 = intercept[IllegalArgumentException] {
+      probe(b3, Seq("mall ring"))
+    }
+    assert(e2.getMessage.contains("unknown"), e2.getMessage)
   }
 }

@@ -98,7 +98,7 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
       run(uni.map(e => (e._1, e._2)), 3))
   }
 
-  test("weighted: loud guards on non-positive and oversized weights") {
+  test("weighted: loud guards on non-positive, oversized, null weights") {
     val zero = Seq((1L, 2L, 0L), (2L, 1L, 1L)).toDF("src", "dst", "w")
     assert(intercept[IllegalArgumentException] {
       PageRank.runWeighted(spark, zero, 1)
@@ -108,6 +108,21 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(intercept[IllegalArgumentException] {
       PageRank.runWeighted(spark, huge, 1)
     }.getMessage.contains("overflow"))
+    // a PARTIALLY-null weight column would pass min/max (both skip
+    // nulls) and then silently drop the null edges' mass in the loop —
+    // it must fail loudly instead
+    val nully = Seq((1L, Some(2L), Option.empty[Long]),
+      (1L, Some(3L), Some(5L)), (2L, Some(1L), Some(1L)),
+      (3L, Some(1L), Some(1L)))
+      .toDF("src", "dst", "w")
+    assert(intercept[IllegalArgumentException] {
+      PageRank.runWeighted(spark, nully, 1)
+    }.getMessage.contains("NULL weight"))
+    // empty graph says so, not "weights must be positive"
+    assert(intercept[IllegalArgumentException] {
+      PageRank.runWeighted(spark,
+        Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"), 1)
+    }.getMessage.contains("empty graph"))
   }
 
   test("personalized: teleport only reaches seeds; unreachable nodes rank 0") {
