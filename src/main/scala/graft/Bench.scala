@@ -90,7 +90,8 @@ object Bench {
     // r15 rows: tracked from day one
     "q_dedup_fuzzy_join", "q_dedup_fuzzy_cluster", "q_graph_pagerank",
     "q_text_fuzzy_distance", "q_dedup_fuzzy_incremental",
-    "q_graph_pagerank_weighted", "q_graph_pagerank_personalized")
+    "q_graph_pagerank_weighted", "q_graph_pagerank_personalized",
+    "q_dedup_fuzzy_canonical", "q_graph_host_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -173,7 +174,11 @@ object Bench {
         "q_dedup_fuzzy_incremental",
         // builds the memoized fuzzy pair frame the join + cluster
         // rows both consume
-        "q_dedup_fuzzy_join") ++
+        "q_dedup_fuzzy_join",
+        // builds the memoized cluster table (canonical re-attachment
+        // probes it) and the memoized host rank table (the gate row
+        // probes it)
+        "q_dedup_fuzzy_cluster", "q_graph_pagerank") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

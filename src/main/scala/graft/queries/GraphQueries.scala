@@ -173,6 +173,64 @@ object GraphQueries extends QueryPack {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Per-(session, SF) memo of the fuzzy entity-cluster table (node,
+    * component) — the contraction runs eagerly, so memoizing it models
+    * the persisted cluster table a pipeline materializes once per
+    * master snapshot; the cluster row and the row-level canonical
+    * re-attachment both read it.
+    */
+  private val fuzzyClustersMemo = new SessionMemo[String, DataFrame]()
+
+  private def fuzzyClusters(s: SparkSession, dir: String): DataFrame =
+    fuzzyClustersMemo.get(s, dir) {
+      val pairs = fuzzyPairs(s, dir)
+      val edges = pairs
+        .select(col("name_a").as("src"), col("name_b").as("dst"))
+        .unionAll(pairs
+          .select(col("name_b").as("src"), col("name_a").as("dst")))
+      val nodes = t(s, dir, "part")
+        .select(col("p_name").as("node")).distinct()
+      ConnectedComponents.largeSmallStar(nodes, edges)
+    }
+
+  /** Per-(session, SF) memo of the host rank table — the PageRank loop
+    * runs eagerly (localCheckpointed fixpoint), so memoizing models the
+    * persisted host-score table crawl curation serves gates from; the
+    * rank row and the per-document gate both read it.
+    */
+  private val hostRanksMemo = new SessionMemo[String, DataFrame]()
+
+  private[graft] def hostRanks(s: SparkSession, dir: String): DataFrame =
+    hostRanksMemo.get(s, dir) {
+      val edges = t(s, dir, "documents")
+        .select(col("source").as("src"),
+          concat(lit("src"), (col("doc_id") % 7).cast(StringType)).as("dst"))
+        .distinct()
+      PageRank.run(s, edges, PageRankIters)
+    }
+
+  /** Host-quality keep threshold for the gate rows: above every
+    * teleport-only rank (zero-in-degree hosts sit at tp ≈ SCALE·0.15/n)
+    * and below every linked host's fixpoint on this graph shape — the
+    * "has actual inbound trust" cut.
+    */
+  private[graft] val HostRankKeep = 10000000000L
+
+  /** ONE gate definition for batch and stream (the gopherFrameOf
+    * discipline): left-join the host score table on source, keep iff
+    * the rank clears the cut; an unknown host surfaces as
+    * known_host=false, never a silent pass/fail. Map-side after a
+    * broadcast-sized join — works unchanged on a streaming frame.
+    */
+  private[graft] def hostGateOf(docs: DataFrame, ranks: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(ranks
+        .select(col("node").as("source"),
+          col("rank_scaled").as("host_rank"))), Seq("source"), "left")
+      .select(col("doc_id"), col("source").as("host"), col("host_rank"),
+        col("host_rank").isNotNull.as("known_host"),
+        coalesce(col("host_rank") > HostRankKeep, lit(false)).as("keep"))
+
   val queries: Map[String, Q] = Map(
     // Near-key record linkage on the distinct name frame: every
     // unordered pair within edit distance 2, found via deletion-
@@ -186,32 +244,39 @@ object GraphQueries extends QueryPack {
     // lexicographically smallest name reachable, keep = the canonical
     // representative. Same composition as q_dedup_components, with the
     // near-key (edit-distance) pair generator instead of MinHash-LSH.
-    "q_dedup_fuzzy_cluster" -> ((s, dir) => {
-      val pairs = fuzzyPairs(s, dir)
-      val edges = pairs
-        .select(col("name_a").as("src"), col("name_b").as("dst"))
-        .unionAll(pairs
-          .select(col("name_b").as("src"), col("name_a").as("dst")))
-      val nodes = t(s, dir, "part")
-        .select(col("p_name").as("node")).distinct()
-      ConnectedComponents.largeSmallStar(nodes, edges)
+    "q_dedup_fuzzy_cluster" -> ((s, dir) =>
+      fuzzyClusters(s, dir)
         .select(col("node").as("p_name"), col("component"),
-          (col("node") === col("component")).as("keep"))
-    }),
+          (col("node") === col("component")).as("keep"))),
+
+    // Row-level canonical re-attachment — the documented consumption
+    // contract of the cluster table ("callers re-attach row ids by an
+    // exact equi-join on the matched key"): every part row gets its
+    // entity-canonical name via one equi-join against the persisted
+    // cluster table. This is what downstream marts key on.
+    "q_dedup_fuzzy_canonical" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+        .join(fuzzyClusters(s, dir)
+          .select(col("node").as("p_name"),
+            col("component").as("canonical_name")), "p_name")
+        .select(col("p_partkey"), col("p_name"), col("canonical_name"))),
 
     // Host-graph link scoring: each document "links" its host to host
     // (doc_id mod 7), so hosts src7.. have out-edges but ZERO in-edges
     // — the crawl-graph shape (hub pages nobody links back to) that
     // must keep teleport rank, not vanish. Integer-lattice arithmetic
     // makes the result hash-exact against the oracle's unrolled CTEs.
-    "q_graph_pagerank" -> ((s, dir) => {
-      val edges = t(s, dir, "documents")
-        .select(col("source").as("src"),
-          concat(lit("src"), (col("doc_id") % 7).cast(StringType)).as("dst"))
-        .distinct()
-      PageRank.run(s, edges, PageRankIters)
-        .select(col("node").as("host"), col("rank_scaled"))
-    }),
+    "q_graph_pagerank" -> ((s, dir) =>
+      hostRanks(s, dir).select(col("node").as("host"), col("rank_scaled"))),
+
+    // Per-document host-quality gate — the production CONSUMPTION of
+    // the rank table: each document left-joins the persisted host
+    // scores (never recomputing the graph) and keeps iff its host has
+    // actual inbound trust (rank above every teleport-only value). A
+    // host missing from the rank table surfaces as known_host=false,
+    // never a silent pass/fail — the calibrated-gate discipline.
+    "q_graph_host_gate" -> ((s, dir) =>
+      hostGateOf(t(s, dir, "documents"), hostRanks(s, dir))),
 
     // Weighted variant: the link COUNT between two hosts is the weight
     // (the natural strength signal a crawl graph provides — no distinct,
@@ -409,9 +474,38 @@ object GraphQueries extends QueryPack {
                 node = MIN(lbl) AS keep
          FROM reach GROUP BY node"""),
 
+    "q_dedup_fuzzy_canonical" ->
+      (fuzzyPairsCte.replace("WITH w AS", "WITH RECURSIVE w AS") +
+        """,
+         edges AS (SELECT name_a AS src, name_b AS dst FROM pairs
+                   UNION ALL SELECT name_b AS src, name_a AS dst FROM pairs),
+         reach AS (
+           SELECT p_name AS node, p_name AS lbl FROM w
+           UNION
+           SELECT e.src AS node, r.lbl AS lbl
+           FROM edges e JOIN reach r ON e.dst = r.node),
+         comp AS (
+           SELECT node AS p_name, MIN(lbl) AS canonical_name
+           FROM reach GROUP BY node)
+         SELECT p.p_partkey, p.p_name, c.canonical_name
+         FROM part p JOIN comp c ON c.p_name = p.p_name"""),
+
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_pagerank_weighted" -> pageRankWeightedOracle,
     "q_graph_pagerank_personalized" -> pageRankPersonalizedOracle,
+
+    // the rank chain + one document join; keep mirrors the Spark
+    // left-join + coalesce shape (all hosts are known on this fixture,
+    // which the known_host column itself certifies through the hash)
+    "q_graph_host_gate" -> (pageRankOracle
+      .replace(s"""
+         SELECT node AS host, r AS rank_scaled FROM r_$PageRankIters""",
+        s"""
+         SELECT d.doc_id, d.source AS host, r.r AS host_rank,
+                r.r IS NOT NULL AS known_host,
+                COALESCE(r.r > $HostRankKeep, FALSE) AS keep
+         FROM documents d LEFT JOIN r_$PageRankIters r
+           ON r.node = d.source""")),
 
     // oracle = the plain all-pairs threshold join over the same two
     // distinct key frames + the identical ROW_NUMBER best pick — the

@@ -588,6 +588,21 @@ object StreamingJobs {
       .drop("__best")
   }
 
+  /** Streaming host-quality gate — the streaming face of
+    * q_graph_host_gate: each arriving document left-joins the FROZEN
+    * host rank table (the PageRank output a curation pipeline persists
+    * — hosts-sized, so it broadcasts) and keeps iff its host clears
+    * the inbound-trust cut, through the ONE shared builder
+    * (GraphQueries.hostGateOf), so stream and batch verdicts cannot
+    * drift. Unknown hosts surface as known_host=false, never a silent
+    * pass/fail. Stream-static broadcast join, map-only after — no
+    * state, no watermark, append at any rate. The rank table is frozen
+    * for the DSIR reason: gate verdicts must be comparable across the
+    * whole feed; rescoring the graph is a redeploy.
+    */
+  def hostGateStream(docs: DataFrame, hostRanks: DataFrame): DataFrame =
+    graft.queries.GraphQueries.hostGateOf(docs, hostRanks)
+
   case class PendingProbe(event_id: Long, tsMicros: Long)
   case class Conversion(event_id: Long, user_id: Long, ts: Timestamp,
                         converted: Boolean,

@@ -438,6 +438,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "no near-match in the fixture")
   }
 
+  test("streaming host-quality gate equals the batch row; unknown host " +
+    "is an explicit non-keep") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ranks = graft.queries.GraphQueries.hostRanks(spark, dir)
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "source")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val novel = (900001L, "host_never_ranked")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingJobs.hostGateStream(
+      ms.toDF().toDF("doc_id", "source"), ranks)
+      .writeStream.format("memory").queryName("host_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.toSeq :+ novel)
+      q.processAllAvailable()
+    } finally q.stop()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2)),
+        r.getBoolean(3), r.getBoolean(4))).toMap
+    val got = asMap(spark.table("host_gate").collect())
+    val want = asMap(
+      SparkEntry.queries("q_graph_host_gate")(spark, dir).collect())
+    want.foreach { case (id, v) =>
+      assert(got(id) === v, s"doc $id stream/batch drift")
+    }
+    // unknown host: explicit false verdicts, null rank — never a drop
+    assert(got(900001L) === (("host_never_ranked", null, false, false)))
+    // non-vacuity: the fixture must exercise both verdicts
+    assert(want.values.exists(_._4) && want.values.exists(!_._4),
+      "gate verdicts degenerate on this fixture")
+  }
+
   test("streaming BPE encode equals the batch row per document") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
