@@ -1482,9 +1482,18 @@ object TextQueries extends QueryPack {
     // (q_dedup_ngram_jaccard's discipline); strings here keep the
     // oracle byte-exact at fixture scale.
     "q_text_repeated_ngrams" -> ((s, dir) => {
+      // the native kernel emits per-doc DISTINCT 60-bit shingle hashes
+      // in one row pass, so (a) the explicit corpus-wide distinct
+      // shuffle the string form needed is GONE (per-doc dedup is the
+      // semantics — the old (doc_id, s).distinct() never deduped across
+      // docs anyway), and (b) every remaining shuffle ships 8-byte
+      // longs instead of ~50-byte 8-gram strings. Counts equal the
+      // string oracle's modulo md5-prefix collisions (~d²/2^61 — the
+      // q_text_dup_spans argument).
+      import graft.functions.TextHashFunctions.shingleHashes
       val sh = t(s, dir, "documents")
-        .select(col("doc_id"), explode(shingles(col("text"), 8)).as("s"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(shingleHashes(words(col("text")), 8)).as("s"))
       val rep = sh.groupBy(col("s")).agg(cnt.as("n_docs"))
         .where(col("n_docs") >= 2)
         .select(col("s"), lit(1L).as("__rep"))
