@@ -224,7 +224,7 @@ object Bench {
       .orElse(if (sfDir.endsWith("sf0.1")) Some(sfDir.stripSuffix("sf0.1") + "sf0.01")
               else None)
       .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
-    val scalingJson = smallDir.map { dir =>
+    val scaling = smallDir.map { dir =>
       val scalingNames = headline.filterNot(_.startsWith("q_ref_"))
       try runAt("q_surrogate_lookup", dir) catch { case _: Throwable => () }
       prewarm(dir, refToo = false)
@@ -244,10 +244,11 @@ object Bench {
       val flagged = superLinear(tSmall, tBig, dataRatio = 10.0)
       def names(ns: Seq[String]) =
         ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s""","scaling":{"small_sf":"$dir","data_ratio":10,"flagged":${
+      (s""","scaling":{"small_sf":"$dir","data_ratio":10,"flagged":${
         names(flagged.keys.toSeq)},"errors":${names(errors)
-      },"ratios":${dict(ratios)}}"""
-    }.getOrElse("")
+      },"ratios":${dict(ratios)}}""", flagged.size, errors.size)
+    }
+    val scalingJson = scaling.map(_._1).getOrElse("")
 
     // "queries" stays name->median (same shape as every prior round);
     // "spread" carries max-min over the runs so a flaky timing is
@@ -265,14 +266,27 @@ object Bench {
     val errJson = nameArr(errored)
     val unstableHead =
       s""""n_unstable":${unstable.size},"unstable":${nameArr(unstable.take(12))}"""
+    // The driver keeps only the TAIL of stdout, and the per-query dicts
+    // above can push the leading headline fields ("value", "n_queries",
+    // the flag counts) past the capture window on a wide registry — so
+    // the same scalars are REPEATED as the last keys of the object:
+    // however the line is truncated from the front, the tail block with
+    // total seconds / query count / error + instability + scaling-flag
+    // counts survives. (Duplicate keys are avoided: the tail uses its
+    // own names.)
+    val tailJson =
+      s""","tail":{"total_s":${num(total)},"tail_n_queries":${results.size
+      },"n_errors":${errored.size},"tail_n_unstable":${unstable.size
+      },"n_scaling_flagged":${scaling.map(_._2).getOrElse(-1)
+      },"n_scaling_errors":${scaling.map(_._3).getOrElse(-1)}}"""
     val totalJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,$unstableHead,"queries":$qs,"spread":$sprHead$scalingJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,$unstableHead,"queries":$qs,"spread":$sprHead$scalingJson,"sf":"$sfDir"$tailJson}"""
     println(totalJson)
     // Full per-query dict to a file so round-over-round diffs cover every
     // query, not just the stdout-tail-safe headline subset.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,"n_unstable":${unstable.size},"unstable":${nameArr(unstable)},"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,"n_unstable":${unstable.size},"unstable":${nameArr(unstable)},"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson,"sf":"$sfDir"$tailJson}""".getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -82,6 +82,19 @@ object FuzzyJoin {
     * Inputs should be slim distinct-key frames (see scale notes); all
     * columns of both sides pass through, plus an IntegerType `dist`.
     * Column names must not collide across the two sides.
+    *
+    * Caching contract: each call persists TWO internal variant frames
+    * (one per side) so the hot-bucket guard and the blocking join share
+    * a single explode/hash pass — and they stay persisted for the
+    * session's lifetime, because the returned frame is lazy and there
+    * is no safe point inside the operator to unpersist (doing so before
+    * the caller materializes would silently recompute the guard pass).
+    * Callers must therefore BOUND their calls: build once and reuse the
+    * result (memoize per (session, input) — GraphQueries.fuzzyPairsMemo
+    * is the reference pattern), or `session.catalog.clearCache()` in
+    * batch drivers that genuinely need many one-shot joins. An
+    * unbounded per-record call loop accumulates cache entries without
+    * limit.
     */
   def join(left: DataFrame, right: DataFrame,
            leftStr: String, rightStr: String, maxDist: Int,

@@ -34,11 +34,19 @@ import org.apache.spark.sql.types.LongType
   *                         reaches a node only through link paths from
   *                         the seeds.
   *
-  * The damping split (85/100) is Brin & Page's 0.85. Dangling nodes are
-  * the caller's problem by contract: `edges` must give every node at
-  * least one out-edge (an undirected graph fed as both directions
-  * satisfies this for free); mass that would leave through a dangling
-  * node is neither redistributed nor tracked.
+  * The damping split (85/100) is Brin & Page's 0.85. The dangling-node
+  * contract is ENFORCED, not documented away: `edges` must give every
+  * node at least one out-edge (an undirected graph fed as both
+  * directions satisfies this for free). A node that appears only as
+  * `dst` would receive rank whose onward mass silently vanishes — the
+  * loop's spine is built from `src` nodes, so the sink would not even
+  * get an output row — so every face FAILS LOUDLY on such nodes (one
+  * metadata-plane anti-join on the persisted edge frame, naming
+  * offenders). Callers with genuinely dangling graphs either add
+  * self-loops / back-edges upstream, or redistribute dangling mass
+  * before calling (the classic fix is dst → every node, which is a
+  * dense edge set and therefore an upstream modeling decision, not a
+  * silent default here).
   *
   * Scale notes (100 TB): per iteration ONE join of the edge list with
   * the rank frame on `src` and ONE aggregation on `dst` — both key
@@ -84,6 +92,28 @@ object PageRank {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** Loud dangling-node guard (header contract): any node appearing as
+    * `dst` but never as `src` fails the run, naming up to five
+    * offenders. One metadata-plane job — two distincts + an anti-join
+    * on the already-persisted edge frame, collecting at most six rows.
+    */
+  private def requireNoDangling(ewt: DataFrame): Unit = {
+    val offenders = ewt.select(col("dst"))
+      .join(ewt.select(col("src").as("dst")), Seq("dst"), "left_anti")
+      .distinct()
+      .limit(6).collect().map(r => String.valueOf(r.get(0)))
+    if (offenders.nonEmpty) {
+      val shown = offenders.take(5).mkString(", ") +
+        (if (offenders.length > 5) ", ..." else "")
+      throw new IllegalArgumentException(
+        s"PageRank: dangling node(s) appear as dst but never as src " +
+          s"($shown) — rank mass flowing into them would silently " +
+          "vanish (they get no spine row and no out-shares); give " +
+          "every node an out-edge, or redistribute dangling mass " +
+          "upstream before ranking")
+    }
+  }
+
   /** Weight-annotate an edge list: w per edge (uniform lit(1) for the
     * classic form), totw = Σw per src.
     */
@@ -104,6 +134,7 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val ewt = annotate(edges, lit(1L)).persist() // reused every round
     try {
+      requireNoDangling(ewt)
       val nodes = ewt.select(col("src").as("node")).distinct()
       val n = nodes.count() // ONE driver scalar: |V|
       require(n > 0, "PageRank: empty graph")
@@ -142,6 +173,7 @@ object PageRank {
       require(b.getLong(3) <= MaxWeight,
         s"PageRank.runWeighted: max weight ${b.getLong(3)} exceeds " +
           s"$MaxWeight — r*w would overflow the integer lattice")
+      requireNoDangling(ewt)
       val nodes = ewt.select(col("src").as("node")).distinct()
       val n = nodes.count()
       val r0 = Scale / n
@@ -163,6 +195,7 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val ewt = annotate(edges, lit(1L)).persist()
     try {
+      requireNoDangling(ewt)
       val nodes = ewt.select(col("src").as("node")).distinct()
       val flagged = nodes.join(
         seeds.select(col("node"), lit(true).as("__seed")).distinct(),

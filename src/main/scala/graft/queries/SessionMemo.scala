@@ -10,30 +10,50 @@ import org.apache.spark.sql.SparkSession
   * earlier convention): identity hashes are reused after GC, so a new
   * session could — with matching inner key — be served a stale value
   * whose plan is bound to a stopped session's cache. Weak identity keys
-  * make that impossible (the entry dies with the session) and also stop
-  * dead sessions' entries accumulating for the process lifetime.
+  * make that impossible (the entry can never outlive its session and be
+  * handed to an impostor). Cleanup is honest but partial: entries whose
+  * values are plain scalars/models die with the session, while a
+  * DataFrame value strongly references its SparkSession, so the value
+  * keeps the weak key reachable and that entry lives for the process
+  * lifetime — the memo's correctness story is the stale-identity fix,
+  * not leak elimination; DataFrame-valued memos are bounded-cardinality
+  * by construction (one entry per (session, SF dir)).
   *
-  * Values built under a lost race are discarded (same best-effort
-  * semantics as the ConcurrentHashMap pattern it replaces); builds are
-  * serialized per memo via the map's monitor, which is what the old
-  * `synchronized` double-check did too.
+  * Concurrency: the global WeakHashMap monitor guards only the tiny
+  * get-or-create of the per-session entry; BUILDS run under the
+  * per-session entry lock, so two sessions build concurrently (the
+  * multi-tenant shape: one notebook's Lloyd training never blocks
+  * another session's unrelated memo) while builds within one session
+  * stay serialized — the `synchronized` monitor is reentrant, so nested
+  * builds (the IVF-PQ build invoking the centroid build) still work.
+  * Values built under a lost race are impossible by construction: the
+  * double-check happens under the same per-session lock as the build.
   */
 final class SessionMemo[K, V] {
-  private val bySession =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[K, V]]()
+  private final class Entry {
+    val map = new java.util.HashMap[K, V]()
+  }
 
-  def get(s: SparkSession, k: K)(build: => V): V = bySession.synchronized {
-    var inner = bySession.get(s)
-    if (inner == null) {
-      inner = new java.util.HashMap[K, V]()
-      bySession.put(s, inner)
+  private val bySession =
+    new java.util.WeakHashMap[SparkSession, Entry]()
+
+  def get(s: SparkSession, k: K)(build: => V): V = {
+    val entry = bySession.synchronized {
+      var e = bySession.get(s)
+      if (e == null) {
+        e = new Entry
+        bySession.put(s, e)
+      }
+      e
     }
-    val hit = inner.get(k)
-    if (hit != null) hit
-    else {
-      val v = build
-      inner.put(k, v)
-      v
+    entry.synchronized {
+      val hit = entry.map.get(k)
+      if (hit != null) hit
+      else {
+        val v = build
+        entry.map.put(k, v)
+        v
+      }
     }
   }
 }

@@ -4036,30 +4036,34 @@ object TextQueries extends QueryPack {
          GROUP BY doc_id
          ORDER BY score_q DESC, doc_id
          LIMIT 100""",
-    // same quantized BM25 core; rank-of-relevant via dominator count
+    // same quantized BM25 core; rank-of-relevant via dominator count.
+    // The sample size is INTERPOLATED from the one shared constant so
+    // retuning RetrievalQuerySample can never desynchronize the two
+    // sides (a hardcoded 256 here would only surface as a hash flag at
+    // verify time).
     "q_text_retrieval_eval" ->
-      """WITH qids AS (
+      s"""WITH qids AS (
            SELECT doc_id AS query_id
            FROM documents
            ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('rq:',
                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id
-           LIMIT 256),
+           LIMIT $RetrievalQuerySample),
          qdocs AS (
            SELECT doc_id AS query_id,
-                  regexp_split_to_array(trim(text), '\s+') AS w
+                  regexp_split_to_array(trim(text), '\\s+') AS w
            FROM documents JOIN qids ON doc_id = query_id),
          qterms AS (
            SELECT DISTINCT query_id, term
            FROM (SELECT query_id, unnest(w[5:12]) AS term FROM qdocs)),
          dl AS (
            SELECT doc_id,
-                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                     AS dl
            FROM documents),
          tf AS (
            SELECT doc_id, term, COUNT(*) AS tf
            FROM (SELECT doc_id,
-                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                        unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
                  FROM documents)
            WHERE term IN (SELECT DISTINCT term FROM qterms)
            GROUP BY doc_id, term),

@@ -165,6 +165,29 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     }.getMessage.contains("no seed"))
   }
 
+  test("dangling node (dst with no out-edge) fails loudly on every face") {
+    // 1 -> 2 -> 3, node 3 is a pure sink: rank flowing into it would
+    // silently vanish (no spine row, no out-shares) — the operator must
+    // refuse, naming the offender, on all three faces.
+    val dangling = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val msg = intercept[IllegalArgumentException] {
+      PageRank.run(spark, dangling, 2)
+    }.getMessage
+    assert(msg.contains("dangling") && msg.contains("3"),
+      s"message must name the sink node: $msg")
+    assert(intercept[IllegalArgumentException] {
+      PageRank.runWeighted(spark,
+        Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "w"), 2)
+    }.getMessage.contains("dangling"))
+    assert(intercept[IllegalArgumentException] {
+      PageRank.runPersonalized(spark, dangling, Seq(1L).toDF("node"), 2)
+    }.getMessage.contains("dangling"))
+    // the fix the message prescribes — a back-edge — makes the same
+    // graph rank cleanly (non-vacuity of the guard's advice)
+    val healed = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(PageRank.run(spark, healed, 2).count() === 3L)
+  }
+
   test("rank mass is conserved up to truncation dust") {
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L))
     val got = run(edges, 4)
