@@ -91,7 +91,9 @@ object Bench {
     "q_dedup_fuzzy_join", "q_dedup_fuzzy_cluster", "q_graph_pagerank",
     "q_text_fuzzy_distance", "q_dedup_fuzzy_incremental",
     "q_graph_pagerank_weighted", "q_graph_pagerank_personalized",
-    "q_dedup_fuzzy_canonical", "q_graph_host_gate")
+    "q_dedup_fuzzy_canonical", "q_graph_host_gate",
+    // r16 rows: tracked from day one
+    "q_graph_pagerank_dangling")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.LongType
   * leaks only truncation dust (< 1 unit per node per round at
   * SCALE = 1e12).
   *
-  * Three faces, one loop:
+  * Four faces, one shared loop for the first three:
   *  - [[run]]            — uniform weights, uniform teleport (classic);
   *  - [[runWeighted]]    — per-edge positive integer weights (link
   *                         counts): a host that links B 99 times and C
@@ -32,7 +32,13 @@ import org.apache.spark.sql.types.LongType
   *                         uses to rank hosts by proximity to trusted
   *                         seeds. Non-seed teleport is 0, so rank
   *                         reaches a node only through link paths from
-  *                         the seeds.
+  *                         the seeds;
+  *  - [[runDanglingRedistributed]] — the crawl-frontier shape the loud
+  *                         guard below points at: sink nodes (pages
+  *                         discovered but not yet crawled — only
+  *                         in-links) keep their rows and their mass is
+  *                         redistributed uniformly each round, instead
+  *                         of the run refusing.
   *
   * The damping split (85/100) is Brin & Page's 0.85. The dangling-node
   * contract is ENFORCED, not documented away: `edges` must give every
@@ -180,6 +186,59 @@ object PageRank {
       val tp = 15L * r0 / 100L
       loop(ewt, nodes.select(col("node"), lit(tp).as("tp"),
         lit(r0).as("r0")), iters)
+    } finally ewt.unpersist()
+  }
+
+  /** Dangling-tolerant form — the redistribution face the loud guard
+    * points callers at. The node set here is src ∪ dst (sinks get
+    * rows), and each round the mass sitting on dangling nodes is
+    * redistributed UNIFORMLY before damping (the classic
+    * dangling-vector treatment with v = 1/n):
+    *
+    *   dang_k     = Σ_{u dangling} r_k(u)
+    *   r_{k+1}(v) = tp + (85 * (Σ shares(v) + dang_k div n)) div 100
+    *
+    * Integer lattice as everywhere (nonnegative BIGINTs, truncating
+    * div == floor), so the result is bit-identical cross-engine. Per
+    * iteration this adds ONE tiny aggregate (the dangling-rank sum — a
+    * 1-row frame cross-joined back, never a driver collect) to the
+    * classic join + aggregation; the spine carries a has_out flag so
+    * the dangling filter is a map-side predicate.
+    */
+  def runDanglingRedistributed(spark: SparkSession, edges: DataFrame,
+                               iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ewt = annotate(edges, lit(1L)).persist()
+    try {
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val n = nodes.count() // ONE driver scalar: |V| over src ∪ dst
+      require(n > 0, "PageRank: empty graph")
+      val r0 = Scale / n
+      val tp = 15L * r0 / 100L
+      val spine = nodes.join(
+          ewt.select(col("src").as("node")).distinct()
+            .withColumn("__o", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out"))
+        .localCheckpoint()
+      var ranks = spine.select(col("node"), col("has_out"),
+        lit(r0).as("r"))
+      (1 to iters).foreach { _ =>
+        val dang = ranks.where(!col("has_out"))
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dm")) // 1-row frame
+        val shares = ewt.join(ranks, ewt("src") === ranks("node"))
+          .select(col("dst"), expr("(r * w) div totw").as("share"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("share")).as("s"))
+        ranks = spine.join(shares, Seq("node"), "left")
+          .crossJoin(dang)
+          .select(col("node"), col("has_out"),
+            (lit(tp) +
+              expr(s"(85 * (coalesce(s, 0L) + dm div ${n}L)) div 100"))
+              .as("r"))
+          .localCheckpoint()
+      }
+      ranks.select(col("node"), col("r").as("rank_scaled"))
     } finally ewt.unpersist()
   }
 

@@ -309,6 +309,22 @@ object GraphQueries extends QueryPack {
         .select(col("node").as("host"), col("rank_scaled"))
     }),
 
+    // Dangling-tolerant variant — the crawl-FRONTIER shape: each host
+    // also "links" a sink node ('snk' || doc_id%3, a discovered-but-
+    // not-yet-crawled page) that has NO out-edges. The classic faces
+    // refuse such graphs loudly (their sink mass would vanish); this
+    // face keeps sink rows and redistributes their mass uniformly each
+    // round (the classic dangling-vector treatment) — sinks still
+    // accumulate rank, and total mass is conserved up to lattice dust.
+    "q_graph_pagerank_dangling" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .select(col("source").as("src"),
+          concat(lit("snk"), (col("doc_id") % 3).cast(StringType)).as("dst"))
+        .distinct()
+      PageRank.runDanglingRedistributed(s, edges, PageRankIters)
+        .select(col("node").as("host"), col("rank_scaled"))
+    }),
+
     // Incremental entity resolution — the shape a daily ingest actually
     // runs: match a NEW batch's (dirty) keys against the EXISTING
     // master key list without re-blocking the master side. The batch
@@ -444,6 +460,49 @@ object GraphQueries extends QueryPack {
          SELECT node AS host, r AS rank_scaled FROM r_$PageRankIters"""
   }
 
+  /** Dangling-redistribution unrolled chain: nodes = src ∪ dst, per
+    * iteration the dangling-rank sum dm is folded into every node's
+    * share term as dm // n before damping (the exact recurrence of
+    * PageRank.runDanglingRedistributed — all nonnegative BIGINTs, so
+    * DuckDB floor `//` equals Spark's truncating `div`).
+    */
+  private val pageRankDanglingOracle: String = {
+    def iter(k: Int): String =
+      s""",
+         dang_$k AS (
+           SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dm
+           FROM r_${k - 1} r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL),
+         r_$k AS (
+           SELECT no.node,
+                  CAST((15 * (1000000000000 // nn.n)) // 100
+                       + (85 * (COALESCE(s.s, 0) + dg.dm // nn.n)) // 100
+                    AS BIGINT) AS r
+           FROM nodes no CROSS JOIN nn CROSS JOIN dang_$k dg
+           LEFT JOIN (SELECT e.dst AS node, SUM(r.r // g.deg) AS s
+                      FROM edges e
+                      JOIN r_${k - 1} r ON r.node = e.src
+                      JOIN deg g ON g.node = e.src
+                      GROUP BY e.dst) s ON s.node = no.node)"""
+    """WITH edges AS (
+           SELECT DISTINCT source AS src,
+                  'snk' || CAST(doc_id % 3 AS VARCHAR) AS dst
+           FROM documents),
+         deg AS (
+           SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY src),
+         nodes AS (
+           SELECT src AS node FROM edges
+           UNION SELECT dst AS node FROM edges),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         r_0 AS (
+           SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+           FROM nodes CROSS JOIN nn)""" +
+      (1 to PageRankIters).map(iter).mkString +
+      s"""
+         SELECT node AS host, r AS rank_scaled FROM r_$PageRankIters"""
+  }
+
   private val fuzzyPairsCte =
     s"""WITH w AS (SELECT DISTINCT p_name FROM part),
          pairs AS (
@@ -493,6 +552,7 @@ object GraphQueries extends QueryPack {
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_pagerank_weighted" -> pageRankWeightedOracle,
     "q_graph_pagerank_personalized" -> pageRankPersonalizedOracle,
+    "q_graph_pagerank_dangling" -> pageRankDanglingOracle,
 
     // the rank chain + one document join; keep mirrors the Spark
     // left-join + coalesce shape (all hosts are known on this fixture,

@@ -586,6 +586,72 @@ object Orchestrator {
         keys.select(col(keyCol).as("name_new")).distinct(), idx, maxDist)
     }
 
+    /** Link-graph warehouse plane, edge side — the [[indexDedupBatch]]
+      * discipline applied to host ranks: each crawl/ingest batch lands
+      * ITS OWN link edges (src, dst) into the warehouse edge table
+      * through the idempotent S8 batch write, so a re-landed batch
+      * replaces exactly its own partition and the edge corpus is never
+      * re-derived from documents. Edges are batch-locally distinct
+      * (within-batch link multiplicity is not rank signal in the
+      * classic unweighted form; cross-batch duplicates are collapsed at
+      * refresh time, where the whole graph is in view).
+      */
+    def indexGraphBatch(edges: DataFrame): Long =
+      writeBatch(edges.select(col("src"), col("dst")).distinct(),
+        "indexes/graph_edges")
+
+    /** Link-graph warehouse plane, rank side. Ranks are a WHOLE-GRAPH
+      * artifact — a new batch of edges shifts every node's fixpoint —
+      * so this is a full refresh over the accumulated edge table (the
+      * REFRESH MATERIALIZED VIEW shape, logged on the same mv_refresh
+      * audit plane so the reprocess cycle heals a failed refresh), not
+      * a batch-partitioned append. Cross-batch duplicate edges collapse
+      * through ONE distinct here; PageRank's own loud guards (dangling
+      * nodes, emptiness) apply unchanged. Cost: the refresh is the
+      * PageRank runs' cost on the full edge table — production runs it
+      * per batch-group or on a schedule, and every gate in between
+      * reads the PERSISTED ranks for free.
+      */
+    def refreshGraphRanks(iters: Int = 5): Long = {
+      val edges = readTable("indexes/graph_edges")
+        .select(col("src"), col("dst")).distinct()
+      val ranks = graft.operators.PageRank.run(spark, edges, iters)
+      val obs = org.apache.spark.sql.Observation()
+      try {
+        ranks.observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$warehouse/indexes/graph_host_ranks")
+      } catch {
+        case e: Throwable =>
+          log("mv_refresh", "indexes/graph_host_ranks", "FAILED", 0,
+            String.valueOf(e.getMessage))
+          throw e
+      }
+      val n = obs.get("n").asInstanceOf[Long]
+      log("mv_refresh", "indexes/graph_host_ranks", "SUCCESS", n)
+      n
+    }
+
+    /** Per-document host-quality gate against the PERSISTED rank table
+      * — the table-backed production form of q_graph_host_gate (which
+      * memoizes the same ranks because the driver contract gives it no
+      * warehouse). ONE shared gate definition
+      * (GraphQueries.hostGateOf: broadcast rank join, explicit
+      * known_host, rank-above-teleport keep) serves the registered row,
+      * this table form, and the streaming face, so the three cannot
+      * drift. A missing rank table fails loudly with the refresh
+      * prescription — a silent empty join would gate every document as
+      * unknown-host.
+      */
+    def hostGateAgainstRanks(docs: DataFrame): DataFrame = {
+      val path = s"$warehouse/indexes/graph_host_ranks"
+      require(new java.io.File(path).exists(),
+        s"host rank table missing at $path — land edges via " +
+          "indexGraphBatch and run refreshGraphRanks before gating")
+      graft.queries.GraphQueries.hostGateOf(
+        docs, spark.read.parquet(path))
+    }
+
     /** ANN (IVF) warehouse index — the similarity-search sibling of
       * [[indexDedupBatch]]. The centroid table bootstraps ONCE from the
       * first NON-EMPTY indexed batch (a deterministic capped pick) and

@@ -188,6 +188,45 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(PageRank.run(spark, healed, 2).count() === 3L)
   }
 
+  test("dangling-redistribution face: in-memory twin, sinks keep rows, mass conserved") {
+    // 1 -> 3, 2 -> 3: node 3 is a pure sink (the crawl-frontier shape).
+    // Its mass must come back uniformly each round, not vanish.
+    val edges = Seq((1L, 3L), (2L, 3L))
+    def reference(iters: Int): Map[Long, Long] = {
+      val nodes = Seq(1L, 2L, 3L)
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = nodes.size
+      val r0 = PageRank.Scale / n
+      val tp = 15L * r0 / 100L
+      var r = nodes.map(_ -> r0).toMap
+      for (_ <- 1 to iters) {
+        val dang = nodes.filterNot(deg.contains).map(r).sum
+        val shares = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+        r = nodes.map(v =>
+          v -> (tp + 85L * (shares.getOrElse(v, 0L) + dang / n) / 100L)).toMap
+      }
+      r
+    }
+    for (iters <- Seq(1, 2, 4)) {
+      val got = PageRank.runDanglingRedistributed(
+          spark, edges.toDF("src", "dst"), iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === reference(iters), s"mismatch at iters=$iters")
+      assert(got.keySet === Set(1L, 2L, 3L), "the sink must get a row")
+      // mass conservation: redistribution closes the dangling leak, so
+      // only truncation dust is lost (a handful of units per node-round)
+      assert(got.values.sum >= PageRank.Scale - 5L * 3L * iters - 3L
+        && got.values.sum <= PageRank.Scale)
+    }
+    // non-vacuity: the sink accumulates real rank (above bare teleport)
+    val r2 = PageRank.runDanglingRedistributed(
+        spark, edges.toDF("src", "dst"), 2)
+      .as[(Long, Long)].collect().toMap
+    val tp = 15L * (PageRank.Scale / 3) / 100L
+    assert(r2(3L) > tp, "sink must receive link mass, not just teleport")
+  }
+
   test("rank mass is conserved up to truncation dust") {
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L))
     val got = run(edges, 4)
