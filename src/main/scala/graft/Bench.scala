@@ -93,7 +93,8 @@ object Bench {
     "q_graph_pagerank_weighted", "q_graph_pagerank_personalized",
     "q_dedup_fuzzy_canonical", "q_graph_host_gate",
     // r16 rows: tracked from day one
-    "q_graph_pagerank_dangling")
+    "q_graph_pagerank_dangling", "q_sim_knn_graph",
+    "q_sim_knn_graph_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -88,7 +88,12 @@ object PlanLint {
       "q_sim_ann_ivf_recall" -> Allowance(1, why),
       "q_sim_ann_ivf_trained" -> Allowance(2, why),
       "q_sim_ann_ivf_recall_trained" -> Allowance(2, why),
-      "q_sim_ann_ivfpq_trained" -> Allowance(2, why))
+      "q_sim_ann_ivfpq_trained" -> Allowance(2, why),
+      // the kNN-graph rows widen the probe side to all vectors but the
+      // crossJoin count and its bound are unchanged (assign + probe
+      // against the <= 1024-row trained centroid frame)
+      "q_sim_knn_graph" -> Allowance(2, why),
+      "q_sim_knn_graph_recall" -> Allowance(2, why))
   }
 
   /** Excuse up to `allow(name).maxNodes` violations; the overflow still

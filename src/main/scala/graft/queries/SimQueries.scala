@@ -355,6 +355,58 @@ object SimQueries extends QueryPack {
       .select(col("q_id"), col("vec_id"))
   }
 
+  /** Neighbors per node in the kNN graph (q_sim_knn_graph). */
+  private val KnnK = 5
+
+  /** All-vector kNN graph over the trained IVF lists — the curation
+    * primitive between ANN search and SemDeDup: every document's K
+    * nearest neighbors, found by probing each vector's 3 nearest
+    * trained lists (never all-pairs) and exact-reranking the bucketed
+    * candidates on quantized squared L2. Output (doc_id, neighbor_id,
+    * d2, nn_rank) composes directly with ConnectedComponents for
+    * graph-based dedup, and with the recall row for quality.
+    *
+    * Scale: identical plan class to ivfL2Cands with the probe side
+    * widened from the 2% sample to ALL vectors — candidates stay
+    * ~3·n/nlist per vector (nlist capped at 1024), so the exact rerank
+    * is output-proportional; both rank windows partition by vector id
+    * (n partitions, each O(3·n/nlist) rows — bounded, never a
+    * single-partition window).
+    */
+  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfTrainedCents(s, dir)
+    val vs = qvecs(s, dir)
+    val assign = vs.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
+        col("cent_id").as("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"))
+    val byD2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    val probes = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("cent_id"),
+        l2sq(col("qv"), col("cv")).as("d2"))
+      .withColumn("rk", row_number().over(byD2)).where(col("rk") <= 3)
+      .select(col("q_id"), col("cent_id"))
+    val cands = probes.join(assign, "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank: candidate-proportional joins back to the quantized
+    // vectors by id (the cosineRerank shipAuto discipline — broadcast
+    // at test SFs, hash join at scale)
+    val qa = vs.select(col("vec_id").as("q_id"), col("qv").as("qa"))
+    val byQ = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    cands
+      .join(vs.select(col("vec_id"), col("qv").as("qb")), "vec_id")
+      .join(TextQueries.shipAuto(s, qa, nVecEst(s, dir), EmbRowBytes), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        l2sq(col("qa"), col("qb")).cast(LongType).as("d2"))
+      .withColumn("nn_rank", row_number().over(byQ).cast(LongType))
+      .where(col("nn_rank") <= KnnK)
+      .select(col("q_id").as("doc_id"), col("vec_id").as("neighbor_id"),
+        col("d2"), col("nn_rank"))
+  }
+
   /** Directed candidate lists of the UNTRAINED cosine-assignment IVF —
     * the exact candidate generation of q_sim_ann_ivf, shared with its
     * recall row.
@@ -813,6 +865,47 @@ object SimQueries extends QueryPack {
     "q_sim_ann_ivf_trained" -> ((s, dir) =>
       cosineRerank(s, dir, ivfL2Cands(s, dir, ivfTrainedCents(s, dir)))),
 
+    // kNN-graph construction — the missing curation primitive between
+    // ANN search (per-probe top-k) and SemDeDup (within-cluster pairs):
+    // EVERY document's K nearest neighbors via the trained IVF lists,
+    // bucketed candidates only (never all-pairs), exact-reranked on
+    // quantized squared L2. Composes with ConnectedComponents for
+    // graph-based dedup; integer-exact against the oracle's unrolled
+    // Lloyd CTEs + all-candidate rerank.
+    "q_sim_knn_graph" -> ((s, dir) => knnGraphFrame(s, dir)),
+
+    // recall@K of the kNN graph's edges against the exact L2 top-K,
+    // on the standard 2% probe sample — the quality row that says
+    // whether the IVF-bucketed graph is close enough to the true graph
+    // for downstream dedup/clustering (the q_sim_ann_recall discipline
+    // applied to graph construction; L2 denominator because the graph
+    // ranks by L2).
+    "q_sim_knn_graph_recall" -> ((s, dir) => {
+      val knn = knnGraphFrame(s, dir).where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"), col("neighbor_id").as("vec_id"))
+      val vs = qvecs(s, dir)
+      val qa = vs.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("vec_id"))
+      val exact = vs
+        .join(TextQueries.shipAuto(s, qa, nVecEst(s, dir) / 50, EmbRowBytes),
+          col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          l2sq(col("qa"), col("qv")).as("d2"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= KnnK)
+        .select(col("q_id"), col("vec_id"))
+      val n = count(lit(1)).cast(LongType)
+      val found = exact.join(knn, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(n.as("n_found"))
+      exact.groupBy(col("q_id")).agg(n.as("n_exact"))
+        .join(found, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          (coalesce(col("n_found"), lit(0L)).cast(DoubleType)
+            / col("n_exact")).as("recall"))
+    }),
+
     // Hard-negative mining for contrastive training: per probe query,
     // the top-5 most-similar vectors that are NOT near-duplicates —
     // high-cosine non-dups are exactly the negatives that teach an
@@ -1042,6 +1135,28 @@ object SimQueries extends QueryPack {
          SELECT p.q_id, a.vec_id
          FROM probes p JOIN assign a ON a.cent_id = p.cent_id
          WHERE a.vec_id <> p.q_id)"""
+  }
+
+  /** All-probe variant of [[ivfTrainedCandsCtes]] plus the exact
+    * squared-L2 rerank of the bucketed candidates — the SQL mirror of
+    * `knnGraphFrame` up to `knnd(q_id, vec_id, d2)`. The probe filter
+    * is widened from the 2% sample to every vector by rewriting the
+    * probes CTE; the marker is require-checked so a drift in the shared
+    * chain fails at class init, not as a silent wrong oracle.
+    */
+  private val knnGraphCtes: String = {
+    val marker = "FROM d2_f WHERE vec_id % 50 = 0) WHERE rk <= 3"
+    require(ivfTrainedCandsCtes.contains(marker),
+      "knnGraphCtes: probe marker drifted from ivfTrainedCandsCtes")
+    ivfTrainedCandsCtes.replace(marker, "FROM d2_f) WHERE rk <= 3") +
+      """,
+       knnd AS (
+         SELECT c.q_id, c.vec_id,
+                SUM((a.v[i+1]-b.v[i+1])*(a.v[i+1]-b.v[i+1])) AS d2
+         FROM cands c
+         JOIN qv a ON a.vec_id = c.q_id
+         JOIN qv b ON b.vec_id = c.vec_id, range(64) t(i)
+         GROUP BY c.q_id, c.vec_id)"""
   }
 
   /** Exact-cosine re-rank tail over a `cands(q_id, vec_id)` relation —
@@ -1631,6 +1746,45 @@ object SimQueries extends QueryPack {
       s"""WITH $quantCte,
          $ivfTrainedCandsCtes,
          $recallTailSql""",
+    "q_sim_knn_graph" ->
+      s"""WITH $quantCte,
+         $knnGraphCtes
+         SELECT q_id AS doc_id, vec_id AS neighbor_id,
+                CAST(d2 AS BIGINT) AS d2, nn_rank FROM (
+           SELECT q_id, vec_id, d2,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY d2, vec_id) AS BIGINT) AS nn_rank
+           FROM knnd) WHERE nn_rank <= $KnnK""",
+    "q_sim_knn_graph_recall" ->
+      s"""WITH $quantCte,
+         $knnGraphCtes,
+         knng AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY d2, vec_id) AS rk
+             FROM knnd WHERE q_id % 50 = 0) WHERE rk <= $KnnK),
+         edots AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                  SUM((a.v[i+1]-b.v[i+1])*(a.v[i+1]-b.v[i+1])) AS d2
+           FROM qv a, qv b, range(64) t(i)
+           WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         exact AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY d2, vec_id) AS rn
+             FROM edots) WHERE rn <= $KnnK),
+         found AS (
+           SELECT e.q_id, COUNT(*) AS n_found
+           FROM exact e JOIN knng a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+           GROUP BY e.q_id),
+         ne AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id)
+         SELECT ne.q_id, ne.n_exact,
+                COALESCE(f.n_found, 0) AS n_found,
+                CAST(COALESCE(f.n_found, 0) AS DOUBLE) / ne.n_exact AS recall
+         FROM ne LEFT JOIN found f ON f.q_id = ne.q_id""",
     "q_sim_ann_pq_trained" ->
       (s"WITH $quantCte,\n" + pqLloydCtes + pqSearchSql(s"pcents_$LloydIters")),
     "q_sim_ann_ivfpq_trained" ->
