@@ -102,6 +102,69 @@ object TextQueries extends QueryPack {
         greatest(expr(s"tok_offset div $PackBin"),
           expr(s"(tok_offset + n_tokens - 1) div $PackBin")).as("last_bin"))
 
+  /** Document-preserving bin packing by LENGTH CLASS (q_pack_bestfit).
+    * Trainers that must not split documents (each doc wholly inside one
+    * context window) care about padding waste; true first-fit-decreasing
+    * is inherently sequential (every placement depends on all previous
+    * bins' residuals), so the scalable form is harmonic-style class
+    * packing over the length histogram: a doc of ℓ tokens joins class
+    * k = B div max(ℓ,1) (the per-bin capacity for that length band),
+    * and within each class docs pack k per bin in deterministic doc_id
+    * order. Waste bound per non-final bin of class k: fill > k·B/(k+1),
+    * i.e. padding < B/(k+1) ≈ ℓ — the classic harmonic guarantee,
+    * embarrassingly parallel.
+    *
+    * Plan shape (100 TB): the per-class row_number is the TWO-PHASE
+    * sharded form (within-(class, shard) windows + broadcast offset
+    * tables — the shardedPrefixSum discipline; `__` prefix = PlanLint
+    * bounded-bucket contract, classes ≤ B, shards are range buckets);
+    * the only global window walks the ≤ B-row class table. Docs at or
+    * over the bin budget fail LOUDLY with the chunk-first prescription
+    * — silently truncating or spilling them would corrupt the packing
+    * invariant.
+    */
+  private def bestfitFrame(s: SparkSession, dir: String): DataFrame = {
+    val B = PackBin
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      size(words(col("text"))).cast(LongType).as("n_tokens"))
+      .where(coalesce(assert_true(col("n_tokens") < B,
+        concat(lit(s"q_pack_bestfit: document exceeds the $B-token bin " +
+          "budget (chunk oversize docs through q_pack_sequences first): " +
+          "doc_id="), col("doc_id").cast(StringType))), lit(true)))
+    val shard = d
+      .withColumn("__k", expr(s"$B div greatest(n_tokens, 1L)"))
+      .withColumn("__shard", expr("doc_id div 1000"))
+    // phase 1: per-(class, shard) counts → running shard offsets within
+    // each class (tiny: classes × shards rows, broadcast back)
+    val offs = shard.groupBy(col("__k"), col("__shard"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__soff", coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(col("__k")).orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__k"), col("__shard"), col("__soff"))
+    // class table: bins used per class → running class bin offsets
+    // (≤ B rows — the one global window walks metadata, never docs)
+    val cls = shard.groupBy(col("__k")).agg(count(lit(1)).as("__nk"))
+      .withColumn("__bins", expr("(__nk + __k - 1) div __k"))
+      .withColumn("__koff", coalesce(sum(col("__bins")).over(
+        Window.orderBy(col("__k"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__k"), col("__koff"))
+    val wIn = Window.partitionBy(col("__k"), col("__shard"))
+      .orderBy(col("doc_id"))
+    shard.join(broadcast(offs), Seq("__k", "__shard"))
+      .join(broadcast(cls), Seq("__k"))
+      .withColumn("__rn", col("__soff") + row_number().over(wIn))
+      .withColumn("bin", col("__koff") + expr("(__rn - 1) div __k"))
+      // token offset inside the bin: earlier docs of the same bin, in
+      // pack order — window partitions are ≤ k ≤ B rows each
+      .withColumn("offset_in_bin", coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("bin")).orderBy(col("__rn"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("__k").as("per_bin_capacity"), col("bin"), col("offset_in_bin"))
+  }
+
   /** Word n-gram shingles. Guarded: Spark sequence(1,0) counts DOWN, so
     * short docs need an explicit empty-array branch (DuckDB range(1,1)
     * is already empty).
@@ -1954,6 +2017,47 @@ object TextQueries extends QueryPack {
           col("bin_tok_end") - col("bin_tok_start"))
     }),
 
+    // Document-preserving packing (the padding-waste face the chunk
+    // rows don't cover): each doc lands WHOLE in exactly one bin via
+    // length-class (harmonic) packing — see bestfitFrame for the
+    // algorithm, waste bound, and the two-phase plan shape. Output is
+    // the loader manifest: per doc its bin, its per-bin class capacity,
+    // and its token offset inside the bin. All integers — cross-engine
+    // exact.
+    "q_pack_bestfit" -> ((s, dir) => bestfitFrame(s, dir)),
+
+    // The packing-efficiency comparison: padded tokens under (a)
+    // concat-and-chunk (zero padding except the final bin, but docs
+    // straddle boundaries), (b) one-doc-per-bin (the naive document-
+    // preserving loader), (c) length-class packing. The row proves the
+    // packed form keeps document boundaries at a fraction of (b)'s
+    // padding, approaching (a)'s bin count — the number a training
+    // pipeline actually budgets. Three metadata-plane aggregates.
+    "q_pack_bestfit_waste" -> ((s, dir) => {
+      val B = PackBin
+      val d = t(s, dir, "documents").select(
+        size(words(col("text"))).cast(LongType).as("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot"))
+      val chunk = d.select(lit("concat_chunk").as("strategy"),
+        expr(s"(tot + $B - 1) div $B").as("n_bins"),
+        col("tot").as("total_tokens"),
+        (expr(s"(tot + $B - 1) div $B") * B - col("tot"))
+          .as("padded_tokens"),
+        lit(false).as("preserves_docs"))
+      val one = d.select(lit("one_doc_per_bin").as("strategy"),
+        col("n_docs").as("n_bins"), col("tot").as("total_tokens"),
+        (col("n_docs") * B - col("tot")).as("padded_tokens"),
+        lit(true).as("preserves_docs"))
+      val packed = bestfitFrame(s, dir)
+        .agg(countDistinct(col("bin")).as("n_bins"),
+          sum(col("n_tokens")).as("tot"))
+        .select(lit("length_class_packed").as("strategy"), col("n_bins"),
+          col("tot").as("total_tokens"),
+          (col("n_bins") * B - col("tot")).as("padded_tokens"),
+          lit(true).as("preserves_docs"))
+      chunk.unionAll(one).unionAll(packed)
+    }),
+
     // Repetition quality signal (the Gopher-rules family): fraction of
     // duplicate word-3-grams per document — highly repetitive docs are
     // low-quality training data. distinct-shingle counts come from the
@@ -2847,6 +2951,39 @@ object TextQueries extends QueryPack {
        SELECT DISTINCT doc_id, fp AS fingerprint
        FROM (SELECT doc_id, unnest(f) AS fp FROM fps)"""
   }
+
+  /** SQL mirror of [[bestfitFrame]] up to `assigned(doc_id, n_tokens,
+    * k, rn, bin)` — shared by the packing row and its waste comparison
+    * so the two cannot drift. The within-class rank is a plain
+    * ROW_NUMBER here (DuckDB is single-node; the two-phase sharding is
+    * a Spark plan concern, not part of the semantics).
+    */
+  private val packBestfitCtes: String =
+    s"""WITH d AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens
+           FROM documents),
+         g AS (
+           SELECT doc_id, n_tokens,
+                  CAST($PackBin // greatest(n_tokens, 1) AS BIGINT) AS k
+           FROM d),
+         rnk AS (
+           SELECT doc_id, n_tokens, k,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id)
+                    AS BIGINT) AS rn
+           FROM g),
+         cls AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nk FROM g GROUP BY k),
+         koff AS (
+           SELECT k,
+                  CAST(COALESCE(SUM((nk + k - 1) // k) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS class_off
+           FROM cls),
+         assigned AS (
+           SELECT r.doc_id, r.n_tokens, r.k, r.rn,
+                  o.class_off + (r.rn - 1) // r.k AS bin
+           FROM rnk r JOIN koff o ON o.k = r.k)"""
 
   val oracleSql: Map[String, String] = Map(
     "q_text_winnow" -> winnowOracle,
@@ -4206,6 +4343,41 @@ object TextQueries extends QueryPack {
                   - greatest(tok_offset, bin * 2048)
                   AS BIGINT) AS n_tokens_in_bin
          FROM x""",
+    // length-class packing: identical recurrence to bestfitFrame — class
+    // k = B div max(ℓ,1), row_number per class in doc_id order, bins per
+    // class prefix-summed over ascending k, offset = earlier docs in the
+    // same bin (all nonnegative BIGINTs: `//` == Spark's `div`)
+    "q_pack_bestfit" -> (packBestfitCtes +
+      s"""
+         SELECT doc_id, n_tokens, CAST(k AS BIGINT) AS per_bin_capacity,
+                CAST(bin AS BIGINT) AS bin,
+                CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bin
+                  ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  1 PRECEDING), 0) AS BIGINT) AS offset_in_bin
+         FROM assigned"""),
+    "q_pack_bestfit_waste" -> (packBestfitCtes +
+      s""",
+         agg AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_tokens) AS BIGINT) AS tot
+           FROM d),
+         pk AS (
+           SELECT CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+                  CAST(SUM(n_tokens) AS BIGINT) AS tot
+           FROM assigned)
+         SELECT 'concat_chunk' AS strategy,
+                CAST((tot + $PackBin - 1) // $PackBin AS BIGINT) AS n_bins,
+                tot AS total_tokens,
+                CAST(((tot + $PackBin - 1) // $PackBin) * $PackBin - tot
+                  AS BIGINT) AS padded_tokens,
+                FALSE AS preserves_docs
+         FROM agg
+         UNION ALL
+         SELECT 'one_doc_per_bin', n_docs, tot,
+                CAST(n_docs * $PackBin - tot AS BIGINT), TRUE FROM agg
+         UNION ALL
+         SELECT 'length_class_packed', n_bins, tot,
+                CAST(n_bins * $PackBin - tot AS BIGINT), TRUE FROM pk"""),
     "q_text_lang_id" -> langOracle,
     "q_text_clean_corpus" -> (minhashOracleCte +
       s""",
