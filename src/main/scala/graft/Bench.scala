@@ -94,7 +94,8 @@ object Bench {
     "q_dedup_fuzzy_canonical", "q_graph_host_gate",
     // r16 rows: tracked from day one
     "q_graph_pagerank_dangling", "q_sim_knn_graph",
-    "q_sim_knn_graph_recall", "q_pack_bestfit", "q_pack_bestfit_waste")
+    "q_sim_knn_graph_recall", "q_pack_bestfit", "q_pack_bestfit_waste",
+    "q_scan_excel_many")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -90,6 +90,35 @@ object IoQueries extends QueryPack {
           col("n_regionkey").cast(LongType).as("n_regionkey"))
     }),
 
+    // S2 at landing scale: MANY workbooks, parsed on EXECUTORS — the
+    // round-trip proof for ExcelScan.readXlsxMany. The nation table is
+    // split across two xlsx fixtures (key parity) written driver-side
+    // at dim scale; the READ path is the production one: binaryFile
+    // listing → mapPartitions StAX parse, driver never holding workbook
+    // bytes. The oracle is the original table, so any parse defect,
+    // lost row, or cross-file misalignment breaks the hash.
+    "q_scan_excel_many" -> ((s, dir) => {
+      import graft.sources.ExcelScan
+      val out = s"/tmp/graft_xlsx_many_${ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      new java.io.File(out).mkdirs()
+      val header = Seq("n_nationkey", "n_name", "n_regionkey")
+      val rows = t(s, dir, "nation")
+        .orderBy(col("n_nationkey"))
+        .collect() // fixture generation at dim scale, not a data-plane op
+        .map(r => (r.get(0).toString.toLong,
+          Seq[Any](r.get(0), r.getString(1), r.get(2))))
+      ExcelScan.writeXlsx(Seq(Seq[Any]("n_nationkey", "n_name", "n_regionkey"))
+        ++ rows.filter(_._1 % 2 == 0).map(_._2), s"$out/nation_even.xlsx")
+      ExcelScan.writeXlsx(Seq(Seq[Any]("n_nationkey", "n_name", "n_regionkey"))
+        ++ rows.filter(_._1 % 2 == 1).map(_._2), s"$out/nation_odd.xlsx")
+      ExcelScan.readXlsxMany(s, s"$out/*.xlsx", header)
+        .select(
+          col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name").cast(StringType).as("n_name"),
+          col("n_regionkey").cast(LongType).as("n_regionkey"))
+    }),
+
     // ORC round-trip (extension beyond the reference's CSV/Excel/JSON/
     // parquet matrix): write supplier to ORC, scan it back with a
     // predicate — ORC is the other columnar format Spark reads natively
@@ -354,6 +383,10 @@ object IoQueries extends QueryPack {
             '/root/repo/fixtures/api_orders_multiline.json',
             format='array')""",
     "q_scan_excel" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation""",
+    "q_scan_excel_many" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                 CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation""",

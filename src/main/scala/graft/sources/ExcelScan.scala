@@ -117,20 +117,103 @@ object ExcelScan {
     } finally zip.close()
   }
 
+  /** Parse one workbook from in-memory bytes (the executor-side path:
+    * no temp files, no ZipFile handle). Only the two entries the parse
+    * needs are retained — sharedStrings and the requested sheet — so
+    * peak memory is bounded by those parts, not the whole archive.
+    */
+  private[sources] def parseWorkbook(bytes: Array[Byte],
+                                     sheetIndex: Int): Seq[Array[String]] = {
+    val sheetName = s"xl/worksheets/sheet${sheetIndex + 1}.xml"
+    val wanted = Set("xl/sharedStrings.xml", sheetName)
+    val parts = mutable.Map[String, Array[Byte]]()
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (wanted(e.getName)) parts(e.getName) = zin.readAllBytes()
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    val shared = parts.get("xl/sharedStrings.xml")
+      .map(b => parseSharedStrings(new java.io.ByteArrayInputStream(b)))
+      .getOrElse(IndexedSeq.empty)
+    val sheet = parts.getOrElse(sheetName,
+      throw new IllegalArgumentException(s"no sheet index $sheetIndex"))
+    parseSheet(new java.io.ByteArrayInputStream(sheet), shared)
+  }
+
+  /** Many-workbook scan, EXECUTOR-side — the landing shape where a
+    * batch drops hundreds of workbooks: the `binaryFile` source lists
+    * and ships file bytes to executors, and each workbook is parsed
+    * inside `mapPartitions` with the same StAX parser as [[readXlsx]].
+    * The driver never holds workbook bytes — it sees only file
+    * listings; this is the legitimate mapPartitions case (an opaque
+    * binary container format no Catalyst expression can open).
+    *
+    * The expected header is a CONTRACT, not an inference: with many
+    * producers, a workbook whose header row differs (renamed,
+    * reordered, truncated columns) must fail loudly NAMING THE FILE —
+    * silently aligning by position would load wrong columns. Cells
+    * surface as strings plus a `_src_file` lineage column; callers
+    * cast, as with every front-door scan.
+    *
+    * Scale: one task per workbook (binaryFile caps files per partition
+    * by size); a single workbook must fit an executor's memory, which
+    * is the xlsx format's own constraint, not a plan choice.
+    */
+  def readXlsxMany(spark: SparkSession, pathGlob: String,
+                   header: Seq[String], sheetIndex: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val schema = StructType(
+      StructField("_src_file", StringType, nullable = false) +:
+        header.map(StructField(_, StringType, nullable = true)))
+    val width = header.length
+    val bin = spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content")
+      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+    bin.mapPartitions { it =>
+      it.flatMap { case (path, bytes) =>
+        val all = parseWorkbook(bytes, sheetIndex)
+        require(all.nonEmpty, s"empty sheet in $path")
+        val got = all.head.map(h => Option(h).getOrElse("").trim).toSeq
+        require(got == header,
+          s"header mismatch in $path: got $got, expected $header — " +
+            "refusing to align columns by position")
+        all.tail.map(r => Row.fromSeq(
+          path +: (0 until width).map(i => if (i < r.length) r(i) else null)))
+      }
+    }(Encoders.row(schema))
+  }
+
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  private def colLetters(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
   /** Minimal xlsx writer (inline strings only) — fixture/round-trip
-    * support for the reader; not a data-plane sink.
+    * support for the reader; not a data-plane sink. Every cell carries
+    * its `r=` reference and null cells are OMITTED (the sparse form
+    * real producers emit) — a positional `<c/>` placeholder would shift
+    * later cells left on any reader that aligns by reference.
     */
   def writeXlsx(rows: Seq[Seq[Any]], path: String): Unit = {
-    val sheetRows = rows.map { r =>
-      r.map {
-        case null => "<c/>"
-        case n: Int => s"<c><v>$n</v></c>"
-        case n: Long => s"<c><v>$n</v></c>"
-        case n: Double => s"<c><v>$n</v></c>"
-        case s => s"""<c t="inlineStr"><is><t>${xmlEscape(s.toString)}</t></is></c>"""
+    val sheetRows = rows.zipWithIndex.map { case (r, ri) =>
+      r.zipWithIndex.map { case (cell, ci) =>
+        val ref = s"""r="${colLetters(ci)}${ri + 1}""""
+        cell match {
+          case null => ""
+          case n @ (_: Int | _: Long | _: Double) => s"<c $ref><v>$n</v></c>"
+          case s =>
+            s"""<c $ref t="inlineStr"><is><t>${xmlEscape(s.toString)}</t></is></c>"""
+        }
       }.mkString("<row>", "", "</row>")
     }.mkString
     val parts = Seq(
