@@ -95,7 +95,7 @@ object Bench {
     // r16 rows: tracked from day one
     "q_graph_pagerank_dangling", "q_sim_knn_graph",
     "q_sim_knn_graph_recall", "q_pack_bestfit", "q_pack_bestfit_waste",
-    "q_scan_excel_many")
+    "q_scan_excel_many", "q_graph_hits", "q_dedup_knn_mutual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

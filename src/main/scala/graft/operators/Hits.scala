@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration HITS (Kleinberg 1999) — the second classic link-
+  * analysis signal beside [[PageRank]]: a node is a good HUB if it
+  * links to good authorities, a good AUTHORITY if good hubs link to it.
+  * Crawl curation uses the authority side to find canonical content
+  * hosts and the hub side to find index/link farms (high hub, low
+  * authority). Pure integer arithmetic so the result is bit-identical
+  * on any engine:
+  *
+  *   h_0(u)   = 1000
+  *   a_k(v)   = rescale(Σ_{u→v} h_{k-1}(u))
+  *   h_k(u)   = rescale(Σ_{u→v} a_k(v))
+  *   rescale(x) = x div (max(x) div 1000 + 1)
+  *
+  * The rescale is the integer power-iteration normalization from
+  * graft.operators.EmbeddingPca: it keeps values near the 1000-unit
+  * lattice so products never overflow and both engines divide by the
+  * same positive scalar (exact, order-free). Nodes = src ∪ dst — pure
+  * sinks hold authority and pure sources hold hubness, so unlike the
+  * PageRank loop there is no dangling contract here; nodes missing
+  * from a side simply score 0 on it.
+  *
+  * Scale notes (100 TB): per iteration TWO edge-keyed shuffles (the
+  * join with the current score frame + the per-endpoint sum) and one
+  * 1-row max aggregate cross-joined back (never a driver collect); the
+  * score frame is |V| rows, localCheckpointed per round to keep the
+  * loop's lineage flat (reliable checkpoint on a real cluster). The
+  * edge list is persisted once.
+  */
+object Hits {
+
+  /** @param edges columns `src`, `dst` (node ids)
+    * @param iters fixed iteration count (both engines unroll the same K)
+    * @return (node, hub_scaled, auth_scaled) — one row per node in
+    *         src ∪ dst, scores on the ~1000-unit lattice
+    */
+  def run(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      require(!nodes.isEmpty, "Hits: empty graph")
+      def rescaled(scores: DataFrame): DataFrame = {
+        // 1-row max frame, cross-joined: stays in-plan at any |V|
+        val m = scores.agg(max(col("s")).as("m"))
+        scores.crossJoin(m)
+          .select(col("node"), expr("s div (m div 1000 + 1)").as("s"))
+      }
+      var hubs = nodes.select(col("node"), lit(1000L).as("s"))
+      var auths: DataFrame = null
+      (1 to iters).foreach { _ =>
+        val aRaw = e.join(hubs, e("src") === hubs("node"))
+          .groupBy(e("dst").as("node")).agg(sum(col("s")).as("s"))
+        auths = rescaled(nodes.select(col("node"))
+          .join(aRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("s")))
+          .localCheckpoint()
+        val hRaw = e.join(auths, e("dst") === auths("node"))
+          .groupBy(e("src").as("node")).agg(sum(col("s")).as("s"))
+        hubs = rescaled(nodes.select(col("node"))
+          .join(hRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("s")))
+          .localCheckpoint()
+      }
+      nodes.select(col("node"))
+        .join(hubs.select(col("node"), col("s").as("hub_scaled")), "node")
+        .join(auths.select(col("node"), col("s").as("auth_scaled")), "node")
+    } finally e.unpersist()
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.operators.{ConnectedComponents, FuzzyJoin, PageRank}
+import graft.operators.{ConnectedComponents, FuzzyJoin, Hits, PageRank}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -38,6 +38,7 @@ object GraphQueries extends QueryPack {
 
   private val FuzzyDist = 2
   private val PageRankIters = 5
+  private val HitsIters = 3
 
   /** Edit-distance bound for the incremental (batch-vs-master) match:
     * d=1 — the dirty-feed fixture perturbs keys by one deletion, and
@@ -325,6 +326,23 @@ object GraphQueries extends QueryPack {
         .select(col("node").as("host"), col("rank_scaled"))
     }),
 
+    // HITS hubs/authorities (Kleinberg 1999) — the second classic
+    // link-analysis signal beside PageRank, on the crawl-frontier edge
+    // set: sources link sink pages, so sources score as HUBS (link to
+    // good authorities) and sinks as AUTHORITIES (linked by good hubs)
+    // — curation uses the authority side to find canonical content and
+    // the hub side to flag link farms. Integer power-iteration rescale
+    // per round keeps both engines bit-identical.
+    "q_graph_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .select(col("source").as("src"),
+          concat(lit("snk"), (col("doc_id") % 3).cast(StringType)).as("dst"))
+        .distinct()
+      Hits.run(s, edges, HitsIters)
+        .select(col("node").as("host"), col("hub_scaled"),
+          col("auth_scaled"))
+    }),
+
     // Incremental entity resolution — the shape a daily ingest actually
     // runs: match a NEW batch's (dirty) keys against the EXISTING
     // master key list without re-blocking the master side. The batch
@@ -503,6 +521,51 @@ object GraphQueries extends QueryPack {
          SELECT node AS host, r AS rank_scaled FROM r_$PageRankIters"""
   }
 
+  /** Unrolled HITS chain (SQL mirror of operators/Hits.run): per
+    * iteration the authority sums over in-hubs, the hub sums over
+    * out-authorities, each rescaled by the integer power-iteration
+    * normalization x // (max // 1000 + 1) — positive BIGINTs, scalar
+    * subselect divisor identical on both engines.
+    */
+  private val hitsOracle: String = {
+    def iter(k: Int): String =
+      s""",
+         araw_$k AS (
+           SELECT n.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS s
+           FROM gnodes n LEFT JOIN (
+             SELECT e.dst AS node, SUM(h.s) AS s
+             FROM edges e JOIN h_${k - 1} h ON h.node = e.src
+             GROUP BY e.dst) x ON x.node = n.node),
+         a_$k AS (
+           SELECT node, CAST(s // ((SELECT MAX(s) FROM araw_$k) // 1000 + 1)
+             AS BIGINT) AS s
+           FROM araw_$k),
+         hraw_$k AS (
+           SELECT n.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS s
+           FROM gnodes n LEFT JOIN (
+             SELECT e.src AS node, SUM(a.s) AS s
+             FROM edges e JOIN a_$k a ON a.node = e.dst
+             GROUP BY e.src) x ON x.node = n.node),
+         h_$k AS (
+           SELECT node, CAST(s // ((SELECT MAX(s) FROM hraw_$k) // 1000 + 1)
+             AS BIGINT) AS s
+           FROM hraw_$k)"""
+    """WITH edges AS (
+           SELECT DISTINCT source AS src,
+                  'snk' || CAST(doc_id % 3 AS VARCHAR) AS dst
+           FROM documents),
+         gnodes AS (
+           SELECT src AS node FROM edges
+           UNION SELECT dst AS node FROM edges),
+         h_0 AS (SELECT node, CAST(1000 AS BIGINT) AS s FROM gnodes)""" +
+      (1 to HitsIters).map(iter).mkString +
+      s"""
+         SELECT n.node AS host, h.s AS hub_scaled, a.s AS auth_scaled
+         FROM gnodes n
+         JOIN h_$HitsIters h ON h.node = n.node
+         JOIN a_$HitsIters a ON a.node = n.node"""
+  }
+
   private val fuzzyPairsCte =
     s"""WITH w AS (SELECT DISTINCT p_name FROM part),
          pairs AS (
@@ -553,6 +616,7 @@ object GraphQueries extends QueryPack {
     "q_graph_pagerank_weighted" -> pageRankWeightedOracle,
     "q_graph_pagerank_personalized" -> pageRankPersonalizedOracle,
     "q_graph_pagerank_dangling" -> pageRankDanglingOracle,
+    "q_graph_hits" -> hitsOracle,
 
     // the rank chain + one document join; keep mirrors the Spark
     // left-join + coalesce shape (all hosts are known on this fixture,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables.t
 import graft.functions.VectorFunctions
+import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -906,6 +907,33 @@ object SimQueries extends QueryPack {
             / col("n_exact")).as("recall"))
     }),
 
+    // Mutual-kNN clustering — the graph-based dedup face of the kNN
+    // graph (the standard "reciprocal nearest neighbor" criterion:
+    // curation methods keep an edge only when BOTH endpoints rank each
+    // other in their top-K, which strips the asymmetric hub edges a
+    // plain kNN graph accumulates around dense regions). Clusters =
+    // connected components of the mutual edge set via the O(log n)
+    // star-contraction operator; keep = the min-id canonical. Composes
+    // the q_sim_knn_graph edges with ConnectedComponents — two
+    // operators, no new shuffle class.
+    "q_dedup_knn_mutual" -> ((s, dir) => {
+      val knn = knnGraphFrame(s, dir)
+        .select(col("doc_id"), col("neighbor_id"))
+      // left_semi against the reversed edges = the reciprocal filter;
+      // the surviving set is symmetric by construction, which is
+      // exactly the components operator's input contract
+      val mutual = knn.join(knn
+          .select(col("neighbor_id").as("doc_id"),
+            col("doc_id").as("neighbor_id")),
+        Seq("doc_id", "neighbor_id"), "left_semi")
+      ConnectedComponents.largeSmallStar(
+          qvecs(s, dir).select(col("vec_id").as("node")),
+          mutual.select(col("doc_id").as("src"),
+            col("neighbor_id").as("dst")))
+        .select(col("node").as("doc_id"), col("component"),
+          (col("node") === col("component")).as("keep"))
+    }),
+
     // Hard-negative mining for contrastive training: per probe query,
     // the top-5 most-similar vectors that are NOT near-duplicates —
     // high-cosine non-dups are exactly the negatives that teach an
@@ -1755,6 +1783,29 @@ object SimQueries extends QueryPack {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                     ORDER BY d2, vec_id) AS BIGINT) AS nn_rank
            FROM knnd) WHERE nn_rank <= $KnnK""",
+    // the kNN edges re-ranked in SQL, reciprocal-filtered, then the
+    // same min-label transitive closure as the fuzzy-cluster oracle
+    "q_dedup_knn_mutual" ->
+      s"""WITH RECURSIVE $quantCte,
+         $knnGraphCtes,
+         knng AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY d2, vec_id) AS rk
+             FROM knnd) WHERE rk <= $KnnK),
+         mutual AS (
+           SELECT a.q_id AS src, a.vec_id AS dst
+           FROM knng a JOIN knng b
+             ON b.q_id = a.vec_id AND b.vec_id = a.q_id),
+         reach AS (
+           SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+           UNION
+           SELECT e.src AS node, r.lbl AS lbl
+           FROM mutual e JOIN reach r ON e.dst = r.node)
+         SELECT node AS doc_id, MIN(lbl) AS component,
+                node = MIN(lbl) AS keep
+         FROM reach GROUP BY node""",
     "q_sim_knn_graph_recall" ->
       s"""WITH $quantCte,
          $knnGraphCtes,
