@@ -182,7 +182,10 @@ object Bench {
         // builds the memoized cluster table (canonical re-attachment
         // probes it) and the memoized host rank table (the gate row
         // probes it)
-        "q_dedup_fuzzy_cluster", "q_graph_pagerank") ++
+        "q_dedup_fuzzy_cluster", "q_graph_pagerank",
+        // builds the memoized kNN-graph edge frame the recall and
+        // mutual-cluster rows both probe
+        "q_sim_knn_graph") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

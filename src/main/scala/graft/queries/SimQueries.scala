@@ -374,7 +374,19 @@ object SimQueries extends QueryPack {
     * (n partitions, each O(3·n/nlist) rows — bounded, never a
     * single-partition window).
     */
-  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
+  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame =
+    trained(s, s"knng:$dir") {
+      // persisted like the graph artifact it models (the table a
+      // curation pipeline materializes once per corpus snapshot) —
+      // THREE rows consume it (graph, recall, mutual-cluster), so an
+      // unmemoized build would re-run assignment + probe + rerank per
+      // consumer per bench run; MEMORY_AND_DISK so cache pressure
+      // demotes instead of silently recomputing
+      knnGraphFrameUncached(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def knnGraphFrameUncached(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfTrainedCents(s, dir)
     val vs = qvecs(s, dir)
     val assign = vs.crossJoin(broadcast(cents))

@@ -71,6 +71,42 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles(plan("q_graph_pagerank")) === 0)
   }
 
+  test("r16 iterative graph rows read checkpointed fixpoints") {
+    // dangling-redistribution PageRank: the loop materializes per round
+    // (localCheckpoint), so the registered frame is a zero-exchange read
+    assert(shuffles(plan("q_graph_pagerank_dangling")) === 0)
+    // mutual-kNN clusters: the kNN candidates + reciprocal filter feed
+    // the EAGER star-contraction; the visible frame re-attaches the
+    // converged labels onto the node spine — label/spine-sized (|V|)
+    // exchanges only, never candidate- or corpus-sized
+    assert(shuffles(plan("q_dedup_knn_mutual")) <= 4,
+      plan("q_dedup_knn_mutual").take(2000))
+    // HITS: both score frames are checkpointed; the visible plan only
+    // re-attaches hub and auth onto the node spine — |V|-sized joins,
+    // never an edge- or corpus-sized exchange
+    assert(shuffles(plan("q_graph_hits")) <= 6, plan("q_graph_hits"))
+  }
+
+  test("q_sim_knn_graph: bounded candidate shuffles, broadcast centroids") {
+    // allowed exchanges: the all-vector assignment aggregate, the probe
+    // rank window, the candidate join, the two rerank vector joins and
+    // the final per-doc rank window — every one keyed on vec/doc ids
+    // (candidate-proportional), none corpus-squared; the centroid side
+    // must ship as a broadcast
+    val p = plan("q_sim_knn_graph")
+    assert(shuffles(p) <= 9, p.take(2000))
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+  }
+
+  test("q_pack_bestfit pays no single-partition pass over the docs") {
+    // the only global window walks the <= B-row class table (bounded
+    // by construction); doc-stream windows partition by (class, shard)
+    // and by bin; offset tables come back as broadcasts
+    val p = plan("q_pack_bestfit")
+    assert(shuffles(p) <= 7, p.take(2000))
+    assert(p.contains("BroadcastExchange"), "offset joins must broadcast")
+  }
+
   test("q_text_winnow is map-only (no shuffle at all)") {
     assert(shuffles(plan("q_text_winnow")) === 0)
   }
