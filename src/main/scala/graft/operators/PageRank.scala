@@ -210,8 +210,11 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val ewt = annotate(edges, lit(1L)).persist()
     try {
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct()
+      // node set from the PERSISTED ewt, not the raw argument — the
+      // raw frame would re-run the caller's edge derivation twice
+      // (once per action) instead of reading the cache
+      val nodes = ewt.select(col("src").as("node"))
+        .union(ewt.select(col("dst").as("node"))).distinct()
       val n = nodes.count() // ONE driver scalar: |V| over src ∪ dst
       require(n > 0, "PageRank: empty graph")
       val r0 = Scale / n

@@ -108,9 +108,10 @@ object IoQueries extends QueryPack {
         .collect() // fixture generation at dim scale, not a data-plane op
         .map(r => (r.get(0).toString.toLong,
           Seq[Any](r.get(0), r.getString(1), r.get(2))))
-      ExcelScan.writeXlsx(Seq(Seq[Any]("n_nationkey", "n_name", "n_regionkey"))
+      val headerRow = header.map(x => (x: Any))
+      ExcelScan.writeXlsx(Seq(headerRow)
         ++ rows.filter(_._1 % 2 == 0).map(_._2), s"$out/nation_even.xlsx")
-      ExcelScan.writeXlsx(Seq(Seq[Any]("n_nationkey", "n_name", "n_regionkey"))
+      ExcelScan.writeXlsx(Seq(headerRow)
         ++ rows.filter(_._1 % 2 == 1).map(_._2), s"$out/nation_odd.xlsx")
       ExcelScan.readXlsxMany(s, s"$out/*.xlsx", header)
         .select(

@@ -613,12 +613,17 @@ object Orchestrator {
       * reads the PERSISTED ranks for free.
       */
     def refreshGraphRanks(iters: Int = 5): Long = {
-      val edges = readTable("indexes/graph_edges")
-        .select(col("src"), col("dst")).distinct()
-      val ranks = graft.operators.PageRank.run(spark, edges, iters)
       val obs = org.apache.spark.sql.Observation()
+      // BUILD is inside the failure scope (the runGated discipline):
+      // PageRank's loud guards (dangling nodes, emptiness) fire
+      // eagerly during run(), and a guard refusal must reach the
+      // audit plane exactly like a dead write — otherwise
+      // failedTargets() never surfaces the stale rank table
       try {
-        ranks.observe(obs, count(lit(1)).as("n"))
+        val edges = readTable("indexes/graph_edges")
+          .select(col("src"), col("dst")).distinct()
+        graft.operators.PageRank.run(spark, edges, iters)
+          .observe(obs, count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$warehouse/indexes/graph_host_ranks")
       } catch {

@@ -80,4 +80,23 @@ class GraphIndexSpec extends AnyFunSuite with SparkTestBase {
       l.step == "mv_refresh" && l.target == "indexes/graph_host_ranks"
         && l.status == "SUCCESS" && l.rows == 3L))
   }
+
+  test("a build-phase refusal reaches the audit plane as FAILED") {
+    // a dangling edge batch (the normal crawl shape) makes PageRank's
+    // loud guard refuse DURING THE BUILD — that refusal must land a
+    // FAILED mv_refresh row exactly like a dead write, or the
+    // reprocess cycle never surfaces the stale rank table
+    val wh = java.nio.file.Files.createTempDirectory("graft_graphidx2").toString
+    val b = new Orchestrator.Run(spark, wh, "B1")
+    b.indexGraphBatch(Seq(("a", "b")).toDF("src", "dst"))
+    val e = intercept[IllegalArgumentException] { b.refreshGraphRanks(3) }
+    assert(e.getMessage.contains("dangling"), e.getMessage)
+    assert(b.auditLog.exists(l =>
+      l.step == "mv_refresh" && l.target == "indexes/graph_host_ranks"
+        && l.status == "FAILED" && l.message.contains("dangling")),
+      b.auditLog.mkString("; "))
+    assert(graft.run.Orchestrator.failedTargets(spark, wh, "B1")
+      .contains("indexes/graph_host_ranks"),
+      "the reprocess cycle must see the dead refresh")
+  }
 }
