@@ -606,13 +606,22 @@ object Orchestrator {
       * REFRESH MATERIALIZED VIEW shape, logged on the same mv_refresh
       * audit plane so the reprocess cycle heals a failed refresh), not
       * a batch-partitioned append. Cross-batch duplicate edges collapse
-      * through ONE distinct here; PageRank's own loud guards (dangling
-      * nodes, emptiness) apply unchanged. Cost: the refresh is the
-      * PageRank runs' cost on the full edge table — production runs it
-      * per batch-group or on a schedule, and every gate in between
-      * reads the PERSISTED ranks for free.
+      * through ONE distinct here. Cost: the refresh is the PageRank
+      * run's cost on the full edge table — production runs it per
+      * batch-group or on a schedule, and every gate in between reads
+      * the PERSISTED ranks for free.
+      *
+      * Dangling policy: crawl edge tables normally DO contain sinks
+      * (discovered-but-uncrawled pages), so
+      * `redistributeDangling = true` routes through
+      * PageRank.runDanglingRedistributed (sinks keep rows, their mass
+      * returns uniformly each round); the default `false` keeps the
+      * classic face's loud refusal — an unexpected sink in a graph
+      * CONTRACTED to be sink-free is feed corruption, and the refusal
+      * lands on the audit plane below.
       */
-    def refreshGraphRanks(iters: Int = 5): Long = {
+    def refreshGraphRanks(iters: Int = 5,
+                          redistributeDangling: Boolean = false): Long = {
       val obs = org.apache.spark.sql.Observation()
       // BUILD is inside the failure scope (the runGated discipline):
       // PageRank's loud guards (dangling nodes, emptiness) fire
@@ -622,8 +631,12 @@ object Orchestrator {
       try {
         val edges = readTable("indexes/graph_edges")
           .select(col("src"), col("dst")).distinct()
-        graft.operators.PageRank.run(spark, edges, iters)
-          .observe(obs, count(lit(1)).as("n"))
+        val ranks =
+          if (redistributeDangling)
+            graft.operators.PageRank.runDanglingRedistributed(
+              spark, edges, iters)
+          else graft.operators.PageRank.run(spark, edges, iters)
+        ranks.observe(obs, count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$warehouse/indexes/graph_host_ranks")
       } catch {

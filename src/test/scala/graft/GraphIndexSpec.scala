@@ -98,5 +98,22 @@ class GraphIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.run.Orchestrator.failedTargets(spark, wh, "B1")
       .contains("indexes/graph_host_ranks"),
       "the reprocess cycle must see the dead refresh")
+
+    // the crawl-shaped policy: redistribute dangling mass instead of
+    // refusing — the refresh succeeds, the sink gets a rank row, and
+    // the table matches the operator called directly (the heal also
+    // clears the FAILED target via the SUCCESS row)
+    assert(b.refreshGraphRanks(3, redistributeDangling = true) === 2L)
+    val direct = PageRank.runDanglingRedistributed(
+        spark, Seq(("a", "b")).toDF("src", "dst"), 3)
+      .as[(String, Long)].collect().toMap
+    assert(ranksAt(wh) === direct)
+    assert(direct.contains("b"), "the sink must hold a rank row")
+    // SUCCESS rows are buffered (only failures flush eagerly); the
+    // stage loop flushes at its boundary, which the heal check needs
+    b.flushAudit()
+    assert(!graft.run.Orchestrator.failedTargets(spark, wh, "B1")
+      .contains("indexes/graph_host_ranks"),
+      "a successful redistribute refresh must heal the failed target")
   }
 }
