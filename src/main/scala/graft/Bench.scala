@@ -95,7 +95,8 @@ object Bench {
     // r16 rows: tracked from day one
     "q_graph_pagerank_dangling", "q_sim_knn_graph",
     "q_sim_knn_graph_recall", "q_pack_bestfit", "q_pack_bestfit_waste",
-    "q_scan_excel_many", "q_graph_hits", "q_dedup_knn_mutual")
+    "q_scan_excel_many", "q_graph_hits", "q_dedup_knn_mutual",
+    "q_dedup_semantic_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -185,7 +186,11 @@ object Bench {
         "q_dedup_fuzzy_cluster", "q_graph_pagerank",
         // builds the memoized kNN-graph edge frame the recall and
         // mutual-cluster rows both probe
-        "q_sim_knn_graph") ++
+        "q_sim_knn_graph",
+        // builds the memoized corpus-trained centroids + corpus list
+        // assignments (the persisted vector-dedup index) the
+        // incremental semantic row probes
+        "q_dedup_semantic_incremental") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

@@ -93,7 +93,11 @@ object PlanLint {
       // crossJoin count and its bound are unchanged (assign + probe
       // against the <= 1024-row trained centroid frame)
       "q_sim_knn_graph" -> Allowance(2, why),
-      "q_sim_knn_graph_recall" -> Allowance(2, why))
+      "q_sim_knn_graph_recall" -> Allowance(2, why),
+      // the incremental row's corpus training/assignment are memoized
+      // eager checkpoints; only the batch-probe crossJoin against the
+      // broadcast centroid frame remains in the visible plan
+      "q_dedup_semantic_incremental" -> Allowance(1, why))
   }
 
   /** Excuse up to `allow(name).maxNodes` violations; the overflow still

@@ -305,8 +305,15 @@ object SimQueries extends QueryPack {
   private def ivfTrainedCents(s: SparkSession, dir: String): DataFrame =
     trained(s, s"ivf:$dir") { ivfTrainedCentsUncached(s, dir) }
 
-  private def ivfTrainedCentsUncached(s: SparkSession, dir: String): DataFrame = {
-    val vs = qvecs(s, dir)
+  private def ivfTrainedCentsUncached(s: SparkSession, dir: String): DataFrame =
+    lloydCentsFrom(qvecs(s, dir))
+
+  /** The Lloyd loop itself over an arbitrary (vec_id, qv) frame — the
+    * full-corpus trainer above and the corpus-slice trainer of the
+    * incremental semantic dedup share this one body, so the two
+    * trainings cannot drift.
+    */
+  private def lloydCentsFrom(vs: DataFrame): DataFrame = {
     var cents = vs.where(centSample(col("vec_id")))
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
     for (_ <- 1 to LloydIters) {
@@ -1012,6 +1019,46 @@ object SimQueries extends QueryPack {
       assign.join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cent_id"), col("d2_centroid"),
           col("__drop").isNull.as("keep"))
+    }),
+
+    // Incremental SemDeDup — the q_dedup_incremental discipline on the
+    // VECTOR plane: a NEW batch of embeddings (vec_id % 10 == 0) is
+    // near-dup-checked against the EXISTING corpus through the
+    // PERSISTED corpus artifacts (corpus-trained centroids + corpus
+    // list assignments — never retraining, never re-assigning the
+    // corpus): each batch vector probes its 3 nearest corpus lists,
+    // exact quantized L2 <= SemanticEps confirms, one bounded per-key
+    // window picks the best corpus match (min d2, min id), and
+    // unmatched vectors survive the left join as explicit
+    // is_dup=false rows. Cost scales with the BATCH x list size.
+    "q_dedup_semantic_incremental" -> ((s, dir) => {
+      val cents = semIncrCents(s, dir)
+      val corpus = semIncrCorpus(s, dir)
+      val batch = qvecs(s, dir).where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+      val byD2 = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("cent_id"))
+      val probes = batch.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cent_id"),
+          l2sq(col("qq"), col("cv")).as("d2"))
+        .withColumn("rk", row_number().over(byD2)).where(col("rk") <= 3)
+        .select(col("q_id"), col("cent_id"))
+      val byQ = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("vec_id"))
+      val best = probes.join(semIncrAssign(s, dir), "cent_id")
+        .join(corpus, "vec_id")
+        .join(TextQueries.shipAuto(s, batch, nVecEst(s, dir) / 10,
+          EmbRowBytes), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          l2sq(col("qq"), col("qv")).cast(LongType).as("d2"))
+        .where(col("d2") <= SemanticEps)
+        .withColumn("rn", row_number().over(byQ)).where(col("rn") === 1)
+        .select(col("q_id").as("vec_id"), col("vec_id").as("dup_of"),
+          col("d2"))
+      batch.select(col("q_id").as("vec_id"))
+        .join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup_of"), col("d2"),
+          col("dup_of").isNotNull.as("is_dup"))
     }))
 
   /** Giant-cluster cap for q_dedup_semantic: the within-cluster
@@ -1072,6 +1119,35 @@ object SimQueries extends QueryPack {
           col("cent_id").as("cent_id"))).as("best"))
         .select(col("vec_id"), col("best.cent_id").as("cent_id"),
           col("best.d2").as("d2_centroid"))
+        .localCheckpoint()
+    }
+
+  /** Batch/corpus split for the INCREMENTAL semantic dedup: today's
+    * arrivals are vec_id % 10 == 0 (the dirty-feed convention of
+    * q_dedup_fuzzy_incremental), the corpus is everything else.
+    */
+  private def semIncrCorpus(s: SparkSession, dir: String): DataFrame =
+    qvecs(s, dir).where(col("vec_id") % 10 =!= 0)
+
+  /** Corpus-trained centroids + corpus list assignments — the two
+    * PERSISTED artifacts the incremental row probes (the
+    * indexAnnBatch/indexDedupBatch discipline: built once per corpus
+    * snapshot, memoized here because the driver contract gives rows no
+    * warehouse). Shared Lloyd body with the full-corpus trainer.
+    */
+  private def semIncrCents(s: SparkSession, dir: String): DataFrame =
+    trained(s, s"semincr:cents:$dir") {
+      lloydCentsFrom(semIncrCorpus(s, dir))
+    }
+
+  private def semIncrAssign(s: SparkSession, dir: String): DataFrame =
+    trained(s, s"semincr:assign:$dir") {
+      semIncrCorpus(s, dir)
+        .crossJoin(broadcast(semIncrCents(s, dir)))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
+          col("cent_id").as("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cent_id"))
         .localCheckpoint()
     }
 
@@ -1197,6 +1273,70 @@ object SimQueries extends QueryPack {
          JOIN qv a ON a.vec_id = c.q_id
          JOIN qv b ON b.vec_id = c.vec_id, range(64) t(i)
          GROUP BY c.q_id, c.vec_id)"""
+  }
+
+  /** Corpus-trained Lloyd chain + batch probe — the SQL mirror of
+    * q_dedup_semantic_incremental's candidate generation: the trainer
+    * and assignments see ONLY the corpus slice (vec_id % 10 <> 0), the
+    * batch slice probes its 3 nearest lists. Standalone i-prefixed CTE
+    * names so it cannot collide with the shared full-corpus chain.
+    * Ends with `icand(q_id, vec_id)`.
+    */
+  private val semIncrCandsCtes: String = {
+    def iter(n: Int): String = {
+      val prev = s"icents_${n - 1}"
+      s""",
+       id2_$n AS (
+         SELECT co.vec_id, ce.cent_id,
+                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+         FROM ccoords co JOIN $prev ce ON ce.d = co.d
+         GROUP BY co.vec_id, ce.cent_id),
+       iassign_$n AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cent_id) AS rk
+           FROM id2_$n) WHERE rk = 1),
+       icents_$n AS (
+         SELECT a.cent_id, co.d,
+                CAST(FLOOR(CAST(SUM(co.qval) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cval
+         FROM iassign_$n a JOIN ccoords co ON co.vec_id = a.vec_id
+         GROUP BY a.cent_id, co.d)"""
+    }
+    s"""icoords AS (
+         SELECT e.vec_id, CAST(t.i AS BIGINT) AS d, e.v[t.i+1] AS qval
+         FROM qv e, range(64) t(i)),
+       ccoords AS (SELECT * FROM icoords WHERE vec_id % 10 <> 0),
+       icents_0 AS (
+         SELECT vec_id AS cent_id, d, qval AS cval
+         FROM ccoords WHERE ${centSampleSql("vec_id")})""" +
+      (1 to LloydIters).map(iter).mkString + s""",
+       id2_f AS (
+         SELECT co.vec_id, ce.cent_id,
+                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+         FROM ccoords co JOIN icents_$LloydIters ce ON ce.d = co.d
+         GROUP BY co.vec_id, ce.cent_id),
+       cassign AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cent_id) AS rk
+           FROM id2_f) WHERE rk = 1),
+       bd2 AS (
+         SELECT co.vec_id, ce.cent_id,
+                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+         FROM icoords co JOIN icents_$LloydIters ce ON ce.d = co.d
+         WHERE co.vec_id % 10 = 0
+         GROUP BY co.vec_id, ce.cent_id),
+       bprobes AS (
+         SELECT vec_id AS q_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cent_id) AS rk
+           FROM bd2) WHERE rk <= 3),
+       icand AS (
+         SELECT p.q_id, a.vec_id
+         FROM bprobes p JOIN cassign a ON a.cent_id = p.cent_id)"""
   }
 
   /** Exact-cosine re-rank tail over a `cands(q_id, vec_id)` relation —
@@ -1786,6 +1926,29 @@ object SimQueries extends QueryPack {
       s"""WITH $quantCte,
          $ivfTrainedCandsCtes,
          $recallTailSql""",
+    // corpus-trained chain + exact eps filter + best-match pick, the
+    // same left-join-keeps-unmatched shape as the fuzzy incremental
+    "q_dedup_semantic_incremental" ->
+      s"""WITH $quantCte,
+         $semIncrCandsCtes,
+         icd AS (
+           SELECT c.q_id, c.vec_id,
+                  SUM((a.v[i+1]-b.v[i+1])*(a.v[i+1]-b.v[i+1])) AS d2
+           FROM icand c
+           JOIN qv a ON a.vec_id = c.q_id
+           JOIN qv b ON b.vec_id = c.vec_id, range(64) t(i)
+           GROUP BY c.q_id, c.vec_id),
+         ibest AS (
+           SELECT q_id, vec_id, CAST(d2 AS BIGINT) AS d2 FROM (
+             SELECT q_id, vec_id, d2,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY d2, vec_id) AS rn
+             FROM icd WHERE d2 <= $SemanticEps) WHERE rn = 1)
+         SELECT b.vec_id, ibest.vec_id AS dup_of, ibest.d2,
+                ibest.vec_id IS NOT NULL AS is_dup
+         FROM (SELECT DISTINCT vec_id FROM embeddings
+               WHERE vec_id % 10 = 0) b
+         LEFT JOIN ibest ON ibest.q_id = b.vec_id""",
     "q_sim_knn_graph" ->
       s"""WITH $quantCte,
          $knnGraphCtes
