@@ -763,6 +763,61 @@ object Orchestrator {
         .withColumn("rank", row_number().over(byQ)).where(col("rank") <= k)
     }
 
+    /** Near-dup verdicts for a NEW batch of embeddings against the
+      * PERSISTED ANN index — the table-backed production form of
+      * q_dedup_semantic_incremental (which memoizes the same artifacts
+      * because the driver contract gives it no warehouse): probes rank
+      * the broadcast centroid table, fan out to their `nprobe` nearest
+      * lists, exact-rerank against the stored vectors, and a vector is
+      * a near-dup iff its best corpus match (min d2, ties to the
+      * smaller id) sits within `eps` on the quantized lattice. The
+      * current batch's own list/vector partitions are excluded so a
+      * restart that already indexed this batch does not flag every
+      * vector as its own duplicate; unmatched vectors survive the left
+      * join as explicit is_dup=false rows. Cost scales with the BATCH
+      * x probed-list size — the corpus is never re-assigned.
+      */
+    def dedupAgainstAnnIndexes(embeddings: DataFrame, eps: Long,
+                               nprobe: Int = 3): DataFrame = {
+      import graft.functions.VectorFunctions.{lattice, quantizedL2}
+      import org.apache.spark.sql.expressions.Window
+      val qp = embeddings.select(col("vec_id").as("q_id"),
+        lattice(col("embedding")).as("qq"))
+      val cents = readTable("indexes/ann_centroids").select("cent_id", "cv")
+      val byCent = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("cent_id"))
+      // rank lists on (q_id, cent_id, d2) only, join the probe vectors
+      // back on the nprobe survivors — the annSearchIndexes shape
+      val lists = qp.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cent_id"),
+          quantizedL2(col("qq"), col("cv")).as("d2"))
+        .withColumn("rk", row_number().over(byCent))
+        .where(col("rk") <= nprobe)
+        .select(col("q_id"), col("cent_id"))
+        .join(qp, "q_id")
+      val assigned = readTable("indexes/ann_lists")
+        .where(col("dwh_batch_id") =!= batchId).select("vec_id", "cent_id")
+      val stored = readTable("bronze/embeddings")
+        .where(col("dwh_batch_id") =!= batchId)
+        .select(col("vec_id"), lattice(col("embedding")).as("qv"))
+      val best = lists.join(assigned, "cent_id")
+        .join(stored, "vec_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          quantizedL2(col("qq"), col("qv")).as("d2"))
+        .where(col("d2") <= eps)
+        // min-struct = (min d2, then min id): one map-side-combinable
+        // aggregation, no window over the candidate stream
+        .groupBy(col("q_id"))
+        .agg(min(struct(col("d2"), col("vec_id"))).as("b"))
+        .select(col("q_id").as("vec_id"),
+          col("b.vec_id").as("dup_of"), col("b.d2").as("d2"))
+      qp.select(col("q_id").as("vec_id"))
+        .join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup_of"), col("d2"),
+          col("dup_of").isNotNull.as("is_dup"))
+    }
+
     // ------------------------------------------------------------------
     // Key-bucketed SCD merge plane (copy-on-write upsert).
     //

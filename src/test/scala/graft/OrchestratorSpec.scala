@@ -861,5 +861,36 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong.toInt)).toSet
     assert(got === want)
     assert(want.nonEmpty, "no search results — vacuous")
+
+    // table-backed incremental near-dup verdicts: B2's vectors against
+    // the B1 corpus only (own-batch partitions excluded — B2's vectors
+    // must never match themselves or each other), same probe
+    // discipline as the search, eps picked from the ground-truth best
+    // distances so BOTH verdict branches are exercised
+    val freshIds = vecs.keys.filter(_ % 10 == 0).toSeq.sorted
+    def bestGT(qid: Long, eps: Long): Option[(Long, Long)] = {
+      val top3 = cents.toSeq.map { case (c, cv) => (l2(vecs(qid), cv), c) }
+        .sorted.take(3).map(_._2).toSet
+      val cands = vecs.keys
+        .filter(v => v % 10 != 0 && top3.contains(assignGT(v)))
+        .map(v => (l2(vecs(qid), vecs(v)), v)).toSeq.sorted
+      cands.headOption.filter(_._1 <= eps).map { case (d, v) => (v, d) }
+    }
+    val bests = freshIds.flatMap(q => bestGT(q, Long.MaxValue).map(_._2))
+    val eps = bests.sorted.apply(bests.size / 2) // median: splits verdicts
+    val verdicts = run2.dedupAgainstAnnIndexes(
+        fresh.select(col("vec_id"), col("embedding")), eps)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(verdicts.keySet === freshIds.toSet,
+      "every batch vector gets exactly one verdict row")
+    freshIds.foreach { q =>
+      assert(verdicts(q) === bestGT(q, eps), s"verdict mismatch for $q")
+    }
+    val nDup = verdicts.values.count(_.isDefined)
+    assert(nDup > 0 && nDup < freshIds.size,
+      s"fixture too weak: $nDup/${freshIds.size} dups — both branches " +
+        "must be exercised")
   }
 }
