@@ -1101,7 +1101,7 @@ object SimQueries extends QueryPack {
     * exercises both drop and keep — the production analog of picking
     * the SemDeDup epsilon from a held-out distance histogram.
     */
-  private val SemanticEps = 1400000L
+  private[graft] val SemanticEps = 1400000L
 
   /** Memoized nearest-centroid assignment (vec_id, cent_id,
     * d2_centroid) under the Lloyd-trained centroids — the cluster-
@@ -1150,6 +1150,35 @@ object SimQueries extends QueryPack {
         .select(col("vec_id"), col("best.cent_id").as("cent_id"))
         .localCheckpoint()
     }
+
+  /** The corpus centroids as a FROZEN plan-literal model for the
+    * streaming gate (StreamingJobs.semanticGateStream): cent_id →
+    * quantized centroid vector. Metadata-plane collect, bounded by
+    * nlist (≤ [[MaxNlist]] by the centSample cap) and require-guarded
+    * loudly — the masterVariantModel discipline on the vector plane.
+    */
+  private[graft] def semIncrCentModel(s: SparkSession,
+                                      dir: String): Map[Long, Seq[Long]] = {
+    val rows = semIncrCents(s, dir).limit(MaxNlist.toInt + 1).collect()
+    require(rows.length <= MaxNlist,
+      s"semIncrCentModel: > $MaxNlist centroids exceed the plan-literal " +
+        "cap — the centSample bound was bypassed")
+    rows.map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+  }
+
+  /** Per-centroid corpus payload — the STATIC side of the streaming
+    * gate's probe joins: cent_id → the list's (vec_id, qv) entries.
+    * Per-list size rides the [[requireBoundedClusters]] guard (a
+    * degenerate constant-embedding corpus would otherwise ship a
+    * corpus-sized array per arriving row); total payload is the corpus
+    * itself, which is exactly what an IVF probe reads.
+    */
+  private[graft] def semIncrCentPayload(s: SparkSession,
+                                        dir: String): DataFrame =
+    requireBoundedClusters(semIncrAssign(s, dir))
+      .join(semIncrCorpus(s, dir), "vec_id")
+      .groupBy(col("cent_id"))
+      .agg(collect_list(struct(col("vec_id"), col("qv"))).as("vs"))
 
   private val quantCte =
     """qv AS (

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -418,6 +418,65 @@ object StreamingJobs {
       col("__e").isNotNull.as("exact_dup"),
       near.as("near_dup"),
       (col("__e").isNull && !near).as("keep"))
+  }
+
+  /** Streaming incremental-SemDeDup gate — the streaming face of
+    * q_dedup_semantic_incremental's verdict bit: each arriving
+    * embedding is near-dup-checked against the FROZEN corpus
+    * artifacts, stateless and append-mode at any rate.
+    *
+    * Shape: the ≤1024-entry centroid model rides in the plan as a
+    * literal (the dsirGateStream discipline), so the `nprobe` nearest
+    * lists are picked MAP-SIDE (array_sort over struct(d2, cent_id) —
+    * the exact tie order of the batch row's rank window); each probe
+    * slot then equi-joins the static per-centroid payload table and an
+    * `exists` over the list's (vec_id, qv) entries tests the epsilon
+    * in place. No stream-side window, aggregation, or state — the
+    * re-collapse problem of explode-then-semi never arises because the
+    * probe slots are COLUMNS, not rows. Distances use interpreted
+    * zip_with/aggregate HOFs rather than the native kernel (lambda
+    * variables, not plan children) — the gate trades codegen for
+    * statelessness, and per-row cost is nprobe bounded-list scans,
+    * which is exactly what an IVF probe pays. Verdicts equal the batch
+    * row's is_dup bit-for-bit (StreamingSpec pins it); a vector whose
+    * probed lists hold no within-eps neighbor is explicit
+    * is_dup=false, never dropped. The model is frozen for the DSIR
+    * reason: verdicts must be comparable across the feed; retraining
+    * is a redeploy.
+    *
+    * @param vecs        streaming frame with (vec_id, embedding)
+    * @param centModel   cent_id → quantized centroid (plan literal)
+    * @param centPayload STATIC (cent_id, vs: array<struct<vec_id,qv>>)
+    * @param eps         quantized squared-L2 near-dup threshold
+    */
+  def semanticGateStream(vecs: DataFrame, centModel: Map[Long, Seq[Long]],
+                         centPayload: DataFrame, eps: Long,
+                         nprobe: Int = 3): DataFrame = {
+    require(centModel.nonEmpty, "semanticGateStream: empty centroid model")
+    def l2hof(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val entries = map_entries(typedlit(centModel))
+    val probes = transform(
+      slice(array_sort(transform(entries,
+        e => struct(l2hof(col("__qq"), e.getField("value")).as("d2"),
+          e.getField("key").as("cent_id")))), 1, nprobe),
+      s => s.getField("cent_id"))
+    val keyed = vecs.select(col("vec_id"),
+        graft.functions.VectorFunctions.lattice(col("embedding")).as("__qq"))
+      .withColumn("__probes", probes)
+    val gated = (0 until nprobe).foldLeft(keyed) { (df, b) =>
+      // a model smaller than nprobe leaves trailing slots null: the
+      // left join keeps the row, exists sees null, coalesce says false
+      df.withColumn(s"__c$b", element_at(col("__probes"), b + 1))
+        .join(centPayload.select(col("cent_id").as(s"__c$b"),
+          col("vs").as(s"__vs$b")), Seq(s"__c$b"), "left")
+        .withColumn(s"__hit$b", coalesce(exists(col(s"__vs$b"),
+          v => l2hof(col("__qq"), v.getField("qv")) <= eps
+            && v.getField("vec_id") =!= col("vec_id")), lit(false)))
+    }
+    gated.select(col("vec_id"),
+      (0 until nprobe).map(b => col(s"__hit$b")).reduce(_ || _).as("is_dup"))
   }
 
   /** Streaming Gopher-rules gate — the streaming face of

@@ -635,6 +635,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(path).count() === events.size.toLong)
   }
 
+  test("semantic gate stream: verdicts equal the batch incremental row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the registered incremental row's is_dup bit
+    val want = SparkEntry.queries("q_dedup_semantic_incremental")(spark, dir)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(want.values.exists(identity) && want.values.exists(!_),
+      "fixture too weak: both verdict branches must be exercised")
+    // frozen artifacts: centroid model literal + per-list payload
+    val model = graft.queries.SimQueries.semIncrCentModel(spark, dir)
+    val payload = graft.queries.SimQueries.semIncrCentPayload(spark, dir)
+    val batchVecs = Tables.t(spark, dir, "embeddings")
+      .where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val out = StreamingJobs.semanticGateStream(
+      ms.toDF().toDF("vec_id", "embedding"), model, payload,
+      graft.queries.SimQueries.SemanticEps)
+    val q = out.writeStream.format("memory")
+      .queryName("semgate").outputMode("append").start()
+    try {
+      // two arrival waves (order within the feed must not matter)
+      val (w1, w2) = batchVecs.splitAt(batchVecs.length / 2)
+      ms.addData(w2.toSeq); q.processAllAvailable()
+      ms.addData(w1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("semgate").as[(Long, Boolean)].collect().toMap
+    assert(got === want, "stream verdicts != batch verdicts")
+  }
+
   test("ann ingest sink: streaming index equals batch index, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
