@@ -98,6 +98,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastExchange"), "centroids must broadcast")
   }
 
+  test("q_dedup_semantic_incremental probes persisted artifacts, batch-scaled") {
+    // corpus training/assignment are memoized eager checkpoints, so the
+    // visible plan is the BATCH probe only: the broadcast-centroid
+    // crossJoin, the probe-rank window, the candidate joins and the
+    // best-pick aggregate — all batch- or candidate-keyed exchanges,
+    // never a corpus re-train
+    val p = plan("q_dedup_semantic_incremental")
+    assert(shuffles(p) <= 8, p.take(2000))
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+  }
+
   test("q_pack_bestfit pays no single-partition pass over the docs") {
     // the only global window walks the <= B-row class table (bounded
     // by construction); doc-stream windows partition by (class, shard)
