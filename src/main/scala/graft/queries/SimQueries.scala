@@ -1175,10 +1175,17 @@ object SimQueries extends QueryPack {
     */
   private[graft] def semIncrCentPayload(s: SparkSession,
                                         dir: String): DataFrame =
-    requireBoundedClusters(semIncrAssign(s, dir))
-      .join(semIncrCorpus(s, dir), "vec_id")
-      .groupBy(col("cent_id"))
-      .agg(collect_list(struct(col("vec_id"), col("qv"))).as("vs"))
+    // memoized + checkpointed like its sibling artifacts: the streaming
+    // gate joins this static side once per probe slot per micro-batch,
+    // so a lazy plan would re-run the corpus-wide collect_list shuffle
+    // nprobe times per batch for the stream's lifetime
+    trained(s, s"semincr:payload:$dir") {
+      requireBoundedClusters(semIncrAssign(s, dir))
+        .join(semIncrCorpus(s, dir), "vec_id")
+        .groupBy(col("cent_id"))
+        .agg(collect_list(struct(col("vec_id"), col("qv"))).as("vs"))
+        .localCheckpoint()
+    }
 
   private val quantCte =
     """qv AS (
@@ -1305,67 +1312,59 @@ object SimQueries extends QueryPack {
   }
 
   /** Corpus-trained Lloyd chain + batch probe — the SQL mirror of
-    * q_dedup_semantic_incremental's candidate generation: the trainer
-    * and assignments see ONLY the corpus slice (vec_id % 10 <> 0), the
-    * batch slice probes its 3 nearest lists. Standalone i-prefixed CTE
-    * names so it cannot collide with the shared full-corpus chain.
-    * Ends with `icand(q_id, vec_id)`.
+    * q_dedup_semantic_incremental's candidate generation, DERIVED from
+    * the shared full-corpus chain by require-guarded marker rewrites
+    * (the knnGraphCtes discipline — one Lloyd algebra, never a pasted
+    * copy that could drift): the trainer and corpus assignment read
+    * the corpus slice (vec_id % 10 <> 0) via a ccoords view, and the
+    * probes CTE is swapped for the batch slice's own distance CTE over
+    * the final corpus centroids. Ends with `cands(q_id, vec_id)`; the
+    * redundant self-exclusion in cands stays (corpus and batch are
+    * disjoint, so it filters nothing).
     */
   private val semIncrCandsCtes: String = {
-    def iter(n: Int): String = {
-      val prev = s"icents_${n - 1}"
-      s""",
-       id2_$n AS (
-         SELECT co.vec_id, ce.cent_id,
-                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
-         FROM ccoords co JOIN $prev ce ON ce.d = co.d
-         GROUP BY co.vec_id, ce.cent_id),
-       iassign_$n AS (
-         SELECT vec_id, cent_id FROM (
-           SELECT vec_id, cent_id,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id
-                    ORDER BY d2, cent_id) AS rk
-           FROM id2_$n) WHERE rk = 1),
-       icents_$n AS (
-         SELECT a.cent_id, co.d,
-                CAST(FLOOR(CAST(SUM(co.qval) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cval
-         FROM iassign_$n a JOIN ccoords co ON co.vec_id = a.vec_id
-         GROUP BY a.cent_id, co.d)"""
+    def swap(s: String, marker: String, repl: String): String = {
+      require(s.contains(marker),
+        s"semIncrCandsCtes: marker drifted from ivfTrainedCandsCtes: $marker")
+      s.replace(marker, repl)
     }
-    s"""icoords AS (
-         SELECT e.vec_id, CAST(t.i AS BIGINT) AS d, e.v[t.i+1] AS qval
-         FROM qv e, range(64) t(i)),
-       ccoords AS (SELECT * FROM icoords WHERE vec_id % 10 <> 0),
-       icents_0 AS (
-         SELECT vec_id AS cent_id, d, qval AS cval
-         FROM ccoords WHERE ${centSampleSql("vec_id")})""" +
-      (1 to LloydIters).map(iter).mkString + s""",
-       id2_f AS (
-         SELECT co.vec_id, ce.cent_id,
-                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
-         FROM ccoords co JOIN icents_$LloydIters ce ON ce.d = co.d
-         GROUP BY co.vec_id, ce.cent_id),
-       cassign AS (
-         SELECT vec_id, cent_id FROM (
-           SELECT vec_id, cent_id,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id
-                    ORDER BY d2, cent_id) AS rk
-           FROM id2_f) WHERE rk = 1),
-       bd2 AS (
-         SELECT co.vec_id, ce.cent_id,
-                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
-         FROM icoords co JOIN icents_$LloydIters ce ON ce.d = co.d
-         WHERE co.vec_id % 10 = 0
-         GROUP BY co.vec_id, ce.cent_id),
-       bprobes AS (
+    // corpus view inserted after the shared coords projection
+    var c = swap(ivfTrainedCandsCtes,
+      """),
+       cents_0 AS (""",
+      """),
+       ccoords AS (SELECT * FROM coords WHERE vec_id % 10 <> 0),
+       cents_0 AS (""")
+    // training iterations + the final corpus assignment read the slice
+    c = swap(c, "coords co", "ccoords co")
+    require(!c.contains("FROM coords co"),
+      "semIncrCandsCtes: an unrewritten training join still reads the " +
+        "full coords")
+    c = swap(c, "FROM coords WHERE vec_id % 25",
+      "FROM ccoords WHERE vec_id % 25")
+    // the batch slice probes the FINAL corpus centroids through its own
+    // distance CTE (the shared chain's probes read the corpus d2_f)
+    swap(c,
+      s""",
+       probes AS (
          SELECT vec_id AS q_id, cent_id FROM (
            SELECT vec_id, cent_id,
                   ROW_NUMBER() OVER (PARTITION BY vec_id
                     ORDER BY d2, cent_id) AS rk
-           FROM bd2) WHERE rk <= 3),
-       icand AS (
-         SELECT p.q_id, a.vec_id
-         FROM bprobes p JOIN cassign a ON a.cent_id = p.cent_id)"""
+           FROM d2_f WHERE vec_id % 50 = 0) WHERE rk <= 3),""",
+      s""",
+       bd2 AS (
+         SELECT co.vec_id, ce.cent_id,
+                SUM((co.qval - ce.cval)*(co.qval - ce.cval)) AS d2
+         FROM coords co JOIN cents_$LloydIters ce ON ce.d = co.d
+         WHERE co.vec_id % 10 = 0
+         GROUP BY co.vec_id, ce.cent_id),
+       probes AS (
+         SELECT vec_id AS q_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cent_id) AS rk
+           FROM bd2) WHERE rk <= 3),""")
   }
 
   /** Exact-cosine re-rank tail over a `cands(q_id, vec_id)` relation —
@@ -1963,7 +1962,7 @@ object SimQueries extends QueryPack {
          icd AS (
            SELECT c.q_id, c.vec_id,
                   SUM((a.v[i+1]-b.v[i+1])*(a.v[i+1]-b.v[i+1])) AS d2
-           FROM icand c
+           FROM cands c
            JOIN qv a ON a.vec_id = c.q_id
            JOIN qv b ON b.vec_id = c.vec_id, range(64) t(i)
            GROUP BY c.q_id, c.vec_id),

@@ -724,8 +724,14 @@ object Orchestrator {
       *
       * @param probes (q_id, embedding array<float>)
       */
-    def annSearchIndexes(probes: DataFrame, k: Int = 5,
-                         nprobe: Int = 3): DataFrame = {
+    /** Shared IVF candidate stream over the warehouse tables —
+      * (q_id, vec_id, d2) for the search AND dedup faces, so a fix to
+      * the probe discipline lands once. `excludeOwnBatch` drops the
+      * current batch's list/vector partitions (the dedup face's
+      * restart-safety contract); the search face keeps them.
+      */
+    private def annCandidateStream(probes: DataFrame, nprobe: Int,
+                                   excludeOwnBatch: Boolean): DataFrame = {
       import graft.functions.VectorFunctions.{lattice, quantizedL2}
       import org.apache.spark.sql.expressions.Window
       val qp = probes.select(col("q_id"), lattice(col("embedding")).as("qq"))
@@ -742,15 +748,24 @@ object Orchestrator {
         .withColumn("rk", row_number().over(byCent)).where(col("rk") <= nprobe)
         .select(col("q_id"), col("cent_id"))
         .join(qp, "q_id")
-      val assigned = readTable("indexes/ann_lists").select("vec_id", "cent_id")
-      val stored = readTable("bronze/embeddings")
+      def scoped(df: DataFrame): DataFrame =
+        if (excludeOwnBatch) df.where(col("dwh_batch_id") =!= batchId) else df
+      val assigned = scoped(readTable("indexes/ann_lists"))
+        .select("vec_id", "cent_id")
+      val stored = scoped(readTable("bronze/embeddings"))
         .select(col("vec_id"), lattice(col("embedding")).as("qv"))
-      val byQ = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
       lists.join(assigned, "cent_id")
         .join(stored, "vec_id")
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           quantizedL2(col("qq"), col("qv")).as("d2"))
+    }
+
+    def annSearchIndexes(probes: DataFrame, k: Int = 5,
+                         nprobe: Int = 3): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val byQ = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+      annCandidateStream(probes, nprobe, excludeOwnBatch = false)
         // dedup at CANDIDATE scale, not corpus scale: a vec_id
         // re-landed under a second batch id must not occupy two top-k
         // ranks, but distinct()-ing the full list/vector tables would
@@ -779,32 +794,8 @@ object Orchestrator {
       */
     def dedupAgainstAnnIndexes(embeddings: DataFrame, eps: Long,
                                nprobe: Int = 3): DataFrame = {
-      import graft.functions.VectorFunctions.{lattice, quantizedL2}
-      import org.apache.spark.sql.expressions.Window
-      val qp = embeddings.select(col("vec_id").as("q_id"),
-        lattice(col("embedding")).as("qq"))
-      val cents = readTable("indexes/ann_centroids").select("cent_id", "cv")
-      val byCent = Window.partitionBy(col("q_id"))
-        .orderBy(col("d2"), col("cent_id"))
-      // rank lists on (q_id, cent_id, d2) only, join the probe vectors
-      // back on the nprobe survivors — the annSearchIndexes shape
-      val lists = qp.crossJoin(broadcast(cents))
-        .select(col("q_id"), col("cent_id"),
-          quantizedL2(col("qq"), col("cv")).as("d2"))
-        .withColumn("rk", row_number().over(byCent))
-        .where(col("rk") <= nprobe)
-        .select(col("q_id"), col("cent_id"))
-        .join(qp, "q_id")
-      val assigned = readTable("indexes/ann_lists")
-        .where(col("dwh_batch_id") =!= batchId).select("vec_id", "cent_id")
-      val stored = readTable("bronze/embeddings")
-        .where(col("dwh_batch_id") =!= batchId)
-        .select(col("vec_id"), lattice(col("embedding")).as("qv"))
-      val best = lists.join(assigned, "cent_id")
-        .join(stored, "vec_id")
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          quantizedL2(col("qq"), col("qv")).as("d2"))
+      val qp = embeddings.select(col("vec_id").as("q_id"), col("embedding"))
+      val best = annCandidateStream(qp, nprobe, excludeOwnBatch = true)
         .where(col("d2") <= eps)
         // min-struct = (min d2, then min id): one map-side-combinable
         // aggregation, no window over the candidate stream

@@ -453,6 +453,7 @@ object StreamingJobs {
                          centPayload: DataFrame, eps: Long,
                          nprobe: Int = 3): DataFrame = {
     require(centModel.nonEmpty, "semanticGateStream: empty centroid model")
+    require(nprobe >= 1, s"semanticGateStream: nprobe must be >= 1, got $nprobe")
     def l2hof(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x)
@@ -466,9 +467,12 @@ object StreamingJobs {
         graft.functions.VectorFunctions.lattice(col("embedding")).as("__qq"))
       .withColumn("__probes", probes)
     val gated = (0 until nprobe).foldLeft(keyed) { (df, b) =>
-      // a model smaller than nprobe leaves trailing slots null: the
-      // left join keeps the row, exists sees null, coalesce says false
-      df.withColumn(s"__c$b", element_at(col("__probes"), b + 1))
+      // a model smaller than nprobe leaves trailing slots null: get()
+      // is the ANSI-safe indexer (null out of bounds, never an
+      // INVALID_ARRAY_INDEX error like element_at under ANSI mode —
+      // the fuzzyMatchStream head-pick lesson); the left join keeps
+      // the row, exists sees null, coalesce says false
+      df.withColumn(s"__c$b", get(col("__probes"), lit(b)))
         .join(centPayload.select(col("cent_id").as(s"__c$b"),
           col("vs").as(s"__vs$b")), Seq(s"__c$b"), "left")
         .withColumn(s"__hit$b", coalesce(exists(col(s"__vs$b"),
