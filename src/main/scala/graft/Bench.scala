@@ -258,7 +258,8 @@ object Bench {
         ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       (s""","scaling":{"small_sf":"$dir","data_ratio":10,"flagged":${
         names(flagged.keys.toSeq)},"errors":${names(errors)
-      },"ratios":${dict(ratios)}}""", flagged.size, errors.size)
+      },"ratios":${dict(ratios)}}""", flagged.size, errors.size,
+        flagged.keys.toSeq, errors)
     }
     val scalingJson = scaling.map(_._1).getOrElse("")
 
@@ -299,6 +300,28 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,"n_unstable":${unstable.size},"unstable":${nameArr(unstable)},"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson,"sf":"$sfDir"$tailJson}""".getBytes("UTF-8"))
+    // FINAL line: one COMPLETE compact JSON object, sized to survive the
+    // driver's ~2000-char stdout-tail capture whole (the sbt epilogue
+    // after it costs ~100 chars). The wide line above front-truncates in
+    // that window, leaving the driver's "parsed" field null and the
+    // flagged/unstable rows anonymous — this line carries every scalar,
+    // the NAME lists (capped at 12 per list; the n_* counts stay exact
+    // so a cap is visible, never a silent truncation), and the slowest
+    // per-query medians down to whatever budget the lists leave, so the
+    // artifact is machine-readable regardless of tail width.
+    def capped(ns: Seq[String]): String = nameArr(ns.sorted.take(12))
+    val scalingFlagged = scaling.map(_._4).getOrElse(Nil)
+    val scalingErrored = scaling.map(_._5).getOrElse(Nil)
+    val head =
+      s"""{"metric":"bench_summary","value":${num(total)},"unit":"sec","sf":"$sfDir","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"n_errors":${errored.size},"errors":${capped(errored)},"n_unstable":${unstable.size},"unstable":${capped(unstable)},"n_scaling_flagged":${scaling.map(_._2).getOrElse(-1)},"scaling_flagged":${capped(scalingFlagged)},"n_scaling_errors":${scaling.map(_._3).getOrElse(-1)},"scaling_errors":${capped(scalingErrored)}"""
+    val budget = 1800 - head.length - ""","slowest":{}}""".length
+    val slowEntries = results.sortBy(-_._2)
+      .map { case (n, v) => s""""$n":${num(v)}""" }
+    var used = 0
+    val slowKept = slowEntries.takeWhile { e =>
+      used += e.length + 1; used <= budget
+    }
+    println(s"""$head,"slowest":{${slowKept.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -101,18 +101,31 @@ object IoQueries extends QueryPack {
       import graft.sources.ExcelScan
       val out = s"/tmp/graft_xlsx_many_${ProcessHandle.current().pid()}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      new java.io.File(out).mkdirs()
       val header = Seq("n_nationkey", "n_name", "n_regionkey")
-      val rows = t(s, dir, "nation")
-        .orderBy(col("n_nationkey"))
-        .collect() // fixture generation at dim scale, not a data-plane op
-        .map(r => (r.get(0).toString.toLong,
-          Seq[Any](r.get(0), r.getString(1), r.get(2))))
-      val headerRow = header.map(x => (x: Any))
-      ExcelScan.writeXlsx(Seq(headerRow)
-        ++ rows.filter(_._1 % 2 == 0).map(_._2), s"$out/nation_even.xlsx")
-      ExcelScan.writeXlsx(Seq(headerRow)
-        ++ rows.filter(_._1 % 2 == 1).map(_._2), s"$out/nation_odd.xlsx")
+      val even = new java.io.File(s"$out/nation_even.xlsx")
+      val odd = new java.io.File(s"$out/nation_odd.xlsx")
+      // fixture generated ONCE per (pid, dir) — the path is pid-scoped,
+      // so an existing pair is this process's own earlier write (bench
+      // runs each registered query 3x; re-collecting and rewriting the
+      // workbooks per invocation timed fixture IO, not the scan).
+      // deleteOnExit registration order: dir first, files after — the
+      // JVM deletes in reverse registration order, so files go first
+      // and the then-empty dir can drop too.
+      if (!(even.exists() && odd.exists())) {
+        val dirF = new java.io.File(out)
+        dirF.mkdirs()
+        dirF.deleteOnExit(); even.deleteOnExit(); odd.deleteOnExit()
+        val rows = t(s, dir, "nation")
+          .orderBy(col("n_nationkey"))
+          .collect() // fixture generation at dim scale, not a data-plane op
+          .map(r => (r.get(0).toString.toLong,
+            Seq[Any](r.get(0), r.getString(1), r.get(2))))
+        val headerRow = header.map(x => (x: Any))
+        ExcelScan.writeXlsx(Seq(headerRow)
+          ++ rows.filter(_._1 % 2 == 0).map(_._2), even.getPath)
+        ExcelScan.writeXlsx(Seq(headerRow)
+          ++ rows.filter(_._1 % 2 == 1).map(_._2), odd.getPath)
+      }
       ExcelScan.readXlsxMany(s, s"$out/*.xlsx", header)
         .select(
           col("n_nationkey").cast(LongType).as("n_nationkey"),

@@ -28,6 +28,20 @@ import org.apache.spark.sql.SparkSession
   * builds (the IVF-PQ build invoking the centroid build) still work.
   * Values built under a lost race are impossible by construction: the
   * double-check happens under the same per-session lock as the build.
+  *
+  * LOCK-ORDERING RULE (cross-memo nesting): reentrancy covers nesting
+  * within ONE memo instance only. Each SessionMemo holds its own
+  * per-session entry lock, so a build in memo A that nests a build in
+  * memo B, concurrent with a same-session build in B nesting into A,
+  * is a classic lock-order deadlock. Builds that nest ACROSS memo
+  * instances must therefore acquire in one fixed global order:
+  * pack-level result memos may call into the shared trainer/metadata
+  * memos (trainMemo, nVecMemo, fixture memos), NEVER the reverse — a
+  * trainer build must not invoke a pack memo. Every nesting in this
+  * repo today follows that edge direction (verified: trainer builds
+  * call only other trainer builds of the SAME memo, which reentrancy
+  * covers); a new memo whose builds call into an existing one joins
+  * the order below the memos it calls.
   */
 final class SessionMemo[K, V] {
   private final class Entry {

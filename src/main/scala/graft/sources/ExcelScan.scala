@@ -182,8 +182,20 @@ object ExcelScan {
         require(got == header,
           s"header mismatch in $path: got $got, expected $header — " +
             "refusing to align columns by position")
-        all.tail.map(r => Row.fromSeq(
-          path +: (0 until width).map(i => if (i < r.length) r(i) else null)))
+        // width is a two-sided contract: narrower rows pad with nulls
+        // (sparse sheets omit trailing empty cells), but a WIDER row
+        // means a producer appended a data column the declared header
+        // doesn't know — positional truncation would silently lose it,
+        // so it fails loudly naming the file and row, same as a renamed
+        // header.
+        all.tail.iterator.zipWithIndex.map { case (r, i) =>
+          require(r.length <= width,
+            s"row ${i + 2} of $path carries ${r.length} cells but the " +
+              s"declared header has $width columns — a producer appended " +
+              "data beyond the contract; refusing to silently drop it")
+          Row.fromSeq(
+            path +: (0 until width).map(j => if (j < r.length) r(j) else null))
+        }
       }
     }(Encoders.row(schema))
   }

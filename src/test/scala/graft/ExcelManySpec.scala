@@ -51,4 +51,20 @@ class ExcelManySpec extends AnyFunSuite with SparkTestBase {
     assert(msgs.exists(m => m.contains("header mismatch")
       && m.contains("drifted.xlsx")), msgs.mkString(" | "))
   }
+
+  test("a data row wider than the header fails loudly, naming file and row") {
+    val d = tmpDir()
+    ExcelScan.writeXlsx(Seq(
+      Seq[Any]("id", "name", "qty"),
+      Seq[Any](1, "alpha", 10),
+      Seq[Any](2, "beta", 20, "EXTRA")), s"$d/wide.xlsx") // appended column
+    val e = intercept[Exception] {
+      ExcelScan.readXlsxMany(spark, s"$d/*.xlsx",
+        Seq("id", "name", "qty")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(msgs.exists(m => m.contains("wide.xlsx") && m.contains("row 3")
+      && m.contains("4 cells")), msgs.mkString(" | "))
+  }
 }
