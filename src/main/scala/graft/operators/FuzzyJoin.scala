@@ -83,18 +83,21 @@ object FuzzyJoin {
     * columns of both sides pass through, plus an IntegerType `dist`.
     * Column names must not collide across the two sides.
     *
-    * Caching contract: each call persists TWO internal variant frames
-    * (one per side) so the hot-bucket guard and the blocking join share
-    * a single explode/hash pass — and they stay persisted for the
-    * session's lifetime, because the returned frame is lazy and there
-    * is no safe point inside the operator to unpersist (doing so before
-    * the caller materializes would silently recompute the guard pass).
-    * Callers must therefore BOUND their calls: build once and reuse the
-    * result (memoize per (session, input) — GraphQueries.fuzzyPairsMemo
-    * is the reference pattern), or `session.catalog.clearCache()` in
-    * batch drivers that genuinely need many one-shot joins. An
-    * unbounded per-record call loop accumulates cache entries without
-    * limit.
+    * Caching contract (closed in r17 — no caller discipline needed):
+    * each call persists TWO internal variant frames (one per side) so
+    * the hot-bucket guard and the blocking join share a single
+    * explode/hash pass, then EAGERLY materializes the distinct
+    * candidate-pair frame via localCheckpoint and unpersists both
+    * variant frames before returning — the returned frame depends only
+    * on the checkpointed candidates, so no caller-visible cache entry
+    * outlives the call (the checkpoint's blocks are released by the
+    * ContextCleaner once the result frame is unreferenced; on a real
+    * cluster point the checkpoint at reliable storage). Eager
+    * materialization also means the hot-bucket assert fires INSIDE
+    * join(), at the call site, not at the caller's first downstream
+    * action. Candidate pairs are output-bounded (each pair appears in
+    * the exact post-filter anyway), so the checkpoint never stores
+    * more than the join's own result class.
     */
   def join(left: DataFrame, right: DataFrame,
            leftStr: String, rightStr: String, maxDist: Int,
@@ -116,7 +119,8 @@ object FuzzyJoin {
     // The exploded frame is persisted so the guard aggregation and the
     // blocking join share one explode/hash pass (same discipline as
     // JaccardPrefixJoin's shingle cache).
-    def guarded(df: DataFrame, strCol: String, sideName: String): DataFrame = {
+    def guarded(df: DataFrame, strCol: String,
+                sideName: String): (DataFrame, DataFrame) = {
       val v = side(df, strCol, maxDist).persist()
       val sizes = v.groupBy(col("__vh"))
         .agg(countDistinct(col(strCol)).as("__bsz"))
@@ -126,19 +130,28 @@ object FuzzyJoin {
             s"'$strCol' too hot for symmetric-delete blocking): "),
             col("__bsz").cast("string"))), lit(true)))
         .select(col("__vh"))
-      v.join(sizes, "__vh")
+      // the persisted frame itself is returned beside the guarded view:
+      // unpersist must target the exact plan that was persisted
+      (v.join(sizes, "__vh"), v)
     }
 
-    val lv = guarded(left, leftStr, "left")
-    val rv = guarded(right, rightStr, "right")
-
-    val cand = lv.join(rv, "__vh")
-      .drop("__vh")
-      .distinct()
-
-    cand
-      .withColumn("dist", levenshtein(col(leftStr), col(rightStr), maxDist))
-      .where(col("dist") >= 0 && col("dist") <= maxDist)
+    val (lv, lp) = guarded(left, leftStr, "left")
+    val (rv, rp) = guarded(right, rightStr, "right")
+    try {
+      // eager: runs the guard aggregations + blocking join NOW (reading
+      // each persisted variant frame once) and pins the candidate pairs,
+      // so the variant frames are safe to release in finally
+      val cand = lv.join(rv, "__vh")
+        .drop("__vh")
+        .distinct()
+        .localCheckpoint()
+      cand
+        .withColumn("dist", levenshtein(col(leftStr), col(rightStr), maxDist))
+        .where(col("dist") >= 0 && col("dist") <= maxDist)
+    } finally {
+      lp.unpersist()
+      rp.unpersist()
+    }
   }
 
   /** Best-match form: for every left row, the single right row with the

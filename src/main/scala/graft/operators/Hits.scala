@@ -42,10 +42,23 @@ object Hits {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     try {
+      // one metadata-plane aggregate covers both production guards (the
+      // PageRank.runWeighted discipline): emptiness, and NULL endpoints —
+      // count(col) skips nulls, and a null-src/null-dst edge would
+      // otherwise silently drop from every hub/authority join below,
+      // leaking its mass without a trace
+      val b = e.agg(count(lit(1)), count(col("src")), count(col("dst")))
+        .head()
+      val total = b.getLong(0)
+      require(total > 0,
+        "Hits: empty graph — no edges to score; land edges before scoring")
+      require(b.getLong(1) == total && b.getLong(2) == total,
+        s"Hits: ${total - math.min(b.getLong(1), b.getLong(2))} edges " +
+          "carry a NULL endpoint — their hub/authority mass would " +
+          "silently vanish from the score joins; repair the edge feed")
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
         .localCheckpoint()
-      require(!nodes.isEmpty, "Hits: empty graph")
       def rescaled(scores: DataFrame): DataFrame = {
         // 1-row max frame, cross-joined: stays in-plan at any |V|
         val m = scores.agg(max(col("s")).as("m"))

@@ -621,7 +621,8 @@ object Orchestrator {
       * lands on the audit plane below.
       */
     def refreshGraphRanks(iters: Int = 5,
-                          redistributeDangling: Boolean = false): Long = {
+                          redistributeDangling: Boolean = false,
+                          note: String = ""): Long = {
       val obs = org.apache.spark.sql.Observation()
       // BUILD is inside the failure scope (the runGated discipline):
       // PageRank's loud guards (dangling nodes, emptiness) fire
@@ -646,7 +647,98 @@ object Orchestrator {
           throw e
       }
       val n = obs.get("n").asInstanceOf[Long]
-      log("mv_refresh", "indexes/graph_host_ranks", "SUCCESS", n)
+      log("mv_refresh", "indexes/graph_host_ranks", "SUCCESS", n, note)
+      n
+    }
+
+    /** Config-driven cadence around [[refreshGraphRanks]] — the
+      * batching the full-fixpoint cost model above prescribes
+      * ("production runs it per batch-group or on a schedule"), wired
+      * through the same mv_refresh_config plane that routes
+      * full-vs-incremental for MVs: a `refresh_every = N` row for
+      * `indexes/graph_host_ranks` means one whole-graph refresh per N
+      * landed edge batches; gates in between read the PERSISTED ranks
+      * (stale by contract, bounded by N), and a missing rank table
+      * still refuses loudly in [[hostGateAgainstRanks]] — cadence
+      * never weakens that.
+      *
+      * Bookkeeping is audit-plane only (no new metadata file): each
+      * cadenced refresh stamps its SUCCESS row with
+      * `covers=<maxEdgeBatchId>`; pending = landed edge batches with a
+      * LATER id (batch ids are zero-padded and lexically ordered — the
+      * S9 snapshot contract). A replayed OLD batch id is therefore not
+      * re-counted: replays rewrite their own partition without changing
+      * the distinct edge set, so the last refresh already covers them.
+      * Skips are logged (SKIPPED_CADENCE) so the audit plane shows why
+      * the table is N batches stale, and a manual [[refreshGraphRanks]]
+      * call (no covers stamp) never advances the marker — it can only
+      * make the next cadenced refresh early, never late.
+      *
+      * @return Some(rankRows) if a refresh ran, None on a cadence skip
+      */
+    def refreshGraphRanksIfDue(iters: Int = 5,
+                               redistributeDangling: Boolean = false)
+                              : Option[Long] = {
+      val target = "indexes/graph_host_ranks"
+      val every = ToolsConfig.refreshCadence(spark, warehouse, target)
+      flushAudit() // the cadence reads the PERSISTED audit plane
+      val path = s"$warehouse/tools/audit_log"
+      val audit =
+        if (!new java.io.File(path).exists()) None
+        else Some(spark.read.parquet(path))
+      val edgeBatches: Seq[String] = audit.toSeq.flatMap(
+        _.where(col("step") === "write"
+            && col("target") === "indexes/graph_edges"
+            && col("status") === "SUCCESS")
+          .select("batchId").distinct().collect().map(_.getString(0)))
+      val covered: String = audit.flatMap(
+        _.where(col("step") === "mv_refresh" && col("target") === target
+            && col("status") === "SUCCESS"
+            && col("message").startsWith("covers="))
+          .agg(max(col("message"))).head() match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getString(0).stripPrefix("covers="))
+          }).getOrElse("")
+      val pending = edgeBatches.filter(_ > covered)
+      if (pending.size >= every) {
+        Some(refreshGraphRanks(iters, redistributeDangling,
+          note = s"covers=${edgeBatches.max}"))
+      } else {
+        log("mv_refresh", target, "SKIPPED_CADENCE", 0,
+          s"pending=${pending.size} < every=$every")
+        None
+      }
+    }
+
+    /** HITS hub/authority scores over the SAME warehouse edge table —
+      * the second link-analysis artifact of the graph plane, refreshed
+      * with the [[refreshGraphRanks]] contract verbatim: a whole-graph
+      * fixpoint (a new batch of edges shifts every score), full refresh
+      * over the accumulated edges, logged on the mv_refresh audit plane
+      * so a failed refresh surfaces through failedTargets and the
+      * reprocess cycle heals it. Hits.run's own loud guards (empty
+      * graph, NULL endpoints) fire inside the failure scope, exactly
+      * like PageRank's dangling guard above. Unlike PageRank there is
+      * no dangling contract — sinks hold authority, sources hold
+      * hubness — so there is no redistribute switch to carry.
+      */
+    def refreshHitsScores(iters: Int = 5): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      try {
+        val edges = readTable("indexes/graph_edges")
+          .select(col("src"), col("dst")).distinct()
+        graft.operators.Hits.run(spark, edges, iters)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$warehouse/indexes/graph_hits_scores")
+      } catch {
+        case e: Throwable =>
+          log("mv_refresh", "indexes/graph_hits_scores", "FAILED", 0,
+            String.valueOf(e.getMessage))
+          throw e
+      }
+      val n = obs.get("n").asInstanceOf[Long]
+      log("mv_refresh", "indexes/graph_hits_scores", "SUCCESS", n)
       n
     }
 

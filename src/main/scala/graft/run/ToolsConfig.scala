@@ -112,6 +112,34 @@ object ToolsConfig {
       .sortBy(_.step.runOrder).toSeq
   }
 
+  /** Refresh cadence for a full-fixpoint artifact (the graph-rank /
+    * whole-graph plane): the mv_refresh_config row for `target` may
+    * carry an optional `refresh_every` column — refresh once per that
+    * many landed input batches (see Run.refreshGraphRanksIfDue).
+    * Schema-on-read like `strategy`: existing config files, a missing
+    * row, or a null column all mean 1 = refresh on every landing (the
+    * reference's only mode, and the prior hard-coded behavior). A
+    * non-positive value is a config error and fails loudly — a 0 would
+    * silently freeze the artifact forever.
+    */
+  def refreshCadence(spark: SparkSession, warehouse: String,
+                     target: String): Int = {
+    val p = mvConfigPath(warehouse)
+    if (!new java.io.File(p).exists()) 1
+    else {
+      val every = spark.read
+        .schema("target_table STRING, refresh_every INT").json(p)
+        .collect()
+        .collectFirst {
+          case r if r.getString(0) == target && !r.isNullAt(1) => r.getInt(1)
+        }.getOrElse(1)
+      require(every >= 1,
+        s"refresh_every for $target must be >= 1, got $every — a " +
+          "non-positive cadence would freeze the artifact forever")
+      every
+    }
+  }
+
   /** transformation_config rows: bronze→silver steps in file order.
     * `source_config` is the reference's JSONB parameter blob
     * (ddl_tools.sql:22) as a typed map — schema-on-read, so a row can

@@ -90,6 +90,29 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("dist"))
   }
 
+  test("join releases its internal variant persists before returning") {
+    // r16 contract: the two per-side variant frames stayed persisted for
+    // the session lifetime, accumulating cache entries per call unless
+    // callers memoized. r17 closes it: the candidate frame is eagerly
+    // checkpointed and both variant persists are released inside join(),
+    // so the only block-manager entry a call may leave behind is the
+    // checkpointed candidate RDD the RESULT depends on (ContextCleaner
+    // frees it with the result). Net persisted-RDD growth per call must
+    // therefore be <= 1 — under the old contract it was 2.
+    val sc = spark.sparkContext
+    val l = universe(2).toDF("ka")
+    val r = universe(2).map(_.replace('b', 'c')).toDF("kb")
+    val before = sc.getPersistentRDDs.keySet
+    val out = FuzzyJoin.join(l, r, "ka", "kb", 1)
+    val afterReturn = sc.getPersistentRDDs.keySet -- before
+    assert(afterReturn.size <= 1,
+      s"join() left ${afterReturn.size} persisted RDDs behind " +
+        "(variant frames not released)")
+    // ...and the released persists did not break the result (the
+    // checkpoint pinned the candidates before the unpersist)
+    assert(out.count() > 0)
+  }
+
   test("bestMatch keeps exactly one deterministic row per left key") {
     val l = Seq("cat", "dog").toDF("ka")
     val r = Seq("cot", "cut", "dig", "dug", "cat").toDF("kb")

@@ -116,4 +116,108 @@ class GraphIndexSpec extends AnyFunSuite with SparkTestBase {
       .contains("indexes/graph_host_ranks"),
       "a successful redistribute refresh must heal the failed target")
   }
+
+  test("config-driven cadence: three landings, one refresh") {
+    import graft.run.ToolsConfig
+    val wh = java.nio.file.Files.createTempDirectory("graft_graphcad").toString
+    // default with no config plane at all: refresh on every landing
+    assert(ToolsConfig.refreshCadence(spark, wh,
+      "indexes/graph_host_ranks") === 1)
+    ToolsConfig.writeConfigFile(ToolsConfig.mvConfigPath(wh), Seq(
+      """{"target_table":"indexes/graph_host_ranks","run_order":100,""" +
+        """"enabled":true,"builder":"graph_host_ranks","strategy":"full",""" +
+        """"refresh_every":3}"""))
+    assert(ToolsConfig.refreshCadence(spark, wh,
+      "indexes/graph_host_ranks") === 3)
+
+    val landings = Seq(
+      "B1" -> Seq(("a", "b"), ("b", "a")),
+      "B2" -> Seq(("b", "c"), ("c", "b")),
+      "B3" -> Seq(("c", "a"), ("a", "c")))
+    def land(i: Int): (Orchestrator.Run, Option[Long]) = {
+      val (bid, edges) = landings(i)
+      val run = new Orchestrator.Run(spark, wh, bid)
+      run.indexGraphBatch(edges.toDF("src", "dst"))
+      val r = run.refreshGraphRanksIfDue(iters = 3)
+      run.flushAudit()
+      (run, r)
+    }
+    // first two landings skip (pending 1, then 2, under every=3); the
+    // rank table stays absent BETWEEN landings and the gate's
+    // stale-read refusal is UNCHANGED — cadence never substitutes an
+    // empty gate for a refusal
+    assert(land(0)._2 === None)
+    val (run2, r2) = land(1)
+    assert(r2 === None)
+    intercept[IllegalArgumentException] {
+      run2.hostGateAgainstRanks(Seq((1L, "a")).toDF("doc_id", "source"))
+    }
+    // the third landing crosses the cadence and refreshes the fixpoint
+    // over ALL accumulated edges
+    assert(land(2)._2 === Some(3L))
+    val direct = PageRank.run(spark,
+        landings.flatMap(_._2).toDF("src", "dst"), 3)
+      .as[(String, Long)].collect().toMap
+    assert(ranksAt(wh) === direct)
+    val audit = spark.read.parquet(s"$wh/tools/audit_log")
+      .where(col("target") === "indexes/graph_host_ranks")
+    assert(audit.where(col("status") === "SUCCESS").count() === 1L,
+      "exactly one refresh across the three landings")
+    assert(audit.where(col("status") === "SKIPPED_CADENCE").count() === 2L,
+      "skips must be visible on the audit plane")
+
+    // a fourth landing starts a fresh pending window (the covers= marker
+    // advanced to B3): skip again
+    val b4 = new Orchestrator.Run(spark, wh, "B4")
+    b4.indexGraphBatch(Seq(("a", "b")).toDF("src", "dst"))
+    assert(b4.refreshGraphRanksIfDue(iters = 3) === None)
+    assert(ranksAt(wh) === direct, "a cadence skip must not touch the table")
+
+    // a non-positive cadence is a config error, not a silent freeze
+    ToolsConfig.writeConfigFile(ToolsConfig.mvConfigPath(wh), Seq(
+      """{"target_table":"indexes/graph_host_ranks","run_order":100,""" +
+        """"enabled":true,"builder":"graph_host_ranks","refresh_every":0}"""))
+    assert(intercept[IllegalArgumentException] {
+      b4.refreshGraphRanksIfDue(iters = 3)
+    }.getMessage.contains("refresh_every"))
+  }
+
+  test("HITS scores refresh over the same edge table on the audit plane") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_graphidx3").toString
+    val b1 = new Orchestrator.Run(spark, wh, "B1")
+
+    // a refresh before any edges landed is a build-phase refusal that
+    // must reach the audit plane as FAILED (the refreshGraphRanks
+    // contract) — here the read itself dies on the missing table
+    intercept[Exception] { b1.refreshHitsScores(2) }
+    assert(b1.auditLog.exists(l =>
+      l.step == "mv_refresh" && l.target == "indexes/graph_hits_scores"
+        && l.status == "FAILED"), b1.auditLog.mkString("; "))
+    assert(graft.run.Orchestrator.failedTargets(spark, wh, "B1")
+      .contains("indexes/graph_hits_scores"))
+
+    // land two batches with a cross-batch duplicate; the refresh must
+    // score the DISTINCT accumulated edge set (sinks are fine for HITS
+    // — no dangling contract on this face)
+    b1.indexGraphBatch(Seq((1L, 10L), (1L, 11L)).toDF("src", "dst"))
+    val b2 = new Orchestrator.Run(spark, wh, "B2")
+    b2.indexGraphBatch(Seq((1L, 10L), (2L, 10L)).toDF("src", "dst"))
+    assert(b2.refreshHitsScores(3) === 4L) // nodes 1, 2, 10, 11
+    val direct = graft.operators.Hits.run(spark,
+        Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst"), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val table = spark.read.parquet(s"$wh/indexes/graph_hits_scores")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(table === direct)
+
+    // the SUCCESS row heals the earlier dead refresh for the reprocess
+    // cycle, and a re-refresh is a stable overwrite
+    b2.flushAudit()
+    assert(!graft.run.Orchestrator.failedTargets(spark, wh, "B2")
+      .contains("indexes/graph_hits_scores"))
+    b2.refreshHitsScores(3)
+    assert(spark.read.parquet(s"$wh/indexes/graph_hits_scores")
+      .as[(Long, Long, Long)].collect().toSet === direct,
+      "re-refresh must be a no-op overwrite")
+  }
 }

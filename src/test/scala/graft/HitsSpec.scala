@@ -60,4 +60,16 @@ class HitsSpec extends AnyFunSuite with SparkTestBase {
       Hits.run(spark, Seq.empty[(Long, Long)].toDF("src", "dst"), 1)
     }.getMessage.contains("empty graph"))
   }
+
+  test("NULL endpoints fail loudly instead of leaking mass") {
+    // a null-src edge silently drops from every hub/authority join
+    // (count/sum skip nulls) — the production guard must name the leak,
+    // same contract as PageRank.runWeighted's NULL-weight guard
+    val edges = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L)),
+        (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(11L)))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] { Hits.run(spark, edges, 2) }
+    assert(e.getMessage.contains("NULL endpoint"), e.getMessage)
+    assert(e.getMessage.contains("1 edges"), e.getMessage)
+  }
 }
