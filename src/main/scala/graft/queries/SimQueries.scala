@@ -308,35 +308,18 @@ object SimQueries extends QueryPack {
   private def ivfTrainedCentsUncached(s: SparkSession, dir: String): DataFrame =
     lloydCentsFrom(qvecs(s, dir))
 
-  /** The Lloyd loop itself over an arbitrary (vec_id, qv) frame — the
-    * full-corpus trainer above and the corpus-slice trainer of the
-    * incremental semantic dedup share this one body, so the two
-    * trainings cannot drift.
+  /** The Lloyd loop over an arbitrary (vec_id, qv) frame — delegates to
+    * the library-wide trainer body (graft.operators.LloydKmeans, which
+    * the warehouse ANN rebuild also uses) with this pack's
+    * modulo-sampled seed; the full-corpus trainer above and the
+    * corpus-slice trainer of the incremental semantic dedup share it,
+    * so the trainings cannot drift.
     */
-  private def lloydCentsFrom(vs: DataFrame): DataFrame = {
-    var cents = vs.where(centSample(col("vec_id")))
-      .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
-    for (_ <- 1 to LloydIters) {
-      val assign = vs.crossJoin(broadcast(cents))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
-          col("cent_id").as("cent_id"))).as("best"))
-        .select(col("vec_id"), col("best.cent_id").as("cent_id"))
-      // materialize each round's centroids (tiny: nlist × 64 longs) —
-      // otherwise every downstream consumer lazily re-runs the whole
-      // Lloyd lineage; use reliable checkpoint on a cluster
-      cents = assign.join(vs, "vec_id")
-        .select(col("cent_id"), posexplode(col("qv")).as(Seq("d", "x")))
-        .groupBy(col("cent_id"), col("d"))
-        .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1)))
-          .cast(LongType).as("m"))
-        .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          e => e.getField("m")).as("cv"))
-        .localCheckpoint()
-    }
-    cents
-  }
+  private def lloydCentsFrom(vs: DataFrame): DataFrame =
+    graft.operators.LloydKmeans.train(vs,
+      vs.where(centSample(col("vec_id")))
+        .select(col("vec_id").as("cent_id"), col("qv").as("cv")),
+      LloydIters)
 
   /** Directed IVF candidate lists under a given centroid frame: every
     * vector indexed into its nearest list, each probe query searching

@@ -784,6 +784,15 @@ object Orchestrator {
       */
     def indexAnnBatch(embeddings: DataFrame, nlist: Int = 1024): Long = {
       import graft.functions.VectorFunctions.{lattice, quantizedL2}
+      // a landing during a rebuild's staging window would assign against
+      // centroids the swap is about to replace AND vanish in the swap
+      // itself (the staged list table was derived before this batch
+      // existed) — refuse loudly rather than lose a batch silently
+      require(!annRebuildLock.exists(),
+        s"an ANN index rebuild is staging ($annRebuildLock) — a batch " +
+          "indexed now would be lost in the atomic swap; retry after the " +
+          "rebuild completes (a stale lock from a crashed rebuild is " +
+          "safe to delete: staging never touches the live tables)")
       val qv = embeddings.select(col("vec_id"), lattice(col("embedding")).as("qv"))
       // S10 on the index plane: an empty slice must not write — an
       // empty BOOTSTRAP would permanently lock in a zero-row centroid
@@ -899,6 +908,144 @@ object Orchestrator {
         .join(best, Seq("vec_id"), "left")
         .select(col("vec_id"), col("dup_of"), col("d2"),
           col("dup_of").isNotNull.as("is_dup"))
+    }
+
+    private def annRebuildLock =
+      new java.io.File(s"$warehouse/indexes/.ann_rebuild_lock")
+
+    /** The REBUILD the [[indexAnnBatch]] contract promises: retrain the
+      * centroids over every indexed vector (the shared Lloyd body —
+      * graft.operators.LloydKmeans, the same trainer the query-plane
+      * rows use), re-assign every landed batch against the new
+      * centroids, and atomically swap BOTH the centroid and list table
+      * directories (the compactBatches staged-rewrite discipline:
+      * staging lives outside the live paths, the old dirs are parked in
+      * a trash dir, and readers of the live paths never see a
+      * half-written table — both parks then both installs, so the torn
+      * window is "table briefly absent", a loud FileNotFound, never a
+      * silent new-centroids/old-lists pairing).
+      *
+      * Population contract: the rebuild re-indexes exactly the vectors
+      * the CURRENT list table holds — each (vec_id, batch) list row is
+      * re-assigned using its same-batch stored embedding from
+      * bronze/embeddings (a listed vector with no stored embedding
+      * fails loudly in-plan: re-indexing would silently drop it from
+      * the searchable corpus). Batch partitions are PRESERVED, so the
+      * S8 replay discipline, snapshot reads, and the dedup face's
+      * own-batch exclusion all survive the rebuild unchanged. A vec_id
+      * re-landed under two batches seeds at most one duplicate centroid
+      * row, which collapses at the first Lloyd update (groupBy cent_id)
+      * — documented-benign, not silent corruption.
+      *
+      * Concurrency: the rebuild takes a lock file that makes
+      * [[indexAnnBatch]] refuse for the staging window (a batch indexed
+      * mid-rebuild would vanish in the swap), a second concurrent
+      * rebuild refuses on the same lock, and — defense in depth, the
+      * lock is advisory for out-of-process writers — the list table's
+      * partition set is re-checked immediately before the swap and the
+      * rebuild ABORTS (live index untouched, staging discarded, FAILED
+      * audit row) if it changed. A crash mid-staging leaves the live
+      * index intact plus a stale lock; the lock message documents the
+      * recovery (delete it). A crash BETWEEN the two install renames is
+      * the plain-dir warehouse's documented torn window (see
+      * compactBatches) — recovery is restoring `.ann_rebuild_trash` or
+      * re-running the rebuild.
+      *
+      * Cost (100 TB): trainIters + 1 corpus scans against the broadcast
+      * centroid frame plus one corpus-sized staged write — the
+      * unavoidable full-table operation retraining is; everything else
+      * in the index lifecycle stays O(batch).
+      *
+      * @return rows in the rebuilt list table
+      */
+    def rebuildAnnIndex(nlist: Int = 1024, trainIters: Int = 2): Long = {
+      import graft.functions.VectorFunctions.lattice
+      val centLive = new java.io.File(s"$warehouse/indexes/ann_centroids")
+      val listLive = new java.io.File(s"$warehouse/indexes/ann_lists")
+      require(centLive.exists() && listLive.exists(),
+        "no ANN index to rebuild — bootstrap by landing batches through " +
+          "indexAnnBatch first")
+      require(annRebuildLock.createNewFile(),
+        s"another ANN rebuild holds $annRebuildLock — concurrent rebuilds " +
+          "would tear the swap; if the holder crashed, delete the lock " +
+          "(staging never touches the live tables)")
+      def partsOf(dir: java.io.File): Set[String] =
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("dwh_batch_id=")).map(_.getName).toSet
+      val stage = new java.io.File(s"$warehouse/.ann_rebuild")
+      val trash = new java.io.File(s"$warehouse/.ann_rebuild_trash")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete()
+      }
+      try {
+        rmTree(stage); rmTree(trash) // discard any crashed rebuild's leftovers
+        val partsBefore = partsOf(listLive)
+        val listed = readTable("indexes/ann_lists")
+          .select(col("vec_id"), col("dwh_batch_id"))
+        val stored = readTable("bronze/embeddings")
+          .select(col("vec_id"), col("dwh_batch_id"),
+            lattice(col("embedding")).as("qv"))
+        val vs = listed.join(stored, Seq("vec_id", "dwh_batch_id"), "left")
+          // in-plan loud guard (the FuzzyJoin assert_true idiom): a
+          // listed vector with no stored embedding must kill the job,
+          // not silently drop from the rebuilt index
+          .where(coalesce(assert_true(col("qv").isNotNull,
+            concat(lit("ann rebuild: listed vector "),
+              col("vec_id").cast("string"),
+              lit(" of batch "), col("dwh_batch_id"),
+              lit(" has no stored embedding in bronze/embeddings"))),
+            lit(true)))
+        val seed = vs.select(col("vec_id"), col("qv"))
+          .orderBy(col("vec_id")).limit(nlist)
+          .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+        val cents = graft.operators.LloydKmeans.train(
+          vs.select(col("vec_id"), col("qv")), seed, trainIters)
+        cents.withColumn("dwh_batch_id", lit(batchId))
+          .write.partitionBy("dwh_batch_id").mode(SaveMode.Overwrite)
+          .parquet(s"$stage/ann_centroids")
+        val newCents = spark.read.parquet(s"$stage/ann_centroids")
+          .select(col("cent_id"), col("cv"))
+        val obs = org.apache.spark.sql.Observation()
+        graft.operators.LloydKmeans
+          .assignNearest(vs.select(col("vec_id"), col("qv")), newCents)
+          .join(listed, "vec_id") // back onto every (vec_id, batch) row
+          .select(col("vec_id"), col("cent_id"), col("dwh_batch_id"))
+          .observe(obs, count(lit(1)).as("n"))
+          .write.partitionBy("dwh_batch_id").mode(SaveMode.Overwrite)
+          .parquet(s"$stage/ann_lists")
+        val n = obs.get("n").asInstanceOf[Long]
+        // refusal on concurrent landings (see header): the staged tables
+        // were derived from partsBefore — swapping over a changed live
+        // set would silently drop the new batch
+        val partsAfter = partsOf(listLive)
+        if (partsAfter != partsBefore)
+          throw new IllegalStateException(
+            s"ann rebuild: list-table batches changed during staging " +
+              s"(${(partsAfter diff partsBefore) ++
+                (partsBefore diff partsAfter) mkString ", "}) — " +
+              "refusing to swap (the staged index predates them); the " +
+              "live index is untouched, re-run the rebuild")
+        // the swap: park both live dirs, install both staged dirs
+        trash.mkdirs()
+        java.nio.file.Files.move(centLive.toPath,
+          new java.io.File(trash, "ann_centroids").toPath)
+        java.nio.file.Files.move(listLive.toPath,
+          new java.io.File(trash, "ann_lists").toPath)
+        java.nio.file.Files.move(
+          new java.io.File(stage, "ann_centroids").toPath, centLive.toPath)
+        java.nio.file.Files.move(
+          new java.io.File(stage, "ann_lists").toPath, listLive.toPath)
+        rmTree(trash); rmTree(stage)
+        log("ann_rebuild", "indexes/ann_lists", "SUCCESS", n,
+          s"nlist=$nlist iters=$trainIters; centroid table swapped in step")
+        n
+      } catch {
+        case e: Throwable =>
+          log("ann_rebuild", "indexes/ann_lists", "FAILED", 0,
+            String.valueOf(e.getMessage))
+          throw e
+      } finally annRebuildLock.delete()
     }
 
     // ------------------------------------------------------------------

@@ -1,0 +1,163 @@
+package graft
+
+import graft.run.Orchestrator
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Orchestrator.rebuildAnnIndex — the retrain + staged re-index +
+  * atomic swap lifecycle the indexAnnBatch contract documents:
+  * search-after-rebuild must equal a fresh-trained search (proven
+  * against an in-memory Lloyd twin), batch partitions must survive the
+  * swap, refusals (lock held, landing during staging) must leave the
+  * live index untouched, and staging/lock artifacts must not outlive
+  * the call.
+  */
+class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(f: Seq[Float]): Array[Long] =
+    f.map(x => math.floor(x.toDouble * 1000).toLong).toArray
+  private def l2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+
+  /** In-memory twin of LloydKmeans.train: seed = the nlist smallest
+    * vec_ids, ties to the smallest cent_id, floored component means,
+    * empty clusters drop.
+    */
+  private def lloydTwin(vecs: Map[Long, Array[Long]], nlist: Int,
+                        iters: Int): Map[Long, Array[Long]] = {
+    var cents: Map[Long, Array[Long]] =
+      vecs.keys.toSeq.sorted.take(nlist).map(id => id -> vecs(id)).toMap
+    for (_ <- 1 to iters) {
+      val assign = vecs.map { case (id, v) =>
+        id -> cents.toSeq.map { case (c, cv) => (l2(v, cv), c) }.min._2
+      }
+      cents = assign.groupBy(_._2).map { case (c, members) =>
+        val vs = members.keys.map(vecs).toSeq
+        c -> Array.tabulate(vs.head.length)(d =>
+          math.floor(vs.map(_(d)).sum.toDouble / vs.size).toLong)
+      }
+    }
+    cents
+  }
+
+  private def landTwoBatches(wh: String): Map[Long, Array[Long]] = {
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val r1 = new Orchestrator.Run(spark, wh, "B1")
+    r1.writeBatch(emb.where(col("vec_id") % 10 =!= 0), "bronze/embeddings")
+    r1.indexAnnBatch(r1.readBatch("bronze/embeddings")
+      .select("vec_id", "embedding"), nlist = 16)
+    val r2 = new Orchestrator.Run(spark, wh, "B2")
+    r2.writeBatch(emb.where(col("vec_id") % 10 === 0), "bronze/embeddings")
+    r2.indexAnnBatch(r2.readBatch("bronze/embeddings")
+      .select("vec_id", "embedding"), nlist = 16)
+    emb.collect().map(r => r.getLong(0) -> q(r.getSeq[Float](1))).toMap
+  }
+
+  test("retrain + re-index + swap: search-after-rebuild == fresh-trained") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_annrb").toString
+    val vecs = landTwoBatches(wh)
+    val r3 = new Orchestrator.Run(spark, wh, "B3")
+    val n = r3.rebuildAnnIndex(nlist = 16, trainIters = 2)
+    assert(n === vecs.size.toLong, "every listed vector re-indexed")
+
+    // centroid table == the Lloyd twin, landed under the rebuild batch
+    val want = lloydTwin(vecs, 16, 2)
+    val gotCents = spark.read.parquet(s"$wh/indexes/ann_centroids")
+      .select("cent_id", "cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(gotCents.keySet === want.keySet)
+    gotCents.foreach { case (c, cv) =>
+      assert(cv.toSeq === want(c).toSeq, s"centroid $c drifted") }
+    assert(new java.io.File(s"$wh/indexes/ann_centroids").listFiles()
+      .map(_.getName).filter(_.startsWith("dwh_batch_id="))
+      .toSeq === Seq("dwh_batch_id=B3"))
+
+    // list table: nearest-centroid assignment under the NEW centroids,
+    // with every vector's ORIGINAL batch partition preserved
+    def nearest(v: Array[Long]) =
+      want.toSeq.map { case (c, cv) => (l2(v, cv), c) }.min._2
+    val lists = spark.read.parquet(s"$wh/indexes/ann_lists")
+      .select("vec_id", "cent_id", "dwh_batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(lists.length === vecs.size)
+    lists.foreach { case (v, c, b) =>
+      assert(c === nearest(vecs(v)), s"assignment of $v drifted")
+      assert(b === (if (v % 10 == 0) "B2" else "B1"),
+        s"batch partition of $v not preserved")
+    }
+
+    // search through the rebuilt tables == ground truth under the new
+    // centroids (the fresh-trained search): top-3 lists, exact rerank
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val got = r3.annSearchIndexes(emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding")), k = 5, nprobe = 3)
+      .select("q_id", "vec_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val assignGT = vecs.map { case (id, v) => id -> nearest(v) }
+    val wantSearch = vecs.keys.filter(_ % 50 == 0).flatMap { qid =>
+      val top3 = want.toSeq.map { case (c, cv) => (l2(vecs(qid), cv), c) }
+        .sorted.take(3).map(_._2).toSet
+      vecs.keys.filter(v => v != qid && top3.contains(assignGT(v)))
+        .map(v => (l2(vecs(qid), vecs(v)), v))
+        .toSeq.sorted.take(5).zipWithIndex
+        .map { case ((_, v), i) => (qid, v, i + 1) }
+    }.toSet
+    assert(got === wantSearch)
+    assert(wantSearch.nonEmpty, "no search results — vacuous")
+
+    // no staging / trash / lock artifact outlives the rebuild; the
+    // lifecycle rides the audit plane
+    assert(!new java.io.File(s"$wh/.ann_rebuild").exists())
+    assert(!new java.io.File(s"$wh/.ann_rebuild_trash").exists())
+    assert(!new java.io.File(s"$wh/indexes/.ann_rebuild_lock").exists())
+    assert(r3.auditLog.exists(l => l.step == "ann_rebuild"
+      && l.status == "SUCCESS" && l.rows == n))
+
+    // ...and a batch landed AFTER the rebuild assigns against the new
+    // centroids without re-bootstrapping (the lifecycle continues)
+    val r4 = new Orchestrator.Run(spark, wh, "B4")
+    r4.writeBatch(emb.where(col("vec_id") % 10 === 3).limit(5)
+      .withColumn("vec_id", col("vec_id") + 100000), "bronze/embeddings")
+    r4.indexAnnBatch(r4.readBatch("bronze/embeddings")
+      .select("vec_id", "embedding"), nlist = 16)
+    assert(spark.read.parquet(s"$wh/indexes/ann_centroids")
+      .select("cent_id").distinct().count() === want.size.toLong,
+      "post-rebuild landing must not re-bootstrap the centroids")
+  }
+
+  test("refusals leave the live index untouched; stale lock recovery works") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_annrb2").toString
+    landTwoBatches(wh)
+    val before = (
+      spark.read.parquet(s"$wh/indexes/ann_centroids").collect().toSet,
+      spark.read.parquet(s"$wh/indexes/ann_lists").collect().toSet)
+
+    // a held lock refuses BOTH a second rebuild and a landing, loudly
+    val lock = new java.io.File(s"$wh/indexes/.ann_rebuild_lock")
+    assert(lock.createNewFile())
+    val r3 = new Orchestrator.Run(spark, wh, "B3")
+    assert(intercept[IllegalArgumentException] {
+      r3.rebuildAnnIndex(nlist = 16)
+    }.getMessage.contains("rebuild"))
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      r3.indexAnnBatch(emb.limit(3), nlist = 16)
+    }.getMessage.contains("rebuild"))
+    assert(lock.exists(), "a refusal must not delete a lock it doesn't hold")
+    assert((spark.read.parquet(s"$wh/indexes/ann_centroids").collect().toSet,
+      spark.read.parquet(s"$wh/indexes/ann_lists").collect().toSet) === before,
+      "refusals must leave the live index byte-equal")
+
+    // stale-lock recovery per the message: delete it, rebuild proceeds
+    lock.delete()
+    assert(r3.rebuildAnnIndex(nlist = 16, trainIters = 2) > 0L)
+
+    // a rebuild on an empty warehouse refuses with the bootstrap hint
+    val whEmpty = java.nio.file.Files.createTempDirectory("graft_annrb3").toString
+    assert(intercept[IllegalArgumentException] {
+      new Orchestrator.Run(spark, whEmpty, "B1").rebuildAnnIndex()
+    }.getMessage.contains("indexAnnBatch"))
+  }
+}
