@@ -96,7 +96,9 @@ object Bench {
     "q_graph_pagerank_dangling", "q_sim_knn_graph",
     "q_sim_knn_graph_recall", "q_pack_bestfit", "q_pack_bestfit_waste",
     "q_scan_excel_many", "q_graph_hits", "q_dedup_knn_mutual",
-    "q_dedup_semantic_incremental")
+    "q_dedup_semantic_incremental",
+    // r17 row: tracked from day one
+    "q_dedup_semantic_incr_probe_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

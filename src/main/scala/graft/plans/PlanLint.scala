@@ -97,7 +97,12 @@ object PlanLint {
       // the incremental row's corpus training/assignment are memoized
       // eager checkpoints; only the batch-probe crossJoin against the
       // broadcast centroid frame remains in the visible plan
-      "q_dedup_semantic_incremental" -> Allowance(1, why))
+      "q_dedup_semantic_incremental" -> Allowance(1, why),
+      // the nprobe A/B eval widens the same batch-probe crossJoin to
+      // rk <= 5 — still one crossJoin against the checkpointed corpus
+      // centroids (its truth-side batch x corpus join carries a
+      // condition, so rule 1 never sees it)
+      "q_dedup_semantic_incr_probe_eval" -> Allowance(1, why))
   }
 
   /** Excuse up to `allow(name).maxNodes` violations; the overflow still

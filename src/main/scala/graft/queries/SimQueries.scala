@@ -376,39 +376,30 @@ object SimQueries extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Delegates to the shared kernel (graft.operators.KnnGraph — the
+    * same body Orchestrator.refreshKnnGraph materializes as a warehouse
+    * table), with this pack's trained centroids, on-the-fly assignment
+    * (LloydKmeans.assignNearest — the algebra indexAnnBatch persists),
+    * and the cosineRerank shipAuto discipline for the probe side
+    * (broadcast at test SFs, hash join at scale).
+    */
   private def knnGraphFrameUncached(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfTrainedCents(s, dir)
     val vs = qvecs(s, dir)
-    val assign = vs.crossJoin(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
-        col("cent_id").as("cent_id"))).as("best"))
-      .select(col("vec_id"), col("best.cent_id").as("cent_id"))
-    val byD2 = Window.partitionBy(col("q_id"))
-      .orderBy(col("d2"), col("cent_id"))
-    val probes = vs.crossJoin(broadcast(cents))
-      .select(col("vec_id").as("q_id"), col("cent_id"),
-        l2sq(col("qv"), col("cv")).as("d2"))
-      .withColumn("rk", row_number().over(byD2)).where(col("rk") <= 3)
-      .select(col("q_id"), col("cent_id"))
-    val cands = probes.join(assign, "cent_id")
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"))
-    // exact rerank: candidate-proportional joins back to the quantized
-    // vectors by id (the cosineRerank shipAuto discipline — broadcast
-    // at test SFs, hash join at scale)
     val qa = vs.select(col("vec_id").as("q_id"), col("qv").as("qa"))
-    val byQ = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
-    cands
-      .join(vs.select(col("vec_id"), col("qv").as("qb")), "vec_id")
-      .join(TextQueries.shipAuto(s, qa, nVecEst(s, dir), EmbRowBytes), "q_id")
-      .select(col("q_id"), col("vec_id"),
-        l2sq(col("qa"), col("qb")).cast(LongType).as("d2"))
-      .withColumn("nn_rank", row_number().over(byQ).cast(LongType))
-      .where(col("nn_rank") <= KnnK)
-      .select(col("q_id").as("doc_id"), col("vec_id").as("neighbor_id"),
-        col("d2"), col("nn_rank"))
+    graft.operators.KnnGraph.edges(vs, cents,
+      graft.operators.LloydKmeans.assignNearest(vs, cents),
+      TextQueries.shipAuto(s, qa, nVecEst(s, dir), EmbRowBytes),
+      KnnK, nprobe = 3)
   }
+
+  /** The pack's trained centroid frame, for specs that seed a warehouse
+    * centroid table with EXACTLY the query plane's artifact (the
+    * table-face ≡ memoized-face equality proof in KnnGraphIndexSpec).
+    */
+  private[graft] def trainedCentsForSpec(s: SparkSession,
+                                         dir: String): DataFrame =
+    ivfTrainedCents(s, dir)
 
   /** Directed candidate lists of the UNTRAINED cosine-assignment IVF —
     * the exact candidate generation of q_sim_ann_ivf, shared with its
@@ -1042,6 +1033,52 @@ object SimQueries extends QueryPack {
         .join(best, Seq("vec_id"), "left")
         .select(col("vec_id"), col("dup_of"), col("d2"),
           col("dup_of").isNotNull.as("is_dup"))
+    }),
+
+    // The measure-don't-assume row for the incremental SemDeDup's probe
+    // count (every other sketch in the library carries its measurement
+    // row): how many TRUE near-dups — exact brute-force batch x corpus
+    // within SemanticEps, the full-knowledge verdict — does the probe
+    // path find at nprobe ∈ {1, 3, 5}? Mechanism: widen the probe
+    // window once to rk <= 5 and record, per batch vector, the SMALLEST
+    // centroid rank that surfaces a confirming match (minrk); the
+    // vector is found at any nprobe >= minrk, so all three operating
+    // points come from ONE candidate pass, not three. The truth side is
+    // one bounded non-equi join (batch ships by the cost-based policy;
+    // batch x corpus = 9% of n² distance evaluations — an EVAL row run
+    // per corpus snapshot, not a pipeline stage). n_found <= n_true by
+    // construction (the probe path exact-confirms), so recall is the
+    // one number that matters when picking the production nprobe.
+    "q_dedup_semantic_incr_probe_eval" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = semIncrCorpus(s, dir)
+      val batch = qvecs(s, dir).where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+      val batchShip = TextQueries.shipAuto(s, batch,
+        nVecEst(s, dir) / 10, EmbRowBytes)
+      val byD2 = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("cent_id"))
+      val probes = batch.crossJoin(broadcast(semIncrCents(s, dir)))
+        .select(col("q_id"), col("cent_id"),
+          l2sq(col("qq"), col("cv")).as("d2"))
+        .withColumn("rk", row_number().over(byD2)).where(col("rk") <= 5)
+        .select(col("q_id"), col("cent_id"), col("rk"))
+      val minrk = probes.join(semIncrAssign(s, dir), "cent_id")
+        .join(corpus, "vec_id")
+        .join(batchShip, "q_id")
+        .where(l2sq(col("qq"), col("qv")) <= SemanticEps)
+        .groupBy(col("q_id")).agg(min(col("rk")).as("minrk"))
+      val truth = corpus
+        .join(batchShip, l2sq(col("qq"), col("qv")) <= SemanticEps)
+        .select(col("q_id")).distinct()
+        .agg(count(lit(1)).as("n_true"))
+      Seq(1L, 3L, 5L).toDF("nprobe")
+        .join(minrk, col("minrk") <= col("nprobe"), "left")
+        .groupBy(col("nprobe"))
+        .agg(count(col("q_id")).as("n_found"))
+        .crossJoin(truth)
+        .select(col("nprobe"), col("n_true"), col("n_found"),
+          (col("n_found").cast(DoubleType) / col("n_true")).as("recall"))
     }))
 
   /** Giant-cluster cap for q_dedup_semantic: the within-cluster
@@ -1348,6 +1385,30 @@ object SimQueries extends QueryPack {
                   ROW_NUMBER() OVER (PARTITION BY vec_id
                     ORDER BY d2, cent_id) AS rk
            FROM bd2) WHERE rk <= 3),""")
+  }
+
+  /** [[semIncrCandsCtes]] with the probe window widened to rk <= 5 and
+    * the centroid rank carried through `cands(q_id, vec_id, rk)` — the
+    * candidate chain of the nprobe A/B eval row, DERIVED by the same
+    * require-guarded marker rewrites (one Lloyd algebra, never a pasted
+    * copy). Each marker must appear exactly once: `replace` rewrites
+    * every occurrence, so an ambiguous marker would corrupt the chain
+    * silently.
+    */
+  private val semIncrProbeEvalCtes: String = {
+    def swapOnce(s: String, m: String, r: String): String = {
+      require(s.contains(m),
+        s"semIncrProbeEvalCtes: marker drifted from semIncrCandsCtes: $m")
+      require(s.indexOf(m) == s.lastIndexOf(m),
+        s"semIncrProbeEvalCtes: ambiguous marker: $m")
+      s.replace(m, r)
+    }
+    var c = swapOnce(semIncrCandsCtes,
+      "SELECT vec_id AS q_id, cent_id FROM (",
+      "SELECT vec_id AS q_id, cent_id, rk FROM (")
+    c = swapOnce(c, "FROM bd2) WHERE rk <= 3)", "FROM bd2) WHERE rk <= 5)")
+    swapOnce(c, "SELECT p.q_id, a.vec_id",
+      "SELECT p.q_id, a.vec_id, p.rk")
   }
 
   /** Exact-cosine re-rank tail over a `cands(q_id, vec_id)` relation —
@@ -1960,6 +2021,39 @@ object SimQueries extends QueryPack {
          FROM (SELECT DISTINCT vec_id FROM embeddings
                WHERE vec_id % 10 = 0) b
          LEFT JOIN ibest ON ibest.q_id = b.vec_id""",
+    // the widened (rk <= 5) candidate chain, exact-confirmed; minrk =
+    // the smallest centroid rank surfacing a confirmed match; truth =
+    // brute-force batch x corpus within eps
+    "q_dedup_semantic_incr_probe_eval" ->
+      s"""WITH $quantCte,
+         $semIncrProbeEvalCtes,
+         fdist AS (
+           SELECT c.q_id, c.rk,
+                  SUM((a.v[i+1]-b.v[i+1])*(a.v[i+1]-b.v[i+1])) AS d2
+           FROM cands c
+           JOIN qv a ON a.vec_id = c.q_id
+           JOIN qv b ON b.vec_id = c.vec_id, range(64) t(i)
+           GROUP BY c.q_id, c.vec_id, c.rk),
+         minrk AS (
+           SELECT q_id, MIN(rk) AS minrk FROM fdist
+           WHERE d2 <= $SemanticEps GROUP BY q_id),
+         tdist AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                  SUM((a.v[i+1]-b.v[i+1])*(a.v[i+1]-b.v[i+1])) AS d2
+           FROM qv a JOIN qv b ON b.vec_id % 10 <> 0, range(64) t(i)
+           WHERE a.vec_id % 10 = 0
+           GROUP BY a.vec_id, b.vec_id),
+         ntrue AS (
+           SELECT COUNT(DISTINCT q_id) AS n_true FROM tdist
+           WHERE d2 <= $SemanticEps),
+         grid AS (SELECT CAST(UNNEST([1, 3, 5]) AS BIGINT) AS nprobe),
+         fcount AS (
+           SELECT g.nprobe, COUNT(m.q_id) AS n_found
+           FROM grid g LEFT JOIN minrk m ON m.minrk <= g.nprobe
+           GROUP BY g.nprobe)
+         SELECT f.nprobe, t.n_true, f.n_found,
+                CAST(f.n_found AS DOUBLE) / t.n_true AS recall
+         FROM fcount f CROSS JOIN ntrue t""",
     "q_sim_knn_graph" ->
       s"""WITH $quantCte,
          $knnGraphCtes

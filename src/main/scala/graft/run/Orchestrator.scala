@@ -1048,6 +1048,59 @@ object Orchestrator {
       } finally annRebuildLock.delete()
     }
 
+    /** kNN graph as a warehouse table — the materialized form of the
+      * query plane's memoized edge frame (q_sim_knn_graph's docstring
+      * names this table as what a curation pipeline builds once per
+      * corpus snapshot; its three consumers — graph export, recall
+      * eval, mutual-kNN dedup — then probe it for free). ONE kernel
+      * (graft.operators.KnnGraph.edges) serves both faces, so they
+      * cannot drift; KnnGraphIndexSpec proves table ≡ memoized frame
+      * on identical artifacts.
+      *
+      * Like [[refreshGraphRanks]], edges are a WHOLE-CORPUS artifact
+      * (a new batch of vectors can displace anyone's neighbors), so
+      * this is a full refresh on the mv_refresh audit plane — run it
+      * per batch-group or on a schedule, gates read the persisted
+      * edges in between. Inputs are the PERSISTED ANN artifacts:
+      * centroids, list assignments (re-landed duplicates collapse
+      * through one distinct), and the stored embeddings restricted to
+      * the INDEXED population (a bronze batch never indexed must not
+      * leak into the graph; a vector re-landed under two batches
+      * carries identical embeddings by the correction contract, so
+      * dropDuplicates on vec_id is deterministic).
+      */
+    def refreshKnnGraph(k: Int = 5, nprobe: Int = 3): Long = {
+      import graft.functions.VectorFunctions.lattice
+      val obs = org.apache.spark.sql.Observation()
+      try {
+        val cents = readTable("indexes/ann_centroids").select("cent_id", "cv")
+        val assign = readTable("indexes/ann_lists")
+          .select("vec_id", "cent_id").distinct()
+        val vs = readTable("bronze/embeddings")
+          .join(assign.select("vec_id"), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), lattice(col("embedding")).as("qv"))
+          .dropDuplicates("vec_id")
+        val qa = vs.select(col("vec_id").as("q_id"), col("qv").as("qa"))
+        // ship policy sized from the list table's row count (a metadata
+        // aggregate over an already-read table, not a second data scan)
+        val nEst = math.max(assign.count(), 1L)
+        graft.operators.KnnGraph.edges(vs, cents, assign,
+            graft.queries.TextQueries.shipAuto(spark, qa, nEst, 512L),
+            k, nprobe)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$warehouse/indexes/knn_graph")
+      } catch {
+        case e: Throwable =>
+          log("mv_refresh", "indexes/knn_graph", "FAILED", 0,
+            String.valueOf(e.getMessage))
+          throw e
+      }
+      val n = obs.get("n").asInstanceOf[Long]
+      log("mv_refresh", "indexes/knn_graph", "SUCCESS", n)
+      n
+    }
+
     // ------------------------------------------------------------------
     // Key-bucketed SCD merge plane (copy-on-write upsert).
     //

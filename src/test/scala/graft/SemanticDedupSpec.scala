@@ -59,4 +59,27 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     // turn this (and the oracle row) red loudly instead of quadratic
     assert(out.count() > 0L)
   }
+
+  test("probe-count eval: monotone in nprobe, bounded by exact truth") {
+    // the A/B row's structural invariants, independent of the oracle's
+    // value equality: widening the probe window can only FIND MORE
+    // (minrk semantics), and the probe path exact-confirms so it can
+    // never exceed the brute-force truth; a vacuous fixture (no true
+    // near-dups) would make every recall meaningless
+    val rows = SparkEntry.queries("q_dedup_semantic_incr_probe_eval")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 3L, 5L))
+    val nTrue = rows.head._2
+    assert(nTrue > 0L, "fixture has no true near-dups — vacuous eval")
+    assert(rows.forall(_._2 == nTrue), "truth must not vary with nprobe")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"found count fell when widening: $a -> $b") }
+    rows.foreach { case (_, t, f, rec) =>
+      assert(f <= t, "probe path found a dup truth doesn't know")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec === f.toDouble / t)
+    }
+  }
 }
