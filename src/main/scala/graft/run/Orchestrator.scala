@@ -85,11 +85,15 @@ object Orchestrator {
         .select("target").collect().map(_.getString(0)).toSet
       // healed = the data actually landed: only a write-level success
       // counts — "write" for batch-partitioned tables, "mv_refresh" for
-      // full-refresh views (a mapping_validation SUCCESS followed by a
-      // dead write must NOT mask the target from the reprocess cycle)
+      // full-refresh views, "ann_rebuild" for the index swap (a
+      // retried rebuild that swapped cleanly must clear the target,
+      // same as a healed refresh); a mapping_validation SUCCESS
+      // followed by a dead write must NOT mask the target from the
+      // reprocess cycle
       val healed = batch
         .where(col("status") === "SUCCESS"
-          && col("step").isin("write", "mv_refresh", "mv_incremental"))
+          && col("step").isin("write", "mv_refresh", "mv_incremental",
+            "ann_rebuild"))
         .select("target").collect().map(_.getString(0)).toSet
       failed -- healed
     }
@@ -651,44 +655,43 @@ object Orchestrator {
       n
     }
 
-    /** Config-driven cadence around [[refreshGraphRanks]] — the
-      * batching the full-fixpoint cost model above prescribes
+    /** Config-driven cadence engine for whole-corpus refresh artifacts
+      * — the batching the full-fixpoint cost models prescribe
       * ("production runs it per batch-group or on a schedule"), wired
       * through the same mv_refresh_config plane that routes
       * full-vs-incremental for MVs: a `refresh_every = N` row for
-      * `indexes/graph_host_ranks` means one whole-graph refresh per N
-      * landed edge batches; gates in between read the PERSISTED ranks
-      * (stale by contract, bounded by N), and a missing rank table
-      * still refuses loudly in [[hostGateAgainstRanks]] — cadence
-      * never weakens that.
+      * `target` means one full refresh per N landed batches of
+      * `inputTable`; gates in between read the PERSISTED artifact
+      * (stale by contract, bounded by N), and a missing artifact still
+      * refuses loudly at its gate — cadence never weakens that.
       *
       * Bookkeeping is audit-plane only (no new metadata file): each
       * cadenced refresh stamps its SUCCESS row with
-      * `covers=<maxEdgeBatchId>`; pending = landed edge batches with a
-      * LATER id (batch ids are zero-padded and lexically ordered — the
-      * S9 snapshot contract). A replayed OLD batch id is therefore not
-      * re-counted: replays rewrite their own partition without changing
-      * the distinct edge set, so the last refresh already covers them.
-      * Skips are logged (SKIPPED_CADENCE) so the audit plane shows why
-      * the table is N batches stale, and a manual [[refreshGraphRanks]]
-      * call (no covers stamp) never advances the marker — it can only
-      * make the next cadenced refresh early, never late.
+      * `covers=<maxLandedBatchId>`; pending = landed input batches with
+      * a LATER id (batch ids are zero-padded and lexically ordered —
+      * the S9 snapshot contract). A replayed OLD batch id is therefore
+      * not re-counted: replays rewrite their own partition without
+      * changing the distinct input set, so the last refresh already
+      * covers them. Skips are logged (SKIPPED_CADENCE) so the audit
+      * plane shows why the artifact is N batches stale, and a manual
+      * refresh call (no covers stamp) never advances the marker — it
+      * can only make the next cadenced refresh early, never late.
       *
-      * @return Some(rankRows) if a refresh ran, None on a cadence skip
+      * Cost: two filtered scans of the (tiny, buffer-flushed) audit
+      * table per landing; a skip does no data-plane work at all —
+      * which is the point: N landings amortize ONE full fixpoint.
       */
-    def refreshGraphRanksIfDue(iters: Int = 5,
-                               redistributeDangling: Boolean = false)
-                              : Option[Long] = {
-      val target = "indexes/graph_host_ranks"
+    private def refreshIfDue(target: String, inputTable: String)
+                            (refresh: String => Long): Option[Long] = {
       val every = ToolsConfig.refreshCadence(spark, warehouse, target)
       flushAudit() // the cadence reads the PERSISTED audit plane
       val path = s"$warehouse/tools/audit_log"
       val audit =
         if (!new java.io.File(path).exists()) None
         else Some(spark.read.parquet(path))
-      val edgeBatches: Seq[String] = audit.toSeq.flatMap(
+      val landed: Seq[String] = audit.toSeq.flatMap(
         _.where(col("step") === "write"
-            && col("target") === "indexes/graph_edges"
+            && col("target") === inputTable
             && col("status") === "SUCCESS")
           .select("batchId").distinct().collect().map(_.getString(0)))
       val covered: String = audit.flatMap(
@@ -699,16 +702,33 @@ object Orchestrator {
             case r if r.isNullAt(0) => None
             case r => Some(r.getString(0).stripPrefix("covers="))
           }).getOrElse("")
-      val pending = edgeBatches.filter(_ > covered)
-      if (pending.size >= every) {
-        Some(refreshGraphRanks(iters, redistributeDangling,
-          note = s"covers=${edgeBatches.max}"))
-      } else {
+      val pending = landed.filter(_ > covered)
+      if (pending.size >= every) Some(refresh(s"covers=${landed.max}"))
+      else {
         log("mv_refresh", target, "SKIPPED_CADENCE", 0,
           s"pending=${pending.size} < every=$every")
         None
       }
     }
+
+    /** [[refreshIfDue]] around [[refreshGraphRanks]]: one whole-graph
+      * rank fixpoint per `refresh_every` landed edge batches.
+      * @return Some(rankRows) if a refresh ran, None on a cadence skip
+      */
+    def refreshGraphRanksIfDue(iters: Int = 5,
+                               redistributeDangling: Boolean = false)
+                              : Option[Long] =
+      refreshIfDue("indexes/graph_host_ranks", "indexes/graph_edges")(
+        note => refreshGraphRanks(iters, redistributeDangling, note))
+
+    /** [[refreshIfDue]] around [[refreshKnnGraph]]: one whole-corpus
+      * edge rebuild per `refresh_every` landed ANN list batches — the
+      * kNN graph is the heaviest refresh on the plane, so it is the
+      * first artifact a production config batches.
+      */
+    def refreshKnnGraphIfDue(k: Int = 5, nprobe: Int = 3): Option[Long] =
+      refreshIfDue("indexes/knn_graph", "indexes/ann_lists")(
+        note => refreshKnnGraph(k, nprobe, note))
 
     /** HITS hub/authority scores over the SAME warehouse edge table —
       * the second link-analysis artifact of the graph plane, refreshed
@@ -1069,7 +1089,8 @@ object Orchestrator {
       * carries identical embeddings by the correction contract, so
       * dropDuplicates on vec_id is deterministic).
       */
-    def refreshKnnGraph(k: Int = 5, nprobe: Int = 3): Long = {
+    def refreshKnnGraph(k: Int = 5, nprobe: Int = 3,
+                        note: String = ""): Long = {
       import graft.functions.VectorFunctions.lattice
       val obs = org.apache.spark.sql.Observation()
       try {
@@ -1097,7 +1118,7 @@ object Orchestrator {
           throw e
       }
       val n = obs.get("n").asInstanceOf[Long]
-      log("mv_refresh", "indexes/knn_graph", "SUCCESS", n)
+      log("mv_refresh", "indexes/knn_graph", "SUCCESS", n, note)
       n
     }
 

@@ -160,4 +160,35 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
       new Orchestrator.Run(spark, whEmpty, "B1").rebuildAnnIndex()
     }.getMessage.contains("indexAnnBatch"))
   }
+
+  test("a dead rebuild lands FAILED; a clean retry under the same batch heals it") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_annrb4").toString
+    landTwoBatches(wh)
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    // sabotage: replay B2's bronze partition with a SUBSET, leaving
+    // listed vectors without stored embeddings — the rebuild's in-plan
+    // guard must kill the job and land a FAILED audit row
+    new Orchestrator.Run(spark, wh, "B2").writeBatch(
+      emb.where(col("vec_id") % 10 === 0 && col("vec_id") < 100),
+      "bronze/embeddings")
+    val r3 = new Orchestrator.Run(spark, wh, "B3")
+    intercept[Exception] { r3.rebuildAnnIndex(nlist = 16, trainIters = 2) }
+    r3.flushAudit()
+    assert(Orchestrator.failedTargets(spark, wh, "B3")
+      .contains("indexes/ann_lists"),
+      "the reprocess cycle must see the dead rebuild")
+    assert(!new java.io.File(s"$wh/indexes/.ann_rebuild_lock").exists(),
+      "a failed rebuild must release its lock")
+    // repair the feed, retry under the SAME batch id (the reference's
+    // same-batch reprocess model): the swap succeeds and the SUCCESS
+    // row heals the target
+    new Orchestrator.Run(spark, wh, "B2").writeBatch(
+      emb.where(col("vec_id") % 10 === 0), "bronze/embeddings")
+    val r3b = new Orchestrator.Run(spark, wh, "B3")
+    assert(r3b.rebuildAnnIndex(nlist = 16, trainIters = 2) > 0L)
+    r3b.flushAudit()
+    assert(!Orchestrator.failedTargets(spark, wh, "B3")
+      .contains("indexes/ann_lists"),
+      "a clean retried rebuild must heal the failed target")
+  }
 }

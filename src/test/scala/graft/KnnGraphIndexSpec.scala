@@ -81,4 +81,34 @@ class KnnGraphIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(!graft.run.Orchestrator.failedTargets(spark, wh, "B1")
       .contains("indexes/knn_graph"))
   }
+
+  test("the kNN refresh rides the shared config-driven cadence") {
+    import graft.run.ToolsConfig
+    val wh = java.nio.file.Files.createTempDirectory("graft_knng3").toString
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    ToolsConfig.writeConfigFile(ToolsConfig.mvConfigPath(wh), Seq(
+      """{"target_table":"indexes/knn_graph","run_order":100,""" +
+        """"enabled":true,"builder":"knn_graph","refresh_every":2}"""))
+
+    def landAndIndex(bid: String, slice: org.apache.spark.sql.Column) = {
+      val r = new Orchestrator.Run(spark, wh, bid)
+      r.writeBatch(emb.where(slice), "bronze/embeddings")
+      r.indexAnnBatch(r.readBatch("bronze/embeddings")
+        .select("vec_id", "embedding"), nlist = 16)
+      r
+    }
+    // one landed list batch < every=2: skip, no table materialized
+    val r1 = landAndIndex("B1", col("vec_id") % 10 =!= 0)
+    assert(r1.refreshKnnGraphIfDue(k = 3, nprobe = 2) === None)
+    assert(!new java.io.File(s"$wh/indexes/knn_graph").exists())
+    // the second landing crosses the cadence: one rebuild over the
+    // whole indexed population
+    val r2 = landAndIndex("B2", col("vec_id") % 10 === 0)
+    assert(r2.refreshKnnGraphIfDue(k = 3, nprobe = 2).exists(_ > 0L))
+    val edges1 = spark.read.parquet(s"$wh/indexes/knn_graph").count()
+    assert(edges1 > 0L)
+    // the covers= marker advanced: an immediate re-check skips
+    assert(r2.refreshKnnGraphIfDue(k = 3, nprobe = 2) === None)
+    assert(spark.read.parquet(s"$wh/indexes/knn_graph").count() === edges1)
+  }
 }
