@@ -47,13 +47,17 @@ object Hits {
       // count(col) skips nulls, and a null-src/null-dst edge would
       // otherwise silently drop from every hub/authority join below,
       // leaking its mass without a trace
-      val b = e.agg(count(lit(1)), count(col("src")), count(col("dst")))
+      // the affected-edge count must count ROWS with any null endpoint
+      // (count(src)/count(dst) alone undercount when src-nulls and
+      // dst-nulls sit on different rows)
+      val b = e.agg(count(lit(1)),
+        count(when(col("src").isNotNull && col("dst").isNotNull, 1)))
         .head()
       val total = b.getLong(0)
       require(total > 0,
         "Hits: empty graph — no edges to score; land edges before scoring")
-      require(b.getLong(1) == total && b.getLong(2) == total,
-        s"Hits: ${total - math.min(b.getLong(1), b.getLong(2))} edges " +
+      require(b.getLong(1) == total,
+        s"Hits: ${total - b.getLong(1)} edges " +
           "carry a NULL endpoint — their hub/authority mass would " +
           "silently vanish from the score joins; repair the edge feed")
       val nodes = e.select(col("src").as("node"))

@@ -42,9 +42,13 @@ object SimQueries extends QueryPack {
   /** shipAuto row-byte estimates (TextQueries.shipAuto — the cost-based
     * broadcast-vs-shuffle pick shared across packs): an embedding probe
     * row is 64 quantized coords + norm + hashed-relation overhead; a
-    * probe-key row is a long + a short band-key string.
+    * probe-key row is a long + a short band-key string. EmbRowBytes is
+    * package-visible because Orchestrator.refreshKnnGraph sizes the
+    * SAME shipAuto call for the table face — two copies of the constant
+    * would let the two "cannot drift" faces cross the broadcast
+    * threshold at different corpus sizes.
     */
-  private val EmbRowBytes = 512L
+  private[graft] val EmbRowBytes = 512L
   private val KeyRowBytes = 64L
 
   /** Embedding count sizing the shipAuto estimates (the probe protocol
@@ -1006,16 +1010,10 @@ object SimQueries extends QueryPack {
     // unmatched vectors survive the left join as explicit
     // is_dup=false rows. Cost scales with the BATCH x list size.
     "q_dedup_semantic_incremental" -> ((s, dir) => {
-      val cents = semIncrCents(s, dir)
       val corpus = semIncrCorpus(s, dir)
       val batch = qvecs(s, dir).where(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("q_id"), col("qv").as("qq"))
-      val byD2 = Window.partitionBy(col("q_id"))
-        .orderBy(col("d2"), col("cent_id"))
-      val probes = batch.crossJoin(broadcast(cents))
-        .select(col("q_id"), col("cent_id"),
-          l2sq(col("qq"), col("cv")).as("d2"))
-        .withColumn("rk", row_number().over(byD2)).where(col("rk") <= 3)
+      val probes = semIncrProbes(s, dir, batch, nprobe = 3)
         .select(col("q_id"), col("cent_id"))
       val byQ = Window.partitionBy(col("q_id"))
         .orderBy(col("d2"), col("vec_id"))
@@ -1056,13 +1054,7 @@ object SimQueries extends QueryPack {
         .select(col("vec_id").as("q_id"), col("qv").as("qq"))
       val batchShip = TextQueries.shipAuto(s, batch,
         nVecEst(s, dir) / 10, EmbRowBytes)
-      val byD2 = Window.partitionBy(col("q_id"))
-        .orderBy(col("d2"), col("cent_id"))
-      val probes = batch.crossJoin(broadcast(semIncrCents(s, dir)))
-        .select(col("q_id"), col("cent_id"),
-          l2sq(col("qq"), col("cv")).as("d2"))
-        .withColumn("rk", row_number().over(byD2)).where(col("rk") <= 5)
-        .select(col("q_id"), col("cent_id"), col("rk"))
+      val probes = semIncrProbes(s, dir, batch, nprobe = 5)
       val minrk = probes.join(semIncrAssign(s, dir), "cent_id")
         .join(corpus, "vec_id")
         .join(batchShip, "q_id")
@@ -1159,6 +1151,25 @@ object SimQueries extends QueryPack {
     trained(s, s"semincr:cents:$dir") {
       lloydCentsFrom(semIncrCorpus(s, dir))
     }
+
+  /** Top-`nprobe` corpus-centroid picks per batch vector — (q_id,
+    * cent_id, rk), rk = the centroid's distance rank for that vector.
+    * ONE probe definition for the incremental verdict row (rk dropped)
+    * and its nprobe A/B eval row (rk kept as the found-at threshold),
+    * so the eval always measures the probe path production runs — the
+    * same no-pasted-copy rule the SQL side enforces with marker
+    * rewrites.
+    */
+  private def semIncrProbes(s: SparkSession, dir: String,
+                            batch: DataFrame, nprobe: Int): DataFrame = {
+    val byD2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    batch.crossJoin(broadcast(semIncrCents(s, dir)))
+      .select(col("q_id"), col("cent_id"),
+        l2sq(col("qq"), col("cv")).as("d2"))
+      .withColumn("rk", row_number().over(byD2)).where(col("rk") <= nprobe)
+      .select(col("q_id"), col("cent_id"), col("rk"))
+  }
 
   private def semIncrAssign(s: SparkSession, dir: String): DataFrame =
     trained(s, s"semincr:assign:$dir") {

@@ -689,8 +689,13 @@ object Orchestrator {
       val audit =
         if (!new java.io.File(path).exists()) None
         else Some(spark.read.parquet(path))
+      // an ann_rebuild SUCCESS on the input table counts as a landing:
+      // the rebuild rewrote EVERY list row against new centroids, so a
+      // dependent artifact (the kNN graph) is stale against the whole
+      // index — without this, pending stays 0 after a rebuild and the
+      // graph would serve pre-rebuild edges unboundedly
       val landed: Seq[String] = audit.toSeq.flatMap(
-        _.where(col("step") === "write"
+        _.where(col("step").isin("write", "ann_rebuild")
             && col("target") === inputTable
             && col("status") === "SUCCESS")
           .select("batchId").distinct().collect().map(_.getString(0)))
@@ -807,12 +812,19 @@ object Orchestrator {
       // a landing during a rebuild's staging window would assign against
       // centroids the swap is about to replace AND vanish in the swap
       // itself (the staged list table was derived before this batch
-      // existed) — refuse loudly rather than lose a batch silently
+      // existed) — refuse loudly rather than lose a batch silently.
+      // (Single-writer-per-warehouse is the deployment model — the
+      // in-memory Manifest note in the header; this lock and the
+      // re-checks below are belt-and-suspenders that turn most
+      // out-of-model interleavings into loud failures.)
       require(!annRebuildLock.exists(),
         s"an ANN index rebuild is staging ($annRebuildLock) — a batch " +
           "indexed now would be lost in the atomic swap; retry after the " +
-          "rebuild completes (a stale lock from a crashed rebuild is " +
-          "safe to delete: staging never touches the live tables)")
+          "rebuild completes. Before deleting a stale lock from a " +
+          "crashed rebuild, confirm BOTH indexes/ann_centroids and " +
+          "indexes/ann_lists exist — a crash mid-swap parks them in " +
+          ".ann_rebuild_trash, and the recovery is restoring that dir, " +
+          "not deleting the lock")
       val qv = embeddings.select(col("vec_id"), lattice(col("embedding")).as("qv"))
       // S10 on the index plane: an empty slice must not write — an
       // empty BOOTSTRAP would permanently lock in a zero-row centroid
@@ -822,6 +834,15 @@ object Orchestrator {
         return 0L
       }
       if (!new java.io.File(s"$warehouse/indexes/ann_centroids").exists()) {
+        // a MISSING centroid table next to rebuild-trash remnants is a
+        // rebuild that died mid-swap, not a fresh warehouse: a bootstrap
+        // here would seed a one-batch index and silently orphan the
+        // whole parked corpus — restoring the trash dir is the recovery
+        require(!new java.io.File(s"$warehouse/.ann_rebuild_trash").exists(),
+          s"ANN centroid table missing but $warehouse/.ann_rebuild_trash " +
+            "exists — a rebuild died mid-swap; restore the parked " +
+            "tables from the trash dir (or re-run rebuildAnnIndex " +
+            "after restoring) instead of re-bootstrapping")
         val seed = qv.orderBy(col("vec_id")).limit(nlist)
           .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
         writeBatch(seed, "indexes/ann_centroids")
@@ -832,7 +853,17 @@ object Orchestrator {
         .agg(min(struct(quantizedL2(col("qv"), col("cv")).as("d2"),
           col("cent_id").as("cent_id"))).as("best"))
         .select(col("vec_id"), col("best.cent_id").as("cent_id"))
-      writeBatch(assign, "indexes/ann_lists")
+      val n = writeBatch(assign, "indexes/ann_lists")
+      // close the entry-check race: a rebuild that started AFTER the
+      // entry check derived its staged tables without this batch, and
+      // its swap will (or already did) discard the partition just
+      // written — fail loudly with the re-land prescription instead of
+      // reporting a success the swap erases (the S8 re-run heals it)
+      require(!annRebuildLock.exists(),
+        "an ANN rebuild started while this batch was indexing — its " +
+          "staged tables predate this batch and the swap will discard " +
+          "it; re-run indexAnnBatch for this batch after the rebuild")
+      n
     }
 
     /** Top-k ANN search against the PERSISTED index: probes rank the
@@ -953,9 +984,9 @@ object Orchestrator {
       * the searchable corpus). Batch partitions are PRESERVED, so the
       * S8 replay discipline, snapshot reads, and the dedup face's
       * own-batch exclusion all survive the rebuild unchanged. A vec_id
-      * re-landed under two batches seeds at most one duplicate centroid
-      * row, which collapses at the first Lloyd update (groupBy cent_id)
-      * — documented-benign, not silent corruption.
+      * re-landed under two batches trains ONCE (the distinct vector
+      * set — replay multiplicity is not training signal) while its
+      * list rows keep both batch partitions.
       *
       * Concurrency: the rebuild takes a lock file that makes
       * [[indexAnnBatch]] refuse for the staging window (a batch indexed
@@ -983,12 +1014,18 @@ object Orchestrator {
       val centLive = new java.io.File(s"$warehouse/indexes/ann_centroids")
       val listLive = new java.io.File(s"$warehouse/indexes/ann_lists")
       require(centLive.exists() && listLive.exists(),
-        "no ANN index to rebuild — bootstrap by landing batches through " +
-          "indexAnnBatch first")
+        if (new java.io.File(s"$warehouse/.ann_rebuild_trash").exists())
+          "ANN index tables missing but .ann_rebuild_trash exists — a " +
+            "rebuild died mid-swap; restore the parked tables from the " +
+            "trash dir, then re-run the rebuild"
+        else
+          "no ANN index to rebuild — bootstrap by landing batches " +
+            "through indexAnnBatch first")
       require(annRebuildLock.createNewFile(),
         s"another ANN rebuild holds $annRebuildLock — concurrent rebuilds " +
-          "would tear the swap; if the holder crashed, delete the lock " +
-          "(staging never touches the live tables)")
+          "would tear the swap; if the holder crashed, confirm BOTH live " +
+          "index tables exist (a mid-swap crash parks them in " +
+          ".ann_rebuild_trash — restore first), then delete the lock")
       def partsOf(dir: java.io.File): Set[String] =
         Option(dir.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith("dwh_batch_id=")).map(_.getName).toSet
@@ -1016,19 +1053,25 @@ object Orchestrator {
               lit(" of batch "), col("dwh_batch_id"),
               lit(" has no stored embedding in bronze/embeddings"))),
             lit(true)))
-        val seed = vs.select(col("vec_id"), col("qv"))
-          .orderBy(col("vec_id")).limit(nlist)
+        // train on the DISTINCT vector set: a vec_id re-landed under two
+        // batches would otherwise be double-weighted in every centroid
+        // mean (and shrink the distinct seed below nlist) — the rebuilt
+        // centroids must equal a fresh training on the corpus, not on
+        // the replay multiplicities (one shuffle, acceptable for the
+        // full-table lifecycle op this already is; refreshKnnGraph
+        // applies the same rule)
+        val vsU = vs.select(col("vec_id"), col("qv"))
+          .dropDuplicates("vec_id")
+        val seed = vsU.orderBy(col("vec_id")).limit(nlist)
           .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
-        val cents = graft.operators.LloydKmeans.train(
-          vs.select(col("vec_id"), col("qv")), seed, trainIters)
+        val cents = graft.operators.LloydKmeans.train(vsU, seed, trainIters)
         cents.withColumn("dwh_batch_id", lit(batchId))
           .write.partitionBy("dwh_batch_id").mode(SaveMode.Overwrite)
           .parquet(s"$stage/ann_centroids")
         val newCents = spark.read.parquet(s"$stage/ann_centroids")
           .select(col("cent_id"), col("cv"))
         val obs = org.apache.spark.sql.Observation()
-        graft.operators.LloydKmeans
-          .assignNearest(vs.select(col("vec_id"), col("qv")), newCents)
+        graft.operators.LloydKmeans.assignNearest(vsU, newCents)
           .join(listed, "vec_id") // back onto every (vec_id, batch) row
           .select(col("vec_id"), col("cent_id"), col("dwh_batch_id"))
           .observe(obs, count(lit(1)).as("n"))
@@ -1106,7 +1149,8 @@ object Orchestrator {
         // aggregate over an already-read table, not a second data scan)
         val nEst = math.max(assign.count(), 1L)
         graft.operators.KnnGraph.edges(vs, cents, assign,
-            graft.queries.TextQueries.shipAuto(spark, qa, nEst, 512L),
+            graft.queries.TextQueries.shipAuto(spark, qa, nEst,
+              graft.queries.SimQueries.EmbRowBytes),
             k, nprobe)
           .observe(obs, count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite)

@@ -115,6 +115,11 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
     assert(r3.auditLog.exists(l => l.step == "ann_rebuild"
       && l.status == "SUCCESS" && l.rows == n))
 
+    // the rebuild counts as a landing for dependent cadences: the kNN
+    // graph (default refresh_every = 1) refreshes immediately instead
+    // of serving pre-rebuild edges until the next organic landing
+    assert(r3.refreshKnnGraphIfDue(k = 3, nprobe = 2).exists(_ > 0L))
+
     // ...and a batch landed AFTER the rebuild assigns against the new
     // centroids without re-bootstrapping (the lifecycle continues)
     val r4 = new Orchestrator.Run(spark, wh, "B4")

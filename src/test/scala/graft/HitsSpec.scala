@@ -71,5 +71,13 @@ class HitsSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException] { Hits.run(spark, edges, 2) }
     assert(e.getMessage.contains("NULL endpoint"), e.getMessage)
     assert(e.getMessage.contains("1 edges"), e.getMessage)
+    // disjoint nulls (src-null and dst-null on DIFFERENT rows) must
+    // count ROWS, not the per-column minimum
+    def L(x: Long) = java.lang.Long.valueOf(x)
+    val disjoint = Seq((null.asInstanceOf[java.lang.Long], L(11L)),
+        (L(1L), null.asInstanceOf[java.lang.Long]), (L(2L), L(3L)))
+      .toDF("src", "dst")
+    val e2 = intercept[IllegalArgumentException] { Hits.run(spark, disjoint, 2) }
+    assert(e2.getMessage.contains("2 edges"), e2.getMessage)
   }
 }
