@@ -166,6 +166,48 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
     }.getMessage.contains("indexAnnBatch"))
   }
 
+  test("a re-landed vector trains once but keeps both list partitions") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_annrb5").toString
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val r1 = new Orchestrator.Run(spark, wh, "B1")
+    r1.writeBatch(emb.where(col("vec_id") % 10 =!= 0), "bronze/embeddings")
+    r1.indexAnnBatch(r1.readBatch("bronze/embeddings")
+      .select("vec_id", "embedding"), nlist = 16)
+    // B2 re-lands vector 7 (already indexed under B1) beside its own
+    // slice — the replay-across-batches case the population contract
+    // tolerates (same embedding by the correction contract)
+    val r2 = new Orchestrator.Run(spark, wh, "B2")
+    r2.writeBatch(emb.where(col("vec_id") % 10 === 0
+      || col("vec_id") === 7), "bronze/embeddings")
+    r2.indexAnnBatch(r2.readBatch("bronze/embeddings")
+      .select("vec_id", "embedding"), nlist = 16)
+
+    val r3 = new Orchestrator.Run(spark, wh, "B3")
+    val n = r3.rebuildAnnIndex(nlist = 16, trainIters = 2)
+    // the twin trains on the DISTINCT vector set: if the rebuild
+    // double-weighted vec 7, its cluster's floored means would differ
+    val vecs = emb.collect().map(r => r.getLong(0) -> q(r.getSeq[Float](1)))
+      .toMap
+    val want = lloydTwin(vecs, 16, 2)
+    val gotCents = spark.read.parquet(s"$wh/indexes/ann_centroids")
+      .select("cent_id", "cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(gotCents.keySet === want.keySet)
+    gotCents.foreach { case (c, cv) =>
+      assert(cv.toSeq === want(c).toSeq,
+        s"centroid $c drifted — re-landed vector double-weighted?") }
+    // ...while the LIST table keeps one row per (vec, batch): vec 7
+    // under B1 AND B2, both assigned to its (single) nearest centroid
+    assert(n === vecs.size.toLong + 1L)
+    val sevens = spark.read.parquet(s"$wh/indexes/ann_lists")
+      .where(col("vec_id") === 7)
+      .select("cent_id", "dwh_batch_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def nearest(v: Array[Long]) =
+      want.toSeq.map { case (c, cv) => (l2(v, cv), c) }.min._2
+    assert(sevens === Set((nearest(vecs(7L)), "B1"), (nearest(vecs(7L)), "B2")))
+  }
+
   test("a dead rebuild lands FAILED; a clean retry under the same batch heals it") {
     val wh = java.nio.file.Files.createTempDirectory("graft_annrb4").toString
     landTwoBatches(wh)
