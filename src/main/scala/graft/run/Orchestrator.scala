@@ -747,7 +747,7 @@ object Orchestrator {
       * no dangling contract — sinks hold authority, sources hold
       * hubness — so there is no redistribute switch to carry.
       */
-    def refreshHitsScores(iters: Int = 5): Long = {
+    def refreshHitsScores(iters: Int = 5, note: String = ""): Long = {
       val obs = org.apache.spark.sql.Observation()
       try {
         val edges = readTable("indexes/graph_edges")
@@ -763,9 +763,19 @@ object Orchestrator {
           throw e
       }
       val n = obs.get("n").asInstanceOf[Long]
-      log("mv_refresh", "indexes/graph_hits_scores", "SUCCESS", n)
+      log("mv_refresh", "indexes/graph_hits_scores", "SUCCESS", n, note)
       n
     }
+
+    /** [[refreshIfDue]] around [[refreshHitsScores]] — the third
+      * whole-graph artifact on the cadence plane, batched over the same
+      * edge landings as the rank refresh (each artifact carries its own
+      * covers= marker, so their cadences are independently
+      * configurable).
+      */
+    def refreshHitsScoresIfDue(iters: Int = 5): Option[Long] =
+      refreshIfDue("indexes/graph_hits_scores", "indexes/graph_edges")(
+        note => refreshHitsScores(iters, note))
 
     /** Per-document host-quality gate against the PERSISTED rank table
       * — the table-backed production form of q_graph_host_gate (which

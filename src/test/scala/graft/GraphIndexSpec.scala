@@ -219,5 +219,11 @@ class GraphIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$wh/indexes/graph_hits_scores")
       .as[(Long, Long, Long)].collect().toSet === direct,
       "re-refresh must be a no-op overwrite")
+
+    // the HITS face rides the same cadence plane, with ITS OWN covers=
+    // marker: the first cadenced call covers both landed batches, an
+    // immediate re-check skips
+    assert(b2.refreshHitsScoresIfDue(3).exists(_ > 0L))
+    assert(b2.refreshHitsScoresIfDue(3) === None)
   }
 }
