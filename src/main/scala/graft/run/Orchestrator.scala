@@ -689,26 +689,39 @@ object Orchestrator {
       val audit =
         if (!new java.io.File(path).exists()) None
         else Some(spark.read.parquet(path))
-      // an ann_rebuild SUCCESS on the input table counts as a landing:
-      // the rebuild rewrote EVERY list row against new centroids, so a
-      // dependent artifact (the kNN graph) is stale against the whole
-      // index — without this, pending stays 0 after a rebuild and the
-      // graph would serve pre-rebuild edges unboundedly
       val landed: Seq[String] = audit.toSeq.flatMap(
-        _.where(col("step").isin("write", "ann_rebuild")
+        _.where(col("step") === "write"
             && col("target") === inputTable
             && col("status") === "SUCCESS")
           .select("batchId").distinct().collect().map(_.getString(0)))
-      val covered: String = audit.flatMap(
+      // a full REBUILD of the input table (ann_rebuild) rewrites every
+      // row, so a dependent artifact is stale against the whole index —
+      // but a rebuild retried under its ORIGINAL batch id would slip
+      // past a batch-id watermark, so rebuilds are tracked by a COUNT
+      // of their SUCCESS rows (the audit plane is append-only, so the
+      // count is monotone even across same-id retries), carried in the
+      // covers= stamp as `|rb=N`. Any uncovered rebuild makes the
+      // refresh due immediately, bypassing `every`.
+      val rebuilds: Long = audit.map(
+        _.where(col("step") === "ann_rebuild"
+            && col("target") === inputTable
+            && col("status") === "SUCCESS").count()).getOrElse(0L)
+      val stamps: Seq[String] = audit.toSeq.flatMap(
         _.where(col("step") === "mv_refresh" && col("target") === target
             && col("status") === "SUCCESS"
             && col("message").startsWith("covers="))
-          .agg(max(col("message"))).head() match {
-            case r if r.isNullAt(0) => None
-            case r => Some(r.getString(0).stripPrefix("covers="))
-          }).getOrElse("")
+          .select("message").collect().map(_.getString(0)))
+      val covered: String = stamps
+        .map(_.split("\\|")(0).stripPrefix("covers="))
+        .maxOption.getOrElse("")
+      val coveredRb: Long = stamps
+        .flatMap(_.split("\\|").find(_.startsWith("rb="))
+          .map(_.stripPrefix("rb=").toLong))
+        .maxOption.getOrElse(0L)
       val pending = landed.filter(_ > covered)
-      if (pending.size >= every) Some(refresh(s"covers=${landed.max}"))
+      if (pending.size >= every || rebuilds > coveredRb)
+        Some(refresh(
+          s"covers=${(landed :+ covered).max}|rb=$rebuilds"))
       else {
         log("mv_refresh", target, "SKIPPED_CADENCE", 0,
           s"pending=${pending.size} < every=$every")
@@ -832,9 +845,22 @@ object Orchestrator {
           "indexed now would be lost in the atomic swap; retry after the " +
           "rebuild completes. Before deleting a stale lock from a " +
           "crashed rebuild, confirm BOTH indexes/ann_centroids and " +
-          "indexes/ann_lists exist — a crash mid-swap parks them in " +
-          ".ann_rebuild_trash, and the recovery is restoring that dir, " +
+          "indexes/ann_lists exist — a failure mid-swap parks them in " +
+          s"$annRebuildTrash, and the recovery is restoring that dir, " +
           "not deleting the lock")
+      // a torn mid-swap state — trash remnants beside a MISSING live
+      // table (either one: a failure between the two installs leaves
+      // centroids live but lists absent) — must refuse every landing:
+      // proceeding would bootstrap or recreate a one-batch table over
+      // the parked corpus, and the next rebuild's trash cleanup would
+      // then destroy the only surviving copy. Trash beside BOTH live
+      // tables is the benign leftover of a crash after the installs.
+      require(!(annRebuildTrash.exists() &&
+          !(new java.io.File(s"$warehouse/indexes/ann_centroids").exists()
+            && new java.io.File(s"$warehouse/indexes/ann_lists").exists())),
+        s"a rebuild died mid-swap: $annRebuildTrash holds the parked " +
+          "index and a live table is missing — restore the parked " +
+          "tables from the trash dir before landing batches")
       val qv = embeddings.select(col("vec_id"), lattice(col("embedding")).as("qv"))
       // S10 on the index plane: an empty slice must not write — an
       // empty BOOTSTRAP would permanently lock in a zero-row centroid
@@ -844,15 +870,6 @@ object Orchestrator {
         return 0L
       }
       if (!new java.io.File(s"$warehouse/indexes/ann_centroids").exists()) {
-        // a MISSING centroid table next to rebuild-trash remnants is a
-        // rebuild that died mid-swap, not a fresh warehouse: a bootstrap
-        // here would seed a one-batch index and silently orphan the
-        // whole parked corpus — restoring the trash dir is the recovery
-        require(!new java.io.File(s"$warehouse/.ann_rebuild_trash").exists(),
-          s"ANN centroid table missing but $warehouse/.ann_rebuild_trash " +
-            "exists — a rebuild died mid-swap; restore the parked " +
-            "tables from the trash dir (or re-run rebuildAnnIndex " +
-            "after restoring) instead of re-bootstrapping")
         val seed = qv.orderBy(col("vec_id")).limit(nlist)
           .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
         writeBatch(seed, "indexes/ann_centroids")
@@ -863,16 +880,39 @@ object Orchestrator {
         .agg(min(struct(quantizedL2(col("qv"), col("cv")).as("d2"),
           col("cent_id").as("cent_id"))).as("best"))
         .select(col("vec_id"), col("best.cent_id").as("cent_id"))
-      val n = writeBatch(assign, "indexes/ann_lists")
+      // the final write is INLINED (not writeBatch) so the audit verdict
+      // is decided AFTER the post-write lock re-check: in the order-free
+      // audit model a SUCCESS row is permanent (it drives resume's
+      // SKIPPED_DONE, masks FAILED rows in failedTargets, and counts as
+      // a landing for dependent cadences), so a partition the rebuild
+      // swap is about to discard must log FAILED, never SUCCESS.
+      if (alreadyDone("indexes/ann_lists")) {
+        log("write", "indexes/ann_lists", "SKIPPED_DONE", 0)
+        return spark.read.parquet(s"$warehouse/indexes/ann_lists")
+          .where(col("dwh_batch_id") === batchId).count()
+      }
+      val obs = org.apache.spark.sql.Observation()
+      assign.withColumn("dwh_batch_id", lit(batchId))
+        .observe(obs, count(lit(1)).as("n"))
+        .write
+        .partitionBy("dwh_batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(s"$warehouse/indexes/ann_lists")
+      val n = obs.get("n").asInstanceOf[Long]
       // close the entry-check race: a rebuild that started AFTER the
       // entry check derived its staged tables without this batch, and
-      // its swap will (or already did) discard the partition just
-      // written — fail loudly with the re-land prescription instead of
-      // reporting a success the swap erases (the S8 re-run heals it)
-      require(!annRebuildLock.exists(),
-        "an ANN rebuild started while this batch was indexing — its " +
-          "staged tables predate this batch and the swap will discard " +
-          "it; re-run indexAnnBatch for this batch after the rebuild")
+      // its swap will discard the partition just written
+      if (annRebuildLock.exists()) {
+        log("write", "indexes/ann_lists", "FAILED", 0,
+          "a rebuild started during the landing — the staged index " +
+            "predates this batch and the swap will discard it; re-land")
+        throw new IllegalStateException(
+          "an ANN rebuild started while this batch was indexing — its " +
+            "staged tables predate this batch and the swap will discard " +
+            "it; re-run indexAnnBatch for this batch after the rebuild")
+      }
+      log("write", "indexes/ann_lists", "SUCCESS", n)
       n
     }
 
@@ -974,6 +1014,15 @@ object Orchestrator {
     private def annRebuildLock =
       new java.io.File(s"$warehouse/indexes/.ann_rebuild_lock")
 
+    /** Where a rebuild's swap parks the OLD index tables until both
+      * installs complete — ONE definition (guards in [[indexAnnBatch]],
+      * the rebuild's entry require, and the swap itself all reference
+      * it; a drifted copy would silently disable a mid-swap-crash
+      * guard while the messages point at the wrong path).
+      */
+    private def annRebuildTrash =
+      new java.io.File(s"$warehouse/.ann_rebuild_trash")
+
     /** The REBUILD the [[indexAnnBatch]] contract promises: retrain the
       * centroids over every indexed vector (the shared Lloyd body —
       * graft.operators.LloydKmeans, the same trainer the query-plane
@@ -1024,8 +1073,8 @@ object Orchestrator {
       val centLive = new java.io.File(s"$warehouse/indexes/ann_centroids")
       val listLive = new java.io.File(s"$warehouse/indexes/ann_lists")
       require(centLive.exists() && listLive.exists(),
-        if (new java.io.File(s"$warehouse/.ann_rebuild_trash").exists())
-          "ANN index tables missing but .ann_rebuild_trash exists — a " +
+        if (annRebuildTrash.exists())
+          s"ANN index tables missing but $annRebuildTrash exists — a " +
             "rebuild died mid-swap; restore the parked tables from the " +
             "trash dir, then re-run the rebuild"
         else
@@ -1040,7 +1089,7 @@ object Orchestrator {
         Option(dir.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith("dwh_batch_id=")).map(_.getName).toSet
       val stage = new java.io.File(s"$warehouse/.ann_rebuild")
-      val trash = new java.io.File(s"$warehouse/.ann_rebuild_trash")
+      val trash = annRebuildTrash
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
         f.delete()

@@ -48,10 +48,12 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
     r1.writeBatch(emb.where(col("vec_id") % 10 =!= 0), "bronze/embeddings")
     r1.indexAnnBatch(r1.readBatch("bronze/embeddings")
       .select("vec_id", "embedding"), nlist = 16)
+    r1.flushAudit() // stage boundary: the cadence reads persisted rows
     val r2 = new Orchestrator.Run(spark, wh, "B2")
     r2.writeBatch(emb.where(col("vec_id") % 10 === 0), "bronze/embeddings")
     r2.indexAnnBatch(r2.readBatch("bronze/embeddings")
       .select("vec_id", "embedding"), nlist = 16)
+    r2.flushAudit()
     emb.collect().map(r => r.getLong(0) -> q(r.getSeq[Float](1))).toMap
   }
 
@@ -226,16 +228,30 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
       "the reprocess cycle must see the dead rebuild")
     assert(!new java.io.File(s"$wh/indexes/.ann_rebuild_lock").exists(),
       "a failed rebuild must release its lock")
-    // repair the feed, retry under the SAME batch id (the reference's
-    // same-batch reprocess model): the swap succeeds and the SUCCESS
-    // row heals the target
+    // repair the feed; stamp a kNN refresh BEFORE the retry so the
+    // batch-id watermark already covers every landed list batch
     new Orchestrator.Run(spark, wh, "B2").writeBatch(
       emb.where(col("vec_id") % 10 === 0), "bronze/embeddings")
     val r3b = new Orchestrator.Run(spark, wh, "B3")
+    assert(r3b.refreshKnnGraphIfDue(k = 3, nprobe = 2).isDefined)
+    assert(r3b.refreshKnnGraphIfDue(k = 3, nprobe = 2) === None)
+
+    // retry under the SAME batch id (the reference's same-batch
+    // reprocess model): the swap succeeds and the SUCCESS row heals
+    // the target
     assert(r3b.rebuildAnnIndex(nlist = 16, trainIters = 2) > 0L)
     r3b.flushAudit()
     assert(!Orchestrator.failedTargets(spark, wh, "B3")
       .contains("indexes/ann_lists"),
       "a clean retried rebuild must heal the failed target")
+
+    // the rebuild re-wrote every list row, and its batch id (B3) sorts
+    // NO LATER than the stamped covers marker — the rebuild COUNT in
+    // the stamp is what must make the graph due, or it would serve
+    // pre-rebuild edges until the next organic landing
+    assert(r3b.refreshKnnGraphIfDue(k = 3, nprobe = 2).isDefined,
+      "a same-id rebuild retry must make the kNN graph refresh due")
+    assert(r3b.refreshKnnGraphIfDue(k = 3, nprobe = 2) === None,
+      "the rebuild-count watermark must advance with the refresh")
   }
 }
