@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.operators.{ConnectedComponents, FuzzyJoin, Hits, PageRank}
+import graft.operators.{ConnectedComponents, FuzzyJoin, Hits, KCore, PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,6 +39,41 @@ object GraphQueries extends QueryPack {
   private val FuzzyDist = 2
   private val PageRankIters = 5
   private val HitsIters = 3
+  private val KCoreK = 2
+
+  /** Loud peel-round cap for the registered k-core row AND the round
+    * count the DuckDB oracle unrolls — the fixture's longest cascade is
+    * 13 rounds (the pendant path), so 16 proves convergence with margin
+    * while keeping Spark's early-exit invisible in the rows (extra
+    * rounds past a fixpoint are no-ops on both engines).
+    */
+  private val KCoreMaxRounds = 16
+
+  /** The k-core fixture graph: doc_id % 500 pins the SAME edge set at
+    * every SF (doc_id is dense from 0 at each scale), split four ways
+    * by residue into an 11-clique (nodes 0-10), a pendant path 11-23
+    * anchored at node 0, a 7-cycle 24-30, and a star centered at 31
+    * with leaves 32-36. Mirrored verbatim by [[kcoreEdgesCte]].
+    */
+  private[graft] def kcoreEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id") % 500
+    val tc = d % 4
+    val i = expr("(doc_id % 500) div 4")
+    val j13 = i % 13
+    val j12 = i % 12
+    val a = when(tc <= 1, i % 11)
+      .when(tc === 2, when(j13 < 12, lit(11) + j13).otherwise(lit(0)))
+      .otherwise(when(j12 < 7, lit(24) + j12).otherwise(lit(31)))
+    val b = when(tc <= 1, expr("((doc_id % 500) div 4) div 11") % 11)
+      .when(tc === 2, when(j13 < 12, lit(12) + j13).otherwise(lit(11)))
+      .otherwise(when(j12 < 7, lit(24) + (j12 + 1) % 7)
+        .otherwise(lit(25) + j12))
+    t(s, dir, "documents")
+      .select(a.as("a"), b.as("b"))
+      .where(col("a") =!= col("b"))
+      .select(concat(lit("n"), col("a").cast(StringType)).as("src"),
+        concat(lit("n"), col("b").cast(StringType)).as("dst"))
+  }
 
   /** Edit-distance bound for the incremental (batch-vs-master) match:
     * d=1 — the dirty-feed fixture perturbs keys by one deletion, and
@@ -343,6 +378,42 @@ object GraphQueries extends QueryPack {
           col("auth_scaled"))
     }),
 
+    // Triangle counts + local clustering coefficient on a host graph
+    // (operators/Triangles: degree-ordered orientation, each triangle
+    // enumerated exactly once). The fixture wires residues of doc_id
+    // into a 29-node graph whose (a+b)%3=0 edge rule concentrates
+    // every triangle inside the ≡0 residue class — so the output
+    // separates clique-embedded hosts (lcc ≈ 10⁶ ppm) from hosts with
+    // the same DEGREE but triangle-free neighborhoods (lcc = 0), which
+    // is exactly the link-farm-vs-hub distinction the operator exists
+    // to draw. Oracle = the plain u<v<w three-way self-join; the
+    // orientation must be invisible in the rows.
+    "q_graph_triangles" -> ((s, dir) => {
+      val p = t(s, dir, "documents").select(
+        (col("doc_id") % 29).as("a"),
+        (expr("doc_id div 29") % 29).as("b"))
+      val edges = p
+        .where(col("a") =!= col("b") && (col("a") + col("b")) % 3 === 0)
+        .select(concat(lit("h"), col("a").cast(StringType)).as("src"),
+          concat(lit("h"), col("b").cast(StringType)).as("dst"))
+      Triangles.localCounts(s, edges)
+    }),
+
+    // k-core membership (operators/KCore: synchronous peel to
+    // fixpoint) on a fixture built to exercise the CASCADE that makes
+    // the operator more than a degree filter: doc_id % 500 (the same
+    // edge set at every SF) wires an 11-clique, a 13-node pendant path
+    // anchored to it, a 7-cycle, and a 5-leaf star. At k=2 the star
+    // peels in two rounds, the path unravels ONE NODE PER ROUND for 12
+    // rounds — every interior node had degree 2 until its outer
+    // neighbor fell — and the fixpoint keeps exactly clique + cycle.
+    // A one-pass `deg >= 2` filter would keep the whole path; the hash
+    // compare certifies the cascade.
+    "q_graph_kcore" -> ((s, dir) => {
+      val edges = kcoreEdges(s, dir)
+      KCore.peel(s, edges, KCoreK, KCoreMaxRounds)
+    }),
+
     // Incremental entity resolution — the shape a daily ingest actually
     // runs: match a NEW batch's (dirty) keys against the EXISTING
     // master key list without re-blocking the master side. The batch
@@ -376,6 +447,67 @@ object GraphQueries extends QueryPack {
     * nonnegative BIGINTs so DuckDB's floor `//` equals Spark's
     * truncating `div`, and the per-dst SUM is order-free).
     */
+  /** Unrolled synchronous peel (the pageRankOracle discipline: both
+    * engines run the same bounded rounds; degrees are exact BIGINTs so
+    * the compare is bit-level). The edge CASE mirrors [[kcoreEdges]]
+    * verbatim; rounds past the fixpoint are no-ops, so Spark's
+    * early-exit is invisible in the rows.
+    */
+  private val kcoreOracle: String = {
+    // every round CTE is MATERIALIZED: a_{r-1} is referenced twice per
+    // round, so default inlining would DOUBLE the expression tree each
+    // round — 2^rounds expansion before the optimizer ever runs
+    def round(r: Int): String =
+      s""",
+         ae_$r AS MATERIALIZED (
+                   SELECT e.u, e.v FROM e
+                   JOIN a_${r - 1} x ON x.node = e.u
+                   JOIN a_${r - 1} y ON y.node = e.v),
+         a_$r AS MATERIALIZED (
+                  SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM (SELECT u AS n FROM ae_$r
+                        UNION ALL SELECT v AS n FROM ae_$r)
+                  GROUP BY n HAVING COUNT(*) >= $KCoreK)"""
+    s"""WITH raw AS (
+           SELECT CASE
+                    WHEN (doc_id % 500) % 4 <= 1
+                      THEN ((doc_id % 500) // 4) % 11
+                    WHEN (doc_id % 500) % 4 = 2 THEN
+                      CASE WHEN ((doc_id % 500) // 4) % 13 < 12
+                           THEN 11 + ((doc_id % 500) // 4) % 13
+                           ELSE 0 END
+                    ELSE
+                      CASE WHEN ((doc_id % 500) // 4) % 12 < 7
+                           THEN 24 + ((doc_id % 500) // 4) % 12
+                           ELSE 31 END
+                  END AS a,
+                  CASE
+                    WHEN (doc_id % 500) % 4 <= 1
+                      THEN (((doc_id % 500) // 4) // 11) % 11
+                    WHEN (doc_id % 500) % 4 = 2 THEN
+                      CASE WHEN ((doc_id % 500) // 4) % 13 < 12
+                           THEN 12 + ((doc_id % 500) // 4) % 13
+                           ELSE 11 END
+                    ELSE
+                      CASE WHEN ((doc_id % 500) // 4) % 12 < 7
+                           THEN 24 + (((doc_id % 500) // 4) % 12 + 1) % 7
+                           ELSE 25 + ((doc_id % 500) // 4) % 12 END
+                  END AS b
+           FROM documents),
+         e AS MATERIALIZED (
+               SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+               FROM raw WHERE a <> b),
+         degf AS (SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+                  GROUP BY n),
+         a_0 AS (SELECT node, deg FROM degf)""" +
+      (1 to KCoreMaxRounds).map(round).mkString +
+      s"""
+         SELECT 'n' || CAST(a.node AS VARCHAR) AS node,
+                f.deg AS deg_full, a.deg AS deg_core
+         FROM a_$KCoreMaxRounds a JOIN degf f ON f.node = a.node"""
+  }
+
   private val pageRankOracle: String = {
     def iter(k: Int): String =
       s""",
@@ -611,6 +743,35 @@ object GraphQueries extends QueryPack {
            FROM reach GROUP BY node)
          SELECT p.p_partkey, p.p_name, c.canonical_name
          FROM part p JOIN comp c ON c.p_name = p.p_name"""),
+
+    // oracle = the plain u<v<w three-way self-join over the same
+    // canonical edge set: the Spark side's degree-ordered orientation
+    // is an enumeration strategy only and must be invisible in the rows
+    "q_graph_triangles" ->
+      """WITH p AS (SELECT doc_id % 29 AS a, (doc_id // 29) % 29 AS b
+                    FROM documents),
+         e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+               FROM p WHERE a <> b AND (a + b) % 3 = 0),
+         tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                 FROM e e1 JOIN e e2 ON e2.u = e1.v
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pn AS (SELECT x AS n FROM tri
+                UNION ALL SELECT y AS n FROM tri
+                UNION ALL SELECT z AS n FROM tri),
+         tc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+                FROM pn GROUP BY n),
+         deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+                 GROUP BY n)
+         SELECT 'h' || CAST(d.n AS VARCHAR) AS node, d.deg,
+                COALESCE(t.tri_cnt, 0) AS tri_cnt,
+                CAST(CASE WHEN d.deg >= 2
+                     THEN (2 * COALESCE(t.tri_cnt, 0) * 1000000)
+                          // (d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS lcc_ppm
+         FROM deg d LEFT JOIN tc t ON t.n = d.n""",
+
+    "q_graph_kcore" -> kcoreOracle,
 
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_pagerank_weighted" -> pageRankWeightedOracle,
