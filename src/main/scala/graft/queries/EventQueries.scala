@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables.t
 import graft.Exact._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -200,9 +201,86 @@ object EventQueries extends QueryPack {
         .groupBy(col("path")).agg(cnt.as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
         .limit(20)
-    }))
+    }),
+
+    // Time-grid densification + forward fill (gap-fill) — the resample
+    // operator every metric/feature pipeline needs before a model sees
+    // the series: hourly per-type totals on a COMPLETE hour grid, an
+    // absent hour carrying the last observed value with an explicit
+    // filled flag (a silent carry would be indistinguishable from a
+    // real observation downstream; hours before a type's first
+    // observation stay NULL rather than inventing a zero). Cross-
+    // engine float discipline: per-row cents quantization
+    // (FLOOR(value*100) — floor of an IEEE-identical product, never a
+    // round-vs-truncate cast) makes the hourly SUM order-free integer
+    // arithmetic; hour ids are epoch-hour longs (the q_events_anomaly
+    // convention). Scale: one (type, hour) aggregate over the stream;
+    // the grid is |types| x |hours| — generated from a broadcast 1-row
+    // bounds frame, NEVER by exploding per event — and the forward-
+    // fill window runs over that bounded grid, not the event stream.
+    "q_events_gapfill" -> ((s, dir) =>
+      gapfillOf(hourlyCents(graft.Tables.events(s, dir)))))
+
+  /** ONE cell definition for the gap-fill family — the batch row, the
+    * streaming ingest (StreamingJobs.gapfillCellSink) and its read
+    * view all aggregate through this builder so the three faces cannot
+    * drift: (event_type, hour_id, cents), hour ids on the epoch-hour
+    * lattice, cents quantized per row BEFORE the sum so the aggregate
+    * is order-free integer arithmetic (micro-batch partials merge by a
+    * further SUM without a float in sight).
+    */
+  private[graft] def hourlyCents(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"))
+      .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("cents"))
+
+  /** ONE fill definition over (event_type, hour_id, cents) cells: the
+    * complete per-type hour grid between the observed bounds, observed
+    * cells carrying their own value, gap cells carrying the last
+    * observed value with filled=true, leading gaps staying NULL. The
+    * grid builds from a broadcast 1-row bounds frame (never a
+    * per-event explode) and the forward-fill window runs over the
+    * bounded |types| x |hours| grid, not the event stream.
+    */
+  private[graft] def gapfillOf(cells: DataFrame): DataFrame = {
+    val bounds = cells.agg(
+      min(col("hour_id")).as("lo"), max(col("hour_id")).as("hi"))
+    val grid = cells.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds)) // 1-row, aggregate-reduced
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hour_id"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(cells, Seq("event_type", "hour_id"), "left")
+      .select(col("event_type"), col("hour_id"),
+        last(col("cents"), ignoreNulls = true).over(w)
+          .as("cents_filled"),
+        col("cents").isNull.as("filled"))
+  }
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_gapfill" ->
+      """WITH hourly AS (
+           SELECT event_type,
+                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                       AS BIGINT) AS hour_id,
+                  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT MIN(hour_id) AS lo, MAX(hour_id) AS hi FROM hourly),
+         g AS (SELECT t.event_type, u.hr AS hour_id
+               FROM (SELECT DISTINCT event_type FROM events) t
+               CROSS JOIN b
+               CROSS JOIN UNNEST(generate_series(b.lo, b.hi)) AS u(hr))
+         SELECT g.event_type, g.hour_id,
+                last_value(h.cents IGNORE NULLS) OVER (
+                  PARTITION BY g.event_type ORDER BY g.hour_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cents_filled,
+                h.cents IS NULL AS filled
+         FROM g LEFT JOIN hourly h
+           ON h.event_type = g.event_type AND h.hour_id = g.hour_id""",
+
     "q_events_anomaly" ->
       """WITH h AS (
            SELECT event_type,

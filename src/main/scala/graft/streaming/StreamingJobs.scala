@@ -225,6 +225,53 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming gap-fill ingest — the table-backed face of
+    * EventQueries.gapfillOf. Each micro-batch aggregates ITS OWN rows
+    * to partial (event_type, hour_id, cents) cells through the ONE
+    * shared cell builder (EventQueries.hourlyCents) and lands them as
+    * one idempotent batch partition; [[gapfillView]] merges partials
+    * by a further SUM (cents are per-row-quantized integers, so the
+    * partial-merge is associative and order-free) and applies the ONE
+    * shared fill builder. Consequences, each pinned by
+    * GapfillStreamSpec: stream-landed ≡ batch bit-for-bit once the
+    * same events have landed, under ANY arrival permutation (integer
+    * sums commute across micro-batch boundaries), and a replayed
+    * micro-batch rewrites exactly its own partition (the warehouseSink
+    * batch-id discipline) instead of double-counting its cells — the
+    * failure mode a naive append-the-aggregate sink cannot avoid.
+    * Heavy state lives in the TABLE, not executor memory: the stream
+    * itself is stateless (per-batch aggregate only), so watermark
+    * lateness never drops an hour — a late event lands as one more
+    * partial cell and the read view absorbs it.
+    */
+  def gapfillCellSink(events: DataFrame, warehouse: String,
+                      checkpoint: String,
+                      batchPrefix: String = "SBATCH")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = scopeOf(checkpoint)
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val run = new graft.run.Orchestrator.Run(
+          batch.sparkSession, warehouse, f"$batchPrefix${scope}_$id%06d")
+        run.writeBatch(
+          graft.queries.EventQueries.hourlyCents(batch.toDF()),
+          "silver/events_hourly_cells")
+        ()
+      }
+      .outputMode("append")
+      .start()
+  }
+
+  /** The read view over [[gapfillCellSink]]'s landed partials: merge
+    * to final cells (one SUM per (type, hour)), then the shared fill.
+    */
+  def gapfillView(spark: SparkSession, warehouse: String): DataFrame =
+    graft.queries.EventQueries.gapfillOf(
+      spark.read.parquet(s"$warehouse/silver/events_hourly_cells")
+        .groupBy(col("event_type"), col("hour_id"))
+        .agg(sum(col("cents")).as("cents")))
+
   /** Streaming CDC apply: drain a change stream into a key-bucketed
     * SCD2 dim (Orchestrator.mergeScd2). Each micro-batch first
     * collapses to one row per key (keep-latest by `seqCol` — CDC feeds
