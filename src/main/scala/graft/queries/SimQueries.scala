@@ -172,6 +172,62 @@ object SimQueries extends QueryPack {
           .as("recall"))
   }
 
+  /** SQ8-coded corpus, memoized per (session, SF) like every trained
+    * artifact (the per-dim ranges ARE a model — production freezes
+    * them at index-build time so codes stay comparable across
+    * batches). Codes land already DEQUANTIZED onto the shared 255x
+    * lattice (y_d = 255*lo_d + code_d*(hi_d-lo_d), exact BIGINTs) so
+    * the search kernel is the same integer L2 as everywhere else; a
+    * production store would keep the byte codes + the 64-entry range
+    * table and fuse the dequantization into the scan.
+    *
+    * 100 TB: the range stats are one 64-row aggregate over a
+    * posexploded scan (map-side combinable); coding is map-only after
+    * a 64-row broadcast; the re-assembly groupBy shuffles each vector
+    * once. A constant dimension (hi == lo) codes to 0 and dequantizes
+    * to exactly 255*lo — no divide-by-zero, no drift.
+    */
+  private[graft] def sq8Coded(s: SparkSession, dir: String): DataFrame =
+    trained(s, s"sq8:$dir") {
+      val coords = qvecs(s, dir)
+        .select(col("vec_id"), posexplode(col("qv")).as(Seq("d", "qval")))
+        .select(col("vec_id"), col("d").cast(LongType).as("d"),
+          col("qval"))
+      val stats = coords.groupBy(col("d"))
+        .agg(min(col("qval")).as("lo"), max(col("qval")).as("hi"))
+      coords.join(broadcast(stats), "d")
+        .select(col("vec_id"), col("d"),
+          (lit(255L) * col("lo")
+            + when(col("hi") > col("lo"),
+                expr("((qval - lo) * 255) div (hi - lo)"))
+              .otherwise(lit(0L))
+              * (col("hi") - col("lo"))).as("y"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("d"), col("y")))).as("a"))
+        .select(col("vec_id"), expr("transform(a, x -> x.y)").as("yv"))
+        .localCheckpoint()
+    }
+
+  /** Asymmetric SQ8 top-10: exact queries on the 255x lattice against
+    * the coded corpus, one integer-L2 kernel per (query, vector) pair,
+    * rank window per query. The probe side ships by the cost-based
+    * pick (the probeScored discipline).
+    */
+  private[graft] def sq8Search(s: SparkSession, dir: String): DataFrame = {
+    val qs = qvecs(s, dir).where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(qv, x -> x * 255L)").as("yq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    sq8Coded(s, dir)
+      .join(TextQueries.shipAuto(s, qs, nVecEst(s, dir) / 50, EmbRowBytes),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        l2sq(col("yq"), col("yv")).as("approx_dist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= 10)
+  }
+
   // ------------------------------------------------- trained quantizers
 
   /** Fixed Lloyd iteration count: deterministic (no RNG, no convergence
@@ -726,6 +782,28 @@ object SimQueries extends QueryPack {
     // summed over the 8 codes — at 100 TB the scan touches 8 bytes per
     // vector plus a broadcast LUT instead of 256 float bytes. Everything
     // is integer arithmetic, so the oracle compares hash-exactly.
+    // Scalar quantization (SQ8) — the fourth named quantizer family
+    // beside LSH, IVF and PQ, and the one production reaches for FIRST
+    // (FAISS SQ8 / Milvus SQ8): each dimension compresses independently
+    // to one byte on its own corpus [lo, hi] range, 64 bytes per vector
+    // (4x smaller than floats) with no codebook to train or probe.
+    // Search is asymmetric: the query stays exact (scaled onto the
+    // shared 255x lattice), corpus vectors dequantize to integer
+    // lattice points y = 255*lo + code*(hi-lo), and the scan is one
+    // integer-L2 kernel over 64 codes per vector. Everything stays on
+    // an integer lattice — codes by truncating division of nonnegative
+    // values, dequantization by exact integer multiply-add — so the
+    // oracle compares hash-exactly. q_sim_ann_sq_recall measures what
+    // the byte per dimension costs (the measure-don't-assume rule:
+    // every sketch in this library carries its recall row).
+    "q_sim_ann_sq" -> ((s, dir) => sq8Search(s, dir)),
+
+    // recall@10 of the SQ8 top-10 against the exact cosine top-10 on
+    // the shared probe set and denominator.
+    "q_sim_ann_sq_recall" -> ((s, dir) =>
+      recallOf(s, dir, sq8Search(s, dir)
+        .select(col("q_id"), col("vec_id")))),
+
     "q_sim_ann_pq" -> ((s, dir) => pqSearch(s, dir, pqGridCents(s))),
 
     // PQ distortion report — the quantization-error QA beside the PQ
@@ -1447,6 +1525,37 @@ object SimQueries extends QueryPack {
   /** Exact top-10 CTEs (`exact(q_id, vec_id)`) + recall tail over a
     * `cands(q_id, vec_id)` relation — the SQL mirror of `recallOf`.
     */
+  /** SQ8 CTE chain (SQL mirror of sq8Coded/sq8Search) — ends with
+    * `sqranked(q_id, vec_id, approx_dist, rnk)`. DuckDB `//` on the
+    * nonnegative (qval - lo) equals Spark's truncating `div`.
+    */
+  private val sq8RankedCtes =
+    """sqcoords AS (
+         SELECT e.vec_id, CAST(t.i AS BIGINT) AS d, e.v[t.i+1] AS qval
+         FROM qv e, range(64) t(i)),
+       sqstats AS (
+         SELECT d, MIN(qval) AS lo, MAX(qval) AS hi
+         FROM sqcoords GROUP BY d),
+       sqy AS (
+         SELECT c.vec_id, c.d,
+                255*s.lo
+                  + (CASE WHEN s.hi > s.lo
+                     THEN ((c.qval - s.lo)*255) // (s.hi - s.lo)
+                     ELSE 0 END) * (s.hi - s.lo) AS y
+         FROM sqcoords c JOIN sqstats s ON s.d = c.d),
+       sqad AS (
+         SELECT q.vec_id AS q_id, v.vec_id,
+                CAST(SUM((255*q.qval - v.y)*(255*q.qval - v.y))
+                  AS BIGINT) AS approx_dist
+         FROM sqcoords q JOIN sqy v ON v.d = q.d AND v.vec_id <> q.vec_id
+         WHERE q.vec_id % 50 = 0
+         GROUP BY q.vec_id, v.vec_id),
+       sqranked AS (
+         SELECT q_id, vec_id, approx_dist,
+                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY approx_dist, vec_id) AS BIGINT) AS rnk
+         FROM sqad)"""
+
   private val recallTailSql =
     """edots AS (
          SELECT a.vec_id AS q_id, b.vec_id AS vec_id, SUM(a.v[i+1]*b.v[i+1]) AS dot
@@ -1880,6 +1989,21 @@ object SimQueries extends QueryPack {
                 COALESCE(f.n_found, 0) AS n_found,
                 CAST(COALESCE(f.n_found, 0) AS DOUBLE) / ne.n_exact AS recall
          FROM ne LEFT JOIN found f ON f.q_id = ne.q_id""",
+    // the SQL mirror of sq8Coded + sq8Search: per-dim corpus ranges,
+    // truncating-division codes, exact integer dequantization onto the
+    // 255x lattice, asymmetric integer L2 — the memoized Spark coding
+    // must be invisible in the rows
+    "q_sim_ann_sq" ->
+      s"""WITH $quantCte,
+         $sq8RankedCtes
+         SELECT q_id, vec_id, approx_dist, rnk
+         FROM sqranked WHERE rnk <= 10""",
+    "q_sim_ann_sq_recall" ->
+      s"""WITH $quantCte,
+         $sq8RankedCtes,
+         cands AS (
+           SELECT q_id, vec_id FROM sqranked WHERE rnk <= 10),
+         $recallTailSql""",
     "q_sim_ann_pq" ->
       s"""WITH $quantCte,
          coords AS (
