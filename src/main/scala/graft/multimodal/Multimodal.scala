@@ -110,4 +110,39 @@ object Multimodal {
         }
     }.toDF("doc_id", "kind", "frame_index", "frame")
   }
+
+  case class AudioFrameEnergy(
+      doc_id: Long,
+      frame_index: Long,
+      energy: Long,
+      is_silence: Boolean)
+
+  /** Audio feature stub — the voice-activity / trim-silence shape: the
+    * payload decodes as big-endian signed 16-bit PCM (a real build
+    * calls the audio codec here), each `samplesPerFrame` window scores
+    * energy = Σ sample² (exact integers, so the oracle compares
+    * hash-exactly), and frames under `silenceThreshold` flag as
+    * silence. Routed to AUDIO rows only — a real pipeline dispatches
+    * per modality, and running a PCM decode over image bytes would be
+    * garbage-in. Narrow/map-only like every decode stub here; at
+    * 100 TB the frame explosion is payload-proportional and stays
+    * inside the partition (no shuffle until someone aggregates).
+    */
+  def audioFrameEnergy(media: Dataset[MediaRecord], samplesPerFrame: Int,
+                       silenceThreshold: Long): Dataset[AudioFrameEnergy] = {
+    require(samplesPerFrame >= 1,
+      s"audioFrameEnergy: samplesPerFrame must be >= 1, got $samplesPerFrame")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+      val n = m.payload.length / 2
+      val samples = Array.tabulate(n) { i =>
+        (((m.payload(2 * i) & 0xff) << 8)
+          | (m.payload(2 * i + 1) & 0xff)).toShort.toLong
+      }
+      samples.grouped(samplesPerFrame).zipWithIndex.map { case (fr, i) =>
+        val e = fr.foldLeft(0L)((a, s) => a + s * s)
+        AudioFrameEnergy(m.doc_id, i.toLong, e, e < silenceThreshold)
+      }
+    })
+  }
 }

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries extends QueryPack {
 
+  /** Silence cut for q_multimodal_audio_energy: a 4-sample frame of
+    * uniform int16 noise has expected energy ~1.4e9, so 5e8 lands
+    * mid-distribution — both verdicts occur at every SF.
+    */
+  private val SilenceThreshold = 500000000L
+
   private def media(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     Multimodal.synthesize(
@@ -51,6 +57,15 @@ object MultimodalQueries extends QueryPack {
     // the payload — a real build hashes each blob map-side (here the
     // synthetic payload IS its digest) and shuffles only (kind, digest,
     // doc_id), so dedup cost is independent of media size.
+    // Audio frame energy + silence verdict over the binary payload
+    // decoded as BE int16 PCM (decode stubbed; the Spark plumbing —
+    // modality routing, per-partition decode, frame explosion — is
+    // real). 4-sample frames of the 8-sample fake => 2 frames/doc; the
+    // threshold sits mid-distribution so both verdicts occur.
+    "q_multimodal_audio_energy" -> ((s, dir) =>
+      Multimodal.audioFrameEnergy(media(s, dir), samplesPerFrame = 4,
+        silenceThreshold = SilenceThreshold).toDF()),
+
     "q_multimodal_dedup" -> ((s, dir) =>
       media(s, dir)
         .groupBy(col("kind"), hex(col("payload")).as("payload_md5"))
@@ -98,6 +113,26 @@ object MultimodalQueries extends QueryPack {
                 UPPER(CONCAT(SUBSTRING(h, 1, 2), SUBSTRING(h, 9, 2),
                              SUBSTRING(h, 17, 2), SUBSTRING(h, 25, 2))) AS payload
          FROM hexed""",
+    // BE int16 decode of consecutive md5-hex byte pairs; DuckDB's
+    // '0x…' string cast parses the hex (the PQ-oracle idiom)
+    "q_multimodal_audio_energy" ->
+      s"""WITH hexed AS (
+           SELECT doc_id, md5(COALESCE(text, '')) AS h
+           FROM documents WHERE doc_id % 3 = 1),
+         samp AS (
+           SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+                  CAST(CONCAT('0x',
+                    SUBSTRING(h, CAST(4*t.i + 1 AS INT), 4)) AS BIGINT) AS u
+           FROM hexed, range(8) t(i)),
+         sgn AS (
+           SELECT doc_id, i,
+                  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+           FROM samp)
+         SELECT doc_id, CAST(i // 4 AS BIGINT) AS frame_index,
+                CAST(SUM(s*s) AS BIGINT) AS energy,
+                CAST(SUM(s*s) AS BIGINT) < $SilenceThreshold AS is_silence
+         FROM sgn GROUP BY doc_id, i // 4""",
+
     "q_multimodal_dedup" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio'

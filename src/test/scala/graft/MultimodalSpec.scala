@@ -94,4 +94,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Long]("byte_sum") === expected.map(_.toLong).sum)
     assert(row.getAs[Double]("mean_byte") === expected.map(_.toLong).sum.toDouble / 16)
   }
+
+  test("audio frame energy matches a direct BE-int16 PCM decode") {
+    import spark.implicits._
+    // doc 1 is the audio row of the fixture ("spark")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = md.digest("spark".getBytes("UTF-8"))
+    val samples = (0 until 8).map(i =>
+      (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff))
+        .toShort.toLong)
+    val expected = samples.grouped(4).zipWithIndex.map { case (fr, i) =>
+      (1L, i.toLong, fr.map(s => s * s).sum)
+    }.toSeq
+    val media = Multimodal.synthesize(docs).as[Multimodal.MediaRecord]
+    val got = Multimodal.audioFrameEnergy(media, 4, Long.MaxValue)
+      .collect().toSeq
+    // modality routing: only the audio doc produces frames
+    assert(got.map(_.doc_id).distinct === Seq(1L))
+    assert(got.map(r => (r.doc_id, r.frame_index, r.energy)) === expected)
+    assert(got.forall(_.is_silence), "threshold = MaxValue: all silent")
+    val loud = Multimodal.audioFrameEnergy(media, 4, 0L).collect()
+    assert(loud.forall(!_.is_silence), "threshold = 0: nothing silent")
+  }
 }
