@@ -435,9 +435,103 @@ object Orchestrator {
       * (pruned at planning, no data read outside the snapshot). The
       * Iceberg/Delta `VERSION AS OF` face of the batch-partitioned
       * warehouse.
+      *
+      * Retention guard: a snapshot at or below the table's vacuum
+      * watermark REFUSES (the Delta/Iceberg retention contract) —
+      * those partitions were dropped by [[vacuumBatches]], so the
+      * filter would silently return a PARTIAL snapshot, the worst
+      * failure mode time travel has. The watermark lives on the
+      * persisted audit plane (one tiny read per AS-OF call — snapshot
+      * reads are analytic, not hot-path).
       */
-    def readTableAsOf(table: String, asOfBatch: String): DataFrame =
+    def readTableAsOf(table: String, asOfBatch: String): DataFrame = {
+      vacuumWatermark(table).foreach { w =>
+        require(asOfBatch > w,
+          s"readTableAsOf($table, $asOfBatch): snapshot at or below the " +
+            s"vacuum retention watermark ($w) — those partitions were " +
+            "dropped by vacuumBatches and the snapshot would be silently " +
+            "PARTIAL; raise retention (keepLast) before vacuuming, or " +
+            "re-land the vintage batches")
+      }
       readTable(table).where(col("dwh_batch_id") <= asOfBatch)
+    }
+
+    /** Highest `watermark=` stamp among the table's SUCCESS vacuum
+      * rows (zero-padded ids make string max the id max), or None if
+      * the table was never vacuumed.
+      */
+    private def vacuumWatermark(table: String): Option[String] = {
+      val path = s"$warehouse/tools/audit_log"
+      if (!new java.io.File(path).exists()) None
+      else Option(spark.read.parquet(path)
+          .where(col("step") === "vacuum" && col("target") === table
+            && col("status") === "SUCCESS"
+            && col("message").startsWith("watermark="))
+          .agg(max(col("message"))).head().getString(0))
+        .map(_.stripPrefix("watermark="))
+    }
+
+    /** Retention maintenance — the VACUUM face of the batch-partitioned
+      * warehouse: drop the OLDEST batch partitions of a layer table,
+      * keeping the newest `keepLast`. At 100 TB retention is what keeps
+      * a daily-ingest table from growing without bound once downstream
+      * artifacts (MVs, indexes, exports) have consumed the vintage
+      * batches — run it AFTER the consumers' cadence covers them.
+      *
+      * Contract surfaces:
+      *  - the audit plane records one `vacuum` row with
+      *    `watermark=<newest dropped id>`; [[readTableAsOf]] refuses
+      *    snapshots at or below that watermark forever after (a partial
+      *    snapshot is silent corruption; a refusal is a prescription);
+      *  - IDEMPOTENT: a re-run finds nothing below the keep window and
+      *    drops nothing (no audit row either — no-op means no-op);
+      *  - a crash mid-drop is healed by the re-run (deletes are
+      *    per-partition and ordered oldest-first, so the survivor set
+      *    is always a suffix — never a gap);
+      *  - `keepLast >= 1`: vacuuming a table to EMPTY is refused — that
+      *    is a drop-table decision, not retention;
+      *  - replaying a vacuumed batch id re-CREATES its partition (the
+      *    S8 writer is deliberately not guarded — a deliberate re-land
+      *    is the documented recovery path for an over-eager vacuum);
+      *    the AS-OF guard stays conservative regardless.
+      *
+      * @return the dropped batch ids, oldest first
+      */
+    def vacuumBatches(table: String, keepLast: Int): Seq[String] = {
+      require(keepLast >= 1,
+        s"vacuumBatches: keepLast must be >= 1, got $keepLast — " +
+          "vacuuming a table to empty is a drop-table decision, not " +
+          "retention")
+      val root = new java.io.File(s"$warehouse/$table")
+      val parts = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("dwh_batch_id="))
+        .sortBy(_.getName)
+      val drop = parts.dropRight(keepLast)
+      if (drop.isEmpty) Seq.empty
+      else {
+        drop.foreach { d =>
+          Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+          d.delete()
+        }
+        val ids = drop.map(_.getName.stripPrefix("dwh_batch_id=")).toSeq
+        log("vacuum", table, "SUCCESS", drop.length.toLong,
+          s"watermark=${ids.last}")
+        flushAudit()
+        ids
+      }
+    }
+
+    /** [[vacuumBatches]] driven by the config plane: applies the
+      * table's `retention_keep_last` from mv_refresh_config, and is a
+      * NO-OP when none is configured — retention deletes data, so it
+      * is opt-in per table (the ToolsConfig.retentionKeepLast
+      * contract), unlike the refresh cadence's default-1.
+      */
+    def vacuumIfConfigured(table: String): Seq[String] =
+      ToolsConfig.retentionKeepLast(spark, warehouse, table) match {
+        case Some(keep) => vacuumBatches(table, keep)
+        case None => Seq.empty
+      }
 
     /** S11: observed schema of an existing warehouse table. */
     def tableColumns(table: String): Seq[String] =
@@ -789,6 +883,77 @@ object Orchestrator {
     def refreshHitsScoresIfDue(iters: Int = 5): Option[Long] =
       refreshIfDue("indexes/graph_hits_scores", "indexes/graph_edges")(
         note => refreshHitsScores(iters, note))
+
+    /** Triangle counts + local clustering coefficient over the SAME
+      * warehouse edge table — the community-density artifact of the
+      * graph plane (near-clique neighborhoods separate colluding link
+      * farms from organic hubs of equal degree), refreshed with the
+      * [[refreshGraphRanks]] contract verbatim: whole-graph artifact
+      * (one new edge can close triangles anywhere in its endpoints'
+      * neighborhoods), full refresh over the accumulated distinct
+      * edges, failures and successes on the mv_refresh audit plane.
+      * Triangles.localCounts's loud guards (empty graph, NULL
+      * endpoints) fire inside the failure scope.
+      */
+    def refreshTriangleCounts(note: String = ""): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      try {
+        val edges = readTable("indexes/graph_edges")
+          .select(col("src"), col("dst")).distinct()
+        graft.operators.Triangles.localCounts(spark, edges)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$warehouse/indexes/graph_triangle_counts")
+      } catch {
+        case e: Throwable =>
+          log("mv_refresh", "indexes/graph_triangle_counts", "FAILED", 0,
+            String.valueOf(e.getMessage))
+          throw e
+      }
+      val n = obs.get("n").asInstanceOf[Long]
+      log("mv_refresh", "indexes/graph_triangle_counts", "SUCCESS", n, note)
+      n
+    }
+
+    /** [[refreshIfDue]] around [[refreshTriangleCounts]] — the wedge
+      * join is the plane's second-heaviest refresh after the kNN graph,
+      * so it batches over edge landings like the rank fixpoints.
+      */
+    def refreshTriangleCountsIfDue(): Option[Long] =
+      refreshIfDue("indexes/graph_triangle_counts", "indexes/graph_edges")(
+        note => refreshTriangleCounts(note))
+
+    /** k-core membership over the SAME warehouse edge table — the
+      * robust density gate of the graph plane ([[refreshGraphRanks]]
+      * contract verbatim). The peel's loud round cap fires inside the
+      * failure scope: a graph whose cascade outruns `maxRounds` lands
+      * FAILED rather than persisting a SUPERSET of the core.
+      */
+    def refreshKCore(k: Int = 2, maxRounds: Int = 32,
+                     note: String = ""): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      try {
+        val edges = readTable("indexes/graph_edges")
+          .select(col("src"), col("dst")).distinct()
+        graft.operators.KCore.peel(spark, edges, k, maxRounds)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$warehouse/indexes/graph_kcore")
+      } catch {
+        case e: Throwable =>
+          log("mv_refresh", "indexes/graph_kcore", "FAILED", 0,
+            String.valueOf(e.getMessage))
+          throw e
+      }
+      val n = obs.get("n").asInstanceOf[Long]
+      log("mv_refresh", "indexes/graph_kcore", "SUCCESS", n, note)
+      n
+    }
+
+    /** [[refreshIfDue]] around [[refreshKCore]]. */
+    def refreshKCoreIfDue(k: Int = 2, maxRounds: Int = 32): Option[Long] =
+      refreshIfDue("indexes/graph_kcore", "indexes/graph_edges")(
+        note => refreshKCore(k, maxRounds, note))
 
     /** Per-document host-quality gate against the PERSISTED rank table
       * — the table-backed production form of q_graph_host_gate (which

@@ -140,6 +140,34 @@ object ToolsConfig {
     }
   }
 
+  /** Config-driven retention (the Run.vacuumIfConfigured plane): the
+    * mv_refresh_config row for `table` may carry an optional
+    * `retention_keep_last` column. Unlike `refresh_every` there is NO
+    * default — retention deletes data, so a missing file, row or
+    * column means "never vacuum" and the op is a no-op; making
+    * retention opt-in is the difference between a config plane and a
+    * foot-gun. A configured value below 1 fails loudly (vacuuming to
+    * empty is a drop-table decision, the vacuumBatches floor).
+    */
+  def retentionKeepLast(spark: SparkSession, warehouse: String,
+                        table: String): Option[Int] = {
+    val p = mvConfigPath(warehouse)
+    if (!new java.io.File(p).exists()) None
+    else {
+      val keep = spark.read
+        .schema("target_table STRING, retention_keep_last INT").json(p)
+        .collect()
+        .collectFirst {
+          case r if r.getString(0) == table && !r.isNullAt(1) => r.getInt(1)
+        }
+      keep.foreach(k => require(k >= 1,
+        s"retention_keep_last for $table must be >= 1, got $k — " +
+          "vacuuming a table to empty is a drop-table decision, not " +
+          "retention"))
+      keep
+    }
+  }
+
   /** transformation_config rows: bronze→silver steps in file order.
     * `source_config` is the reference's JSONB parameter blob
     * (ddl_tools.sql:22) as a typed map — schema-on-read, so a row can

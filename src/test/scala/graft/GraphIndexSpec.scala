@@ -226,4 +226,57 @@ class GraphIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(b2.refreshHitsScoresIfDue(3).exists(_ > 0L))
     assert(b2.refreshHitsScoresIfDue(3) === None)
   }
+
+  test("triangle and k-core artifacts refresh over the same edge table") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_graphidx4").toString
+    val b1 = new Orchestrator.Run(spark, wh, "B1")
+
+    // build-phase refusals land FAILED (missing edge table)
+    intercept[Exception] { b1.refreshTriangleCounts() }
+    intercept[Exception] { b1.refreshKCore() }
+    assert(Seq("indexes/graph_triangle_counts", "indexes/graph_kcore")
+      .forall(t => b1.auditLog.exists(l =>
+        l.step == "mv_refresh" && l.target == t && l.status == "FAILED")))
+
+    // two landings with a cross-batch duplicate: a triangle abc, a
+    // pendant d — the refresh computes over the DISTINCT union
+    b1.indexGraphBatch(Seq(("a", "b"), ("b", "c")).toDF("src", "dst"))
+    val b2 = new Orchestrator.Run(spark, wh, "B2")
+    b2.indexGraphBatch(Seq(("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst"))
+    val union = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+
+    assert(b2.refreshTriangleCounts() === 4L)
+    val triDirect = graft.operators.Triangles
+      .localCounts(spark, union.toDF("src", "dst"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(spark.read.parquet(s"$wh/indexes/graph_triangle_counts")
+      .as[(String, Long, Long, Long)].collect().toSet === triDirect)
+
+    // k=2 core: pendant d peels, the triangle survives
+    assert(b2.refreshKCore(k = 2) === 3L)
+    val coreTable = spark.read.parquet(s"$wh/indexes/graph_kcore")
+      .as[(String, Long, Long)].collect().toSet
+    assert(coreTable.map(_._1) === Set("a", "b", "c"))
+    assert(coreTable === graft.operators.KCore
+      .peel(spark, union.toDF("src", "dst"), 2, 8)
+      .as[(String, Long, Long)].collect().toSet)
+
+    // the peel's loud round cap lands FAILED, never a superset table:
+    // peeling d needs a drop round + a confirm round, so cap=1 is hit
+    intercept[Exception] { b2.refreshKCore(k = 2, maxRounds = 1) }
+    assert(b2.auditLog.exists(l =>
+      l.step == "mv_refresh" && l.target == "indexes/graph_kcore"
+        && l.status == "FAILED" && l.message.contains("SUPERSET")))
+    assert(spark.read.parquet(s"$wh/indexes/graph_kcore")
+      .as[(String, Long, Long)].collect().toSet === coreTable,
+      "a failed refresh must leave the previous artifact intact")
+
+    // both ride the cadence plane with their own covers= markers
+    b2.flushAudit()
+    assert(b2.refreshTriangleCountsIfDue().exists(_ > 0L))
+    assert(b2.refreshTriangleCountsIfDue() === None)
+    assert(b2.refreshKCoreIfDue().exists(_ > 0L))
+    assert(b2.refreshKCoreIfDue() === None)
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.run.Orchestrator
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retention (vacuumBatches) + the AS-OF retention guard: dropped
+  * vintages disappear from full reads, snapshots at or below the
+  * watermark refuse with the prescription, re-vacuum is a no-op, and
+  * the keepLast floor refuses table-emptying "retention".
+  */
+class VacuumSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def land(wh: String, id: String, v: Long): Orchestrator.Run = {
+    val run = new Orchestrator.Run(spark, wh, id)
+    run.writeBatch(Seq((v, s"row$v")).toDF("k", "s"), "bronze/t")
+    run
+  }
+
+  test("vacuum drops oldest vintages; AS-OF refuses below the watermark") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    land(wh, "B1", 1L); land(wh, "B2", 2L)
+    val r3 = land(wh, "B3", 3L)
+
+    assert(r3.vacuumBatches("bronze/t", keepLast = 2) === Seq("B1"))
+    // full read sees exactly the survivors
+    assert(r3.readTable("bronze/t").select("k").as[Long].collect().toSet
+      === Set(2L, 3L))
+    // snapshots above the watermark still work and are exact
+    assert(r3.readTableAsOf("bronze/t", "B2").select("k")
+      .as[Long].collect().toSet === Set(2L))
+    // at or below the watermark: loud refusal, not a partial snapshot
+    val e = intercept[IllegalArgumentException] {
+      r3.readTableAsOf("bronze/t", "B1")
+    }
+    assert(e.getMessage.contains("PARTIAL") && e.getMessage.contains("B1"),
+      e.getMessage)
+
+    // idempotent: nothing below the keep window -> no-op, no new row
+    val auditRows = spark.read.parquet(s"$wh/tools/audit_log")
+      .where("step = 'vacuum'").count()
+    assert(r3.vacuumBatches("bronze/t", keepLast = 2) === Seq.empty)
+    assert(spark.read.parquet(s"$wh/tools/audit_log")
+      .where("step = 'vacuum'").count() === auditRows)
+
+    // a second vacuum advances the watermark and the guard follows
+    assert(r3.vacuumBatches("bronze/t", keepLast = 1) === Seq("B2"))
+    intercept[IllegalArgumentException] {
+      r3.readTableAsOf("bronze/t", "B2")
+    }
+    assert(r3.readTableAsOf("bronze/t", "B3").select("k")
+      .as[Long].collect().toSet === Set(3L))
+  }
+
+  test("keepLast floor: vacuuming a table to empty is refused") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac2").toString
+    val r = land(wh, "B1", 1L)
+    val e = intercept[IllegalArgumentException] {
+      r.vacuumBatches("bronze/t", keepLast = 0)
+    }
+    assert(e.getMessage.contains("drop-table"), e.getMessage)
+    assert(r.readTable("bronze/t").count() === 1L, "nothing was dropped")
+  }
+
+  test("config-driven retention: opt-in per table, loud on a bad value") {
+    import graft.run.ToolsConfig
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac4").toString
+    land(wh, "B1", 1L); land(wh, "B2", 2L)
+    val r3 = land(wh, "B3", 3L)
+    // retention is OPT-IN: no config plane / no row -> strict no-op
+    assert(r3.vacuumIfConfigured("bronze/t") === Seq.empty)
+    assert(r3.readTable("bronze/t").count() === 3L)
+    ToolsConfig.writeConfigFile(ToolsConfig.mvConfigPath(wh), Seq(
+      """{"target_table":"bronze/t","retention_keep_last":2}""",
+      """{"target_table":"bronze/u","retention_keep_last":0}"""))
+    assert(r3.vacuumIfConfigured("bronze/t") === Seq("B1"))
+    assert(r3.readTable("bronze/t").count() === 2L)
+    // a configured value below the floor is a config error, not a wipe
+    val e = intercept[IllegalArgumentException] {
+      ToolsConfig.retentionKeepLast(spark, wh, "bronze/u")
+    }
+    assert(e.getMessage.contains("drop-table"), e.getMessage)
+  }
+
+  test("a deliberate re-land resurrects a vacuumed vintage (S8 recovery)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac3").toString
+    land(wh, "B1", 1L)
+    val r2 = land(wh, "B2", 2L)
+    r2.vacuumBatches("bronze/t", keepLast = 1)
+    land(wh, "B1", 1L) // the documented recovery path
+    assert(r2.readTable("bronze/t").select("k").as[Long].collect().toSet
+      === Set(1L, 2L))
+    // the AS-OF guard stays conservative: the watermark does not
+    // un-advance just because the data came back
+    intercept[IllegalArgumentException] {
+      r2.readTableAsOf("bronze/t", "B1")
+    }
+  }
+}
