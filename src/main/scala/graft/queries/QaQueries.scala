@@ -16,6 +16,39 @@ import org.apache.spark.sql.types._
 object QaQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
+    // Whole-table column profiler — the ANALYZE TABLE face every
+    // warehouse needs before trusting a new feed: per column, row/
+    // filled/null counts, EXACT distinct cardinality, and min/max.
+    // Shape: melt to (col_name, val) via one stack projection (k x
+    // rows, map-side only — never k table scans), then ONE two-phase
+    // distinct aggregate keyed by col_name; the distinct phase's key
+    // space is Σ per-column NDV, so the shuffle is cardinality-sized,
+    // not corpus-sized. Cross-engine string discipline: values profile
+    // as strings (min/max are lexicographic BY CONTRACT — a profile
+    // compares feeds, not arithmetic), longs/dates stringify
+    // identically everywhere, and the money double goes through
+    // DECIMAL(12,2) first because raw double stringification is the
+    // one cast the engines render differently.
+    "q_profile_table" -> ((s, dir) => {
+      t(s, dir, "orders").select(expr(
+        """stack(6,
+             'o_orderkey',     CAST(o_orderkey AS STRING),
+             'o_custkey',      CAST(o_custkey AS STRING),
+             'o_orderstatus',  o_orderstatus,
+             'o_orderpriority', o_orderpriority,
+             'o_orderdate',    CAST(CAST(o_orderdate AS DATE) AS STRING),
+             'o_totalprice',   CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                    AS STRING)
+           ) AS (col_name, val)"""))
+        .groupBy(col("col_name"))
+        .agg(cnt.as("n_rows"),
+          count(col("val")).cast(LongType).as("n_filled"),
+          countDistinct(col("val")).cast(LongType).as("n_distinct"),
+          min(col("val")).as("min_str"),
+          max(col("val")).as("max_str"))
+        .withColumn("n_null", col("n_rows") - col("n_filled"))
+    }),
+
     // P10 + F3/F4/F5/F6: LIKE-prefix filter with prefix strip, dash
     // removal, length and concat — the erp_cust_az12 'NAS%' shape.
     // Ref: tools.load_erp_cust_az12_v1.sql:72-75, tools.load_erp_loc_a101_v1.sql:71
@@ -147,6 +180,28 @@ object QaQueries extends QueryPack {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile_table" ->
+      """WITH m AS (
+           SELECT 'o_orderkey' AS col_name,
+                  CAST(o_orderkey AS VARCHAR) AS val FROM orders
+           UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+           FROM orders
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL SELECT 'o_orderdate',
+                  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_totalprice',
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+           FROM orders)
+         SELECT col_name,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(val) AS BIGINT) AS n_filled,
+                CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+                MIN(val) AS min_str,
+                MAX(val) AS max_str,
+                CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_null
+         FROM m GROUP BY col_name""",
+
     "q_like_prefix_strip" ->
       """SELECT p_partkey, p_type,
                 SUBSTRING(p_type, 7, 60) AS type_rest,

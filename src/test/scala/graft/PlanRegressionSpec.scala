@@ -87,6 +87,36 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles(plan("q_graph_hits")) <= 6, plan("q_graph_hits"))
   }
 
+  test("r17 graph rows: triangles checkpointed; kcore reads the fixpoint") {
+    // Triangles.localCounts returns an eager localCheckpoint (the
+    // orientation + wedge join already ran, skew-bounded by the
+    // degree order), so the registered frame is a zero-exchange scan
+    assert(shuffles(plan("q_graph_triangles")) === 0)
+    // KCore.peel ditto: the peel loop materialized per round
+    assert(shuffles(plan("q_graph_kcore")) === 0)
+  }
+
+  test("q_events_gapfill: bounded grid, broadcast bounds, one event shuffle") {
+    // allowed exchanges: the (type, hour) aggregate over the events
+    // (the ONLY event-sized shuffle), the distinct-type aggregate, and
+    // the grid-sized exchanges for the left join + forward-fill window
+    // (|types| x |hours| rows); the 1-row bounds frame must broadcast
+    val p = plan("q_events_gapfill")
+    assert(shuffles(p) <= 6, p.take(2000))
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row hour-bounds frame must broadcast into the grid build")
+  }
+
+  test("q_sim_ann_sq: memoized coded corpus, broadcast probes, one rank pass") {
+    // the SQ8 coding (stats aggregate + re-assembly shuffle) is a
+    // memoized eager checkpoint, so the visible plan is the search
+    // only: the probe sample ships as a broadcast and the sole
+    // exchanges are the per-query rank window's — never corpus-keyed
+    val p = plan("q_sim_ann_sq")
+    assert(shuffles(p) <= 2, p.take(2000))
+    assert(p.contains("BroadcastExchange"), "probe sample must broadcast")
+  }
+
   test("q_sim_knn_graph: bounded candidate shuffles, broadcast centroids") {
     // allowed exchanges: the all-vector assignment aggregate, the probe
     // rank window, the candidate join, the two rerank vector joins and
