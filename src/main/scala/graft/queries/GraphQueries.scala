@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.operators.{ConnectedComponents, FuzzyJoin, Hits, KCore, PageRank, Triangles}
+import graft.operators.{ConnectedComponents, FuzzyJoin, Hits, KCore, LabelPropagation, PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,6 +40,27 @@ object GraphQueries extends QueryPack {
   private val PageRankIters = 5
   private val HitsIters = 3
   private val KCoreK = 2
+
+  /** Fixed synchronous LPA rounds for q_graph_lpa — both engines
+    * unroll the same 4 (the PageRank fixed-iteration discipline;
+    * synchronous LPA may oscillate, so the row reports round 4's
+    * labeling, not a fixpoint claim).
+    */
+  private val LpaRounds = 4
+
+  /** The residue-structured host graph shared by q_graph_triangles
+    * and q_graph_lpa: nodes h0..h28 from doc_id residues, edge rule
+    * (a+b)%3=0 — triangles concentrate in the ≡0 class and the three
+    * residue classes form the community structure.
+    */
+  private def triangleFixtureEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "documents").select(
+      (col("doc_id") % 29).as("a"),
+      (expr("doc_id div 29") % 29).as("b"))
+    p.where(col("a") =!= col("b") && (col("a") + col("b")) % 3 === 0)
+      .select(concat(lit("h"), col("a").cast(StringType)).as("src"),
+        concat(lit("h"), col("b").cast(StringType)).as("dst"))
+  }
 
   /** Loud peel-round cap for the registered k-core row AND the round
     * count the DuckDB oracle unrolls — the fixture's longest cascade is
@@ -388,16 +409,18 @@ object GraphQueries extends QueryPack {
     // is exactly the link-farm-vs-hub distinction the operator exists
     // to draw. Oracle = the plain u<v<w three-way self-join; the
     // orientation must be invisible in the rows.
-    "q_graph_triangles" -> ((s, dir) => {
-      val p = t(s, dir, "documents").select(
-        (col("doc_id") % 29).as("a"),
-        (expr("doc_id div 29") % 29).as("b"))
-      val edges = p
-        .where(col("a") =!= col("b") && (col("a") + col("b")) % 3 === 0)
-        .select(concat(lit("h"), col("a").cast(StringType)).as("src"),
-          concat(lit("h"), col("b").cast(StringType)).as("dst"))
-      Triangles.localCounts(s, edges)
-    }),
+    "q_graph_triangles" -> ((s, dir) =>
+      Triangles.localCounts(s, triangleFixtureEdges(s, dir))),
+
+    // Synchronous label-propagation communities
+    // (operators/LabelPropagation, fixed 4 rounds) on the same
+    // residue-structured host graph: components would report ONE blob
+    // (the graph is connected), LPA recovers the three residue-class
+    // communities (the ≡0 clique block and the 1/2 bipartite halves) —
+    // the mirror-farm/topic-pocket signal inside a single crawl
+    // component. Oracle = the identical 4 unrolled synchronous rounds.
+    "q_graph_lpa" -> ((s, dir) =>
+      LabelPropagation.run(s, triangleFixtureEdges(s, dir), LpaRounds)),
 
     // k-core membership (operators/KCore: synchronous peel to
     // fixpoint) on a fixture built to exercise the CASCADE that makes
@@ -506,6 +529,39 @@ object GraphQueries extends QueryPack {
          SELECT 'n' || CAST(a.node AS VARCHAR) AS node,
                 f.deg AS deg_full, a.deg AS deg_core
          FROM a_$KCoreMaxRounds a JOIN degf f ON f.node = a.node"""
+  }
+
+  /** Unrolled synchronous LPA rounds (the kcoreOracle discipline —
+    * MATERIALIZED per round; counts and string ordering only, so the
+    * compare is bit-level). Edge CTE mirrors [[triangleFixtureEdges]].
+    */
+  private val lpaOracle: String = {
+    def round(r: Int): String =
+      s""",
+         c_$r AS MATERIALIZED (
+           SELECT a.node, l.community, COUNT(*) AS cnt
+           FROM adj a JOIN l_${r - 1} l ON l.node = a.nbr
+           GROUP BY a.node, l.community),
+         l_$r AS MATERIALIZED (
+           SELECT node, community FROM (
+             SELECT node, community,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                      ORDER BY cnt DESC, community) AS rn
+             FROM c_$r) WHERE rn = 1)"""
+    s"""WITH p AS (SELECT doc_id % 29 AS a, (doc_id // 29) % 29 AS b
+                   FROM documents),
+         e AS MATERIALIZED (
+           SELECT DISTINCT 'h' || CAST(LEAST(a, b) AS VARCHAR) AS u,
+                  'h' || CAST(GREATEST(a, b) AS VARCHAR) AS v
+           FROM p WHERE a <> b AND (a + b) % 3 = 0),
+         adj AS MATERIALIZED (
+           SELECT u AS node, v AS nbr FROM e
+           UNION ALL SELECT v AS node, u AS nbr FROM e),
+         l_0 AS MATERIALIZED (
+           SELECT DISTINCT node, node AS community FROM adj)""" +
+      (1 to LpaRounds).map(round).mkString +
+      s"""
+         SELECT node, community FROM l_$LpaRounds"""
   }
 
   private val pageRankOracle: String = {
@@ -772,6 +828,8 @@ object GraphQueries extends QueryPack {
          FROM deg d LEFT JOIN tc t ON t.n = d.n""",
 
     "q_graph_kcore" -> kcoreOracle,
+
+    "q_graph_lpa" -> lpaOracle,
 
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_pagerank_weighted" -> pageRankWeightedOracle,
