@@ -85,6 +85,46 @@ object AggQueries extends QueryPack {
     // A1: TPC-H Q1-style pricing summary (hash group-by + multiple SUMs,
     // derived-expression sums, COUNT).
     // Ref: sql/gold/materialized_view.sql:2-12
+    // Pearson correlation matrix over the pricing columns — the
+    // feature-analysis pass a training pipeline runs before feeding a
+    // model (collinear features, leakage checks). Cross-engine float
+    // discipline: the textbook corr of doubles is summation-order-
+    // dependent, so every sufficient statistic is an EXACT Decimal(38)
+    // sum of per-row integer products (quantity is integral, price in
+    // cents, discount in basis points — the FLOOR(x*100) quantization);
+    // corr then needs exactly three IEEE ops per pair (two sqrt, one
+    // divide) after the correctly-rounded decimal→double conversions —
+    // the dsum discipline extended from sums to second moments. ONE
+    // map-side-combinable aggregate over the table; the matrix math
+    // happens on the single stats row.
+    "q_agg_correlations" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      def d(c: String) = col(c).cast(D)
+      val q = t(s, dir, "lineitem").select(
+        expr("CAST(FLOOR(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").as("y"),
+        expr("CAST(FLOOR(l_discount * 100) AS BIGINT)").as("z"))
+      val a = q.agg(
+        cnt.cast(D).as("n"),
+        sum(d("x")).as("sx"), sum(d("y")).as("sy"), sum(d("z")).as("sz"),
+        sum(d("x") * d("x")).as("sxx"), sum(d("y") * d("y")).as("syy"),
+        sum(d("z") * d("z")).as("szz"),
+        sum(d("x") * d("y")).as("sxy"), sum(d("x") * d("z")).as("sxz"),
+        sum(d("y") * d("z")).as("syz"))
+      def corr(sab: String, a1: String, b1: String,
+               saa: String, sbb: String) =
+        (col(sab).cast(D) * col("n") - col(a1) * col(b1))
+          .cast(DoubleType) /
+          (sqrt((col(saa) * col("n") - col(a1) * col(a1))
+            .cast(DoubleType))
+            * sqrt((col(sbb) * col("n") - col(b1) * col(b1))
+              .cast(DoubleType)))
+      a.select(col("n").cast(LongType).as("n_rows"),
+        corr("sxy", "sx", "sy", "sxx", "syy").as("corr_qty_price"),
+        corr("sxz", "sx", "sz", "sxx", "szz").as("corr_qty_disc"),
+        corr("syz", "sy", "sz", "syy", "szz").as("corr_price_disc"))
+    }),
+
     "q_agg_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
@@ -606,6 +646,35 @@ object AggQueries extends QueryPack {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus""",
+    // HUGEINT (int128) mirrors the Decimal(38,0) sufficient statistics
+    // exactly; the same two-sqrt-one-divide tail follows the same
+    // correctly-rounded int→double conversions
+    "q_agg_correlations" ->
+      """WITH q AS (
+           SELECT CAST(FLOOR(l_quantity) AS HUGEINT) AS x,
+                  CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) AS y,
+                  CAST(FLOOR(l_discount * 100) AS HUGEINT) AS z
+           FROM lineitem),
+         a AS (
+           SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+                  SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(z*z) AS szz,
+                  SUM(x*y) AS sxy, SUM(x*z) AS sxz, SUM(y*z) AS syz
+           FROM q)
+         SELECT CAST(n AS BIGINT) AS n_rows,
+                CAST(sxy*n - sx*sy AS DOUBLE)
+                  / (SQRT(CAST(sxx*n - sx*sx AS DOUBLE))
+                     * SQRT(CAST(syy*n - sy*sy AS DOUBLE)))
+                  AS corr_qty_price,
+                CAST(sxz*n - sx*sz AS DOUBLE)
+                  / (SQRT(CAST(sxx*n - sx*sx AS DOUBLE))
+                     * SQRT(CAST(szz*n - sz*sz AS DOUBLE)))
+                  AS corr_qty_disc,
+                CAST(syz*n - sy*sz AS DOUBLE)
+                  / (SQRT(CAST(syy*n - sy*sy AS DOUBLE))
+                     * SQRT(CAST(szz*n - sz*sz AS DOUBLE)))
+                  AS corr_price_disc
+         FROM a""",
     "q_agg_customer_sales" ->
       """SELECT c_mktsegment, c_custkey,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
