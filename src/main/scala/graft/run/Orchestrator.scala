@@ -502,6 +502,18 @@ object Orchestrator {
         s"vacuumBatches: keepLast must be >= 1, got $keepLast — " +
           "vacuuming a table to empty is a drop-table decision, not " +
           "retention")
+      // the compactBatches refusal, for the same reason: a
+      // catalog-registered bucketed table keeps partition metadata in
+      // the metastore, and a directory delete underneath it strands
+      // that metadata pointing at vanished files
+      val name = catalogName(table)
+      val bucketed = spark.catalog.tableExists(name) &&
+        spark.sql(s"DESC FORMATTED $name").collect()
+          .exists(r => r.getString(0).trim == "Num Buckets")
+      require(!bucketed,
+        s"$table is a catalog-registered bucketed table — vacuum its " +
+          "partitions through the catalog (ALTER TABLE DROP PARTITION), " +
+          "not a directory delete the metastore cannot see")
       val root = new java.io.File(s"$warehouse/$table")
       val parts = Option(root.listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.startsWith("dwh_batch_id="))

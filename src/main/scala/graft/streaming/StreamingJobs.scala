@@ -266,11 +266,17 @@ object StreamingJobs {
   /** The read view over [[gapfillCellSink]]'s landed partials: merge
     * to final cells (one SUM per (type, hour)), then the shared fill.
     */
-  def gapfillView(spark: SparkSession, warehouse: String): DataFrame =
+  def gapfillView(spark: SparkSession, warehouse: String): DataFrame = {
+    val path = s"$warehouse/silver/events_hourly_cells"
+    require(new java.io.File(path).exists(),
+      s"gapfillView: no hourly-cell table at $path — run gapfillCellSink " +
+        "(or land cells in batch) before reading the filled grid; an " +
+        "empty-grid fallback would be indistinguishable from a dead feed")
     graft.queries.EventQueries.gapfillOf(
-      spark.read.parquet(s"$warehouse/silver/events_hourly_cells")
+      spark.read.parquet(path)
         .groupBy(col("event_type"), col("hour_id"))
         .agg(sum(col("cents")).as("cents")))
+  }
 
   /** Streaming CDC apply: drain a change stream into a key-bucketed
     * SCD2 dim (Orchestrator.mergeScd2). Each micro-batch first

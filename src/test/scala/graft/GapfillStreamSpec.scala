@@ -84,6 +84,15 @@ class GapfillStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(r => r._4 && r._3.isEmpty), "leading NULL")
   }
 
+  test("the read view refuses a missing cell table with a prescription") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_gapfill_nf").toString
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.gapfillView(spark, wh)
+    }
+    assert(e.getMessage.contains("gapfillCellSink"), e.getMessage)
+  }
+
   test("checkpoint restart lands only new data; no double counting") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

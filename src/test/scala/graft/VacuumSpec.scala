@@ -83,6 +83,17 @@ class VacuumSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("drop-table"), e.getMessage)
   }
 
+  test("catalog-registered bucketed tables refuse directory vacuum") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac5").toString
+    val r1 = new Orchestrator.Run(spark, wh, "B1")
+    r1.writeBucketedBatch(Seq((1L, "a")).toDF("k", "s"),
+      "gold/t_bkt", Seq("k"), 2)
+    val e = intercept[IllegalArgumentException] {
+      r1.vacuumBatches("gold/t_bkt", keepLast = 1)
+    }
+    assert(e.getMessage.contains("metastore"), e.getMessage)
+  }
+
   test("a deliberate re-land resurrects a vacuumed vintage (S8 recovery)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_vac3").toString
     land(wh, "B1", 1L)
