@@ -77,9 +77,11 @@ object KCore {
           .unionAll(ae.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       }
-      val degFull = degAmong(
-        canon.select(col("u").as("node"))
-          .unionAll(canon.select(col("v").as("node"))).distinct())
+      // full-graph degrees need no aliveness filter — one direct
+      // aggregate over the canonical edge endpoints
+      val degFull = canon.select(col("u").as("node"))
+        .unionAll(canon.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       // peel: survivors(r) = nodes with deg >= k among survivors(r-1);
       // the set only shrinks, so equal counts mean equal sets — the

@@ -71,6 +71,7 @@ object Triangles {
       .unionAll(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .persist()
+    var oriented: DataFrame = null
     try {
       // orient each edge from the (deg, node)-smaller endpoint to the
       // larger; carry the head's degree so wedges can order their legs
@@ -80,10 +81,14 @@ object Triangles {
         .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       val uFirst = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
-      val oriented = ed.select(
+      // persisted: three consumers below (both wedge legs + the
+      // closing-edge probe) would otherwise re-run the two degree
+      // joins each
+      oriented = ed.select(
         when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, col("v")).otherwise(col("u")).as("b"),
         when(uFirst, col("dv")).otherwise(col("du")).as("db"))
+        .persist()
       // wedges (a→b1, a→b2) with b1 below b2 in the orientation order;
       // the closing edge, if present, is oriented b1→b2 by construction
       val o1 = oriented.select(col("a"), col("b").as("b1"),
@@ -108,6 +113,12 @@ object Triangles {
               "div (deg * (deg - 1))"))
             .otherwise(lit(0L)).as("lcc_ppm"))
         .localCheckpoint()
-    } finally { canon.unpersist(); deg.unpersist() }
+    } finally {
+      // the eager localCheckpoint above already materialized through
+      // every cache, so nothing is recomputed by releasing them here —
+      // and a guard failure releases whatever was built before it
+      canon.unpersist(); deg.unpersist()
+      if (oriented != null) oriented.unpersist()
+    }
   }
 }
