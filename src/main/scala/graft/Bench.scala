@@ -98,7 +98,14 @@ object Bench {
     "q_scan_excel_many", "q_graph_hits", "q_dedup_knn_mutual",
     "q_dedup_semantic_incremental",
     // r17 row: tracked from day one
-    "q_dedup_semantic_incr_probe_eval")
+    "q_dedup_semantic_incr_probe_eval",
+    // r17 second wave: tracked from day one (kcore/triangles are the
+    // heaviest of the wave — the r13 lesson says they join the scaling
+    // subset immediately)
+    "q_graph_triangles", "q_graph_kcore", "q_graph_lpa",
+    "q_events_gapfill", "q_sim_ann_sq", "q_sim_ann_sq_recall",
+    "q_multimodal_audio_energy", "q_profile_table",
+    "q_agg_correlations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,10 +96,14 @@ object KCore {
           s"KCore: no fixpoint after $maxRounds peel rounds " +
             s"($aliveN nodes still alive) — a capped result would be a " +
             "SUPERSET of the k-core; raise maxRounds for this cascade")
+        // one job per round: the survivor count rides the checkpoint
+        // materialization as an Observation instead of a second action
+        val obs = org.apache.spark.sql.Observation()
         val next = degAmong(survivors)
           .where(col("deg") >= k)
+          .observe(obs, count(lit(1)).as("n"))
           .localCheckpoint()
-        val n = next.count()
+        val n = obs.get("n").asInstanceOf[Long]
         converged = n == aliveN || n == 0L
         survivors = next
         aliveN = n
