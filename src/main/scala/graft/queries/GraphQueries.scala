@@ -48,6 +48,61 @@ object GraphQueries extends QueryPack {
     */
   private val LpaRounds = 4
 
+  /** Link-farm gate cuts: flag a host when its neighborhood is both
+    * LARGE (deg ≥ 4) and DENSE (lcc ≥ 0.5 in ppm) — the
+    * colluding-ring signature. Shared by all three gate faces.
+    */
+  private[graft] val LinkFarmMinDeg = 4L
+  private[graft] val LinkFarmMinLccPpm = 500000L
+
+  /** SOURCE-level link graph for the link-farm gate: nodes are the
+    * documents' actual `source` values (source = src<doc_id%20> on
+    * this fixture), edges pair each source with a second residue
+    * stream under the (a+b)%3=0 rule — the ≡0 class forms the clique
+    * ring, the other classes stay triangle-free at equal degree.
+    * Mirrored verbatim in the q_graph_linkfarm_gate oracle.
+    */
+  private def sourceLinkEdges(s: SparkSession, dir: String): DataFrame = {
+    val a = col("doc_id") % 20
+    val b = expr("doc_id div 20") % 20
+    t(s, dir, "documents")
+      .where(a =!= b && (a + b) % 3 === 0)
+      .select(col("source").as("src"),
+        concat(lit("src"), b.cast(StringType)).as("dst"))
+  }
+
+  /** Per-(session, SF) memo of the source-graph triangle counts the
+    * registered gate row probes — the stand-in for the PERSISTED
+    * indexes/graph_triangle_counts artifact the table face reads
+    * (the hostRanks discipline: the driver contract gives the row no
+    * warehouse).
+    */
+  private val sourceTriMemo = new SessionMemo[String, DataFrame]()
+
+  private[graft] def sourceTriangleCounts(s: SparkSession,
+                                          dir: String): DataFrame =
+    sourceTriMemo.get(s, dir) {
+      Triangles.localCounts(s, sourceLinkEdges(s, dir))
+    }
+
+  /** ONE link-farm gate definition for the batch row, the
+    * table-backed form and the streaming face: broadcast the (graph-
+    * sized) triangle-count table, left-join on the document's source,
+    * surface unknown hosts as known_host=false (never a silent drop),
+    * flag iff the neighborhood is large AND dense. Map-side after the
+    * broadcast join — works unchanged on a streaming frame.
+    */
+  private[graft] def linkFarmGateOf(docs: DataFrame,
+                                    tri: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(tri.select(col("node").as("source"), col("deg"),
+        col("lcc_ppm"))), Seq("source"), "left")
+      .select(col("doc_id"), col("source").as("host"),
+        col("deg"), col("lcc_ppm"),
+        col("lcc_ppm").isNotNull.as("known_host"),
+        coalesce(col("deg") >= LinkFarmMinDeg
+          && col("lcc_ppm") >= LinkFarmMinLccPpm, lit(false)).as("flagged"))
+
   /** The residue-structured host graph shared by q_graph_triangles
     * and q_graph_lpa: nodes h0..h28 from doc_id residues, edge rule
     * (a+b)%3=0 — triangles concentrate in the ≡0 class and the three
@@ -411,6 +466,23 @@ object GraphQueries extends QueryPack {
     // orientation must be invisible in the rows.
     "q_graph_triangles" -> ((s, dir) =>
       Triangles.localCounts(s, triangleFixtureEdges(s, dir))),
+
+    // Link-farm gate — the triangle plane's production consumer: a
+    // host with MANY links (high degree) whose neighbors also all link
+    // each other (lcc near 10^6 ppm) is a colluding ring, not an
+    // organic hub; raw degree cannot draw that line, the clustering
+    // coefficient can. ONE gate definition (linkFarmGateOf) serves
+    // this row, the table form (Orchestrator
+    // .linkFarmGateAgainstTriangles over the persisted
+    // graph_triangle_counts artifact) and the streaming face
+    // (StreamingJobs.linkFarmGateStream), so the three cannot drift —
+    // the hostGateOf discipline. On this fixture the ≡0 residue
+    // sources form the clique ring and get flagged; the bipartite
+    // classes keep identical DEGREES but zero triangles and pass.
+    "q_graph_linkfarm_gate" -> ((s, dir) =>
+      linkFarmGateOf(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        sourceTriangleCounts(s, dir))),
 
     // Synchronous label-propagation communities
     // (operators/LabelPropagation, fixed 4 rounds) on the same
@@ -830,6 +902,39 @@ object GraphQueries extends QueryPack {
     "q_graph_kcore" -> kcoreOracle,
 
     "q_graph_lpa" -> lpaOracle,
+
+    // the plain u<v<w triangle count over the SOURCE graph + the gate
+    // join — the Spark side's memoized artifact and degree orientation
+    // must both be invisible in the rows
+    "q_graph_linkfarm_gate" ->
+      s"""WITH p AS (SELECT doc_id % 20 AS a, (doc_id // 20) % 20 AS b
+                     FROM documents),
+         e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+               FROM p WHERE a <> b AND (a + b) % 3 = 0),
+         tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                 FROM e e1 JOIN e e2 ON e2.u = e1.v
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pn AS (SELECT x AS n FROM tri
+                UNION ALL SELECT y AS n FROM tri
+                UNION ALL SELECT z AS n FROM tri),
+         tc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+                FROM pn GROUP BY n),
+         dg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+                GROUP BY n),
+         cnts AS (
+           SELECT 'src' || CAST(d.n AS VARCHAR) AS source, d.deg,
+                  CAST(CASE WHEN d.deg >= 2
+                       THEN (2 * COALESCE(t.tri_cnt, 0) * 1000000)
+                            // (d.deg * (d.deg - 1))
+                       ELSE 0 END AS BIGINT) AS lcc_ppm
+           FROM dg d LEFT JOIN tc t ON t.n = d.n)
+         SELECT doc.doc_id, doc.source AS host, c.deg, c.lcc_ppm,
+                c.lcc_ppm IS NOT NULL AS known_host,
+                COALESCE(c.deg >= $LinkFarmMinDeg
+                         AND c.lcc_ppm >= $LinkFarmMinLccPpm, FALSE)
+                  AS flagged
+         FROM documents doc LEFT JOIN cnts c ON c.source = doc.source""",
 
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_pagerank_weighted" -> pageRankWeightedOracle,

@@ -967,6 +967,23 @@ object Orchestrator {
       refreshIfDue("indexes/graph_kcore", "indexes/graph_edges")(
         note => refreshKCore(k, maxRounds, note))
 
+    /** Per-document link-farm gate against the PERSISTED triangle
+      * table — the table-backed production form of
+      * q_graph_linkfarm_gate, through the ONE shared gate definition
+      * (GraphQueries.linkFarmGateOf) so the faces cannot drift. A
+      * missing artifact fails loudly with the refresh prescription
+      * (the hostGateAgainstRanks contract) — an empty-join gate would
+      * silently pass every document.
+      */
+    def linkFarmGateAgainstTriangles(docs: DataFrame): DataFrame = {
+      val path = s"$warehouse/indexes/graph_triangle_counts"
+      require(new java.io.File(path).exists(),
+        s"triangle-count table missing at $path — land edges via " +
+          "indexGraphBatch and run refreshTriangleCounts before gating")
+      graft.queries.GraphQueries.linkFarmGateOf(
+        docs, spark.read.parquet(path))
+    }
+
     /** Per-document host-quality gate against the PERSISTED rank table
       * — the table-backed production form of q_graph_host_gate (which
       * memoizes the same ranks because the driver contract gives it no

@@ -719,6 +719,16 @@ object StreamingJobs {
   def hostGateStream(docs: DataFrame, hostRanks: DataFrame): DataFrame =
     graft.queries.GraphQueries.hostGateOf(docs, hostRanks)
 
+  /** Stateless per-document link-farm gate over a streaming document
+    * frame against the static (persisted) triangle-count table — the
+    * hostGateStream shape on the community-density signal: broadcast
+    * join + map-side verdicts, so the gate works unchanged in a
+    * micro-batch pipeline with zero state and zero watermark loss.
+    */
+  def linkFarmGateStream(docs: DataFrame,
+                         triangleCounts: DataFrame): DataFrame =
+    graft.queries.GraphQueries.linkFarmGateOf(docs, triangleCounts)
+
   case class PendingProbe(event_id: Long, tsMicros: Long)
   case class Conversion(event_id: Long, user_id: Long, ts: Timestamp,
                         converted: Boolean,

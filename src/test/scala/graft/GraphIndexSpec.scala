@@ -237,6 +237,13 @@ class GraphIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(Seq("indexes/graph_triangle_counts", "indexes/graph_kcore")
       .forall(t => b1.auditLog.exists(l =>
         l.step == "mv_refresh" && l.target == t && l.status == "FAILED")))
+    // gating before the artifact exists: loud prescription, never an
+    // empty-join pass-everything gate
+    val ge = intercept[IllegalArgumentException] {
+      b1.linkFarmGateAgainstTriangles(
+        Seq((1L, "a")).toDF("doc_id", "source"))
+    }
+    assert(ge.getMessage.contains("refreshTriangleCounts"), ge.getMessage)
 
     // two landings with a cross-batch duplicate: a triangle abc, a
     // pendant d — the refresh computes over the DISTINCT union
@@ -252,6 +259,17 @@ class GraphIndexSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(spark.read.parquet(s"$wh/indexes/graph_triangle_counts")
       .as[(String, Long, Long, Long)].collect().toSet === triDirect)
+
+    // the table-backed gate reads the persisted counts through the ONE
+    // shared definition: known hosts carry their stats, an unseen host
+    // surfaces as known_host=false (this tiny graph stays under the
+    // deg >= 4 flag cut, so every verdict is an explicit non-flag)
+    val gate = b2.linkFarmGateAgainstTriangles(
+        Seq((1L, "a"), (2L, "d"), (3L, "zzz")).toDF("doc_id", "source"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(gate === Map(1L -> ((true, false)), 2L -> ((true, false)),
+      3L -> ((false, false))))
 
     // k=2 core: pendant d peels, the triangle survives
     assert(b2.refreshKCore(k = 2) === 3L)

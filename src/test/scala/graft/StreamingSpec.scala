@@ -474,6 +474,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "gate verdicts degenerate on this fixture")
   }
 
+  test("streaming link-farm gate equals the batch row; unknown host " +
+    "is an explicit non-flag") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val tri = graft.queries.GraphQueries.sourceTriangleCounts(spark, dir)
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "source")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val novel = (900002L, "host_never_linked")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingJobs.linkFarmGateStream(
+      ms.toDF().toDF("doc_id", "source"), tri)
+      .writeStream.format("memory").queryName("linkfarm_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.toSeq :+ novel)
+      q.processAllAvailable()
+    } finally q.stop()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(3)) null else Long.box(r.getLong(3)),
+        r.getBoolean(4), r.getBoolean(5))).toMap
+    val got = asMap(spark.table("linkfarm_gate").collect())
+    val want = asMap(
+      SparkEntry.queries("q_graph_linkfarm_gate")(spark, dir).collect())
+    want.foreach { case (id, v) =>
+      assert(got(id) === v, s"doc $id stream/batch drift")
+    }
+    // unknown host: explicit false verdicts, null stats — never a drop
+    assert(got(900002L) === (("host_never_linked", null, false, false)))
+    // non-vacuity: both verdicts, and the flagged class is the CLIQUE
+    // ring, not merely the high-degree one (the whole point of lcc)
+    assert(want.values.exists(_._4) && want.values.exists(!_._4),
+      "gate verdicts degenerate on this fixture")
+  }
+
   test("streaming BPE encode equals the batch row per document") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
