@@ -493,7 +493,15 @@ object Orchestrator {
       *  - replaying a vacuumed batch id re-CREATES its partition (the
       *    S8 writer is deliberately not guarded — a deliberate re-land
       *    is the documented recovery path for an over-eager vacuum);
-      *    the AS-OF guard stays conservative regardless.
+      *    the AS-OF guard stays conservative regardless;
+      *  - on an ACCUMULATING input (e.g. indexes/graph_edges, whose
+      *    whole-table refreshes recompute over every landed batch),
+      *    retention is a WINDOWING decision: the next refresh computes
+      *    on the retained vintages only. Deliberate for crawl-recency
+      *    policies (rank the last N days of links); wrong for an
+      *    immutable-corpus graph — there, don't configure retention
+      *    (the opt-in default). GraphPlaneLifecycleSpec walks the
+      *    sequence.
       *
       * @return the dropped batch ids, oldest first
       */
