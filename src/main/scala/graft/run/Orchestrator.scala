@@ -975,6 +975,40 @@ object Orchestrator {
       refreshIfDue("indexes/graph_kcore", "indexes/graph_edges")(
         note => refreshKCore(k, maxRounds, note))
 
+    /** Synchronous LPA communities over the SAME warehouse edge table
+      * — the fifth whole-graph artifact of the plane
+      * ([[refreshGraphRanks]] contract verbatim): mirror-farm / topic-
+      * pocket clusters inside one crawl component, persisted for the
+      * curation queries that slice by community. Fixed `rounds` is the
+      * operator's determinism contract (synchronous LPA can
+      * oscillate), so the artifact records round-K labels; its loud
+      * guards fire inside the failure scope.
+      */
+    def refreshLpaCommunities(rounds: Int = 4, note: String = ""): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      try {
+        val edges = readTable("indexes/graph_edges")
+          .select(col("src"), col("dst")).distinct()
+        graft.operators.LabelPropagation.run(spark, edges, rounds)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$warehouse/indexes/graph_communities")
+      } catch {
+        case e: Throwable =>
+          log("mv_refresh", "indexes/graph_communities", "FAILED", 0,
+            String.valueOf(e.getMessage))
+          throw e
+      }
+      val n = obs.get("n").asInstanceOf[Long]
+      log("mv_refresh", "indexes/graph_communities", "SUCCESS", n, note)
+      n
+    }
+
+    /** [[refreshIfDue]] around [[refreshLpaCommunities]]. */
+    def refreshLpaCommunitiesIfDue(rounds: Int = 4): Option[Long] =
+      refreshIfDue("indexes/graph_communities", "indexes/graph_edges")(
+        note => refreshLpaCommunities(rounds, note))
+
     /** Per-document link-farm gate against the PERSISTED triangle
       * table — the table-backed production form of
       * q_graph_linkfarm_gate, through the ONE shared gate definition

@@ -5,11 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** End-to-end lifecycle of the whole graph plane — the integration
   * narrative the per-face specs pin piecewise: edge batches land
-  * S8-idempotently, ONE cadence config drives all four whole-graph
-  * artifacts (ranks, HITS, triangles, k-core), both gates read the
-  * persisted artifacts, retention vacuums the consumed edge vintages,
-  * and the AS-OF guard refuses snapshots the vacuum invalidated. Every
-  * step is the production call sequence, nothing is reached into.
+  * S8-idempotently, ONE cadence config drives all five whole-graph
+  * artifacts (ranks, HITS, triangles, k-core, LPA communities), both
+  * gates read the persisted artifacts, retention vacuums the consumed
+  * edge vintages, and the AS-OF guard refuses snapshots the vacuum
+  * invalidated. Every step is the production call sequence, nothing
+  * is reached into.
   */
 class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
 
@@ -26,6 +27,7 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
       """{"target_table":"indexes/graph_hits_scores","refresh_every":2}""",
       """{"target_table":"indexes/graph_triangle_counts","refresh_every":2}""",
       """{"target_table":"indexes/graph_kcore","refresh_every":2}""",
+      """{"target_table":"indexes/graph_communities","refresh_every":2}""",
       """{"target_table":"indexes/graph_edges","retention_keep_last":1}"""))
 
     def refreshAllDue(r: Orchestrator.Run): Seq[Boolean] = {
@@ -35,7 +37,8 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
           redistributeDangling = true).isDefined,
         r.refreshHitsScoresIfDue(2).isDefined,
         r.refreshTriangleCountsIfDue().isDefined,
-        r.refreshKCoreIfDue(k = 2).isDefined)
+        r.refreshKCoreIfDue(k = 2).isDefined,
+        r.refreshLpaCommunitiesIfDue(rounds = 3).isDefined)
       r.flushAudit(); out
     }
 
@@ -45,20 +48,30 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
     b1.indexGraphBatch(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
       .toDF("src", "dst"))
     b1.flushAudit()
-    assert(refreshAllDue(b1) === Seq(false, false, false, false))
+    assert(refreshAllDue(b1) === Seq(false, false, false, false, false))
 
     // B2: close a second triangle acd — second landing is due, ONE
     // whole-graph fixpoint for each artifact covers both batches
     val b2 = new Orchestrator.Run(spark, wh, "B2")
     b2.indexGraphBatch(Seq(("a", "d")).toDF("src", "dst"))
     b2.flushAudit()
-    assert(refreshAllDue(b2) === Seq(true, true, true, true))
-    assert(refreshAllDue(b2) === Seq(false, false, false, false),
+    assert(refreshAllDue(b2) === Seq(true, true, true, true, true))
+    assert(refreshAllDue(b2) === Seq(false, false, false, false, false),
       "immediate re-check must skip on every artifact")
 
     // both gates read their persisted artifacts
     val docs = Seq((1L, "a"), (2L, "d"), (3L, "zzz"))
       .toDF("doc_id", "source")
+    // the communities artifact is the operator's fixpoint on the
+    // accumulated distinct edges
+    val unionEdges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("a", "d"))
+    import org.apache.spark.sql.functions.col
+    assert(spark.read.parquet(s"$wh/indexes/graph_communities")
+      .orderBy(col("node")).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === graft.operators.LabelPropagation
+        .run(spark, unionEdges.toDF("src", "dst"), 3)
+        .orderBy(col("node")).collect().map(r => (r.getString(0), r.getString(1))).toSeq)
     val lf = b2.linkFarmGateAgainstTriangles(docs).collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(lf === Map(1L -> true, 2L -> true, 3L -> false))
@@ -80,7 +93,7 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
     val b3 = new Orchestrator.Run(spark, wh, "B3")
     b3.indexGraphBatch(Seq(("d", "e")).toDF("src", "dst"))
     b3.flushAudit()
-    assert(refreshAllDue(b3) === Seq(false, false, false, false),
+    assert(refreshAllDue(b3) === Seq(false, false, false, false, false),
       "one post-vacuum landing stays under the every=2 cadence")
   }
 }
