@@ -529,14 +529,24 @@ object Orchestrator {
       val drop = parts.dropRight(keepLast)
       if (drop.isEmpty) Seq.empty
       else {
+        val ids = drop.map(_.getName.stripPrefix("dwh_batch_id=")).toSeq
+        // watermark BEFORE the deletes: a crash in any window then
+        // leaves the guard conservative, never the data silently
+        // partial — (a) after the flush but before the deletes, the
+        // dirs still exist and AS-OF refuses anyway (identical to the
+        // documented deliberate-re-land state, which VacuumSpec pins);
+        // (b) mid-deletes, the survivor set is a suffix AND the
+        // watermark is already durable; a watermark-after-deletes
+        // ordering instead has a window where every targeted dir is
+        // gone, the re-run no-ops, and snapshots stay silently
+        // PARTIAL forever
+        log("vacuum", table, "SUCCESS", drop.length.toLong,
+          s"watermark=${ids.last}")
+        flushAudit()
         drop.foreach { d =>
           Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
           d.delete()
         }
-        val ids = drop.map(_.getName.stripPrefix("dwh_batch_id=")).toSeq
-        log("vacuum", table, "SUCCESS", drop.length.toLong,
-          s"watermark=${ids.last}")
-        flushAudit()
         ids
       }
     }

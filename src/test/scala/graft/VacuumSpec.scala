@@ -107,5 +107,11 @@ class VacuumSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       r2.readTableAsOf("bronze/t", "B1")
     }
+    // this state — watermark durable, targeted dir present — is also
+    // exactly the watermark-first crash window (flush landed, deletes
+    // did not): the re-run must complete the interrupted vacuum
+    assert(r2.vacuumBatches("bronze/t", keepLast = 1) === Seq("B1"))
+    assert(r2.readTable("bronze/t").select("k").as[Long].collect().toSet
+      === Set(2L))
   }
 }
