@@ -199,7 +199,13 @@ object Bench {
         // builds the memoized corpus-trained centroids + corpus list
         // assignments (the persisted vector-dedup index) the
         // incremental semantic row probes
-        "q_dedup_semantic_incremental") ++
+        "q_dedup_semantic_incremental",
+        // builds the memoized SQ8-coded corpus (the train-once range
+        // model) the search + recall rows both probe
+        "q_sim_ann_sq",
+        // builds the memoized source-graph triangle counts (the
+        // persisted graph_triangle_counts stand-in) the gate probes
+        "q_graph_linkfarm_gate") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

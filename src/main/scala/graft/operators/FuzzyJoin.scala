@@ -95,9 +95,12 @@ object FuzzyJoin {
     * cluster point the checkpoint at reliable storage). Eager
     * materialization also means the hot-bucket assert fires INSIDE
     * join(), at the call site, not at the caller's first downstream
-    * action. Candidate pairs are output-bounded (each pair appears in
-    * the exact post-filter anyway), so the checkpoint never stores
-    * more than the join's own result class.
+    * action. The checkpointed candidate frame is bounded by the
+    * blocking result — a SUPERSET of the join output (symmetric-delete
+    * collisions like "ab"/"ba" and __vh hash collisions survive
+    * blocking but die in the levenshtein post-filter), so capacity
+    * planning should size for candidates, not matches; the hot-bucket
+    * cap is what keeps that superset near the output class.
     */
   def join(left: DataFrame, right: DataFrame,
            leftStr: String, rightStr: String, maxDist: Int,

@@ -543,7 +543,22 @@ object Orchestrator {
         log("vacuum", table, "SUCCESS", drop.length.toLong,
           s"watermark=${ids.last}")
         flushAudit()
+        val bloomRoot = new java.io.File(s"$warehouse/$table/_bloomidx")
         drop.foreach { d =>
+          // a writeBatchIndexed table keeps a per-batch Bloom manifest
+          // partition; drop it WITH (and before) its data partition —
+          // a surviving manifest row naming vanished files turns every
+          // subsequent point lookup into the stale-manifest refusal
+          // (with a rebuild prescription that is wrong for this
+          // state), while a data file briefly missing from the
+          // manifest is merely unpruned/flagged, the conservative side
+          val mPart = new java.io.File(bloomRoot,
+            s"pid=${d.getName.stripPrefix("dwh_batch_id=")}")
+          if (mPart.isDirectory) {
+            Option(mPart.listFiles()).getOrElse(Array.empty)
+              .foreach(_.delete())
+            mPart.delete()
+          }
           Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
           d.delete()
         }
@@ -750,32 +765,41 @@ object Orchestrator {
       */
     def refreshGraphRanks(iters: Int = 5,
                           redistributeDangling: Boolean = false,
-                          note: String = ""): Long = {
+                          note: String = ""): Long =
+      refreshGraphArtifact("indexes/graph_host_ranks", note)(edges =>
+        if (redistributeDangling)
+          graft.operators.PageRank.runDanglingRedistributed(
+            spark, edges, iters)
+        else graft.operators.PageRank.run(spark, edges, iters))
+
+    /** ONE body for every whole-graph artifact refresh (ranks, HITS,
+      * triangles, k-core, LPA communities — the faces-cannot-drift
+      * rule applied to the plane itself): read the accumulated
+      * DISTINCT edge table, run the operator INSIDE the failure scope
+      * (the runGated discipline — each operator's loud guards fire
+      * eagerly during its build, and a guard refusal must reach the
+      * audit plane exactly like a dead write, or failedTargets() never
+      * surfaces the stale artifact), ride the row count on the write
+      * as an Observation, stamp SUCCESS with the cadence note.
+      */
+    private def refreshGraphArtifact(target: String, note: String)
+                                    (build: DataFrame => DataFrame): Long = {
       val obs = org.apache.spark.sql.Observation()
-      // BUILD is inside the failure scope (the runGated discipline):
-      // PageRank's loud guards (dangling nodes, emptiness) fire
-      // eagerly during run(), and a guard refusal must reach the
-      // audit plane exactly like a dead write — otherwise
-      // failedTargets() never surfaces the stale rank table
       try {
         val edges = readTable("indexes/graph_edges")
           .select(col("src"), col("dst")).distinct()
-        val ranks =
-          if (redistributeDangling)
-            graft.operators.PageRank.runDanglingRedistributed(
-              spark, edges, iters)
-          else graft.operators.PageRank.run(spark, edges, iters)
-        ranks.observe(obs, count(lit(1)).as("n"))
+        build(edges)
+          .observe(obs, count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite)
-          .parquet(s"$warehouse/indexes/graph_host_ranks")
+          .parquet(s"$warehouse/$target")
       } catch {
         case e: Throwable =>
-          log("mv_refresh", "indexes/graph_host_ranks", "FAILED", 0,
+          log("mv_refresh", target, "FAILED", 0,
             String.valueOf(e.getMessage))
           throw e
       }
       val n = obs.get("n").asInstanceOf[Long]
-      log("mv_refresh", "indexes/graph_host_ranks", "SUCCESS", n, note)
+      log("mv_refresh", target, "SUCCESS", n, note)
       n
     }
 
@@ -884,25 +908,9 @@ object Orchestrator {
       * no dangling contract — sinks hold authority, sources hold
       * hubness — so there is no redistribute switch to carry.
       */
-    def refreshHitsScores(iters: Int = 5, note: String = ""): Long = {
-      val obs = org.apache.spark.sql.Observation()
-      try {
-        val edges = readTable("indexes/graph_edges")
-          .select(col("src"), col("dst")).distinct()
-        graft.operators.Hits.run(spark, edges, iters)
-          .observe(obs, count(lit(1)).as("n"))
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$warehouse/indexes/graph_hits_scores")
-      } catch {
-        case e: Throwable =>
-          log("mv_refresh", "indexes/graph_hits_scores", "FAILED", 0,
-            String.valueOf(e.getMessage))
-          throw e
-      }
-      val n = obs.get("n").asInstanceOf[Long]
-      log("mv_refresh", "indexes/graph_hits_scores", "SUCCESS", n, note)
-      n
-    }
+    def refreshHitsScores(iters: Int = 5, note: String = ""): Long =
+      refreshGraphArtifact("indexes/graph_hits_scores", note)(
+        graft.operators.Hits.run(spark, _, iters))
 
     /** [[refreshIfDue]] around [[refreshHitsScores]] — the third
       * whole-graph artifact on the cadence plane, batched over the same
@@ -925,25 +933,9 @@ object Orchestrator {
       * Triangles.localCounts's loud guards (empty graph, NULL
       * endpoints) fire inside the failure scope.
       */
-    def refreshTriangleCounts(note: String = ""): Long = {
-      val obs = org.apache.spark.sql.Observation()
-      try {
-        val edges = readTable("indexes/graph_edges")
-          .select(col("src"), col("dst")).distinct()
-        graft.operators.Triangles.localCounts(spark, edges)
-          .observe(obs, count(lit(1)).as("n"))
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$warehouse/indexes/graph_triangle_counts")
-      } catch {
-        case e: Throwable =>
-          log("mv_refresh", "indexes/graph_triangle_counts", "FAILED", 0,
-            String.valueOf(e.getMessage))
-          throw e
-      }
-      val n = obs.get("n").asInstanceOf[Long]
-      log("mv_refresh", "indexes/graph_triangle_counts", "SUCCESS", n, note)
-      n
-    }
+    def refreshTriangleCounts(note: String = ""): Long =
+      refreshGraphArtifact("indexes/graph_triangle_counts", note)(
+        graft.operators.Triangles.localCounts(spark, _))
 
     /** [[refreshIfDue]] around [[refreshTriangleCounts]] — the wedge
       * join is the plane's second-heaviest refresh after the kNN graph,
@@ -960,25 +952,9 @@ object Orchestrator {
       * FAILED rather than persisting a SUPERSET of the core.
       */
     def refreshKCore(k: Int = 2, maxRounds: Int = 32,
-                     note: String = ""): Long = {
-      val obs = org.apache.spark.sql.Observation()
-      try {
-        val edges = readTable("indexes/graph_edges")
-          .select(col("src"), col("dst")).distinct()
-        graft.operators.KCore.peel(spark, edges, k, maxRounds)
-          .observe(obs, count(lit(1)).as("n"))
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$warehouse/indexes/graph_kcore")
-      } catch {
-        case e: Throwable =>
-          log("mv_refresh", "indexes/graph_kcore", "FAILED", 0,
-            String.valueOf(e.getMessage))
-          throw e
-      }
-      val n = obs.get("n").asInstanceOf[Long]
-      log("mv_refresh", "indexes/graph_kcore", "SUCCESS", n, note)
-      n
-    }
+                     note: String = ""): Long =
+      refreshGraphArtifact("indexes/graph_kcore", note)(
+        graft.operators.KCore.peel(spark, _, k, maxRounds))
 
     /** [[refreshIfDue]] around [[refreshKCore]]. */
     def refreshKCoreIfDue(k: Int = 2, maxRounds: Int = 32): Option[Long] =
@@ -994,25 +970,9 @@ object Orchestrator {
       * oscillate), so the artifact records round-K labels; its loud
       * guards fire inside the failure scope.
       */
-    def refreshLpaCommunities(rounds: Int = 4, note: String = ""): Long = {
-      val obs = org.apache.spark.sql.Observation()
-      try {
-        val edges = readTable("indexes/graph_edges")
-          .select(col("src"), col("dst")).distinct()
-        graft.operators.LabelPropagation.run(spark, edges, rounds)
-          .observe(obs, count(lit(1)).as("n"))
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$warehouse/indexes/graph_communities")
-      } catch {
-        case e: Throwable =>
-          log("mv_refresh", "indexes/graph_communities", "FAILED", 0,
-            String.valueOf(e.getMessage))
-          throw e
-      }
-      val n = obs.get("n").asInstanceOf[Long]
-      log("mv_refresh", "indexes/graph_communities", "SUCCESS", n, note)
-      n
-    }
+    def refreshLpaCommunities(rounds: Int = 4, note: String = ""): Long =
+      refreshGraphArtifact("indexes/graph_communities", note)(
+        graft.operators.LabelPropagation.run(spark, _, rounds))
 
     /** [[refreshIfDue]] around [[refreshLpaCommunities]]. */
     def refreshLpaCommunitiesIfDue(rounds: Int = 4): Option[Long] =
@@ -1445,10 +1405,22 @@ object Orchestrator {
         val cents = readTable("indexes/ann_centroids").select("cent_id", "cv")
         val assign = readTable("indexes/ann_lists")
           .select("vec_id", "cent_id").distinct()
-        val vs = readTable("bronze/embeddings")
-          .join(assign.select("vec_id"), Seq("vec_id"), "left_semi")
+        val stored = readTable("bronze/embeddings")
           .select(col("vec_id"), lattice(col("embedding")).as("qv"))
           .dropDuplicates("vec_id")
+        val vs = assign.select(col("vec_id")).distinct()
+          .join(stored, Seq("vec_id"), "left")
+          // in-plan loud guard (the rebuildAnnIndex discipline): a
+          // listed vector with no stored embedding must kill the
+          // refresh, not silently vanish from the graph's searchable
+          // corpus — exactly the state an over-eager retention vacuum
+          // of bronze/embeddings (with ann_lists retaining vintage
+          // batches) would produce
+          .where(coalesce(assert_true(col("qv").isNotNull,
+            concat(lit("knn refresh: listed vector "),
+              col("vec_id").cast("string"),
+              lit(" has no stored embedding in bronze/embeddings"))),
+            lit(true)))
         val qa = vs.select(col("vec_id").as("q_id"), col("qv").as("qa"))
         // ship policy sized from the list table's row count (a metadata
         // aggregate over an already-read table, not a second data scan)

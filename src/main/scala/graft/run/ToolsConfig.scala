@@ -127,18 +127,37 @@ object ToolsConfig {
     val p = mvConfigPath(warehouse)
     if (!new java.io.File(p).exists()) 1
     else {
-      val every = spark.read
-        .schema("target_table STRING, refresh_every INT").json(p)
-        .collect()
-        .collectFirst {
-          case r if r.getString(0) == target && !r.isNullAt(1) => r.getInt(1)
-        }.getOrElse(1)
+      val every = intConfig(spark, p, target, "refresh_every").getOrElse(1)
       require(every >= 1,
         s"refresh_every for $target must be >= 1, got $every — a " +
           "non-positive cadence would freeze the artifact forever")
       every
     }
   }
+
+  /** One optional-int config column, read LOUDLY: the column comes in
+    * as STRING and is parsed here, because an INT schema-on-read
+    * silently NULLs a mistyped value (e.g. the JSON string "5") under
+    * PERMISSIVE parsing — and a silently-nulled cadence or retention
+    * value means the config row does nothing while looking set, the
+    * opposite of the fail-loudly contract both callers document.
+    */
+  private def intConfig(spark: SparkSession, path: String, target: String,
+                        column: String): Option[Int] =
+    spark.read
+      .schema(s"target_table STRING, $column STRING").json(path)
+      .collect()
+      .collectFirst {
+        case r if r.getString(0) == target && !r.isNullAt(1) =>
+          val raw = r.getString(1).trim
+          try raw.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"$column for $target is '$raw' — not an integer; fix the " +
+                "config row (a silently ignored value would leave the " +
+                "behavior default while looking configured)")
+          }
+      }
 
   /** Config-driven retention (the Run.vacuumIfConfigured plane): the
     * mv_refresh_config row for `table` may carry an optional
@@ -154,12 +173,7 @@ object ToolsConfig {
     val p = mvConfigPath(warehouse)
     if (!new java.io.File(p).exists()) None
     else {
-      val keep = spark.read
-        .schema("target_table STRING, retention_keep_last INT").json(p)
-        .collect()
-        .collectFirst {
-          case r if r.getString(0) == table && !r.isNullAt(1) => r.getInt(1)
-        }
+      val keep = intConfig(spark, p, table, "retention_keep_last")
       keep.foreach(k => require(k >= 1,
         s"retention_keep_last for $table must be >= 1, got $k — " +
           "vacuuming a table to empty is a drop-table decision, not " +

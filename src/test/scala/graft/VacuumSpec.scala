@@ -81,6 +81,37 @@ class VacuumSpec extends AnyFunSuite with SparkTestBase {
       ToolsConfig.retentionKeepLast(spark, wh, "bronze/u")
     }
     assert(e.getMessage.contains("drop-table"), e.getMessage)
+
+    // typing tolerance vs loudness: a STRING-typed number applies (a
+    // silently-nulled value would leave retention off while looking
+    // configured), a non-numeric value is a loud config error
+    ToolsConfig.writeConfigFile(ToolsConfig.mvConfigPath(wh), Seq(
+      """{"target_table":"bronze/t","retention_keep_last":"2"}""",
+      """{"target_table":"bronze/w","retention_keep_last":"soon"}"""))
+    assert(ToolsConfig.retentionKeepLast(spark, wh, "bronze/t")
+      === Some(2))
+    val e2 = intercept[IllegalArgumentException] {
+      ToolsConfig.retentionKeepLast(spark, wh, "bronze/w")
+    }
+    assert(e2.getMessage.contains("not an integer"), e2.getMessage)
+  }
+
+  test("vacuum of a bloom-indexed table drops manifest partitions too") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac6").toString
+    Seq(("B1", 1L), ("B2", 2L), ("B3", 3L)).foreach { case (id, v) =>
+      new Orchestrator.Run(spark, wh, id).writeBatchIndexed(
+        Seq((v, s"row$v")).toDF("k", "s"), "bronze/ti", "k")
+    }
+    val r = new Orchestrator.Run(spark, wh, "B3")
+    assert(r.readTablePointLookup("bronze/ti", "k", Seq(1L)).count() === 1L)
+    assert(r.vacuumBatches("bronze/ti", keepLast = 2) === Seq("B1"))
+    // without the manifest cleanup this is the stale-manifest refusal
+    // (rows naming vanished files); with it, point lookups keep
+    // working over exactly the surviving vintages
+    assert(r.readTablePointLookup("bronze/ti", "k", Seq(2L, 3L))
+      .count() === 2L)
+    assert(r.readTablePointLookup("bronze/ti", "k", Seq(1L)).count() === 0L)
+    assert(!new java.io.File(s"$wh/bronze/ti/_bloomidx/pid=B1").exists())
   }
 
   test("catalog-registered bucketed tables refuse directory vacuum") {
