@@ -3,7 +3,6 @@ package graft.run
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.collection.immutable.ListMap
 
 /** Persisted per-batch manifest with rerun history — the durable
@@ -12,8 +11,9 @@ import scala.collection.immutable.ListMap
   * concurrency machinery (deliberately not ported, SURVEY §7.4.8):
   *
   *  - one JSON artifact per batch at `tools/manifests/<batchId>.json`,
-  *    written via temp-file + atomic rename, so a reader never observes
-  *    a torn manifest;
+  *    written via [[WarehouseFs.publishAtomic]] (temp file + atomic
+  *    replace on the warehouse's own filesystem), so a reader never
+  *    observes a torn manifest;
   *  - re-runs never overwrite history: a file whose status CHANGES on a
   *    later save is appended under a `<name>_rerunN` key
   *    (scripts/silver_clean_transform.py:102-115), so the manifest
@@ -34,9 +34,9 @@ object ManifestStore {
 
   /** Load the persisted entries in file order (empty if no manifest). */
   def load(warehouse: String, batchId: String): Seq[Entry] = {
-    val p = Paths.get(manifestPath(warehouse, batchId))
-    if (!Files.exists(p)) Seq.empty
-    else JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8")) \ "files" match {
+    val p = manifestPath(warehouse, batchId)
+    if (!WarehouseFs.exists(p)) Seq.empty
+    else JsonMethods.parse(WarehouseFs.readString(p)) \ "files" match {
       case JObject(fields) => fields.map { case (k, v) =>
         Entry(k,
           (v \ "source_system").asInstanceOf[JString].s,
@@ -78,11 +78,7 @@ object ManifestStore {
           "status" -> JString(st)): JValue)
       }))
 
-    val target = Paths.get(manifestPath(warehouse, m.batchId))
-    Files.createDirectories(target.getParent)
-    val tmp = Files.createTempFile(target.getParent, s".${m.batchId}", ".tmp")
-    Files.write(tmp, JsonMethods.pretty(JsonMethods.render(json)).getBytes("UTF-8"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    WarehouseFs.publishAtomic(manifestPath(warehouse, m.batchId),
+      JsonMethods.pretty(JsonMethods.render(json)))
   }
 }

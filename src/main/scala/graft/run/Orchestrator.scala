@@ -53,6 +53,38 @@ object Orchestrator {
   final case class IntegrationStep(target: String, runOrder: Int,
                                    dependsOn: Seq[String])
 
+  /** Logical table name → physical path. The two ANN index tables live
+    * inside the COMMITTED ANN generation directory (the
+    * generation-pointer plane — see [[Run.rebuildAnnIndex]]); every
+    * other table sits at `$warehouse/<name>`. ONE resolver serves the
+    * run plane, the specs and any external reader — a drifted copy
+    * would silently read a stale generation after a rebuild.
+    */
+  def tablePath(warehouse: String, table: String): String = table match {
+    case "indexes/ann_centroids" =>
+      s"${annGenDir(warehouse, annGen(warehouse))}/centroids"
+    case "indexes/ann_lists" =>
+      s"${annGenDir(warehouse, annGen(warehouse))}/lists"
+    case _ => s"$warehouse/$table"
+  }
+
+  /** The ANN generation pointer — the one small file whose atomic
+    * publish ([[WarehouseFs.publishAtomic]]) COMMITS a rebuilt index.
+    * Readers resolve the live generation through it; a missing pointer
+    * means generation 0 (the bootstrap generation, where
+    * [[Run.indexAnnBatch]]'s first landing creates the tables).
+    */
+  def annPointerPath(warehouse: String): String =
+    s"$warehouse/indexes/ann/_live_gen"
+
+  def annGen(warehouse: String): Long =
+    if (WarehouseFs.exists(annPointerPath(warehouse)))
+      WarehouseFs.readString(annPointerPath(warehouse)).trim.toLong
+    else 0L
+
+  private[run] def annGenDir(warehouse: String, g: Long): String =
+    f"$warehouse/indexes/ann/g$g%06d"
+
   /** Completed write targets for a batch, from the audit plane — the
     * basis of restart mode (re-run only what didn't finish), mirroring
     * the reference's audit-log-driven restart
@@ -61,7 +93,7 @@ object Orchestrator {
   def completedTargets(spark: SparkSession, warehouse: String,
                        batchId: String): Set[String] = {
     val path = s"$warehouse/tools/audit_log"
-    if (!new java.io.File(path).exists()) Set.empty
+    if (!WarehouseFs.exists(path)) Set.empty
     else spark.read.parquet(path)
       .where(col("batchId") === batchId && col("step") === "write"
         && col("status") === "SUCCESS")
@@ -78,7 +110,7 @@ object Orchestrator {
   def failedTargets(spark: SparkSession, warehouse: String,
                     batchId: String): Set[String] = {
     val path = s"$warehouse/tools/audit_log"
-    if (!new java.io.File(path).exists()) Set.empty
+    if (!WarehouseFs.exists(path)) Set.empty
     else {
       val batch = spark.read.parquet(path).where(col("batchId") === batchId)
       val failed = batch.where(col("status") === "FAILED")
@@ -104,6 +136,13 @@ object Orchestrator {
     private var logs = Vector.empty[StepLog]
     private var pending = Vector.empty[StepLog]
     def auditLog: Seq[StepLog] = logs
+
+    /** Physical path of a logical table ([[Orchestrator.tablePath]]):
+      * the ANN index tables resolve through the committed generation
+      * pointer, everything else is warehouse-rooted.
+      */
+    def tablePath(table: String): String =
+      Orchestrator.tablePath(warehouse, table)
 
     private val alreadyDone: Set[String] =
       if (resume) completedTargets(spark, warehouse, batchId) else Set.empty
@@ -147,7 +186,7 @@ object Orchestrator {
     def writeBatch(df: DataFrame, table: String): Long = {
       if (alreadyDone(table)) {
         log("write", table, "SKIPPED_DONE", 0)
-        return spark.read.parquet(s"$warehouse/$table")
+        return spark.read.parquet(tablePath(table))
           .where(col("dwh_batch_id") === batchId).count()
       }
       val obs = org.apache.spark.sql.Observation()
@@ -157,7 +196,7 @@ object Orchestrator {
         .partitionBy("dwh_batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite)
-        .parquet(s"$warehouse/$table")
+        .parquet(tablePath(table))
       val n = obs.get("n").asInstanceOf[Long]
       log("write", table, "SUCCESS", n)
       n
@@ -183,7 +222,7 @@ object Orchestrator {
                           bloomKey: String): Long = {
       import graft.sources.ManifestRefresh
       val n = writeBatch(df, table)
-      val path = s"$warehouse/$table"
+      val path = tablePath(table)
       val needsRefresh = n > 0 && {
         val idxPart = s"$path/_bloomidx/pid=$batchId"
         ManifestRefresh.readManifest(spark, idxPart) match {
@@ -217,7 +256,7 @@ object Orchestrator {
     def readTablePointLookup(table: String, keyCol: String,
                              probes: Seq[Long]): DataFrame = {
       import graft.sources.ManifestRefresh
-      val path = s"$warehouse/$table"
+      val path = tablePath(table)
       val allFiles = spark.read.parquet(path).inputFiles
       val haveFiles = ManifestRefresh
         .readManifest(spark, s"$path/_bloomidx") match {
@@ -259,7 +298,7 @@ object Orchestrator {
                            bucketCols: Seq[String], numBuckets: Int): Long = {
       if (alreadyDone(table)) {
         log("write", table, "SKIPPED_DONE", 0)
-        return spark.read.parquet(s"$warehouse/$table")
+        return spark.read.parquet(tablePath(table))
           .where(col("dwh_batch_id") === batchId).count()
       }
       val name = catalogName(table)
@@ -267,7 +306,7 @@ object Orchestrator {
       val withBatch = df.withColumn("dwh_batch_id", lit(batchId))
         .observe(obs, count(lit(1)).as("n"))
       if (spark.catalog.tableExists(name)) insertBucketed(withBatch, name)
-      else if (new java.io.File(s"$warehouse/$table").exists()) {
+      else if (WarehouseFs.exists(s"$warehouse/$table")) {
         ensureBucketedRegistered(table, bucketCols, numBuckets)
         insertBucketed(withBatch, name)
       } else {
@@ -380,33 +419,50 @@ object Orchestrator {
       require(!bucketed,
         s"$table is bucketed — compaction would break the bucket-to-file " +
           "mapping; rewrite through writeBucketedBatch instead")
-      val root = new java.io.File(s"$warehouse/$table")
-      val parts = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("dwh_batch_id="))
-      val done = parts.toSeq.sortBy(_.getName).flatMap { part =>
-        val files = part.listFiles().filter(_.getName.endsWith(".parquet"))
-        val bytes = files.map(_.length()).sum
+      // the swap below is two directory renames — atomic on
+      // rename-based filesystems (HDFS, local, abfs), a client-side
+      // copy+delete on object stores, where a crash mid-swap would
+      // tear the partition in ways the trash-park reasoning can't
+      // heal. Refuse there with the prescription instead of tearing:
+      // on an object store, compact through a table format with
+      // metadata commits (Delta/Iceberg rewrite) or re-land the batch
+      // (the S8 writer's commit protocol owns its own atomicity).
+      require(WarehouseFs.hasAtomicRenames(s"$warehouse/$table"),
+        s"compactBatches($table): the warehouse filesystem does not " +
+          "rename directories atomically — a mid-swap crash would tear " +
+          "the partition; on object stores compact via a metadata-commit " +
+          "table format or by re-landing the batch through writeBatch")
+      val root = s"$warehouse/$table"
+      val parts = WarehouseFs.list(root)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("dwh_batch_id="))
+      val done = parts.sortBy(_.getPath.getName).flatMap { part =>
+        val partName = part.getPath.getName
+        val partPath = part.getPath.toString
+        val files = WarehouseFs.list(partPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
         val nTarget = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         if (files.length < math.max(minFiles, nTarget + 1)) None
         else {
-          val staging = new java.io.File(s"$warehouse/.compact/$table/${part.getName}")
-          val trash = new java.io.File(s"$warehouse/.compact_trash/$table/${part.getName}")
-          staging.getParentFile.mkdirs(); trash.getParentFile.mkdirs()
-          spark.read.parquet(part.getAbsolutePath)
+          val staging = s"$warehouse/.compact/$table/$partName"
+          val trash = s"$warehouse/.compact_trash/$table/$partName"
+          spark.read.parquet(partPath)
             .repartition(nTarget)
-            .write.mode(SaveMode.Overwrite).parquet(staging.getAbsolutePath)
+            .write.mode(SaveMode.Overwrite).parquet(staging)
           // drop the commit marker so the swapped-in dir is data-only
-          staging.listFiles().filterNot(_.getName.endsWith(".parquet"))
-            .foreach(_.delete())
-          val after = staging.listFiles().count(_.getName.endsWith(".parquet"))
+          WarehouseFs.list(staging)
+            .filterNot(_.getPath.getName.endsWith(".parquet"))
+            .foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
+          val after = WarehouseFs.listNames(staging)
+            .count(_.endsWith(".parquet"))
           // swap: live -> trash, staged -> live, then clear trash
-          java.nio.file.Files.move(part.toPath, trash.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          java.nio.file.Files.move(staging.toPath, part.toPath)
-          trash.listFiles().foreach(_.delete()); trash.delete()
+          WarehouseFs.deleteRecursive(trash)
+          WarehouseFs.renameDir(partPath, trash)
+          WarehouseFs.renameDir(staging, partPath)
+          WarehouseFs.deleteRecursive(trash)
           log("compact", table, "SUCCESS", 0,
-            s"${part.getName}: ${files.length} -> $after files")
-          Some((part.getName, files.length, after))
+            s"$partName: ${files.length} -> $after files")
+          Some((partName, files.length, after))
         }
       }
       flushAudit()
@@ -425,7 +481,7 @@ object Orchestrator {
       * Template.sql:30). Incremental layers use `readBatch`.
       */
     def readTable(table: String): DataFrame =
-      spark.read.option("mergeSchema", "true").parquet(s"$warehouse/$table")
+      spark.read.option("mergeSchema", "true").parquet(tablePath(table))
 
     /** Snapshot (time-travel) read: the table AS OF a batch id. Batch
       * ids are zero-padded and lexically ordered, and under the S8
@@ -446,6 +502,16 @@ object Orchestrator {
       */
     def readTableAsOf(table: String, asOfBatch: String): DataFrame = {
       vacuumWatermark(table).foreach { w =>
+        // the `>` comparison below is STRING order, correct only under
+        // the zero-padded fixed-width batch-id convention (S9) — a
+        // mixed-width probe (B2 vs B10) would silently mis-gate, so
+        // the convention is enforced at the guard boundary
+        require(asOfBatch.length == w.length,
+          s"readTableAsOf($table, $asOfBatch): batch-id width " +
+            s"${asOfBatch.length} != vacuum watermark '$w' width " +
+            s"${w.length} — the retention guard compares ids " +
+            "lexicographically and needs the zero-padded fixed-width " +
+            "id convention; mixed widths would mis-gate snapshots")
         require(asOfBatch > w,
           s"readTableAsOf($table, $asOfBatch): snapshot at or below the " +
             s"vacuum retention watermark ($w) — those partitions were " +
@@ -462,7 +528,7 @@ object Orchestrator {
       */
     private def vacuumWatermark(table: String): Option[String] = {
       val path = s"$warehouse/tools/audit_log"
-      if (!new java.io.File(path).exists()) None
+      if (!WarehouseFs.exists(path)) None
       else Option(spark.read.parquet(path)
           .where(col("step") === "vacuum" && col("target") === table
             && col("status") === "SUCCESS"
@@ -522,14 +588,26 @@ object Orchestrator {
         s"$table is a catalog-registered bucketed table — vacuum its " +
           "partitions through the catalog (ALTER TABLE DROP PARTITION), " +
           "not a directory delete the metastore cannot see")
-      val root = new java.io.File(s"$warehouse/$table")
-      val parts = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("dwh_batch_id="))
-        .sortBy(_.getName)
+      val root = tablePath(table)
+      val parts = WarehouseFs.list(root)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("dwh_batch_id="))
+        .map(_.getPath.getName)
+        .sorted
+      // the keep-window and watermark comparisons are STRING order —
+      // correct only under the zero-padded fixed-width id convention
+      // (S9). Enforce it HERE, where the wrong pick would silently
+      // drop the wrong vintages and mis-gate snapshots forever
+      val widths = parts.map(_.stripPrefix("dwh_batch_id=").length).distinct
+      require(widths.size <= 1,
+        s"vacuumBatches($table): mixed batch-id widths on disk " +
+          s"(${widths.sorted.mkString(", ")} chars) — lexicographic " +
+          "ordering would pick the wrong oldest vintages and record a " +
+          "wrong watermark; re-land the off-width batches under the " +
+          "zero-padded fixed-width id convention first")
       val drop = parts.dropRight(keepLast)
       if (drop.isEmpty) Seq.empty
       else {
-        val ids = drop.map(_.getName.stripPrefix("dwh_batch_id=")).toSeq
+        val ids = drop.map(_.stripPrefix("dwh_batch_id="))
         // watermark BEFORE the deletes: a crash in any window then
         // leaves the guard conservative, never the data silently
         // partial — (a) after the flush but before the deletes, the
@@ -543,24 +621,20 @@ object Orchestrator {
         log("vacuum", table, "SUCCESS", drop.length.toLong,
           s"watermark=${ids.last}")
         flushAudit()
-        val bloomRoot = new java.io.File(s"$warehouse/$table/_bloomidx")
-        drop.foreach { d =>
+        drop.foreach { partName =>
           // a writeBatchIndexed table keeps a per-batch Bloom manifest
           // partition; drop it WITH (and before) its data partition —
           // a surviving manifest row naming vanished files turns every
           // subsequent point lookup into the stale-manifest refusal
           // (with a rebuild prescription that is wrong for this
           // state), while a data file briefly missing from the
-          // manifest is merely unpruned/flagged, the conservative side
-          val mPart = new java.io.File(bloomRoot,
-            s"pid=${d.getName.stripPrefix("dwh_batch_id=")}")
-          if (mPart.isDirectory) {
-            Option(mPart.listFiles()).getOrElse(Array.empty)
-              .foreach(_.delete())
-            mPart.delete()
-          }
-          Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-          d.delete()
+          // manifest is merely unpruned/flagged, the conservative side.
+          // Deletes are CHECKED (WarehouseFs verifies the dir is gone)
+          // — a blocked delete fails the vacuum loudly instead of
+          // leaving a half-dropped vintage behind the SUCCESS row
+          WarehouseFs.deleteRecursive(
+            s"$root/_bloomidx/pid=${partName.stripPrefix("dwh_batch_id=")}")
+          WarehouseFs.deleteRecursive(s"$root/$partName")
         }
         ids
       }
@@ -580,7 +654,7 @@ object Orchestrator {
 
     /** S11: observed schema of an existing warehouse table. */
     def tableColumns(table: String): Seq[String] =
-      spark.read.parquet(s"$warehouse/$table").schema.fieldNames.toSeq
+      spark.read.parquet(tablePath(table)).schema.fieldNames.toSeq
 
     /** Incremental-dedup index maintenance: append THIS batch's
       * content-key rows and LSH band-key rows to the two warehouse
@@ -835,7 +909,7 @@ object Orchestrator {
       flushAudit() // the cadence reads the PERSISTED audit plane
       val path = s"$warehouse/tools/audit_log"
       val audit =
-        if (!new java.io.File(path).exists()) None
+        if (!WarehouseFs.exists(path)) None
         else Some(spark.read.parquet(path))
       val landed: Seq[String] = audit.toSeq.flatMap(
         _.where(col("step") === "write"
@@ -989,7 +1063,7 @@ object Orchestrator {
       */
     def linkFarmGateAgainstTriangles(docs: DataFrame): DataFrame = {
       val path = s"$warehouse/indexes/graph_triangle_counts"
-      require(new java.io.File(path).exists(),
+      require(WarehouseFs.exists(path),
         s"triangle-count table missing at $path — land edges via " +
           "indexGraphBatch and run refreshTriangleCounts before gating")
       graft.queries.GraphQueries.linkFarmGateOf(
@@ -1009,7 +1083,7 @@ object Orchestrator {
       */
     def hostGateAgainstRanks(docs: DataFrame): DataFrame = {
       val path = s"$warehouse/indexes/graph_host_ranks"
-      require(new java.io.File(path).exists(),
+      require(WarehouseFs.exists(path),
         s"host rank table missing at $path — land edges via " +
           "indexGraphBatch and run refreshGraphRanks before gating")
       graft.queries.GraphQueries.hostGateOf(
@@ -1039,34 +1113,24 @@ object Orchestrator {
     def indexAnnBatch(embeddings: DataFrame, nlist: Int = 1024): Long = {
       import graft.functions.VectorFunctions.{lattice, quantizedL2}
       // a landing during a rebuild's staging window would assign against
-      // centroids the swap is about to replace AND vanish in the swap
-      // itself (the staged list table was derived before this batch
-      // existed) — refuse loudly rather than lose a batch silently.
+      // centroids the commit is about to replace AND vanish in the
+      // generation switch (the staged generation was derived before this
+      // batch existed) — refuse loudly rather than lose a batch silently.
       // (Single-writer-per-warehouse is the deployment model — the
       // in-memory Manifest note in the header; this lock and the
       // re-checks below are belt-and-suspenders that turn most
       // out-of-model interleavings into loud failures.)
-      require(!annRebuildLock.exists(),
-        s"an ANN index rebuild is staging ($annRebuildLock) — a batch " +
-          "indexed now would be lost in the atomic swap; retry after the " +
-          "rebuild completes. Before deleting a stale lock from a " +
-          "crashed rebuild, confirm BOTH indexes/ann_centroids and " +
-          "indexes/ann_lists exist — a failure mid-swap parks them in " +
-          s"$annRebuildTrash, and the recovery is restoring that dir, " +
-          "not deleting the lock")
-      // a torn mid-swap state — trash remnants beside a MISSING live
-      // table (either one: a failure between the two installs leaves
-      // centroids live but lists absent) — must refuse every landing:
-      // proceeding would bootstrap or recreate a one-batch table over
-      // the parked corpus, and the next rebuild's trash cleanup would
-      // then destroy the only surviving copy. Trash beside BOTH live
-      // tables is the benign leftover of a crash after the installs.
-      require(!(annRebuildTrash.exists() &&
-          !(new java.io.File(s"$warehouse/indexes/ann_centroids").exists()
-            && new java.io.File(s"$warehouse/indexes/ann_lists").exists())),
-        s"a rebuild died mid-swap: $annRebuildTrash holds the parked " +
-          "index and a live table is missing — restore the parked " +
-          "tables from the trash dir before landing batches")
+      require(!WarehouseFs.exists(annRebuildLockPath),
+        s"an ANN index rebuild is staging ($annRebuildLockPath) — a " +
+          "batch indexed now would be lost in the generation commit; " +
+          "retry after the rebuild completes. A lock left by a CRASHED " +
+          "rebuild is safe to delete: the generation pointer only " +
+          "advances at commit, so the live index is intact and the " +
+          "partial staging generation is invisible")
+      // pin the generation for the post-write race check: a rebuild
+      // that COMMITS during this landing moved the live index to a new
+      // generation dir, stranding the partition just written
+      val genAtEntry = Orchestrator.annGen(warehouse)
       val qv = embeddings.select(col("vec_id"), lattice(col("embedding")).as("qv"))
       // S10 on the index plane: an empty slice must not write — an
       // empty BOOTSTRAP would permanently lock in a zero-row centroid
@@ -1075,7 +1139,7 @@ object Orchestrator {
         log("index", "indexes/ann_lists", "SKIPPED_EMPTY", 0)
         return 0L
       }
-      if (!new java.io.File(s"$warehouse/indexes/ann_centroids").exists()) {
+      if (!WarehouseFs.exists(tablePath("indexes/ann_centroids"))) {
         val seed = qv.orderBy(col("vec_id")).limit(nlist)
           .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
         writeBatch(seed, "indexes/ann_centroids")
@@ -1094,7 +1158,7 @@ object Orchestrator {
       // swap is about to discard must log FAILED, never SUCCESS.
       if (alreadyDone("indexes/ann_lists")) {
         log("write", "indexes/ann_lists", "SKIPPED_DONE", 0)
-        return spark.read.parquet(s"$warehouse/indexes/ann_lists")
+        return spark.read.parquet(tablePath("indexes/ann_lists"))
           .where(col("dwh_batch_id") === batchId).count()
       }
       val obs = org.apache.spark.sql.Observation()
@@ -1104,19 +1168,23 @@ object Orchestrator {
         .partitionBy("dwh_batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite)
-        .parquet(s"$warehouse/indexes/ann_lists")
+        .parquet(Orchestrator.annGenDir(warehouse, genAtEntry) + "/lists")
       val n = obs.get("n").asInstanceOf[Long]
-      // close the entry-check race: a rebuild that started AFTER the
-      // entry check derived its staged tables without this batch, and
-      // its swap will discard the partition just written
-      if (annRebuildLock.exists()) {
+      // close the entry-check race, both arms: a rebuild IN FLIGHT
+      // (lock held) derived its staged generation without this batch
+      // and its commit will strand the partition; a rebuild that
+      // already COMMITTED (generation advanced) stranded it in the
+      // old generation dir. Either way: FAILED, re-land.
+      if (WarehouseFs.exists(annRebuildLockPath)
+          || Orchestrator.annGen(warehouse) != genAtEntry) {
         log("write", "indexes/ann_lists", "FAILED", 0,
-          "a rebuild started during the landing — the staged index " +
-            "predates this batch and the swap will discard it; re-land")
+          "a rebuild started or committed during the landing — the " +
+            "staged generation predates this batch; re-land")
         throw new IllegalStateException(
-          "an ANN rebuild started while this batch was indexing — its " +
-            "staged tables predate this batch and the swap will discard " +
-            "it; re-run indexAnnBatch for this batch after the rebuild")
+          "an ANN rebuild started or committed while this batch was " +
+            "indexing — its generation predates this batch and the " +
+            "commit strands it; re-run indexAnnBatch for this batch " +
+            "after the rebuild")
       }
       log("write", "indexes/ann_lists", "SUCCESS", n)
       n
@@ -1217,29 +1285,40 @@ object Orchestrator {
           col("dup_of").isNotNull.as("is_dup"))
     }
 
-    private def annRebuildLock =
-      new java.io.File(s"$warehouse/indexes/.ann_rebuild_lock")
-
-    /** Where a rebuild's swap parks the OLD index tables until both
-      * installs complete — ONE definition (guards in [[indexAnnBatch]],
-      * the rebuild's entry require, and the swap itself all reference
-      * it; a drifted copy would silently disable a mid-swap-crash
-      * guard while the messages point at the wrong path).
+    /** The ONE lock-file path of the ANN rebuild plane (guards in
+      * [[indexAnnBatch]], the rebuild's entry require, and the release
+      * all reference it). Created via [[WarehouseFs.createExclusive]]
+      * — atomic on HDFS/local, advisory on S3 — and backed by the
+      * pre-commit partition re-check, so a lost lock race aborts the
+      * commit loudly instead of stranding a batch.
       */
-    private def annRebuildTrash =
-      new java.io.File(s"$warehouse/.ann_rebuild_trash")
+    private def annRebuildLockPath =
+      s"$warehouse/indexes/ann/_rebuild_lock"
 
     /** The REBUILD the [[indexAnnBatch]] contract promises: retrain the
       * centroids over every indexed vector (the shared Lloyd body —
       * graft.operators.LloydKmeans, the same trainer the query-plane
       * rows use), re-assign every landed batch against the new
-      * centroids, and atomically swap BOTH the centroid and list table
-      * directories (the compactBatches staged-rewrite discipline:
-      * staging lives outside the live paths, the old dirs are parked in
-      * a trash dir, and readers of the live paths never see a
-      * half-written table — both parks then both installs, so the torn
-      * window is "table briefly absent", a loud FileNotFound, never a
-      * silent new-centroids/old-lists pairing).
+      * centroids, and COMMIT via the generation pointer: both rebuilt
+      * tables are staged into the NEXT generation directory
+      * (`indexes/ann/g<N+1>/`), and one atomic small-file publish of
+      * `indexes/ann/_live_gen` ([[WarehouseFs.publishAtomic]]) switches
+      * every reader to them. No directory is ever renamed or parked —
+      * the swap contract needs NO rename atomicity, so it holds on
+      * HDFS, S3 and the local FS alike:
+      *
+      *  - readers resolve the live tables through the pointer
+      *    ([[Orchestrator.tablePath]]) and see the old generation or
+      *    the new one, never an absent or mixed pairing (the pointer
+      *    publish is one atomic file replace);
+      *  - a crash mid-staging leaves the pointer — and therefore the
+      *    live index — untouched; the partial next-generation dir is
+      *    invisible and the next rebuild clears it;
+      *  - a crash between the pointer publish and the lock release
+      *    leaves a fully-committed index plus a stale lock (delete it);
+      *  - the PREVIOUS generation is retained as a grace window for
+      *    in-flight readers that resolved the pointer before the
+      *    commit, and is cleared when the NEXT rebuild begins.
       *
       * Population contract: the rebuild re-indexes exactly the vectors
       * the CURRENT list table holds — each (vec_id, batch) list row is
@@ -1253,19 +1332,15 @@ object Orchestrator {
       * set — replay multiplicity is not training signal) while its
       * list rows keep both batch partitions.
       *
-      * Concurrency: the rebuild takes a lock file that makes
-      * [[indexAnnBatch]] refuse for the staging window (a batch indexed
-      * mid-rebuild would vanish in the swap), a second concurrent
-      * rebuild refuses on the same lock, and — defense in depth, the
-      * lock is advisory for out-of-process writers — the list table's
-      * partition set is re-checked immediately before the swap and the
-      * rebuild ABORTS (live index untouched, staging discarded, FAILED
-      * audit row) if it changed. A crash mid-staging leaves the live
-      * index intact plus a stale lock; the lock message documents the
-      * recovery (delete it). A crash BETWEEN the two install renames is
-      * the plain-dir warehouse's documented torn window (see
-      * compactBatches) — recovery is restoring `.ann_rebuild_trash` or
-      * re-running the rebuild.
+      * Concurrency: the rebuild takes the lock file so
+      * [[indexAnnBatch]] refuses for the staging window (a batch
+      * indexed mid-rebuild would be stranded in the old generation), a
+      * second concurrent rebuild refuses on the same lock, and —
+      * defense in depth, the lock is advisory on object stores — the
+      * list table's partition set is re-checked immediately before the
+      * pointer publish and the rebuild ABORTS (live index untouched,
+      * staging discarded by the next rebuild, FAILED audit row) if it
+      * changed.
       *
       * Cost (100 TB): trainIters + 1 corpus scans against the broadcast
       * centroid frame plus one corpus-sized staged write — the
@@ -1276,33 +1351,30 @@ object Orchestrator {
       */
     def rebuildAnnIndex(nlist: Int = 1024, trainIters: Int = 2): Long = {
       import graft.functions.VectorFunctions.lattice
-      val centLive = new java.io.File(s"$warehouse/indexes/ann_centroids")
-      val listLive = new java.io.File(s"$warehouse/indexes/ann_lists")
-      require(centLive.exists() && listLive.exists(),
-        if (annRebuildTrash.exists())
-          s"ANN index tables missing but $annRebuildTrash exists — a " +
-            "rebuild died mid-swap; restore the parked tables from the " +
-            "trash dir, then re-run the rebuild"
-        else
-          "no ANN index to rebuild — bootstrap by landing batches " +
-            "through indexAnnBatch first")
-      require(annRebuildLock.createNewFile(),
-        s"another ANN rebuild holds $annRebuildLock — concurrent rebuilds " +
-          "would tear the swap; if the holder crashed, confirm BOTH live " +
-          "index tables exist (a mid-swap crash parks them in " +
-          ".ann_rebuild_trash — restore first), then delete the lock")
-      def partsOf(dir: java.io.File): Set[String] =
-        Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith("dwh_batch_id=")).map(_.getName).toSet
-      val stage = new java.io.File(s"$warehouse/.ann_rebuild")
-      val trash = annRebuildTrash
-      def rmTree(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-        f.delete()
-      }
+      val gen = Orchestrator.annGen(warehouse)
+      val centLivePath = tablePath("indexes/ann_centroids")
+      val listLivePath = tablePath("indexes/ann_lists")
+      require(WarehouseFs.exists(centLivePath)
+          && WarehouseFs.exists(listLivePath),
+        "no ANN index to rebuild — bootstrap by landing batches " +
+          "through indexAnnBatch first")
+      require(WarehouseFs.createExclusive(annRebuildLockPath),
+        s"another ANN rebuild holds $annRebuildLockPath — if the holder " +
+          "crashed, the live index is intact (the generation pointer " +
+          "only advances at commit); delete the lock and re-run")
+      def partsOf(dir: String): Set[String] =
+        WarehouseFs.listNames(dir)
+          .filter(_.startsWith("dwh_batch_id=")).toSet
+      val nextGen = gen + 1
+      val stageDir = Orchestrator.annGenDir(warehouse, nextGen)
       try {
-        rmTree(stage); rmTree(trash) // discard any crashed rebuild's leftovers
-        val partsBefore = partsOf(listLive)
+        // discard any crashed rebuild's partial staging, and clear
+        // generations older than the live one (the grace window ends
+        // when the next rebuild begins)
+        WarehouseFs.deleteRecursive(stageDir)
+        (0L until gen).foreach(g =>
+          WarehouseFs.deleteRecursive(Orchestrator.annGenDir(warehouse, g)))
+        val partsBefore = partsOf(listLivePath)
         val listed = readTable("indexes/ann_lists")
           .select(col("vec_id"), col("dwh_batch_id"))
         val stored = readTable("bronze/embeddings")
@@ -1332,8 +1404,8 @@ object Orchestrator {
         val cents = graft.operators.LloydKmeans.train(vsU, seed, trainIters)
         cents.withColumn("dwh_batch_id", lit(batchId))
           .write.partitionBy("dwh_batch_id").mode(SaveMode.Overwrite)
-          .parquet(s"$stage/ann_centroids")
-        val newCents = spark.read.parquet(s"$stage/ann_centroids")
+          .parquet(s"$stageDir/centroids")
+        val newCents = spark.read.parquet(s"$stageDir/centroids")
           .select(col("cent_id"), col("cv"))
         val obs = org.apache.spark.sql.Observation()
         graft.operators.LloydKmeans.assignNearest(vsU, newCents)
@@ -1341,39 +1413,35 @@ object Orchestrator {
           .select(col("vec_id"), col("cent_id"), col("dwh_batch_id"))
           .observe(obs, count(lit(1)).as("n"))
           .write.partitionBy("dwh_batch_id").mode(SaveMode.Overwrite)
-          .parquet(s"$stage/ann_lists")
+          .parquet(s"$stageDir/lists")
         val n = obs.get("n").asInstanceOf[Long]
-        // refusal on concurrent landings (see header): the staged tables
-        // were derived from partsBefore — swapping over a changed live
-        // set would silently drop the new batch
-        val partsAfter = partsOf(listLive)
+        // refusal on concurrent landings (see header): the staged
+        // generation was derived from partsBefore — committing over a
+        // changed live set would silently drop the new batch
+        val partsAfter = partsOf(listLivePath)
         if (partsAfter != partsBefore)
           throw new IllegalStateException(
             s"ann rebuild: list-table batches changed during staging " +
               s"(${(partsAfter diff partsBefore) ++
                 (partsBefore diff partsAfter) mkString ", "}) — " +
-              "refusing to swap (the staged index predates them); the " +
-              "live index is untouched, re-run the rebuild")
-        // the swap: park both live dirs, install both staged dirs
-        trash.mkdirs()
-        java.nio.file.Files.move(centLive.toPath,
-          new java.io.File(trash, "ann_centroids").toPath)
-        java.nio.file.Files.move(listLive.toPath,
-          new java.io.File(trash, "ann_lists").toPath)
-        java.nio.file.Files.move(
-          new java.io.File(stage, "ann_centroids").toPath, centLive.toPath)
-        java.nio.file.Files.move(
-          new java.io.File(stage, "ann_lists").toPath, listLive.toPath)
-        rmTree(trash); rmTree(stage)
+              "refusing to commit (the staged generation predates " +
+              "them); the live index is untouched, re-run the rebuild")
+        // THE COMMIT: one atomic pointer publish switches every reader
+        // to the staged generation — no rename, no absent window; the
+        // old generation stays as the in-flight-reader grace window
+        // until the next rebuild begins
+        WarehouseFs.publishAtomic(
+          Orchestrator.annPointerPath(warehouse), nextGen.toString)
         log("ann_rebuild", "indexes/ann_lists", "SUCCESS", n,
-          s"nlist=$nlist iters=$trainIters; centroid table swapped in step")
+          s"nlist=$nlist iters=$trainIters; generation $gen -> $nextGen " +
+            "committed via pointer publish")
         n
       } catch {
         case e: Throwable =>
           log("ann_rebuild", "indexes/ann_lists", "FAILED", 0,
             String.valueOf(e.getMessage))
           throw e
-      } finally annRebuildLock.delete()
+      } finally WarehouseFs.deleteFile(annRebuildLockPath)
     }
 
     /** kNN graph as a warehouse table — the materialized form of the
@@ -1476,14 +1544,12 @@ object Orchestrator {
     // it from there; the call-site value only seeds a table that does
     // not exist yet.
     private def writeScdBuckets(table: String, nBuckets: Int): Unit =
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$warehouse/$table/_scd_nbuckets"),
+      WarehouseFs.publishAtomic(s"$warehouse/$table/_scd_nbuckets",
         nBuckets.toString)
 
     private def scdBuckets(table: String, fallback: Int): Int = {
-      val p = java.nio.file.Paths.get(s"$warehouse/$table/_scd_nbuckets")
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.readString(p).trim.toInt
+      val p = s"$warehouse/$table/_scd_nbuckets"
+      if (WarehouseFs.exists(p)) WarehouseFs.readString(p).trim.toInt
       else fallback
     }
 
@@ -1615,7 +1681,7 @@ object Orchestrator {
         .withColumn("kb", bucketOf(key, scdBuckets(table, nBuckets)))
       val outCols = Seq(col("kb"), col(key)) ++ attrCols.map(col) :+
         col("merge_version")
-      if (!new java.io.File(path).exists()) {
+      if (!WarehouseFs.exists(path)) {
         val obs = org.apache.spark.sql.Observation()
         upd.withColumn("merge_version", lit(1L))
           .select(outCols: _*)
@@ -1719,7 +1785,7 @@ object Orchestrator {
       // the quarantine write is best-effort (a broken SOURCE read can't
       // be quarantined), and gold/MV failures never quarantine — give
       // those a contract error, not a confusing path-not-found
-      if (!new java.io.File(s"$warehouse/failed/$target").exists())
+      if (!WarehouseFs.exists(s"$warehouse/failed/$target"))
         throw new IllegalStateException(
           s"no quarantined input for $target — the failure happened " +
             "before the input slice could be captured (or in a " +
@@ -1728,10 +1794,8 @@ object Orchestrator {
         .where(col("dwh_batch_id") === batchId)
       val n = writeBatch(f(in).drop("dwh_batch_id"), target)
       log("reprocess", target, "SUCCESS", n)
-      val q = new java.io.File(s"$warehouse/failed/$target/dwh_batch_id=$batchId")
-      if (q.exists()) {
-        q.listFiles().foreach(_.delete()); q.delete()
-      }
+      WarehouseFs.deleteRecursive(
+        s"$warehouse/failed/$target/dwh_batch_id=$batchId")
       // a heal must be durably visible to `failedTargets` immediately —
       // the whole point of the reprocess cycle is clearing the books
       flushAudit()
@@ -1848,10 +1912,9 @@ object Orchestrator {
         // creates the table directory (_SUCCESS only) but no partition
         // data, so rebuild from an empty frame of the partial's schema
         // instead of dying on the schema-less read
-        val hasPartitions = Option(
-          new java.io.File(s"$warehouse/$partialTable").listFiles())
-          .exists(_.exists(f => f.isDirectory &&
-            f.getName.startsWith("dwh_batch_id=")))
+        val hasPartitions = WarehouseFs.list(s"$warehouse/$partialTable")
+          .exists(f => f.isDirectory &&
+            f.getPath.getName.startsWith("dwh_batch_id="))
         val partials =
           if (hasPartitions) readTable(partialTable).drop("dwh_batch_id")
           else built.drop("dwh_batch_id").limit(0)

