@@ -38,6 +38,10 @@ object Multimodal {
 
   /** Attach a deterministic fake payload to each document: 16 md5 bytes
     * of the text (a real `BinaryType` column) plus metadata columns.
+    * NULL text coalesces to '' exactly like every multimodal oracle's
+    * `md5(COALESCE(text,''))` — without it a NULL row would carry a
+    * NULL payload, diverge from the oracle, and NPE in the decode
+    * paths that read `payload.length`.
     */
   def synthesize(documents: DataFrame): DataFrame =
     documents.select(
@@ -47,7 +51,7 @@ object Multimodal {
         .otherwise("video").as("kind"),
       (col("doc_id") % 640 + 16).cast(IntegerType).as("width"),
       (col("doc_id") % 480 + 16).cast(IntegerType).as("height"),
-      unhex(md5(col("text"))).as("payload"))
+      unhex(md5(coalesce(col("text"), lit("")))).as("payload"))
 
   /** Decode-stub + feature extraction as imperative per-partition code
     * over the typed Dataset — where a real build would call the codec

@@ -115,4 +115,94 @@ object KCore {
         .localCheckpoint()
     } finally canon.unpersist()
   }
+
+  /** FULL core decomposition — every node's maximal k (the production
+    * form [[peel]]'s docstring names): the ascending-k ladder over the
+    * same synchronous peel. One pass maintains the survivor set and
+    * the current k; each round computes surviving degrees and either
+    * REMOVES the below-k nodes (they leave with core number k−1 —
+    * including nodes whose last neighbor just fell, which vanish from
+    * the degree frame entirely) or, when nothing is below k,
+    * INCREMENTS k. The ladder visits each k once, so total rounds =
+    * Σ per-k cascade depths + degeneracy — the same unit cost as
+    * [[peel]] (two semi-joins + one keyed count per round, 1-row
+    * driver-side counts), amortized over EVERY k instead of one:
+    * curation pipelines that threshold different sources at different
+    * k read the one persisted (node, core) table instead of re-running
+    * the peel per threshold.
+    *
+    * Determinism and guards match [[peel]] (monotone set fixpoint, no
+    * floats, loud NULL/empty refusals); `maxRounds` caps the TOTAL
+    * ladder rounds — a capped run would MISLABEL every unfinished
+    * node's core, so it refuses loudly. Isolated nodes never appear
+    * (no edges → no rows), consistent with [[peel]].
+    *
+    * @return (node, core) — one row per node with ≥ 1 edge; core >= 1
+    */
+  def coreNumbers(spark: SparkSession, edges: DataFrame,
+                  maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1,
+      s"KCore: maxRounds must be >= 1, got $maxRounds")
+    val raw = edges.select(col("src"), col("dst"))
+    val g = raw.agg(count(lit(1)),
+      count(when(col("src").isNotNull && col("dst").isNotNull, 1))).head()
+    require(g.getLong(0) > 0,
+      "KCore: empty edge frame — land edges before decomposing")
+    require(g.getLong(1) == g.getLong(0),
+      s"KCore: ${g.getLong(0) - g.getLong(1)} edges carry a NULL " +
+        "endpoint — a null edge silently deflates its partner's degree " +
+        "and mislabels core numbers; repair the edge feed")
+    val canon = raw
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .persist()
+    try {
+      def degAmong(alive: DataFrame): DataFrame = {
+        val ae = canon
+          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        ae.select(col("u").as("node"))
+          .unionAll(ae.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      }
+      var survivors = canon.select(col("u").as("node"))
+        .unionAll(canon.select(col("v").as("node")))
+        .distinct().localCheckpoint()
+      var nSurv = survivors.count()
+      var k = 1
+      var round = 0
+      val assigned = Vector.newBuilder[DataFrame]
+      while (nSurv > 0L) {
+        round += 1
+        require(round <= maxRounds,
+          s"KCore: core decomposition not finished after $maxRounds " +
+            s"rounds ($nSurv nodes unassigned at k=$k) — a capped run " +
+            "would mislabel every unassigned node's core; raise " +
+            "maxRounds for this cascade")
+        val obs = org.apache.spark.sql.Observation()
+        val degHigh = degAmong(survivors)
+          .where(col("deg") >= k)
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint()
+        val nHigh = obs.get("n").asInstanceOf[Long]
+        if (nHigh == nSurv) {
+          // nothing below k: the survivor set IS the k-core; climb
+          k += 1
+        } else {
+          // peel: everyone not in degHigh — below-k nodes AND nodes
+          // whose degree frame row vanished with their last neighbor —
+          // leaves with core number k-1
+          assigned += survivors
+            .join(degHigh.select(col("node")), Seq("node"), "left_anti")
+            .select(col("node"), lit((k - 1).toLong).as("core"))
+            .localCheckpoint()
+          survivors = degHigh.select(col("node")).localCheckpoint()
+          nSurv = nHigh
+        }
+      }
+      assigned.result().reduce(_ unionAll _).localCheckpoint()
+    } finally canon.unpersist()
+  }
 }

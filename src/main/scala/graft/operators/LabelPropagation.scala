@@ -75,4 +75,63 @@ object LabelPropagation {
       labels
     } finally canon.unpersist()
   }
+
+  /** Newman–Girvan modularity of a labeling on the INTEGER LATTICE —
+    * the measure-don't-assume row every heuristic operator carries,
+    * for LPA: Q = Σ_c [ in_c/m − (d_c/2m)² ] over communities c, with
+    * m = |edges|, in_c = intra-community edges, d_c = degree sum.
+    * Multiplying by 4m² clears every denominator, so the report is
+    * exact BIGINT arithmetic both engines reproduce bit-for-bit:
+    * `modularity_num = Σ_c (4·m·in_c − d_c²)`, `modularity_den = 4m²`,
+    * and Q in ppm via FLOOR division (floor, not truncate — num can be
+    * negative on an anti-community labeling, and the engines' `div`
+    * vs `//` would otherwise disagree by one).
+    *
+    * Scale notes: two label-keyed joins of the edge list (the round
+    * cost LPA already pays), one degree aggregate, community-sized
+    * groupBys — nothing heavier than one LPA round.
+    *
+    * @param labels (node, community) — e.g. [[run]]'s output
+    * @param edges  the SAME edge frame the labeling was computed on
+    * @return one row: (communities, m_edges, modularity_num,
+    *         modularity_den, modularity_ppm)
+    */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val canon = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val lab = labels.select(col("node"), col("community"))
+    val m = canon.agg(count(lit(1)).as("m"))
+    val intra = canon
+      .join(lab.select(col("node").as("u"), col("community").as("cu")), "u")
+      .join(lab.select(col("node").as("v"), col("community").as("cv")), "v")
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("in_e"))
+    val degs = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dsum = lab.join(degs, "node")
+      .groupBy(col("community")).agg(sum(col("deg")).as("dc"))
+    dsum.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m)) // 1-row aggregate frame
+      .select((lit(4L) * col("m") * coalesce(col("in_e"), lit(0L))
+        - col("dc") * col("dc")).as("num"), col("m"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("communities"), sum(col("num")).as("num"))
+      .select(col("communities"),
+        col("m").as("m_edges"),
+        col("num").as("modularity_num"),
+        (lit(4L) * col("m") * col("m")).as("modularity_den"))
+      // FLOOR division on the lattice (the hourlyCents idiom): the
+      // correction term makes Spark's truncating div floor-exact for
+      // negative numerators, matching the oracle's //
+      .selectExpr("communities", "m_edges", "modularity_num",
+        "modularity_den",
+        "(modularity_num * 1000000) div modularity_den - " +
+          "(case when (modularity_num * 1000000) % modularity_den < 0 " +
+          "then 1 else 0 end) AS modularity_ppm")
+  }
 }

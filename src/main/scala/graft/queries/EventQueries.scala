@@ -231,7 +231,14 @@ object EventQueries extends QueryPack {
     */
   private[graft] def hourlyCents(ev: DataFrame): DataFrame =
     ev.groupBy(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("hour_id"))
+        // FLOOR division, not `div`: Spark's div truncates toward zero
+        // while the oracle's // and the grid arithmetic floor, so a
+        // pre-1970 timestamp would land in a different hour bucket per
+        // engine; the correction term makes the integer division exact
+        // floor semantics for every sign
+        expr("(unix_micros(ts) div 3600000000) - " +
+          "(case when unix_micros(ts) % 3600000000 < 0 then 1 else 0 end)")
+          .as("hour_id"))
       .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("cents"))
 
   /** ONE fill definition over (event_type, hour_id, cents) cells: the

@@ -125,6 +125,13 @@ object GraphQueries extends QueryPack {
     */
   private val KCoreMaxRounds = 16
 
+  /** Total ladder-round cap for q_graph_core_numbers: the fixture's
+    * ladder spends ~13 rounds in the k=2 rung (the pendant cascade),
+    * a couple per higher rung, and one k-increment round per rung up
+    * to the clique's core 10 — 64 proves completion with margin.
+    */
+  private val CoreNumMaxRounds = 64
+
   /** The k-core fixture graph: doc_id % 500 pins the SAME edge set at
     * every SF (doc_id is dense from 0 at each scale), split four ways
     * by residue into an 11-clique (nodes 0-10), a pendant path 11-23
@@ -509,6 +516,47 @@ object GraphQueries extends QueryPack {
       KCore.peel(s, edges, KCoreK, KCoreMaxRounds)
     }),
 
+    // FULL core-number decomposition (KCore.coreNumbers — the
+    // ascending-k ladder over the same synchronous peel) on the same
+    // cascade fixture: one pass assigns every node its MAXIMAL k, so
+    // pipelines thresholding different sources at different k read one
+    // persisted table instead of re-peeling per k. The fixture's
+    // ground truth exercises the whole ladder: the 11-clique lands at
+    // core 10, the 7-cycle at core 2, the pendant path and the star at
+    // core 1 — and the path still unravels one node per round inside
+    // the k=2 rung (the cascade a one-pass degree filter cannot see).
+    // Oracle = the unrolled peel-ladder CTE (k=2..11 rungs, each rung
+    // peeled to fixpoint from the previous rung's core, core(v) = max
+    // rung containing v).
+    "q_graph_core_numbers" -> ((s, dir) =>
+      KCore.coreNumbers(s, kcoreEdges(s, dir), CoreNumMaxRounds)),
+
+    // LPA quality measurement — the measure-don't-assume row every
+    // heuristic operator carries, for the communities row above:
+    // Newman-Girvan modularity of the round-4 labeling on the integer
+    // lattice (num/den exact BIGINTs, ppm via floor division), A/B'd
+    // against the fixture's STRUCTURAL two-block partition (the ≡0
+    // residue class vs the merged 1-2 bipartite block — the partition
+    // the edge rule actually induces). Measured: lpa_round4 =
+    // 11590 ppm vs residue_blocks = 452032 ppm — the honest number
+    // behind the communities row: synchronous LPA keeps the bipartite
+    // halves apart (their edges are all inter-class), so its labeling
+    // captures far less modularity than the merged-block truth. A
+    // consumer thresholding on community quality reads THIS row, not
+    // the label count. Oracle = the identical 4 unrolled rounds + the
+    // same lattice arithmetic for both labelings.
+    "q_graph_lpa_modularity" -> ((s, dir) => {
+      val edges = triangleFixtureEdges(s, dir)
+      val lpa = LabelPropagation.run(s, edges, LpaRounds)
+      val blocks = lpa.select(col("node"),
+        when(expr("CAST(substring(node, 2, 10) AS BIGINT)") % 3 === 0,
+          lit("b0")).otherwise(lit("b12")).as("community"))
+      LabelPropagation.modularity(lpa, edges)
+        .select(lit("lpa_round4").as("labeling"), col("*"))
+        .unionByName(LabelPropagation.modularity(blocks, edges)
+          .select(lit("residue_blocks").as("labeling"), col("*")))
+    }),
+
     // Incremental entity resolution — the shape a daily ingest actually
     // runs: match a NEW batch's (dirty) keys against the EXISTING
     // master key list without re-blocking the master side. The batch
@@ -548,22 +596,12 @@ object GraphQueries extends QueryPack {
     * verbatim; rounds past the fixpoint are no-ops, so Spark's
     * early-exit is invisible in the rows.
     */
-  private val kcoreOracle: String = {
-    // every round CTE is MATERIALIZED: a_{r-1} is referenced twice per
-    // round, so default inlining would DOUBLE the expression tree each
-    // round — 2^rounds expansion before the optimizer ever runs
-    def round(r: Int): String =
-      s""",
-         ae_$r AS MATERIALIZED (
-                   SELECT e.u, e.v FROM e
-                   JOIN a_${r - 1} x ON x.node = e.u
-                   JOIN a_${r - 1} y ON y.node = e.v),
-         a_$r AS MATERIALIZED (
-                  SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg
-                  FROM (SELECT u AS n FROM ae_$r
-                        UNION ALL SELECT v AS n FROM ae_$r)
-                  GROUP BY n HAVING COUNT(*) >= $KCoreK)"""
-    s"""WITH raw AS (
+  /** The k-core fixture's raw residue map + canonical edge CTEs,
+    * shared verbatim by the fixed-k and core-number oracles (the one
+    * edge rule [[kcoreEdges]] mirrors).
+    */
+  private val kcoreFixtureCtes: String =
+    s"""raw AS (
            SELECT CASE
                     WHEN (doc_id % 500) % 4 <= 1
                       THEN ((doc_id % 500) // 4) % 11
@@ -591,7 +629,24 @@ object GraphQueries extends QueryPack {
            FROM documents),
          e AS MATERIALIZED (
                SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
-               FROM raw WHERE a <> b),
+               FROM raw WHERE a <> b)"""
+
+  private val kcoreOracle: String = {
+    // every round CTE is MATERIALIZED: a_{r-1} is referenced twice per
+    // round, so default inlining would DOUBLE the expression tree each
+    // round — 2^rounds expansion before the optimizer ever runs
+    def round(r: Int): String =
+      s""",
+         ae_$r AS MATERIALIZED (
+                   SELECT e.u, e.v FROM e
+                   JOIN a_${r - 1} x ON x.node = e.u
+                   JOIN a_${r - 1} y ON y.node = e.v),
+         a_$r AS MATERIALIZED (
+                  SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM (SELECT u AS n FROM ae_$r
+                        UNION ALL SELECT v AS n FROM ae_$r)
+                  GROUP BY n HAVING COUNT(*) >= $KCoreK)"""
+    s"""WITH $kcoreFixtureCtes,
          degf AS (SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg
                   FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
                   GROUP BY n),
@@ -603,11 +658,55 @@ object GraphQueries extends QueryPack {
          FROM a_$KCoreMaxRounds a JOIN degf f ON f.node = a.node"""
   }
 
-  /** Unrolled synchronous LPA rounds (the kcoreOracle discipline —
-    * MATERIALIZED per round; counts and string ordering only, so the
-    * compare is bit-level). Edge CTE mirrors [[triangleFixtureEdges]].
+  /** Unrolled peel-LADDER for the full core decomposition: rung k
+    * peels to fixpoint FROM THE PREVIOUS RUNG'S CORE ((k+1)-core ⊆
+    * k-core, so each rung restarts from a superset of its answer —
+    * never from the full graph), with enough unrolled rounds per rung
+    * to cover the fixture's cascades (13 for the pendant path inside
+    * k=2, ≤2 elsewhere; extra rounds past a fixpoint are no-ops).
+    * core(v) = the max rung whose core still contains v.
     */
-  private val lpaOracle: String = {
+  private val coreNumbersOracle: String = {
+    val maxK = 11 // the 11-clique's core is 10; rung 11 proves it empty
+    def roundsFor(k: Int) = if (k == 2) KCoreMaxRounds else 4
+    def round(k: Int, r: Int): String =
+      s""",
+         ae_${k}_$r AS MATERIALIZED (
+                   SELECT e.u, e.v FROM e
+                   JOIN a_${k}_${r - 1} x ON x.node = e.u
+                   JOIN a_${k}_${r - 1} y ON y.node = e.v),
+         a_${k}_$r AS MATERIALIZED (
+                  SELECT n AS node
+                  FROM (SELECT u AS n FROM ae_${k}_$r
+                        UNION ALL SELECT v AS n FROM ae_${k}_$r)
+                  GROUP BY n HAVING COUNT(*) >= $k)"""
+    def rung(k: Int): String =
+      s""",
+         a_${k}_0 AS (SELECT node FROM a_${k - 1}_${roundsFor(k - 1)})""" +
+        (1 to roundsFor(k)).map(round(k, _)).mkString
+    s"""WITH $kcoreFixtureCtes,
+         a_1_${roundsFor(1)} AS (
+           SELECT n AS node
+           FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+           GROUP BY n)""" +
+      (2 to maxK).map(rung).mkString +
+      s"""
+         SELECT 'n' || CAST(node AS VARCHAR) AS node,
+                CAST(MAX(k) AS BIGINT) AS core
+         FROM (""" +
+      (1 to maxK).map(k =>
+        s"SELECT node, $k AS k FROM a_${k}_${roundsFor(k)}")
+        .mkString("\n               UNION ALL ") +
+      s""")
+         GROUP BY node"""
+  }
+
+  /** Unrolled synchronous LPA round CTEs (the kcoreOracle discipline —
+    * MATERIALIZED per round; counts and string ordering only, so the
+    * compare is bit-level), shared by the communities row and the
+    * modularity measurement. Edge CTE mirrors [[triangleFixtureEdges]].
+    */
+  private val lpaCtes: String = {
     def round(r: Int): String =
       s""",
          c_$r AS MATERIALIZED (
@@ -631,10 +730,66 @@ object GraphQueries extends QueryPack {
            UNION ALL SELECT v AS node, u AS nbr FROM e),
          l_0 AS MATERIALIZED (
            SELECT DISTINCT node, node AS community FROM adj)""" +
-      (1 to LpaRounds).map(round).mkString +
-      s"""
-         SELECT node, community FROM l_$LpaRounds"""
+      (1 to LpaRounds).map(round).mkString
   }
+
+  private val lpaOracle: String =
+    lpaCtes + s"""
+         SELECT node, community FROM l_$LpaRounds"""
+
+  /** Newman-Girvan modularity of a labeling on the integer lattice,
+    * mirroring LabelPropagation.modularity exactly: num/den are
+    * BIGINTs (×4m² clears all denominators), ppm via floor division
+    * (DuckDB's // floors natively). One CTE block per labeling, the
+    * two final SELECTs unioned — the A/B the registered row reports.
+    */
+  private def modularityCtes(tag: String, labCte: String): String =
+    s""",
+         lab_$tag AS ($labCte),
+         intra_$tag AS (
+           SELECT lu.community, CAST(COUNT(*) AS BIGINT) AS in_e
+           FROM e
+           JOIN lab_$tag lu ON lu.node = e.u
+           JOIN lab_$tag lv ON lv.node = e.v
+           WHERE lu.community = lv.community
+           GROUP BY lu.community),
+         dsum_$tag AS (
+           SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS dc
+           FROM lab_$tag l JOIN degs d ON d.node = l.node
+           GROUP BY l.community),
+         contrib_$tag AS (
+           SELECT ds.community,
+                  4 * mm.m * COALESCE(i.in_e, 0) - ds.dc * ds.dc AS num,
+                  mm.m AS m
+           FROM dsum_$tag ds CROSS JOIN mm
+           LEFT JOIN intra_$tag i ON i.community = ds.community)"""
+
+  private def modularitySelect(tag: String, labeling: String): String =
+    s"""SELECT '$labeling' AS labeling,
+                CAST(COUNT(*) AS BIGINT) AS communities,
+                m AS m_edges,
+                CAST(SUM(num) AS BIGINT) AS modularity_num,
+                4 * m * m AS modularity_den,
+                (CAST(SUM(num) AS BIGINT) * 1000000) // (4 * m * m)
+                  AS modularity_ppm
+         FROM contrib_$tag
+         GROUP BY m"""
+
+  private val lpaModularityOracle: String =
+    lpaCtes + s""",
+         mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         degs AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM adj GROUP BY node)""" +
+      modularityCtes("a", s"SELECT node, community FROM l_$LpaRounds") +
+      modularityCtes("b",
+        """SELECT DISTINCT node,
+                  CASE WHEN CAST(substring(node, 2, 10) AS BIGINT) % 3 = 0
+                       THEN 'b0' ELSE 'b12' END AS community
+           FROM adj""") +
+      s"""
+         ${modularitySelect("a", "lpa_round4")}
+         UNION ALL
+         ${modularitySelect("b", "residue_blocks")}"""
 
   private val pageRankOracle: String = {
     def iter(k: Int): String =
@@ -900,6 +1055,8 @@ object GraphQueries extends QueryPack {
          FROM deg d LEFT JOIN tc t ON t.n = d.n""",
 
     "q_graph_kcore" -> kcoreOracle,
+    "q_graph_core_numbers" -> coreNumbersOracle,
+    "q_graph_lpa_modularity" -> lpaModularityOracle,
 
     "q_graph_lpa" -> lpaOracle,
 

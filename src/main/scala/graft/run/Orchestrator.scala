@@ -1035,6 +1035,23 @@ object Orchestrator {
       refreshIfDue("indexes/graph_kcore", "indexes/graph_edges")(
         note => refreshKCore(k, maxRounds, note))
 
+    /** Full core-number decomposition over the SAME warehouse edge
+      * table — the production form the fixed-k gate's docstring names
+      * ([[refreshGraphRanks]] contract verbatim): ONE ladder pass
+      * persists every node's maximal k, so per-source thresholds read
+      * the table instead of re-running the peel per k. The ladder's
+      * loud round cap fires inside the failure scope: a capped run
+      * would MISLABEL cores, so it lands FAILED, never a wrong table.
+      */
+    def refreshCoreNumbers(maxRounds: Int = 64, note: String = ""): Long =
+      refreshGraphArtifact("indexes/graph_core_numbers", note)(
+        graft.operators.KCore.coreNumbers(spark, _, maxRounds))
+
+    /** [[refreshIfDue]] around [[refreshCoreNumbers]]. */
+    def refreshCoreNumbersIfDue(maxRounds: Int = 64): Option[Long] =
+      refreshIfDue("indexes/graph_core_numbers", "indexes/graph_edges")(
+        note => refreshCoreNumbers(maxRounds, note))
+
     /** Synchronous LPA communities over the SAME warehouse edge table
       * — the fifth whole-graph artifact of the plane
       * ([[refreshGraphRanks]] contract verbatim): mirror-farm / topic-

@@ -5,21 +5,21 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** End-to-end lifecycle of the whole graph plane — the integration
   * narrative the per-face specs pin piecewise: edge batches land
-  * S8-idempotently, ONE cadence config drives all five whole-graph
-  * artifacts (ranks, HITS, triangles, k-core, LPA communities), both
-  * gates read the persisted artifacts, retention vacuums the consumed
-  * edge vintages, and the AS-OF guard refuses snapshots the vacuum
-  * invalidated. Every step is the production call sequence, nothing
-  * is reached into.
+  * S8-idempotently, ONE cadence config drives all six whole-graph
+  * artifacts (ranks, HITS, triangles, k-core, core numbers, LPA
+  * communities), both gates read the persisted artifacts, retention
+  * vacuums the consumed edge vintages, and the AS-OF guard refuses
+  * snapshots the vacuum invalidated. Every step is the production
+  * call sequence, nothing is reached into.
   */
 class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
 
-  test("land -> cadence-refresh x4 -> gate -> vacuum -> as-of refusal") {
+  test("land -> cadence-refresh x6 -> gate -> vacuum -> as-of refusal") {
     val wh = java.nio.file.Files
       .createTempDirectory("graft_graphlife").toString
-    // cadence: one refresh per 2 landed edge batches, for all four
+    // cadence: one refresh per 2 landed edge batches, for all six
     // artifacts; retention: keep only the newest edge vintage (each
     // refresh covers the accumulated graph, so consumed vintages can go)
     ToolsConfig.writeConfigFile(ToolsConfig.mvConfigPath(wh), Seq(
@@ -27,6 +27,7 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
       """{"target_table":"indexes/graph_hits_scores","refresh_every":2}""",
       """{"target_table":"indexes/graph_triangle_counts","refresh_every":2}""",
       """{"target_table":"indexes/graph_kcore","refresh_every":2}""",
+      """{"target_table":"indexes/graph_core_numbers","refresh_every":2}""",
       """{"target_table":"indexes/graph_communities","refresh_every":2}""",
       """{"target_table":"indexes/graph_edges","retention_keep_last":1}"""))
 
@@ -38,6 +39,7 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
         r.refreshHitsScoresIfDue(2).isDefined,
         r.refreshTriangleCountsIfDue().isDefined,
         r.refreshKCoreIfDue(k = 2).isDefined,
+        r.refreshCoreNumbersIfDue().isDefined,
         r.refreshLpaCommunitiesIfDue(rounds = 3).isDefined)
       r.flushAudit(); out
     }
@@ -48,15 +50,15 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
     b1.indexGraphBatch(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
       .toDF("src", "dst"))
     b1.flushAudit()
-    assert(refreshAllDue(b1) === Seq(false, false, false, false, false))
+    assert(refreshAllDue(b1) === Seq(false, false, false, false, false, false))
 
     // B2: close a second triangle acd — second landing is due, ONE
     // whole-graph fixpoint for each artifact covers both batches
     val b2 = new Orchestrator.Run(spark, wh, "B2")
     b2.indexGraphBatch(Seq(("a", "d")).toDF("src", "dst"))
     b2.flushAudit()
-    assert(refreshAllDue(b2) === Seq(true, true, true, true, true))
-    assert(refreshAllDue(b2) === Seq(false, false, false, false, false),
+    assert(refreshAllDue(b2) === Seq(true, true, true, true, true, true))
+    assert(refreshAllDue(b2) === Seq(false, false, false, false, false, false),
       "immediate re-check must skip on every artifact")
 
     // both gates read their persisted artifacts
@@ -72,6 +74,12 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
       === graft.operators.LabelPropagation
         .run(spark, unionEdges.toDF("src", "dst"), 3)
         .orderBy(col("node")).collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+    // the core-number artifact persists every node's maximal k on the
+    // accumulated graph: the union abc+acd is two triangles sharing
+    // edge a-c, so every node sits in the 2-core and none in a 3-core
+    assert(spark.read.parquet(s"$wh/indexes/graph_core_numbers")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      === Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 2L))
     val lf = b2.linkFarmGateAgainstTriangles(docs).collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(lf === Map(1L -> true, 2L -> true, 3L -> false))
@@ -93,7 +101,7 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
     val b3 = new Orchestrator.Run(spark, wh, "B3")
     b3.indexGraphBatch(Seq(("d", "e")).toDF("src", "dst"))
     b3.flushAudit()
-    assert(refreshAllDue(b3) === Seq(false, false, false, false, false),
+    assert(refreshAllDue(b3) === Seq(false, false, false, false, false, false),
       "one post-vacuum landing stays under the every=2 cadence")
   }
 }

@@ -97,6 +97,73 @@ class KCoreSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("NULL"))
   }
 
+  /** Core-number twin straight off the definition: c(v) = max k such
+    * that v is in the k-core (computed via the peel twin per k).
+    */
+  private def referenceCores(edges: Seq[(String, String)])
+  : Map[String, Long] = {
+    var cores = Map.empty[String, Long]
+    var k = 1
+    var alive = reference(edges, k).keySet
+    while (alive.nonEmpty) {
+      alive.foreach(n => cores += n -> k.toLong)
+      k += 1
+      alive = reference(edges, k).keySet
+    }
+    cores
+  }
+
+  private def runCores(edges: Seq[(String, String)],
+                       maxRounds: Int = 64): Map[String, Long] =
+    KCore.coreNumbers(spark, edges.toDF("src", "dst"), maxRounds)
+      .as[(String, Long)].collect().toMap
+
+  test("core numbers match the definition twin on the cascade graph") {
+    val got = runCores(cascade)
+    assert(got === referenceCores(cascade))
+    // clique at core 3, the pendant path (including its full-degree-2
+    // interior) at core 1 — one pass yields what three peels would
+    assert(got("a") === 3L && got("c") === 3L)
+    assert(got("p1") === 1L && got("p2") === 1L && got("p3") === 1L)
+  }
+
+  test("core numbers match the twin on a pseudo-random graph") {
+    val edges = (0 until 150).map { i =>
+      (s"n${i * 11 % 19}", s"n${(i * i + 5) % 19}")
+    }.filter(e => e._1 != e._2)
+    assert(runCores(edges) === referenceCores(edges))
+  }
+
+  test("core numbers: an unfinished ladder fails loudly, never mislabels") {
+    val e = intercept[IllegalArgumentException] {
+      runCores(cascade, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("mislabel"))
+    // null-endpoint guard matches peel's
+    val withNull = Seq(("a", "b")).toDF("src", "dst")
+      .unionAll(Seq((null: String, "b")).toDF("src", "dst"))
+    intercept[IllegalArgumentException] {
+      KCore.coreNumbers(spark, withNull, 8)
+    }
+  }
+
+  test("registered core-number fixture: clique 10, cycle 2, path+star 1") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.GraphQueries
+      .queries("q_graph_core_numbers")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got.size === 37)
+    val byCore = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCore === Map(10L -> 11, 2L -> 7, 1L -> 19),
+      "11-clique at core 10, 7-cycle at core 2, path+star at core 1")
+    // consistency with the fixed-k gate: the k=2 membership cut equals
+    // the core-number threshold — one table serves every k
+    val gate = graft.queries.GraphQueries
+      .queries("q_graph_kcore")(spark, dir)
+      .select("node").as[String].collect().toSet
+    assert(got.filter(_._2 >= 2L).keySet === gate)
+  }
+
   test("registered fixture: 13-round cascade, clique+cycle core, margin") {
     // the row's contract: the pendant path makes the fixpoint take 13
     // drop rounds (+1 confirming round), inside the 16 the oracle

@@ -82,4 +82,67 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
     assert(sizes.sorted === Seq(9, 10, 10),
       s"expected the residue-class communities, got $sizes")
   }
+
+  /** Modularity twin straight off Newman-Girvan on the lattice:
+    * Q·4m² = Σ_c (4·m·in_c − d_c²).
+    */
+  private def referenceModularity(edges: Seq[(String, String)],
+                                  labels: Map[String, String])
+  : (Long, Long, Long) = {
+    val simple = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct
+    val m = simple.size.toLong
+    val deg = simple.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byC = labels.groupBy(_._2).view.mapValues(_.keySet).toMap
+    val num = byC.valuesIterator.map { members =>
+      val in = simple.count(e => members(e._1) && members(e._2)).toLong
+      val dc = members.toSeq.map(deg).sum
+      4L * m * in - dc * dc
+    }.sum
+    (num, 4L * m * m, byC.size.toLong)
+  }
+
+  test("modularity matches the twin and separates good from bad labelings") {
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ ("a4", "b1")
+    val labels = run(edges, 4)
+    val (num, den, nc) = referenceModularity(edges, labels)
+    val got = LabelPropagation.modularity(
+        LabelPropagation.run(spark, edges.toDF("src", "dst"), 4),
+        edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    val (gc, gm, gnum, gden, gppm) = got.head
+    assert((gnum, gden, gc) === ((num, den, nc)))
+    assert(gm === edges.size.toLong)
+    assert(gppm === Math.floorDiv(num * 1000000L, den),
+      "ppm must be FLOOR division on the lattice")
+    // the two-clique labeling is high-quality; the pathological
+    // one-node-one-community labeling must score NEGATIVE — the
+    // measurement separates them (floor-division sign handling included)
+    val trivial = labels.keys.toSeq.toDF("node")
+      .selectExpr("node", "node AS community")
+    val bad = LabelPropagation.modularity(trivial, edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(bad._3 < 0L && bad._5 < 0L)
+    val (bnum, bden, _) =
+      referenceModularity(edges, labels.keys.map(n => n -> n).toMap)
+    assert(bad._3 === bnum)
+    assert(bad._5 === Math.floorDiv(bnum * 1000000L, bden))
+    assert(gppm > bad._5)
+  }
+
+  test("registered modularity A/B: structural blocks beat round-4 LPA") {
+    val rows = graft.queries.GraphQueries
+      .queries("q_graph_lpa_modularity")(spark, "/root/testdata/sf0.001")
+      .select("labeling", "modularity_ppm")
+      .as[(String, Long)].collect().toMap
+    assert(rows.keySet === Set("lpa_round4", "residue_blocks"))
+    assert(rows("lpa_round4") > 0L, "LPA's labeling is better than random")
+    assert(rows("residue_blocks") > rows("lpa_round4"),
+      "the merged-block truth must dominate — the gap IS the measurement")
+  }
 }
