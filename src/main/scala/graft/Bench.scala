@@ -105,7 +105,10 @@ object Bench {
     "q_graph_triangles", "q_graph_kcore", "q_graph_lpa",
     "q_events_gapfill", "q_sim_ann_sq", "q_sim_ann_sq_recall",
     "q_multimodal_audio_energy", "q_profile_table",
-    "q_agg_correlations")
+    "q_agg_correlations",
+    // r18 rows: tracked from day one (core numbers is the new heaviest
+    // graph row — the ladder pays every rung's peel)
+    "q_graph_core_numbers", "q_graph_lpa_modularity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -278,6 +281,26 @@ object Bench {
     }
     val scalingJson = scaling.map(_._1).getOrElse("")
 
+    // Lifecycle-plane timing (run/LifecycleBench): the land → cadence
+    // refresh → gates → ANN rebuild → vacuum walk, per-stage seconds —
+    // the maintenance ops BENCH's query rows never execute. A dead walk
+    // is NAMED ("lifecycle_error"), never silently absent, and never
+    // timed (the errored-query fabrication rule).
+    val lifecycleWalks =
+      sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE_RUNS", "2").toInt
+    val lifecycle: Either[String, Seq[(String, Double)]] =
+      if (lifecycleWalks <= 0) Left("disabled")
+      else try Right(graft.run.LifecycleBench.run(spark, sfDir, lifecycleWalks))
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+    val lifecycleJson = lifecycle match {
+      case Right(stages) => s""","lifecycle":${dict(stages)}"""
+      case Left("disabled") => ""
+      case Left(msg) =>
+        s""","lifecycle_error":"${msg.replaceAll("[\"\\\\\\n\\r\\t]", " ")}""""
+    }
+
     // "queries" stays name->median (same shape as every prior round);
     // "spread" carries max-min over the runs so a flaky timing is
     // visible as data instead of whipsawing the median across rounds.
@@ -308,13 +331,13 @@ object Bench {
       },"n_scaling_flagged":${scaling.map(_._2).getOrElse(-1)
       },"n_scaling_errors":${scaling.map(_._3).getOrElse(-1)}}"""
     val totalJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,$unstableHead,"queries":$qs,"spread":$sprHead$scalingJson,"sf":"$sfDir"$tailJson}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,$unstableHead,"queries":$qs,"spread":$sprHead$scalingJson$lifecycleJson,"sf":"$sfDir"$tailJson}"""
     println(totalJson)
     // Full per-query dict to a file so round-over-round diffs cover every
     // query, not just the stdout-tail-safe headline subset.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,"n_unstable":${unstable.size},"unstable":${nameArr(unstable)},"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson,"sf":"$sfDir"$tailJson}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"errors":$errJson,"n_unstable":${unstable.size},"unstable":${nameArr(unstable)},"queries":${dict(results)},"spread":${dict(spreads)}$scalingJson$lifecycleJson,"sf":"$sfDir"$tailJson}""".getBytes("UTF-8"))
     // FINAL line: one COMPLETE compact JSON object, sized to survive the
     // driver's ~2000-char stdout-tail capture whole (the sbt epilogue
     // after it costs ~100 chars). The wide line above front-truncates in
@@ -328,7 +351,7 @@ object Bench {
     val scalingFlagged = scaling.map(_._4).getOrElse(Nil)
     val scalingErrored = scaling.map(_._5).getOrElse(Nil)
     val head =
-      s"""{"metric":"bench_summary","value":${num(total)},"unit":"sec","sf":"$sfDir","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"n_errors":${errored.size},"errors":${capped(errored)},"n_unstable":${unstable.size},"unstable":${capped(unstable)},"n_scaling_flagged":${scaling.map(_._2).getOrElse(-1)},"scaling_flagged":${capped(scalingFlagged)},"n_scaling_errors":${scaling.map(_._3).getOrElse(-1)},"scaling_errors":${capped(scalingErrored)}"""
+      s"""{"metric":"bench_summary","value":${num(total)},"unit":"sec","sf":"$sfDir","runs":${benchRuns - 1},"warmup":1,"n_queries":${results.size},"n_errors":${errored.size},"errors":${capped(errored)},"n_unstable":${unstable.size},"unstable":${capped(unstable)},"n_scaling_flagged":${scaling.map(_._2).getOrElse(-1)},"scaling_flagged":${capped(scalingFlagged)},"n_scaling_errors":${scaling.map(_._3).getOrElse(-1)},"scaling_errors":${capped(scalingErrored)}$lifecycleJson"""
     val budget = 1800 - head.length - ""","slowest":{}}""".length
     val slowEntries = results.sortBy(-_._2)
       .map { case (n, v) => s""""$n":${num(v)}""" }

@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   * oracle-checked baseline — MinHash-LSH is the primary scale path);
   * this operator is for corpora where shingle hot spots make the naive
   * join explode. JaccardPrefixSpec proves output equality.
+  *
+  * Density ceiling: even with the prefix filter the LOSSLESS pair
+  * output grows with density² — that is the contract, not a bug — so
+  * the join estimates its candidate-pair count from the prefix-token
+  * histogram IN-PLAN and refuses above `maxCandidatePairs` with the
+  * scale-safe prescription (LshBandJoin candidates / HorizonAgg
+  * aggregates), instead of letting a mis-aimed dense-corpus call
+  * discover the contract by OOM.
   */
 object JaccardPrefixJoin {
 
@@ -25,12 +33,32 @@ object JaccardPrefixJoin {
   private def ceilFrac(n: Column, num: Int, den: Int): Column =
     expr(s"(n*$num + ${den - 1}) DIV $den")
 
+  /** Default candidate-pair ceiling for [[similarPairs]] — see the
+    * refusal below. 50M pairs ≈ a few GB through the verification
+    * joins, comfortably inside one job's shuffle budget; corpora
+    * whose prefix histogram exceeds it should not be on the lossless
+    * path at all.
+    */
+  val DefaultMaxCandidatePairs: Long = 50L * 1000 * 1000
+
   /** @param sh        distinct (doc_id, s) shingle table
     * @param orderHash global shingle order (any deterministic hash col fn)
     * @param num/den   threshold t as a fraction (e.g. 4/5 for 0.8)
+    * @param maxCandidatePairs loud ceiling on the candidate-pair count,
+    *                  ESTIMATED IN-PLAN from the prefix-token histogram
+    *                  (Σ_s c_s·(c_s−1)/2 — exact for the candidate join
+    *                  before its distinct) before any pair is
+    *                  enumerated: the lossless pair output genuinely
+    *                  grows with density², so a mis-aimed call on a
+    *                  dense corpus must fail by PRESCRIPTION (use
+    *                  LshBandJoin candidates or HorizonAgg aggregates),
+    *                  not by OOM — the LshBandJoin hot-bucket-cap
+    *                  discipline applied to the whole operator
     */
   def similarPairs(sh: DataFrame, orderHash: Column => Column,
-                   num: Int, den: Int): DataFrame = {
+                   num: Int, den: Int,
+                   maxCandidatePairs: Long = DefaultMaxCandidatePairs)
+  : DataFrame = {
     val t = num.toDouble / den
     val cached = sh.persist()
     val sizes = cached.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -40,6 +68,25 @@ object JaccardPrefixJoin {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("n") - ceilFrac(col("n"), num, den) + 1)
       .select(col("doc_id"), col("s"))
+    // the ceiling: one tiny histogram aggregate (1 driver-side row)
+    // over the prefix tokens — the SAME frame the candidate join reads,
+    // so the estimate can never drift from the join it guards; pure
+    // integer arithmetic (c·(c−1) div 2 per token, BIGINT sum)
+    val estRow = prefixes.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("pairs"))
+      .head()
+    val est = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+    if (est > maxCandidatePairs) {
+      cached.unpersist()
+      throw new IllegalArgumentException(
+        s"JaccardPrefixJoin: the prefix-token histogram implies ~$est " +
+          s"candidate pairs (> $maxCandidatePairs) — the lossless pair " +
+          "stream grows with density² and this corpus is too dense for " +
+          "it; prune candidates with LshBandJoin (near-dup verdicts) or " +
+          "compute aggregates with HorizonAgg instead, or raise " +
+          "maxCandidatePairs deliberately")
+    }
     val cand = prefixes.select(col("doc_id").as("doc_a"), col("s"))
       .join(prefixes.select(col("doc_id").as("doc_b"), col("s").as("s_r")),
         col("s") === col("s_r") && col("doc_a") < col("doc_b"))

@@ -29,4 +29,30 @@ class JaccardPrefixSpec extends AnyFunSuite with SparkTestBase {
       assert(naive.nonEmpty, s"$dir produced no pairs — vacuous comparison")
     }
   }
+
+  test("the candidate-pair ceiling refuses a too-dense corpus by prescription") {
+    val dir = "/root/testdata/sf0.001"
+    val sh = TextQueries.shingleTable(spark, dir)
+    // the histogram estimate on this corpus is small but nonzero, so a
+    // ceiling of 0 must refuse BEFORE any pair is enumerated, with the
+    // LSH/HorizonAgg prescription in the message
+    val e = intercept[IllegalArgumentException] {
+      JaccardPrefixJoin.similarPairs(sh, h64, num = 4, den = 5,
+        maxCandidatePairs = 0L)
+    }
+    assert(e.getMessage.contains("LshBandJoin")
+      && e.getMessage.contains("HorizonAgg"),
+      "the refusal must prescribe the scale-safe alternatives")
+    assert(e.getMessage.contains("density"),
+      "the refusal must name the contract being protected")
+    // ...and the default ceiling leaves the green row untouched: same
+    // pairs as the uncapped call (the guard is an estimate READ, not a
+    // plan change)
+    val capped = JaccardPrefixJoin.similarPairs(sh, h64, num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = JaccardPrefixJoin.similarPairs(sh, h64, num = 4, den = 5,
+        maxCandidatePairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === explicit && capped.nonEmpty)
+  }
 }
