@@ -33,6 +33,9 @@ object LifecycleBench {
 
   /** One full walk; returns per-stage seconds in [[Stages]] order. */
   def walk(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    // the throwaway warehouse is BENCH-harness scratch (local by
+    // definition, like the bench's output file) — the walk itself goes
+    // only through the FS-agnostic Orchestrator/WarehouseFs plane
     val wh = java.nio.file.Files
       .createTempDirectory("graft_lifebench").toString
     try {
@@ -52,7 +55,7 @@ object LifecycleBench {
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      var runs = Vector.empty[Orchestrator.Run]
+      var lastRun: Orchestrator.Run = null
 
       val landS = timed {
         (0 until 3).foreach { i =>
@@ -70,11 +73,11 @@ object LifecycleBench {
           r.indexGraphBatch(dSlice.select(col("source").as("src"),
             concat(lit("src"), (col("doc_id") % 7).cast("string")).as("dst")))
           r.flushAudit()
-          runs :+= r
+          lastRun = r
         }
       }
 
-      val r = runs.last
+      val r = lastRun
       val refreshS = timed {
         r.refreshGraphRanksIfDue(iters = 3, redistributeDangling = true)
         r.refreshHitsScoresIfDue(3)

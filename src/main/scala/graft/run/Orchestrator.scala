@@ -1386,11 +1386,15 @@ object Orchestrator {
       val stageDir = Orchestrator.annGenDir(warehouse, nextGen)
       try {
         // discard any crashed rebuild's partial staging, and clear
-        // generations older than the live one (the grace window ends
-        // when the next rebuild begins)
-        WarehouseFs.deleteRecursive(stageDir)
-        (0L until gen).foreach(g =>
-          WarehouseFs.deleteRecursive(Orchestrator.annGenDir(warehouse, g)))
+        // every generation dir except the live one (the grace window
+        // ends when the next rebuild begins) — by LISTING, not by
+        // looping over generation numbers, so the cost stays O(dirs
+        // on disk) forever
+        WarehouseFs.listNames(s"$warehouse/indexes/ann")
+          .filter(n => n.startsWith("g") && n.drop(1).nonEmpty
+            && n.drop(1).forall(_.isDigit) && n.drop(1).toLong != gen)
+          .foreach(n =>
+            WarehouseFs.deleteRecursive(s"$warehouse/indexes/ann/$n"))
         val partsBefore = partsOf(listLivePath)
         val listed = readTable("indexes/ann_lists")
           .select(col("vec_id"), col("dwh_batch_id"))
