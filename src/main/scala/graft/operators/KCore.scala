@@ -202,7 +202,13 @@ object KCore {
           nSurv = nHigh
         }
       }
-      assigned.result().reduce(_ unionAll _).localCheckpoint()
+      val frames = assigned.result()
+      // self-loop-only input: the guards pass (edges exist) but the
+      // canonical simple graph is empty — the graceful empty frame,
+      // matching peel's behavior on the identical input
+      if (frames.isEmpty)
+        canon.select(col("u").as("node"), lit(0L).as("core")).limit(0)
+      else frames.reduce(_ unionAll _).localCheckpoint()
     } finally canon.unpersist()
   }
 }

@@ -83,9 +83,15 @@ object LabelPropagation {
     * Multiplying by 4m² clears every denominator, so the report is
     * exact BIGINT arithmetic both engines reproduce bit-for-bit:
     * `modularity_num = Σ_c (4·m·in_c − d_c²)`, `modularity_den = 4m²`,
-    * and Q in ppm via FLOOR division (floor, not truncate — num can be
-    * negative on an anti-community labeling, and the engines' `div`
-    * vs `//` would otherwise disagree by one).
+    * and Q in ppm via FLOOR division. Both engines' integer division
+    * truncates toward zero (Spark `div`, DuckDB `//` — verified), so
+    * BOTH sides carry the same negative-remainder correction — num is
+    * negative on an anti-community labeling, where trunc and floor
+    * disagree by one. The ppm's `num × 10⁶` step runs on
+    * DECIMAL(38,0), because |num| ≤ den = 4m² can exceed
+    * Long.Max/10⁶ from ~1.5M edges — a silent Long wrap there would
+    * hand a consumer a garbage quality number; num/den themselves
+    * stay exact BIGINTs up to ~1.5e9 edges (|num| ≤ den ≤ 2⁶³).
     *
     * Scale notes: two label-keyed joins of the edge list (the round
     * cost LPA already pays), one degree aggregate, community-sized
@@ -125,13 +131,17 @@ object LabelPropagation {
         col("m").as("m_edges"),
         col("num").as("modularity_num"),
         (lit(4L) * col("m") * col("m")).as("modularity_den"))
-      // FLOOR division on the lattice (the hourlyCents idiom): the
-      // correction term makes Spark's truncating div floor-exact for
-      // negative numerators, matching the oracle's //
+      // FLOOR division on the lattice (the epochHourCol idiom): the
+      // correction term makes the truncating integer division
+      // floor-exact for negative numerators — and the oracle carries
+      // the identical correction, since DuckDB's // truncates too.
+      // The ×10⁶ runs wide (DECIMAL(38,0)) per the overflow note above.
       .selectExpr("communities", "m_edges", "modularity_num",
         "modularity_den",
-        "(modularity_num * 1000000) div modularity_den - " +
-          "(case when (modularity_num * 1000000) % modularity_den < 0 " +
+        "CAST((CAST(modularity_num AS DECIMAL(38,0)) * 1000000) " +
+          "div modularity_den AS BIGINT) - " +
+          "(case when (CAST(modularity_num AS DECIMAL(38,0)) * 1000000) " +
+          "% modularity_den < 0 " +
           "then 1 else 0 end) AS modularity_ppm")
   }
 }

@@ -49,8 +49,7 @@ object EventQueries extends QueryPack {
     "q_events_anomaly" -> ((s, dir) => {
       val D = DecimalType(38, 0)
       val hourly = graft.Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 3600000000").as("hour_id"))
+        .groupBy(col("event_type"), epochHourCol.as("hour_id"))
         .agg(cnt.as("c"))
       val stats = hourly.groupBy(col("event_type"))
         .agg(cnt.as("n"), sum(col("c")).as("s"),
@@ -229,16 +228,29 @@ object EventQueries extends QueryPack {
     * is order-free integer arithmetic (micro-batch partials merge by a
     * further SUM without a float in sight).
     */
+  /** ONE epoch-hour bucket definition for every hour-keyed event row
+    * (gap-fill cells, anomaly counts) and its oracles: FLOOR division
+    * of event micros. Spark's `div` AND DuckDB's `//` BOTH truncate
+    * toward zero (verified on the oracle engine), so BOTH sides carry
+    * the same negative-remainder correction — otherwise a pre-1970
+    * timestamp lands in a different hour bucket per engine, and floor
+    * is the right semantics anyway (Spark's window() floor-aligns, so
+    * the streaming faces agree by construction).
+    */
+  private[graft] val epochHourCol =
+    expr("(unix_micros(ts) div 3600000000) - " +
+      "(case when unix_micros(ts) % 3600000000 < 0 then 1 else 0 end)")
+
+  /** [[epochHourCol]]'s DuckDB mirror (epoch_us + the same floor
+    * correction — `//` truncates there too).
+    */
+  private val epochHourSql =
+    """CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+         - CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 < 0
+                THEN 1 ELSE 0 END AS BIGINT)"""
+
   private[graft] def hourlyCents(ev: DataFrame): DataFrame =
-    ev.groupBy(col("event_type"),
-        // FLOOR division, not `div`: Spark's div truncates toward zero
-        // while the oracle's // and the grid arithmetic floor, so a
-        // pre-1970 timestamp would land in a different hour bucket per
-        // engine; the correction term makes the integer division exact
-        // floor semantics for every sign
-        expr("(unix_micros(ts) div 3600000000) - " +
-          "(case when unix_micros(ts) % 3600000000 < 0 then 1 else 0 end)")
-          .as("hour_id"))
+    ev.groupBy(col("event_type"), epochHourCol.as("hour_id"))
       .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("cents"))
 
   /** ONE fill definition over (event_type, hour_id, cents) cells: the
@@ -267,10 +279,9 @@ object EventQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q_events_gapfill" ->
-      """WITH hourly AS (
+      s"""WITH hourly AS (
            SELECT event_type,
-                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
-                       AS BIGINT) AS hour_id,
+                  $epochHourSql AS hour_id,
                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
                     AS cents
            FROM events GROUP BY 1, 2),
@@ -289,10 +300,9 @@ object EventQueries extends QueryPack {
            ON h.event_type = g.event_type AND h.hour_id = g.hour_id""",
 
     "q_events_anomaly" ->
-      """WITH h AS (
+      s"""WITH h AS (
            SELECT event_type,
-                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
-                    AS BIGINT) AS hour_id,
+                  $epochHourSql AS hour_id,
                   COUNT(*) AS c
            FROM events GROUP BY 1, 2),
          st AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s,

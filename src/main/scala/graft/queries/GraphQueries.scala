@@ -587,8 +587,9 @@ object GraphQueries extends QueryPack {
 
   /** Unrolled integer-lattice PageRank CTE chain (the Lloyd-rows
     * discipline: both engines run the same K iterations; all values are
-    * nonnegative BIGINTs so DuckDB's floor `//` equals Spark's
-    * truncating `div`, and the per-dst SUM is order-free).
+    * nonnegative BIGINTs, where DuckDB's `//` and Spark's `div` — both
+    * truncating toward zero — trivially agree, and the per-dst SUM is
+    * order-free).
     */
   /** Unrolled synchronous peel (the pageRankOracle discipline: both
     * engines run the same bounded rounds; degrees are exact BIGINTs so
@@ -739,9 +740,12 @@ object GraphQueries extends QueryPack {
 
   /** Newman-Girvan modularity of a labeling on the integer lattice,
     * mirroring LabelPropagation.modularity exactly: num/den are
-    * BIGINTs (×4m² clears all denominators), ppm via floor division
-    * (DuckDB's // floors natively). One CTE block per labeling, the
-    * two final SELECTs unioned — the A/B the registered row reports.
+    * BIGINTs (×4m² clears all denominators), ppm via floor division —
+    * DuckDB's // TRUNCATES toward zero like Spark's div (verified), so
+    * this side carries the identical negative-remainder correction,
+    * and the ×10⁶ runs on HUGEINT mirroring Spark's DECIMAL(38,0). One
+    * CTE block per labeling, the two final SELECTs unioned — the A/B
+    * the registered row reports.
     */
   private def modularityCtes(tag: String, labCte: String): String =
     s""",
@@ -770,8 +774,10 @@ object GraphQueries extends QueryPack {
                 m AS m_edges,
                 CAST(SUM(num) AS BIGINT) AS modularity_num,
                 4 * m * m AS modularity_den,
-                (CAST(SUM(num) AS BIGINT) * 1000000) // (4 * m * m)
-                  AS modularity_ppm
+                CAST((CAST(SUM(num) AS HUGEINT) * 1000000) // (4 * m * m)
+                  - CASE WHEN (CAST(SUM(num) AS HUGEINT) * 1000000)
+                              % (4 * m * m) < 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS modularity_ppm
          FROM contrib_$tag
          GROUP BY m"""
 
@@ -896,8 +902,8 @@ object GraphQueries extends QueryPack {
   /** Dangling-redistribution unrolled chain: nodes = src ∪ dst, per
     * iteration the dangling-rank sum dm is folded into every node's
     * share term as dm // n before damping (the exact recurrence of
-    * PageRank.runDanglingRedistributed — all nonnegative BIGINTs, so
-    * DuckDB floor `//` equals Spark's truncating `div`).
+    * PageRank.runDanglingRedistributed — all nonnegative BIGINTs,
+    * where DuckDB's `//` and Spark's `div`, both truncating, agree).
     */
   private val pageRankDanglingOracle: String = {
     def iter(k: Int): String =

@@ -419,6 +419,16 @@ object Orchestrator {
       require(!bucketed,
         s"$table is bucketed — compaction would break the bucket-to-file " +
           "mapping; rewrite through writeBucketedBatch instead")
+      // the ANN index tables live in the generation plane: compacting
+      // them here would race a rebuild's commit (and a raw-path scan
+      // would silently no-op on the empty legacy location) — their
+      // compaction IS the rebuild, which rewrites and repartitions
+      // every list row behind the pointer
+      require(table != "indexes/ann_centroids"
+          && table != "indexes/ann_lists",
+        s"$table lives in the ANN generation plane — rebuildAnnIndex " +
+          "rewrites and repartitions the whole index behind the " +
+          "generation pointer; run the rebuild instead of compacting")
       // the swap below is two directory renames — atomic on
       // rename-based filesystems (HDFS, local, abfs), a client-side
       // copy+delete on object stores, where a crash mid-swap would

@@ -132,51 +132,78 @@ object WarehouseFs {
   }
 
   /** Atomic small-file publish — the COMMIT primitive for pointer,
-    * config and manifest files: write a temp sibling, then replace the
-    * target in one step. FileContext rename-OVERWRITE where the scheme
-    * has an AbstractFileSystem binding (HDFS, local: one atomic
-    * metadata op — the target is never absent mid-publish); elsewhere
-    * (s3a without the binding) copy-then-delete, where the target
-    * still transitions in one object PUT. Either way a reader sees the
-    * old content or the new content, never a torn file.
+    * config and manifest files. Two store classes, each given the
+    * primitive that is actually atomic THERE, so the target is never
+    * absent and never torn on either:
+    *
+    *  - rename-based filesystems (HDFS, local — anywhere an
+    *    AbstractFileSystem binding exists): write a temp sibling, then
+    *    FileContext rename-OVERWRITE — one atomic metadata op, readers
+    *    see old or new; the temp is deleted on any failure (a leaked
+    *    temp would accumulate on the metadata plane forever);
+    *  - object stores (no AbstractFileSystem binding — s3a and
+    *    friends): create the TARGET directly with overwrite — a single
+    *    object PUT, which on S3-class stores is atomic-visible (the
+    *    old object serves until the new PUT completes; a crash
+    *    mid-write leaves the old object, never a partial). A
+    *    tmp+rename there would be strictly worse: rename is
+    *    copy+delete with either an absent window (delete-first) or a
+    *    non-clobbering failure (rename-first).
     */
   def publishAtomic(p: String, content: String): Unit = {
     val target = new Path(p); val fs = fsOf(target)
     fs.mkdirs(target.getParent)
-    val tmp = new Path(target.getParent,
-      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    try {
-      val fc = FileContext.getFileContext(target.toUri, conf())
-      fc.rename(tmp, target, Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // no AbstractFileSystem binding (typical for object stores):
-        // FileSystem.rename won't clobber, so replace via delete +
-        // rename — on those stores the rename's destination write is
-        // itself one atomic object PUT, so the target is still never
-        // torn; the brief absent window is why rename-based FSes take
-        // the FileContext path above instead
-        if (fs.exists(target)) fs.delete(target, false)
-        require(fs.rename(tmp, target), s"atomic publish of $p failed")
+    val fc =
+      try Some(FileContext.getFileContext(target.toUri, conf()))
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+      }
+    fc match {
+      case Some(ctx) =>
+        val tmp = new Path(target.getParent,
+          s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+        try {
+          val out = fs.create(tmp, true)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          ctx.rename(tmp, target, Options.Rename.OVERWRITE)
+        } catch {
+          case e: Throwable =>
+            scala.util.Try(fs.delete(tmp, false))
+            throw e
+        }
+      case None =>
+        val out = fs.create(target, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
     }
   }
 
   /** Atomic create-if-absent (lock files): true iff this call created
-    * the file. Atomic on HDFS/local (the create itself enforces
-    * exclusivity); advisory on S3 (HEAD-then-PUT) — callers back it
-    * with a pre-commit state re-check.
+    * the file. On the LOCAL filesystem this routes through
+    * java.io.File.createNewFile — the POSIX O_EXCL create — because
+    * Hadoop's RawLocalFileSystem.create(overwrite=false) is a
+    * non-atomic exists-check + open (two local rebuilds could both
+    * acquire the lock in that window); this is the maintenance plane's
+    * one sanctioned JVM-local file call, and it exists only here. On
+    * HDFS the namenode create enforces exclusivity atomically. On S3
+    * it is advisory (HEAD-then-PUT) — callers back the lock with a
+    * pre-commit state re-check.
     */
   def createExclusive(p: String): Boolean = {
     val q = new Path(p); val fs = fsOf(q)
     fs.mkdirs(q.getParent)
-    try { fs.create(q, false).close(); true }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case e: java.io.IOException
-        if Option(e.getMessage).exists(_.contains("already exists")) => false
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        new java.io.File(fs.makeQualified(q).toUri.getPath).createNewFile()
+      case _ =>
+        try { fs.create(q, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("already exists")) =>
+            false
+        }
     }
   }
 }

@@ -72,4 +72,18 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
       assert(e.getMessage.contains("bucketed"))
     } finally spark.sql("DROP TABLE IF EXISTS gold_orders_cbkt")
   }
+
+  test("compaction refuses the ANN generation-plane tables by prescription") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact_ann").toString
+    val run = new Orchestrator.Run(spark, wh, "BATCH000001")
+    // a raw-path scan would silently no-op (the tables live under the
+    // generation dir), and a generation-dir swap would race a rebuild's
+    // commit — the refusal must name the rebuild as the compaction path
+    for (t <- Seq("indexes/ann_lists", "indexes/ann_centroids")) {
+      val e = intercept[IllegalArgumentException] {
+        run.compactBatches(t)
+      }
+      assert(e.getMessage.contains("rebuildAnnIndex"), t)
+    }
+  }
 }

@@ -134,6 +134,15 @@ class KCoreSpec extends AnyFunSuite with SparkTestBase {
     assert(runCores(edges) === referenceCores(edges))
   }
 
+  test("core numbers: self-loop-only input yields the graceful empty frame") {
+    // the guards pass (edges exist) but the canonical simple graph is
+    // empty — both faces of the operator must agree on the degenerate
+    // input instead of one crashing on an empty reduce
+    val loops = Seq(("a", "a"), ("b", "b"))
+    assert(runCores(loops) === Map.empty)
+    assert(run(loops, 1) === Map.empty)
+  }
+
   test("core numbers: an unfinished ladder fails loudly, never mislabels") {
     val e = intercept[IllegalArgumentException] {
       runCores(cascade, maxRounds = 3)
