@@ -71,6 +71,63 @@ object GraphQueries extends QueryPack {
         concat(lit("src"), b.cast(StringType)).as("dst"))
   }
 
+  /** SOURCE-level graph for the CORE-NUMBER gate, built so cores
+    * actually differ across sources (the all-one-core sourceLinkEdges
+    * graph could not separate anything): a ring over all 20 source
+    * residues (every node core 2) plus a 7-clique among the ≡0-mod-3
+    * residues (those nodes core 6) — so a minCore=3 threshold keeps
+    * exactly the clique-embedded sources. Mirrored verbatim in the
+    * q_graph_core_gate oracle.
+    */
+  private def coreGateEdges(s: SparkSession, dir: String): DataFrame = {
+    val a = col("doc_id") % 20
+    val b = expr("doc_id div 20") % 20
+    val docs = t(s, dir, "documents")
+    val ring = docs.select(
+      concat(lit("src"), a.cast(StringType)).as("src"),
+      concat(lit("src"), ((a + 1) % 20).cast(StringType)).as("dst"))
+    val clique = docs
+      .where(a % 3 === 0 && b % 3 === 0 && a =!= b)
+      .select(concat(lit("src"), a.cast(StringType)).as("src"),
+        concat(lit("src"), b.cast(StringType)).as("dst"))
+    ring.unionAll(clique)
+  }
+
+  /** Gate threshold: keep sources embedded at least this densely —
+    * the clique ring sits at core 6, the plain ring at core 2, so 3
+    * separates them. Shared by the row and the table face.
+    */
+  private[graft] val CoreGateMinCore = 3L
+
+  /** ONE core-number gate definition for the registered row and the
+    * table-backed form (Orchestrator.coreGateAgainstNumbers) — the
+    * linkFarmGateOf discipline: broadcast the (graph-sized) core
+    * table, left-join on the document's source, surface unknown hosts
+    * as known_host=false (never a silent drop), keep iff the source's
+    * core number clears the threshold. Map-side after the broadcast
+    * join.
+    */
+  private[graft] def coreGateOf(docs: DataFrame, cores: DataFrame,
+                                minCore: Long): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(cores.select(col("node").as("source"), col("core"))),
+        Seq("source"), "left")
+      .select(col("doc_id"), col("source").as("host"), col("core"),
+        col("core").isNotNull.as("known_host"),
+        coalesce(col("core") >= minCore, lit(false)).as("kept"))
+
+  /** Per-(session, SF) memo of the source-graph core numbers the
+    * registered gate row probes — the stand-in for the PERSISTED
+    * indexes/graph_core_numbers artifact the table face reads.
+    */
+  private val sourceCoreMemo = new SessionMemo[String, DataFrame]()
+
+  private[graft] def sourceCoreNumbers(s: SparkSession,
+                                       dir: String): DataFrame =
+    sourceCoreMemo.get(s, dir) {
+      KCore.coreNumbers(s, coreGateEdges(s, dir), maxRounds = 32)
+    }
+
   /** Per-(session, SF) memo of the source-graph triangle counts the
     * registered gate row probes — the stand-in for the PERSISTED
     * indexes/graph_triangle_counts artifact the table face reads
@@ -531,6 +588,21 @@ object GraphQueries extends QueryPack {
     "q_graph_core_numbers" -> ((s, dir) =>
       KCore.coreNumbers(s, kcoreEdges(s, dir), CoreNumMaxRounds)),
 
+    // Core-number gate — the decomposition's production consumer (the
+    // linkFarmGate discipline): keep a document iff its source sits at
+    // least minCore-deep in the link graph — robust density a raw
+    // degree threshold cannot certify (the ring nodes have degree >= 2
+    // forever; only the clique ring survives the k=3 peel). ONE gate
+    // definition (coreGateOf) serves this row and the table form
+    // (Orchestrator.coreGateAgainstNumbers over the persisted
+    // graph_core_numbers artifact), and the per-source threshold reads
+    // the ONE core-number table — no re-peel per threshold. Oracle =
+    // the same unrolled ladder + the same gate join.
+    "q_graph_core_gate" -> ((s, dir) =>
+      coreGateOf(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        sourceCoreNumbers(s, dir), CoreGateMinCore)),
+
     // LPA quality measurement — the measure-don't-assume row every
     // heuristic operator carries, for the communities row above:
     // Newman-Girvan modularity of the round-4 labeling on the integer
@@ -667,9 +739,12 @@ object GraphQueries extends QueryPack {
     * k=2, ≤2 elsewhere; extra rounds past a fixpoint are no-ops).
     * core(v) = the max rung whose core still contains v.
     */
-  private val coreNumbersOracle: String = {
-    val maxK = 11 // the 11-clique's core is 10; rung 11 proves it empty
-    def roundsFor(k: Int) = if (k == 2) KCoreMaxRounds else 4
+  /** The ladder's CTE chain, parameterized over the ambient edge CTE
+    * `e` (u, v): rung CTEs a_k_r + a final `cores` CTE (node, core).
+    * Shared by the core-number row's oracle and the core-gate oracle —
+    * one SQL ladder, two fixtures.
+    */
+  private def coreLadderCtes(maxK: Int, roundsFor: Int => Int): String = {
     def round(k: Int, r: Int): String =
       s""",
          ae_${k}_$r AS MATERIALIZED (
@@ -685,22 +760,58 @@ object GraphQueries extends QueryPack {
       s""",
          a_${k}_0 AS (SELECT node FROM a_${k - 1}_${roundsFor(k - 1)})""" +
         (1 to roundsFor(k)).map(round(k, _)).mkString
-    s"""WITH $kcoreFixtureCtes,
+    s""",
          a_1_${roundsFor(1)} AS (
            SELECT n AS node
            FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
            GROUP BY n)""" +
       (2 to maxK).map(rung).mkString +
-      s"""
-         SELECT 'n' || CAST(node AS VARCHAR) AS node,
-                CAST(MAX(k) AS BIGINT) AS core
-         FROM (""" +
+      s""",
+         cores AS (
+           SELECT node, CAST(MAX(k) AS BIGINT) AS core
+           FROM (""" +
       (1 to maxK).map(k =>
         s"SELECT node, $k AS k FROM a_${k}_${roundsFor(k)}")
         .mkString("\n               UNION ALL ") +
       s""")
-         GROUP BY node"""
+           GROUP BY node)"""
   }
+
+  private val coreNumbersOracle: String =
+    // maxK 11: the 11-clique's core is 10 and rung 11 proves it empty;
+    // 16 rounds inside the k=2 rung cover the 13-round pendant cascade
+    s"""WITH $kcoreFixtureCtes""" +
+      coreLadderCtes(maxK = 11,
+        k => if (k == 2) KCoreMaxRounds else 4) +
+      s"""
+         SELECT 'n' || CAST(node AS VARCHAR) AS node, core FROM cores"""
+
+  /** Core-gate oracle: the SAME ladder over the ring+clique source
+    * graph ([[coreGateEdges]] mirrored), then the same broadcast-shaped
+    * left join and threshold. maxK 7: the clique core is 6 and rung 7
+    * proves it empty; every rung's cascade is ≤ 2 rounds (the ring
+    * peels in one), so 4 rounds per rung is double margin.
+    */
+  private val coreGateOracle: String =
+    s"""WITH p AS (SELECT doc_id % 20 AS a, (doc_id // 20) % 20 AS b
+                   FROM documents),
+         eraw AS (
+           SELECT 'src' || CAST(a AS VARCHAR) AS x,
+                  'src' || CAST((a + 1) % 20 AS VARCHAR) AS y
+           FROM p
+           UNION ALL
+           SELECT 'src' || CAST(a AS VARCHAR),
+                  'src' || CAST(b AS VARCHAR)
+           FROM p WHERE a % 3 = 0 AND b % 3 = 0 AND a <> b),
+         e AS MATERIALIZED (
+           SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v
+           FROM eraw WHERE x <> y)""" +
+      coreLadderCtes(maxK = 7, _ => 4) +
+      s"""
+         SELECT d.doc_id, d.source AS host, c.core,
+                c.core IS NOT NULL AS known_host,
+                COALESCE(c.core >= $CoreGateMinCore, FALSE) AS kept
+         FROM documents d LEFT JOIN cores c ON c.node = d.source"""
 
   /** Unrolled synchronous LPA round CTEs (the kcoreOracle discipline —
     * MATERIALIZED per round; counts and string ordering only, so the
@@ -1062,6 +1173,7 @@ object GraphQueries extends QueryPack {
 
     "q_graph_kcore" -> kcoreOracle,
     "q_graph_core_numbers" -> coreNumbersOracle,
+    "q_graph_core_gate" -> coreGateOracle,
     "q_graph_lpa_modularity" -> lpaModularityOracle,
 
     "q_graph_lpa" -> lpaOracle,

@@ -595,9 +595,10 @@ object Orchestrator {
         spark.sql(s"DESC FORMATTED $name").collect()
           .exists(r => r.getString(0).trim == "Num Buckets")
       require(!bucketed,
-        s"$table is a catalog-registered bucketed table — vacuum its " +
-          "partitions through the catalog (ALTER TABLE DROP PARTITION), " +
-          "not a directory delete the metastore cannot see")
+        s"$table is a catalog-registered bucketed table — vacuum it " +
+          "through vacuumBucketedBatches (catalog partition drop + " +
+          "checked file delete), not a directory delete the metastore " +
+          "cannot see")
       val root = tablePath(table)
       val parts = WarehouseFs.list(root)
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("dwh_batch_id="))
@@ -661,6 +662,61 @@ object Orchestrator {
         case Some(keep) => vacuumBatches(table, keep)
         case None => Seq.empty
       }
+
+    /** Retention for CATALOG-REGISTERED BUCKETED tables — the op
+      * [[vacuumBatches]]' refusal prescribes: partitions are dropped
+      * THROUGH the catalog (ALTER TABLE DROP PARTITION — the
+      * metastore must stop naming the vintage before its files go, or
+      * every catalog read plans against vanished files), then the
+      * directory is deleted with the checked WarehouseFs delete —
+      * bucketed tables are EXTERNAL (the warehouse owns the files), so
+      * the catalog drop alone leaves the bytes behind. Watermark,
+      * id-width, keepLast-floor, ordering (oldest first, audit row
+      * BEFORE the drops) and the AS-OF refusal contract are
+      * [[vacuumBatches]]' verbatim — one retention semantics, two
+      * physical planes.
+      *
+      * @return the dropped batch ids, oldest first
+      */
+    def vacuumBucketedBatches(table: String, keepLast: Int): Seq[String] = {
+      require(keepLast >= 1,
+        s"vacuumBucketedBatches: keepLast must be >= 1, got $keepLast — " +
+          "vacuuming a table to empty is a drop-table decision, not " +
+          "retention")
+      val name = catalogName(table)
+      require(spark.catalog.tableExists(name),
+        s"$table is not catalog-registered — for a plain path table use " +
+          "vacuumBatches; for a bucketed warehouse on a fresh catalog, " +
+          "re-register via ensureBucketedRegistered first")
+      val parts = spark.sql(s"SHOW PARTITIONS $name").collect()
+        .map(_.getString(0)).toSeq.sorted
+      val widths = parts.map(_.stripPrefix("dwh_batch_id=").length).distinct
+      require(widths.size <= 1,
+        s"vacuumBucketedBatches($table): mixed batch-id widths " +
+          s"(${widths.sorted.mkString(", ")} chars) — lexicographic " +
+          "ordering would pick the wrong oldest vintages; re-land the " +
+          "off-width batches under the fixed-width id convention first")
+      val drop = parts.dropRight(keepLast)
+      if (drop.isEmpty) Seq.empty
+      else {
+        val ids = drop.map(_.stripPrefix("dwh_batch_id="))
+        log("vacuum", table, "SUCCESS", drop.length.toLong,
+          s"watermark=${ids.last}")
+        flushAudit()
+        ids.foreach { id =>
+          // catalog first (readers must stop planning the vintage),
+          // then the checked file delete; a crash between the two
+          // leaves an orphan directory no catalog read ever touches —
+          // the re-run's catalog drop no-ops (IF EXISTS) and the
+          // delete heals it
+          spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION " +
+            s"(dwh_batch_id = '$id')")
+          WarehouseFs.deleteRecursive(
+            s"$warehouse/$table/dwh_batch_id=$id")
+        }
+        ids
+      }
+    }
 
     /** S11: observed schema of an existing warehouse table. */
     def tableColumns(table: String): Seq[String] =
@@ -1095,6 +1151,25 @@ object Orchestrator {
           "indexGraphBatch and run refreshTriangleCounts before gating")
       graft.queries.GraphQueries.linkFarmGateOf(
         docs, spark.read.parquet(path))
+    }
+
+    /** Per-document core-depth gate against the PERSISTED core-number
+      * table — the table-backed production form of q_graph_core_gate,
+      * through the ONE shared gate definition
+      * (GraphQueries.coreGateOf) so the faces cannot drift. The
+      * per-source threshold is a CALL-SITE choice reading the one
+      * decomposition table — no re-peel per threshold, which is the
+      * whole point of persisting core NUMBERS instead of a fixed-k
+      * membership cut. A missing artifact fails loudly with the
+      * refresh prescription (the hostGateAgainstRanks contract).
+      */
+    def coreGateAgainstNumbers(docs: DataFrame, minCore: Long): DataFrame = {
+      val path = s"$warehouse/indexes/graph_core_numbers"
+      require(WarehouseFs.exists(path),
+        s"core-number table missing at $path — land edges via " +
+          "indexGraphBatch and run refreshCoreNumbers before gating")
+      graft.queries.GraphQueries.coreGateOf(
+        docs, spark.read.parquet(path), minCore)
     }
 
     /** Per-document host-quality gate against the PERSISTED rank table

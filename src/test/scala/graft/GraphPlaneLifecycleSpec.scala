@@ -84,6 +84,14 @@ class GraphPlaneLifecycleSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(lf === Map(1L -> true, 2L -> true, 3L -> false))
     assert(b2.hostGateAgainstRanks(docs).count() === 3L)
+    // the core gate reads the SAME persisted decomposition at two
+    // different thresholds — no re-peel between them
+    val atK2 = b2.coreGateAgainstNumbers(docs, minCore = 2L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(atK2 === Map(1L -> true, 2L -> true, 3L -> false))
+    val atK3 = b2.coreGateAgainstNumbers(docs, minCore = 3L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(atK3 === Map(1L -> false, 2L -> false, 3L -> false))
 
     // retention: the consumed B1 vintage vacuums away; live reads keep
     // working, the covered artifacts are untouched, and the B1

@@ -125,6 +125,38 @@ class VacuumSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("metastore"), e.getMessage)
   }
 
+  test("bucketed vacuum drops through the catalog AND deletes the files") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac6").toString
+    val table = "gold/t_bvac"
+    try {
+      for ((id, v) <- Seq(("B1", 1L), ("B2", 2L), ("B3", 3L))) {
+        new Orchestrator.Run(spark, wh, id).writeBucketedBatch(
+          Seq((v, s"row$v")).toDF("k", "s"), table, Seq("k"), 2)
+      }
+      val r = new Orchestrator.Run(spark, wh, "B3")
+      assert(r.vacuumBucketedBatches(table, keepLast = 1)
+        === Seq("B1", "B2"))
+      // the catalog stopped naming the vintages AND the bytes are gone
+      assert(spark.sql("SHOW PARTITIONS gold_t_bvac").collect()
+        .map(_.getString(0)).toSeq === Seq("dwh_batch_id=B3"))
+      assert(!graft.run.WarehouseFs.exists(s"$wh/$table/dwh_batch_id=B1"))
+      assert(!graft.run.WarehouseFs.exists(s"$wh/$table/dwh_batch_id=B2"))
+      assert(r.readBucketed(table).select("k").as[Long].collect().toSeq
+        === Seq(3L))
+      // one retention semantics across both physical planes: the AS-OF
+      // guard reads the same watermark row
+      intercept[IllegalArgumentException] {
+        r.readTableAsOf(table, "B2")
+      }
+      // idempotent: nothing below the keep window on the re-run
+      assert(r.vacuumBucketedBatches(table, keepLast = 1) === Seq.empty)
+      // the keepLast floor holds on this plane too
+      intercept[IllegalArgumentException] {
+        r.vacuumBucketedBatches(table, keepLast = 0)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS gold_t_bvac")
+  }
+
   test("a deliberate re-land resurrects a vacuumed vintage (S8 recovery)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_vac3").toString
     land(wh, "B1", 1L)
