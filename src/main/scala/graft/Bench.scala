@@ -109,7 +109,7 @@ object Bench {
     // r18 rows: tracked from day one (core numbers is the new heaviest
     // graph row — the ladder pays every rung's peel)
     "q_graph_core_numbers", "q_graph_lpa_modularity",
-    "q_graph_core_gate")
+    "q_graph_core_gate", "q_graph_lpa_refined")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -76,6 +76,78 @@ object LabelPropagation {
     } finally canon.unpersist()
   }
 
+  /** One synchronous MODULARITY local-move round — Louvain's move
+    * phase (Blondel et al. 2008) made deterministic and
+    * oscillation-FREE for the distributed synchronous setting: node v
+    * in community a may move only to a STRICTLY SMALLER-labeled
+    * neighbor community c < a, taking the largest integer-lattice gain
+    * Δ·4m² = 4m·(k_vc − k_va) − 2·deg_v·(d_c − d_a + deg_v) when that
+    * gain is positive (ties to the smallest c), all nodes
+    * simultaneously against the PRE-round sums. The down-label rule is
+    * what kills the classic synchronous pathology — two communities
+    * swapping wholesale forever: only the larger-labeled side can ever
+    * move, so labels descend monotonically and iterated rounds
+    * terminate. The price of synchrony stays honest: per-move gains
+    * are exact against the pre-round labeling, but simultaneous moves
+    * interact, so the ROUND total is measured (the [[modularity]] A/B
+    * the registered row carries), never assumed — the LPA
+    * fixed-rounds discipline.
+    *
+    * Scale notes: one [[run]]-round-shaped job — the (node, community)
+    * neighbor-label count, two broadcast community-sum joins
+    * (communities-sized), a per-node argmax window bounded by the
+    * node's distinct neighbor labels. Gains are BIGINT-exact while
+    * 4m² fits a long (m ≤ ~1.5e9 edges — the [[modularity]] bound).
+    *
+    * @param labels (node, community) — e.g. [[run]]'s output
+    * @param edges  the SAME edge frame the labeling was computed on
+    * @return (node, community) after the one move round
+    */
+  def refineOnce(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val canon = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(canon.select(col("v").as("node"), col("u").as("nbr")))
+    val lab = labels.select(col("node"), col("community"))
+    val m = canon.agg(count(lit(1)).as("m"))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dsum = lab.join(deg, "node")
+      .groupBy(col("community")).agg(sum(col("deg")).as("dc"))
+    val kv = adj
+      .join(lab.select(col("node").as("nbr"), col("community")), "nbr")
+      .groupBy(col("node"), col("community")).agg(count(lit(1)).as("k"))
+    val own = lab.select(col("node"), col("community").as("a"))
+      .join(deg, "node")
+      .join(kv.select(col("node"), col("community").as("a"),
+        col("k").as("k_a")), Seq("node", "a"), "left")
+      .join(broadcast(dsum.select(col("community").as("a"),
+        col("dc").as("d_a"))), "a")
+      .select(col("node"), col("a"), col("deg"),
+        coalesce(col("k_a"), lit(0L)).as("k_a"), col("d_a"))
+    val cand = own
+      .join(kv.select(col("node"), col("community").as("c"), col("k")),
+        "node")
+      .where(col("c") < col("a"))
+      .join(broadcast(dsum.select(col("community").as("c"),
+        col("dc").as("d_c"))), "c")
+      .crossJoin(broadcast(m)) // 1-row aggregate frame
+      .withColumn("delta",
+        lit(4L) * col("m") * (col("k") - col("k_a"))
+          - lit(2L) * col("deg") * (col("d_c") - col("d_a") + col("deg")))
+    val byGain = Window.partitionBy(col("node"))
+      .orderBy(col("delta").desc, col("c"))
+    val pick = cand.where(col("delta") > 0)
+      .withColumn("__rn", row_number().over(byGain))
+      .where(col("__rn") === 1)
+      .select(col("node"), col("c"))
+    own.select(col("node"), col("a"))
+      .join(pick, Seq("node"), "left")
+      .select(col("node"), coalesce(col("c"), col("a")).as("community"))
+  }
+
   /** Newman–Girvan modularity of a labeling on the INTEGER LATTICE —
     * the measure-don't-assume row every heuristic operator carries,
     * for LPA: Q = Σ_c [ in_c/m − (d_c/2m)² ] over communities c, with

@@ -729,6 +729,18 @@ object StreamingJobs {
                          triangleCounts: DataFrame): DataFrame =
     graft.queries.GraphQueries.linkFarmGateOf(docs, triangleCounts)
 
+  /** Stateless per-document core-depth gate over a streaming document
+    * frame against the static (persisted) core-number table — the
+    * hostGateStream shape on the robust-embedding signal, through the
+    * ONE shared builder (GraphQueries.coreGateOf) so stream, batch row
+    * and table face cannot drift. The threshold is a call-site choice
+    * reading the one decomposition table — per-source cuts without a
+    * re-peel, in the stream too.
+    */
+  def coreGateStream(docs: DataFrame, coreNumbers: DataFrame,
+                     minCore: Long): DataFrame =
+    graft.queries.GraphQueries.coreGateOf(docs, coreNumbers, minCore)
+
   case class PendingProbe(event_id: Long, tsMicros: Long)
   case class Conversion(event_id: Long, user_id: Long, ts: Timestamp,
                         converted: Boolean,

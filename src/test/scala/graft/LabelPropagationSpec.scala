@@ -135,6 +135,73 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
     assert(gppm > bad._5)
   }
 
+  /** refineOnce twin straight off the move rule: Δ·4m² against the
+    * pre-round sums, candidates strictly below the own label, argmax
+    * with smallest-c ties, stay unless Δ > 0.
+    */
+  private def referenceRefine(edges: Seq[(String, String)],
+                              labels: Map[String, String])
+  : Map[String, String] = {
+    val simple = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct
+    val m = simple.size.toLong
+    val adj = simple.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val dsum = labels.groupBy(_._2).view
+      .mapValues(_.keys.map(deg).sum).toMap
+    adj.keys.map { v =>
+      val a = labels(v)
+      val kv = adj(v).groupBy(labels).view.mapValues(_.size.toLong).toMap
+      val kA = kv.getOrElse(a, 0L)
+      val best = kv.keys.filter(_ < a).toSeq
+        .map(c => (4L * m * (kv(c) - kA)
+          - 2L * deg(v) * (dsum(c) - dsum(a) + deg(v)), c))
+        .filter(_._1 > 0L)
+        .sortBy { case (d, c) => (-d, c) }
+        .headOption
+      v -> best.map(_._2).getOrElse(a)
+    }.toMap
+  }
+
+  test("refineOnce matches the twin and only ever moves down-label") {
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val bridge = clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ ("a4", "b1")
+    val rand = (0 until 180).map { i =>
+      (s"n${i * 13 % 21}", s"n${(i * i + 7) % 21}")
+    }.filter(e => e._1 != e._2)
+    for (edges <- Seq(bridge, rand); rounds <- Seq(1, 4)) {
+      val labels = run(edges, rounds)
+      val got = LabelPropagation.refineOnce(
+          LabelPropagation.run(spark, edges.toDF("src", "dst"), rounds),
+          edges.toDF("src", "dst"))
+        .as[(String, String)].collect().toMap
+      assert(got === referenceRefine(edges, labels),
+        s"edges=${edges.take(2)}... rounds=$rounds")
+      got.foreach { case (n, c) =>
+        assert(c <= labels(n), s"$n moved UP-label — oscillation risk")
+      }
+    }
+  }
+
+  test("one refine round recovers the fixture's structural partition") {
+    val rows = graft.queries.GraphQueries
+      .queries("q_graph_lpa_refined")(spark, "/root/testdata/sf0.001")
+      .select("labeling", "communities", "modularity_num")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val ab = graft.queries.GraphQueries
+      .queries("q_graph_lpa_modularity")(spark, "/root/testdata/sf0.001")
+      .select("labeling", "modularity_num")
+      .as[(String, Long)].collect().toMap
+    assert(rows("refined_1")._2 > rows("lpa_round4")._2,
+      "the move round must measurably improve modularity here")
+    assert(rows("refined_1") === ((2L, ab("residue_blocks"))),
+      "one round should recover exactly the merged-block truth the " +
+        "A/B row names as the target")
+  }
+
   test("registered modularity A/B: structural blocks beat round-4 LPA") {
     val rows = graft.queries.GraphQueries
       .queries("q_graph_lpa_modularity")(spark, "/root/testdata/sf0.001")

@@ -511,6 +511,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "gate verdicts degenerate on this fixture")
   }
 
+  test("streaming core gate equals the batch row; unknown hosts explicit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cores = graft.queries.GraphQueries.sourceCoreNumbers(spark, dir)
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "source")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val novel = (900003L, "host_not_in_graph")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingJobs.coreGateStream(
+      ms.toDF().toDF("doc_id", "source"), cores,
+      graft.queries.GraphQueries.CoreGateMinCore)
+      .writeStream.format("memory").queryName("core_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.toSeq :+ novel)
+      q.processAllAvailable()
+    } finally q.stop()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2)),
+        r.getBoolean(3), r.getBoolean(4))).toMap
+    val got = asMap(spark.table("core_gate").collect())
+    val want = asMap(
+      SparkEntry.queries("q_graph_core_gate")(spark, dir).collect())
+    want.foreach { case (id, v) =>
+      assert(got(id) === v, s"doc $id stream/batch drift")
+    }
+    assert(got(900003L) === (("host_not_in_graph", null, false, false)))
+    // non-vacuity: the threshold separates the clique ring (kept) from
+    // the equal-or-higher-DEGREE ring nodes (dropped)
+    assert(want.values.exists(_._4) && want.values.exists(!_._4),
+      "gate verdicts degenerate on this fixture")
+  }
+
   test("streaming BPE encode equals the batch row per document") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
