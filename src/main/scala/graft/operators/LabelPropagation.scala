@@ -104,7 +104,20 @@ object LabelPropagation {
     * @return (node, community) after the one move round
     */
   def refineOnce(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val canon = edges.select(col("src"), col("dst"))
+    // the run() guards verbatim: a silently empty/NULL-degraded edge
+    // frame would strip every candidate and return the input labeling
+    // (or shrink it) while looking like a clean no-gain round
+    val raw = edges.select(col("src"), col("dst"))
+    val g = raw.agg(count(lit(1)),
+      count(when(col("src").isNotNull && col("dst").isNotNull, 1))).head()
+    require(g.getLong(0) > 0,
+      "refineOnce: empty edge frame — refine against the SAME edges " +
+        "the labeling was computed on")
+    require(g.getLong(1) == g.getLong(0),
+      s"refineOnce: ${g.getLong(0) - g.getLong(1)} edges carry a NULL " +
+        "endpoint — their gains would silently vanish; repair the " +
+        "edge feed")
+    val canon = raw
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -143,9 +156,13 @@ object LabelPropagation {
       .withColumn("__rn", row_number().over(byGain))
       .where(col("__rn") === 1)
       .select(col("node"), col("c"))
-    own.select(col("node"), col("a"))
-      .join(pick, Seq("node"), "left")
-      .select(col("node"), coalesce(col("c"), col("a")).as("community"))
+    // the output covers EVERY input label row (left join from `lab`,
+    // not from the edge-joined frame): a labeled node with no edge in
+    // this frame cannot move, but silently DROPPING it would shrink a
+    // refreshed community artifact relative to its input labeling
+    lab.join(pick, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("c"), col("community")).as("community"))
   }
 
   /** Newman–Girvan modularity of a labeling on the INTEGER LATTICE —

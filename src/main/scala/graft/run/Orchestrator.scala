@@ -419,16 +419,19 @@ object Orchestrator {
       require(!bucketed,
         s"$table is bucketed — compaction would break the bucket-to-file " +
           "mapping; rewrite through writeBucketedBatch instead")
-      // the ANN index tables live in the generation plane: compacting
-      // them here would race a rebuild's commit (and a raw-path scan
-      // would silently no-op on the empty legacy location) — their
-      // compaction IS the rebuild, which rewrites and repartitions
-      // every list row behind the pointer
-      require(table != "indexes/ann_centroids"
-          && table != "indexes/ann_lists",
-        s"$table lives in the ANN generation plane — rebuildAnnIndex " +
-          "rewrites and repartitions the whole index behind the " +
-          "generation pointer; run the rebuild instead of compacting")
+      // pointer-redirected tables (tablePath resolves them away from
+      // the raw warehouse path — today the ANN generation plane):
+      // compacting one here would race its pointer commit, and a
+      // raw-path scan would silently no-op on the empty legacy
+      // location. Testing the PREDICATE, not a name blacklist, keeps
+      // the guard covering any future generation-plane table
+      // automatically — their compaction IS their rebuild, which
+      // rewrites and repartitions every row behind the pointer
+      require(tablePath(table) == s"$warehouse/$table",
+        s"$table resolves through a generation pointer " +
+          s"(${tablePath(table)}) — its rebuild (rebuildAnnIndex for " +
+          "the ANN tables) rewrites and repartitions the whole table " +
+          "behind the pointer; run that instead of compacting")
       // the swap below is two directory renames — atomic on
       // rename-based filesystems (HDFS, local, abfs), a client-side
       // copy+delete on object stores, where a crash mid-swap would
@@ -582,10 +585,6 @@ object Orchestrator {
       * @return the dropped batch ids, oldest first
       */
     def vacuumBatches(table: String, keepLast: Int): Seq[String] = {
-      require(keepLast >= 1,
-        s"vacuumBatches: keepLast must be >= 1, got $keepLast — " +
-          "vacuuming a table to empty is a drop-table decision, not " +
-          "retention")
       // the compactBatches refusal, for the same reason: a
       // catalog-registered bucketed table keeps partition metadata in
       // the metastore, and a directory delete underneath it strands
@@ -600,8 +599,50 @@ object Orchestrator {
           "checked file delete), not a directory delete the metastore " +
           "cannot see")
       val root = tablePath(table)
-      val parts = WarehouseFs.list(root)
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("dwh_batch_id="))
+      vacuumPlanned(table, keepLast) { id =>
+        // a writeBatchIndexed table keeps a per-batch Bloom manifest
+        // partition; drop it WITH (and before) its data partition —
+        // a surviving manifest row naming vanished files turns every
+        // subsequent point lookup into the stale-manifest refusal
+        // (with a rebuild prescription that is wrong for this
+        // state), while a data file briefly missing from the
+        // manifest is merely unpruned/flagged, the conservative side
+        WarehouseFs.deleteRecursive(s"$root/_bloomidx/pid=$id")
+        WarehouseFs.deleteRecursive(s"$root/dwh_batch_id=$id")
+      }
+    }
+
+    /** ONE retention planner for both vacuum planes ([[vacuumBatches]]
+      * and [[vacuumBucketedBatches]]): the drop set comes from the
+      * ON-DISK partition listing — the filesystem is the source of
+      * truth, because a catalog-derived list would never re-see a
+      * vintage whose catalog drop succeeded but whose file delete
+      * crashed, leaking the bytes forever behind the durable SUCCESS
+      * row (and MSCK on a fresh catalog would even resurrect them) —
+      * with the keepLast floor, the fixed-width id convention, the
+      * watermark-BEFORE-deletes ordering, and oldest-first drops.
+      *
+      * Watermark ordering rationale: a crash in any window leaves the
+      * AS-OF guard conservative, never the data silently partial —
+      * (a) after the flush but before the drops, the dirs still exist
+      * and AS-OF refuses anyway (identical to the documented
+      * deliberate-re-land state, which VacuumSpec pins); (b)
+      * mid-drops, the survivor set is a suffix AND the watermark is
+      * already durable; a watermark-after-drops ordering instead has
+      * a window where every targeted dir is gone, the re-run no-ops,
+      * and snapshots stay silently PARTIAL forever. Drops are CHECKED
+      * (WarehouseFs verifies dirs are gone) — a blocked delete fails
+      * the vacuum loudly instead of hiding behind the SUCCESS row.
+      */
+    private def vacuumPlanned(table: String, keepLast: Int)
+                             (dropOne: String => Unit): Seq[String] = {
+      require(keepLast >= 1,
+        s"vacuum of $table: keepLast must be >= 1, got $keepLast — " +
+          "vacuuming a table to empty is a drop-table decision, not " +
+          "retention")
+      val parts = WarehouseFs.list(tablePath(table))
+        .filter(d => d.isDirectory
+          && d.getPath.getName.startsWith("dwh_batch_id="))
         .map(_.getPath.getName)
         .sorted
       // the keep-window and watermark comparisons are STRING order —
@@ -610,7 +651,7 @@ object Orchestrator {
       // drop the wrong vintages and mis-gate snapshots forever
       val widths = parts.map(_.stripPrefix("dwh_batch_id=").length).distinct
       require(widths.size <= 1,
-        s"vacuumBatches($table): mixed batch-id widths on disk " +
+        s"vacuum of $table: mixed batch-id widths on disk " +
           s"(${widths.sorted.mkString(", ")} chars) — lexicographic " +
           "ordering would pick the wrong oldest vintages and record a " +
           "wrong watermark; re-land the off-width batches under the " +
@@ -619,34 +660,10 @@ object Orchestrator {
       if (drop.isEmpty) Seq.empty
       else {
         val ids = drop.map(_.stripPrefix("dwh_batch_id="))
-        // watermark BEFORE the deletes: a crash in any window then
-        // leaves the guard conservative, never the data silently
-        // partial — (a) after the flush but before the deletes, the
-        // dirs still exist and AS-OF refuses anyway (identical to the
-        // documented deliberate-re-land state, which VacuumSpec pins);
-        // (b) mid-deletes, the survivor set is a suffix AND the
-        // watermark is already durable; a watermark-after-deletes
-        // ordering instead has a window where every targeted dir is
-        // gone, the re-run no-ops, and snapshots stay silently
-        // PARTIAL forever
         log("vacuum", table, "SUCCESS", drop.length.toLong,
           s"watermark=${ids.last}")
         flushAudit()
-        drop.foreach { partName =>
-          // a writeBatchIndexed table keeps a per-batch Bloom manifest
-          // partition; drop it WITH (and before) its data partition —
-          // a surviving manifest row naming vanished files turns every
-          // subsequent point lookup into the stale-manifest refusal
-          // (with a rebuild prescription that is wrong for this
-          // state), while a data file briefly missing from the
-          // manifest is merely unpruned/flagged, the conservative side.
-          // Deletes are CHECKED (WarehouseFs verifies the dir is gone)
-          // — a blocked delete fails the vacuum loudly instead of
-          // leaving a half-dropped vintage behind the SUCCESS row
-          WarehouseFs.deleteRecursive(
-            s"$root/_bloomidx/pid=${partName.stripPrefix("dwh_batch_id=")}")
-          WarehouseFs.deleteRecursive(s"$root/$partName")
-        }
+        ids.foreach(dropOne)
         ids
       }
     }
@@ -679,42 +696,23 @@ object Orchestrator {
       * @return the dropped batch ids, oldest first
       */
     def vacuumBucketedBatches(table: String, keepLast: Int): Seq[String] = {
-      require(keepLast >= 1,
-        s"vacuumBucketedBatches: keepLast must be >= 1, got $keepLast — " +
-          "vacuuming a table to empty is a drop-table decision, not " +
-          "retention")
       val name = catalogName(table)
       require(spark.catalog.tableExists(name),
         s"$table is not catalog-registered — for a plain path table use " +
           "vacuumBatches; for a bucketed warehouse on a fresh catalog, " +
           "re-register via ensureBucketedRegistered first")
-      val parts = spark.sql(s"SHOW PARTITIONS $name").collect()
-        .map(_.getString(0)).toSeq.sorted
-      val widths = parts.map(_.stripPrefix("dwh_batch_id=").length).distinct
-      require(widths.size <= 1,
-        s"vacuumBucketedBatches($table): mixed batch-id widths " +
-          s"(${widths.sorted.mkString(", ")} chars) — lexicographic " +
-          "ordering would pick the wrong oldest vintages; re-land the " +
-          "off-width batches under the fixed-width id convention first")
-      val drop = parts.dropRight(keepLast)
-      if (drop.isEmpty) Seq.empty
-      else {
-        val ids = drop.map(_.stripPrefix("dwh_batch_id="))
-        log("vacuum", table, "SUCCESS", drop.length.toLong,
-          s"watermark=${ids.last}")
-        flushAudit()
-        ids.foreach { id =>
-          // catalog first (readers must stop planning the vintage),
-          // then the checked file delete; a crash between the two
-          // leaves an orphan directory no catalog read ever touches —
-          // the re-run's catalog drop no-ops (IF EXISTS) and the
-          // delete heals it
-          spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION " +
-            s"(dwh_batch_id = '$id')")
-          WarehouseFs.deleteRecursive(
-            s"$warehouse/$table/dwh_batch_id=$id")
-        }
-        ids
+      vacuumPlanned(table, keepLast) { id =>
+        // catalog first (readers must stop planning the vintage), then
+        // the checked file delete; a crash between the two leaves an
+        // orphan directory the RE-RUN heals — the planner lists the
+        // FILESYSTEM, so the orphan is re-planned, its catalog drop
+        // no-ops (IF EXISTS) and the delete completes (a SHOW
+        // PARTITIONS plan would never see it again, leaking the bytes
+        // and letting a later MSCK resurrect the vintage)
+        spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION " +
+          s"(dwh_batch_id = '$id')")
+        WarehouseFs.deleteRecursive(
+          s"$warehouse/$table/dwh_batch_id=$id")
       }
     }
 

@@ -18,12 +18,12 @@ import org.apache.spark.sql.SparkSession
   *  - deletes and single-file writes are safe everywhere;
   *  - [[publishAtomic]] (the commit primitive for pointer/config/
   *    manifest files) is atomic-replace everywhere that matters:
-  *    FileContext rename-OVERWRITE on HDFS/local (one metadata op —
-  *    a reader sees old or new, never absent or torn), and on object
-  *    stores without an AbstractFileSystem binding it degrades to
-  *    copy-then-delete where the DESTINATION transition is still one
-  *    PUT (S3 object replacement is atomic per object) — the
-  *    destination is never absent or torn there either;
+  *    FileContext rename-OVERWRITE on rename-based filesystems (one
+  *    metadata op — a reader sees old or new, never absent or torn),
+  *    and a DIRECT single-object PUT on object stores (atomic-visible
+  *    replacement; a failed write aborts rather than close-committing
+  *    a truncated object) — branch picked by the scheme table, since
+  *    object-store FileContext renames are delete-then-copy;
   *  - [[renameDir]] (directory swap) is atomic ONLY on rename-based
   *    filesystems (HDFS, local, abfs) — callers that need a swap on
   *    object stores must commit through a pointer file instead (the
@@ -134,46 +134,56 @@ object WarehouseFs {
   /** Atomic small-file publish — the COMMIT primitive for pointer,
     * config and manifest files. Two store classes, each given the
     * primitive that is actually atomic THERE, so the target is never
-    * absent and never torn on either:
+    * absent and never torn on either. The branch is picked by the
+    * SCHEME TABLE ([[hasAtomicRenames]]), NOT by whether an
+    * AbstractFileSystem binding exists — Hadoop ships an s3a binding
+    * (core-default's fs.AbstractFileSystem.s3a.impl), and its
+    * rename-OVERWRITE is delete-target-then-copy, exactly the absent
+    * window this primitive exists to rule out:
     *
-    *  - rename-based filesystems (HDFS, local — anywhere an
-    *    AbstractFileSystem binding exists): write a temp sibling, then
-    *    FileContext rename-OVERWRITE — one atomic metadata op, readers
-    *    see old or new; the temp is deleted on any failure (a leaked
-    *    temp would accumulate on the metadata plane forever);
-    *  - object stores (no AbstractFileSystem binding — s3a and
-    *    friends): create the TARGET directly with overwrite — a single
-    *    object PUT, which on S3-class stores is atomic-visible (the
-    *    old object serves until the new PUT completes; a crash
-    *    mid-write leaves the old object, never a partial). A
-    *    tmp+rename there would be strictly worse: rename is
-    *    copy+delete with either an absent window (delete-first) or a
-    *    non-clobbering failure (rename-first).
+    *  - rename-based filesystems (HDFS, local, abfs): write a temp
+    *    sibling, then FileContext rename-OVERWRITE — one atomic
+    *    metadata op, readers see old or new; the temp is deleted on
+    *    any failure (a leaked temp would accumulate on the metadata
+    *    plane forever). A missing AbstractFileSystem binding on such a
+    *    scheme is a configuration error and fails loudly;
+    *  - object stores (s3a and friends): create the TARGET directly
+    *    with overwrite — a single object PUT, which on S3-class stores
+    *    is atomic-visible (the old object serves until the new PUT
+    *    completes; the PUT itself happens at close()). A failed WRITE
+    *    aborts the stream instead of closing it — a close() after a
+    *    partial write would commit a truncated object, the one torn
+    *    state the PUT semantics otherwise exclude. A tmp+rename there
+    *    would be strictly worse: object-store rename is copy+delete
+    *    with an absent window either way.
     */
   def publishAtomic(p: String, content: String): Unit = {
     val target = new Path(p); val fs = fsOf(target)
     fs.mkdirs(target.getParent)
-    val fc =
-      try Some(FileContext.getFileContext(target.toUri, conf()))
-      catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
-      }
-    fc match {
-      case Some(ctx) =>
-        val tmp = new Path(target.getParent,
-          s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-        try {
-          val out = fs.create(tmp, true)
-          try out.write(content.getBytes("UTF-8")) finally out.close()
-          ctx.rename(tmp, target, Options.Rename.OVERWRITE)
-        } catch {
-          case e: Throwable =>
-            scala.util.Try(fs.delete(tmp, false))
-            throw e
-        }
-      case None =>
-        val out = fs.create(target, true)
+    if (hasAtomicRenames(p)) {
+      val ctx = FileContext.getFileContext(target.toUri, conf())
+      val tmp = new Path(target.getParent,
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      try {
+        val out = fs.create(tmp, true)
         try out.write(content.getBytes("UTF-8")) finally out.close()
+        ctx.rename(tmp, target, Options.Rename.OVERWRITE)
+      } catch {
+        case e: Throwable =>
+          scala.util.Try(fs.delete(tmp, false))
+          throw e
+      }
+    } else {
+      val out = fs.create(target, true)
+      var written = false
+      try { out.write(content.getBytes("UTF-8")); written = true }
+      finally {
+        if (written) out.close()
+        // abort, never close: close() IS the object PUT, and a PUT of
+        // a half-buffered pointer is a torn commit (streams without
+        // abort support leak a buffer here — the lesser evil)
+        else scala.util.Try(out.abort())
+      }
     }
   }
 

@@ -157,6 +157,32 @@ class VacuumSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS gold_t_bvac")
   }
 
+  test("bucketed vacuum heals a crash between catalog drop and file delete") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac7").toString
+    val table = "gold/t_bheal"
+    try {
+      for ((id, v) <- Seq(("B1", 1L), ("B2", 2L), ("B3", 3L))) {
+        new Orchestrator.Run(spark, wh, id).writeBucketedBatch(
+          Seq((v, s"row$v")).toDF("k", "s"), table, Seq("k"), 2)
+      }
+      // simulate the crash window: the catalog already dropped B1 but
+      // its directory survived — a SHOW PARTITIONS plan would never
+      // see B1 again (and MSCK would RESURRECT it); the
+      // filesystem-sourced plan must re-drop and delete it
+      spark.sql("ALTER TABLE gold_t_bheal DROP IF EXISTS PARTITION " +
+        "(dwh_batch_id = 'B1')")
+      assert(graft.run.WarehouseFs.exists(s"$wh/$table/dwh_batch_id=B1"),
+        "fixture: the orphan dir must exist for the heal to mean anything")
+      val r = new Orchestrator.Run(spark, wh, "B3")
+      assert(r.vacuumBucketedBatches(table, keepLast = 1)
+        === Seq("B1", "B2"))
+      assert(!graft.run.WarehouseFs.exists(s"$wh/$table/dwh_batch_id=B1"),
+        "the orphan's bytes must be gone")
+      assert(spark.sql("SHOW PARTITIONS gold_t_bheal").collect()
+        .map(_.getString(0)).toSeq === Seq("dwh_batch_id=B3"))
+    } finally spark.sql("DROP TABLE IF EXISTS gold_t_bheal")
+  }
+
   test("a deliberate re-land resurrects a vacuumed vintage (S8 recovery)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_vac3").toString
     land(wh, "B1", 1L)
