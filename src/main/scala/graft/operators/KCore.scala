@@ -122,14 +122,19 @@ object KCore {
     * the current k; each round computes surviving degrees and either
     * REMOVES the below-k nodes (they leave with core number k−1 —
     * including nodes whose last neighbor just fell, which vanish from
-    * the degree frame entirely) or, when nothing is below k,
-    * INCREMENTS k. The ladder visits each k once, so total rounds =
-    * Σ per-k cascade depths + degeneracy — the same unit cost as
-    * [[peel]] (two semi-joins + one keyed count per round, 1-row
-    * driver-side counts), amortized over EVERY k instead of one:
-    * curation pipelines that threshold different sources at different
-    * k read the one persisted (node, core) table instead of re-running
-    * the peel per threshold.
+    * the degree frame entirely) or, when nothing is below k, JUMPS k
+    * straight to (min surviving degree) + 1 — a survivor set with min
+    * degree d is the k-core for every k ≤ d, so the intermediate
+    * thresholds are provably empty rungs and climbing them one at a
+    * time would burn one full degree round each (on a clique that is
+    * the whole ladder). Total rounds = Σ per-rung cascade depths +
+    * #distinct support levels, never the degeneracy itself — the same
+    * unit cost as [[peel]] (two semi-joins + one keyed count per
+    * round; the min-degree rides the SAME observation as the count),
+    * amortized over EVERY k instead of one: curation pipelines that
+    * threshold different sources at different k read the one
+    * persisted (node, core) table instead of re-running the peel per
+    * threshold.
     *
     * Determinism and guards match [[peel]] (monotone set fixpoint, no
     * floats, loud NULL/empty refusals); `maxRounds` caps the TOTAL
@@ -184,12 +189,15 @@ object KCore {
         val obs = org.apache.spark.sql.Observation()
         val degHigh = degAmong(survivors)
           .where(col("deg") >= k)
-          .observe(obs, count(lit(1)).as("n"))
+          .observe(obs, count(lit(1)).as("n"), min(col("deg")).as("mind"))
           .localCheckpoint()
         val nHigh = obs.get("n").asInstanceOf[Long]
         if (nHigh == nSurv) {
-          // nothing below k: the survivor set IS the k-core; climb
-          k += 1
+          // nothing below k: the survivor set IS the k-core — and the
+          // k'-core for every k' up to its min degree, so jump past
+          // the provably-empty rungs instead of climbing them one
+          // degree round at a time
+          k = obs.get("mind").asInstanceOf[Long].toInt + 1
         } else {
           // peel: everyone not in degHigh — below-k nodes AND nodes
           // whose degree frame row vanished with their last neighbor —

@@ -183,9 +183,10 @@ object GraphQueries extends QueryPack {
   private val KCoreMaxRounds = 16
 
   /** Total ladder-round cap for q_graph_core_numbers: the fixture's
-    * ladder spends ~13 rounds in the k=2 rung (the pendant cascade),
-    * a couple per higher rung, and one k-increment round per rung up
-    * to the clique's core 10 — 64 proves completion with margin.
+    * ladder spends ~13 rounds in the k=2 rung (the pendant cascade)
+    * and a couple per populated rung; the support-jump rule collapses
+    * the empty rungs between the cycle's core 2 and the clique's core
+    * 10 into one round — 64 proves completion with wide margin.
     */
   private val CoreNumMaxRounds = 64
 
