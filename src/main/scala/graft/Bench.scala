@@ -209,7 +209,12 @@ object Bench {
         "q_sim_ann_sq",
         // builds the memoized source-graph triangle counts (the
         // persisted graph_triangle_counts stand-in) the gate probes
-        "q_graph_linkfarm_gate") ++
+        "q_graph_linkfarm_gate",
+        // builds the memoized round-4 LPA labeling (the persisted
+        // communities artifact stand-in) the modularity + refined
+        // rows probe, and the memoized source-graph core numbers the
+        // core gate probes
+        "q_graph_lpa", "q_graph_core_gate") ++
         (if (refToo) Seq("q_ref_fact_sales") else Nil)
       memoized.foreach(n => try runAt(n, dir) catch { case _: Throwable => () })
     }

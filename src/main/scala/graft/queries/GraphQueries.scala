@@ -116,6 +116,20 @@ object GraphQueries extends QueryPack {
         col("core").isNotNull.as("known_host"),
         coalesce(col("core") >= minCore, lit(false)).as("kept"))
 
+  /** Per-(session, SF) memo of the round-4 LPA labeling on the
+    * residue fixture graph — the stand-in for the PERSISTED
+    * indexes/graph_communities artifact. THREE rows probe it (the
+    * communities report, the modularity A/B, the refined A/B), so
+    * recomputing the 4 synchronous rounds per row would triple the
+    * one-time cost the warehouse table amortizes in production.
+    */
+  private val lpaLabelsMemo = new SessionMemo[String, DataFrame]()
+
+  private[graft] def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    lpaLabelsMemo.get(s, dir) {
+      LabelPropagation.run(s, triangleFixtureEdges(s, dir), LpaRounds)
+    }
+
   /** Per-(session, SF) memo of the source-graph core numbers the
     * registered gate row probes — the stand-in for the PERSISTED
     * indexes/graph_core_numbers artifact the table face reads.
@@ -556,8 +570,11 @@ object GraphQueries extends QueryPack {
     // communities (the ≡0 clique block and the 1/2 bipartite halves) —
     // the mirror-farm/topic-pocket signal inside a single crawl
     // component. Oracle = the identical 4 unrolled synchronous rounds.
-    "q_graph_lpa" -> ((s, dir) =>
-      LabelPropagation.run(s, triangleFixtureEdges(s, dir), LpaRounds)),
+    // The labeling is session-memoized (lpaLabels — the persisted
+    // communities artifact's stand-in): the modularity and refined
+    // rows probe the SAME labeling, as their production forms probe
+    // the one warehouse table.
+    "q_graph_lpa" -> ((s, dir) => lpaLabels(s, dir)),
 
     // k-core membership (operators/KCore: synchronous peel to
     // fixpoint) on a fixture built to exercise the CASCADE that makes
@@ -620,7 +637,7 @@ object GraphQueries extends QueryPack {
     // same lattice arithmetic for both labelings.
     "q_graph_lpa_modularity" -> ((s, dir) => {
       val edges = triangleFixtureEdges(s, dir)
-      val lpa = LabelPropagation.run(s, edges, LpaRounds)
+      val lpa = lpaLabels(s, dir)
       val blocks = lpa.select(col("node"),
         when(expr("CAST(substring(node, 2, 10) AS BIGINT)") % 3 === 0,
           lit("b0")).otherwise(lit("b12")).as("community"))
@@ -642,7 +659,7 @@ object GraphQueries extends QueryPack {
     // arithmetic unrolled over l_4.
     "q_graph_lpa_refined" -> ((s, dir) => {
       val edges = triangleFixtureEdges(s, dir)
-      val lpa = LabelPropagation.run(s, edges, LpaRounds)
+      val lpa = lpaLabels(s, dir)
       val refined = LabelPropagation.refineOnce(lpa, edges)
       LabelPropagation.modularity(lpa, edges)
         .select(lit("lpa_round4").as("labeling"), col("*"))
