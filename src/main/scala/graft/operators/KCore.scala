@@ -194,10 +194,24 @@ object KCore {
         val nHigh = obs.get("n").asInstanceOf[Long]
         if (nHigh == nSurv) {
           // nothing below k: the survivor set IS the k-core — and the
-          // k'-core for every k' up to its min degree, so jump past
-          // the provably-empty rungs instead of climbing them one
-          // degree round at a time
-          k = obs.get("mind").asInstanceOf[Long].toInt + 1
+          // k'-core for every k' up to its min degree d, so the
+          // intermediate rungs are provably empty. Jump to d+1 AND
+          // execute that rung's first peel sub-round straight off the
+          // ALREADY-MATERIALIZED degree frame (the deg==d nodes are
+          // exactly what peeling at d+1 removes first, with core d);
+          // re-deriving the same degrees next round would waste the
+          // round's two semi-joins per support level
+          val mind = obs.get("mind").asInstanceOf[Long]
+          assigned += degHigh.where(col("deg") === mind)
+            .select(col("node"), lit(mind).as("core"))
+            .localCheckpoint()
+          val obs2 = org.apache.spark.sql.Observation()
+          survivors = degHigh.where(col("deg") > mind)
+            .select(col("node"))
+            .observe(obs2, count(lit(1)).as("n"))
+            .localCheckpoint() // one scan of the cached frame, no joins
+          nSurv = obs2.get("n").asInstanceOf[Long]
+          k = mind.toInt + 1
         } else {
           // peel: everyone not in degHigh — below-k nodes AND nodes
           // whose degree frame row vanished with their last neighbor —
