@@ -192,7 +192,23 @@ object LabelPropagation {
     *         modularity_den, modularity_ppm)
     */
   def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val canon = edges.select(col("src"), col("dst"))
+    // the run()/refineOnce() guards verbatim: the self-loop predicate
+    // below silently DROPS NULL-endpoint edges, deflating m and skewing
+    // num/den/ppm on a degraded feed — and this row is a MEASUREMENT
+    // consumers threshold on, the one place a silent quality number is
+    // worst. Same empty-frame refusal: Q of nothing is not 0, it is
+    // "no edges landed".
+    val rawq = edges.select(col("src"), col("dst"))
+    val gq = rawq.agg(count(lit(1)),
+      count(when(col("src").isNotNull && col("dst").isNotNull, 1))).head()
+    require(gq.getLong(0) > 0,
+      "modularity: empty edge frame — measure against the SAME edges " +
+        "the labeling was computed on")
+    require(gq.getLong(1) == gq.getLong(0),
+      s"modularity: ${gq.getLong(0) - gq.getLong(1)} edges carry a NULL " +
+        "endpoint — they would silently deflate m and skew the reported " +
+        "num/den/ppm; repair the edge feed")
+    val canon = rawq
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))

@@ -598,6 +598,20 @@ object Orchestrator {
           "through vacuumBucketedBatches (catalog partition drop + " +
           "checked file delete), not a directory delete the metastore " +
           "cannot see")
+      // the compactBatches pointer-plane guard, for the same race: a
+      // vacuum of indexes/ann_lists resolves tablePath into the LIVE
+      // generation dir and would delete vintage partitions there while
+      // a rebuild's pointer commit can land mid-drop — the drops
+      // silently survive in the NEW generation while the audit row
+      // records SUCCESS and a watermark for the logical table. Same
+      // predicate (not a name blacklist), same prescription: the
+      // generation plane's maintenance op is its rebuild.
+      require(tablePath(table) == s"$warehouse/$table",
+        s"$table resolves through a generation pointer " +
+          s"(${tablePath(table)}) — vacuuming inside a generation dir " +
+          "races the rebuild's pointer commit; retention for the ANN " +
+          "plane is rebuildAnnIndex (which re-stages exactly the " +
+          "retained vintages) after vacuuming the SOURCE tables")
       val root = tablePath(table)
       vacuumPlanned(table, keepLast) { id =>
         // a writeBatchIndexed table keeps a per-batch Bloom manifest
@@ -1553,7 +1567,25 @@ object Orchestrator {
           log("ann_rebuild", "indexes/ann_lists", "FAILED", 0,
             String.valueOf(e.getMessage))
           throw e
-      } finally WarehouseFs.deleteFile(annRebuildLockPath)
+      } finally {
+        // non-masking lock release: the CHECKED delete throws on a
+        // store hiccup, and thrown from finally it would (a) mask the
+        // real staging failure, or (b) on the success path fail the
+        // call AFTER the pointer commit landed — the caller would see
+        // failure for a committed rebuild that also logged SUCCESS.
+        // A leaked lock is recoverable by the documented manual path
+        // (the acquire message names it); a masked outcome is not.
+        scala.util.Try(WarehouseFs.deleteFile(annRebuildLockPath)) match {
+          case scala.util.Failure(re) =>
+            log("ann_rebuild", "indexes/ann_lists", "WARN", 0,
+              s"stale rebuild lock: release of $annRebuildLockPath " +
+                s"failed (${String.valueOf(re.getMessage)}) — the " +
+                "rebuild outcome above stands; delete the lock " +
+                "manually before the next rebuild")
+            flushAudit()
+          case _ => ()
+        }
+      }
     }
 
     /** kNN graph as a warehouse table — the materialized form of the

@@ -179,10 +179,27 @@ object WarehouseFs {
       try { out.write(content.getBytes("UTF-8")); written = true }
       finally {
         if (written) out.close()
-        // abort, never close: close() IS the object PUT, and a PUT of
-        // a half-buffered pointer is a torn commit (streams without
-        // abort support leak a buffer here — the lesser evil)
-        else scala.util.Try(out.abort())
+        else {
+          // abort, never close: close() IS the object PUT, and a PUT
+          // of a half-buffered pointer is a torn commit. A stream
+          // WITHOUT Abortable support (abort throws Unsupported) is
+          // neither closed nor aborted — that leaks the buffer AND the
+          // store client's connection slot, so the leak is LOGGED:
+          // repeated publish failures exhausting the client pool must
+          // be diagnosable, and silently swallowing the abort failure
+          // was exactly how they would not be. Still the lesser evil
+          // vs close(): a leaked slot degrades, a torn pointer lies.
+          scala.util.Try(out.abort()) match {
+            case scala.util.Failure(ae) =>
+              System.err.println(
+                s"[warehousefs] publishAtomic($p): write failed and " +
+                  s"abort() also failed (${ae.getClass.getSimpleName}: " +
+                  s"${String.valueOf(ae.getMessage)}) — stream neither " +
+                  "closed nor aborted; a connection/buffer leaks. " +
+                  "Repeated leaks can exhaust the store client's pool.")
+            case _ => ()
+          }
+        }
       }
     }
   }

@@ -72,6 +72,19 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
       LabelPropagation.run(spark, withNull, 2)
     }
     assert(e2.getMessage.contains("NULL"))
+    // modularity is a MEASUREMENT consumers threshold on — it carries
+    // the same guards: a NULL endpoint silently dropped by the
+    // self-loop predicate would deflate m and skew the reported ppm
+    val lab = Seq(("a", "a"), ("b", "a")).toDF("node", "community")
+    val e3 = intercept[IllegalArgumentException] {
+      LabelPropagation.modularity(lab,
+        Seq.empty[(String, String)].toDF("src", "dst")).collect()
+    }
+    assert(e3.getMessage.contains("empty"))
+    val e4 = intercept[IllegalArgumentException] {
+      LabelPropagation.modularity(lab, withNull).collect()
+    }
+    assert(e4.getMessage.contains("NULL"))
   }
 
   test("registered fixture resolves the three residue communities") {

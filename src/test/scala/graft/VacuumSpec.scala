@@ -114,6 +114,21 @@ class VacuumSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$wh/bronze/ti/_bloomidx/pid=B1").exists())
   }
 
+  test("generation-pointer tables refuse vacuum by prescription") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac7").toString
+    val r = new Orchestrator.Run(spark, wh, "B1")
+    // tablePath resolves these into the LIVE generation dir — dropping
+    // vintage partitions there races a rebuild's pointer commit (the
+    // drops silently survive in the new generation behind a SUCCESS
+    // audit row + watermark); the refusal must name the rebuild
+    for (t <- Seq("indexes/ann_lists", "indexes/ann_centroids")) {
+      val e = intercept[IllegalArgumentException] {
+        r.vacuumBatches(t, keepLast = 1)
+      }
+      assert(e.getMessage.contains("rebuildAnnIndex"), t)
+    }
+  }
+
   test("catalog-registered bucketed tables refuse directory vacuum") {
     val wh = java.nio.file.Files.createTempDirectory("graft_vac5").toString
     val r1 = new Orchestrator.Run(spark, wh, "B1")
