@@ -233,10 +233,15 @@ object IoQueries extends QueryPack {
     // Small-file compaction (maintenance plane): land orders as 4 batch
     // partitions x ~25 small files (the ingest-cadence storm that makes
     // a 100 TB scan metadata-bound), bin-pack via
-    // Orchestrator.compactBatches, and read the table back — the oracle
-    // over the original orders proves the rewrite is content-preserving;
-    // the require() proves it actually rewrote (every partition down to
-    // one file), so the row can't pass vacuously.
+    // Orchestrator.compactBatches — each partition POINTER-COMMITTED
+    // into a hidden generation dir (atomic on object stores too; no
+    // directory rename anywhere) — then GC the parked previous layout
+    // through vacuumCompacted and read back through the pointer
+    // resolver. The oracle over the original orders proves the rewrite
+    // is content-preserving; the require()s prove it actually rewrote
+    // (every partition down to one file) AND actually dropped the
+    // parked files, so after the GC the rows can only come from the
+    // committed generations — the row cannot pass vacuously.
     "q_compact_files" -> ((s, dir) => {
       import graft.run.Orchestrator
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -254,10 +259,14 @@ object IoQueries extends QueryPack {
           concat(lit("CB"), (col("o_orderkey") % 4).cast(StringType)))
         .repartition(25)
         .write.partitionBy("dwh_batch_id").parquet(s"$wh/$table")
-      val done = new Orchestrator.Run(s, wh, "MAINT").compactBatches(table)
+      val run = new Orchestrator.Run(s, wh, "MAINT")
+      val done = run.compactBatches(table)
       require(done.size == 4 && done.forall(_._3 == 1),
         s"compaction did not bin-pack: $done")
-      s.read.parquet(s"$wh/$table")
+      val gcd = run.vacuumCompacted(table)
+      require(gcd.size == 4 && gcd.forall(_._2 > 0),
+        s"GC dropped no parked files: $gcd")
+      run.readTable(table)
         .groupBy(col("dwh_batch_id"))
         .agg(cnt.as("n_rows"), dsum(col("o_totalprice")).as("total_price"))
     }),

@@ -186,7 +186,7 @@ object Orchestrator {
     def writeBatch(df: DataFrame, table: String): Long = {
       if (alreadyDone(table)) {
         log("write", table, "SKIPPED_DONE", 0)
-        return spark.read.parquet(tablePath(table))
+        return graft.sources.CompactedLayout.read(spark, tablePath(table))
           .where(col("dwh_batch_id") === batchId).count()
       }
       val obs = org.apache.spark.sql.Observation()
@@ -231,8 +231,11 @@ object Orchestrator {
             import spark.implicits._
             val have = m.select(col("file")).as[String].collect()
               .map(ManifestRefresh.base).toSet
+            // live partition path (the loose dir unless a pointer has
+            // committed a compacted generation for this partition)
             val data = spark.read
-              .parquet(s"$path/dwh_batch_id=$batchId").inputFiles
+              .parquet(graft.sources.CompactedLayout.livePartitionPath(
+                s"$path/dwh_batch_id=$batchId")).inputFiles
               .map(ManifestRefresh.base).toSet
             have != data
         }
@@ -257,7 +260,9 @@ object Orchestrator {
                              probes: Seq[Long]): DataFrame = {
       import graft.sources.ManifestRefresh
       val path = tablePath(table)
-      val allFiles = spark.read.parquet(path).inputFiles
+      // resolver-aware inventory: live files only — after a compaction
+      // the parked files must not be demanded of the manifest
+      val allFiles = graft.sources.CompactedLayout.inputFiles(spark, path)
       val haveFiles = ManifestRefresh
         .readManifest(spark, s"$path/_bloomidx") match {
           case None => Array.empty[String]
@@ -387,19 +392,42 @@ object Orchestrator {
       * periodic compaction is what keeps file count proportional to
       * data size, not to ingest cadence.
       *
-      * Per partition: if the current layout has more files than the
-      * byte-optimal count (+1 slack so a well-packed partition is
+      * Per partition: if the current LIVE layout has more files than
+      * the byte-optimal count (+1 slack so a well-packed partition is
       * never rewritten), the partition is re-read, repartitioned to
-      * ceil(bytes/targetBytes), written to a STAGING dir outside the
-      * table, and swapped in by directory rename — the old partition
-      * is parked in a trash dir until the swap completes, so readers
-      * of the live path never see a half-written partition. (On HDFS/
-      * object stores the renames are FileSystem.rename; a crash
-      * between the two renames leaves the partition parked in
-      * `.compact_trash` — recovery is restoring that dir or re-running
-      * the batch write, the same S8 idempotency that heals any partial
-      * write. Table formats with metadata commits (Delta/Iceberg)
-      * close that window; a plain-dir warehouse documents it.)
+      * ceil(bytes/targetBytes), STAGED into a hidden generation dir
+      * inside the partition, and COMMITTED by one atomic publish of
+      * the partition's generation pointer
+      * ([[graft.sources.CompactedLayout]] — the ANN rebuild's
+      * pointer-commit discipline applied per partition). No directory
+      * is ever renamed, so the commit is atomic on EVERY store the
+      * [[WarehouseFs]] port targets — HDFS, local, abfs AND s3a-class
+      * object stores, where the old rename-swap design had to refuse:
+      *
+      *  - readers resolve the live layout through the pointer
+      *    ([[graft.sources.CompactedLayout.read]] — what [[readTable]]
+      *    plans through) and see the old files or the new, never a
+      *    torn or absent partition;
+      *  - a crash mid-staging leaves the pointer — and the live
+      *    layout — untouched; the partial generation dir is invisible
+      *    (hidden dir) and cleared when this partition is next
+      *    compacted or GC'd;
+      *  - the PREVIOUS layout (loose files or the prior generation) is
+      *    PARKED as the in-flight-reader grace window and
+      *    garbage-collected through [[vacuumCompacted]] — never
+      *    deleted at commit time;
+      *  - a RE-LAND of the partition (S8 dynamic overwrite) deletes
+      *    the whole partition dir, pointer and generations included,
+      *    reverting it cleanly to loose files (verified committer
+      *    behavior — CompactionSpec pins it).
+      *
+      * A bloom-indexed partition's manifest (`_bloomidx/pid=`) is
+      * refreshed over the new generation right after the commit (key
+      * from the manifest's own key_col provenance), so point lookups
+      * keep pruning; between the pointer publish and the manifest
+      * refresh a lookup fails LOUDLY on the file-identity check (never
+      * silently wrong), the same one-job-long window a crashed
+      * writeBatchIndexed heal has.
       *
       * Compaction is content-preserving by construction (read →
       * repartition → write of the same rows) and IDEMPOTENT: a second
@@ -432,50 +460,139 @@ object Orchestrator {
           s"(${tablePath(table)}) — its rebuild (rebuildAnnIndex for " +
           "the ANN tables) rewrites and repartitions the whole table " +
           "behind the pointer; run that instead of compacting")
-      // the swap below is two directory renames — atomic on
-      // rename-based filesystems (HDFS, local, abfs), a client-side
-      // copy+delete on object stores, where a crash mid-swap would
-      // tear the partition in ways the trash-park reasoning can't
-      // heal. Refuse there with the prescription instead of tearing:
-      // on an object store, compact through a table format with
-      // metadata commits (Delta/Iceberg rewrite) or re-land the batch
-      // (the S8 writer's commit protocol owns its own atomicity).
-      require(WarehouseFs.hasAtomicRenames(s"$warehouse/$table"),
-        s"compactBatches($table): the warehouse filesystem does not " +
-          "rename directories atomically — a mid-swap crash would tear " +
-          "the partition; on object stores compact via a metadata-commit " +
-          "table format or by re-landing the batch through writeBatch")
+      import graft.sources.CompactedLayout
       val root = s"$warehouse/$table"
       val parts = WarehouseFs.list(root)
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("dwh_batch_id="))
       val done = parts.sortBy(_.getPath.getName).flatMap { part =>
         val partName = part.getPath.getName
         val partPath = part.getPath.toString
-        val files = WarehouseFs.list(partPath)
+        val gen = CompactedLayout.liveGen(partPath)
+        val livePath =
+          if (gen == 0L) partPath else CompactedLayout.genDir(partPath, gen)
+        val files = WarehouseFs.list(livePath)
           .filter(_.getPath.getName.endsWith(".parquet"))
         val bytes = files.map(_.getLen).sum
         val nTarget = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         if (files.length < math.max(minFiles, nTarget + 1)) None
         else {
-          val staging = s"$warehouse/.compact/$table/$partName"
-          val trash = s"$warehouse/.compact_trash/$table/$partName"
-          spark.read.parquet(partPath)
+          // clear crashed stagings and ancient parked generations —
+          // every generation dir except the LIVE one. The grace window
+          // for in-flight readers of the previous layout ends when the
+          // NEXT rewrite of this partition begins (the ANN rebuild's
+          // previous-generation retention, per partition).
+          WarehouseFs.listNames(s"$partPath/.cgen")
+            .filter(n => n != f"g$gen%06d")
+            .foreach(n => WarehouseFs.deleteRecursive(s"$partPath/.cgen/$n"))
+          val staging = CompactedLayout.genDir(partPath, gen + 1)
+          // read the LIVE files explicitly — no basePath, so the frame
+          // carries pure data columns and the staged files look exactly
+          // like the loose files a writer produces (partition value
+          // stays in the path, never in the bytes)
+          spark.read.parquet(files.map(_.getPath.toString): _*)
             .repartition(nTarget)
             .write.mode(SaveMode.Overwrite).parquet(staging)
-          // drop the commit marker so the swapped-in dir is data-only
+          // drop the _SUCCESS marker so the committed dir is data-only
           WarehouseFs.list(staging)
             .filterNot(_.getPath.getName.endsWith(".parquet"))
             .foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
           val after = WarehouseFs.listNames(staging)
             .count(_.endsWith(".parquet"))
-          // swap: live -> trash, staged -> live, then clear trash
-          WarehouseFs.deleteRecursive(trash)
-          WarehouseFs.renameDir(partPath, trash)
-          WarehouseFs.renameDir(staging, partPath)
-          WarehouseFs.deleteRecursive(trash)
+          // THE COMMIT: root marker first (a reader must be resolving
+          // through pointers before any pointer exists), then one
+          // atomic pointer publish — old layout or new, never torn,
+          // on every store. The previous layout is PARKED, not
+          // deleted: vacuumCompacted is the GC.
+          CompactedLayout.ensureMarker(root)
+          WarehouseFs.publishAtomic(
+            CompactedLayout.pointerPath(partPath), (gen + 1).toString)
+          val id = partName.stripPrefix("dwh_batch_id=")
+          if (WarehouseFs.exists(s"$root/_bloomidx/pid=$id"))
+            refreshBloomAfterCompact(root, id, table)
           log("compact", table, "SUCCESS", 0,
-            s"$partName: ${files.length} -> $after files")
+            s"$partName: ${files.length} -> $after files " +
+              s"(generation ${gen + 1} pointer-committed)")
           Some((partName, files.length, after))
+        }
+      }
+      flushAudit()
+      done
+    }
+
+    /** Post-compaction Bloom manifest heal: the partition's manifest
+      * rows name the PARKED files after a pointer commit, so point
+      * lookups would fail the file-identity check until the manifest
+      * is rebuilt over the live generation. The lookup key comes from
+      * the manifest's own key_col provenance — compaction must not
+      * guess a key the landing chose.
+      */
+    private def refreshBloomAfterCompact(root: String, id: String,
+                                         table: String): Unit = {
+      import graft.sources.ManifestRefresh
+      val idxPart = s"$root/_bloomidx/pid=$id"
+      val keys: Seq[String] = ManifestRefresh.readManifest(spark, idxPart)
+        .toSeq.flatMap { m =>
+          if (!m.columns.contains("key_col")) Seq.empty
+          else m.select(col("key_col")).where(col("key_col").isNotNull)
+            .distinct().collect().map(_.getString(0)).toSeq
+        }
+      if (keys.length != 1) throw new IllegalStateException(
+        s"compactBatches($table): partition $id committed but its bloom " +
+          s"manifest carries ${if (keys.isEmpty) "no" else "conflicting"} " +
+          "key_col provenance — the manifest cannot be healed " +
+          "automatically; re-land the batch through writeBatchIndexed " +
+          "(the data partition is intact and pointer-committed)")
+      graft.sources.BloomIndexLayout.refreshPartition(
+        spark, root, "dwh_batch_id", id, keys.head)
+    }
+
+    /** Garbage-collect the PARKED layouts compaction leaves behind: for
+      * every partition with a committed generation pointer, delete the
+      * loose generation-0 files and every non-live generation dir. The
+      * vacuum face of the compaction plane — run it once the in-flight-
+      * reader grace window (a scan that planned against the previous
+      * layout) has passed, e.g. on the retention cadence.
+      *
+      * After GC, a NAIVE plain read of the table root sees an empty
+      * partition where the parked files were — every reader must
+      * resolve through the pointer plane ([[readTable]] /
+      * [[graft.sources.CompactedLayout.read]]), which the warehouse
+      * contract already routes. Before GC the parked files keep plain
+      * reads content-identical (compaction preserves content), which
+      * is the migration grace for external readers.
+      *
+      * IDEMPOTENT (a second run finds nothing parked); deletes are
+      * CHECKED (WarehouseFs); one audit row per cleaned partition.
+      *
+      * @return (partition, parkedFilesDropped, staleGenerationsDropped)
+      */
+    def vacuumCompacted(table: String): Seq[(String, Int, Int)] = {
+      import graft.sources.CompactedLayout
+      require(tablePath(table) == s"$warehouse/$table",
+        s"$table resolves through a generation pointer " +
+          s"(${tablePath(table)}) — its lifecycle op is rebuildAnnIndex")
+      val root = s"$warehouse/$table"
+      if (!CompactedLayout.isCompacted(root)) return Seq.empty
+      val done = CompactedLayout.partitionDirs(root).flatMap { partPath =>
+        val partName = partPath.substring(partPath.lastIndexOf('/') + 1)
+        val g = CompactedLayout.liveGen(partPath)
+        if (g == 0L) None // never compacted (or re-landed): nothing parked
+        else {
+          val loose = WarehouseFs.list(partPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          loose.foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
+          val stale = WarehouseFs.listNames(s"$partPath/.cgen")
+            .filter(_ != f"g$g%06d")
+          stale.foreach(n =>
+            WarehouseFs.deleteRecursive(s"$partPath/.cgen/$n"))
+          if (loose.isEmpty && stale.isEmpty) None
+          else {
+            log("vacuum_compact", table, "SUCCESS",
+              loose.length.toLong,
+              s"$partName: ${loose.length} parked files, " +
+                s"${stale.length} stale generations dropped (live g$g)")
+            Some((partName, loose.length, stale.length))
+          }
         }
       }
       flushAudit()
@@ -492,9 +609,16 @@ object Orchestrator {
       * input: REFRESH MATERIALIZED VIEW recomputes over the WHOLE gold
       * table, not the triggering batch's slice (MV Refresh
       * Template.sql:30). Incremental layers use `readBatch`.
+      *
+      * Routed through the compaction pointer resolver
+      * ([[graft.sources.CompactedLayout.read]]): a never-compacted
+      * table costs one existence probe and plans the identical plain
+      * scan; a compacted table reads each partition's live generation
+      * with directory-inferred partition columns (pruning intact).
       */
     def readTable(table: String): DataFrame =
-      spark.read.option("mergeSchema", "true").parquet(tablePath(table))
+      graft.sources.CompactedLayout.read(spark, tablePath(table),
+        mergeSchema = true)
 
     /** Snapshot (time-travel) read: the table AS OF a batch id. Batch
       * ids are zero-padded and lexically ordered, and under the S8
@@ -732,7 +856,8 @@ object Orchestrator {
 
     /** S11: observed schema of an existing warehouse table. */
     def tableColumns(table: String): Seq[String] =
-      spark.read.parquet(tablePath(table)).schema.fieldNames.toSeq
+      graft.sources.CompactedLayout.read(spark, tablePath(table))
+        .schema.fieldNames.toSeq
 
     /** Incremental-dedup index maintenance: append THIS batch's
       * content-key rows and LSH band-key rows to the two warehouse

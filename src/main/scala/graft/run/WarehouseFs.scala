@@ -24,16 +24,19 @@ import org.apache.spark.sql.SparkSession
   *    replacement; a failed write aborts rather than close-committing
   *    a truncated object) — branch picked by the scheme table, since
   *    object-store FileContext renames are delete-then-copy;
-  *  - [[renameDir]] (directory swap) is atomic ONLY on rename-based
-  *    filesystems (HDFS, local, abfs) — callers that need a swap on
-  *    object stores must commit through a pointer file instead (the
-  *    ANN generation plane), and [[hasAtomicRenames]] lets them refuse
-  *    loudly rather than tear;
+  *  - directory renames are atomic ONLY on rename-based filesystems
+  *    (HDFS, local, abfs) — so NOTHING in this repo swaps a directory:
+  *    every layout commit (the ANN generation plane, per-partition
+  *    compaction) goes through a pointer file published with
+  *    [[publishAtomic]]; [[hasAtomicRenames]] remains the scheme
+  *    classifier that picks publishAtomic's commit primitive;
   *  - [[createExclusive]] (lock files) is atomic create-if-absent on
-  *    HDFS/local; on S3 it is advisory (check-then-put) — every lock
-  *    user in this repo documents that and backs the lock with a
-  *    pre-commit state re-check, so a lost race fails loudly instead
-  *    of tearing.
+  *    HDFS/local, and on object stores that advertise the
+  *    conditional-create capability (If-None-Match PUT — probed per
+  *    call); on stores without it the create is advisory
+  *    (check-then-put) — every lock user in this repo documents that
+  *    and backs the lock with a pre-commit state re-check, so a lost
+  *    race fails loudly instead of tearing.
   *
   * Config resolution: the active Spark session's Hadoop conf (so
   * `--conf spark.hadoop.fs.s3a.*` credentials flow through), falling
@@ -109,17 +112,6 @@ object WarehouseFs {
       val ok = fs.delete(q, false)
       require(ok && !fs.exists(q), s"delete of $p failed")
     }
-  }
-
-  /** Directory rename for staged swaps. Atomic on rename-based
-    * filesystems only — gate call sites with [[hasAtomicRenames]].
-    * Fails loudly on a false return (e.g. destination exists — Hadoop
-    * rename never clobbers a non-empty dir).
-    */
-  def renameDir(src: String, dst: String): Unit = {
-    val s = new Path(src); val d = new Path(dst); val fs = fsOf(s)
-    fs.mkdirs(d.getParent)
-    require(fs.rename(s, d), s"rename $src -> $dst failed")
   }
 
   def readString(p: String): String = {
@@ -204,33 +196,66 @@ object WarehouseFs {
     }
   }
 
+  /** Conditional-create path capability (HADOOP-19256: S3 conditional
+    * writes — the If-None-Match PUT). Probed as a LITERAL string
+    * because the bundled Hadoop 3.4.2's CommonPathCapabilities does
+    * not export the constant yet; stores that implement it (recent
+    * s3a with conditional creates enabled) answer true and make
+    * create-if-absent genuinely atomic there too.
+    */
+  private[run] val ConditionalCreateCapability =
+    "fs.capability.conditional.create"
+
   /** Atomic create-if-absent (lock files): true iff this call created
-    * the file. On the LOCAL filesystem this routes through
-    * java.io.File.createNewFile — the POSIX O_EXCL create — because
-    * Hadoop's RawLocalFileSystem.create(overwrite=false) is a
-    * non-atomic exists-check + open (two local rebuilds could both
-    * acquire the lock in that window); this is the maintenance plane's
-    * one sanctioned JVM-local file call, and it exists only here. On
-    * HDFS the namenode create enforces exclusivity atomically. On S3
-    * it is advisory (HEAD-then-PUT) — callers back the lock with a
-    * pre-commit state re-check.
+    * the file. Branches by store class:
+    *
+    *  - LOCAL (`file:` scheme): java.io.File.createNewFile — the POSIX
+    *    O_EXCL create — because Hadoop's
+    *    RawLocalFileSystem.create(overwrite=false) is a non-atomic
+    *    exists-check + open (two local rebuilds could both acquire the
+    *    lock in that window); this is the maintenance plane's one
+    *    sanctioned JVM-local file call, and it exists only here;
+    *  - stores ADVERTISING conditional-create support
+    *    ([[ConditionalCreateCapability]] — recent s3a): the builder
+    *    create with overwrite(false), which the store executes as an
+    *    If-None-Match PUT — the lock is REAL there, exactly one caller
+    *    wins even under concurrent remote writers;
+    *  - HDFS (no capability flag, but the namenode create enforces
+    *    exclusivity atomically): plain create(overwrite=false);
+    *  - object stores WITHOUT the capability: the same call is
+    *    advisory (HEAD-then-PUT) — callers back the lock with a
+    *    pre-commit state re-check, so a lost race fails loudly
+    *    instead of tearing.
     */
   def createExclusive(p: String): Boolean = {
     val q = new Path(p); val fs = fsOf(q)
     fs.mkdirs(q.getParent)
-    fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem |
-           _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        new java.io.File(fs.makeQualified(q).toUri.getPath).createNewFile()
-      case _ =>
-        try { fs.create(q, false).close(); true }
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case e: java.io.IOException
-            if Option(e.getMessage).exists(_.contains("already exists")) =>
-            false
-        }
+    // classify by the filesystem's own scheme, not its class: a
+    // local-backed stand-in registered under an object-store scheme
+    // (the test stubs, or a local-FS gateway to a store) must take
+    // the branch its SCHEME contracts
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    if (scheme == "file") {
+      new java.io.File(fs.makeQualified(q).toUri.getPath).createNewFile()
+    } else {
+      val conditional =
+        try fs.hasPathCapability(q, ConditionalCreateCapability)
+        catch { case _: Exception => false }
+      try {
+        if (conditional) fs.createFile(q).overwrite(false).build().close()
+        else fs.create(q, false).close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if Option(e.getMessage).exists(m =>
+            m.contains("already exists")
+              // a lost conditional PUT surfaces as the store's 412
+              || m.contains("PreconditionFailed")
+              || m.contains("Status Code: 412")) =>
+          false
+      }
     }
   }
 }

@@ -109,7 +109,7 @@ object BloomIndexLayout {
                    fpp: Double = 0.01): (Int, Int) = {
     import spark.implicits._
     val idx = s"$path/_bloomidx"
-    val allFiles = spark.read.parquet(path).inputFiles
+    val allFiles = CompactedLayout.inputFiles(spark, path)
     // ONE manifest read + collect serves both the missing/stale
     // computation and the key-provenance guard (a filter built over a
     // DIFFERENT key column would make point lookups on the original
@@ -191,7 +191,12 @@ object BloomIndexLayout {
             "one lookup key per table")
       }
     }
-    val partPath = s"$path/$partitionCol=$value"
+    // the LIVE partition path: the loose dir unless a compaction
+    // pointer has committed a generation ([[CompactedLayout]]) — a
+    // post-compaction refresh must index the live files, not the
+    // parked ones
+    val partPath = CompactedLayout.livePartitionPath(
+      s"$path/$partitionCol=$value")
     val agg = new BloomAgg(expectedItemsPerFile, fpp).toColumn
     val rows = spark.read.parquet(partPath)
       .select(input_file_name().as("file"),
@@ -247,9 +252,11 @@ object BloomIndexLayout {
       val nKept = cnt.getLong(1)
       val residual = col(keyCol).isin(probes: _*)
       if (nKept > maxDriverFiles) {
-        (spark.read.parquet(path).where(residual), total.toInt, total.toInt)
+        (CompactedLayout.read(spark, path).where(residual),
+          total.toInt, total.toInt)
       } else if (nKept == 0) {
-        (spark.read.parquet(path).limit(0).where(residual), 0, total.toInt)
+        (CompactedLayout.read(spark, path).limit(0).where(residual),
+          0, total.toInt)
       } else {
         val files = flags.where(col("keep"))
           .agg(collect_list(col("file"))).head().getSeq[String](0).toArray

@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.run.WarehouseFs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pointer-committed compaction layout — small-file compaction that is
+  * atomic on EVERY store, object stores included, by never renaming a
+  * directory. The generation-pointer discipline the ANN index plane
+  * committed through ([[graft.run.Orchestrator]]'s `rebuildAnnIndex`),
+  * applied per PARTITION:
+  *
+  *  - a never-compacted partition's files sit loose in its partition
+  *    dir (generation 0 — the layout every writer produces);
+  *  - compaction STAGES the rewritten files into a hidden generation
+  *    dir `<part>/.cgen/g<N>/` (invisible to any reader — Spark's file
+  *    listing skips dot-dirs) and COMMITS by atomically publishing the
+  *    tiny pointer file `<part>/_compact_gen` = N
+  *    ([[WarehouseFs.publishAtomic]] — atomic-replace on rename stores
+  *    AND object stores). A reader resolves old or new, never absent
+  *    or torn, and a crash mid-staging leaves the live layout
+  *    untouched;
+  *  - the previous layout (loose files or the prior generation dir) is
+  *    PARKED as the in-flight-reader grace window and garbage-collected
+  *    later through the vacuum plane (`vacuumCompacted`), mirroring the
+  *    ANN plane's previous-generation retention;
+  *  - a RE-LAND of the partition (S8 dynamic partition overwrite)
+  *    deletes the whole partition directory — pointer, generations and
+  *    all (verified behavior of Spark's dynamic-overwrite commit) — so
+  *    a replayed batch reverts cleanly to loose generation-0 files.
+  *
+  * Read routing: tables that have ever been compacted carry a
+  * root-level marker (`_compact_layout`, published BEFORE the first
+  * pointer), so [[read]] costs never-compacted tables exactly ONE
+  * existence probe and then plans the plain directory scan — byte-for-
+  * byte the pre-compaction plan. Compacted tables are read as one
+  * parquet relation over the per-partition LIVE paths with
+  * `basePath=root`: directory-inferred partition columns and native
+  * PartitionFilters pruning survive the explicit path list (Spark's
+  * partition parser skips the non-kv `.cgen/gNNNNNN` levels — verified
+  * on 4.1.2), so `WHERE dwh_batch_id = ...` still prunes at planning.
+  *
+  * External readers: a plain `spark.read.parquet(root)` sees the
+  * parked loose files — content-identical until the grace window is
+  * GC'd (compaction is content-preserving), EMPTY for that partition
+  * after. The warehouse contract already routes every reader through
+  * the resolver (`Orchestrator.Run.readTable` and the index planes);
+  * `vacuumCompacted`'s doc restates it.
+  *
+  * 100 TB notes: resolution is one root listing + one pointer probe
+  * per partition — the same metadata-plane order as Spark's own file
+  * listing for any scan of the table; nothing is per-file and nothing
+  * touches data bytes. The pointer files are O(bytes) each.
+  */
+object CompactedLayout {
+
+  /** Root marker: published once, before the table's first pointer —
+    * readers that see no marker take the plain-scan fast path.
+    */
+  def markerPath(root: String): String = s"$root/_compact_layout"
+
+  /** The per-partition commit pointer (content: the live generation). */
+  def pointerPath(partDir: String): String = s"$partDir/_compact_gen"
+
+  /** Hidden staging/committed dir of generation `g` (g >= 1). */
+  def genDir(partDir: String, g: Long): String =
+    f"$partDir/.cgen/g$g%06d"
+
+  /** Live generation of a partition: 0 = loose files (no pointer). */
+  def liveGen(partDir: String): Long =
+    if (WarehouseFs.exists(pointerPath(partDir)))
+      WarehouseFs.readString(pointerPath(partDir)).trim.toLong
+    else 0L
+
+  /** The directory whose parquet files ARE the partition right now. */
+  def livePartitionPath(partDir: String): String = {
+    val g = liveGen(partDir)
+    if (g == 0L) partDir else genDir(partDir, g)
+  }
+
+  def isCompacted(root: String): Boolean =
+    WarehouseFs.exists(markerPath(root))
+
+  /** Publish the root marker if absent — called BEFORE the first
+    * pointer commit so no reader can hold a pointer-blind plan while a
+    * pointer exists. Idempotent (publishAtomic replaces like content).
+    */
+  def ensureMarker(root: String): Unit =
+    if (!isCompacted(root)) WarehouseFs.publishAtomic(markerPath(root), "1")
+
+  /** The table's `key=value` partition directories (the resolver's
+    * unit of routing). Hidden/metadata dirs (`_bloomidx`, `.cgen`
+    * at root — there is none, but be safe) are not partitions.
+    */
+  def partitionDirs(root: String): Seq[String] =
+    WarehouseFs.list(root)
+      .filter(d => d.isDirectory && {
+        val n = d.getPath.getName
+        n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toString)
+      .sorted
+
+  /** The resolver read — THE way to read a possibly-compacted table.
+    * Never-compacted tables (no marker) cost one existence probe and
+    * plan the identical plain scan; compacted tables read the
+    * per-partition live paths as ONE relation with basePath-inferred
+    * partition columns (native pruning intact).
+    */
+  def read(spark: SparkSession, root: String,
+           mergeSchema: Boolean = false): DataFrame = {
+    def reader = {
+      val r = spark.read
+      if (mergeSchema) r.option("mergeSchema", "true") else r
+    }
+    if (!isCompacted(root)) reader.parquet(root)
+    else {
+      val parts = partitionDirs(root)
+      if (parts.isEmpty) reader.parquet(root)
+      else reader.option("basePath", root)
+        .parquet(parts.map(livePartitionPath): _*)
+    }
+  }
+
+  /** Resolver-aware file inventory (the `inputFiles` every manifest
+    * refresh compares against) — live files only, parked files never.
+    */
+  def inputFiles(spark: SparkSession, root: String): Array[String] =
+    read(spark, root).inputFiles
+}

@@ -131,7 +131,7 @@ object ZoneMapLayout {
                    statsCols: Seq[String]): (Int, Int) = {
     import spark.implicits._
     val idx = s"$path/_zonemap"
-    val allFiles = spark.read.parquet(path).inputFiles
+    val allFiles = CompactedLayout.inputFiles(spark, path)
     // ONE manifest read serves the missing/stale computation and the
     // schema guard: appending rows with a DIFFERENT stats-column set
     // would leave the old columns NULL on the new rows; prunedRead's
@@ -190,9 +190,11 @@ object ZoneMapLayout {
     }.reduce(_ && _)
     if (nKept > maxDriverFiles) {
       // degenerate prune: survivors at listing scale — plain scan
-      (spark.read.parquet(path).where(residual), total.toInt, total.toInt)
+      (CompactedLayout.read(spark, path).where(residual),
+        total.toInt, total.toInt)
     } else if (nKept == 0) {
-      (spark.read.parquet(path).limit(0).where(residual), 0, total.toInt)
+      (CompactedLayout.read(spark, path).limit(0).where(residual),
+        0, total.toInt)
     } else {
       val files = zm.where(intersects)
         .agg(collect_list(col("file"))).head().getSeq[String](0).toArray

@@ -273,7 +273,7 @@ object StreamingJobs {
         "(or land cells in batch) before reading the filled grid; an " +
         "empty-grid fallback would be indistinguishable from a dead feed")
     graft.queries.EventQueries.gapfillOf(
-      spark.read.parquet(path)
+      graft.sources.CompactedLayout.read(spark, path)
         .groupBy(col("event_type"), col("hour_id"))
         .agg(sum(col("cents")).as("cents")))
   }

@@ -1,38 +1,53 @@
 package graft
 
-import graft.run.Orchestrator
+import graft.run.{Orchestrator, WarehouseFs}
+import graft.sources.CompactedLayout
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Small-file compaction: bin-pack a layer table's batch partitions to
-  * target-sized files, content-preserving, idempotent, and refused on
-  * bucketed tables (whose bucket-to-file mapping a blind rewrite would
-  * break).
+/** Pointer-committed small-file compaction: bin-pack a layer table's
+  * batch partitions into hidden generation dirs, commit each partition
+  * with one atomic pointer publish (no directory rename — atomic on
+  * object stores too), park the previous layout as the in-flight
+  * grace window, GC it through vacuumCompacted. Content-preserving,
+  * idempotent, crash-healing, and refused on bucketed and
+  * generation-pointer tables.
   */
 class CompactionSpec extends AnyFunSuite with SparkTestBase {
 
   private def parquetFiles(dir: String): Array[java.io.File] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
   }
 
-  test("compaction bin-packs partitions, preserves content, and is idempotent") {
+  private def landOrders(wh: String): Set[(String, Long, java.math.BigDecimal)] = {
     val dir = "/root/testdata/sf0.001"
-    val wh = java.nio.file.Files.createTempDirectory("graft_compact_wh").toString
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .withColumn("dwh_batch_id",
         concat(lit("B"), (col("o_orderkey") % 3).cast("string")))
-
     // land 3 batches x 20 small files each (the ingest-cadence storm)
     orders.repartition(20)
       .write.partitionBy("dwh_batch_id").parquet(s"$wh/bronze/orders")
-    val before = parquetFiles(s"$wh/bronze/orders/dwh_batch_id=B0").length
-    assert(before === 20)
+    orders.groupBy("dwh_batch_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .toSet
+  }
 
-    val baseline = orders.groupBy("dwh_batch_id")
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+  private def batchSums(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("dwh_batch_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .toSet
+
+  test("compaction pointer-commits, preserves content, parks, GCs, is idempotent") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact_wh").toString
+    val baseline = landOrders(wh)
+    val part0 = s"$wh/bronze/orders/dwh_batch_id=B0"
+    assert(parquetFiles(part0).length === 20)
 
     val run = new Orchestrator.Run(spark, wh, "MAINT01")
     val compacted = run.compactBatches("bronze/orders")
@@ -41,21 +56,132 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     compacted.foreach { case (_, nBefore, nAfter) =>
       assert(nBefore === 20); assert(nAfter === 1)
     }
-    assert(parquetFiles(s"$wh/bronze/orders/dwh_batch_id=B0").length === 1)
 
-    // content identical after the rewrite (counts + exact sums per batch)
-    val after = spark.read.parquet(s"$wh/bronze/orders")
-      .groupBy("dwh_batch_id")
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
-    assert(after === baseline)
+    // the commit is a pointer, the live layout is the generation dir,
+    // and the previous loose files are PARKED (grace window), so a
+    // plain root read stays content-identical until GC
+    assert(CompactedLayout.liveGen(part0) === 1L)
+    assert(parquetFiles(s"$part0/.cgen/g000001").length === 1)
+    assert(parquetFiles(part0).length === 20, "parked, not deleted")
+    assert(batchSums(spark.read.parquet(s"$wh/bronze/orders")) === baseline)
 
-    // idempotent: a second run finds nothing to rewrite
+    // the resolver read routes through the pointers — and PRUNES:
+    // a batch filter must plan as a PartitionFilter, not a post-scan
+    val resolved = run.readTable("bronze/orders")
+    assert(batchSums(resolved) === baseline)
+    val pruned = resolved.where(col("dwh_batch_id") === "B1")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(dwh_batch_id"),
+      "partition pruning must survive the pointer-routed path list")
+    assert(pruned.count() === baseline.find(_._1 == "B1").get._2)
+
+    // idempotent: the live layout is already optimal
     assert(run.compactBatches("bronze/orders").isEmpty)
 
-    // audit plane recorded the rewrites
+    // GC the parked layout through the vacuum plane
+    val gcd = run.vacuumCompacted("bronze/orders")
+    assert(gcd.map(_._1).toSet
+      === Set("dwh_batch_id=B0", "dwh_batch_id=B1", "dwh_batch_id=B2"))
+    gcd.foreach { case (_, parked, staleGens) =>
+      assert(parked === 20); assert(staleGens === 0)
+    }
+    assert(parquetFiles(part0).isEmpty, "parked files dropped")
+    assert(batchSums(run.readTable("bronze/orders")) === baseline)
+    assert(run.vacuumCompacted("bronze/orders").isEmpty, "GC idempotent")
+
+    // audit plane recorded rewrites and the GC
     assert(run.auditLog.count(l => l.step == "compact"
       && l.status == "SUCCESS") === 3)
+    assert(run.auditLog.count(l => l.step == "vacuum_compact"
+      && l.status == "SUCCESS") === 3)
+
+    // a SECOND compaction generation: re-split the live gen is not
+    // possible (content-preserving), so force one by compacting with a
+    // tiny target after re-landing many files — instead assert the
+    // gen-2 path via a fresh batch landed loose then compacted again
+    new Orchestrator.Run(spark, wh, "B9").writeBatch(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .limit(100).repartition(5), "bronze/orders")
+    val second = run.compactBatches("bronze/orders")
+    assert(second.map(_._1) === Seq("dwh_batch_id=B9"))
+    assert(CompactedLayout.liveGen(s"$wh/bronze/orders/dwh_batch_id=B9") === 1L)
+  }
+
+  test("pointer commit works on an object-store scheme (no atomic renames)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[MockS3aFileSystem].getName)
+    val local = java.nio.file.Files
+      .createTempDirectory("graft_compact_s3").toString
+    val wh = s"s3a://$local"
+    assert(!WarehouseFs.hasAtomicRenames(wh),
+      "the scheme table must classify the mock as an object store")
+    val baseline = landOrders(wh)
+    val run = new Orchestrator.Run(spark, wh, "MAINT01")
+    // the old design REFUSED here; the pointer commit must succeed
+    val compacted = run.compactBatches("bronze/orders")
+    assert(compacted.length === 3)
+    assert(CompactedLayout.liveGen(s"$wh/bronze/orders/dwh_batch_id=B0") === 1L)
+    assert(batchSums(run.readTable("bronze/orders")) === baseline)
+    assert(run.vacuumCompacted("bronze/orders").length === 3)
+    assert(batchSums(run.readTable("bronze/orders")) === baseline)
+  }
+
+  test("a crash mid-staging leaves the live layout untouched and heals") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact_cr").toString
+    val baseline = landOrders(wh)
+    val part0 = s"$wh/bronze/orders/dwh_batch_id=B0"
+    // simulate a crashed staging: a partial generation dir, NO pointer
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .limit(7).write.parquet(s"$part0/.cgen/g000001")
+    val run = new Orchestrator.Run(spark, wh, "MAINT01")
+    // readers are untouched by the partial staging (hidden dir, no pointer)
+    assert(batchSums(run.readTable("bronze/orders")) === baseline)
+    // the re-run clears the crashed staging and compacts cleanly
+    val compacted = run.compactBatches("bronze/orders")
+    assert(compacted.length === 3)
+    assert(batchSums(run.readTable("bronze/orders")) === baseline)
+    assert(parquetFiles(s"$part0/.cgen/g000001").length === 1,
+      "the crashed partial staging was replaced by the real generation")
+  }
+
+  test("a re-land reverts a compacted partition to loose files (S8)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact_rl").toString
+    landOrders(wh)
+    val part0 = s"$wh/bronze/orders/dwh_batch_id=B0"
+    val run = new Orchestrator.Run(spark, wh, "MAINT01")
+    run.compactBatches("bronze/orders")
+    assert(CompactedLayout.liveGen(part0) === 1L)
+    // replay batch B0 with different content — dynamic overwrite
+    // deletes the partition dir whole (pointer and generations too)
+    val replay = new Orchestrator.Run(spark, wh, "B0")
+    replay.writeBatch(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(10),
+      "bronze/orders")
+    assert(CompactedLayout.liveGen(part0) === 0L,
+      "the pointer must not survive a re-land")
+    assert(run.readTable("bronze/orders")
+      .where(col("dwh_batch_id") === "B0").count() === 10L)
+  }
+
+  test("compacting a bloom-indexed table heals the manifest; lookups stay exact") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact_bl").toString
+    Seq("B1", "B2").foreach { id =>
+      val df = (1L to 40L).map(i => (i, s"$id-row$i")).toDF("k", "s")
+        .repartition(10)
+      new Orchestrator.Run(spark, wh, id).writeBatchIndexed(df, "bronze/tbl", "k")
+    }
+    val run = new Orchestrator.Run(spark, wh, "MAINT01")
+    assert(run.readTablePointLookup("bronze/tbl", "k", Seq(7L)).count() === 2L)
+    val compacted = run.compactBatches("bronze/tbl")
+    assert(compacted.length === 2)
+    // the manifest was refreshed over the live generation: the
+    // file-identity guard passes and the probe still prunes + matches
+    assert(run.readTablePointLookup("bronze/tbl", "k", Seq(7L)).count() === 2L)
+    assert(run.readTablePointLookup("bronze/tbl", "k", Seq(999L)).count() === 0L)
+    // and survives the GC of the parked files
+    run.vacuumCompacted("bronze/tbl")
+    assert(run.readTablePointLookup("bronze/tbl", "k", Seq(7L)).count() === 2L)
   }
 
   test("compaction refuses bucketed tables") {
@@ -77,13 +203,13 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     val wh = java.nio.file.Files.createTempDirectory("graft_compact_ann").toString
     val run = new Orchestrator.Run(spark, wh, "BATCH000001")
     // a raw-path scan would silently no-op (the tables live under the
-    // generation dir), and a generation-dir swap would race a rebuild's
-    // commit — the refusal must name the rebuild as the compaction path
+    // generation dir), and a second pointer plane would race the
+    // rebuild's commit — the refusal must name the rebuild
     for (t <- Seq("indexes/ann_lists", "indexes/ann_centroids")) {
-      val e = intercept[IllegalArgumentException] {
-        run.compactBatches(t)
-      }
+      val e = intercept[IllegalArgumentException] { run.compactBatches(t) }
       assert(e.getMessage.contains("rebuildAnnIndex"), t)
+      val e2 = intercept[IllegalArgumentException] { run.vacuumCompacted(t) }
+      assert(e2.getMessage.contains("rebuildAnnIndex"), t)
     }
   }
 }

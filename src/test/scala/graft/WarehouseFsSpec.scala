@@ -46,25 +46,45 @@ class WarehouseFsSpec extends AnyFunSuite with SparkTestBase {
     WarehouseFs.deleteRecursive(s"$d/t") // missing path: no-op
   }
 
-  test("renameDir swaps a directory; list sees the move") {
-    val d = tmp()
-    WarehouseFs.publishAtomic(s"$d/src/f", "x")
-    WarehouseFs.renameDir(s"$d/src", s"$d/dst")
-    assert(!WarehouseFs.exists(s"$d/src"))
-    assert(WarehouseFs.readString(s"$d/dst/f") === "x")
-  }
-
   test("the rename-atomicity table classifies the contracted stores") {
-    // rename-based stores (compaction's swap is legal)
+    // rename-based stores (publishAtomic commits via rename-OVERWRITE)
     for (p <- Seq("/wh/t", "file:///wh/t", "hdfs://nn:8020/wh/t",
         "abfs://c@a.dfs.core.windows.net/wh/t")) {
       assert(WarehouseFs.hasAtomicRenames(p), p)
     }
-    // object stores (compaction must refuse; the ANN plane's pointer
-    // commit is the sanctioned swap there)
+    // object stores (publishAtomic commits via a direct single-object
+    // PUT; every layout swap — ANN generations, compaction — is a
+    // pointer publish, so nothing here ever renames a directory)
     for (p <- Seq("s3a://bucket/wh/t", "s3://b/t", "gs://b/t",
         "wasbs://c@a.blob.core.windows.net/t", "oss://b/t")) {
       assert(!WarehouseFs.hasAtomicRenames(p), p)
     }
+  }
+
+  test("createExclusive takes the conditional-create branch when the store advertises it") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3c.impl", classOf[MockCondCreateFileSystem].getName)
+    conf.set("fs.s3a.impl", classOf[MockS3aFileSystem].getName)
+    val d = tmp()
+
+    // capability advertised: the If-None-Match PUT branch (builder
+    // create) — the lock is real, and exclusivity still holds
+    MockCondCreateFileSystem.reset()
+    val p1 = s"s3c://$d/locks/_cond_lock"
+    assert(WarehouseFs.createExclusive(p1))
+    assert(!WarehouseFs.createExclusive(p1))
+    assert(MockCondCreateFileSystem.builderCreates === 2,
+      "both attempts must route through the conditional builder create")
+    WarehouseFs.deleteFile(p1)
+    assert(WarehouseFs.createExclusive(p1))
+
+    // no capability: the advisory check-then-put branch — exclusivity
+    // semantics still hold on the (local-backed) stub
+    MockCondCreateFileSystem.reset()
+    val p2 = s"s3a://$d/locks/_adv_lock"
+    assert(WarehouseFs.createExclusive(p2))
+    assert(!WarehouseFs.createExclusive(p2))
+    assert(MockCondCreateFileSystem.builderCreates === 0,
+      "the advisory branch must not touch the builder create")
   }
 }
