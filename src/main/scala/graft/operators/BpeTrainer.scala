@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -73,7 +74,7 @@ object BpeTrainer {
             minCount: Long = 1L): Seq[Merge] = {
     var symFreq = wordFreq
       .select(initSymbols(col("word")).as("syms"), col("freq"))
-      .localCheckpoint()
+      .cutLineage()
     val merges = Seq.newBuilder[Merge]
     var done = false
     var round = 0
@@ -89,7 +90,7 @@ object BpeTrainer {
           merges += m
           symFreq = symFreq
             .select(applyMerge(col("syms"), m).as("syms"), col("freq"))
-            .localCheckpoint()
+            .cutLineage()
           round += 1
         case _ => done = true
       }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -42,7 +43,7 @@ object ConnectedComponents {
     // and union the untouched singletons back at the end.
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+      .cutLineage()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -56,7 +57,7 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
           (col("nbr_min") < col("component")).as("chg"))
-        .localCheckpoint()
+        .cutLineage()
       changed = next.where(col("chg")).count()
       labels = next.select(col("node"), col("component"))
       iter += 1
@@ -105,7 +106,7 @@ object ConnectedComponents {
     var e = edges.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
 
     // decimal-summed hash: an ANSI-mode BIGINT sum over uniform 64-bit
     // hashes would overflow-throw; decimal(38,0) holds ~1e19 edges
@@ -138,7 +139,7 @@ object ConnectedComponents {
       val next = small.where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(small.select(col("u"), col("m").as("v")).distinct())
-        .distinct().localCheckpoint()
+        .distinct().cutLineage()
 
       val cur = fingerprint(next)
       converged = cur == prev

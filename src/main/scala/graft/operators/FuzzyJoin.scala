@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -147,7 +148,7 @@ object FuzzyJoin {
       val cand = lv.join(rv, "__vh")
         .drop("__vh")
         .distinct()
-        .localCheckpoint()
+        .cutLineage()
       cand
         .withColumn("dist", levenshtein(col(leftStr), col(rightStr), maxDist))
         .where(col("dist") >= 0 && col("dist") <= maxDist)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,7 +63,7 @@ object Hits {
           "silently vanish from the score joins; repair the edge feed")
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
-        .localCheckpoint()
+        .cutLineage()
       def rescaled(scores: DataFrame): DataFrame = {
         // 1-row max frame, cross-joined: stays in-plan at any |V|
         val m = scores.agg(max(col("s")).as("m"))
@@ -77,13 +78,13 @@ object Hits {
         auths = rescaled(nodes.select(col("node"))
           .join(aRaw, Seq("node"), "left")
           .select(col("node"), coalesce(col("s"), lit(0L)).as("s")))
-          .localCheckpoint()
+          .cutLineage()
         val hRaw = e.join(auths, e("dst") === auths("node"))
           .groupBy(e("src").as("node")).agg(sum(col("s")).as("s"))
         hubs = rescaled(nodes.select(col("node"))
           .join(hRaw, Seq("node"), "left")
           .select(col("node"), coalesce(col("s"), lit(0L)).as("s")))
-          .localCheckpoint()
+          .cutLineage()
       }
       nodes.select(col("node"))
         .join(hubs.select(col("node"), col("s").as("hub_scaled")), "node")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,7 +83,7 @@ object KCore {
       val degFull = canon.select(col("u").as("node"))
         .unionAll(canon.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+        .cutLineage()
       // peel: survivors(r) = nodes with deg >= k among survivors(r-1);
       // the set only shrinks, so equal counts mean equal sets — the
       // 1-row count is the whole convergence test
@@ -102,7 +103,7 @@ object KCore {
         val next = degAmong(survivors)
           .where(col("deg") >= k)
           .observe(obs, count(lit(1)).as("n"))
-          .localCheckpoint()
+          .cutLineage()
         val n = obs.get("n").asInstanceOf[Long]
         converged = n == aliveN || n == 0L
         survivors = next
@@ -112,7 +113,7 @@ object KCore {
         .join(degFull.select(col("node"), col("deg").as("deg_full")),
           "node")
         .select(col("node"), col("deg_full"), col("deg_core"))
-        .localCheckpoint()
+        .cutLineage()
     } finally canon.unpersist()
   }
 
@@ -174,7 +175,7 @@ object KCore {
       }
       var survivors = canon.select(col("u").as("node"))
         .unionAll(canon.select(col("v").as("node")))
-        .distinct().localCheckpoint()
+        .distinct().cutLineage()
       var nSurv = survivors.count()
       var k = 1
       var round = 0
@@ -190,7 +191,7 @@ object KCore {
         val degHigh = degAmong(survivors)
           .where(col("deg") >= k)
           .observe(obs, count(lit(1)).as("n"), min(col("deg")).as("mind"))
-          .localCheckpoint()
+          .cutLineage()
         val nHigh = obs.get("n").asInstanceOf[Long]
         if (nHigh == nSurv) {
           // nothing below k: the survivor set IS the k-core — and the
@@ -204,12 +205,12 @@ object KCore {
           val mind = obs.get("mind").asInstanceOf[Long]
           assigned += degHigh.where(col("deg") === mind)
             .select(col("node"), lit(mind).as("core"))
-            .localCheckpoint()
+            .cutLineage()
           val obs2 = org.apache.spark.sql.Observation()
           survivors = degHigh.where(col("deg") > mind)
             .select(col("node"))
             .observe(obs2, count(lit(1)).as("n"))
-            .localCheckpoint() // one scan of the cached frame, no joins
+            .cutLineage() // one scan of the cached frame, no joins
           nSurv = obs2.get("n").asInstanceOf[Long]
           k = mind.toInt + 1
         } else {
@@ -219,8 +220,8 @@ object KCore {
           assigned += survivors
             .join(degHigh.select(col("node")), Seq("node"), "left_anti")
             .select(col("node"), lit((k - 1).toLong).as("core"))
-            .localCheckpoint()
-          survivors = degHigh.select(col("node")).localCheckpoint()
+            .cutLineage()
+          survivors = degHigh.select(col("node")).cutLineage()
           nSurv = nHigh
         }
       }
@@ -230,7 +231,7 @@ object KCore {
       // matching peel's behavior on the identical input
       if (frames.isEmpty)
         canon.select(col("u").as("node"), lit(0L).as("core")).limit(0)
-      else frames.reduce(_ unionAll _).localCheckpoint()
+      else frames.reduce(_ unionAll _).cutLineage()
     } finally canon.unpersist()
   }
 }

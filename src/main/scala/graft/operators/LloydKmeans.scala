@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.CutOps
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -64,7 +65,7 @@ object LloydKmeans {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           e => e.getField("m")).as("cv"))
-        .localCheckpoint()
+        .cutLineage()
     }
     cents
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -83,7 +84,7 @@ object PageRank {
     // in crawl graphs) in the frame at rank = teleport, so their
     // outgoing contributions survive into the next round instead of
     // silently vanishing.
-    val spine = init.localCheckpoint()
+    val spine = init.cutLineage()
     var ranks = spine.select(col("node"), col("r0").as("r"))
     (1 to iters).foreach { _ =>
       val shares = ewt.join(ranks, ewt("src") === ranks("node"))
@@ -93,7 +94,7 @@ object PageRank {
       ranks = spine.join(shares, Seq("node"), "left")
         .select(col("node"),
           (col("tp") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+        .cutLineage()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
@@ -235,7 +236,7 @@ object PageRank {
           ewt.select(col("src").as("node")).distinct()
             .withColumn("__o", lit(true)), Seq("node"), "left")
         .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out"))
-        .localCheckpoint()
+        .cutLineage()
       var ranks = spine.select(col("node"), col("has_out"),
         lit(r0).as("r"))
       (1 to iters).foreach { _ =>
@@ -251,7 +252,7 @@ object PageRank {
             (lit(tp) +
               expr(s"(85 * (coalesce(s, 0L) + dm div ${n}L)) div 100"))
               .as("r"))
-          .localCheckpoint()
+          .cutLineage()
       }
       ranks.select(col("node"), col("r").as("rank_scaled"))
     } finally ewt.unpersist()

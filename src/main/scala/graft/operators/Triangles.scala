@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -112,7 +113,7 @@ object Triangles {
             expr("(2 * coalesce(tri_cnt, 0L) * 1000000) " +
               "div (deg * (deg - 1))"))
             .otherwise(lit(0L)).as("lcc_ppm"))
-        .localCheckpoint()
+        .cutLineage()
     } finally {
       // the eager localCheckpoint above already materialized through
       // every cache, so nothing is recomputed by releasing them here —

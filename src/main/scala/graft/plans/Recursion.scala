@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.DataFrame
 
 /** Iterative UNION ALL fixpoint — the Spark-side replacement for
@@ -19,11 +20,11 @@ import org.apache.spark.sql.DataFrame
 object Recursion {
   def iterate(seed: DataFrame, step: DataFrame => DataFrame,
               maxLevels: Int): DataFrame = {
-    var frontier = seed.localCheckpoint()
+    var frontier = seed.cutLineage()
     var acc = frontier
     var level = 1
     while (level < maxLevels && !frontier.isEmpty) {
-      frontier = step(frontier).localCheckpoint()
+      frontier = step(frontier).cutLineage()
       acc = acc.unionAll(frontier)
       level += 1
     }

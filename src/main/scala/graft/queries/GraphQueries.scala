@@ -48,6 +48,15 @@ object GraphQueries extends QueryPack {
     */
   private val LpaRounds = 4
 
+  /** Round cap for the iterated-Louvain row (refineTrace's loud
+    * bound). The fixture reaches its gain fixpoint at round 2 (round 1
+    * merges the bipartite halves, round 2 proves no move remains) —
+    * the cap is margin, and the oracle unrolls exactly the 2 rounds
+    * the fixture's trace contains.
+    */
+  private val LouvainMaxRounds = 8
+  private[graft] val LouvainFixtureRounds = 2
+
   /** Link-farm gate cuts: flag a host when its neighborhood is both
     * LARGE (deg ≥ 4) and DENSE (lcc ≥ 0.5 in ppm) — the
     * colluding-ring signature. Shared by all three gate faces.
@@ -179,7 +188,7 @@ object GraphQueries extends QueryPack {
     * (a+b)%3=0 — triangles concentrate in the ≡0 class and the three
     * residue classes form the community structure.
     */
-  private def triangleFixtureEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def triangleFixtureEdges(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "documents").select(
       (col("doc_id") % 29).as("a"),
       (expr("doc_id div 29") % 29).as("b"))
@@ -667,6 +676,24 @@ object GraphQueries extends QueryPack {
           .select(lit("refined_1").as("labeling"), col("*")))
     }),
 
+    // Iterated Louvain to a GAIN FIXPOINT — the production form of the
+    // single move round above (refineTrace: loop refineOnce under the
+    // down-label termination contract, loud round cap, and the
+    // per-round modularity trace AS the row). Measured on the fixture:
+    // round 0 = 11590 ppm (the LPA round-4 labeling), round 1 = 452032
+    // ppm (the bipartite halves merge in one move round), round 2
+    // moved=0 — the fixpoint PROVEN in-row, already at the structural
+    // optimum, so no aggregation (contraction) phase follows: the
+    // curve has one plateau and it is the target. A consumer reads the
+    // trace, not a convergence claim. Oracle = the identical move
+    // arithmetic unrolled twice + the same lattice modularity per
+    // round.
+    "q_graph_louvain" -> ((s, dir) => {
+      val edges = triangleFixtureEdges(s, dir)
+      LabelPropagation.refineTrace(lpaLabels(s, dir), edges,
+        LouvainMaxRounds)
+    }),
+
     // Incremental entity resolution — the shape a daily ingest actually
     // runs: match a NEW batch's (dirty) keys against the EXISTING
     // master key list without re-blocking the master side. The batch
@@ -993,6 +1020,98 @@ object GraphQueries extends QueryPack {
          UNION ALL
          ${modularitySelect("c", "refined_1")}"""
 
+  /** One unrolled down-label Louvain move round `inLab` → `r_$sfx`
+    * (the exact refineOnce arithmetic — the lpaRefinedOracle block,
+    * parameterized so the louvain oracle can chain rounds).
+    */
+  private def louvainMoveCtes(inLab: String, sfx: String): String =
+    s""",
+         dsum_mv_$sfx AS (
+           SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS dc
+           FROM $inLab l JOIN degs d ON d.node = l.node
+           GROUP BY l.community),
+         kv_mv_$sfx AS (
+           SELECT a.node, l.community, CAST(COUNT(*) AS BIGINT) AS k
+           FROM adj a JOIN $inLab l ON l.node = a.nbr
+           GROUP BY a.node, l.community),
+         own_mv_$sfx AS (
+           SELECT l.node, l.community AS a, d.deg,
+                  COALESCE(k.k, 0) AS k_a, ds.dc AS d_a
+           FROM $inLab l
+           JOIN degs d ON d.node = l.node
+           LEFT JOIN kv_mv_$sfx k
+             ON k.node = l.node AND k.community = l.community
+           JOIN dsum_mv_$sfx ds ON ds.community = l.community),
+         cand_mv_$sfx AS (
+           SELECT o.node, kv.community AS c,
+                  4 * mm.m * (kv.k - o.k_a)
+                    - 2 * o.deg * (ds.dc - o.d_a + o.deg) AS delta
+           FROM own_mv_$sfx o
+           JOIN kv_mv_$sfx kv ON kv.node = o.node AND kv.community < o.a
+           JOIN dsum_mv_$sfx ds ON ds.community = kv.community
+           CROSS JOIN mm),
+         pick_mv_$sfx AS (
+           SELECT node, c FROM (
+             SELECT node, c, ROW_NUMBER() OVER (
+               PARTITION BY node ORDER BY delta DESC, c) AS rn
+             FROM cand_mv_$sfx WHERE delta > 0) WHERE rn = 1),
+         r_$sfx AS MATERIALIZED (
+           SELECT o.node, COALESCE(p.c, o.a) AS community
+           FROM own_mv_$sfx o LEFT JOIN pick_mv_$sfx p ON p.node = o.node)"""
+
+  /** One trace row of the louvain oracle: round + moved (a scalar
+    * subquery comparing the round's labeling to its input) + the
+    * lattice modularity of `contrib_$tag`.
+    */
+  private def louvainSelect(tag: String, round: Int,
+                            movedSql: String): String =
+    s"""SELECT CAST($round AS BIGINT) AS round,
+                $movedSql AS moved,
+                CAST(COUNT(*) AS BIGINT) AS communities,
+                m AS m_edges,
+                CAST(SUM(num) AS BIGINT) AS modularity_num,
+                4 * m * m AS modularity_den,
+                CAST((CAST(SUM(num) AS HUGEINT) * 1000000) // (4 * m * m)
+                  - CASE WHEN (CAST(SUM(num) AS HUGEINT) * 1000000)
+                              % (4 * m * m) < 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS modularity_ppm
+         FROM contrib_$tag
+         GROUP BY m"""
+
+  /** Iterated-Louvain trace oracle: the fixture's fixpoint is at round
+    * [[LouvainFixtureRounds]] (= 2: round 1 moves, round 2 proves no
+    * move), so exactly that many move rounds are unrolled and the
+    * trace rows 0..2 are emitted with their measured moved counts —
+    * the engine's early-stopping refineTrace must produce the same.
+    */
+  private val louvainOracle: String = {
+    val moves = (1 to LouvainFixtureRounds).map { r =>
+      louvainMoveCtes(if (r == 1) s"l_$LpaRounds" else s"r_${r - 1}",
+        r.toString)
+    }.mkString
+    val mods = modularityCtes("lv0",
+      s"SELECT node, community FROM l_$LpaRounds") +
+      (1 to LouvainFixtureRounds).map(r =>
+        modularityCtes(s"lv$r", s"SELECT node, community FROM r_$r"))
+        .mkString
+    def movedSql(r: Int): String =
+      if (r == 0) "CAST(0 AS BIGINT)"
+      else {
+        val prev = if (r == 1) s"l_$LpaRounds" else s"r_${r - 1}"
+        s"""(SELECT CAST(COUNT(*) AS BIGINT)
+             FROM r_$r n JOIN $prev p ON p.node = n.node
+             WHERE n.community <> p.community)"""
+      }
+    lpaCtes + s""",
+         mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         degs AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM adj GROUP BY node)""" +
+      moves + mods + "\n         " +
+      (0 to LouvainFixtureRounds).map(r =>
+        louvainSelect(s"lv$r", r, movedSql(r)))
+        .mkString("\n         UNION ALL\n         ")
+  }
+
   private val pageRankOracle: String = {
     def iter(k: Int): String =
       s""",
@@ -1261,6 +1380,7 @@ object GraphQueries extends QueryPack {
     "q_graph_core_gate" -> coreGateOracle,
     "q_graph_lpa_modularity" -> lpaModularityOracle,
     "q_graph_lpa_refined" -> lpaRefinedOracle,
+    "q_graph_louvain" -> louvainOracle,
 
     "q_graph_lpa" -> lpaOracle,
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.plans.Checkpoints.CutOps
 import graft.Tables.t
 import graft.functions.VectorFunctions
 import graft.operators.ConnectedComponents
@@ -205,7 +206,7 @@ object SimQueries extends QueryPack {
         .groupBy(col("vec_id"))
         .agg(array_sort(collect_list(struct(col("d"), col("y")))).as("a"))
         .select(col("vec_id"), expr("transform(a, x -> x.y)").as("yv"))
-        .localCheckpoint()
+        .cutLineage()
     }
 
   /** Asymmetric SQ8 top-10: exact queries on the 255x lattice against
@@ -547,7 +548,7 @@ object SimQueries extends QueryPack {
         .groupBy(col("sub"), col("code"), col("d"))
         .agg(floor(sum(col("qval")).cast(DoubleType) / count(lit(1)))
           .cast(LongType).as("cval"))
-        .localCheckpoint()
+        .cutLineage()
     }
     cents
   }
@@ -867,7 +868,7 @@ object SimQueries extends QueryPack {
           .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
             col("cent_id").as("cent_id"))).as("best"))
           .select(col("vec_id"), col("best.cent_id").as("cent_id"))
-          .localCheckpoint()
+          .cutLineage()
       }
       // residual coordinates of every vector w.r.t. its own list
       val rcoords = trained(s, s"ivfpq-rcoords:$dir") {
@@ -878,7 +879,7 @@ object SimQueries extends QueryPack {
               .as(Seq("d", "rval")))
           .select(col("vec_id"), col("cent_id"),
             col("d").cast(LongType).as("d"), col("rval"))
-          .localCheckpoint() // reused by training + encoding (cluster: persist)
+          .cutLineage() // reused by training + encoding (cluster: persist)
       }
       // PQ codebooks trained on the residual distribution
       val rcents = trained(s, s"ivfpq-rcents:$dir") {
@@ -1209,7 +1210,7 @@ object SimQueries extends QueryPack {
           col("cent_id").as("cent_id"))).as("best"))
         .select(col("vec_id"), col("best.cent_id").as("cent_id"),
           col("best.d2").as("d2_centroid"))
-        .localCheckpoint()
+        .cutLineage()
     }
 
   /** Batch/corpus split for the INCREMENTAL semantic dedup: today's
@@ -1257,7 +1258,7 @@ object SimQueries extends QueryPack {
         .agg(min(struct(l2sq(col("qv"), col("cv")).as("d2"),
           col("cent_id").as("cent_id"))).as("best"))
         .select(col("vec_id"), col("best.cent_id").as("cent_id"))
-        .localCheckpoint()
+        .cutLineage()
     }
 
   /** The corpus centroids as a FROZEN plan-literal model for the
@@ -1293,7 +1294,7 @@ object SimQueries extends QueryPack {
         .join(semIncrCorpus(s, dir), "vec_id")
         .groupBy(col("cent_id"))
         .agg(collect_list(struct(col("vec_id"), col("qv"))).as("vs"))
-        .localCheckpoint()
+        .cutLineage()
     }
 
   private val quantCte =

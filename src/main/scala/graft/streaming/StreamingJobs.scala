@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -216,7 +217,7 @@ object StreamingJobs {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val run = new graft.run.Orchestrator.Run(
           batch.sparkSession, warehouse, f"$batchPrefix${scope}_$id%06d")
-        val b = batch.toDF().localCheckpoint() // two sinks, one compute
+        val b = batch.toDF().cutLineage() // two sinks, one compute
         run.writeBatch(b, "bronze/embeddings")
         run.indexAnnBatch(b, nlist)
         ()
@@ -641,7 +642,7 @@ object StreamingJobs {
     // would silently CHANGE the "frozen" reference, making verdicts
     // incomparable across batches (the contract the docstring pins).
     // localCheckpoint materializes the |sources| x 12 cell grid once.
-    val frozenHist = corpusHist.localCheckpoint()
+    val frozenHist = corpusHist.cutLineage()
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>

@@ -215,6 +215,43 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
         "A/B row names as the target")
   }
 
+  test("iterated Louvain: fixpoint proven in-trace, modularity never drops") {
+    val trace = graft.queries.GraphQueries
+      .queries("q_graph_louvain")(spark, "/root/testdata/sf0.001")
+      .select("round", "moved", "modularity_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // the trace ends at a PROVEN fixpoint: the last round moved nobody
+    assert(trace.last._2 === 0L, "last trace row must prove moved = 0")
+    assert(trace.init.tail.forall(_._2 > 0L),
+      "interior rounds must each have moved someone (early stop)")
+    // measured monotone non-decreasing modularity ON THIS FIXTURE —
+    // measured, not assumed: synchronous simultaneous moves interact,
+    // which is exactly why the row carries the per-round numbers
+    trace.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3,
+        s"modularity dropped ${a._3} -> ${b._3} at round ${b._1}")
+    }
+    // and the fixpoint is the structural optimum the A/B row names
+    val ab = graft.queries.GraphQueries
+      .queries("q_graph_lpa_modularity")(spark, "/root/testdata/sf0.001")
+      .select("labeling", "modularity_ppm")
+      .as[(String, Long)].collect().toMap
+    assert(trace.last._3 === ab("residue_blocks"))
+
+    // the loud cap: the fixture needs 2 rounds (1 move round + the
+    // proving round) — capped at 1 it must REFUSE rather than publish
+    // an unproven labeling as refined
+    val e = intercept[IllegalArgumentException] {
+      LabelPropagation.refineTrace(
+        graft.queries.GraphQueries.queries("q_graph_lpa")(
+          spark, "/root/testdata/sf0.001"),
+        graft.queries.GraphQueries.triangleFixtureEdges(
+          spark, "/root/testdata/sf0.001"),
+        maxRounds = 1)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("registered modularity A/B: structural blocks beat round-4 LPA") {
     val rows = graft.queries.GraphQueries
       .queries("q_graph_lpa_modularity")(spark, "/root/testdata/sf0.001")
