@@ -109,7 +109,9 @@ object Bench {
     // r18 rows: tracked from day one (core numbers is the new heaviest
     // graph row — the ladder pays every rung's peel)
     "q_graph_core_numbers", "q_graph_lpa_modularity",
-    "q_graph_core_gate", "q_graph_lpa_refined")
+    "q_graph_core_gate", "q_graph_lpa_refined",
+    // r19 rows: tracked from day one
+    "q_graph_louvain", "q_multimodal_neardup", "q_multimodal_neardup_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -300,12 +302,41 @@ object Bench {
       catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-    val lifecycleJson = lifecycle match {
+    // Lifecycle scaling (the query rows' sf-ratio discipline applied to
+    // the maintenance plane): re-walk the lifecycle on the 10x smaller
+    // sibling, record per-stage ratios, and flag super-linear stages
+    // through the SAME superLinear rule (BenchScalingSpec-proven) the
+    // query pass uses — the refresh stage (seven whole-graph fixpoint
+    // artifacts) is the plausible future regression site, and without
+    // this block it could go quadratic invisibly. A dead small walk is
+    // NAMED ("lifecycle_scaling_error"), never timed.
+    val lifecycleScalingJson = (lifecycle, smallDir) match {
+      case (Right(big), Some(dir)) =>
+        try {
+          val small = graft.run.LifecycleBench
+            .run(spark, dir, lifecycleWalks).toMap
+          val tBig = big.toMap
+          val ratios = graft.run.LifecycleBench.Stages
+            .flatMap(s => for (sm <- small.get(s); bg <- tBig.get(s))
+              yield s -> bg / math.max(sm, 1e-3))
+          val flagged = superLinear(small, tBig, dataRatio = 10.0)
+          val names = flagged.keys.toSeq.sorted
+            .map("\"" + _ + "\"").mkString("[", ",", "]")
+          s""","lifecycle_scaling":{"small_sf":"$dir","data_ratio":10,""" +
+            s""""flagged":$names,"ratios":${dict(ratios)}}"""
+        } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .take(200).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+          s""","lifecycle_scaling_error":"$msg""""
+        }
+      case _ => ""
+    }
+    val lifecycleJson = (lifecycle match {
       case Right(stages) => s""","lifecycle":${dict(stages)}"""
       case Left("disabled") => ""
       case Left(msg) =>
         s""","lifecycle_error":"${msg.replaceAll("[\"\\\\\\n\\r\\t]", " ")}""""
-    }
+    }) + lifecycleScalingJson
 
     // "queries" stays name->median (same shape as every prior round);
     // "spread" carries max-min over the runs so a flaky timing is

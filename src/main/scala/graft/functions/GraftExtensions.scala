@@ -118,6 +118,14 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           arity("damerau_levenshtein", "damerau_levenshtein(a, b)", args, 2, 2)
           DamerauLevenshtein(args(0), args(1))
+        }),
+      // dhash64(payload) — perceptual difference hash over a binary
+      // media payload (graft.functions.MediaHash)
+      (new FunctionIdentifier("dhash64"),
+        new ExpressionInfo(classOf[DHash64].getName, "dhash64"),
+        (args: Seq[Expression]) => {
+          arity("dhash64", "dhash64(payload)", args, 1, 1)
+          DHash64(args(0))
         }))
 
   def install(spark: SparkSession): Unit =

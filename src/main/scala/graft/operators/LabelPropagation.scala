@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * the |V|-row label frame, one (node, label) count aggregate
   * (map-side combinable), and one per-node argmax window whose
   * partition is bounded by the node's distinct neighbor-label count —
-  * never a global or corpus-sized sort. Labels are localCheckpointed
-  * per round (flat lineage; reliable checkpoint on a real cluster).
+  * never a global or corpus-sized sort. Labels are lineage-cut per
+  * round (graft.plans.Checkpoints — localCheckpoint by default,
+  * reliable checkpoint under spark.graft.checkpoint.dir).
   * Input tolerance and guards match [[Triangles.localCounts]].
   */
 object LabelPropagation {

@@ -11,9 +11,10 @@ import org.apache.spark.sql.DataFrame
   * the level cap trips.
   *
   * Scale notes (100 TB): each level is a full distributed join — only the
-  * loop control lives on the driver, never row data. `localCheckpoint`
-  * truncates lineage each level so plans don't grow exponentially; on a
-  * real cluster use reliable `checkpoint` instead for fault tolerance.
+  * loop control lives on the driver, never row data. Lineage is cut each
+  * level so plans don't grow exponentially ([[Checkpoints]] —
+  * localCheckpoint by default, reliable checkpoint under
+  * spark.graft.checkpoint.dir for cluster fault tolerance).
   * The equi conjunct of the step join should stay the join key so each
   * level is a hash join (theta conjuncts become post-join filters).
   */

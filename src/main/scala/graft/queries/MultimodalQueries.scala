@@ -26,6 +26,106 @@ object MultimodalQueries extends QueryPack {
       .as[Multimodal.MediaRecord]
   }
 
+  /** Perceptual near-dup knobs. Variants: every doc_id ≡ 3 (mod 7)
+    * gets a "re-encoded" copy under doc_id + 1e9 whose payload byte 5
+    * is bumped (+1 mod 256) — the decode-stub stand-in for a mild
+    * re-compress. That byte feeds dHash grid cells 23..26 (row 2), so
+    * the copy lands within a few Hamming bits of its original — a true
+    * near-dup the byte-digest dedup (q_multimodal_dedup) cannot see.
+    */
+  private val VariantOffset = 1000000000L
+  private val VariantMod = 7
+  private val VariantRes = 3
+  private val NearDupMaxHamming = 6
+  /** Recall A/B subset: doc_id % 5 == 0. VariantOffset % 5 == 0, so a
+    * subset doc's variant is in the subset too — the near-dup pairs
+    * the A/B needs exist inside it at every SF.
+    */
+  private val RecallMod = 5
+
+  /** (doc_id, payload) for the near-dup rows: an 80-byte DECODED-PLANE
+    * stand-in (5 chained md5 blocks of the text — the multimodal
+    * decode stub at luma-plane size) plus the re-encoded variants.
+    * 80 bytes matter: dHash's 72-cell grid needs ≥ 72 informative
+    * values, or consecutive cells resample the same byte, the strict
+    * gradient comparison zeroes most bits, and every pair of documents
+    * lands within the Hamming threshold (measured: a 16-byte payload
+    * leaves ~13 informative bits and ~40% of ALL pairs "near" — the
+    * degenerate stub, not a usable fingerprint).
+    *
+    * The variant bump is +96 on byte 5: the byte feeds exactly one
+    * grid cell (cell 5 — two gradient comparisons), so a variant sits
+    * at Hamming distance 0..2 from its original with DIFFERENT payload
+    * bytes — visible to dHash, invisible to the byte digest.
+    */
+  private def neardupPayloads(s: org.apache.spark.sql.SparkSession,
+                              dir: String) = {
+    val tx = coalesce(col("text"), lit(""))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), concat(
+        md5(tx), md5(concat(tx, lit("1"))), md5(concat(tx, lit("2"))),
+        md5(concat(tx, lit("3"))), md5(concat(tx, lit("4")))).as("h"))
+    val base = docs.select(col("doc_id"), unhex(col("h")).as("payload"))
+    val bumped = concat(
+      substring(col("h"), 1, 10),
+      lpad(lower(hex(
+        (conv(substring(col("h"), 11, 2), 16, 10).cast("long") + 96) % 256)),
+        2, "0"),
+      substring(col("h"), 13, 148))
+    val variants = docs.where(col("doc_id") % VariantMod === VariantRes)
+      .select((col("doc_id") + VariantOffset).as("doc_id"),
+        unhex(bumped).as("payload"))
+    base.unionByName(variants)
+  }
+
+  /** (doc_id, h64) — the SQL-registered native kernel, exercised
+    * through its SQL name (the q_text_fuzzy_distance discipline).
+    */
+  private def neardupHashes(s: org.apache.spark.sql.SparkSession,
+                            dir: String) = {
+    graft.functions.GraftExtensions.install(s)
+    neardupPayloads(s, dir).selectExpr("doc_id", "dhash64(payload) AS h64")
+  }
+
+  /** Production banding: 4 x 16-bit bands — cheap (4 band rows/doc)
+    * and pigeonhole-EXACT for Hamming distance <= 3; beyond that it is
+    * approximate, which is what the recall A/B row measures.
+    */
+  private def bandKeys4(h: org.apache.spark.sql.Column) =
+    array((0 until 4).map(k =>
+      concat(lit(s"$k:"),
+        shiftrightunsigned(h, 16 * k).bitwiseAND(lit(65535L))
+          .cast("string"))): _*)
+
+  /** Lossless banding for the exact baseline: 7 bands (10+6x9 bits) —
+    * pigeonhole guarantees a shared band for every pair within
+    * [[NearDupMaxHamming]] = 6 < 7 bits, so the "exact" side of the
+    * A/B is itself an equi-join, never an all-pairs scan.
+    */
+  private val Band7Layout = Seq((0, 10), (10, 9), (19, 9), (28, 9),
+    (37, 9), (46, 9), (55, 9))
+  private def bandKeys7(h: org.apache.spark.sql.Column) =
+    array(Band7Layout.zipWithIndex.map { case ((off, len), k) =>
+      concat(lit(s"e$k:"),
+        shiftrightunsigned(h, off).bitwiseAND(lit((1L << len) - 1))
+          .cast("string"))
+    }: _*)
+
+  private def verifiedPairs(hs: org.apache.spark.sql.DataFrame,
+                            keys: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val bands = hs.select(col("doc_id"), explode(keys(col("h64"))).as("band_key"))
+    graft.operators.LshBandJoin
+      .candidatePairs(bands, "doc_id", graft.operators.LshBandJoin.DefaultMaxBucket)
+      .join(hs.select(col("doc_id").as("doc_id_a"), col("h64").as("ha")),
+        "doc_id_a")
+      .join(hs.select(col("doc_id").as("doc_id_b"), col("h64").as("hb")),
+        "doc_id_b")
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .where(col("hamming") <= NearDupMaxHamming)
+      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s,
@@ -70,9 +170,161 @@ object MultimodalQueries extends QueryPack {
       media(s, dir)
         .groupBy(col("kind"), hex(col("payload")).as("payload_md5"))
         .agg(min(col("doc_id")).as("keep_doc_id"),
-          count(lit(1)).as("n_copies"))))
+          count(lit(1)).as("n_copies"))),
+
+    // PERCEPTUAL media near-dup — what the byte-digest dedup above
+    // cannot see: re-encoded/resized copies that differ in bytes but
+    // not in structure. dHash (native codegen kernel dhash64, decode
+    // stubbed per the multimodal discipline) gives every payload a
+    // 64-bit gradient fingerprint; candidates come from a 4x16-bit
+    // Hamming band join through the SAME LshBandJoin primitive every
+    // near-dup family uses (hot-bucket star cap included), and each
+    // candidate is verified by exact Hamming distance <= 6. The
+    // fixture's re-encoded variants (byte-5 bump under doc_id + 1e9)
+    // land a few bits away and MUST surface here — plus the exact
+    // duplicates at distance 0. 100 TB: the only shuffle is the band
+    // key, the hash is 8 bytes/doc, payload bytes never leave the
+    // scan. Oracle = the identical pixel/bit/hash lattice + band join
+    // + verify, replayed from the md5 hex.
+    "q_multimodal_neardup" -> ((s, dir) =>
+      verifiedPairs(neardupHashes(s, dir), bandKeys4)),
+
+    // The measure-don't-assume row beside it: 4x16 banding is
+    // pigeonhole-exact only to distance 3; this A/B measures its pair
+    // recall at the row's threshold (6) against an EXACT baseline
+    // computed with the lossless 7-band layout (pigeonhole: <= 6
+    // differing bits cannot touch all 7 bands) — so even the "exact"
+    // side is an equi-join, bounded at any scale, not an all-pairs
+    // scan. Subset doc_id % 5 == 0 keeps the baseline row honest about
+    // its cost at 100 TB (the denominator is measured on a sample, and
+    // the variant pairs exist inside it by construction).
+    "q_multimodal_neardup_recall" -> ((s, dir) => {
+      val hs = neardupHashes(s, dir).where(col("doc_id") % RecallMod === 0)
+      val exact = verifiedPairs(hs, bandKeys7)
+        .agg(count(lit(1)).as("exact_pairs"))
+      val caught = verifiedPairs(hs, bandKeys4)
+        .agg(count(lit(1)).as("caught_pairs"))
+      exact.crossJoin(broadcast(caught)) // two 1-row aggregates
+        .selectExpr("exact_pairs", "caught_pairs",
+          "CAST((CAST(caught_pairs AS DECIMAL(38,0)) * 1000000) " +
+            "div exact_pairs AS BIGINT) AS recall_ppm")
+        .where(coalesce(assert_true(col("exact_pairs") > 0,
+          lit("neardup recall: empty exact baseline — the fixture must " +
+            "contain near-dup pairs in the subset")), lit(true)))
+    }))
+
+  /** Near-dup oracle lattice: replay payload bytes (md5 hex + the
+    * variant's byte-5 bump), the 72-cell pixel resample, the 64
+    * gradient bits, and the two's-complement hash (two 32-bit halves —
+    * SUM promotes to HUGEINT, the recombination is BIGINT-exact).
+    */
+  private def neardupHashCtes(subsetWhere: String): String =
+    s"""WITH docs0 AS (
+           SELECT doc_id,
+                  CONCAT(md5(COALESCE(text, '')),
+                         md5(CONCAT(COALESCE(text, ''), '1')),
+                         md5(CONCAT(COALESCE(text, ''), '2')),
+                         md5(CONCAT(COALESCE(text, ''), '3')),
+                         md5(CONCAT(COALESCE(text, ''), '4'))) AS h
+           FROM documents),
+         pay AS (
+           SELECT doc_id, h FROM docs0
+           UNION ALL
+           SELECT doc_id + $VariantOffset,
+                  CONCAT(SUBSTRING(h, 1, 10),
+                         lpad(lower(hex((CAST(CONCAT('0x',
+                           SUBSTRING(h, 11, 2)) AS BIGINT) + 96) % 256)),
+                           2, '0'),
+                         SUBSTRING(h, 13, 148))
+           FROM docs0 WHERE doc_id % $VariantMod = $VariantRes),
+         paysub AS (SELECT * FROM pay $subsetWhere),
+         px AS MATERIALIZED (
+           SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+                  CAST(CONCAT('0x', SUBSTRING(h,
+                    CAST(2*((t.i*80)//72) + 1 AS INT), 2)) AS BIGINT) AS p
+           FROM paysub, range(72) t(i)),
+         bits AS MATERIALIZED (
+           SELECT a.doc_id, (a.i//9)*8 + (a.i%9) AS pos,
+                  CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+           FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           WHERE a.i % 9 < 8),
+         hh AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN pos < 32
+                        THEN bit * (1::BIGINT << CAST(pos AS INT))
+                        ELSE 0 END) AS lo,
+                  SUM(CASE WHEN pos >= 32
+                        THEN bit * (1::BIGINT << CAST(pos - 32 AS INT))
+                        ELSE 0 END) AS hi
+           FROM bits GROUP BY doc_id),
+         hsh AS MATERIALIZED (
+           SELECT doc_id,
+                  CAST(CASE WHEN hi >= 2147483648
+                            THEN (hi - 4294967296) * 4294967296 + lo
+                            ELSE hi * 4294967296 + lo END AS BIGINT) AS h64
+           FROM hh)"""
+
+  /** 4 x 16-bit production band keys ("k:value" — the engine's). */
+  private val band4Sql: String =
+    """SELECT doc_id, CONCAT(t.k, ':',
+         CAST((h64 >> CAST(16*t.k AS INT)) & 65535 AS VARCHAR)) AS band_key
+       FROM hsh, range(4) t(k)"""
+
+  /** Lossless 7-band keys ("ek:value"), mirroring [[Band7Layout]]. */
+  private val band7Sql: String =
+    Band7Layout.zipWithIndex.map { case ((off, len), k) =>
+      s"""SELECT doc_id, CONCAT('e$k:',
+            CAST((h64 >> $off) & ${(1L << len) - 1} AS VARCHAR)) AS band_key
+          FROM hsh"""
+    }.mkString("\n       UNION ALL\n       ")
+
+  /** Band join + hot-bucket star cap + exact-Hamming verify — the
+    * LshBandJoin.candidatePairs semantics verbatim (the SimQueries
+    * oracle idiom), suffixed so two bandings can coexist in one query.
+    */
+  private def neardupPairCtes(bandsSql: String, sfx: String): String =
+    s""",
+         bands$sfx AS MATERIALIZED ($bandsSql),
+         bstat$sfx AS (
+           SELECT band_key, COUNT(DISTINCT doc_id) AS bucket_n,
+                  MIN(doc_id) AS bucket_min
+           FROM bands$sfx GROUP BY band_key),
+         cands$sfx AS (
+           SELECT DISTINCT a, b FROM (
+             SELECT x.doc_id AS a, y.doc_id AS b
+             FROM bands$sfx x JOIN bands$sfx y
+               ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+             JOIN bstat$sfx st ON st.band_key = x.band_key
+               AND st.bucket_n <= ${graft.operators.LshBandJoin.DefaultMaxBucket}
+             UNION ALL
+             SELECT st.bucket_min AS a, y.doc_id AS b
+             FROM bands$sfx y JOIN bstat$sfx st ON st.band_key = y.band_key
+             WHERE st.bucket_n > ${graft.operators.LshBandJoin.DefaultMaxBucket}
+               AND y.doc_id > st.bucket_min)),
+         pairs$sfx AS (
+           SELECT c.a AS doc_id_a, c.b AS doc_id_b,
+                  CAST(bit_count(xor(ha.h64, hb.h64)) AS BIGINT) AS hamming
+           FROM cands$sfx c
+           JOIN hsh ha ON ha.doc_id = c.a
+           JOIN hsh hb ON hb.doc_id = c.b
+           WHERE bit_count(xor(ha.h64, hb.h64)) <= $NearDupMaxHamming)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_neardup" ->
+      (neardupHashCtes("") + neardupPairCtes(band4Sql, "") + s"""
+         SELECT doc_id_a, doc_id_b, hamming FROM pairs"""),
+
+    "q_multimodal_neardup_recall" ->
+      (neardupHashCtes(s"WHERE doc_id % $RecallMod = 0")
+        + neardupPairCtes(band7Sql, "_e")
+        + neardupPairCtes(band4Sql, "_p") + s"""
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_e) AS exact_pairs,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_p) AS caught_pairs,
+                CAST(((SELECT CAST(COUNT(*) AS HUGEINT) FROM pairs_p)
+                      * 1000000)
+                     // (SELECT COUNT(*) FROM pairs_e) AS BIGINT)
+                  AS recall_ppm"""),
+
     "q_multimodal_features" ->
       """WITH hexed AS (
            SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents),

@@ -116,4 +116,58 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val loud = Multimodal.audioFrameEnergy(media, 4, 0L).collect()
     assert(loud.forall(!_.is_silence), "threshold = 0: nothing silent")
   }
+
+  test("dhash64: deterministic gradient bits, SQL-registered, tolerant") {
+    import graft.functions.MediaHash
+    import spark.implicits._
+    // hand-computable payload: 72 bytes ascending → every gradient
+    // strictly rising → p(r,c) > p(r,c+1) never holds → hash 0; the
+    // reverse (descending) sets every comparison bit → -1 (all 64)
+    val asc = Array.tabulate(72)(_.toByte)
+    val desc = asc.reverse
+    assert(MediaHash.dhash64(asc) === 0L)
+    assert(MediaHash.dhash64(desc) === -1L)
+    assert(MediaHash.dhash64(Array.emptyByteArray) === 0L,
+      "empty payload: no gradients")
+    // a one-byte wiggle is a NEAR-dup: few bits, never a new identity
+    val wig = asc.clone(); wig(30) = (wig(30) + 120).toByte
+    val d = java.lang.Long.bitCount(
+      MediaHash.dhash64(asc) ^ MediaHash.dhash64(wig))
+    assert(d >= 1 && d <= 4, s"one-byte wiggle flipped $d bits")
+    // SQL registration through GraftExtensions
+    graft.functions.GraftExtensions.install(spark)
+    val viaSql = Seq(Tuple1(desc)).toDF("payload")
+      .selectExpr("dhash64(payload)").head().getLong(0)
+    assert(viaSql === -1L)
+  }
+
+  test("perceptual near-dup catches re-encodes the byte digest misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.queries.MultimodalQueries
+      .queries("q_multimodal_neardup")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // every variant (re-encoded copy at doc_id + 1e9) must pair with
+    // its own original, within the threshold — the catch the exact
+    // byte-digest dedup is blind to (payload bytes differ)
+    val variantPairs = pairs.filter(_._2 >= 1000000000L)
+    assert(variantPairs.nonEmpty)
+    variantPairs.foreach { case (a, b, h) =>
+      assert(b - 1000000000L === a, s"variant $b paired with stranger $a")
+      assert(h <= 6L)
+    }
+    val nVariants = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 7 === 3).count()
+    assert(variantPairs.length.toLong === nVariants,
+      "every re-encoded variant must surface exactly once")
+    // and the recall A/B row measures the 4x16 banding against the
+    // lossless 7-band exact baseline
+    val r = graft.queries.MultimodalQueries
+      .queries("q_multimodal_neardup_recall")(spark, dir)
+      .as[(Long, Long, Long)].head()
+    assert(r._1 > 0L && r._2 <= r._1)
+    assert(r._3 === (r._2 * 1000000L) / r._1)
+  }
 }
