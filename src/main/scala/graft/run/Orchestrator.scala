@@ -470,6 +470,25 @@ object Orchestrator {
         val gen = CompactedLayout.liveGen(partPath)
         val livePath =
           if (gen == 0L) partPath else CompactedLayout.genDir(partPath, gen)
+        // out-of-contract append detector: loose files NEWER than the
+        // pointer were written into an already-compacted partition by
+        // something other than the S8 writer (a re-land deletes the
+        // whole dir, pointer included). The resolver cannot see them,
+        // so compacting (or GC'ing) around them would finalize silent
+        // data loss — refuse with the re-land prescription instead.
+        if (gen > 0L) {
+          val ptrTime = WarehouseFs.modTime(CompactedLayout.pointerPath(partPath))
+          val stray = WarehouseFs.list(partPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")
+              && f.getModificationTime > ptrTime)
+          require(stray.isEmpty,
+            s"compactBatches($table): $partName has ${stray.length} loose " +
+              "file(s) NEWER than its compaction pointer — something " +
+              "appended into a compacted partition outside the S8 writer; " +
+              "the pointer-routed reads cannot see those rows. Re-land " +
+              "the batch through writeBatch (the dynamic overwrite resets " +
+              "the partition to loose files) before compacting again")
+        }
         val files = WarehouseFs.list(livePath)
           .filter(_.getPath.getName.endsWith(".parquet"))
         val bytes = files.map(_.getLen).sum
@@ -498,6 +517,25 @@ object Orchestrator {
             .foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
           val after = WarehouseFs.listNames(staging)
             .count(_.endsWith(".parquet"))
+          // pre-commit re-check (the rebuildAnnIndex discipline,
+          // defense in depth for the landing race): the staged
+          // generation was derived from `files` — if the live set
+          // changed during staging (a concurrent re-land deleted or
+          // replaced the partition), committing would point readers at
+          // data staged from the PRE-re-land rows. Abort loudly; the
+          // staged dir is invisible and the re-run heals.
+          val liveNow = WarehouseFs.list(livePath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.getName).toSet
+          val liveBefore = files.map(_.getPath.getName).toSet
+          if (liveNow != liveBefore)
+            throw new IllegalStateException(
+              s"compactBatches($table): $partName changed during staging " +
+                s"(${(liveNow diff liveBefore).size} new / " +
+                s"${(liveBefore diff liveNow).size} gone file(s) — a " +
+                "concurrent re-land?) — refusing to commit the staged " +
+                "generation; the live layout is untouched, re-run the " +
+                "compaction")
           // THE COMMIT: root marker first (a reader must be resolving
           // through pointers before any pointer exists), then one
           // atomic pointer publish — old layout or new, never torn,
@@ -578,8 +616,20 @@ object Orchestrator {
         val g = CompactedLayout.liveGen(partPath)
         if (g == 0L) None // never compacted (or re-landed): nothing parked
         else {
+          val ptrTime =
+            WarehouseFs.modTime(CompactedLayout.pointerPath(partPath))
           val loose = WarehouseFs.list(partPath)
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          // the compactBatches append detector, at the one place it
+          // matters most: deleting a loose file NEWER than the pointer
+          // would FINALIZE the data loss an out-of-contract append
+          // started (the resolver never saw those rows)
+          val stray = loose.filter(_.getModificationTime > ptrTime)
+          require(stray.isEmpty,
+            s"vacuumCompacted($table): $partName has ${stray.length} " +
+              "loose file(s) NEWER than its compaction pointer — an " +
+              "append outside the S8 writer; GC would finalize the data " +
+              "loss. Re-land the batch through writeBatch first")
           loose.foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
           val stale = WarehouseFs.listNames(s"$partPath/.cgen")
             .filter(_ != f"g$g%06d")

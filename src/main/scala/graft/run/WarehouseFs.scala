@@ -114,6 +114,13 @@ object WarehouseFs {
     }
   }
 
+  /** Modification time of `p` (store PUT time on object stores) — the
+    * compaction plane's out-of-contract-append discriminator.
+    */
+  def modTime(p: String): Long = {
+    val q = new Path(p); fsOf(q).getFileStatus(q).getModificationTime
+  }
+
   def readString(p: String): String = {
     val q = new Path(p); val fs = fsOf(q)
     val len = fs.getFileStatus(q).getLen.toInt

@@ -184,6 +184,36 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(run.readTablePointLookup("bronze/tbl", "k", Seq(7L)).count() === 2L)
   }
 
+  test("out-of-contract appends into a compacted partition refuse loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact_ap").toString
+    landOrders(wh)
+    val part0 = s"$wh/bronze/orders/dwh_batch_id=B0"
+    val run = new Orchestrator.Run(spark, wh, "MAINT01")
+    run.compactBatches("bronze/orders")
+    Thread.sleep(50) // modtime granularity: the stray must be NEWER
+    // an append the S8 writer never produces: a loose file into an
+    // already-compacted partition — invisible to pointer-routed reads
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(3)
+      .coalesce(1).write.mode("append").parquet(part0)
+    // GC would FINALIZE the data loss; compaction would entrench it —
+    // both must refuse with the re-land prescription
+    val e1 = intercept[IllegalArgumentException] {
+      run.vacuumCompacted("bronze/orders")
+    }
+    assert(e1.getMessage.contains("NEWER"))
+    val e2 = intercept[IllegalArgumentException] {
+      run.compactBatches("bronze/orders")
+    }
+    assert(e2.getMessage.contains("NEWER"))
+    // the prescription heals: re-land resets the partition to loose
+    new Orchestrator.Run(spark, wh, "B0").writeBatch(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(10),
+      "bronze/orders")
+    assert(CompactedLayout.liveGen(part0) === 0L)
+    assert(run.vacuumCompacted("bronze/orders")
+      .forall(_._1 != "dwh_batch_id=B0"))
+  }
+
   test("compaction refuses bucketed tables") {
     val dir = "/root/testdata/sf0.001"
     val wh = java.nio.file.Files.createTempDirectory("graft_compact_bkt").toString
