@@ -94,7 +94,7 @@ object Orchestrator {
                        batchId: String): Set[String] = {
     val path = s"$warehouse/tools/audit_log"
     if (!WarehouseFs.exists(path)) Set.empty
-    else spark.read.parquet(path)
+    else graft.sources.AppendLogLayout.read(spark, path)
       .where(col("batchId") === batchId && col("step") === "write"
         && col("status") === "SUCCESS")
       .select("target").collect().map(_.getString(0)).toSet
@@ -112,7 +112,8 @@ object Orchestrator {
     val path = s"$warehouse/tools/audit_log"
     if (!WarehouseFs.exists(path)) Set.empty
     else {
-      val batch = spark.read.parquet(path).where(col("batchId") === batchId)
+      val batch = graft.sources.AppendLogLayout.read(spark, path)
+        .where(col("batchId") === batchId)
       val failed = batch.where(col("status") === "FAILED")
         .select("target").collect().map(_.getString(0)).toSet
       // healed = the data actually landed: only a write-level success
@@ -649,6 +650,46 @@ object Orchestrator {
       done
     }
 
+    /** Fold the audit log's per-flush small files
+      * ([[graft.sources.AppendLogLayout.compact]]) — the audit plane is
+      * the warehouse's highest-cadence small-file producer (one file
+      * per Run stage-flush), and at production cadence its LISTING
+      * dominates every restart/reprocess/watermark read long before
+      * its bytes matter. Pointer-committed like every layout swap here
+      * (atomic on object stores); concurrent flushes stay visible by
+      * construction (the folded manifest names exactly the files the
+      * fold read). The fold's own audit row is appended AFTER the
+      * commit — a fresh loose file, visible immediately.
+      *
+      * @return (looseFolded, genFilesAfter), or None if too few loose
+      *         files to be worth folding
+      */
+    def compactAuditLog(minLoose: Int = 8): Option[(Int, Int)] = {
+      val out = graft.sources.AppendLogLayout.compact(
+        spark, s"$warehouse/tools/audit_log", minLoose)
+      out.foreach { case (folded, after) =>
+        log("compact_audit", "tools/audit_log", "SUCCESS", folded.toLong,
+          s"$folded loose files folded -> $after generation file(s)")
+        flushAudit()
+      }
+      out
+    }
+
+    /** GC the audit log's parked (folded) files and stale generations
+      * ([[graft.sources.AppendLogLayout.vacuum]]) — run after the
+      * in-flight-reader grace window, like [[vacuumCompacted]].
+      */
+    def vacuumAuditLog(): (Int, Int) = {
+      val (files, gens) = graft.sources.AppendLogLayout.vacuum(
+        s"$warehouse/tools/audit_log")
+      if (files + gens > 0) {
+        log("vacuum_audit", "tools/audit_log", "SUCCESS", files.toLong,
+          s"$files parked files, $gens stale generations dropped")
+        flushAudit()
+      }
+      (files, gens)
+    }
+
     /** S9: batch-pruned read of a layer table (partition pruning — the
       * filter prunes to the one batch directory).
       */
@@ -716,7 +757,7 @@ object Orchestrator {
     private def vacuumWatermark(table: String): Option[String] = {
       val path = s"$warehouse/tools/audit_log"
       if (!WarehouseFs.exists(path)) None
-      else Option(spark.read.parquet(path)
+      else Option(graft.sources.AppendLogLayout.read(spark, path)
           .where(col("step") === "vacuum" && col("target") === table
             && col("status") === "SUCCESS"
             && col("message").startsWith("watermark="))
@@ -1163,7 +1204,7 @@ object Orchestrator {
       val path = s"$warehouse/tools/audit_log"
       val audit =
         if (!WarehouseFs.exists(path)) None
-        else Some(spark.read.parquet(path))
+        else Some(graft.sources.AppendLogLayout.read(spark, path))
       val landed: Seq[String] = audit.toSeq.flatMap(
         _.where(col("step") === "write"
             && col("target") === inputTable
