@@ -127,10 +127,14 @@ object AppendLogLayout {
             s"($gen -> $genNow) during staging — a concurrent fold won; " +
             "this staging is invisible, re-run if still needed")
       // THE COMMIT: generation + the folded manifest in one atomic
-      // publish. Every loose file visible at T0 is folded (previously
-      // folded ones were re-folded via the old generation's rows);
-      // appends after T0 are absent from the manifest and stay visible.
-      val foldedNew = (foldedOld ++ fresh.map(_.getPath.getName)).toSeq.sorted
+      // publish. The manifest is exactly the loose files PRESENT at
+      // T0 — fresh ones folded now, previously-folded parked ones
+      // re-folded via the old generation's rows. Building it from the
+      // T0 LISTING (not foldedOld ∪ fresh) self-prunes names GC
+      // already deleted; carrying them forward would grow the pointer
+      // without bound across fold/GC cycles. Appends after T0 are
+      // absent and stay visible.
+      val foldedNew = loose.map(_.getPath.getName).sorted
       WarehouseFs.publishAtomic(pointerPath(root),
         ((gen + 1).toString +: foldedNew).mkString("\n"))
       Some((fresh.length, after))

@@ -79,6 +79,11 @@ class AuditLogCompactionSpec extends AnyFunSuite with SparkTestBase {
     val Some((folded2, _)) = run.compactAuditLog(minLoose = 8)
     assert(folded2 >= 8)
     assert(AppendLogLayout.state(root)._1 === 2L)
+    // the manifest is the T0 LISTING, so names GC'd after the first
+    // fold self-prune — the pointer must not grow without bound
+    // across fold/GC cycles
+    assert(AppendLogLayout.state(root)._2.size === folded2,
+      "manifest must self-prune GC'd names")
     assert(Orchestrator.completedTargets(spark, wh, "B0015")
       === Set("bronze/t"))
   }
