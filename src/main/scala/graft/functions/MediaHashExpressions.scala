@@ -34,7 +34,12 @@ object MediaHash {
     if (len == 0) return 0L
     val px = new Array[Int](72)
     var i = 0
-    while (i < 72) { px(i) = payload((i * len) / 72) & 0xff; i += 1 }
+    // LONG index arithmetic: i * len overflows Int from ~30 MB payloads
+    // (i=71 × 50e6 > Int.Max → negative index → scan-killing AIOOBE),
+    // and multi-MB decoded planes are exactly the advertised use
+    while (i < 72) {
+      px(i) = payload(((i.toLong * len) / 72).toInt) & 0xff; i += 1
+    }
     var h = 0L
     var r = 0
     while (r < 8) {

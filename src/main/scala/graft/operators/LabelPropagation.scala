@@ -199,17 +199,17 @@ object LabelPropagation {
     *         FINAL labeling equals the round-`last` labeling, obtained
     *         via [[refine]] when only the labels are wanted
     */
-  def refineTrace(labels: DataFrame, edges: DataFrame,
-                  maxRounds: Int): DataFrame = {
-    require(maxRounds >= 1,
-      s"refineTrace: maxRounds must be >= 1, got $maxRounds")
-    val spark = labels.sparkSession
-    def measure(lab: DataFrame, round: Int, moved: Long): (Long, Long, Row) = {
-      val m = modularity(lab, edges).head()
-      (round.toLong, moved, m)
-    }
+  /** THE fixpoint loop — one copy of the convergence machinery
+    * (lineage cuts, moved-count join, early stop, loud cap) shared by
+    * [[refine]] and [[refineTrace]], so their contracts cannot drift;
+    * `onRound` fires once per state (round 0 = the input labeling).
+    */
+  private def refineLoop(labels: DataFrame, edges: DataFrame,
+                         maxRounds: Int, who: String)
+                        (onRound: (Int, Long, DataFrame) => Unit): DataFrame = {
+    require(maxRounds >= 1, s"$who: maxRounds must be >= 1, got $maxRounds")
     var lab = labels.select(col("node"), col("community")).cutLineage()
-    var rows = Vector(measure(lab, 0, 0L))
+    onRound(0, 0L, lab)
     var moved = -1L
     var round = 0
     while (moved != 0L && round < maxRounds) {
@@ -219,14 +219,24 @@ object LabelPropagation {
         .join(lab, "node")
         .where(col("c2") =!= col("community"))
         .count()
-      rows :+= measure(next, round, moved)
       lab = next
+      onRound(round, moved, lab)
     }
     require(moved == 0L,
-      s"refineTrace: no fixpoint within $maxRounds rounds (last round " +
+      s"$who: no fixpoint within $maxRounds rounds (last round " +
         s"still moved $moved nodes) — raise maxRounds; publishing a " +
         "non-fixpoint labeling as refined would mislabel the " +
         "communities later rounds merge")
+    lab
+  }
+
+  def refineTrace(labels: DataFrame, edges: DataFrame,
+                  maxRounds: Int): DataFrame = {
+    val spark = labels.sparkSession
+    var rows = Vector.empty[(Long, Long, Row)]
+    refineLoop(labels, edges, maxRounds, "refineTrace") { (round, moved, lab) =>
+      rows :+= ((round.toLong, moved, modularity(lab, edges).head()))
+    }
     import spark.implicits._
     rows.map { case (r, mv, m) =>
       (r, mv, m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
@@ -239,26 +249,8 @@ object LabelPropagation {
     * [[refineTrace]] is the measurement row beside it. Same loud cap.
     */
   def refine(labels: DataFrame, edges: DataFrame,
-             maxRounds: Int): DataFrame = {
-    require(maxRounds >= 1,
-      s"refine: maxRounds must be >= 1, got $maxRounds")
-    var lab = labels.select(col("node"), col("community")).cutLineage()
-    var moved = -1L
-    var round = 0
-    while (moved != 0L && round < maxRounds) {
-      round += 1
-      val next = refineOnce(lab, edges).cutLineage()
-      moved = next.select(col("node"), col("community").as("c2"))
-        .join(lab, "node")
-        .where(col("c2") =!= col("community"))
-        .count()
-      lab = next
-    }
-    require(moved == 0L,
-      s"refine: no fixpoint within $maxRounds rounds (last round still " +
-        s"moved $moved nodes) — raise maxRounds")
-    lab
-  }
+             maxRounds: Int): DataFrame =
+    refineLoop(labels, edges, maxRounds, "refine")((_, _, _) => ())
 
   /** Newman–Girvan modularity of a labeling on the INTEGER LATTICE —
     * the measure-don't-assume row every heuristic operator carries,

@@ -38,18 +38,24 @@ object Checkpoints {
   /** Session conf key: reliable checkpoint directory (unset = local). */
   val DirConf = "spark.graft.checkpoint.dir"
 
-  @volatile private var registered: Option[String] = None
+  // keyed by the CONTEXT, not just the dir string: a JVM cache keyed
+  // by dir alone would skip setCheckpointDir on a NEW SparkContext
+  // after a restart (same conf, same JVM) and every cut would throw
+  // "Checkpoint directory has not been set"
+  @volatile private var registered: Option[(org.apache.spark.SparkContext, String)] = None
 
   /** Cut the lineage of `ds` under the configured policy. */
   def cut[T](ds: Dataset[T]): Dataset[T] =
     ds.sparkSession.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (!registered.contains(dir)) synchronized {
-          if (!registered.contains(dir)) {
-            ds.sparkSession.sparkContext.setCheckpointDir(dir)
-            registered = Some(dir)
+        val sc = ds.sparkSession.sparkContext
+        if (!registered.exists(r => (r._1 eq sc) && r._2 == dir))
+          synchronized {
+            if (!registered.exists(r => (r._1 eq sc) && r._2 == dir)) {
+              sc.setCheckpointDir(dir)
+              registered = Some((sc, dir))
+            }
           }
-        }
         ds.checkpoint()
       case None => ds.localCheckpoint()
     }

@@ -28,10 +28,12 @@ object MultimodalQueries extends QueryPack {
 
   /** Perceptual near-dup knobs. Variants: every doc_id ≡ 3 (mod 7)
     * gets a "re-encoded" copy under doc_id + 1e9 whose payload byte 5
-    * is bumped (+1 mod 256) — the decode-stub stand-in for a mild
-    * re-compress. That byte feeds dHash grid cells 23..26 (row 2), so
-    * the copy lands within a few Hamming bits of its original — a true
-    * near-dup the byte-digest dedup (q_multimodal_dedup) cannot see.
+    * is bumped (+96 mod 256) — the decode-stub stand-in for a mild
+    * re-compress. With the 80-byte decoded plane that byte feeds
+    * exactly ONE dHash grid cell (cell 5 — two gradient comparisons),
+    * so the copy lands at Hamming distance 0..2 from its original — a
+    * true near-dup the byte-digest dedup (q_multimodal_dedup) cannot
+    * see. (Geometry details in [[neardupPayloads]].)
     */
   private val VariantOffset = 1000000000L
   private val VariantMod = 7
@@ -111,9 +113,12 @@ object MultimodalQueries extends QueryPack {
           .cast("string"))
     }: _*)
 
+  private def bandFrame(hs: org.apache.spark.sql.DataFrame,
+                        keys: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    hs.select(col("doc_id"), explode(keys(col("h64"))).as("band_key"))
+
   private def verifiedPairs(hs: org.apache.spark.sql.DataFrame,
-                            keys: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
-    val bands = hs.select(col("doc_id"), explode(keys(col("h64"))).as("band_key"))
+                            bands: org.apache.spark.sql.DataFrame) = {
     graft.operators.LshBandJoin
       .candidatePairs(bands, "doc_id", graft.operators.LshBandJoin.DefaultMaxBucket)
       .join(hs.select(col("doc_id").as("doc_id_a"), col("h64").as("ha")),
@@ -186,8 +191,10 @@ object MultimodalQueries extends QueryPack {
     // key, the hash is 8 bytes/doc, payload bytes never leave the
     // scan. Oracle = the identical pixel/bit/hash lattice + band join
     // + verify, replayed from the md5 hex.
-    "q_multimodal_neardup" -> ((s, dir) =>
-      verifiedPairs(neardupHashes(s, dir), bandKeys4)),
+    "q_multimodal_neardup" -> ((s, dir) => {
+      val hs = neardupHashes(s, dir)
+      verifiedPairs(hs, bandFrame(hs, bandKeys4))
+    }),
 
     // The measure-don't-assume row beside it: 4x16 banding is
     // pigeonhole-exact only to distance 3; this A/B measures its pair
@@ -195,16 +202,33 @@ object MultimodalQueries extends QueryPack {
     // computed with the lossless 7-band layout (pigeonhole: <= 6
     // differing bits cannot touch all 7 bands) — so even the "exact"
     // side is an equi-join, bounded at any scale, not an all-pairs
-    // scan. Subset doc_id % 5 == 0 keeps the baseline row honest about
-    // its cost at 100 TB (the denominator is measured on a sample, and
+    // scan. The exactness claim holds only while NO 7-band bucket
+    // saturates the hot-bucket star cap (a saturated bucket thins the
+    // baseline's pairs and the "exact" denominator silently
+    // understates), so the row carries an in-plan saturation guard:
+    // a corpus dense enough to saturate REFUSES with the
+    // shrink-the-subset prescription instead of overstating recall.
+    // Subset doc_id % 5 == 0 keeps the baseline row honest about its
+    // cost at 100 TB (the denominator is measured on a sample, and
     // the variant pairs exist inside it by construction).
     "q_multimodal_neardup_recall" -> ((s, dir) => {
       val hs = neardupHashes(s, dir).where(col("doc_id") % RecallMod === 0)
-      val exact = verifiedPairs(hs, bandKeys7)
+      val bands7 = bandFrame(hs, bandKeys7)
+      val exact = verifiedPairs(hs, bands7)
         .agg(count(lit(1)).as("exact_pairs"))
-      val caught = verifiedPairs(hs, bandKeys4)
+      val caught = verifiedPairs(hs, bandFrame(hs, bandKeys4))
         .agg(count(lit(1)).as("caught_pairs"))
-      exact.crossJoin(broadcast(caught)) // two 1-row aggregates
+      val sat = graft.operators.LshBandJoin
+        .oversizedBuckets(bands7, "doc_id",
+          graft.operators.LshBandJoin.DefaultMaxBucket)
+        .agg(count(lit(1)).as("n_saturated"))
+      exact.crossJoin(broadcast(caught)) // three 1-row aggregates
+        .crossJoin(broadcast(sat))
+        .where(coalesce(assert_true(col("n_saturated") === 0,
+          lit("neardup recall: the 7-band EXACT baseline saturated the " +
+            "hot-bucket cap — its pair count would silently understate; " +
+            "shrink the measurement subset (RecallMod) or widen the " +
+            "exact bands")), lit(true)))
         .selectExpr("exact_pairs", "caught_pairs",
           "CAST((CAST(caught_pairs AS DECIMAL(38,0)) * 1000000) " +
             "div exact_pairs AS BIGINT) AS recall_ppm")

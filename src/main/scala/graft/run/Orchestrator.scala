@@ -463,14 +463,27 @@ object Orchestrator {
           "behind the pointer; run that instead of compacting")
       import graft.sources.CompactedLayout
       val root = s"$warehouse/$table"
+      // one compactor/GC at a time per table: real exclusion on
+      // local/HDFS/conditional-create stores; on advisory stores the
+      // UNIQUE staging names + the pre-commit re-checks below are the
+      // backstop (a racing loser aborts without having touched the
+      // winner's committed bytes)
+      require(WarehouseFs.createExclusive(CompactedLayout.lockPath(root)),
+        s"another compaction/GC holds ${CompactedLayout.lockPath(root)} — " +
+          "if the holder crashed, the live layout is intact (pointers " +
+          "only advance at commit); delete the lock and re-run")
+      val done = try {
       val parts = WarehouseFs.list(root)
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("dwh_batch_id="))
-      val done = parts.sortBy(_.getPath.getName).flatMap { part =>
+      parts.sortBy(_.getPath.getName).flatMap { part =>
         val partName = part.getPath.getName
         val partPath = part.getPath.toString
-        val gen = CompactedLayout.liveGen(partPath)
-        val livePath =
-          if (gen == 0L) partPath else CompactedLayout.genDir(partPath, gen)
+        val liveName = CompactedLayout.liveGenName(partPath)
+        val gen = liveName.map(CompactedLayout.genNumber).getOrElse(0L)
+        val livePath = liveName match {
+          case Some(n) => s"$partPath/.cgen/$n"
+          case None => partPath
+        }
         // out-of-contract append detector: loose files NEWER than the
         // pointer were written into an already-compacted partition by
         // something other than the S8 writer (a re-land deletes the
@@ -479,9 +492,12 @@ object Orchestrator {
         // data loss — refuse with the re-land prescription instead.
         if (gen > 0L) {
           val ptrTime = WarehouseFs.modTime(CompactedLayout.pointerPath(partPath))
+          // >= : a tie in the store's timestamp granule is treated as
+          // stray — a false refusal is loud and recoverable, a missed
+          // append is silent loss
           val stray = WarehouseFs.list(partPath)
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")
-              && f.getModificationTime > ptrTime)
+              && f.getModificationTime >= ptrTime)
           require(stray.isEmpty,
             s"compactBatches($table): $partName has ${stray.length} loose " +
               "file(s) NEWER than its compaction pointer — something " +
@@ -502,9 +518,13 @@ object Orchestrator {
           // NEXT rewrite of this partition begins (the ANN rebuild's
           // previous-generation retention, per partition).
           WarehouseFs.listNames(s"$partPath/.cgen")
-            .filter(n => n != f"g$gen%06d")
+            .filter(n => !liveName.contains(n))
             .foreach(n => WarehouseFs.deleteRecursive(s"$partPath/.cgen/$n"))
-          val staging = CompactedLayout.genDir(partPath, gen + 1)
+          // UNIQUELY named staging: a concurrent compactor (possible
+          // only on advisory-lock stores) stages into a DIFFERENT dir,
+          // so nobody can Overwrite bytes a winner already committed
+          val stagingName = CompactedLayout.genDirName(gen + 1)
+          val staging = s"$partPath/.cgen/$stagingName"
           // read the LIVE files explicitly — no basePath, so the frame
           // carries pure data columns and the staged files look exactly
           // like the loose files a writer produces (partition value
@@ -537,6 +557,23 @@ object Orchestrator {
                 "concurrent re-land?) — refusing to commit the staged " +
                 "generation; the live layout is untouched, re-run the " +
                 "compaction")
+          // advisory-lock backstops: (a) the pointer must still name
+          // what it named at T0 — a concurrent compactor that won the
+          // race advanced it, and committing over its fold would drop
+          // it; (b) the staging must still be intact — a concurrent GC
+          // (lock-blind on an advisory store) clears non-live gen dirs
+          if (CompactedLayout.liveGenName(partPath) != liveName)
+            throw new IllegalStateException(
+              s"compactBatches($table): $partName's pointer advanced " +
+                "during staging — a concurrent compactor won; this " +
+                "staging is invisible, re-run if still needed")
+          if (WarehouseFs.listNames(staging).count(_.endsWith(".parquet"))
+              != after)
+            throw new IllegalStateException(
+              s"compactBatches($table): $partName's staged generation " +
+                "was disturbed before commit (a concurrent GC?) — " +
+                "refusing to publish a pointer at damaged staging; the " +
+                "live layout is untouched, re-run the compaction")
           // THE COMMIT: root marker first (a reader must be resolving
           // through pointers before any pointer exists), then one
           // atomic pointer publish — old layout or new, never torn,
@@ -544,14 +581,27 @@ object Orchestrator {
           // deleted: vacuumCompacted is the GC.
           CompactedLayout.ensureMarker(root)
           WarehouseFs.publishAtomic(
-            CompactedLayout.pointerPath(partPath), (gen + 1).toString)
+            CompactedLayout.pointerPath(partPath), stagingName)
           val id = partName.stripPrefix("dwh_batch_id=")
           if (WarehouseFs.exists(s"$root/_bloomidx/pid=$id"))
             refreshBloomAfterCompact(root, id, table)
           log("compact", table, "SUCCESS", 0,
             s"$partName: ${files.length} -> $after files " +
-              s"(generation ${gen + 1} pointer-committed)")
+              s"(generation $stagingName pointer-committed)")
           Some((partName, files.length, after))
+        }
+      }
+      } finally {
+        // non-masking release (the rebuildAnnIndex discipline)
+        scala.util.Try(
+          WarehouseFs.deleteFile(CompactedLayout.lockPath(root))) match {
+          case scala.util.Failure(e) =>
+            log("compact", table, "WARN", 0,
+              s"stale compaction lock: release of " +
+                s"${CompactedLayout.lockPath(root)} failed " +
+                s"(${String.valueOf(e.getMessage)}) — the outcome above " +
+                "stands; delete the lock manually")
+          case _ => ()
         }
       }
       flushAudit()
@@ -612,10 +662,18 @@ object Orchestrator {
           s"(${tablePath(table)}) — its lifecycle op is rebuildAnnIndex")
       val root = s"$warehouse/$table"
       if (!CompactedLayout.isCompacted(root)) return Seq.empty
-      val done = CompactedLayout.partitionDirs(root).flatMap { partPath =>
+      // the compactor's lock: without it this GC could delete a
+      // concurrently STAGED generation whose pointer is about to
+      // publish (on advisory stores the compactor's staging-intact
+      // pre-commit re-check is the backstop)
+      require(WarehouseFs.createExclusive(CompactedLayout.lockPath(root)),
+        s"another compaction/GC holds ${CompactedLayout.lockPath(root)} — " +
+          "if the holder crashed, the live layout is intact; delete the " +
+          "lock and re-run")
+      val done = try CompactedLayout.partitionDirs(root).flatMap { partPath =>
         val partName = partPath.substring(partPath.lastIndexOf('/') + 1)
-        val g = CompactedLayout.liveGen(partPath)
-        if (g == 0L) None // never compacted (or re-landed): nothing parked
+        val liveName = CompactedLayout.liveGenName(partPath)
+        if (liveName.isEmpty) None // never compacted (or re-landed)
         else {
           val ptrTime =
             WarehouseFs.modTime(CompactedLayout.pointerPath(partPath))
@@ -625,7 +683,9 @@ object Orchestrator {
           // matters most: deleting a loose file NEWER than the pointer
           // would FINALIZE the data loss an out-of-contract append
           // started (the resolver never saw those rows)
-          val stray = loose.filter(_.getModificationTime > ptrTime)
+          // >= : same-granule ties count as stray (false refusals are
+          // loud; a miss here FINALIZES the loss)
+          val stray = loose.filter(_.getModificationTime >= ptrTime)
           require(stray.isEmpty,
             s"vacuumCompacted($table): $partName has ${stray.length} " +
               "loose file(s) NEWER than its compaction pointer — an " +
@@ -633,7 +693,7 @@ object Orchestrator {
               "loss. Re-land the batch through writeBatch first")
           loose.foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
           val stale = WarehouseFs.listNames(s"$partPath/.cgen")
-            .filter(_ != f"g$g%06d")
+            .filter(n => !liveName.contains(n))
           stale.foreach(n =>
             WarehouseFs.deleteRecursive(s"$partPath/.cgen/$n"))
           if (loose.isEmpty && stale.isEmpty) None
@@ -641,9 +701,20 @@ object Orchestrator {
             log("vacuum_compact", table, "SUCCESS",
               loose.length.toLong,
               s"$partName: ${loose.length} parked files, " +
-                s"${stale.length} stale generations dropped (live g$g)")
+                s"${stale.length} stale generations dropped (live " +
+                s"${liveName.get})")
             Some((partName, loose.length, stale.length))
           }
+        }
+      } finally {
+        scala.util.Try(
+          WarehouseFs.deleteFile(CompactedLayout.lockPath(root))) match {
+          case scala.util.Failure(e) =>
+            log("vacuum_compact", table, "WARN", 0,
+              s"stale compaction lock: release failed " +
+                s"(${String.valueOf(e.getMessage)}); delete " +
+                s"${CompactedLayout.lockPath(root)} manually")
+          case _ => ()
         }
       }
       flushAudit()

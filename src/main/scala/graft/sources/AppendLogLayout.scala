@@ -50,16 +50,25 @@ object AppendLogLayout {
 
   def pointerPath(root: String): String = s"$root/_compact_gen"
   def lockPath(root: String): String = s"$root/_compact_lock"
-  def genDir(root: String, g: Long): String = f"$root/.cgen/g$g%06d"
 
-  /** (live generation, folded loose basenames); (0, empty) = plain. */
-  def state(root: String): (Long, Set[String]) =
-    if (!WarehouseFs.exists(pointerPath(root))) (0L, Set.empty)
+  /** Pointer state: (live gen dir NAME under .cgen — uniquely named,
+    * the [[CompactedLayout.genDirName]] discipline, so concurrent
+    * stagings can never clobber each other — and the folded loose
+    * basenames). (None, empty) = plain layout.
+    */
+  def liveState(root: String): (Option[String], Set[String]) =
+    if (!WarehouseFs.exists(pointerPath(root))) (None, Set.empty)
     else {
       val lines = WarehouseFs.readString(pointerPath(root)).split("\n")
-      (lines.head.trim.toLong, lines.drop(1).map(_.trim)
+      (Some(lines.head.trim), lines.drop(1).map(_.trim)
         .filter(_.nonEmpty).toSet)
     }
+
+  /** (live generation NUMBER, folded basenames); (0, empty) = plain. */
+  def state(root: String): (Long, Set[String]) = {
+    val (name, folded) = liveState(root)
+    (name.map(CompactedLayout.genNumber).getOrElse(0L), folded)
+  }
 
   private def looseFiles(root: String) =
     WarehouseFs.list(root)
@@ -70,13 +79,14 @@ object AppendLogLayout {
     * unfolded loose files as one relation.
     */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val (gen, folded) = state(root)
-    if (gen == 0L) spark.read.parquet(root)
-    else {
-      val loose = looseFiles(root)
-        .map(_.getPath.toString)
-        .filterNot(p => folded(p.substring(p.lastIndexOf('/') + 1)))
-      spark.read.parquet((genDir(root, gen) +: loose): _*)
+    val (liveName, folded) = liveState(root)
+    liveName match {
+      case None => spark.read.parquet(root)
+      case Some(n) =>
+        val loose = looseFiles(root)
+          .map(_.getPath.toString)
+          .filterNot(p => folded(p.substring(p.lastIndexOf('/') + 1)))
+        spark.read.parquet((s"$root/.cgen/$n" +: loose): _*)
     }
   }
 
@@ -88,28 +98,35 @@ object AppendLogLayout {
   def compact(spark: SparkSession, root: String,
               minLoose: Int = 8,
               targetBytes: Long = 128L << 20): Option[(Int, Int)] = {
-    val (gen, foldedOld) = state(root)
-    val loose = looseFiles(root)
-    val fresh = loose.filterNot(f => foldedOld(f.getPath.getName))
-    if (fresh.length < minLoose) return None
     require(WarehouseFs.createExclusive(lockPath(root)),
       s"another append-log compaction holds ${lockPath(root)} — if the " +
         "holder crashed the live log is intact (the pointer only " +
         "advances at commit); delete the lock and re-run")
     try {
+      // state is read UNDER the lock: read before acquire, and a fold
+      // committing in between would leave this one holding a stale
+      // generation — its stale-staging sweep would then delete the
+      // LIVE generation
+      val (liveName, foldedOld) = liveState(root)
+      val gen = liveName.map(CompactedLayout.genNumber).getOrElse(0L)
+      val loose = looseFiles(root)
+      val fresh = loose.filterNot(f => foldedOld(f.getPath.getName))
+      if (fresh.length < minLoose) return None
       // clear crashed stagings / parked generations other than live
       // (the grace window ends when the next fold begins)
       WarehouseFs.listNames(s"$root/.cgen")
-        .filter(_ != f"g$gen%06d")
+        .filter(n => !liveName.contains(n))
         .foreach(n => WarehouseFs.deleteRecursive(s"$root/.cgen/$n"))
-      val visible =
-        (if (gen == 0L) Seq.empty else Seq(genDir(root, gen))) ++
-          fresh.map(_.getPath.toString)
+      val liveDir = liveName.map(n => s"$root/.cgen/$n")
+      val visible = liveDir.toSeq ++ fresh.map(_.getPath.toString)
       val bytes = fresh.map(_.getLen).sum +
-        (if (gen == 0L) 0L
-         else WarehouseFs.list(genDir(root, gen)).map(_.getLen).sum)
+        liveDir.map(d => WarehouseFs.list(d).map(_.getLen).sum).getOrElse(0L)
       val nTarget = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      val staging = genDir(root, gen + 1)
+      // UNIQUELY named staging (the CompactedLayout discipline): a
+      // concurrent fold on an advisory-lock store stages elsewhere and
+      // can never Overwrite bytes this fold commits
+      val stagingName = CompactedLayout.genDirName(gen + 1)
+      val staging = s"$root/.cgen/$stagingName"
       spark.read.parquet(visible: _*)
         .coalesce(nTarget)
         .write.mode(SaveMode.Overwrite).parquet(staging)
@@ -120,12 +137,12 @@ object AppendLogLayout {
       // pre-commit re-check (the advisory-lock backstop): a concurrent
       // fold that won the race advanced the pointer — committing over
       // it would drop ITS fold; abort with the live state untouched
-      val (genNow, _) = state(root)
-      if (genNow != gen)
+      val (liveNow, _) = liveState(root)
+      if (liveNow != liveName)
         throw new IllegalStateException(
           s"append-log compaction of $root: the pointer advanced " +
-            s"($gen -> $genNow) during staging — a concurrent fold won; " +
-            "this staging is invisible, re-run if still needed")
+            s"($liveName -> $liveNow) during staging — a concurrent " +
+            "fold won; this staging is invisible, re-run if still needed")
       // THE COMMIT: generation + the folded manifest in one atomic
       // publish. The manifest is exactly the loose files PRESENT at
       // T0 — fresh ones folded now, previously-folded parked ones
@@ -136,7 +153,7 @@ object AppendLogLayout {
       // absent and stay visible.
       val foldedNew = loose.map(_.getPath.getName).sorted
       WarehouseFs.publishAtomic(pointerPath(root),
-        ((gen + 1).toString +: foldedNew).mkString("\n"))
+        (stagingName +: foldedNew).mkString("\n"))
       Some((fresh.length, after))
     } finally {
       // non-masking release (the rebuildAnnIndex discipline)
@@ -156,13 +173,30 @@ object AppendLogLayout {
     * (looseDropped, generationsDropped).
     */
   def vacuum(root: String): (Int, Int) = {
-    val (gen, folded) = state(root)
-    if (gen == 0L) return (0, 0)
-    val parked = looseFiles(root).filter(f => folded(f.getPath.getName))
-    parked.foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
-    val stale = WarehouseFs.listNames(s"$root/.cgen")
-      .filter(_ != f"g$gen%06d")
-    stale.foreach(n => WarehouseFs.deleteRecursive(s"$root/.cgen/$n"))
-    (parked.length, stale.length)
+    // the compactor's lock: an unlocked GC could delete a STAGED
+    // generation between a fold's staging and its pointer publish
+    // (the compactor's pre-commit re-check is the advisory backstop)
+    require(WarehouseFs.createExclusive(lockPath(root)),
+      s"another append-log compaction/GC holds ${lockPath(root)} — if " +
+        "the holder crashed the live log is intact; delete the lock " +
+        "and re-run")
+    try {
+      val (liveName, folded) = liveState(root)
+      if (liveName.isEmpty) return (0, 0)
+      val parked = looseFiles(root).filter(f => folded(f.getPath.getName))
+      parked.foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
+      val stale = WarehouseFs.listNames(s"$root/.cgen")
+        .filter(n => !liveName.contains(n))
+      stale.foreach(n => WarehouseFs.deleteRecursive(s"$root/.cgen/$n"))
+      (parked.length, stale.length)
+    } finally {
+      scala.util.Try(WarehouseFs.deleteFile(lockPath(root))) match {
+        case scala.util.Failure(e) => System.err.println(
+          s"[appendlog] stale GC lock: release of ${lockPath(root)} " +
+            s"failed (${String.valueOf(e.getMessage)}) — the GC outcome " +
+            "above stands; delete the lock manually")
+        case _ => ()
+      }
+    }
   }
 }

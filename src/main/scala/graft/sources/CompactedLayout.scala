@@ -58,24 +58,48 @@ object CompactedLayout {
     */
   def markerPath(root: String): String = s"$root/_compact_layout"
 
-  /** The per-partition commit pointer (content: the live generation). */
+  /** The per-partition commit pointer. Content: the live generation's
+    * DIR NAME under `.cgen/` (e.g. `g000002-3fa9c1d0`) — name, not
+    * number, because staging dirs are UNIQUELY named: two compactors
+    * racing on an advisory-lock store then stage into DIFFERENT dirs
+    * and the loser's abort can never have clobbered the winner's
+    * committed bytes (the Iceberg unique-data-file discipline).
+    */
   def pointerPath(partDir: String): String = s"$partDir/_compact_gen"
 
-  /** Hidden staging/committed dir of generation `g` (g >= 1). */
-  def genDir(partDir: String, g: Long): String =
-    f"$partDir/.cgen/g$g%06d"
+  /** The compactor/GC mutual-exclusion lock for the whole table —
+    * real on local/HDFS/conditional-create stores
+    * ([[WarehouseFs.createExclusive]]), advisory elsewhere, where the
+    * unique staging names + pre-commit re-checks are the backstop.
+    */
+  def lockPath(root: String): String = s"$root/_compact_lock"
 
-  /** Live generation of a partition: 0 = loose files (no pointer). */
-  def liveGen(partDir: String): Long =
+  /** A FRESH uniquely-named staging dir name for generation `g`. */
+  def genDirName(g: Long): String =
+    f"g$g%06d-" + java.util.UUID.randomUUID().toString.take(8)
+
+  /** Generation number encoded in a gen dir name ("g000002-x" → 2). */
+  def genNumber(name: String): Long = {
+    val ds = name.drop(1).takeWhile(_.isDigit)
+    if (ds.isEmpty) 0L else ds.toLong
+  }
+
+  /** The live generation's dir NAME, if a pointer has committed one. */
+  def liveGenName(partDir: String): Option[String] =
     if (WarehouseFs.exists(pointerPath(partDir)))
-      WarehouseFs.readString(pointerPath(partDir)).trim.toLong
-    else 0L
+      Some(WarehouseFs.readString(pointerPath(partDir)).trim)
+    else None
+
+  /** Live generation NUMBER of a partition: 0 = loose (no pointer). */
+  def liveGen(partDir: String): Long =
+    liveGenName(partDir).map(genNumber).getOrElse(0L)
 
   /** The directory whose parquet files ARE the partition right now. */
-  def livePartitionPath(partDir: String): String = {
-    val g = liveGen(partDir)
-    if (g == 0L) partDir else genDir(partDir, g)
-  }
+  def livePartitionPath(partDir: String): String =
+    liveGenName(partDir) match {
+      case Some(n) => s"$partDir/.cgen/$n"
+      case None => partDir
+    }
 
   def isCompacted(root: String): Boolean =
     WarehouseFs.exists(markerPath(root))

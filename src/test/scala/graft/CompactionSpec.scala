@@ -57,11 +57,12 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
       assert(nBefore === 20); assert(nAfter === 1)
     }
 
-    // the commit is a pointer, the live layout is the generation dir,
-    // and the previous loose files are PARKED (grace window), so a
-    // plain root read stays content-identical until GC
+    // the commit is a pointer naming a UNIQUE generation dir, the live
+    // layout is that dir, and the previous loose files are PARKED
+    // (grace window), so a plain root read stays content-identical
+    // until GC
     assert(CompactedLayout.liveGen(part0) === 1L)
-    assert(parquetFiles(s"$part0/.cgen/g000001").length === 1)
+    assert(parquetFiles(CompactedLayout.livePartitionPath(part0)).length === 1)
     assert(parquetFiles(part0).length === 20, "parked, not deleted")
     assert(batchSums(spark.read.parquet(s"$wh/bronze/orders")) === baseline)
 
@@ -140,8 +141,10 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     val compacted = run.compactBatches("bronze/orders")
     assert(compacted.length === 3)
     assert(batchSums(run.readTable("bronze/orders")) === baseline)
-    assert(parquetFiles(s"$part0/.cgen/g000001").length === 1,
-      "the crashed partial staging was replaced by the real generation")
+    assert(!new java.io.File(s"$part0/.cgen/g000001").exists(),
+      "the crashed partial staging must be cleared")
+    assert(parquetFiles(CompactedLayout.livePartitionPath(part0)).length === 1,
+      "the committed generation replaces the crashed staging")
   }
 
   test("a re-land reverts a compacted partition to loose files (S8)") {
@@ -212,6 +215,29 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(CompactedLayout.liveGen(part0) === 0L)
     assert(run.vacuumCompacted("bronze/orders")
       .forall(_._1 != "dwh_batch_id=B0"))
+  }
+
+  test("one compactor/GC per table: the lock excludes the second") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact_lk").toString
+    landOrders(wh)
+    val root = s"$wh/bronze/orders"
+    WarehouseFs.publishAtomic(CompactedLayout.lockPath(root), "")
+    val run = new Orchestrator.Run(spark, wh, "MAINT01")
+    val e1 = intercept[IllegalArgumentException] {
+      run.compactBatches("bronze/orders")
+    }
+    assert(e1.getMessage.contains("lock"))
+    WarehouseFs.deleteFile(CompactedLayout.lockPath(root))
+    assert(run.compactBatches("bronze/orders").length === 3,
+      "released lock: compaction proceeds (and releases its own lock)")
+    // vacuumCompacted only reaches its lock on a compacted table
+    WarehouseFs.publishAtomic(CompactedLayout.lockPath(root), "")
+    val e2 = intercept[IllegalArgumentException] {
+      run.vacuumCompacted("bronze/orders")
+    }
+    assert(e2.getMessage.contains("lock"))
+    WarehouseFs.deleteFile(CompactedLayout.lockPath(root))
+    assert(run.vacuumCompacted("bronze/orders").length === 3)
   }
 
   test("compaction refuses bucketed tables") {
