@@ -33,31 +33,42 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
+  /** ONE guarded canonicalizer for every entry point: the empty/NULL
+    * guards (a degraded feed must fail loudly, with the consequence
+    * named per call site) + the undirected canonical simple-edge frame.
+    */
+  private def guardedCanon(edges: DataFrame, who: String,
+                           emptyAdvice: String,
+                           nullConsequence: String): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+    val g = raw.agg(count(lit(1)),
+      count(when(col("src").isNotNull && col("dst").isNotNull, 1))).head()
+    require(g.getLong(0) > 0, s"$who: empty edge frame — $emptyAdvice")
+    require(g.getLong(1) == g.getLong(0),
+      s"$who: ${g.getLong(0) - g.getLong(1)} edges carry a NULL " +
+        s"endpoint — $nullConsequence; repair the edge feed")
+    raw.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+  }
+
+  private def adjOf(canon: DataFrame): DataFrame =
+    canon.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(canon.select(col("v").as("node"), col("u").as("nbr")))
+
   /** @param edges  columns `src`, `dst` (undirected; canonicalized)
     * @param rounds fixed synchronous update rounds (>= 1)
     * @return (node, community) after exactly `rounds` rounds
     */
   def run(spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"LabelPropagation: rounds must be >= 1, got $rounds")
-    val raw = edges.select(col("src"), col("dst"))
-    val g = raw.agg(count(lit(1)),
-      count(when(col("src").isNotNull && col("dst").isNotNull, 1))).head()
-    require(g.getLong(0) > 0,
-      "LabelPropagation: empty edge frame — land edges before labeling")
-    require(g.getLong(1) == g.getLong(0),
-      s"LabelPropagation: ${g.getLong(0) - g.getLong(1)} edges carry a " +
-        "NULL endpoint — their votes would silently vanish from every " +
-        "neighborhood; repair the edge feed")
-    val canon = raw
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val canon = guardedCanon(edges, "LabelPropagation",
+      "land edges before labeling",
+      "their votes would silently vanish from every neighborhood")
       .persist()
     try {
-      val adj = canon.select(col("u").as("node"), col("v").as("nbr"))
-        .unionAll(canon.select(col("v").as("node"), col("u").as("nbr")))
-        .cutLineage()
+      val adj = adjOf(canon).cutLineage()
       var labels = adj.select(col("node")).distinct()
         .select(col("node"), col("node").as("community"))
         .cutLineage()
@@ -106,29 +117,26 @@ object LabelPropagation {
     * @return (node, community) after the one move round
     */
   def refineOnce(labels: DataFrame, edges: DataFrame): DataFrame = {
-    // the run() guards verbatim: a silently empty/NULL-degraded edge
-    // frame would strip every candidate and return the input labeling
-    // (or shrink it) while looking like a clean no-gain round
-    val raw = edges.select(col("src"), col("dst"))
-    val g = raw.agg(count(lit(1)),
-      count(when(col("src").isNotNull && col("dst").isNotNull, 1))).head()
-    require(g.getLong(0) > 0,
-      "refineOnce: empty edge frame — refine against the SAME edges " +
-        "the labeling was computed on")
-    require(g.getLong(1) == g.getLong(0),
-      s"refineOnce: ${g.getLong(0) - g.getLong(1)} edges carry a NULL " +
-        "endpoint — their gains would silently vanish; repair the " +
-        "edge feed")
-    val canon = raw
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-    val adj = canon.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(canon.select(col("v").as("node"), col("u").as("nbr")))
+    // the run() guards verbatim (via guardedCanon): a silently
+    // empty/NULL-degraded edge frame would strip every candidate and
+    // return the input labeling while looking like a clean no-gain round
+    val canon = guardedCanon(edges, "refineOnce",
+      "refine against the SAME edges the labeling was computed on",
+      "their gains would silently vanish")
+    val adj = adjOf(canon)
+    refineOnceOn(adj,
+      canon.agg(count(lit(1)).as("m")),
+      adj.groupBy(col("node")).agg(count(lit(1)).as("deg")),
+      labels)
+  }
+
+  /** [[refineOnce]]'s core against PRE-BUILT shared frames — what the
+    * iterated loop calls so the per-round cost is only the
+    * label-dependent joins, not a re-canonicalization + guards.
+    */
+  private def refineOnceOn(adj: DataFrame, m: DataFrame, deg: DataFrame,
+                           labels: DataFrame): DataFrame = {
     val lab = labels.select(col("node"), col("community"))
-    val m = canon.agg(count(lit(1)).as("m"))
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val dsum = lab.join(deg, "node")
       .groupBy(col("community")).agg(sum(col("deg")).as("dc"))
     val kv = adj
@@ -204,23 +212,39 @@ object LabelPropagation {
     * [[refine]] and [[refineTrace]], so their contracts cannot drift;
     * `onRound` fires once per state (round 0 = the input labeling).
     */
+  private final case class GraphFrames(canon: DataFrame, adj: DataFrame,
+                                       m: DataFrame, deg: DataFrame)
+
   private def refineLoop(labels: DataFrame, edges: DataFrame,
                          maxRounds: Int, who: String)
-                        (onRound: (Int, Long, DataFrame) => Unit): DataFrame = {
+                        (onRound: (Int, Long, DataFrame, GraphFrames) => Unit): DataFrame = {
     require(maxRounds >= 1, s"$who: maxRounds must be >= 1, got $maxRounds")
+    // guards + label-INdependent frames ONCE for the whole loop: the
+    // canonical edge set, adjacency, m and degrees never change across
+    // rounds, so re-deriving them per round (and per modularity
+    // measurement) would multiply the fixed costs by the round count —
+    // measured ~2x on the registered trace row
+    val canon = guardedCanon(edges, who,
+      "refine against the SAME edges the labeling was computed on",
+      "their gains would silently vanish").cutLineage()
+    val adj = adjOf(canon).cutLineage()
+    val m = canon.agg(count(lit(1)).as("m"))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .cutLineage()
+    val ctx = GraphFrames(canon, adj, m, deg)
     var lab = labels.select(col("node"), col("community")).cutLineage()
-    onRound(0, 0L, lab)
+    onRound(0, 0L, lab, ctx)
     var moved = -1L
     var round = 0
     while (moved != 0L && round < maxRounds) {
       round += 1
-      val next = refineOnce(lab, edges).cutLineage()
+      val next = refineOnceOn(adj, m, deg, lab).cutLineage()
       moved = next.select(col("node"), col("community").as("c2"))
         .join(lab, "node")
         .where(col("c2") =!= col("community"))
         .count()
       lab = next
-      onRound(round, moved, lab)
+      onRound(round, moved, lab, ctx)
     }
     require(moved == 0L,
       s"$who: no fixpoint within $maxRounds rounds (last round " +
@@ -234,8 +258,10 @@ object LabelPropagation {
                   maxRounds: Int): DataFrame = {
     val spark = labels.sparkSession
     var rows = Vector.empty[(Long, Long, Row)]
-    refineLoop(labels, edges, maxRounds, "refineTrace") { (round, moved, lab) =>
-      rows :+= ((round.toLong, moved, modularity(lab, edges).head()))
+    refineLoop(labels, edges, maxRounds, "refineTrace") {
+      (round, moved, lab, ctx) =>
+        rows :+= ((round.toLong, moved,
+          modularityOn(ctx.canon, ctx.m, ctx.deg, lab).head()))
     }
     import spark.implicits._
     rows.map { case (r, mv, m) =>
@@ -250,7 +276,7 @@ object LabelPropagation {
     */
   def refine(labels: DataFrame, edges: DataFrame,
              maxRounds: Int): DataFrame =
-    refineLoop(labels, edges, maxRounds, "refine")((_, _, _) => ())
+    refineLoop(labels, edges, maxRounds, "refine")((_, _, _, _) => ())
 
   /** Newman–Girvan modularity of a labeling on the INTEGER LATTICE —
     * the measure-don't-assume row every heuristic operator carries,
@@ -279,39 +305,36 @@ object LabelPropagation {
     *         modularity_den, modularity_ppm)
     */
   def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
-    // the run()/refineOnce() guards verbatim: the self-loop predicate
-    // below silently DROPS NULL-endpoint edges, deflating m and skewing
-    // num/den/ppm on a degraded feed — and this row is a MEASUREMENT
-    // consumers threshold on, the one place a silent quality number is
-    // worst. Same empty-frame refusal: Q of nothing is not 0, it is
-    // "no edges landed".
-    val rawq = edges.select(col("src"), col("dst"))
-    val gq = rawq.agg(count(lit(1)),
-      count(when(col("src").isNotNull && col("dst").isNotNull, 1))).head()
-    require(gq.getLong(0) > 0,
-      "modularity: empty edge frame — measure against the SAME edges " +
-        "the labeling was computed on")
-    require(gq.getLong(1) == gq.getLong(0),
-      s"modularity: ${gq.getLong(0) - gq.getLong(1)} edges carry a NULL " +
-        "endpoint — they would silently deflate m and skew the reported " +
-        "num/den/ppm; repair the edge feed")
-    val canon = rawq
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    // the run()/refineOnce() guards (via guardedCanon): the self-loop
+    // predicate silently DROPS NULL-endpoint edges, deflating m and
+    // skewing num/den/ppm on a degraded feed — and this row is a
+    // MEASUREMENT consumers threshold on, the one place a silent
+    // quality number is worst. Same empty-frame refusal: Q of nothing
+    // is not 0, it is "no edges landed".
+    val canon = guardedCanon(edges, "modularity",
+      "measure against the SAME edges the labeling was computed on",
+      "they would silently deflate m and skew the reported num/den/ppm")
+    val adj = adjOf(canon)
+    modularityOn(canon,
+      canon.agg(count(lit(1)).as("m")),
+      adj.groupBy(col("node")).agg(count(lit(1)).as("deg")),
+      labels)
+  }
+
+  /** [[modularity]]'s core against PRE-BUILT shared frames (the
+    * refineOnceOn discipline) — the iterated trace measures every
+    * round against the SAME canon/m/degree frames it refines on.
+    */
+  private def modularityOn(canon: DataFrame, m: DataFrame,
+                           degs: DataFrame, labels: DataFrame): DataFrame = {
     val lab = labels.select(col("node"), col("community"))
-    val m = canon.agg(count(lit(1)).as("m"))
     val intra = canon
       .join(lab.select(col("node").as("u"), col("community").as("cu")), "u")
       .join(lab.select(col("node").as("v"), col("community").as("cv")), "v")
       .where(col("cu") === col("cv"))
       .groupBy(col("cu").as("community"))
       .agg(count(lit(1)).as("in_e"))
-    val degs = canon.select(col("u").as("node"))
-      .unionAll(canon.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val dsum = lab.join(degs, "node")
+    val dsum = lab.join(degs.select(col("node"), col("deg")), "node")
       .groupBy(col("community")).agg(sum(col("deg")).as("dc"))
     dsum.join(intra, Seq("community"), "left")
       .crossJoin(broadcast(m)) // 1-row aggregate frame

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Timed multi-batch Orchestrator walk — the lifecycle plane's bench
   * artifact. BENCH times the registered queries; this times the
   * table-backed maintenance planes those queries' production forms
-  * depend on (land → cadence refresh → gates → ANN rebuild → vacuum),
+  * depend on (land → cadence refresh → gates → ANN rebuild →
+  * compaction → vacuum),
   * so a performance regression in the lifecycle ops is visible in the
   * round artifact instead of only in specs' pass/fail.
   *
@@ -29,7 +30,7 @@ import org.apache.spark.sql.functions._
 object LifecycleBench {
 
   val Stages: Seq[String] =
-    Seq("land", "refresh", "gates", "rebuild", "vacuum")
+    Seq("land", "refresh", "gates", "rebuild", "compact", "vacuum")
 
   /** One full walk; returns per-stage seconds in [[Stages]] order. */
   def walk(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
@@ -61,7 +62,10 @@ object LifecycleBench {
         (0 until 3).foreach { i =>
           val r = new Orchestrator.Run(spark, wh, f"B${i + 1}%04d")
           val dSlice = docs.where(col("doc_id") % 3 === i)
-          val eSlice = emb.where(col("vec_id") % 3 === i)
+          // a task-count's worth of files per batch partition (what a
+          // real multi-task landing produces) — the compact stage
+          // below then has real small files to fold
+          val eSlice = emb.where(col("vec_id") % 3 === i).repartition(4)
           r.writeBatch(dSlice, "bronze/documents")
           r.writeBatch(eSlice, "bronze/embeddings")
           r.indexDedupBatch(dSlice)
@@ -106,6 +110,23 @@ object LifecycleBench {
         b4.rebuildAnnIndex(nlist = 64, trainIters = 2)
       }
 
+      // small-file maintenance: pointer-committed partition compaction
+      // of the embeddings layer (kept whole by its retention config) +
+      // GC of the parked layout, and the audit log's append-log fold +
+      // GC — the two ops that keep file counts proportional to data,
+      // not to ingest/flush cadence. Loud non-vacuity guards, per the
+      // vacuum stage's discipline.
+      val compactS = timed {
+        require(b4.compactBatches("bronze/embeddings").nonEmpty,
+          "lifecycle walk: the compact stage rewrote nothing — the walk " +
+            "no longer exercises partition compaction")
+        b4.vacuumCompacted("bronze/embeddings")
+        require(b4.compactAuditLog(minLoose = 2).nonEmpty,
+          "lifecycle walk: the audit fold folded nothing — the walk no " +
+            "longer exercises append-log compaction")
+        b4.vacuumAuditLog()
+      }
+
       val vacuumS = timed {
         require(b4.vacuumIfConfigured("bronze/documents").nonEmpty,
           "lifecycle walk: the vacuum stage dropped nothing — the walk " +
@@ -113,7 +134,7 @@ object LifecycleBench {
         b4.flushAudit()
       }
 
-      Stages.zip(Seq(landS, refreshS, gatesS, rebuildS, vacuumS))
+      Stages.zip(Seq(landS, refreshS, gatesS, rebuildS, compactS, vacuumS))
     } finally {
       scala.util.Try(WarehouseFs.deleteRecursive(wh))
     }
