@@ -111,7 +111,8 @@ object Bench {
     "q_graph_core_numbers", "q_graph_lpa_modularity",
     "q_graph_core_gate", "q_graph_lpa_refined",
     // r19 rows: tracked from day one
-    "q_graph_louvain", "q_multimodal_neardup", "q_multimodal_neardup_recall")
+    "q_graph_louvain", "q_multimodal_neardup", "q_multimodal_neardup_recall",
+    "q_multimodal_neardup_canonical")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -196,6 +196,28 @@ object MultimodalQueries extends QueryPack {
       verifiedPairs(hs, bandFrame(hs, bandKeys4))
     }),
 
+    // The near-dup family's CLUSTER/CANONICAL face (the media mirror
+    // of q_dedup_cluster_pick): verified near-dup pairs feed the same
+    // star-contraction components operator every dedup family uses,
+    // and the canonical pick is the min-id member (keep-first — an
+    // original always beats its re-encoded variant, whose id carries
+    // the offset). One row per payload: (doc_id, component, keep).
+    // Oracle = the identical pair lattice + a recursive min-label
+    // closure.
+    "q_multimodal_neardup_canonical" -> ((s, dir) => {
+      val hs = neardupHashes(s, dir)
+      val pairs = verifiedPairs(hs, bandFrame(hs, bandKeys4))
+      val edges = pairs
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        .unionAll(pairs
+          .select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      graft.operators.ConnectedComponents
+        .minLabel(hs.select(col("doc_id").as("node")), edges)
+        .select(col("node").as("doc_id"),
+          col("component").cast("long").as("component"),
+          (col("node") === col("component")).as("keep"))
+    }),
+
     // The measure-don't-assume row beside it: 4x16 banding is
     // pigeonhole-exact only to distance 3; this A/B measures its pair
     // recall at the row's threshold (6) against an EXACT baseline
@@ -337,6 +359,22 @@ object MultimodalQueries extends QueryPack {
     "q_multimodal_neardup" ->
       (neardupHashCtes("") + neardupPairCtes(band4Sql, "") + s"""
          SELECT doc_id_a, doc_id_b, hamming FROM pairs"""),
+
+    "q_multimodal_neardup_canonical" ->
+      (neardupHashCtes("").replace("WITH docs0 AS",
+        "WITH RECURSIVE docs0 AS")
+        + neardupPairCtes(band4Sql, "") + s""",
+         comp_edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+           UNION ALL SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM pay
+           UNION
+           SELECT e.src AS node, r.lbl AS lbl
+           FROM comp_edges e JOIN reach r ON e.dst = r.node)
+         SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component,
+                node = MIN(lbl) AS keep
+         FROM reach GROUP BY node"""),
 
     "q_multimodal_neardup_recall" ->
       (neardupHashCtes(s"WHERE doc_id % $RecallMod = 0")

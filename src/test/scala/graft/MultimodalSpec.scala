@@ -169,5 +169,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].head()
     assert(r._1 > 0L && r._2 <= r._1)
     assert(r._3 === (r._2 * 1000000L) / r._1)
+    // the canonical face: every variant clusters under its original
+    // (min-id canonical — keep=false for the re-encode, true for the
+    // original), singletons keep themselves
+    val canon = graft.queries.MultimodalQueries
+      .queries("q_multimodal_neardup_canonical")(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val byId = canon.map(c => c._1 -> c).toMap
+    variantPairs.foreach { case (a, b, _) =>
+      assert(byId(b) === ((b, a, false)), s"variant $b must yield to $a")
+      assert(byId(a)._3, s"original $a must be the canonical keeper")
+    }
+    assert(canon.count(!_._3) === variantPairs.length,
+      "exactly the variants lose the canonical pick on this fixture")
   }
 }
