@@ -126,6 +126,14 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           arity("dhash64", "dhash64(payload)", args, 1, 1)
           DHash64(args(0))
+        }),
+      // phash64(payload) — integer-DCT perceptual hash, the published
+      // complement to dhash64 (graft.functions.MediaHash)
+      (new FunctionIdentifier("phash64"),
+        new ExpressionInfo(classOf[PHash64].getName, "phash64"),
+        (args: Seq[Expression]) => {
+          arity("phash64", "phash64(payload)", args, 1, 1)
+          PHash64(args(0))
         }))
 
   def install(spark: SparkSession): Unit =

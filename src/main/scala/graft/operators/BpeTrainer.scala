@@ -72,9 +72,9 @@ object BpeTrainer {
     */
   def train(wordFreq: DataFrame, numMerges: Int,
             minCount: Long = 1L): Seq[Merge] = {
-    var symFreq = wordFreq
-      .select(initSymbols(col("word")).as("syms"), col("freq"))
-      .cutLineage()
+    val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
+    var symFreq = chain.cut(wordFreq
+      .select(initSymbols(col("word")).as("syms"), col("freq")))
     val merges = Seq.newBuilder[Merge]
     var done = false
     var round = 0
@@ -88,13 +88,15 @@ object BpeTrainer {
         case Some(row) if row.getLong(2) >= minCount =>
           val m = Merge(row.getString(0), row.getString(1))
           merges += m
-          symFreq = symFreq
-            .select(applyMerge(col("syms"), m).as("syms"), col("freq"))
-            .cutLineage()
+          symFreq = chain.cut(symFreq
+            .select(applyMerge(col("syms"), m).as("syms"), col("freq")))
           round += 1
         case _ => done = true
       }
     }
+    // the result is DRIVER-side (the merge list) — no returned frame
+    // reads the checkpoints, so every round file is reclaimable now
+    chain.reclaimAll()
     merges.result()
   }
 

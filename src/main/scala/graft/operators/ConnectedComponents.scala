@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -37,13 +36,13 @@ object ConnectedComponents {
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = edges.persist() // reused every round; tiny vs the corpus
+    val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
     try {
     // Only nodes incident to an edge can ever change label — iterate
     // over that subgraph (candidate graphs are ≪ the corpus at scale)
     // and union the untouched singletons back at the end.
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("component"))
-      .cutLineage()
+    var labels = chain.cut(e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("component")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -52,12 +51,11 @@ object ConnectedComponents {
         .agg(min(col("component")).as("nbr_min"))
       // One materialization per round: checkpoint the (relabel, changed?)
       // frame, then both the convergence count and the next round read it.
-      val next = labels.join(nbrMin, col("node") === col("n2"), "left")
+      val next = chain.cut(labels.join(nbrMin, col("node") === col("n2"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
-          (col("nbr_min") < col("component")).as("chg"))
-        .cutLineage()
+          (col("nbr_min") < col("component")).as("chg")))
       changed = next.where(col("chg")).count()
       labels = next.select(col("node"), col("component"))
       iter += 1
@@ -71,7 +69,9 @@ object ConnectedComponents {
           "the cap — raise maxIters or switch to large-star/small-star")
     val isolated = nodes.join(labels.select(col("node")), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
-    labels.unionAll(isolated)
+    // reliable policy: one final materialization reclaims every round
+    // file; local policy: the untouched lazy plan (no extra cut)
+    chain.sealIfReliable(labels.unionAll(isolated))
     } finally e.unpersist()
   }
 
@@ -103,10 +103,11 @@ object ConnectedComponents {
                      maxIters: Int = 30): DataFrame = {
     // canonical form: self-loops dropped, one row per undirected edge,
     // directed larger → smaller (u > v)
-    var e = edges.where(col("src") =!= col("dst"))
+    val chain = graft.plans.Checkpoints.chain()
+    var e = chain.cut(edges.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .distinct().cutLineage()
+      .distinct())
 
     // decimal-summed hash: an ANSI-mode BIGINT sum over uniform 64-bit
     // hashes would overflow-throw; decimal(38,0) holds ~1e19 edges
@@ -136,10 +137,10 @@ object ConnectedComponents {
       val smallMin = large.groupBy(col("u").as("c")).agg(min(col("v")).as("m"))
       val small = large.join(smallMin, large("u") === smallMin("c"))
         .select(col("u"), col("v"), col("m"))
-      val next = small.where(col("v") =!= col("m"))
+      val next = chain.cut(small.where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(small.select(col("u"), col("m").as("v")).distinct())
-        .distinct().cutLineage()
+        .distinct())
 
       val cur = fingerprint(next)
       converged = cur == prev
@@ -163,6 +164,6 @@ object ConnectedComponents {
       e.select(col("u").as("node")).unionAll(e.select(col("v").as("node"))).distinct(),
       Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
-    members.unionAll(roots).unionAll(isolated)
+    chain.sealIfReliable(members.unionAll(roots).unionAll(isolated))
   }
 }

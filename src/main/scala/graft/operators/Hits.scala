@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,9 +60,10 @@ object Hits {
         s"Hits: ${total - b.getLong(1)} edges " +
           "carry a NULL endpoint — their hub/authority mass would " +
           "silently vanish from the score joins; repair the edge feed")
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .cutLineage()
+      val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
+      // PINNED: every round (and the final join) reads the node spine
+      val nodes = chain.pin(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
       def rescaled(scores: DataFrame): DataFrame = {
         // 1-row max frame, cross-joined: stays in-plan at any |V|
         val m = scores.agg(max(col("s")).as("m"))
@@ -75,20 +75,20 @@ object Hits {
       (1 to iters).foreach { _ =>
         val aRaw = e.join(hubs, e("src") === hubs("node"))
           .groupBy(e("dst").as("node")).agg(sum(col("s")).as("s"))
-        auths = rescaled(nodes.select(col("node"))
+        auths = chain.cut(rescaled(nodes.select(col("node"))
           .join(aRaw, Seq("node"), "left")
-          .select(col("node"), coalesce(col("s"), lit(0L)).as("s")))
-          .cutLineage()
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))))
         val hRaw = e.join(auths, e("dst") === auths("node"))
           .groupBy(e("src").as("node")).agg(sum(col("s")).as("s"))
-        hubs = rescaled(nodes.select(col("node"))
+        hubs = chain.cut(rescaled(nodes.select(col("node"))
           .join(hRaw, Seq("node"), "left")
-          .select(col("node"), coalesce(col("s"), lit(0L)).as("s")))
-          .cutLineage()
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))))
       }
-      nodes.select(col("node"))
+      // the final join reads the last TWO window cuts (hubs, auths) —
+      // exactly the keep=2 window; seal reclaims them under reliable
+      chain.sealIfReliable(nodes.select(col("node"))
         .join(hubs.select(col("node"), col("s").as("hub_scaled")), "node")
-        .join(auths.select(col("node"), col("s").as("auth_scaled")), "node")
+        .join(auths.select(col("node"), col("s").as("auth_scaled")), "node"))
     } finally e.unpersist()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.Checkpoints.CutOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,7 @@ object KCore {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .persist()
+    val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
     try {
       def degAmong(alive: DataFrame): DataFrame = {
         val ae = canon
@@ -79,11 +80,11 @@ object KCore {
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       }
       // full-graph degrees need no aliveness filter — one direct
-      // aggregate over the canonical edge endpoints
-      val degFull = canon.select(col("u").as("node"))
+      // aggregate over the canonical edge endpoints. PINNED: the final
+      // join reads it after the last peel round.
+      val degFull = chain.pin(canon.select(col("u").as("node"))
         .unionAll(canon.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .cutLineage()
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
       // peel: survivors(r) = nodes with deg >= k among survivors(r-1);
       // the set only shrinks, so equal counts mean equal sets — the
       // 1-row count is the whole convergence test
@@ -100,20 +101,21 @@ object KCore {
         // one job per round: the survivor count rides the checkpoint
         // materialization as an Observation instead of a second action
         val obs = org.apache.spark.sql.Observation()
-        val next = degAmong(survivors)
+        val next = chain.cut(degAmong(survivors)
           .where(col("deg") >= k)
-          .observe(obs, count(lit(1)).as("n"))
-          .cutLineage()
+          .observe(obs, count(lit(1)).as("n")))
         val n = obs.get("n").asInstanceOf[Long]
         converged = n == aliveN || n == 0L
         survivors = next
         aliveN = n
       }
-      survivors.select(col("node"), col("deg").as("deg_core"))
-        .join(degFull.select(col("node"), col("deg").as("deg_full")),
-          "node")
-        .select(col("node"), col("deg_full"), col("deg_core"))
-        .cutLineage()
+      // seal: the final cut this loop always had, now also reclaiming
+      // every round's checkpoint files under the reliable policy
+      chain.seal(
+        survivors.select(col("node"), col("deg").as("deg_core"))
+          .join(degFull.select(col("node"), col("deg").as("deg_full")),
+            "node")
+          .select(col("node"), col("deg_full"), col("deg_core")))
     } finally canon.unpersist()
   }
 
@@ -164,6 +166,7 @@ object KCore {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .persist()
+    val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
     try {
       def degAmong(alive: DataFrame): DataFrame = {
         val ae = canon
@@ -173,9 +176,9 @@ object KCore {
           .unionAll(ae.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       }
-      var survivors = canon.select(col("u").as("node"))
+      var survivors = chain.cut(canon.select(col("u").as("node"))
         .unionAll(canon.select(col("v").as("node")))
-        .distinct().cutLineage()
+        .distinct())
       var nSurv = survivors.count()
       var k = 1
       var round = 0
@@ -188,10 +191,9 @@ object KCore {
             "would mislabel every unassigned node's core; raise " +
             "maxRounds for this cascade")
         val obs = org.apache.spark.sql.Observation()
-        val degHigh = degAmong(survivors)
+        val degHigh = chain.cut(degAmong(survivors)
           .where(col("deg") >= k)
-          .observe(obs, count(lit(1)).as("n"), min(col("deg")).as("mind"))
-          .cutLineage()
+          .observe(obs, count(lit(1)).as("n"), min(col("deg")).as("mind")))
         val nHigh = obs.get("n").asInstanceOf[Long]
         if (nHigh == nSurv) {
           // nothing below k: the survivor set IS the k-core — and the
@@ -203,25 +205,23 @@ object KCore {
           // re-deriving the same degrees next round would waste the
           // round's two semi-joins per support level
           val mind = obs.get("mind").asInstanceOf[Long]
-          assigned += degHigh.where(col("deg") === mind)
-            .select(col("node"), lit(mind).as("core"))
-            .cutLineage()
+          // PINNED: every per-rung core frame is read by the final union
+          assigned += chain.pin(degHigh.where(col("deg") === mind)
+            .select(col("node"), lit(mind).as("core")))
           val obs2 = org.apache.spark.sql.Observation()
-          survivors = degHigh.where(col("deg") > mind)
+          survivors = chain.cut(degHigh.where(col("deg") > mind)
             .select(col("node"))
-            .observe(obs2, count(lit(1)).as("n"))
-            .cutLineage() // one scan of the cached frame, no joins
+            .observe(obs2, count(lit(1)).as("n"))) // one scan of the cached frame, no joins
           nSurv = obs2.get("n").asInstanceOf[Long]
           k = mind.toInt + 1
         } else {
           // peel: everyone not in degHigh — below-k nodes AND nodes
           // whose degree frame row vanished with their last neighbor —
           // leaves with core number k-1
-          assigned += survivors
+          assigned += chain.pin(survivors
             .join(degHigh.select(col("node")), Seq("node"), "left_anti")
-            .select(col("node"), lit((k - 1).toLong).as("core"))
-            .cutLineage()
-          survivors = degHigh.select(col("node")).cutLineage()
+            .select(col("node"), lit((k - 1).toLong).as("core")))
+          survivors = chain.cut(degHigh.select(col("node")))
           nSurv = nHigh
         }
       }
@@ -231,7 +231,9 @@ object KCore {
       // matching peel's behavior on the identical input
       if (frames.isEmpty)
         canon.select(col("u").as("node"), lit(0L).as("core")).limit(0)
-      else frames.reduce(_ unionAll _).cutLineage()
+      // seal: the final cut this ladder always had, now also reclaiming
+      // every rung's pinned + windowed files under the reliable policy
+      else chain.seal(frames.reduce(_ unionAll _))
     } finally canon.unpersist()
   }
 }

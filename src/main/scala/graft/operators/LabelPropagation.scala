@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.Checkpoints.CutOps
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -68,10 +68,10 @@ object LabelPropagation {
       "their votes would silently vanish from every neighborhood")
       .persist()
     try {
-      val adj = adjOf(canon).cutLineage()
-      var labels = adj.select(col("node")).distinct()
-        .select(col("node"), col("node").as("community"))
-        .cutLineage()
+      val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
+      val adj = chain.pin(adjOf(canon)) // read every round
+      var labels = chain.cut(adj.select(col("node")).distinct()
+        .select(col("node"), col("node").as("community")))
       val byVote = Window.partitionBy(col("node"))
         .orderBy(col("cnt").desc, col("community"))
       (1 to rounds).foreach { _ =>
@@ -83,9 +83,9 @@ object LabelPropagation {
           .withColumn("__rn", row_number().over(byVote))
           .where(col("__rn") === 1)
           .select(col("node"), col("community"))
-          .cutLineage()
+        labels = chain.cut(labels)
       }
-      labels
+      chain.sealIfReliable(labels)
     } finally canon.unpersist()
   }
 
@@ -224,21 +224,21 @@ object LabelPropagation {
     // rounds, so re-deriving them per round (and per modularity
     // measurement) would multiply the fixed costs by the round count —
     // measured ~2x on the registered trace row
-    val canon = guardedCanon(edges, who,
+    val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
+    val canon = chain.pin(guardedCanon(edges, who,
       "refine against the SAME edges the labeling was computed on",
-      "their gains would silently vanish").cutLineage()
-    val adj = adjOf(canon).cutLineage()
+      "their gains would silently vanish"))
+    val adj = chain.pin(adjOf(canon))
     val m = canon.agg(count(lit(1)).as("m"))
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .cutLineage()
+    val deg = chain.pin(adj.groupBy(col("node")).agg(count(lit(1)).as("deg")))
     val ctx = GraphFrames(canon, adj, m, deg)
-    var lab = labels.select(col("node"), col("community")).cutLineage()
+    var lab = chain.cut(labels.select(col("node"), col("community")))
     onRound(0, 0L, lab, ctx)
     var moved = -1L
     var round = 0
     while (moved != 0L && round < maxRounds) {
       round += 1
-      val next = refineOnceOn(adj, m, deg, lab).cutLineage()
+      val next = chain.cut(refineOnceOn(adj, m, deg, lab))
       moved = next.select(col("node"), col("community").as("c2"))
         .join(lab, "node")
         .where(col("c2") =!= col("community"))
@@ -251,7 +251,7 @@ object LabelPropagation {
         s"still moved $moved nodes) — raise maxRounds; publishing a " +
         "non-fixpoint labeling as refined would mislabel the " +
         "communities later rounds merge")
-    lab
+    chain.sealIfReliable(lab)
   }
 
   def refineTrace(labels: DataFrame, edges: DataFrame,

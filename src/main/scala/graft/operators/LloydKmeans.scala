@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.plans.Checkpoints.CutOps
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -55,6 +54,7 @@ object LloydKmeans {
     */
   def train(vs: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
     var cents = seed
     for (_ <- 1 to iters) {
       cents = assignNearest(vs, cents).join(vs, "vec_id")
@@ -65,8 +65,10 @@ object LloydKmeans {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           e => e.getField("m")).as("cv"))
-        .cutLineage()
+      cents = chain.cut(cents)
     }
+    // the returned frame is the LAST cut (inside the keep window);
+    // earlier rounds' files were reclaimed as the window advanced
     cents
   }
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.plans.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -78,25 +77,25 @@ object PageRank {
     * with its teleport term and initial rank.
     */
   private def loop(ewt: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
     // The node spine: every node. Each round's aggregation only yields
     // rows for nodes with IN-edges; left-joining the shares back onto
     // the spine keeps zero-in-degree nodes (out-edges only — ubiquitous
     // in crawl graphs) in the frame at rank = teleport, so their
     // outgoing contributions survive into the next round instead of
-    // silently vanishing.
-    val spine = init.cutLineage()
+    // silently vanishing. PINNED: every round joins against it.
+    val spine = chain.pin(init)
     var ranks = spine.select(col("node"), col("r0").as("r"))
     (1 to iters).foreach { _ =>
       val shares = ewt.join(ranks, ewt("src") === ranks("node"))
         .select(col("dst"), expr("(r * w) div totw").as("share"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("s"))
-      ranks = spine.join(shares, Seq("node"), "left")
+      ranks = chain.cut(spine.join(shares, Seq("node"), "left")
         .select(col("node"),
-          (col("tp") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        .cutLineage()
+          (col("tp") + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
     }
-    ranks.select(col("node"), col("r").as("rank_scaled"))
+    chain.sealIfReliable(ranks.select(col("node"), col("r").as("rank_scaled")))
   }
 
   /** Loud dangling-node guard (header contract): any node appearing as
@@ -232,11 +231,11 @@ object PageRank {
       require(n > 0, "PageRank: empty graph")
       val r0 = Scale / n
       val tp = 15L * r0 / 100L
-      val spine = nodes.join(
+      val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
+      val spine = chain.pin(nodes.join(
           ewt.select(col("src").as("node")).distinct()
             .withColumn("__o", lit(true)), Seq("node"), "left")
-        .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out"))
-        .cutLineage()
+        .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out")))
       var ranks = spine.select(col("node"), col("has_out"),
         lit(r0).as("r"))
       (1 to iters).foreach { _ =>
@@ -246,15 +245,15 @@ object PageRank {
           .select(col("dst"), expr("(r * w) div totw").as("share"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("share")).as("s"))
-        ranks = spine.join(shares, Seq("node"), "left")
+        ranks = chain.cut(spine.join(shares, Seq("node"), "left")
           .crossJoin(dang)
           .select(col("node"), col("has_out"),
             (lit(tp) +
               expr(s"(85 * (coalesce(s, 0L) + dm div ${n}L)) div 100"))
-              .as("r"))
-          .cutLineage()
+              .as("r")))
       }
-      ranks.select(col("node"), col("r").as("rank_scaled"))
+      chain.sealIfReliable(
+        ranks.select(col("node"), col("r").as("rank_scaled")))
     } finally ewt.unpersist()
   }
 

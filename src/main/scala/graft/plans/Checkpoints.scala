@@ -17,12 +17,35 @@ import org.apache.spark.sql.Dataset
   *    per-round distributed write. NOT fault-tolerant: localCheckpoint
   *    blocks lineage recompute BY DESIGN, so an executor loss mid-
   *    fixpoint (round 7 of a 13-round peel) kills the whole job.
+  *    Block storage is reclaimed by Spark's ContextCleaner when the
+  *    RDD is garbage-collected — local cuts need no GC here.
   *  - CLUSTER MODE: set `spark.graft.checkpoint.dir` to a reliable FS
   *    directory (HDFS/object store) and every cut becomes a RELIABLE
   *    `checkpoint` there — an executor loss recomputes the lost
   *    partitions from the checkpoint files and the fixpoint carries
   *    on. Cost: one distributed write per cut — pay it when the job
   *    is long enough that restart-from-zero is the bigger bill.
+  *
+  * RETENTION under the reliable policy — the part Spark does NOT do
+  * for you: checkpoint files are deleted by Spark only when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  * FALSE), and even then only when the JVM happens to garbage-collect
+  * the RDD — a 13-round peel over a 100 TB frame would otherwise park
+  * rounds × frame-size in the checkpoint dir forever. Every fixpoint
+  * loop in this repo therefore runs its cuts through a [[Chain]],
+  * which deletes round N−2's files deterministically the moment round
+  * N materializes (see the Chain scaladoc for why the window is 2,
+  * not 1), so the dir holds O(1) frames at any point in the loop —
+  * never O(rounds). What a chain cannot reclaim is the frames the
+  * RETURNED Dataset still reads from (reliable-checkpoint Datasets
+  * re-read their files on EVERY action): loops whose result is a
+  * lazily-composed plan end with [[Chain.sealIfReliable]] (one final
+  * materialization buys back every intermediate file), and loops
+  * whose result is driver-side data end with [[Chain.reclaimAll]].
+  * The bounded residue — the final frame per operator call — lives
+  * until the consumer is done with it; delete the checkpoint dir at
+  * job end (it is yours), or enable `cleanCheckpoints` as a belt-and-
+  * braces GC for it.
   *
   * Both branches are EAGER (the Dataset default): every operator here
   * relies on the cut materializing the round before the next round's
@@ -44,9 +67,12 @@ object Checkpoints {
   // "Checkpoint directory has not been set"
   @volatile private var registered: Option[(org.apache.spark.SparkContext, String)] = None
 
+  private def reliableDir(ds: Dataset[_]): Option[String] =
+    ds.sparkSession.conf.getOption(DirConf).filter(_.nonEmpty)
+
   /** Cut the lineage of `ds` under the configured policy. */
   def cut[T](ds: Dataset[T]): Dataset[T] =
-    ds.sparkSession.conf.getOption(DirConf).filter(_.nonEmpty) match {
+    reliableDir(ds) match {
       case Some(dir) =>
         val sc = ds.sparkSession.sparkContext
         if (!registered.exists(r => (r._1 eq sc) && r._2 == dir))
@@ -59,6 +85,111 @@ object Checkpoints {
         ds.checkpoint()
       case None => ds.localCheckpoint()
     }
+
+  /** The reliable-checkpoint directory (`<ckpt-dir>/<uuid>/rdd-N`) a
+    * cut Dataset reads from — None under the local policy (local
+    * checkpoints live in block storage, not files). The cut Dataset's
+    * plan wraps the checkpointed RDD in a LogicalRDD leaf; the RDD
+    * itself exposes its file location.
+    */
+  private[plans] def checkpointFileOf(ds: Dataset[_]): Option[String] =
+    ds.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.flatMap(_.getCheckpointFile)
+
+  /** One fixpoint loop's cut ledger — the deterministic GC for the
+    * reliable policy. Under the LOCAL policy every method degrades to
+    * the plain cut (nothing is file-backed, nothing is tracked).
+    *
+    * Window semantics: [[cut]] tracks the new frame's files and
+    * deletes the oldest tracked frame once more than `keep` are live.
+    * `keep` defaults to 2, NOT 1, because convergence loops read the
+    * PREVIOUS round after the next one materializes (the
+    * `moved`/fingerprint compare joins round N against round N−1) —
+    * a window of 1 would delete files an in-flight compare still
+    * reads. Frames the loop reads EVERY round (an adjacency, a spine,
+    * an accumulated frontier) go through [[pin]] instead — pinned
+    * files are reclaimed only by a finisher.
+    *
+    * Finishers (call exactly one, after the loop):
+    *  - [[seal]]: cut the result under BOTH policies (for loops that
+    *    already ended with a final cut — behavior-identical), then
+    *    reclaim every tracked file; the result reads only its own
+    *    files.
+    *  - [[sealIfReliable]]: under the reliable policy, [[seal]]; under
+    *    the local policy, return the result UNCHANGED — for loops
+    *    whose result is a lazily-composed plan over the last window
+    *    cuts, where adding a default-policy materialization would be
+    *    a pure cost regression (reliable mode already pays a write
+    *    per cut, so one more to reclaim O(rounds) files is the cheap
+    *    side of the trade).
+    *  - [[reclaimAll]]: delete every tracked file with NO final cut —
+    *    only for loops whose result is DRIVER-side data (a learned
+    *    merge list, a measured trace) with no returned frame reading
+    *    the checkpoints.
+    *
+    * A loop that throws mid-flight leaves its tracked files behind —
+    * the failure path favors debuggability over tidiness; job-end dir
+    * deletion is the backstop.
+    */
+  final class Chain private[Checkpoints] (keep: Int) {
+    require(keep >= 2,
+      s"Chain keep window must be >= 2 (prev/cur compares read round " +
+        s"N-1 after round N materializes), got $keep")
+    private val window = scala.collection.mutable.Queue.empty[String]
+    private val pinned = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    /** Windowed cut: round frames superseded `keep` cuts later are
+      * deleted (reliable policy only — local cuts track nothing).
+      */
+    def cut[T](ds: Dataset[T]): Dataset[T] = {
+      val out = Checkpoints.cut(ds)
+      checkpointFileOf(out).foreach { f =>
+        window.enqueue(f)
+        while (window.size > keep)
+          graft.run.WarehouseFs.deleteRecursive(window.dequeue())
+      }
+      out
+    }
+
+    /** Cut a frame the loop reads until the end (reclaimed by the
+      * finisher, never by the window).
+      */
+    def pin[T](ds: Dataset[T]): Dataset[T] = {
+      val out = Checkpoints.cut(ds)
+      checkpointFileOf(out).foreach(pinned += _)
+      out
+    }
+
+    private def reclaim(): Unit = {
+      (window ++ pinned).foreach(graft.run.WarehouseFs.deleteRecursive)
+      window.clear(); pinned.clear()
+    }
+
+    /** Final cut under BOTH policies + reclaim of every tracked file.
+      * Use where the loop already ended with a cut of its result.
+      */
+    def seal[T](ds: Dataset[T]): Dataset[T] = {
+      val out = Checkpoints.cut(ds) // out's own file is NOT tracked
+      reclaim()
+      out
+    }
+
+    /** [[seal]] under the reliable policy; the untouched plan under the
+      * local policy (no extra materialization on the default path).
+      */
+    def sealIfReliable[T](ds: Dataset[T]): Dataset[T] =
+      if (reliableDir(ds).isDefined) seal(ds) else ds
+
+    /** Reclaim every tracked file with no final cut — ONLY when the
+      * loop's result is driver-side data (nothing returned reads the
+      * checkpoint files).
+      */
+    def reclaimAll(): Unit = reclaim()
+  }
+
+  /** A fresh cut ledger for one fixpoint loop. */
+  def chain(keep: Int = 2): Chain = new Chain(keep)
 
   /** Call-site enrichment so fixpoint chains keep their shape:
     * `frame.select(...).cutLineage()`.

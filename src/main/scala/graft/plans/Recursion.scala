@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.plans.Checkpoints.CutOps
+
 import org.apache.spark.sql.DataFrame
 
 /** Iterative UNION ALL fixpoint — the Spark-side replacement for
@@ -21,14 +21,17 @@ import org.apache.spark.sql.DataFrame
 object Recursion {
   def iterate(seed: DataFrame, step: DataFrame => DataFrame,
               maxLevels: Int): DataFrame = {
-    var frontier = seed.cutLineage()
+    // every level's frontier is read by the final union — PINNED, and
+    // reclaimed (reliable policy) by one sealing materialization
+    val chain = Checkpoints.chain()
+    var frontier = chain.pin(seed)
     var acc = frontier
     var level = 1
     while (level < maxLevels && !frontier.isEmpty) {
-      frontier = step(frontier).cutLineage()
+      frontier = chain.pin(step(frontier))
       acc = acc.unionAll(frontier)
       level += 1
     }
-    acc
+    chain.sealIfReliable(acc)
   }
 }

@@ -45,6 +45,25 @@ object MultimodalQueries extends QueryPack {
     */
   private val RecallMod = 5
 
+  /** dHash-vs-pHash robustness A/B subset (doc_id % 5 == 0) and the
+    * three stub transform families it measures — each a per-byte map
+    * of the 80-byte decoded plane, each standing in for a published
+    * image-space perturbation:
+    *  - reencode: byte 5 bumped +96 mod 256 (the near-dup fixture's
+    *    mild re-compress — one grid cell moves);
+    *  - levels:   every byte +8 clamped at 255 (a monotone intensity
+    *    remap — brightness/levels). dHash is EXACTLY invariant under
+    *    strictly monotone remaps (it compares neighbors);
+    *  - dither:   alternate bytes +16/−16 clamped (per-pixel dither /
+    *    requantization noise — the published dHash weakness: near-tie
+    *    gradients flip, while pHash's low-frequency energy averages
+    *    the alternation out).
+    * Measured at the row's threshold (6): reencode ~100%/~97%
+    * (dhash/phash), levels ~100%/~100%, dither ~37%/100% — the
+    * complement is the artifact, measured, not assumed.
+    */
+  private val PhashAbMod = 5
+
   /** (doc_id, payload) for the near-dup rows: an 80-byte DECODED-PLANE
     * stand-in (5 chained md5 blocks of the text — the multimodal
     * decode stub at luma-plane size) plus the re-encoded variants.
@@ -251,12 +270,69 @@ object MultimodalQueries extends QueryPack {
             "hot-bucket cap — its pair count would silently understate; " +
             "shrink the measurement subset (RecallMod) or widen the " +
             "exact bands")), lit(true)))
-        .selectExpr("exact_pairs", "caught_pairs",
-          "CAST((CAST(caught_pairs AS DECIMAL(38,0)) * 1000000) " +
-            "div exact_pairs AS BIGINT) AS recall_ppm")
+        // the empty-baseline assert runs BEFORE the division project:
+        // under ANSI mode a Project beneath the Filter would surface an
+        // empty baseline as DIVIDE_BY_ZERO instead of this message
         .where(coalesce(assert_true(col("exact_pairs") > 0,
           lit("neardup recall: empty exact baseline — the fixture must " +
             "contain near-dup pairs in the subset")), lit(true)))
+        .selectExpr("exact_pairs", "caught_pairs",
+          "CAST((CAST(caught_pairs AS DECIMAL(38,0)) * 1000000) " +
+            "div exact_pairs AS BIGINT) AS recall_ppm")
+    }),
+
+    // dHash vs pHash ROBUSTNESS A/B — one perceptual family is a
+    // single point of failure for the media-dedup claim, so the
+    // integer-DCT pHash kernel (MediaHash.phash64 — codegen, SQL-
+    // registered, bit-exact on the CosQ quantized-cosine lattice)
+    // rides beside dHash and this row MEASURES both kernels' recall
+    // under the three stub transform families ([[PhashAbMod]] doc).
+    // Pairs are (original, variant) BY CONSTRUCTION — an equi-join on
+    // doc_id, no banding, so the A/B measures the KERNELS, not the
+    // candidate generation. Everything integer → hash-exact oracle
+    // (the pHash DCT replays in DuckDB on the same CosQ literals).
+    "q_multimodal_phash_ab" -> ((s, dir) => {
+      graft.functions.GraftExtensions.install(s)
+      val tx = coalesce(col("text"), lit(""))
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") % PhashAbMod === 0)
+        .select(col("doc_id"), concat(
+          md5(tx), md5(concat(tx, lit("1"))), md5(concat(tx, lit("2"))),
+          md5(concat(tx, lit("3"))), md5(concat(tx, lit("4")))).as("h"))
+      // per-byte hex remaps of the 80-byte plane (engine-side fixture)
+      val byteAt = "CAST(conv(substring(h, 2*i+1, 2), 16, 10) AS BIGINT)"
+      def remap(f: String) =
+        s"concat_ws('', transform(sequence(0, 79), " +
+          s"i -> lpad(hex($f), 2, '0')))"
+      val fams = docs
+        .withColumn("v_reencode",
+          expr(remap(s"IF(i = 5, ($byteAt + 96) % 256, $byteAt)")))
+        .withColumn("v_levels", expr(remap(s"least($byteAt + 8, 255)")))
+        .withColumn("v_dither", expr(remap(
+          s"IF(i % 2 = 0, least($byteAt + 16, 255), " +
+            s"greatest($byteAt - 16, 0))")))
+      val hams = fams.selectExpr("h",
+          "stack(3, 'reencode', v_reencode, 'levels', v_levels, " +
+            "'dither', v_dither) AS (family, hv)")
+        .selectExpr("family",
+          "CAST(bit_count(dhash64(unhex(h)) ^ dhash64(unhex(hv))) " +
+            "AS BIGINT) AS hd",
+          "CAST(bit_count(phash64(unhex(h)) ^ phash64(unhex(hv))) " +
+            "AS BIGINT) AS hp")
+      hams.groupBy(col("family")).agg(
+          count(lit(1)).as("pairs"),
+          sum(when(col("hd") <= NearDupMaxHamming, 1L).otherwise(0L))
+            .as("dc"),
+          sum(col("hd")).as("dsum"),
+          sum(when(col("hp") <= NearDupMaxHamming, 1L).otherwise(0L))
+            .as("pc"),
+          sum(col("hp")).as("psum"))
+        .selectExpr("family", "pairs",
+          "stack(2, 'dhash', dc, dsum, 'phash', pc, psum) " +
+            "AS (kernel, caught_pairs, hamming_sum)")
+        .selectExpr("family", "kernel", "pairs", "caught_pairs",
+          "CAST((caught_pairs * 1000000) div pairs AS BIGINT) AS recall_ppm",
+          "hamming_sum")
     }))
 
   /** Near-dup oracle lattice: replay payload bytes (md5 hex + the
@@ -355,7 +431,128 @@ object MultimodalQueries extends QueryPack {
            JOIN hsh hb ON hb.doc_id = c.b
            WHERE bit_count(xor(ha.h64, hb.h64)) <= $NearDupMaxHamming)"""
 
+  /** The [[graft.functions.MediaHash.CosQ]] quantized-cosine lattice
+    * as a 256-tuple SQL VALUES literal — the SAME integers the kernel
+    * compiled in, so the oracle's DCT is the kernel's bit-for-bit.
+    */
+  private val cosqValues: String =
+    graft.functions.MediaHash.CosQ.zipWithIndex.flatMap { case (row, u) =>
+      row.zipWithIndex.map { case (c, i) => s"($u,$i,$c)" }
+    }.mkString(",")
+
+  /** q_multimodal_phash_ab oracle: replay BOTH kernels per plane —
+    * dhash via the 72-cell gradient lattice (the neardup oracle idiom,
+    * keyed by plane), phash via the separable integer DCT on the CosQ
+    * literal, lower-median pick by ROW_NUMBER (rn=32 of 63 — a value,
+    * so duplicate coefficients cannot make it nondeterministic).
+    */
+  private val phashAbOracle: String =
+    s"""WITH docs0 AS (
+           SELECT doc_id,
+                  CONCAT(md5(COALESCE(text, '')),
+                         md5(CONCAT(COALESCE(text, ''), '1')),
+                         md5(CONCAT(COALESCE(text, ''), '2')),
+                         md5(CONCAT(COALESCE(text, ''), '3')),
+                         md5(CONCAT(COALESCE(text, ''), '4'))) AS h
+           FROM documents WHERE doc_id % $PhashAbMod = 0),
+         bytes AS MATERIALIZED (
+           SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+                  CAST(CONCAT('0x', SUBSTRING(h, CAST(2*t.i+1 AS INT), 2))
+                    AS BIGINT) AS b
+           FROM docs0, range(80) t(i)),
+         planes AS MATERIALIZED (
+           SELECT doc_id, 'orig' AS plane, i, b FROM bytes
+           UNION ALL SELECT doc_id, 'reencode', i,
+             CASE WHEN i = 5 THEN (b + 96) % 256 ELSE b END FROM bytes
+           UNION ALL SELECT doc_id, 'levels', i, LEAST(b + 8, 255) FROM bytes
+           UNION ALL SELECT doc_id, 'dither', i,
+             CASE WHEN i % 2 = 0 THEN LEAST(b + 16, 255)
+                  ELSE GREATEST(b - 16, 0) END FROM bytes),
+         cq(u, i, c) AS (SELECT * FROM (VALUES $cosqValues)),
+         dgrid AS MATERIALIZED (
+           SELECT p.doc_id, p.plane, t.k AS k, p.b AS px
+           FROM range(72) t(k) JOIN planes p ON p.i = (t.k * 80) // 72),
+         dbits AS (
+           SELECT a.doc_id, a.plane, (a.k//9)*8 + (a.k%9) AS pos,
+                  CASE WHEN a.px > b.px THEN 1 ELSE 0 END AS bit
+           FROM dgrid a JOIN dgrid b ON b.doc_id = a.doc_id
+             AND b.plane = a.plane AND b.k = a.k + 1
+           WHERE a.k % 9 < 8),
+         dhh AS (
+           SELECT doc_id, plane,
+                  SUM(CASE WHEN pos < 32
+                        THEN bit * (1::BIGINT << CAST(pos AS INT))
+                        ELSE 0 END) AS lo,
+                  SUM(CASE WHEN pos >= 32
+                        THEN bit * (1::BIGINT << CAST(pos - 32 AS INT))
+                        ELSE 0 END) AS hi
+           FROM dbits GROUP BY doc_id, plane),
+         dh AS MATERIALIZED (
+           SELECT doc_id, plane,
+                  CAST(CASE WHEN hi >= 2147483648
+                            THEN (hi - 4294967296) * 4294967296 + lo
+                            ELSE hi * 4294967296 + lo END AS BIGINT) AS h
+           FROM dhh),
+         pgrid AS MATERIALIZED (
+           SELECT p.doc_id, p.plane, t.k // 32 AS gi, t.k % 32 AS gj,
+                  p.b AS px
+           FROM range(1024) t(k) JOIN planes p ON p.i = (t.k * 80) // 1024),
+         trow AS MATERIALIZED (
+           SELECT g.doc_id, g.plane, g.gi AS i, cq.u AS v,
+                  CAST(SUM(g.px * cq.c) AS BIGINT) AS tv
+           FROM pgrid g JOIN cq ON cq.i = g.gj
+           GROUP BY g.doc_id, g.plane, g.gi, cq.u),
+         coef AS MATERIALIZED (
+           SELECT t.doc_id, t.plane, cq.u AS u, t.v AS v,
+                  CAST(SUM(cq.c * t.tv) AS BIGINT) AS cv
+           FROM trow t JOIN cq ON cq.i = t.i
+           GROUP BY t.doc_id, t.plane, cq.u, t.v),
+         pmed AS (
+           SELECT doc_id, plane, cv AS med FROM (
+             SELECT doc_id, plane, cv,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id, plane
+                                       ORDER BY cv) AS rn
+             FROM coef WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+         ph AS MATERIALIZED (
+           SELECT c.doc_id, c.plane,
+                  CAST(SUM(CASE WHEN c.cv > m.med
+                           THEN 1::BIGINT << CAST(c.u*8 + c.v - 1 AS INT)
+                           ELSE 0 END) AS BIGINT) AS h
+           FROM coef c JOIN pmed m ON m.doc_id = c.doc_id
+             AND m.plane = c.plane
+           WHERE NOT (c.u = 0 AND c.v = 0)
+           GROUP BY c.doc_id, c.plane),
+         per AS (
+           SELECT v.doc_id, v.plane AS family,
+                  CAST(bit_count(xor(dho.h, dhv.h)) AS BIGINT) AS hd,
+                  CAST(bit_count(xor(pho.h, phv.h)) AS BIGINT) AS hp
+           FROM (SELECT DISTINCT doc_id, plane FROM planes
+                 WHERE plane <> 'orig') v
+           JOIN dh dho ON dho.doc_id = v.doc_id AND dho.plane = 'orig'
+           JOIN dh dhv ON dhv.doc_id = v.doc_id AND dhv.plane = v.plane
+           JOIN ph pho ON pho.doc_id = v.doc_id AND pho.plane = 'orig'
+           JOIN ph phv ON phv.doc_id = v.doc_id AND phv.plane = v.plane)
+         SELECT family, 'dhash' AS kernel,
+                CAST(COUNT(*) AS BIGINT) AS pairs,
+                CAST(SUM(CASE WHEN hd <= $NearDupMaxHamming THEN 1 ELSE 0 END)
+                  AS BIGINT) AS caught_pairs,
+                CAST((SUM(CASE WHEN hd <= $NearDupMaxHamming THEN 1 ELSE 0 END)
+                      * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm,
+                CAST(SUM(hd) AS BIGINT) AS hamming_sum
+         FROM per GROUP BY family
+         UNION ALL
+         SELECT family, 'phash',
+                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN hp <= $NearDupMaxHamming THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST((SUM(CASE WHEN hp <= $NearDupMaxHamming THEN 1 ELSE 0 END)
+                      * 1000000) // COUNT(*) AS BIGINT),
+                CAST(SUM(hp) AS BIGINT)
+         FROM per GROUP BY family"""
+
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_phash_ab" -> phashAbOracle,
+
     "q_multimodal_neardup" ->
       (neardupHashCtes("") + neardupPairCtes(band4Sql, "") + s"""
          SELECT doc_id_a, doc_id_b, hamming FROM pairs"""),

@@ -533,6 +533,7 @@ object SimQueries extends QueryPack {
     */
   private def pqTrainedCentsFrom(s: SparkSession,
                                  coords: DataFrame): DataFrame = {
+    val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
     var cents = pqGridCents(s)
     for (_ <- 1 to LloydIters) {
       val codes = coords.join(broadcast(cents), "d")
@@ -543,14 +544,13 @@ object SimQueries extends QueryPack {
         .agg(min(struct(col("d2"), col("code").as("code"))).as("best"))
         .select(col("vec_id"), col("sub"), col("best.code").as("code"))
       // materialize per round (≤1024 codebook rows) — see ivfTrainedCents
-      cents = coords.withColumn("sub", floor(col("d") / PqSubDim))
+      cents = chain.cut(coords.withColumn("sub", floor(col("d") / PqSubDim))
         .join(codes, Seq("vec_id", "sub"))
         .groupBy(col("sub"), col("code"), col("d"))
         .agg(floor(sum(col("qval")).cast(DoubleType) / count(lit(1)))
-          .cast(LongType).as("cval"))
-        .cutLineage()
+          .cast(LongType).as("cval")))
     }
-    cents
+    cents // the last window cut; earlier rounds' files already reclaimed
   }
 
   /** Asymmetric-distance PQ search under a codebook frame: 8 code bytes

@@ -385,6 +385,30 @@ object Orchestrator {
       }
     }
 
+    /** ONE lease-aware lock acquire for every compaction/GC plane
+      * (compactBatches, vacuumCompacted, the audit-log fold/GC): fresh
+      * acquire is silent; a STALE lock (older than the configured
+      * [[WarehouseFs.LeaseConf]] lease) is reclaimed with a loud WARN
+      * audit row; a live (or lease-disabled) lock refuses with the
+      * holder's stamp and both remedies named.
+      */
+    private def acquireMaintenanceLock(lock: String, step: String,
+                                       target: String): Unit =
+      WarehouseFs.acquireLease(lock) match {
+        case Right(None) => ()
+        case Right(Some(stale)) =>
+          log(step, target, "WARN", 0,
+            s"stale maintenance lock RECLAIMED at $lock: $stale")
+          flushAudit()
+        case Left(holder) =>
+          throw new IllegalArgumentException(
+            s"another compaction/GC holds $lock ($holder) — the live " +
+              "layout is intact (pointers only advance at commit); if " +
+              "the holder crashed, delete the lock or set " +
+              s"${WarehouseFs.LeaseConf} so stale locks reclaim " +
+              "automatically, then re-run")
+      }
+
     /** Maintenance: bin-pack the small files of a layer table's batch
       * partitions into ~`targetBytes` files. Daily batch partitions
       * each land a task-count's worth of files; after a year of
@@ -467,11 +491,10 @@ object Orchestrator {
       // local/HDFS/conditional-create stores; on advisory stores the
       // UNIQUE staging names + the pre-commit re-checks below are the
       // backstop (a racing loser aborts without having touched the
-      // winner's committed bytes)
-      require(WarehouseFs.createExclusive(CompactedLayout.lockPath(root)),
-        s"another compaction/GC holds ${CompactedLayout.lockPath(root)} — " +
-          "if the holder crashed, the live layout is intact (pointers " +
-          "only advance at commit); delete the lock and re-run")
+      // winner's committed bytes). Lease-aware: a crashed holder's
+      // stale lock reclaims after WarehouseFs.LeaseConf.
+      acquireMaintenanceLock(CompactedLayout.lockPath(root),
+        "compact", table)
       val done = try {
       val parts = WarehouseFs.list(root)
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("dwh_batch_id="))
@@ -500,10 +523,15 @@ object Orchestrator {
               && f.getModificationTime >= ptrTime)
           require(stray.isEmpty,
             s"compactBatches($table): $partName has ${stray.length} loose " +
-              "file(s) NEWER than its compaction pointer — something " +
-              "appended into a compacted partition outside the S8 writer; " +
-              "the pointer-routed reads cannot see those rows. Re-land " +
-              "the batch through writeBatch (the dynamic overwrite resets " +
+              "file(s) at-or-after its compaction pointer's timestamp — " +
+              "either something appended into a compacted partition " +
+              "outside the S8 writer (the pointer-routed reads cannot " +
+              "see those rows), or the partition landed and compacted " +
+              "within ONE timestamp granule of this store (coarse mtime " +
+              "stores tie the parked files with the pointer, and a tie " +
+              "reads as stray BY DESIGN — a false refusal is loud, a " +
+              "missed append is silent loss). Either way: re-land the " +
+              "batch through writeBatch (the dynamic overwrite resets " +
               "the partition to loose files) before compacting again")
         }
         val files = WarehouseFs.list(livePath)
@@ -666,10 +694,8 @@ object Orchestrator {
       // concurrently STAGED generation whose pointer is about to
       // publish (on advisory stores the compactor's staging-intact
       // pre-commit re-check is the backstop)
-      require(WarehouseFs.createExclusive(CompactedLayout.lockPath(root)),
-        s"another compaction/GC holds ${CompactedLayout.lockPath(root)} — " +
-          "if the holder crashed, the live layout is intact; delete the " +
-          "lock and re-run")
+      acquireMaintenanceLock(CompactedLayout.lockPath(root),
+        "vacuum_compact", table)
       val done = try CompactedLayout.partitionDirs(root).flatMap { partPath =>
         val partName = partPath.substring(partPath.lastIndexOf('/') + 1)
         val liveName = CompactedLayout.liveGenName(partPath)
@@ -688,9 +714,12 @@ object Orchestrator {
           val stray = loose.filter(_.getModificationTime >= ptrTime)
           require(stray.isEmpty,
             s"vacuumCompacted($table): $partName has ${stray.length} " +
-              "loose file(s) NEWER than its compaction pointer — an " +
-              "append outside the S8 writer; GC would finalize the data " +
-              "loss. Re-land the batch through writeBatch first")
+              "loose file(s) at-or-after its compaction pointer's " +
+              "timestamp — an append outside the S8 writer (GC would " +
+              "finalize the data loss), or a land-then-compact within " +
+              "one timestamp granule of this store (a tie reads as " +
+              "stray BY DESIGN — loud false refusal over silent loss). " +
+              "Re-land the batch through writeBatch first")
           loose.foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
           val stale = WarehouseFs.listNames(s"$partPath/.cgen")
             .filter(n => !liveName.contains(n))
@@ -737,7 +766,11 @@ object Orchestrator {
       */
     def compactAuditLog(minLoose: Int = 8): Option[(Int, Int)] = {
       val out = graft.sources.AppendLogLayout.compact(
-        spark, s"$warehouse/tools/audit_log", minLoose)
+        spark, s"$warehouse/tools/audit_log", minLoose,
+        onReclaim = info => {
+          log("compact_audit", "tools/audit_log", "WARN", 0, info)
+          flushAudit()
+        })
       out.foreach { case (folded, after) =>
         log("compact_audit", "tools/audit_log", "SUCCESS", folded.toLong,
           s"$folded loose files folded -> $after generation file(s)")
@@ -752,13 +785,113 @@ object Orchestrator {
       */
     def vacuumAuditLog(): (Int, Int) = {
       val (files, gens) = graft.sources.AppendLogLayout.vacuum(
-        s"$warehouse/tools/audit_log")
+        s"$warehouse/tools/audit_log",
+        onReclaim = info => {
+          log("vacuum_audit", "tools/audit_log", "WARN", 0, info)
+          flushAudit()
+        })
       if (files + gens > 0) {
         log("vacuum_audit", "tools/audit_log", "SUCCESS", files.toLong,
           s"$files parked files, $gens stale generations dropped")
         flushAudit()
       }
       (files, gens)
+    }
+
+    /** Config-driven MAINTENANCE CADENCE — the plane that makes the
+      * lifecycle ops operable: `tools/maintenance_config.json` rows
+      * (ToolsConfig.loadMaintenance — the mv_refresh_config pattern,
+      * mirroring the reference's config-driven refresh discipline,
+      * sql/tools/ddl_tools.sql:70-110) name an op + target + `every`,
+      * and this runner fires each op once per `every` landed batches.
+      * Without it, compactBatches/compactAuditLog/vacuum* are manual
+      * calls — and a fold nobody calls prevents nothing: the audit-log
+      * small-file storm returns at production cadence the moment an
+      * operator forgets the cron line. runConfiguredBatch calls this
+      * after the MV stage, so editing a config row changes the
+      * maintenance schedule with NO recompile.
+      *
+      * Bookkeeping is the refreshIfDue discipline verbatim, per
+      * (op, target): each firing stamps its SUCCESS row with
+      * `covers=<maxLandedBatchId>`; pending = landed batches with a
+      * LATER id (zero-padded lexical order — the S9 contract), so a
+      * replayed old id is never re-counted. Landed = distinct batch
+      * ids with a write SUCCESS on the TARGET table for the table ops,
+      * on ANY table for the audit-plane ops (every batch run flushes
+      * audit rows, so any landing advances their clock).
+      *
+      * Failure scope: an unknown op or a refusing op (e.g. the
+      * stray-append detector) lands a FAILED row for THAT op and the
+      * runner continues — config error ≠ run abort (the transform
+      * discipline); the op stays due and re-fires next landing once
+      * healed.
+      *
+      * @return one (op, target, outcome) per enabled row:
+      *         RAN / SKIPPED_CADENCE / FAILED
+      */
+    def runMaintenanceIfDue(): Seq[(String, String, String)] = {
+      val rows = ToolsConfig.loadMaintenance(spark, warehouse)
+      if (rows.isEmpty) return Seq.empty
+      flushAudit() // the cadence reads the PERSISTED audit plane
+      val path = s"$warehouse/tools/audit_log"
+      val audit =
+        if (!WarehouseFs.exists(path)) None
+        else Some(graft.sources.AppendLogLayout.read(spark, path))
+      rows.map { r =>
+        val key = s"${r.op}:${r.target}"
+        val landed: Seq[String] = audit.toSeq.flatMap { a =>
+          val writes = a.where(col("step") === "write"
+            && col("status") === "SUCCESS")
+          val scoped =
+            if (r.op == "compact_audit" || r.op == "vacuum_audit") writes
+            else writes.where(col("target") === r.target)
+          scoped.select("batchId").distinct().collect().map(_.getString(0))
+        }
+        val covered: String = audit.toSeq.flatMap(
+          _.where(col("step") === "maintenance" && col("target") === key
+              && col("status") === "SUCCESS"
+              && col("message").startsWith("covers="))
+            .select("message").collect().map(_.getString(0)))
+          .map(_.split("\\|")(0).stripPrefix("covers="))
+          .maxOption.getOrElse("")
+        val pending = landed.filter(_ > covered)
+        if (pending.size < r.every) {
+          log("maintenance", key, "SKIPPED_CADENCE", 0,
+            s"pending=${pending.size} < every=${r.every}")
+          (r.op, r.target, "SKIPPED_CADENCE")
+        } else {
+          val stamp = s"covers=${(landed :+ covered).max}"
+          try {
+            val detail = r.op match {
+              case "compact_batches" =>
+                val done = compactBatches(r.target)
+                s"$stamp|partitions=${done.length}"
+              case "vacuum_compacted" =>
+                val done = vacuumCompacted(r.target)
+                s"$stamp|partitions=${done.length}"
+              case "compact_audit" =>
+                val done = compactAuditLog()
+                s"$stamp|folded=${done.map(_._1).getOrElse(0)}"
+              case "vacuum_audit" =>
+                val (f, g) = vacuumAuditLog()
+                s"$stamp|files=$f|gens=$g"
+              case other => throw new IllegalArgumentException(
+                s"unknown maintenance op '$other' — supported: " +
+                  "compact_batches, vacuum_compacted, compact_audit, " +
+                  "vacuum_audit")
+            }
+            log("maintenance", key, "SUCCESS", pending.size.toLong, detail)
+            flushAudit()
+            (r.op, r.target, "RAN")
+          } catch {
+            case e: Exception =>
+              log("maintenance", key, "FAILED", 0,
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+              flushAudit()
+              (r.op, r.target, "FAILED")
+          }
+        }
+      }
     }
 
     /** S9: batch-pruned read of a layer table (partition pruning — the
@@ -2494,6 +2627,11 @@ object Orchestrator {
         run, refDate)))
     run.refreshViewsIncremental(inc.map(ms =>
       ms.step -> incSpecs(ms.builder)))
+
+    // maintenance: maintenance_config rows (opt-in — absent file means
+    // none), each op firing once per its `every` landed batches; a
+    // failing op lands FAILED and never aborts the batch
+    run.runMaintenanceIfDue()
     run
   }
 }

@@ -31,6 +31,8 @@ object ToolsConfig {
   // ---------------------------------------------------------------- paths
 
   private def toolsDir(warehouse: String) = s"$warehouse/tools"
+  def maintenanceConfigPath(warehouse: String) =
+    s"${toolsDir(warehouse)}/maintenance_config.json"
   def integrationConfigPath(warehouse: String) =
     s"${toolsDir(warehouse)}/integration_config.json"
   def dependenciesPath(warehouse: String) =
@@ -180,6 +182,55 @@ object ToolsConfig {
           "retention"))
       keep
     }
+  }
+
+  /** One maintenance_config row: a lifecycle op
+    * (compact_batches / vacuum_compacted / compact_audit / vacuum_audit)
+    * to run once per `every` landed batches against `target` (a layer
+    * table for the table ops; ignored by the audit ops, whose target is
+    * always tools/audit_log).
+    */
+  final case class MaintRow(op: String, target: String, every: Int)
+
+  /** maintenance_config rows — the cadence plane for the warehouse's
+    * lifecycle ops (Run.runMaintenanceIfDue). OPT-IN like retention: a
+    * missing file means no automated maintenance (compaction rewrites
+    * bytes and vacuum deletes them — neither should surprise an
+    * operator), and a disabled row never fires. `every` follows the
+    * refresh_every contract: default 1 (fire on every landed batch),
+    * loud integer parse, non-positive refused — a silently-zero cadence
+    * would freeze the op while looking configured.
+    */
+  def loadMaintenance(spark: SparkSession,
+                      warehouse: String): Seq[MaintRow] = {
+    val p = maintenanceConfigPath(warehouse)
+    if (!WarehouseFs.exists(p)) Seq.empty
+    else spark.read
+      .schema("op STRING, target_table STRING, every STRING, enabled BOOLEAN")
+      .json(p)
+      .collect()
+      .filter(r => r.isNullAt(3) || r.getBoolean(3))
+      .map { r =>
+        val op = r.getString(0)
+        val every =
+          if (r.isNullAt(2)) 1
+          else {
+            val raw = r.getString(2).trim
+            try raw.toInt
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"maintenance every for '$op' is '$raw' — not an " +
+                    "integer; fix the config row (a silently ignored " +
+                    "value would leave the cadence default while " +
+                    "looking configured)")
+            }
+          }
+        require(every >= 1,
+          s"maintenance every for '$op' must be >= 1, got $every — a " +
+            "non-positive cadence would freeze the op forever")
+        MaintRow(op, Option(r.getString(1)).getOrElse(""), every)
+      }.toSeq
   }
 
   /** transformation_config rows: bronze→silver steps in file order.

@@ -203,6 +203,67 @@ object WarehouseFs {
     }
   }
 
+  /** Session conf: maintenance-lock lease in milliseconds. 0 (the
+    * default) = leases OFF — a crashed holder's lock blocks its plane
+    * until a human deletes it (the conservative failure mode). A
+    * positive value makes every maintenance lock a LEASE: a lock older
+    * than this is reclaimed with a loud audit row instead of blocking
+    * forever — the operable form at fleet scale. Size it well above
+    * the longest real fold/GC on the deployment: a too-short lease
+    * reclaims a LIVE holder's lock and two compactors run — the
+    * staging-intact + pointer pre-commit re-checks remain the safety
+    * net there (the loser aborts loudly, committed state untouched).
+    */
+  val LeaseConf = "spark.graft.lock.lease.ms"
+
+  private def configuredLeaseMs(): Long =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(LeaseConf)).map(_.trim.toLong).getOrElse(0L)
+
+  /** This process's lock-owner stamp (pid@host — diagnostics only). */
+  private def ownerId(): String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+
+  /** Acquire a maintenance lock at `p`, reclaiming a stale one when a
+    * lease is configured ([[LeaseConf]]).
+    *
+    * @return Right(None) = acquired fresh; Right(Some(staleInfo)) =
+    *         acquired by reclaiming a lock older than the lease (the
+    *         caller MUST surface staleInfo loudly — an audit row);
+    *         Left(holderInfo) = a live (or lease-disabled) lock blocks.
+    *
+    * Age comes from the lock file's store mtime (authoritative), the
+    * owner stamp inside is diagnostics. The reclaim (delete + retry)
+    * is not atomic: two reclaimers race the re-create and exactly one
+    * wins on exclusive-create stores; on advisory stores the callers'
+    * pre-commit re-checks stay the net, as for every lock here.
+    */
+  def acquireLease(p: String): Either[String, Option[String]] = {
+    val leaseMs = configuredLeaseMs()
+    def stamp(): Unit = scala.util.Try(
+      publishAtomic(p, s"owner=${ownerId()} acquired_ms=${System.currentTimeMillis()}"))
+    def holderInfo(): String =
+      (scala.util.Try(readString(p)).toOption.filter(_.nonEmpty)
+        .getOrElse("<no owner stamp>")) +
+        scala.util.Try(s" age_ms=${System.currentTimeMillis() - modTime(p)}")
+          .getOrElse("")
+    if (createExclusive(p)) { stamp(); Right(None) }
+    else {
+      val age = scala.util.Try(
+        System.currentTimeMillis() - modTime(p)).getOrElse(-1L)
+      if (age < 0) {
+        // the holder released between our create-fail and the stat —
+        // one immediate retry; a second loss is a genuine live holder
+        if (createExclusive(p)) { stamp(); Right(None) } else Left(holderInfo())
+      } else if (leaseMs > 0 && age > leaseMs) {
+        val stale = s"${holderInfo()} exceeded lease=${leaseMs}ms"
+        deleteFile(p)
+        if (createExclusive(p)) { stamp(); Right(Some(stale)) }
+        else Left(holderInfo() + " (stale lock reclaimed and immediately re-acquired by another)")
+      } else Left(holderInfo())
+    }
+  }
+
   /** Conditional-create path capability (HADOOP-19256: S3 conditional
     * writes — the If-None-Match PUT). Probed as a LITERAL string
     * because the bundled Hadoop 3.4.2's CommonPathCapabilities does

@@ -51,6 +51,35 @@ object AppendLogLayout {
   def pointerPath(root: String): String = s"$root/_compact_gen"
   def lockPath(root: String): String = s"$root/_compact_lock"
 
+  /** Lease-aware lock acquire (the Orchestrator.acquireMaintenanceLock
+    * discipline): fresh acquire is silent, a stale lock (older than
+    * [[WarehouseFs.LeaseConf]]) reclaims through `onReclaim` — the
+    * Run-level wrappers route that to a WARN audit row; the default
+    * surfaces it on stderr for direct callers.
+    */
+  private def acquireLock(root: String, what: String,
+                          onReclaim: String => Unit): Unit =
+    WarehouseFs.acquireLease(lockPath(root)) match {
+      case Right(None) => ()
+      case Right(Some(stale)) => onReclaim(
+        s"stale append-log lock RECLAIMED at ${lockPath(root)}: $stale")
+      case Left(holder) => throw new IllegalArgumentException(
+        s"another append-log compaction/GC holds ${lockPath(root)} " +
+          s"($holder) — the live log is intact (the pointer only " +
+          "advances at commit); if the holder crashed, delete the lock " +
+          s"or set ${WarehouseFs.LeaseConf} so stale locks reclaim " +
+          s"automatically, then re-run the $what")
+    }
+
+  private def defaultOnReclaim(info: String): Unit =
+    System.err.println(s"[appendlog] $info")
+
+  /** Race-injection seam for specs ONLY: runs between staging and the
+    * pre-commit re-checks, where a concurrent fold/GC on an
+    * advisory-lock store could interleave. Production never sets it.
+    */
+  private[graft] var raceBeforeCommit: () => Unit = () => ()
+
   /** Pointer state: (live gen dir NAME under .cgen — uniquely named,
     * the [[CompactedLayout.genDirName]] discipline, so concurrent
     * stagings can never clobber each other — and the folded loose
@@ -97,11 +126,10 @@ object AppendLogLayout {
     */
   def compact(spark: SparkSession, root: String,
               minLoose: Int = 8,
-              targetBytes: Long = 128L << 20): Option[(Int, Int)] = {
-    require(WarehouseFs.createExclusive(lockPath(root)),
-      s"another append-log compaction holds ${lockPath(root)} — if the " +
-        "holder crashed the live log is intact (the pointer only " +
-        "advances at commit); delete the lock and re-run")
+              targetBytes: Long = 128L << 20,
+              onReclaim: String => Unit = defaultOnReclaim)
+      : Option[(Int, Int)] = {
+    acquireLock(root, "compaction", onReclaim)
     try {
       // state is read UNDER the lock: read before acquire, and a fold
       // committing in between would leave this one holding a stale
@@ -134,15 +162,29 @@ object AppendLogLayout {
         .filterNot(_.getPath.getName.endsWith(".parquet"))
         .foreach(f => WarehouseFs.deleteFile(f.getPath.toString))
       val after = WarehouseFs.listNames(staging).count(_.endsWith(".parquet"))
-      // pre-commit re-check (the advisory-lock backstop): a concurrent
-      // fold that won the race advanced the pointer — committing over
-      // it would drop ITS fold; abort with the live state untouched
+      raceBeforeCommit() // spec seam: injects the concurrent-GC race
+      // pre-commit re-checks (the advisory-lock backstops, mirroring
+      // compactBatches): (a) a concurrent fold that won the race
+      // advanced the pointer — committing over it would drop ITS fold;
+      // (b) the staging must still be intact — a concurrent vacuum
+      // (lock-blind on an advisory store) deletes every non-live .cgen
+      // dir, INCLUDING an in-flight staging, and check (a) cannot see
+      // that: publishing a pointer at a deleted/damaged staging would
+      // break every audit-log read until manually healed. Both abort
+      // loudly with the live state untouched.
       val (liveNow, _) = liveState(root)
       if (liveNow != liveName)
         throw new IllegalStateException(
           s"append-log compaction of $root: the pointer advanced " +
             s"($liveName -> $liveNow) during staging — a concurrent " +
             "fold won; this staging is invisible, re-run if still needed")
+      if (WarehouseFs.listNames(staging).count(_.endsWith(".parquet"))
+          != after)
+        throw new IllegalStateException(
+          s"append-log compaction of $root: the staged generation " +
+            "was disturbed before commit (a concurrent GC on an " +
+            "advisory-lock store?) — refusing to publish a pointer at " +
+            "damaged staging; the live log is untouched, re-run the fold")
       // THE COMMIT: generation + the folded manifest in one atomic
       // publish. The manifest is exactly the loose files PRESENT at
       // T0 — fresh ones folded now, previously-folded parked ones
@@ -172,14 +214,14 @@ object AppendLogLayout {
     * readers' grace window has passed. Returns
     * (looseDropped, generationsDropped).
     */
-  def vacuum(root: String): (Int, Int) = {
+  def vacuum(root: String,
+             onReclaim: String => Unit = defaultOnReclaim): (Int, Int) = {
     // the compactor's lock: an unlocked GC could delete a STAGED
-    // generation between a fold's staging and its pointer publish
-    // (the compactor's pre-commit re-check is the advisory backstop)
-    require(WarehouseFs.createExclusive(lockPath(root)),
-      s"another append-log compaction/GC holds ${lockPath(root)} — if " +
-        "the holder crashed the live log is intact; delete the lock " +
-        "and re-run")
+    // generation between a fold's staging and its pointer publish (on
+    // advisory-lock stores the compactor's staging-intact pre-commit
+    // re-check — backstop (b) in compact — catches exactly that and
+    // aborts the fold instead of committing at the deleted staging)
+    acquireLock(root, "GC", onReclaim)
     try {
       val (liveName, folded) = liveState(root)
       if (liveName.isEmpty) return (0, 0)

@@ -217,9 +217,15 @@ object StreamingJobs {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val run = new graft.run.Orchestrator.Run(
           batch.sparkSession, warehouse, f"$batchPrefix${scope}_$id%06d")
-        val b = batch.toDF().cutLineage() // two sinks, one compute
+        // two sinks, one compute — chained so the per-micro-batch cut's
+        // reliable-checkpoint files are reclaimed once both sinks have
+        // landed (an unmanaged cut here would leak one frame per
+        // micro-batch for the stream's whole life)
+        val chain = graft.plans.Checkpoints.chain()
+        val b = chain.cut(batch.toDF())
         run.writeBatch(b, "bronze/embeddings")
         run.indexAnnBatch(b, nlist)
+        chain.reclaimAll()
         ()
       }
       .outputMode("append")

@@ -108,6 +108,35 @@ class AuditLogCompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(AppendLogLayout.state(root)._1 === 1L)
   }
 
+  test("staging deleted mid-fold (lock-blind GC) aborts the commit, log intact") {
+    // the r19 advisory hole: on advisory-lock stores a concurrent
+    // vacuum can delete the in-flight staging between staging and
+    // publish — the pointer-advancement re-check cannot see that, so a
+    // dedicated staging-intact re-check must abort BEFORE publishing a
+    // pointer at the deleted generation (which would break every read)
+    val wh = java.nio.file.Files.createTempDirectory("graft_auditc4").toString
+    val root = s"$wh/tools/audit_log"
+    (1 to 8).foreach(i => land(wh, f"B$i%04d"))
+    val n = AppendLogLayout.read(spark, root).count()
+    AppendLogLayout.raceBeforeCommit = () =>
+      WarehouseFs.listNames(s"$root/.cgen")
+        .foreach(g => WarehouseFs.deleteRecursive(s"$root/.cgen/$g"))
+    try {
+      val e = intercept[IllegalStateException] {
+        AppendLogLayout.compact(spark, root, minLoose = 8)
+      }
+      assert(e.getMessage.contains("disturbed"))
+    } finally AppendLogLayout.raceBeforeCommit = () => ()
+    // the pointer never advanced and every read still serves the log
+    assert(AppendLogLayout.state(root)._1 === 0L)
+    assert(AppendLogLayout.read(spark, root).count() === n)
+    assert(Orchestrator.completedTargets(spark, wh, "B0003")
+      === Set("bronze/t"))
+    // the lock was released on the abort path; a re-run heals
+    assert(AppendLogLayout.compact(spark, root, minLoose = 8).nonEmpty)
+    assert(AppendLogLayout.read(spark, root).count() === n)
+  }
+
   test("a concurrent fold's lock excludes the second compactor") {
     val wh = java.nio.file.Files.createTempDirectory("graft_auditc3").toString
     (1 to 8).foreach(i => land(wh, f"B$i%04d"))

@@ -55,6 +55,77 @@ class CheckpointsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset(Checkpoints.DirConf)
   }
 
+  private def rddDirCount(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      Option(f.listFiles()).getOrElse(Array.empty).map { c =>
+        (if (c.isDirectory) walk(c) else 0) +
+          (if (c.getName.startsWith("rdd-")) 1 else 0)
+      }.sum
+    walk(new java.io.File(dir))
+  }
+
+  test("reliable policy: chain GC keeps the dir O(1) across a >=5-round fixpoint") {
+    // a 10-node path: min-label needs ~9 propagation rounds — without
+    // the Chain GC the dir would hold one rdd-* dir per round (>= 10);
+    // with it, the window deletes superseded rounds as the loop runs
+    // and sealIfReliable reclaims the rest behind one final frame
+    val path = (0 until 9).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val pathSym = path.unionAll(
+      path.select(col("dst").as("src"), col("src").as("dst")))
+    val pathNodes = pathSym.select(col("src").as("node")).distinct()
+
+    val defaultAnswer = graft.operators.ConnectedComponents
+      .minLabel(pathNodes, pathSym).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_gc").toString
+    spark.conf.set(Checkpoints.DirConf, dir)
+    try {
+      val labels = graft.operators.ConnectedComponents
+        .minLabel(pathNodes, pathSym)
+      // the sealed result stays readable across repeated actions
+      assert(labels.collect().map(r => (r.getString(0), r.getString(1)))
+        .toSet === defaultAnswer)
+      assert(labels.count() === 10L)
+      assert(rddDirCount(dir) === 1,
+        s"expected exactly the sealed frame's checkpoint in $dir " +
+          s"(rounds reclaimed), found ${rddDirCount(dir)}")
+
+      // the ladder form: pins (per-rung core frames) + window cuts,
+      // sealed behind the final union — same O(1) contract
+      val core = graft.operators.KCore
+        .coreNumbers(spark, pathSym, maxRounds = 50)
+      assert(core.count() === 10L)
+      assert(rddDirCount(dir) === 2, // minLabel's seal + coreNumbers' seal
+        s"expected only the two sealed frames in $dir, found ${rddDirCount(dir)}")
+    } finally {
+      spark.conf.unset(Checkpoints.DirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("chain window: mid-loop file count never exceeds keep + pins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_win").toString
+    spark.conf.set(Checkpoints.DirConf, dir)
+    try {
+      val chain = Checkpoints.chain()
+      val pinned = chain.pin(Seq(1, 2, 3).toDF("x")) // survives the window
+      var frame = Seq(0).toDF("v")
+      (1 to 6).foreach { i =>
+        frame = chain.cut(frame.select((col("v") + i).as("v")))
+        assert(rddDirCount(dir) <= 3, // 1 pin + keep(2) window
+          s"round $i: ${rddDirCount(dir)} checkpoint dirs — the window leaked")
+      }
+      assert(frame.head().getInt(0) === 21) // the chain computed correctly
+      assert(pinned.count() === 3L) // the pin is still readable
+      chain.reclaimAll()
+      assert(rddDirCount(dir) === 0, "reclaimAll left files behind")
+    } finally {
+      spark.conf.unset(Checkpoints.DirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("default policy stays local: nothing written to a stale dir conf") {
     // after the unset above, cuts must be local again — a fresh dir
     // configured then unset must stay empty across an operator run

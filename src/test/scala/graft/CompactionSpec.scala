@@ -203,11 +203,15 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     val e1 = intercept[IllegalArgumentException] {
       run.vacuumCompacted("bronze/orders")
     }
-    assert(e1.getMessage.contains("NEWER"))
+    assert(e1.getMessage.contains("at-or-after"))
+    // the refusal names the timestamp-tie possibility so an operator
+    // on a coarse-mtime store doesn't chase a phantom writer
+    assert(e1.getMessage.contains("granule"))
     val e2 = intercept[IllegalArgumentException] {
       run.compactBatches("bronze/orders")
     }
-    assert(e2.getMessage.contains("NEWER"))
+    assert(e2.getMessage.contains("at-or-after"))
+    assert(e2.getMessage.contains("granule"))
     // the prescription heals: re-land resets the partition to loose
     new Orchestrator.Run(spark, wh, "B0").writeBatch(
       spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(10),
@@ -238,6 +242,51 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("lock"))
     WarehouseFs.deleteFile(CompactedLayout.lockPath(root))
     assert(run.vacuumCompacted("bronze/orders").length === 3)
+  }
+
+  test("lease walk: fresh lock blocks, stale lock reclaims with an audit row") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact_ls").toString
+    landOrders(wh)
+    val root = s"$wh/bronze/orders"
+    val lock = CompactedLayout.lockPath(root)
+    val run = new Orchestrator.Run(spark, wh, "MAINT01")
+    spark.conf.set(WarehouseFs.LeaseConf, "60000")
+    try {
+      // FRESH foreign lock (age 0 < lease): still blocks, holder named
+      WarehouseFs.publishAtomic(lock, "owner=somebody-else acquired_ms=0")
+      val e = intercept[IllegalArgumentException] {
+        run.compactBatches("bronze/orders")
+      }
+      assert(e.getMessage.contains("lock")
+        && e.getMessage.contains("somebody-else"))
+
+      // STALE lock (age > lease): reclaimed loudly, the op proceeds
+      assert(new java.io.File(lock)
+        .setLastModified(System.currentTimeMillis() - 120000))
+      assert(run.compactBatches("bronze/orders").length === 3,
+        "stale lock must reclaim and the compaction proceed")
+      val reclaims = run.auditLog.filter(l => l.step == "compact"
+        && l.status == "WARN" && l.message.contains("RECLAIMED"))
+      assert(reclaims.nonEmpty, "the reclaim must land a loud audit row")
+      assert(reclaims.head.message.contains("somebody-else"),
+        "the audit row names the displaced holder's stamp")
+      // the winner released its own lock on the way out
+      assert(!new java.io.File(lock).exists())
+
+      // lease OFF (the default): even an ancient lock blocks
+      spark.conf.unset(WarehouseFs.LeaseConf)
+      WarehouseFs.publishAtomic(lock, "owner=crashed acquired_ms=0")
+      assert(new java.io.File(lock)
+        .setLastModified(System.currentTimeMillis() - 600000))
+      val e2 = intercept[IllegalArgumentException] {
+        run.vacuumCompacted("bronze/orders")
+      }
+      assert(e2.getMessage.contains(WarehouseFs.LeaseConf),
+        "the refusal must name the lease conf as the remedy")
+    } finally {
+      spark.conf.unset(WarehouseFs.LeaseConf)
+      WarehouseFs.deleteFile(lock)
+    }
   }
 
   test("compaction refuses bucketed tables") {

@@ -141,6 +141,75 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql === -1L)
   }
 
+  test("phash64: integer-DCT bits, nonnegative, SQL-registered, complements dhash") {
+    import graft.functions.MediaHash
+    import spark.implicits._
+    assert(MediaHash.phash64(Array.emptyByteArray) === 0L,
+      "empty payload: no coefficients")
+    // bits live at positions 0..62 (DC dropped), so the hash is always
+    // nonnegative — the oracle reassembles it without two's-complement
+    val payloads = (0 until 50).map { s =>
+      Array.tabulate(80)(i => ((i * 37 + s * 13) % 256).toByte)
+    }
+    payloads.foreach(p => assert(MediaHash.phash64(p) >= 0L))
+    // a constant plane has every AC coefficient 0 = median -> hash 0
+    assert(MediaHash.phash64(Array.fill(80)(7.toByte)) === 0L)
+    // dhash is EXACTLY invariant under a strictly monotone intensity
+    // remap (it compares neighbors); phash moves only slightly
+    def mono(p: Array[Byte]) =
+      p.map(b => math.min((b & 0xff) / 2 + 120, 255).toByte)
+    // alternating dither is the published dhash weakness: near-tie
+    // gradients flip while phash's low-frequency energy averages out
+    def dither(p: Array[Byte]) = p.zipWithIndex.map { case (b, i) =>
+      if (i % 2 == 0) math.min((b & 0xff) + 16, 255).toByte
+      else math.max((b & 0xff) - 16, 0).toByte
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rnd = (0 until 50).map(i => (0 until 5).flatMap(j =>
+      md.digest(s"doc $i block $j".getBytes("UTF-8")).toSeq).toArray)
+    val ditherD = rnd.map(p => java.lang.Long.bitCount(
+      MediaHash.dhash64(p) ^ MediaHash.dhash64(dither(p))))
+    val ditherP = rnd.map(p => java.lang.Long.bitCount(
+      MediaHash.phash64(p) ^ MediaHash.phash64(dither(p))))
+    assert(ditherP.forall(_ <= 6),
+      s"phash must survive dither: ${ditherP.max} bits flipped")
+    assert(ditherD.sum > ditherP.sum * 2,
+      s"dither must hurt dhash more (d=${ditherD.sum}, p=${ditherP.sum})")
+    // monotone remap: dhash identical up to the ties /2 introduces
+    rnd.take(10).foreach { p =>
+      val dd = java.lang.Long.bitCount(
+        MediaHash.dhash64(p) ^ MediaHash.dhash64(mono(p)))
+      assert(dd <= 6, s"monotone remap flipped $dd dhash bits")
+    }
+    // SQL registration through GraftExtensions
+    graft.functions.GraftExtensions.install(spark)
+    val p0 = rnd.head
+    val viaSql = Seq(Tuple1(p0)).toDF("payload")
+      .selectExpr("phash64(payload)").head().getLong(0)
+    assert(viaSql === MediaHash.phash64(p0))
+  }
+
+  test("phash A/B row: three families measured, phash wins dither, both see reencode") {
+    import spark.implicits._
+    val rows = graft.queries.MultimodalQueries
+      .queries("q_multimodal_phash_ab")(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(rows.keySet === Set("reencode", "levels", "dither")
+      .flatMap(f => Set((f, "dhash"), (f, "phash"))))
+    rows.values.foreach { case (pairs, caught, ppm) =>
+      assert(pairs === 100L) // 500 docs / mod 5
+      assert(ppm === caught * 1000000L / pairs)
+    }
+    // the measured complement: dhash catches every re-encode, phash
+    // survives the dither dhash mostly misses
+    assert(rows(("reencode", "dhash"))._2 === 100L)
+    assert(rows(("dither", "phash"))._2 === 100L)
+    assert(rows(("dither", "dhash"))._2 < 60L,
+      "dither must separate the kernels or the A/B measures nothing")
+    assert(rows(("levels", "dhash"))._2 === 100L)
+  }
+
   test("perceptual near-dup catches re-encodes the byte digest misses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

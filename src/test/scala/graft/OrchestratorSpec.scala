@@ -626,6 +626,64 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(status("gold/dim_products").isEmpty)
   }
 
+  test("maintenance cadence: config rows drive compaction/GC, edits need no recompile") {
+    import graft.run.ToolsConfig
+    import graft.sources.CompactedLayout
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_maint").toString
+    def land(id: String): Orchestrator.Run = {
+      val r = new Orchestrator.Run(spark, wh, id)
+      r.writeBatch((1L to 40L).map(i => (i, s"$id-$i")).toDF("k", "v")
+        .repartition(6), "bronze/t")
+      r.flushAudit()
+      r
+    }
+
+    // no config file: the plane is opt-in — nothing fires
+    assert(land("B0001").runMaintenanceIfDue() === Seq.empty)
+
+    // configure: compact bronze/t every 2 landed batches, fold the
+    // audit log every 3, and one typo'd op (must FAIL its row only)
+    ToolsConfig.writeConfigFile(ToolsConfig.maintenanceConfigPath(wh), Seq(
+      """{"op":"compact_batches","target_table":"bronze/t","every":"2"}""",
+      """{"op":"compact_audit","target_table":"tools/audit_log","every":"3"}""",
+      """{"op":"frobnicate","target_table":"bronze/t","every":"1"}"""))
+
+    val r2 = land("B0002")
+    assert(r2.runMaintenanceIfDue() === Seq(
+      ("compact_batches", "bronze/t", "RAN"), // 2 landed >= every=2
+      ("compact_audit", "tools/audit_log", "SKIPPED_CADENCE"), // 2 < 3
+      ("frobnicate", "bronze/t", "FAILED"))) // unknown op: its row only
+    // the compaction REALLY ran: both partitions pointer-committed
+    assert(CompactedLayout.liveGen(s"$wh/bronze/t/dwh_batch_id=B0001") === 1L)
+    assert(CompactedLayout.liveGen(s"$wh/bronze/t/dwh_batch_id=B0002") === 1L)
+    assert(r2.auditLog.exists(l => l.step == "maintenance"
+      && l.status == "SUCCESS" && l.message.startsWith("covers=B0002")))
+    assert(r2.auditLog.exists(l => l.step == "maintenance"
+      && l.status == "FAILED" && l.message.contains("unknown maintenance op")))
+
+    // next landing: compact_batches is 1 pending < 2 (the covers stamp
+    // advanced), the audit fold reaches its every=3
+    val r3 = land("B0003")
+    assert(r3.runMaintenanceIfDue() === Seq(
+      ("compact_batches", "bronze/t", "SKIPPED_CADENCE"),
+      ("compact_audit", "tools/audit_log", "RAN"),
+      ("frobnicate", "bronze/t", "FAILED")))
+
+    // EDIT the config — no recompile: drop the typo'd row, disable the
+    // audit fold, and the next landing obeys the new file verbatim
+    ToolsConfig.writeConfigFile(ToolsConfig.maintenanceConfigPath(wh), Seq(
+      """{"op":"compact_batches","target_table":"bronze/t","every":"2"}""",
+      """{"op":"compact_audit","target_table":"tools/audit_log","every":"3","enabled":false}"""))
+    val r4 = land("B0004")
+    assert(r4.runMaintenanceIfDue() === Seq(
+      ("compact_batches", "bronze/t", "RAN"))) // B0003+B0004 pending
+    assert(CompactedLayout.liveGen(s"$wh/bronze/t/dwh_batch_id=B0004") === 1L)
+
+    // reads through the resolver stay exact across the whole cadence
+    assert(r4.readTable("bronze/t").count() === 160L)
+  }
+
   test("ingest gate: mismatched schema quarantines, matched loads") {
     val wh = Files.createTempDirectory("graft_ing").toString
     val run = new Orchestrator.Run(spark, wh, "BATCH000001")

@@ -667,6 +667,69 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(all.select("event_id").distinct().count() === events.size.toLong)
   }
 
+  test("streaming-fed compaction: sink lands, pointer-compacts, replay reverts, reads exact") {
+    // the end-to-end interplay the compaction plane exists for: the
+    // STREAMING sink is the warehouse's main small-file producer, so
+    // (1) its micro-batch partitions must pointer-compact, (2) a real
+    // foreachBatch RESTART REPLAY (uncommitted batch re-run from the
+    // checkpoint) must revert the compacted partition to loose files
+    // via the S8 dynamic overwrite, and (3) resolver reads must stay
+    // exact at every step — never torn, never double-counted
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_whcomp").toString
+    val wh = s"$root/wh"
+    val cp = s"$root/cp"
+    val ms = MemoryStream[Ev]
+    val q1 = StreamingJobs.warehouseSink(ms.toDF(), wh, "bronze/events", cp)
+    try {
+      ms.addData(events.take(1)); q1.processAllAvailable() // batch 0
+      // batch 1: three blocks pending at once -> one micro-batch whose
+      // frame carries >= 2 partitions -> a genuinely fragmented landing
+      events.drop(1).foreach(e => ms.addData(Seq(e)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val table = s"$wh/bronze/events"
+    val total = events.size.toLong
+    val run = new graft.run.Orchestrator.Run(spark, wh, "MAINT01")
+    assert(run.readTable("bronze/events").count() === total)
+    val part1 = spark.read.parquet(table).where(col("dwh_batch_id")
+      .endsWith("_000001")).select("dwh_batch_id").as[String].head()
+    val part1Path = s"$table/dwh_batch_id=$part1"
+
+    // (1) the streamed table compacts under the pointer plane
+    val compacted = run.compactBatches("bronze/events")
+    assert(compacted.exists(_._1 == s"dwh_batch_id=$part1"),
+      s"the fragmented micro-batch partition must rewrite, got $compacted")
+    assert(graft.sources.CompactedLayout.liveGen(part1Path) === 1L)
+    assert(run.readTable("bronze/events").count() === total)
+    assert(run.readTable("bronze/events")
+      .select("event_id").distinct().count() === total)
+
+    // (2) REAL restart replay: drop batch 1's commit marker so the
+    // restarted query re-executes that micro-batch through foreachBatch
+    graft.run.WarehouseFs.deleteFile(s"$cp/commits/1")
+    val q2 = StreamingJobs.warehouseSink(ms.toDF(), wh, "bronze/events", cp)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the replayed partition REVERTED to loose files (the dynamic
+    // overwrite deletes the partition dir whole — pointer included)
+    assert(graft.sources.CompactedLayout.liveGen(part1Path) === 0L,
+      "a replayed micro-batch must revert its partition to loose files")
+    // (3) reads stay exact: no duplicates, no losses, resolver routed
+    assert(run.readTable("bronze/events").count() === total)
+    assert(run.readTable("bronze/events")
+      .select("event_id").distinct().count() === total)
+
+    // and the lifecycle continues: the reverted partition re-compacts,
+    // GC reclaims the parked layout, reads unchanged
+    val again = run.compactBatches("bronze/events")
+    assert(again.exists(_._1 == s"dwh_batch_id=$part1"))
+    assert(run.vacuumCompacted("bronze/events").nonEmpty)
+    assert(run.readTable("bronze/events").count() === total)
+  }
+
   test("warehouse sink with bloom key: streamed table point-skips, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
