@@ -133,15 +133,30 @@ object LabelPropagation {
   /** [[refineOnce]]'s core against PRE-BUILT shared frames — what the
     * iterated loop calls so the per-round cost is only the
     * label-dependent joins, not a re-canonicalization + guards.
+    * Unweighted face of [[refineOnceOnW]] (w = 1, count ≡ sum).
     */
   private def refineOnceOn(adj: DataFrame, m: DataFrame, deg: DataFrame,
-                           labels: DataFrame): DataFrame = {
+                           labels: DataFrame): DataFrame =
+    refineOnceOnW(adj.withColumn("w", lit(1L)), m, deg, labels)
+
+  /** The WEIGHTED move round — the general core [[louvainPhases]]'
+    * contracted levels need (Blondel et al. 2008 §2: the community
+    * graph carries inter-community edge WEIGHTS and self-loops; the
+    * self-loops live in `deg` (×2) and `m`, never in `adjW`, so the
+    * same down-label gain formula applies with k = Σw):
+    * Δ·4m² = 4m·(k_vc − k_va) − 2·deg_v·(d_c − d_a + deg_v).
+    * `adjW` carries (node, nbr, w); `deg` is the caller's full
+    * (weighted, self-loop-inclusive) degree frame; `m` the 1-row total
+    * weight. Everything stays on the exact integer lattice.
+    */
+  private def refineOnceOnW(adjW: DataFrame, m: DataFrame, deg: DataFrame,
+                            labels: DataFrame): DataFrame = {
     val lab = labels.select(col("node"), col("community"))
     val dsum = lab.join(deg, "node")
       .groupBy(col("community")).agg(sum(col("deg")).as("dc"))
-    val kv = adj
+    val kv = adjW
       .join(lab.select(col("node").as("nbr"), col("community")), "nbr")
-      .groupBy(col("node"), col("community")).agg(count(lit(1)).as("k"))
+      .groupBy(col("node"), col("community")).agg(sum(col("w")).as("k"))
     val own = lab.select(col("node"), col("community").as("a"))
       .join(deg, "node")
       .join(kv.select(col("node"), col("community").as("a"),
@@ -277,6 +292,154 @@ object LabelPropagation {
   def refine(labels: DataFrame, edges: DataFrame,
              maxRounds: Int): DataFrame =
     refineLoop(labels, edges, maxRounds, "refine")((_, _, _, _) => ())
+
+  /** FULL Louvain (Blondel et al. 2008): iterate (move phase to a
+    * gain fixpoint — [[refineLoop]]'s contract — then COMMUNITY
+    * CONTRACTION) until a post-contraction move phase finds no gain.
+    * The contraction is the phase the down-label node moves cannot
+    * express: a whole community relocating at once, whose gain
+    * arithmetic sees the community's total degree where a single
+    * node's move is penalized by leaving its k_va neighbors behind —
+    * the resolution-limit structure (Fortunato & Barthélémy 2007)
+    * where merging adjacent blocks raises Q but no single node's move
+    * does. The dumbbell fixture the registered row runs is exactly
+    * that: phase 1 proves moved=0 at the clique labeling (a plateau
+    * BELOW the structural optimum), phase 2's contracted move merges
+    * every bridged clique pair (the measured second climb), phase 3
+    * proves the post-contraction fixpoint.
+    *
+    * Semantics (pinned, both engines): phase 1 moves ORIGINAL nodes
+    * from the input labeling; each later phase contracts communities
+    * to supernodes (inter-community edge weights summed; intra weight
+    * + member self-loops fold into the supernode's self-loop, which
+    * enters degrees ×2 and m but never the adjacency — the Blondel
+    * invariant, so modularity of the contracted labeling EQUALS
+    * modularity of its flattening) and moves supernodes from
+    * singletons under the same down-label weighted gain
+    * ([[refineOnceOnW]]). Phases 1 and 2 always run (a node-level
+    * plateau proves nothing about the contracted view); the loop
+    * stops at the first phase ≥ 2 whose move total is 0. Loud caps on
+    * both rounds and phases — a capped run REFUSES, never publishes a
+    * non-fixpoint labeling (the refineLoop discipline).
+    *
+    * Measure-don't-assume: every round's modularity is measured on
+    * the ORIGINAL graph with the FLATTENED labels (round 0 of each
+    * phase re-measures the incoming labeling — the in-row proof that
+    * contraction preserved Q). The trace IS the row:
+    * (phase, round, moved, communities, m_edges, modularity_num,
+    * modularity_den, modularity_ppm).
+    *
+    * Scale notes: a phase-1 round is one LPA-round-shaped job on the
+    * original graph; every later level runs on the COMMUNITY graph
+    * (≤ #communities nodes — orders smaller), so the whole ladder
+    * costs a few original-graph rounds plus community-sized work;
+    * lineage rides one Checkpoints chain. Integer lattice throughout
+    * (weights are edge counts; the modularity bound m ≤ ~1.5e9
+    * applies as documented there).
+    */
+  def louvainPhases(labels: DataFrame, edges: DataFrame,
+                    maxRounds: Int, maxPhases: Int): DataFrame = {
+    require(maxRounds >= 1,
+      s"louvainPhases: maxRounds must be >= 1, got $maxRounds")
+    require(maxPhases >= 2,
+      s"louvainPhases: maxPhases must be >= 2, got $maxPhases — the " +
+        "contracted view must be checked at least once before a " +
+        "fixpoint claim")
+    val spark = labels.sparkSession
+    val chain = graft.plans.Checkpoints.chain()
+    // level-0 graph (pinned: every round's measurement reads it)
+    val canon0 = chain.pin(guardedCanon(edges, "louvainPhases",
+      "refine against the SAME edges the labeling was computed on",
+      "their gains would silently vanish"))
+    val adj0 = chain.pin(adjOf(canon0))
+    val m = canon0.agg(count(lit(1)).as("m")) // total weight — constant
+    val deg0 = chain.pin(adj0.groupBy(col("node"))
+      .agg(count(lit(1)).as("deg")))
+
+    var rows = Vector.empty[(Long, Long, Long, Row)]
+    def record(phase: Int, round: Int, moved: Long, flat: DataFrame): Unit =
+      rows :+= ((phase.toLong, round.toLong, moved,
+        modularityOn(canon0, m, deg0, flat).head()))
+
+    // current level: inter-edge frame (u, v, w), weighted self-loop-
+    // inclusive degrees, adjacency — level 1 = the original graph
+    var canonW = canon0.withColumn("w", lit(1L))
+    var adjW = adj0.withColumn("w", lit(1L))
+    var degW = deg0
+    // flat labels on ORIGINAL nodes (the committed state)
+    var nodeLab = chain.cut(labels.select(col("node"), col("community")))
+    var phase = 0
+    var phaseMoved = -1L
+    while ((phase < 2 || phaseMoved != 0L) && phase < maxPhases) {
+      phase += 1
+      // phase 1 starts from the input labeling; later phases start
+      // each supernode in its own singleton community
+      var lab =
+        if (phase == 1) nodeLab
+        else chain.cut(nodeLab.select(col("community").as("node")).distinct()
+          .select(col("node"), col("node").as("community")))
+      def flatten(l: DataFrame): DataFrame =
+        if (phase == 1) l
+        else nodeLab.join(
+          l.select(col("node").as("community"), col("community").as("c2")),
+          "community").select(col("node"), col("c2").as("community"))
+      record(phase, 0, 0L, flatten(lab))
+      var moved = -1L
+      var round = 0
+      var total = 0L
+      while (moved != 0L && round < maxRounds) {
+        round += 1
+        val next = chain.cut(refineOnceOnW(adjW, m, degW, lab))
+        moved = next.select(col("node"), col("community").as("c2"))
+          .join(lab, "node")
+          .where(col("c2") =!= col("community"))
+          .count()
+        lab = next
+        total += moved
+        record(phase, round, moved, flatten(lab))
+      }
+      require(moved == 0L,
+        s"louvainPhases: phase $phase found no move fixpoint within " +
+          s"$maxRounds rounds (last round still moved $moved) — raise " +
+          "maxRounds; publishing a non-fixpoint phase would mislabel " +
+          "the communities later rounds merge")
+      nodeLab = chain.cut(flatten(lab))
+      phaseMoved = total
+      // contract this level's graph under the phase labeling for the
+      // next phase: inter weights sum per community pair; intra weight
+      // (+ member self-loops, already folded into degW) becomes the
+      // supernode self-loop — only DEGREES and m see it, so degW' is
+      // derived from the level's committed degrees directly:
+      // deg'(c) = Σ_{v in c} deg(v) (the Blondel invariant).
+      val cl = lab.select(col("node"), col("community"))
+      val interW = canonW
+        .join(cl.select(col("node").as("u"), col("community").as("cu")), "u")
+        .join(cl.select(col("node").as("v"), col("community").as("cv")), "v")
+        .where(col("cu") =!= col("cv"))
+        .select(least(col("cu"), col("cv")).as("u"),
+          greatest(col("cu"), col("cv")).as("v"), col("w"))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      val degNext = cl.join(degW, "node")
+        .groupBy(col("community").as("node")).agg(sum(col("deg")).as("deg"))
+      canonW = chain.cut(interW)
+      adjW = chain.cut(
+        canonW.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+          .unionAll(canonW.select(col("v").as("node"),
+            col("u").as("nbr"), col("w"))))
+      degW = chain.cut(degNext)
+    }
+    require(phaseMoved == 0L,
+      s"louvainPhases: no phase fixpoint within $maxPhases phases " +
+        s"(the last phase still moved $phaseMoved node(s)) — raise " +
+        "maxPhases; a capped ladder would publish communities a " +
+        "further contraction provably improves")
+    import spark.implicits._
+    rows.map { case (p, r, mv, mrow) =>
+      (p, r, mv, mrow.getLong(0), mrow.getLong(1), mrow.getLong(2),
+        mrow.getLong(3), mrow.getLong(4))
+    }.toDF("phase", "round", "moved", "communities", "m_edges",
+      "modularity_num", "modularity_den", "modularity_ppm")
+  }
 
   /** Newman–Girvan modularity of a labeling on the INTEGER LATTICE —
     * the measure-don't-assume row every heuristic operator carries,

@@ -57,6 +57,41 @@ object GraphQueries extends QueryPack {
   private val LouvainMaxRounds = 8
   private[graft] val LouvainFixtureRounds = 2
 
+  /** Dumbbell fixture for the FULL-Louvain (contraction) row: 64
+    * nodes (the documents doc_id % 64 residues — all present from 64
+    * docs up, so the graph is identical at every SF), 16 cliques of 4
+    * (clique c = nodes 4c..4c+3), paired into 8 dumbbells by one
+    * bridge edge (8j+3)–(8j+4). m = 16·6 + 8 = 104. The
+    * resolution-limit shape (Fortunato & Barthélémy 2007): from the
+    * clique labeling no single node's down-label move has positive
+    * gain (a bridge node would leave its 3 clique neighbors for 1 —
+    * Δ·4m² = −8m−32 < 0), yet merging the two cliques of a dumbbell
+    * raises Q (contracted supernode gain Δ·4m² = 4m − 2·13² =
+    * 416−338 = +78) — exactly the climb only the contraction phase
+    * can take. Mirrored verbatim in the oracle.
+    */
+  private[graft] val LouvainPhaseMaxRounds = 8
+  private[graft] val LouvainPhaseMaxPhases = 5
+
+  private def dumbbellNodes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") % 64).cast(LongType).as("n")).distinct()
+
+  private def dumbbellEdges(s: SparkSession, dir: String): DataFrame = {
+    val res = dumbbellNodes(s, dir)
+    val intra = res.select(col("n").as("src"), expr("n div 4").as("c"))
+      .join(res.select(col("n").as("dst"), expr("n div 4").as("c")), "c")
+      .where(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    val bridge = res.where(col("n") % 8 === 3)
+      .select(col("n").as("src"), (col("n") + 1).as("dst"))
+    intra.unionAll(bridge)
+  }
+
+  private def dumbbellCliqueLabels(s: SparkSession, dir: String): DataFrame =
+    dumbbellNodes(s, dir)
+      .select(col("n").as("node"), (expr("n div 4") * 4).as("community"))
+
   /** Link-farm gate cuts: flag a host when its neighborhood is both
     * LARGE (deg ≥ 4) and DENSE (lcc ≥ 0.5 in ppm) — the
     * colluding-ring signature. Shared by all three gate faces.
@@ -694,6 +729,24 @@ object GraphQueries extends QueryPack {
         LouvainMaxRounds)
     }),
 
+    // FULL Louvain with the CONTRACTION phase — the production claim
+    // behind the iterated row above (Blondel et al. 2008): on the
+    // dumbbell fixture the move phase provably plateaus BELOW the
+    // structural optimum (phase 1: moved=0 from the clique labeling —
+    // the resolution-limit shape), the contraction phase takes the
+    // climb node moves cannot (phase 2: every dumbbell's higher
+    // clique merges into its partner in ONE synchronous round), and
+    // phase 3 proves the post-contraction fixpoint. The per-phase
+    // per-round trace IS the row, every modularity measured on the
+    // ORIGINAL graph with flattened labels — round 0 of each phase
+    // re-proves the contraction preserved Q (the Blondel invariant,
+    // in-row). Oracle = the identical weighted move arithmetic +
+    // contraction, unrolled over the fixed 64-node graph.
+    "q_graph_louvain_phases" -> ((s, dir) =>
+      LabelPropagation.louvainPhases(dumbbellCliqueLabels(s, dir),
+        dumbbellEdges(s, dir), LouvainPhaseMaxRounds,
+        LouvainPhaseMaxPhases)),
+
     // Incremental entity resolution — the shape a daily ingest actually
     // runs: match a NEW batch's (dirty) keys against the EXISTING
     // master key list without re-blocking the master side. The batch
@@ -1112,6 +1165,154 @@ object GraphQueries extends QueryPack {
         .mkString("\n         UNION ALL\n         ")
   }
 
+  /** One unrolled WEIGHTED down-label move round `inLab` -> `r_$sfx`
+    * (the louvainMoveCtes arithmetic generalized per refineOnceOnW:
+    * k = Σw over the level's weighted adjacency `adjName`, degrees
+    * from the level's self-loop-inclusive `degName`; `mm` is the
+    * constant total weight — contraction preserves it).
+    */
+  private def wmoveCtes(inLab: String, adjName: String, degName: String,
+                        sfx: String): String =
+    s""",
+         dsw_$sfx AS (
+           SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS dc
+           FROM $inLab l JOIN $degName d ON d.node = l.node
+           GROUP BY l.community),
+         kvw_$sfx AS (
+           SELECT a.node, l.community, CAST(SUM(a.w) AS BIGINT) AS k
+           FROM $adjName a JOIN $inLab l ON l.node = a.nbr
+           GROUP BY a.node, l.community),
+         ownw_$sfx AS (
+           SELECT l.node, l.community AS a, d.deg,
+                  COALESCE(k.k, 0) AS k_a, ds.dc AS d_a
+           FROM $inLab l
+           JOIN $degName d ON d.node = l.node
+           LEFT JOIN kvw_$sfx k
+             ON k.node = l.node AND k.community = l.community
+           JOIN dsw_$sfx ds ON ds.community = l.community),
+         candw_$sfx AS (
+           SELECT o.node, kv.community AS c,
+                  4 * mm.m * (kv.k - o.k_a)
+                    - 2 * o.deg * (ds.dc - o.d_a + o.deg) AS delta
+           FROM ownw_$sfx o
+           JOIN kvw_$sfx kv ON kv.node = o.node AND kv.community < o.a
+           JOIN dsw_$sfx ds ON ds.community = kv.community
+           CROSS JOIN mm),
+         pickw_$sfx AS (
+           SELECT node, c FROM (
+             SELECT node, c, ROW_NUMBER() OVER (
+               PARTITION BY node ORDER BY delta DESC, c) AS rn
+             FROM candw_$sfx WHERE delta > 0) WHERE rn = 1),
+         r_$sfx AS MATERIALIZED (
+           SELECT o.node, COALESCE(p.c, o.a) AS community
+           FROM ownw_$sfx o LEFT JOIN pickw_$sfx p ON p.node = o.node)"""
+
+  /** One trace row of the phases oracle: (phase, round, moved) + the
+    * lattice modularity of `contrib_$tag` (the louvainSelect shape
+    * with the phase column).
+    */
+  private def phaseSelect(tag: String, phase: Int, round: Int,
+                          movedSql: String): String =
+    s"""SELECT CAST($phase AS BIGINT) AS phase,
+                CAST($round AS BIGINT) AS round,
+                $movedSql AS moved,
+                CAST(COUNT(*) AS BIGINT) AS communities,
+                m AS m_edges,
+                CAST(SUM(num) AS BIGINT) AS modularity_num,
+                4 * m * m AS modularity_den,
+                CAST((CAST(SUM(num) AS HUGEINT) * 1000000) // (4 * m * m)
+                  - CASE WHEN (CAST(SUM(num) AS HUGEINT) * 1000000)
+                              % (4 * m * m) < 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS modularity_ppm
+         FROM contrib_$tag
+         GROUP BY m"""
+
+  private def movedSql(cur: String, prev: String): String =
+    s"""(SELECT CAST(COUNT(*) AS BIGINT)
+         FROM $cur n JOIN $prev p ON p.node = n.node
+         WHERE n.community <> p.community)"""
+
+  /** Full-Louvain phases oracle over the dumbbell fixture: the graph,
+    * the weighted move rounds, BOTH contractions and every per-round
+    * flattened-modularity measurement computed in SQL — the fixture's
+    * known shape (phase 1 plateau, phase 2 one move round, phase 3
+    * empty contracted edge set) only fixes how many rounds are
+    * UNROLLED, exactly the louvainOracle discipline.
+    */
+  private val louvainPhasesOracle: String = {
+    s"""WITH nodes AS (
+           SELECT DISTINCT CAST(doc_id % 64 AS BIGINT) AS n FROM documents),
+         e AS MATERIALIZED (
+           SELECT a.n AS u, b.n AS v FROM nodes a JOIN nodes b
+             ON a.n // 4 = b.n // 4 AND a.n < b.n
+           UNION ALL
+           SELECT n AS u, n + 1 AS v FROM nodes WHERE n % 8 = 3),
+         mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         adj AS (SELECT u AS node, v AS nbr FROM e
+                 UNION ALL SELECT v, u FROM e),
+         degs AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM adj GROUP BY node),
+         adjw1 AS (SELECT node, nbr, CAST(1 AS BIGINT) AS w FROM adj),
+         l_p1in AS (SELECT n AS node, (n // 4) * 4 AS community
+                    FROM nodes)""" +
+      wmoveCtes("l_p1in", "adjw1", "degs", "p1") + s""",
+         ce2 AS MATERIALIZED (
+           SELECT LEAST(la.community, lb.community) AS u,
+                  GREATEST(la.community, lb.community) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS w
+           FROM e JOIN r_p1 la ON la.node = e.u
+           JOIN r_p1 lb ON lb.node = e.v
+           WHERE la.community <> lb.community GROUP BY 1, 2),
+         adjw2 AS (SELECT u AS node, v AS nbr, w FROM ce2
+                   UNION ALL SELECT v, u, w FROM ce2),
+         degs2 AS (SELECT l.community AS node,
+                          CAST(SUM(d.deg) AS BIGINT) AS deg
+                   FROM r_p1 l JOIN degs d ON d.node = l.node
+                   GROUP BY l.community),
+         l_p2in AS (SELECT DISTINCT community AS node, community
+                    FROM r_p1)""" +
+      wmoveCtes("l_p2in", "adjw2", "degs2", "p2a") +
+      wmoveCtes("r_p2a", "adjw2", "degs2", "p2b") + s""",
+         f_p2a AS (SELECT p1.node, p2.community
+                   FROM r_p1 p1 JOIN r_p2a p2 ON p2.node = p1.community),
+         f_p2b AS (SELECT p1.node, p2.community
+                   FROM r_p1 p1 JOIN r_p2b p2 ON p2.node = p1.community),
+         ce3 AS MATERIALIZED (
+           SELECT LEAST(la.community, lb.community) AS u,
+                  GREATEST(la.community, lb.community) AS v,
+                  CAST(SUM(c.w) AS BIGINT) AS w
+           FROM ce2 c JOIN r_p2b la ON la.node = c.u
+           JOIN r_p2b lb ON lb.node = c.v
+           WHERE la.community <> lb.community GROUP BY 1, 2),
+         adjw3 AS (SELECT u AS node, v AS nbr, w FROM ce3
+                   UNION ALL SELECT v, u, w FROM ce3),
+         degs3 AS (SELECT l.community AS node,
+                          CAST(SUM(d.deg) AS BIGINT) AS deg
+                   FROM r_p2b l JOIN degs2 d ON d.node = l.node
+                   GROUP BY l.community),
+         l_p3in AS (SELECT DISTINCT community AS node, community
+                    FROM r_p2b)""" +
+      wmoveCtes("l_p3in", "adjw3", "degs3", "p3") + s""",
+         f_p3 AS (SELECT f.node, p3.community
+                  FROM f_p2b f JOIN r_p3 p3 ON p3.node = f.community)""" +
+      modularityCtes("q10", "SELECT node, community FROM l_p1in") +
+      modularityCtes("q11", "SELECT node, community FROM r_p1") +
+      modularityCtes("q20", "SELECT node, community FROM r_p1") +
+      modularityCtes("q21", "SELECT node, community FROM f_p2a") +
+      modularityCtes("q22", "SELECT node, community FROM f_p2b") +
+      modularityCtes("q30", "SELECT node, community FROM f_p2b") +
+      modularityCtes("q31", "SELECT node, community FROM f_p3") +
+      "\n         " + Seq(
+        phaseSelect("q10", 1, 0, "CAST(0 AS BIGINT)"),
+        phaseSelect("q11", 1, 1, movedSql("r_p1", "l_p1in")),
+        phaseSelect("q20", 2, 0, "CAST(0 AS BIGINT)"),
+        phaseSelect("q21", 2, 1, movedSql("r_p2a", "l_p2in")),
+        phaseSelect("q22", 2, 2, movedSql("r_p2b", "r_p2a")),
+        phaseSelect("q30", 3, 0, "CAST(0 AS BIGINT)"),
+        phaseSelect("q31", 3, 1, movedSql("r_p3", "l_p3in")))
+        .mkString("\n         UNION ALL\n         ")
+  }
+
   private val pageRankOracle: String = {
     def iter(k: Int): String =
       s""",
@@ -1381,6 +1582,7 @@ object GraphQueries extends QueryPack {
     "q_graph_lpa_modularity" -> lpaModularityOracle,
     "q_graph_lpa_refined" -> lpaRefinedOracle,
     "q_graph_louvain" -> louvainOracle,
+    "q_graph_louvain_phases" -> louvainPhasesOracle,
 
     "q_graph_lpa" -> lpaOracle,
 

@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.Tables.t
 import graft.multimodal.Multimodal
+import graft.plans.Checkpoints.CutOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column pipeline over `documents`: text → opaque binary
@@ -79,8 +81,14 @@ object MultimodalQueries extends QueryPack {
     * at Hamming distance 0..2 from its original with DIFFERENT payload
     * bytes — visible to dHash, invisible to the byte digest.
     */
-  private def neardupPayloads(s: org.apache.spark.sql.SparkSession,
-                              dir: String) = {
+  /** (base, variants) halves of the near-dup payload plane — split so
+    * callers can filter EACH SIDE with a simple residue predicate
+    * BEFORE the union (an OR-of-residues pushed through the union
+    * reaches the scan untranslatable and kills pushdown — the
+    * PlanLint rule that caught it).
+    */
+  private def neardupPayloadParts(s: org.apache.spark.sql.SparkSession,
+                                  dir: String) = {
     val tx = coalesce(col("text"), lit(""))
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), concat(
@@ -94,9 +102,16 @@ object MultimodalQueries extends QueryPack {
         2, "0"),
       substring(col("h"), 13, 148))
     val variants = docs.where(col("doc_id") % VariantMod === VariantRes)
-      .select((col("doc_id") + VariantOffset).as("doc_id"),
+      .select(col("doc_id").as("orig_id"),
+        (col("doc_id") + VariantOffset).as("doc_id"),
         unhex(bumped).as("payload"))
-    base.unionByName(variants)
+    (base, variants)
+  }
+
+  private def neardupPayloads(s: org.apache.spark.sql.SparkSession,
+                              dir: String) = {
+    val (base, variants) = neardupPayloadParts(s, dir)
+    base.unionByName(variants.select(col("doc_id"), col("payload")))
   }
 
   /** (doc_id, h64) — the SQL-registered native kernel, exercised
@@ -112,7 +127,7 @@ object MultimodalQueries extends QueryPack {
     * and pigeonhole-EXACT for Hamming distance <= 3; beyond that it is
     * approximate, which is what the recall A/B row measures.
     */
-  private def bandKeys4(h: org.apache.spark.sql.Column) =
+  private[graft] def bandKeys4(h: org.apache.spark.sql.Column) =
     array((0 until 4).map(k =>
       concat(lit(s"$k:"),
         shiftrightunsigned(h, 16 * k).bitwiseAND(lit(65535L))
@@ -132,9 +147,140 @@ object MultimodalQueries extends QueryPack {
           .cast("string"))
     }: _*)
 
-  private def bandFrame(hs: org.apache.spark.sql.DataFrame,
+  private[graft] def bandFrame(hs: org.apache.spark.sql.DataFrame,
                         keys: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
     hs.select(col("doc_id"), explode(keys(col("h64"))).as("band_key"))
+
+  private val mediaMemo =
+    new SessionMemo[String, org.apache.spark.sql.DataFrame]()
+
+  /** Bounded `band_key -> [(doc_id, h64)]` payload of a media-hash
+    * index — the STATIC probe side of the streaming near-dup gate
+    * (StreamingJobs.mediaNeardupStream): the arriving row joins 4 band
+    * slots and verifies exact Hamming in place, stateless. Bucket
+    * sizes are loudly bounded (the requireBoundedClusters discipline):
+    * a degenerate constant-payload corpus would otherwise ship a
+    * corpus-sized array per arriving row, and a silently-thinned
+    * bucket would silently lose matches — refusal with the
+    * prescription is the honest failure.
+    */
+  private[graft] def mediaBandPayload(
+      hashes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = bandFrame(hashes, bandKeys4)
+    val cap = graft.operators.LshBandJoin.DefaultMaxBucket
+    val worst = bands.groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+      .agg(max(struct(col("n"), col("band_key"))).as("w"))
+      .select(col("w.n"), col("w.band_key")).head()
+    if (!worst.isNullAt(0) && worst.getLong(0) > cap)
+      throw new IllegalStateException(
+        s"media band bucket ${worst.get(1)} holds ${worst.getLong(0)} " +
+          s"payloads (cap $cap) — a degenerate corpus (constant/near-" +
+          "constant payloads); the probe would scan that bucket per " +
+          "arrival. Repair the payload column or widen the bands; do " +
+          "not raise the cap without sizing the per-arrival scan")
+    bands.join(hashes, "doc_id")
+      .groupBy(col("band_key"))
+      .agg(collect_list(struct(col("doc_id"), col("h64"))).as("vs"))
+  }
+
+  /** The STREAM-SHAPED probe: arrivals (doc_id, h64) against the
+    * [[mediaBandPayload]] table — 4 band-slot left joins + in-array
+    * exact-Hamming verify and min-(hamming, doc_id) pick via array
+    * HOFs. No window, no aggregation, no state: a streaming frame
+    * runs it as-is in append mode, and the batch row's verdicts are
+    * bit-identical (StreamingSpec pins stream ≡ batch).
+    */
+  private[graft] def mediaNeardupVerdicts(
+      arrivals: org.apache.spark.sql.DataFrame,
+      payload: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def ham(v: org.apache.spark.sql.Column) =
+      bit_count(v.getField("h64").bitwiseXOR(col("h64"))).cast("long")
+    val withBands = arrivals.withColumn("__bands", bandKeys4(col("h64")))
+    val gated = (0 until 4).foldLeft(withBands) { (df, b) =>
+      df.withColumn(s"__bk$b", get(col("__bands"), lit(b)))
+        .join(payload.select(col("band_key").as(s"__bk$b"),
+          col("vs").as(s"__vs$b")), Seq(s"__bk$b"), "left")
+        .withColumn(s"__best$b", array_min(transform(
+          filter(col(s"__vs$b"), v =>
+            v.getField("doc_id") =!= col("doc_id")
+              && ham(v) <= NearDupMaxHamming),
+          v => struct(ham(v).as("hamming"),
+            v.getField("doc_id").as("match_doc_id")))))
+    }
+    gated.withColumn("__best", array_min(filter(
+        array((0 until 4).map(b => col(s"__best$b")): _*),
+        x => x.isNotNull)))
+      .select(col("doc_id"),
+        col("__best").isNotNull.as("is_dup"),
+        col("__best.match_doc_id").as("match_doc_id"),
+        col("__best.hamming").as("hamming"))
+  }
+
+  /** The BATCH-SHAPED probe (the registered incremental row and the
+    * warehouse face Orchestrator.mediaNeardupAgainstIndex): batch band
+    * keys broadcast against the persisted index band TABLE — the index
+    * is scanned once map-side and NEVER reshuffled per batch, so
+    * per-ingest cost is O(batch x bucket) + one index scan, never
+    * corpus². Verify and pick share the verdict contract with
+    * [[mediaNeardupVerdicts]] (exact Hamming <= threshold, best =
+    * min (hamming, doc_id)); an oversized index bucket REFUSES in-plan
+    * (the q_multimodal_neardup_recall saturation-guard idiom) instead
+    * of silently thinning matches.
+    */
+  private[graft] def mediaNeardupProbe(
+      batchHashes: org.apache.spark.sql.DataFrame,
+      indexBands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cap = graft.operators.LshBandJoin.DefaultMaxBucket
+    val cands = broadcast(
+        bandFrame(batchHashes, bandKeys4).join(batchHashes, "doc_id")
+          .select(col("doc_id").as("q_id"), col("h64").as("qh"),
+            col("band_key")))
+      .join(indexBands.select(col("doc_id").as("cand_id"),
+        col("h64").as("ch"), col("band_key")), "band_key")
+      .where(col("cand_id") =!= col("q_id"))
+      .withColumn("hamming", expr("CAST(bit_count(qh ^ ch) AS BIGINT)"))
+      .where(col("hamming") <= NearDupMaxHamming)
+      .select(col("q_id"), col("cand_id"), col("hamming")).distinct()
+    val byBest = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    val best = cands.withColumn("__rn", row_number().over(byBest))
+      .where(col("__rn") === 1)
+    val sat = graft.operators.LshBandJoin
+      .oversizedBuckets(indexBands.select(col("doc_id"), col("band_key")),
+        "doc_id", cap)
+      .agg(count(lit(1)).as("n_saturated"))
+    batchHashes.select(col("doc_id"))
+      .join(best.select(col("q_id").as("doc_id"),
+        col("cand_id").as("match_doc_id"), col("hamming")),
+        Seq("doc_id"), "left")
+      .crossJoin(broadcast(sat)) // 1-row aggregate
+      .where(coalesce(assert_true(col("n_saturated") === 0,
+        lit("media near-dup probe: an index band bucket exceeds the " +
+          "hot-bucket cap — matches would silently thin; widen the " +
+          "bands or repair the degenerate payload column")), lit(true)))
+      .select(col("doc_id"),
+        col("match_doc_id").isNotNull.as("is_dup"),
+        col("match_doc_id"), col("hamming"))
+  }
+
+  /** Corpus/batch split for the incremental row (the semIncr/
+    * dirty-feed convention): corpus = base payloads with
+    * doc_id % 10 != 0 — the "already indexed" side; batch = the
+    * doc_id % 10 == 0 base docs (fresh arrivals, mostly no match)
+    * plus the re-encoded variants of CORPUS docs (true near-dups the
+    * probe must catch). Each side filters its OWN scan with one pure
+    * residue predicate — never an OR across the union.
+    */
+  private def mediaIncrCorpus(s: org.apache.spark.sql.SparkSession,
+                              dir: String) =
+    neardupPayloadParts(s, dir)._1.where(col("doc_id") % 10 =!= 0)
+  private def mediaIncrBatch(s: org.apache.spark.sql.SparkSession,
+                             dir: String) = {
+    val (base, variants) = neardupPayloadParts(s, dir)
+    base.where(col("doc_id") % 10 === 0)
+      .unionByName(variants.where(col("orig_id") % 10 =!= 0)
+        .select(col("doc_id"), col("payload")))
+  }
 
   private def verifiedPairs(hs: org.apache.spark.sql.DataFrame,
                             bands: org.apache.spark.sql.DataFrame) = {
@@ -149,6 +295,19 @@ object MultimodalQueries extends QueryPack {
       .where(col("hamming") <= NearDupMaxHamming)
       .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
   }
+
+  /** Spec accessors (StreamingSpec's stream ≡ batch pin): the
+    * incremental fixture's corpus band payload and batch payloads.
+    */
+  private[graft] def mediaIncrCorpusPayload(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.GraftExtensions.install(s)
+    mediaBandPayload(mediaIncrCorpus(s, dir)
+      .selectExpr("doc_id", "dhash64(payload) AS h64"))
+  }
+  private[graft] def mediaIncrBatchPayloads(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    mediaIncrBatch(s, dir)
 
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> ((s, dir) =>
@@ -279,6 +438,31 @@ object MultimodalQueries extends QueryPack {
         .selectExpr("exact_pairs", "caught_pairs",
           "CAST((CAST(caught_pairs AS DECIMAL(38,0)) * 1000000) " +
             "div exact_pairs AS BIGINT) AS recall_ppm")
+    }),
+
+    // INCREMENTAL media near-dup — the daily-ingest shape (the
+    // q_dedup_incremental / semIncr discipline on the media plane): a
+    // NEW batch of payloads probes the PERSISTED dHash band index
+    // instead of recomputing the corpus join — batch band keys
+    // broadcast against the index table (scanned once map-side, never
+    // reshuffled), exact-Hamming verify, deterministic best pick, and
+    // unmatched arrivals survive as explicit is_dup=false rows. Cost
+    // is O(batch x bucket) + one index scan — never corpus². The
+    // corpus index is memoized here because the driver contract gives
+    // rows no warehouse; the table-backed face is
+    // Orchestrator.indexMediaBatch + mediaNeardupAgainstIndex, the
+    // stream face is StreamingJobs.mediaNeardupStream — one verdict
+    // contract across all three (StreamingSpec pins stream ≡ batch).
+    // Oracle = the plain band join + the same ROW_NUMBER pick.
+    "q_multimodal_neardup_incremental" -> ((s, dir) => {
+      graft.functions.GraftExtensions.install(s)
+      def hashed(df: org.apache.spark.sql.DataFrame) =
+        df.selectExpr("doc_id", "dhash64(payload) AS h64")
+      val indexBands = mediaMemo.get(s, s"mediabands:$dir") {
+        val hs = hashed(mediaIncrCorpus(s, dir))
+        bandFrame(hs, bandKeys4).join(hs, "doc_id").cutLineage()
+      }
+      mediaNeardupProbe(hashed(mediaIncrBatch(s, dir)), indexBands)
     }),
 
     // dHash vs pHash ROBUSTNESS A/B — one perceptual family is a
@@ -550,7 +734,43 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(hp) AS BIGINT)
          FROM per GROUP BY family"""
 
+  /** Incremental near-dup oracle: corpus/batch split on the shared
+    * hash lattice, 4-band equi-join, exact-Hamming verify, min-
+    * (hamming, cand) pick, unmatched kept by the left join.
+    */
+  private val neardupIncrementalOracle: String =
+    neardupHashCtes("") + s""",
+         corp AS (SELECT doc_id, h64 FROM hsh
+                  WHERE doc_id < $VariantOffset AND doc_id % 10 <> 0),
+         bat AS MATERIALIZED (SELECT doc_id, h64 FROM hsh
+               WHERE (doc_id < $VariantOffset AND doc_id % 10 = 0)
+                  OR (doc_id >= $VariantOffset
+                      AND (doc_id - $VariantOffset) % 10 <> 0)),
+         cb AS (SELECT doc_id, h64, CONCAT(t.k, ':',
+                  CAST((h64 >> CAST(16*t.k AS INT)) & 65535 AS VARCHAR))
+                  AS band_key
+                FROM corp, range(4) t(k)),
+         bb AS (SELECT doc_id, h64, CONCAT(t.k, ':',
+                  CAST((h64 >> CAST(16*t.k AS INT)) & 65535 AS VARCHAR))
+                  AS band_key
+                FROM bat, range(4) t(k)),
+         cand AS (
+           SELECT DISTINCT b.doc_id, c.doc_id AS cand_id,
+                  CAST(bit_count(xor(b.h64, c.h64)) AS BIGINT) AS hamming
+           FROM bb b JOIN cb c ON c.band_key = b.band_key
+           WHERE c.doc_id <> b.doc_id
+             AND bit_count(xor(b.h64, c.h64)) <= $NearDupMaxHamming),
+         best AS (
+           SELECT doc_id, cand_id, hamming FROM (
+             SELECT doc_id, cand_id, hamming, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY hamming, cand_id) AS rn
+             FROM cand) WHERE rn = 1)
+         SELECT b.doc_id, best.cand_id IS NOT NULL AS is_dup,
+                best.cand_id AS match_doc_id, best.hamming
+         FROM bat b LEFT JOIN best ON best.doc_id = b.doc_id"""
+
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_neardup_incremental" -> neardupIncrementalOracle,
     "q_multimodal_phash_ab" -> phashAbOracle,
 
     "q_multimodal_neardup" ->

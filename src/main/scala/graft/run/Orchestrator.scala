@@ -1238,6 +1238,53 @@ object Orchestrator {
         docs, corpusKeys, corpusBands)
     }
 
+    /** Media near-dup index maintenance (the [[indexDedupBatch]]
+      * discipline on the PERCEPTUAL plane): append THIS batch's
+      * (doc_id, h64, band_key) dHash band rows to the warehouse index
+      * through the idempotent batch-partition write (S8 — a re-run
+      * replaces exactly its own partition). Once a batch of payloads
+      * is indexed, later ingests probe the TABLE via
+      * [[mediaNeardupAgainstIndex]] — the media side stops recomputing
+      * the corpus every run. The hash/band builders are the shared
+      * MultimodalQueries kernels, so the index cannot drift from the
+      * registered row or the streaming gate.
+      *
+      * @param media (doc_id, payload binary)
+      */
+    def indexMediaBatch(media: DataFrame): Long = {
+      val hashes = media.select(col("doc_id"),
+        graft.functions.MediaHash.dhash(col("payload")).as("h64"))
+      writeBatch(
+        graft.queries.MultimodalQueries
+          .bandFrame(hashes, graft.queries.MultimodalQueries.bandKeys4)
+          .join(hashes, "doc_id")
+          .select(col("doc_id"), col("h64"), col("band_key")),
+        "indexes/media_bands")
+    }
+
+    /** Probe a new batch of media payloads against the PERSISTED band
+      * index — the table-backed production form of
+      * q_multimodal_neardup_incremental: batch bands broadcast against
+      * the index table (one map-side scan, no index reshuffle), exact
+      * Hamming verify, deterministic best pick; cost O(batch x bucket)
+      * + one index scan, never corpus². The current batch's own
+      * partition is excluded so a restart that already indexed this
+      * batch does not match every payload to itself (the
+      * fuzzyMatchAgainstIndex argument).
+      *
+      * @param media (doc_id, payload binary)
+      * @return (doc_id, is_dup, match_doc_id, hamming)
+      */
+    def mediaNeardupAgainstIndex(media: DataFrame): DataFrame = {
+      val idx = readTable("indexes/media_bands")
+        .where(col("dwh_batch_id") =!= batchId)
+        .select(col("doc_id"), col("h64"), col("band_key")).distinct()
+      graft.queries.MultimodalQueries.mediaNeardupProbe(
+        media.select(col("doc_id"),
+          graft.functions.MediaHash.dhash(col("payload")).as("h64")),
+        idx)
+    }
+
     /** Entity-resolution index maintenance: append THIS batch's
       * master-key deletion-variant rows to the warehouse fuzzy index
       * through the idempotent batch-partition write (S8 — a re-run

@@ -543,6 +543,28 @@ object StreamingJobs {
       (0 until nprobe).map(b => col(s"__hit$b")).reduce(_ || _).as("is_dup"))
   }
 
+  /** Streaming media near-dup gate — the streaming face of
+    * q_multimodal_neardup_incremental: each arriving media payload is
+    * dHashed and probed against the FROZEN corpus band-payload table
+    * ([[graft.queries.MultimodalQueries.mediaBandPayload]] — bounded
+    * buckets, refusal on degenerate corpora), verdicts through the ONE
+    * shared probe ([[graft.queries.MultimodalQueries
+    * .mediaNeardupVerdicts]] — 4 band-slot joins + in-array exact-
+    * Hamming verify and min pick, no window, no state), so the stream
+    * gate, the registered row and the warehouse face cannot drift.
+    * Append mode at any rate; StreamingSpec pins stream ≡ batch.
+    *
+    * @param media       streaming (doc_id, payload binary)
+    * @param bandPayload the static corpus side (band_key -> vs)
+    * @return (doc_id, is_dup, match_doc_id, hamming)
+    */
+  def mediaNeardupStream(media: DataFrame,
+                         bandPayload: DataFrame): DataFrame =
+    graft.queries.MultimodalQueries.mediaNeardupVerdicts(
+      media.select(col("doc_id"),
+        graft.functions.MediaHash.dhash(col("payload")).as("h64")),
+      bandPayload)
+
   /** Streaming Gopher-rules gate — the streaming face of
     * q_text_gopher_rules: each arriving document gets every rule
     * metric + verdict row-by-row through the ONE shared builder

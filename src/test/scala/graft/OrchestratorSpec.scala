@@ -703,6 +703,60 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
     assert(!Files.exists(java.nio.file.Paths.get(s"$wh/bronze/t2")))
   }
 
+  test("media band index persists per batch; the next batch probes the table") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_media_idx").toString
+    // 80-byte decoded-plane stand-ins (the MultimodalSpec md5 chains)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def plane(seed: String): Array[Byte] = (0 until 5).flatMap(j =>
+      md.digest(s"$seed#$j".getBytes("UTF-8")).toSeq).toArray
+    val corpus = (1L to 20L).map(i => (i, plane(s"img$i"))).toDF("doc_id", "payload")
+    // batch: re-encodes of corpus docs 3 and 7 (byte-5 bump — Hamming
+    // <= 2 from the original) plus two genuinely fresh payloads
+    def bump(p: Array[Byte]): Array[Byte] = {
+      val q = p.clone(); q(5) = ((q(5) & 0xff) + 96).toByte; q
+    }
+    val batch = Seq(
+      (1003L, bump(plane("img3"))), (1007L, bump(plane("img7"))),
+      (2001L, plane("fresh1")), (2002L, plane("fresh2")))
+      .toDF("doc_id", "payload")
+
+    val run1 = new Orchestrator.Run(spark, wh, "B1")
+    val nBands = run1.indexMediaBatch(corpus)
+    assert(nBands === 80L, "4 band rows per indexed payload")
+    // S8 on the index plane: re-indexing the same batch replaces its
+    // partition — no duplicates
+    new Orchestrator.Run(spark, wh, "B1").indexMediaBatch(corpus)
+    assert(spark.read.parquet(s"$wh/indexes/media_bands").count() === 80L)
+
+    val run2 = new Orchestrator.Run(spark, wh, "B2")
+    val verdicts = run2.mediaNeardupAgainstIndex(batch)
+    // the plan reads ONLY the index table — corpus payloads are gone
+    val scanned = verdicts.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("indexes/media_bands")),
+      s"probe must read only the band index, scanned: $scanned")
+    val got = verdicts.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(1003L) === ((true, 3L)), "re-encode must match its original")
+    assert(got(1007L) === ((true, 7L)))
+    assert(got(2001L)._1 === false && got(2002L)._1 === false,
+      "fresh payloads survive as explicit is_dup=false rows")
+
+    // indexing the probe batch too, then re-probing it, must exclude
+    // its own partition (restart shape) — verdicts unchanged
+    run2.indexMediaBatch(batch)
+    val again = run2.mediaNeardupAgainstIndex(batch).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(again === got.map { case (k, v) => k -> v._1 })
+  }
+
   test("dedup indexes persist per batch; the next batch probes only the tables") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val wh = Files.createTempDirectory("graft_dedup_idx").toString

@@ -771,6 +771,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(path).count() === events.size.toLong)
   }
 
+  test("media near-dup gate stream: verdicts equal the batch incremental row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the registered incremental row's full verdict
+    val want = SparkEntry.queries("q_multimodal_neardup_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(want.values.exists(_._1) && want.values.exists(!_._1),
+      "fixture too weak: both verdict branches must be exercised")
+    // frozen corpus side: the shared bounded band-payload table
+    val payload = graft.queries.MultimodalQueries
+      .mediaIncrCorpusPayload(spark, dir)
+    val batch = graft.queries.MultimodalQueries
+      .mediaIncrBatchPayloads(spark, dir)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val out = StreamingJobs.mediaNeardupStream(
+      ms.toDF().toDF("doc_id", "payload"), payload)
+    val q = out.writeStream.format("memory")
+      .queryName("media_gate").outputMode("append").start()
+    try {
+      // two micro-batches: verdicts must not depend on arrival slicing
+      val (a, b) = batch.splitAt(batch.length / 2)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("media_gate").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got === want, "stream gate must equal the batch row bit-for-bit")
+  }
+
   test("semantic gate stream: verdicts equal the batch incremental row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
