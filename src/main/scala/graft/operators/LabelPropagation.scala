@@ -367,7 +367,7 @@ object LabelPropagation {
     var adjW = adj0.withColumn("w", lit(1L))
     var degW = deg0
     // flat labels on ORIGINAL nodes (the committed state)
-    var nodeLab = chain.cut(labels.select(col("node"), col("community")))
+    var nodeLab = chain.pin(labels.select(col("node"), col("community")))
     var phase = 0
     var phaseMoved = -1L
     while ((phase < 2 || phaseMoved != 0L) && phase < maxPhases) {
@@ -403,7 +403,11 @@ object LabelPropagation {
           s"$maxRounds rounds (last round still moved $moved) — raise " +
           "maxRounds; publishing a non-fixpoint phase would mislabel " +
           "the communities later rounds merge")
-      nodeLab = chain.cut(flatten(lab))
+      // PINNED: the committed flat labels are read by every later
+      // phase's flatten/record — a window cut would be evicted (and
+      // its reliable-checkpoint files deleted) by the contraction cuts
+      // below while still referenced
+      nodeLab = chain.pin(flatten(lab))
       phaseMoved = total
       // contract this level's graph under the phase labeling for the
       // next phase: inter weights sum per community pair; intra weight
@@ -421,18 +425,24 @@ object LabelPropagation {
         .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
       val degNext = cl.join(degW, "node")
         .groupBy(col("community").as("node")).agg(sum(col("deg")).as("deg"))
-      canonW = chain.cut(interW)
-      adjW = chain.cut(
+      // PINNED likewise: the level frames feed every round of the
+      // NEXT phase (and its contraction), far past the keep-2 window
+      canonW = chain.pin(interW)
+      adjW = chain.pin(
         canonW.select(col("u").as("node"), col("v").as("nbr"), col("w"))
           .unionAll(canonW.select(col("v").as("node"),
             col("u").as("nbr"), col("w"))))
-      degW = chain.cut(degNext)
+      degW = chain.pin(degNext)
     }
     require(phaseMoved == 0L,
       s"louvainPhases: no phase fixpoint within $maxPhases phases " +
         s"(the last phase still moved $phaseMoved node(s)) — raise " +
         "maxPhases; a capped ladder would publish communities a " +
         "further contraction provably improves")
+    // the result is DRIVER-side (the trace rows) — nothing returned
+    // reads the checkpoints, so every pinned level frame and window
+    // cut is reclaimable now (the BpeTrainer finisher)
+    chain.reclaimAll()
     import spark.implicits._
     rows.map { case (p, r, mv, mrow) =>
       (p, r, mv, mrow.getLong(0), mrow.getLong(1), mrow.getLong(2),

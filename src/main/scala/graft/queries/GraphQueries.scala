@@ -1037,80 +1037,14 @@ object GraphQueries extends QueryPack {
          mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
          degs AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
                   FROM adj GROUP BY node),
-         ds4 AS (SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS dc
-                 FROM l_$LpaRounds l JOIN degs d ON d.node = l.node
-                 GROUP BY l.community),
-         kv AS (SELECT a.node, l.community, CAST(COUNT(*) AS BIGINT) AS k
-                FROM adj a JOIN l_$LpaRounds l ON l.node = a.nbr
-                GROUP BY a.node, l.community),
-         own AS (
-           SELECT l.node, l.community AS a, d.deg,
-                  COALESCE(k.k, 0) AS k_a, ds.dc AS d_a
-           FROM l_$LpaRounds l
-           JOIN degs d ON d.node = l.node
-           LEFT JOIN kv k ON k.node = l.node AND k.community = l.community
-           JOIN ds4 ds ON ds.community = l.community),
-         cand AS (
-           SELECT o.node, kv.community AS c,
-                  4 * mm.m * (kv.k - o.k_a)
-                    - 2 * o.deg * (ds.dc - o.d_a + o.deg) AS delta
-           FROM own o
-           JOIN kv ON kv.node = o.node AND kv.community < o.a
-           JOIN ds4 ds ON ds.community = kv.community
-           CROSS JOIN mm),
-         pick AS (
-           SELECT node, c FROM (
-             SELECT node, c, ROW_NUMBER() OVER (
-               PARTITION BY node ORDER BY delta DESC, c) AS rn
-             FROM cand WHERE delta > 0) WHERE rn = 1),
-         r_1 AS (
-           SELECT o.node, COALESCE(p.c, o.a) AS community
-           FROM own o LEFT JOIN pick p ON p.node = o.node)""" +
+         adjw_l AS (SELECT node, nbr, CAST(1 AS BIGINT) AS w FROM adj)""" +
+      wmoveCtes(s"l_$LpaRounds", "adjw_l", "degs", "1") +
       modularityCtes("a", s"SELECT node, community FROM l_$LpaRounds") +
       modularityCtes("c", "SELECT node, community FROM r_1") +
       s"""
          ${modularitySelect("a", "lpa_round4")}
          UNION ALL
          ${modularitySelect("c", "refined_1")}"""
-
-  /** One unrolled down-label Louvain move round `inLab` → `r_$sfx`
-    * (the exact refineOnce arithmetic — the lpaRefinedOracle block,
-    * parameterized so the louvain oracle can chain rounds).
-    */
-  private def louvainMoveCtes(inLab: String, sfx: String): String =
-    s""",
-         dsum_mv_$sfx AS (
-           SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS dc
-           FROM $inLab l JOIN degs d ON d.node = l.node
-           GROUP BY l.community),
-         kv_mv_$sfx AS (
-           SELECT a.node, l.community, CAST(COUNT(*) AS BIGINT) AS k
-           FROM adj a JOIN $inLab l ON l.node = a.nbr
-           GROUP BY a.node, l.community),
-         own_mv_$sfx AS (
-           SELECT l.node, l.community AS a, d.deg,
-                  COALESCE(k.k, 0) AS k_a, ds.dc AS d_a
-           FROM $inLab l
-           JOIN degs d ON d.node = l.node
-           LEFT JOIN kv_mv_$sfx k
-             ON k.node = l.node AND k.community = l.community
-           JOIN dsum_mv_$sfx ds ON ds.community = l.community),
-         cand_mv_$sfx AS (
-           SELECT o.node, kv.community AS c,
-                  4 * mm.m * (kv.k - o.k_a)
-                    - 2 * o.deg * (ds.dc - o.d_a + o.deg) AS delta
-           FROM own_mv_$sfx o
-           JOIN kv_mv_$sfx kv ON kv.node = o.node AND kv.community < o.a
-           JOIN dsum_mv_$sfx ds ON ds.community = kv.community
-           CROSS JOIN mm),
-         pick_mv_$sfx AS (
-           SELECT node, c FROM (
-             SELECT node, c, ROW_NUMBER() OVER (
-               PARTITION BY node ORDER BY delta DESC, c) AS rn
-             FROM cand_mv_$sfx WHERE delta > 0) WHERE rn = 1),
-         r_$sfx AS MATERIALIZED (
-           SELECT o.node, COALESCE(p.c, o.a) AS community
-           FROM own_mv_$sfx o LEFT JOIN pick_mv_$sfx p ON p.node = o.node)"""
 
   /** One trace row of the louvain oracle: round + moved (a scalar
     * subquery comparing the round's labeling to its input) + the
@@ -1139,8 +1073,8 @@ object GraphQueries extends QueryPack {
     */
   private val louvainOracle: String = {
     val moves = (1 to LouvainFixtureRounds).map { r =>
-      louvainMoveCtes(if (r == 1) s"l_$LpaRounds" else s"r_${r - 1}",
-        r.toString)
+      wmoveCtes(if (r == 1) s"l_$LpaRounds" else s"r_${r - 1}",
+        "adjw_l", "degs", r.toString)
     }.mkString
     val mods = modularityCtes("lv0",
       s"SELECT node, community FROM l_$LpaRounds") +
@@ -1158,18 +1092,22 @@ object GraphQueries extends QueryPack {
     lpaCtes + s""",
          mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
          degs AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
-                  FROM adj GROUP BY node)""" +
+                  FROM adj GROUP BY node),
+         adjw_l AS (SELECT node, nbr, CAST(1 AS BIGINT) AS w FROM adj)""" +
       moves + mods + "\n         " +
       (0 to LouvainFixtureRounds).map(r =>
         louvainSelect(s"lv$r", r, movedSql(r)))
         .mkString("\n         UNION ALL\n         ")
   }
 
-  /** One unrolled WEIGHTED down-label move round `inLab` -> `r_$sfx`
-    * (the louvainMoveCtes arithmetic generalized per refineOnceOnW:
-    * k = Σw over the level's weighted adjacency `adjName`, degrees
-    * from the level's self-loop-inclusive `degName`; `mm` is the
-    * constant total weight — contraction preserves it).
+  /** THE unrolled down-label move round `inLab` -> `r_$sfx` — one SQL
+    * template for every Louvain oracle (q_graph_lpa_refined,
+    * q_graph_louvain, q_graph_louvain_phases — the engine's ONE
+    * refineOnceOnW body mirrored once, so a gain-arithmetic change
+    * cannot silently diverge the three gates): k = Σw over the
+    * level's weighted adjacency `adjName` (w = 1 for the original
+    * graph), degrees from the level's self-loop-inclusive `degName`;
+    * `mm` is the constant total weight — contraction preserves it.
     */
   private def wmoveCtes(inLab: String, adjName: String, degName: String,
                         sfx: String): String =

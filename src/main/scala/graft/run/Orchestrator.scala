@@ -834,11 +834,19 @@ object Orchestrator {
       if (rows.isEmpty) return Seq.empty
       flushAudit() // the cadence reads the PERSISTED audit plane
       val path = s"$warehouse/tools/audit_log"
-      val audit =
-        if (!WarehouseFs.exists(path)) None
-        else Some(graft.sources.AppendLogLayout.read(spark, path))
       rows.map { r =>
         val key = s"${r.op}:${r.target}"
+        // the audit frame is re-resolved PER ROW: an earlier row's op
+        // may have folded (compact_audit) or GC'd (vacuum_audit) the
+        // very files a pass-wide plan captured at entry — a stale plan
+        // would throw FileNotFound from a later row's bookkeeping and
+        // abort the batch, violating the FAILED-row isolation below.
+        // Cost: two filtered scans of the metadata-sized log per row
+        // (the refreshIfDue budget); the fold itself is what keeps
+        // those listings O(1) at production cadence.
+        val audit =
+          if (!WarehouseFs.exists(path)) None
+          else Some(graft.sources.AppendLogLayout.read(spark, path))
         val landed: Seq[String] = audit.toSeq.flatMap { a =>
           val writes = a.where(col("step") === "write"
             && col("status") === "SUCCESS")

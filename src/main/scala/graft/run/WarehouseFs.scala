@@ -218,7 +218,18 @@ object WarehouseFs {
 
   private def configuredLeaseMs(): Long =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .flatMap(_.conf.getOption(LeaseConf)).map(_.trim.toLong).getOrElse(0L)
+      .flatMap(_.conf.getOption(LeaseConf)).map { raw =>
+        // loud parse (the ToolsConfig intConfig discipline): a bare
+        // NumberFormatException from every lock acquire would name
+        // neither the conf nor the remedy
+        try raw.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$LeaseConf is '$raw' — not a millisecond count; set a " +
+              "plain integer (e.g. 3600000 for 1h) or unset it to " +
+              "disable lease reclaim")
+        }
+      }.getOrElse(0L)
 
   /** This process's lock-owner stamp (pid@host — diagnostics only). */
   private def ownerId(): String =
@@ -233,33 +244,66 @@ object WarehouseFs {
     *         Left(holderInfo) = a live (or lease-disabled) lock blocks.
     *
     * Age comes from the lock file's store mtime (authoritative), the
-    * owner stamp inside is diagnostics. The reclaim (delete + retry)
-    * is not atomic: two reclaimers race the re-create and exactly one
-    * wins on exclusive-create stores; on advisory stores the callers'
-    * pre-commit re-checks stay the net, as for every lock here.
+    * owner stamp inside is diagnostics. The RECLAIM IS ADVISORY on
+    * EVERY store: delete-then-create is not compare-and-swap, so two
+    * reclaimers racing the same stale lock can interleave (B's delete
+    * landing on A's freshly created lock) such that both believe they
+    * won — even where createExclusive itself is a real mutex. Three
+    * mitigations narrow and mostly detect the race — a staleness
+    * RE-CHECK immediately before the delete (a lock another reclaimer
+    * just re-created reads age≈0 and blocks this one), a unique token
+    * in the stamp, and a post-stamp READ-BACK that aborts the loser
+    * when the interleaving overwrote it — and the callers' pre-commit
+    * re-checks (pointer + staging-intact) remain the correctness net,
+    * as for every lock here. Size the lease so reclaim replaces the
+    * manual crashed-holder recovery, never a contention path.
     */
   def acquireLease(p: String): Either[String, Option[String]] = {
     val leaseMs = configuredLeaseMs()
-    def stamp(): Unit = scala.util.Try(
-      publishAtomic(p, s"owner=${ownerId()} acquired_ms=${System.currentTimeMillis()}"))
+    def stamp(token: String): Unit = scala.util.Try(
+      publishAtomic(p, s"owner=${ownerId()} token=$token " +
+        s"acquired_ms=${System.currentTimeMillis()}"))
     def holderInfo(): String =
       (scala.util.Try(readString(p)).toOption.filter(_.nonEmpty)
         .getOrElse("<no owner stamp>")) +
         scala.util.Try(s" age_ms=${System.currentTimeMillis() - modTime(p)}")
           .getOrElse("")
-    if (createExclusive(p)) { stamp(); Right(None) }
+    def freshToken(): String = java.util.UUID.randomUUID().toString
+    if (createExclusive(p)) { stamp(freshToken()); Right(None) }
     else {
       val age = scala.util.Try(
         System.currentTimeMillis() - modTime(p)).getOrElse(-1L)
       if (age < 0) {
         // the holder released between our create-fail and the stat —
         // one immediate retry; a second loss is a genuine live holder
-        if (createExclusive(p)) { stamp(); Right(None) } else Left(holderInfo())
+        if (createExclusive(p)) { stamp(freshToken()); Right(None) }
+        else Left(holderInfo())
       } else if (leaseMs > 0 && age > leaseMs) {
         val stale = s"${holderInfo()} exceeded lease=${leaseMs}ms"
-        deleteFile(p)
-        if (createExclusive(p)) { stamp(); Right(Some(stale)) }
-        else Left(holderInfo() + " (stale lock reclaimed and immediately re-acquired by another)")
+        // staleness re-check at the last instant: if another reclaimer
+        // already deleted+recreated, the lock is FRESH now and this
+        // delete would kill a live holder's lock
+        val ageNow = scala.util.Try(
+          System.currentTimeMillis() - modTime(p)).getOrElse(Long.MaxValue)
+        if (ageNow <= leaseMs)
+          Left(holderInfo() + " (reclaimed by another while checking)")
+        else {
+          deleteFile(p)
+          if (createExclusive(p)) {
+            val token = freshToken()
+            stamp(token)
+            // read-back: a racing reclaimer that deleted OUR lock and
+            // stamped its own shows a foreign token — we lost; abort
+            // without touching the lock (it is theirs now)
+            val mine = scala.util.Try(readString(p)).toOption
+              .exists(_.contains(s"token=$token"))
+            if (mine) Right(Some(stale))
+            else Left(holderInfo() +
+              " (lost the reclaim race at read-back — another " +
+              "reclaimer holds the lock)")
+          } else Left(holderInfo() +
+            " (stale lock reclaimed and immediately re-acquired by another)")
+        }
       } else Left(holderInfo())
     }
   }

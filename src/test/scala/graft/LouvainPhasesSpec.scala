@@ -53,6 +53,32 @@ class LouvainPhasesSpec extends AnyFunSuite with SparkTestBase {
       s"modularity must be monotone across phases, got ${ppms.toSeq}")
   }
 
+  test("reliable policy: identical trace, chain reclaims every checkpoint file") {
+    // the r20 review finding: the cross-phase frames (nodeLab, the
+    // contracted level graphs) are read far past the keep-2 window —
+    // they must be PINNED or the reliable policy deletes files still
+    // referenced (FileNotFound mid-ladder); and the trace is
+    // driver-side, so reclaimAll must leave the dir EMPTY
+    val defaultTrace = trace
+    val ckdir = java.nio.file.Files
+      .createTempDirectory("graft_louv_ckpt").toString
+    spark.conf.set(graft.plans.Checkpoints.DirConf, ckdir)
+    try {
+      assert(trace === defaultTrace,
+        "the checkpoint policy must not change the trace")
+      def rddDirs(f: java.io.File): Int =
+        Option(f.listFiles()).getOrElse(Array.empty).map { c =>
+          (if (c.isDirectory) rddDirs(c) else 0) +
+            (if (c.getName.startsWith("rdd-")) 1 else 0)
+        }.sum
+      assert(rddDirs(new java.io.File(ckdir)) === 0,
+        "driver-side result: reclaimAll must leave no checkpoint files")
+    } finally {
+      spark.conf.unset(graft.plans.Checkpoints.DirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckdir))
+    }
+  }
+
   test("louvainPhases refuses a phase cap that cannot prove the fixpoint") {
     val e = intercept[IllegalArgumentException] {
       LabelPropagation.louvainPhases(

@@ -682,6 +682,23 @@ class OrchestratorSpec extends AnyFunSuite with SparkTestBase {
 
     // reads through the resolver stay exact across the whole cadence
     assert(r4.readTable("bronze/t").count() === 160L)
+
+    // the r20 review finding: a pass whose EARLIER op rewrites the
+    // audit log (fold) and whose NEXT op GC's it (vacuum) must not
+    // leave a LATER op's cadence bookkeeping reading a stale plan
+    // over deleted files — the audit frame resolves per row. The log
+    // already holds one committed generation from r3's fold above.
+    ToolsConfig.writeConfigFile(ToolsConfig.maintenanceConfigPath(wh), Seq(
+      """{"op":"compact_audit","target_table":"tools/audit_log","every":"1"}""",
+      """{"op":"vacuum_audit","target_table":"tools/audit_log","every":"1"}""",
+      """{"op":"compact_batches","target_table":"bronze/t","every":"1"}"""))
+    val r5 = land("B0005")
+    assert(r5.runMaintenanceIfDue() === Seq(
+      ("compact_audit", "tools/audit_log", "RAN"),
+      ("vacuum_audit", "tools/audit_log", "RAN"),
+      ("compact_batches", "bronze/t", "RAN")),
+      "fold + GC + compact in ONE pass: no stale-plan abort")
+    assert(r5.readTable("bronze/t").count() === 200L)
   }
 
   test("ingest gate: mismatched schema quarantines, matched loads") {
