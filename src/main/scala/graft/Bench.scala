@@ -112,7 +112,11 @@ object Bench {
     "q_graph_core_gate", "q_graph_lpa_refined",
     // r19 rows: tracked from day one
     "q_graph_louvain", "q_multimodal_neardup", "q_multimodal_neardup_recall",
-    "q_multimodal_neardup_canonical")
+    "q_multimodal_neardup_canonical",
+    // r20 rows: per-query medians + scaling ratios tracked from birth
+    // (the r19c close-out-coverage lesson)
+    "q_graph_louvain_phases", "q_multimodal_phash_ab",
+    "q_multimodal_neardup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -229,8 +229,13 @@ object KCore {
       // self-loop-only input: the guards pass (edges exist) but the
       // canonical simple graph is empty — the graceful empty frame,
       // matching peel's behavior on the identical input
-      if (frames.isEmpty)
+      if (frames.isEmpty) {
+        // the initial survivors cut is tracked but the empty result
+        // reads nothing — reclaim it (the finisher contract holds on
+        // every exit path)
+        chain.reclaimAll()
         canon.select(col("u").as("node"), lit(0L).as("core")).limit(0)
+      }
       // seal: the final cut this ladder always had, now also reclaiming
       // every rung's pinned + windowed files under the reliable policy
       else chain.seal(frames.reduce(_ unionAll _))

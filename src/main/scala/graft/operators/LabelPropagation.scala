@@ -231,7 +231,8 @@ object LabelPropagation {
                                        m: DataFrame, deg: DataFrame)
 
   private def refineLoop(labels: DataFrame, edges: DataFrame,
-                         maxRounds: Int, who: String)
+                         maxRounds: Int, who: String,
+                         driverResult: Boolean = false)
                         (onRound: (Int, Long, DataFrame, GraphFrames) => Unit): DataFrame = {
     require(maxRounds >= 1, s"$who: maxRounds must be >= 1, got $maxRounds")
     // guards + label-INdependent frames ONCE for the whole loop: the
@@ -266,14 +267,21 @@ object LabelPropagation {
         s"still moved $moved nodes) — raise maxRounds; publishing a " +
         "non-fixpoint labeling as refined would mislabel the " +
         "communities later rounds merge")
-    chain.sealIfReliable(lab)
+    // refine returns the labeling (seal under reliable); refineTrace's
+    // result is DRIVER-side rows, so its finisher is reclaimAll — a
+    // seal there would park one labeling-sized frame per call forever
+    // AND pay a wasted distributed write (the returned frame is
+    // unreadable after reclaim; refineTrace never reads it)
+    if (driverResult) { chain.reclaimAll(); lab }
+    else chain.sealIfReliable(lab)
   }
 
   def refineTrace(labels: DataFrame, edges: DataFrame,
                   maxRounds: Int): DataFrame = {
     val spark = labels.sparkSession
     var rows = Vector.empty[(Long, Long, Row)]
-    refineLoop(labels, edges, maxRounds, "refineTrace") {
+    refineLoop(labels, edges, maxRounds, "refineTrace",
+        driverResult = true) {
       (round, moved, lab, ctx) =>
         rows :+= ((round.toLong, moved,
           modularityOn(ctx.canon, ctx.m, ctx.deg, lab).head()))
@@ -409,6 +417,7 @@ object LabelPropagation {
       // below while still referenced
       nodeLab = chain.pin(flatten(lab))
       phaseMoved = total
+      if ((phase < 2 || phaseMoved != 0L) && phase < maxPhases) {
       // contract this level's graph under the phase labeling for the
       // next phase: inter weights sum per community pair; intra weight
       // (+ member self-loops, already folded into degW) becomes the
@@ -433,6 +442,7 @@ object LabelPropagation {
           .unionAll(canonW.select(col("v").as("node"),
             col("u").as("nbr"), col("w"))))
       degW = chain.pin(degNext)
+      }
     }
     require(phaseMoved == 0L,
       s"louvainPhases: no phase fixpoint within $maxPhases phases " +

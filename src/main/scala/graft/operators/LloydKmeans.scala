@@ -67,8 +67,9 @@ object LloydKmeans {
           e => e.getField("m")).as("cv"))
       cents = chain.cut(cents)
     }
-    // the returned frame is the LAST cut (inside the keep window);
-    // earlier rounds' files were reclaimed as the window advanced
-    cents
+    // finisher: under the reliable policy one cheap re-cut of the
+    // <=1024-row codebook reclaims BOTH window files (round N-1's is
+    // read by nothing); under the local policy the plan is unchanged
+    chain.sealIfReliable(cents)
   }
 }

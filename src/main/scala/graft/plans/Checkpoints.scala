@@ -146,11 +146,24 @@ object Checkpoints {
       val out = Checkpoints.cut(ds)
       checkpointFileOf(out).foreach { f =>
         window.enqueue(f)
-        while (window.size > keep)
-          graft.run.WarehouseFs.deleteRecursive(window.dequeue())
+        while (window.size > keep) reclaimQuiet(window.dequeue())
       }
       out
     }
+
+    // GC hygiene must never kill the COMPUTE job: the files being
+    // deleted are superseded garbage whose survival affects nothing,
+    // so a transient store failure here warns (job-end dir deletion is
+    // the backstop) instead of escalating — unlike the maintenance
+    // plane's CHECKED deletes, where a half-delete is data loss
+    private def reclaimQuiet(f: String): Unit =
+      scala.util.Try(graft.run.WarehouseFs.deleteRecursive(f)) match {
+        case scala.util.Failure(e) => System.err.println(
+          s"[checkpoints] could not reclaim superseded checkpoint $f " +
+            s"(${String.valueOf(e.getMessage)}) — harmless garbage; " +
+            "job-end checkpoint-dir deletion is the backstop")
+        case _ => ()
+      }
 
     /** Cut a frame the loop reads until the end (reclaimed by the
       * finisher, never by the window).
@@ -162,7 +175,7 @@ object Checkpoints {
     }
 
     private def reclaim(): Unit = {
-      (window ++ pinned).foreach(graft.run.WarehouseFs.deleteRecursive)
+      (window ++ pinned).foreach(reclaimQuiet)
       window.clear(); pinned.clear()
     }
 

@@ -550,7 +550,9 @@ object SimQueries extends QueryPack {
         .agg(floor(sum(col("qval")).cast(DoubleType) / count(lit(1)))
           .cast(LongType).as("cval")))
     }
-    cents // the last window cut; earlier rounds' files already reclaimed
+    // finisher (the LloydKmeans discipline): reclaim both window files
+    // behind one tiny re-cut under reliable; unchanged under local
+    chain.sealIfReliable(cents)
   }
 
   /** Asymmetric-distance PQ search under a codebook frame: 8 code bytes

@@ -291,16 +291,31 @@ object WarehouseFs {
           deleteFile(p)
           if (createExclusive(p)) {
             val token = freshToken()
-            stamp(token)
-            // read-back: a racing reclaimer that deleted OUR lock and
-            // stamped its own shows a foreign token — we lost; abort
-            // without touching the lock (it is theirs now)
-            val mine = scala.util.Try(readString(p)).toOption
-              .exists(_.contains(s"token=$token"))
-            if (mine) Right(Some(stale))
-            else Left(holderInfo() +
-              " (lost the reclaim race at read-back — another " +
-              "reclaimer holds the lock)")
+            // a stamp failure is NOT a lost race: the unstamped lock is
+            // OURS, and reading it back would misread the blank as a
+            // foreign takeover while the lock blocks the plane for a
+            // whole further lease — release it and surface the store
+            // error instead
+            scala.util.Try(publishAtomic(p,
+              s"owner=${ownerId()} token=$token " +
+                s"acquired_ms=${System.currentTimeMillis()}")) match {
+              case scala.util.Failure(e) =>
+                scala.util.Try(deleteFile(p))
+                Left(s"reclaimed the stale lock but could not stamp it " +
+                  s"(${e.getClass.getSimpleName}: " +
+                  s"${String.valueOf(e.getMessage)}) — lock released; " +
+                  "re-run once the store recovers")
+              case _ =>
+                // read-back: a racing reclaimer that deleted OUR lock
+                // and stamped its own shows a foreign token — we lost;
+                // abort without touching the lock (it is theirs now)
+                val mine = scala.util.Try(readString(p)).toOption
+                  .exists(_.contains(s"token=$token"))
+                if (mine) Right(Some(stale))
+                else Left(holderInfo() +
+                  " (lost the reclaim race at read-back — another " +
+                  "reclaimer holds the lock)")
+            }
           } else Left(holderInfo() +
             " (stale lock reclaimed and immediately re-acquired by another)")
         }
