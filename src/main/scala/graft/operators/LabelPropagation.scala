@@ -206,11 +206,11 @@ object LabelPropagation {
     * round, round 0 = the input labeling. On the registered fixture
     * the curve is: 11,590 ppm → 452,032 ppm in round 1 (the bipartite
     * halves merge), fixpoint proven at round 2 (moved = 0) — one
-    * plateau, already at the structural optimum, which is why no
-    * community-contraction (aggregation) phase follows: there is no
-    * second plateau to climb on this contract's output. If a corpus
-    * shows one, contract the communities and re-run — the trace is
-    * what tells you.
+    * plateau, already at the structural optimum on THAT fixture. A
+    * corpus whose move trace plateaus BELOW its optimum (the
+    * resolution-limit shape) takes the remaining climb through the
+    * contraction ladder — [[louvainPhases]], whose dumbbell row
+    * measures exactly that second climb.
     *
     * Scale notes: each round costs one [[refineOnce]] plus one
     * label-compare count and one [[modularity]] measurement — all

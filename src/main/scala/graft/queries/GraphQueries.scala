@@ -718,9 +718,10 @@ object GraphQueries extends QueryPack {
     // round 0 = 11590 ppm (the LPA round-4 labeling), round 1 = 452032
     // ppm (the bipartite halves merge in one move round), round 2
     // moved=0 — the fixpoint PROVEN in-row, already at the structural
-    // optimum, so no aggregation (contraction) phase follows: the
-    // curve has one plateau and it is the target. A consumer reads the
-    // trace, not a convergence claim. Oracle = the identical move
+    // optimum on THIS fixture, so the curve has one plateau and it is
+    // the target; the contraction ladder for corpora that plateau
+    // BELOW their optimum is q_graph_louvain_phases. A consumer reads
+    // the trace, not a convergence claim. Oracle = the identical move
     // arithmetic unrolled twice + the same lattice modularity per
     // round.
     "q_graph_louvain" -> ((s, dir) => {
