@@ -138,6 +138,7 @@ object LabelPropagation {
   private def refineOnceOn(adj: DataFrame, m: DataFrame, deg: DataFrame,
                            labels: DataFrame): DataFrame =
     refineOnceOnW(adj.withColumn("w", lit(1L)), m, deg, labels)
+      .drop("__moved")
 
   /** The WEIGHTED move round — the general core [[louvainPhases]]'
     * contracted levels need (Blondel et al. 2008 §2: the community
@@ -184,10 +185,15 @@ object LabelPropagation {
     // the output covers EVERY input label row (left join from `lab`,
     // not from the edge-joined frame): a labeled node with no edge in
     // this frame cannot move, but silently DROPPING it would shrink a
-    // refreshed community artifact relative to its input labeling
+    // refreshed community artifact relative to its input labeling.
+    // __moved rides along (pick fired ⟺ the label changed — a pick's
+    // c < a strictly, so it always differs): the loops' convergence
+    // count becomes an Observation on the round's ONE materialization
+    // instead of a second action per round (the KCore discipline)
     lab.join(pick, Seq("node"), "left")
       .select(col("node"),
-        coalesce(col("c"), col("community")).as("community"))
+        coalesce(col("c"), col("community")).as("community"),
+        col("c").isNotNull.as("__moved"))
   }
 
   /** Iterated Louvain move phase (Blondel et al. 2008) to a GAIN
@@ -254,11 +260,17 @@ object LabelPropagation {
     var round = 0
     while (moved != 0L && round < maxRounds) {
       round += 1
-      val next = chain.cut(refineOnceOn(adj, m, deg, lab))
-      moved = next.select(col("node"), col("community").as("c2"))
-        .join(lab, "node")
-        .where(col("c2") =!= col("community"))
-        .count()
+      // ONE action per round: the moved count rides the cut's
+      // materialization as an Observation on the __moved flag instead
+      // of a second compare-join job (measured ~1 job per round off
+      // the registered trace rows)
+      val obs = org.apache.spark.sql.Observation()
+      val next = chain.cut(
+        refineOnceOnW(adj.withColumn("w", lit(1L)), m, deg, lab)
+          .observe(obs, coalesce(sum(col("__moved").cast("long")),
+            lit(0L)).as("mv")) // empty labeling: 0, not null
+          .select(col("node"), col("community")))
+      moved = obs.get("mv").asInstanceOf[Long]
       lab = next
       onRound(round, moved, lab, ctx)
     }
@@ -397,11 +409,13 @@ object LabelPropagation {
       var total = 0L
       while (moved != 0L && round < maxRounds) {
         round += 1
-        val next = chain.cut(refineOnceOnW(adjW, m, degW, lab))
-        moved = next.select(col("node"), col("community").as("c2"))
-          .join(lab, "node")
-          .where(col("c2") =!= col("community"))
-          .count()
+        // moved rides the cut's Observation (the refineLoop shape)
+        val obs = org.apache.spark.sql.Observation()
+        val next = chain.cut(refineOnceOnW(adjW, m, degW, lab)
+          .observe(obs, coalesce(sum(col("__moved").cast("long")),
+            lit(0L)).as("mv"))
+          .select(col("node"), col("community")))
+        moved = obs.get("mv").asInstanceOf[Long]
         lab = next
         total += moved
         record(phase, round, moved, flatten(lab))

@@ -231,6 +231,12 @@ object WarehouseFs {
         }
       }.getOrElse(0L)
 
+  /** Race-injection seam for specs ONLY: runs between a reclaim's
+    * stamp and its read-back, where a second reclaimer's delete +
+    * create + stamp can interleave. Production never sets it.
+    */
+  private[graft] var raceBeforeReadback: () => Unit = () => ()
+
   /** This process's lock-owner stamp (pid@host — diagnostics only). */
   private def ownerId(): String =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
@@ -306,6 +312,7 @@ object WarehouseFs {
                   s"${String.valueOf(e.getMessage)}) — lock released; " +
                   "re-run once the store recovers")
               case _ =>
+                raceBeforeReadback() // spec seam: injects the racer
                 // read-back: a racing reclaimer that deleted OUR lock
                 // and stamped its own shows a foreign token — we lost;
                 // abort without touching the lock (it is theirs now)

@@ -14,6 +14,50 @@ class WarehouseFsSpec extends AnyFunSuite with SparkTestBase {
   private def tmp() =
     java.nio.file.Files.createTempDirectory("graft_whfs").toString
 
+  test("lease reclaim: read-back detects the interleaved racer; winner keeps the lock") {
+    import graft.run.WarehouseFs
+    val d = tmp()
+    val lock = s"$d/_compact_lock"
+    spark.conf.set(WarehouseFs.LeaseConf, "60000")
+    try {
+      // a stale lock both reclaimers observe
+      WarehouseFs.publishAtomic(lock, "owner=crashed token=dead acquired_ms=0")
+      assert(new java.io.File(lock)
+        .setLastModified(System.currentTimeMillis() - 120000))
+      // racer B interleaves between OUR stamp and the read-back:
+      // deletes our lock, creates its own, stamps a foreign token
+      WarehouseFs.raceBeforeReadback = () =>
+        WarehouseFs.publishAtomic(lock,
+          "owner=racer-b token=bbbb acquired_ms=1")
+      try {
+        val r = WarehouseFs.acquireLease(lock)
+        assert(r.isLeft, "the read-back must detect the foreign token")
+        assert(r.left.toOption.get.contains("lost the reclaim race"))
+        // the racer's lock is untouched (it is theirs now)
+        assert(WarehouseFs.readString(lock).contains("token=bbbb"))
+      } finally WarehouseFs.raceBeforeReadback = () => ()
+
+      // without the racer: the reclaim wins, stamps, and reports stale
+      assert(new java.io.File(lock)
+        .setLastModified(System.currentTimeMillis() - 120000))
+      val r2 = WarehouseFs.acquireLease(lock)
+      assert(r2.isRight && r2.toOption.get.nonEmpty,
+        "a stale lock must reclaim with the stale info surfaced")
+      assert(WarehouseFs.readString(lock).contains("owner="))
+      WarehouseFs.deleteFile(lock)
+
+      // a FRESH lock re-checked at the last instant never deletes: the
+      // pre-delete staleness re-check reads age ~0 after a competitor
+      // re-created it (simulated by refreshing mtime via the stamp)
+      WarehouseFs.publishAtomic(lock, "owner=live token=live acquired_ms=2")
+      val r3 = WarehouseFs.acquireLease(lock)
+      assert(r3.isLeft, "a live lock blocks")
+    } finally {
+      spark.conf.unset(WarehouseFs.LeaseConf)
+      scala.util.Try(WarehouseFs.deleteFile(lock))
+    }
+  }
+
   test("publishAtomic replaces content and leaves no temp siblings") {
     val d = tmp()
     val p = s"$d/sub/pointer"
