@@ -116,7 +116,7 @@ object Bench {
     // r20 rows: per-query medians + scaling ratios tracked from birth
     // (the r19c close-out-coverage lesson)
     "q_graph_louvain_phases", "q_multimodal_phash_ab",
-    "q_multimodal_neardup_incremental")
+    "q_multimodal_neardup_incremental", "q_multimodal_neardup_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

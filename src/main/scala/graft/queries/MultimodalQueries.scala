@@ -465,6 +465,22 @@ object MultimodalQueries extends QueryPack {
       mediaNeardupProbe(hashed(mediaIncrBatch(s, dir)), indexBands)
     }),
 
+    // The pHash face of the banded near-dup join — BOTH perceptual
+    // kernels are first-class in the same candidate pipeline: phash64
+    // hashes feed the identical 4x16-bit Hamming bands through
+    // LshBandJoin.candidatePairs and the identical exact-Hamming
+    // verify, so a deployment picks its kernel (or runs both) without
+    // new plumbing. Same scale shape as q_multimodal_neardup: 8
+    // bytes/doc leave the scan, only band keys shuffle. Oracle = the
+    // pHash DCT lattice on the shared CosQ literals + the SAME banded
+    // pair CTEs the dHash row uses.
+    "q_multimodal_neardup_phash" -> ((s, dir) => {
+      graft.functions.GraftExtensions.install(s)
+      val hs = neardupPayloads(s, dir)
+        .selectExpr("doc_id", "phash64(payload) AS h64")
+      verifiedPairs(hs, bandFrame(hs, bandKeys4))
+    }),
+
     // dHash vs pHash ROBUSTNESS A/B — one perceptual family is a
     // single point of failure for the media-dedup claim, so the
     // integer-DCT pHash kernel (MediaHash.phash64 — codegen, SQL-
@@ -524,7 +540,10 @@ object MultimodalQueries extends QueryPack {
     * gradient bits, and the two's-complement hash (two 32-bit halves —
     * SUM promotes to HUGEINT, the recombination is BIGINT-exact).
     */
-  private def neardupHashCtes(subsetWhere: String): String =
+  /** The shared docs0+pay+paysub prefix (payload hex for base rows +
+    * re-encoded variants) both hash lattices build on.
+    */
+  private def neardupPayCtes(subsetWhere: String): String =
     s"""WITH docs0 AS (
            SELECT doc_id,
                   CONCAT(md5(COALESCE(text, '')),
@@ -543,7 +562,10 @@ object MultimodalQueries extends QueryPack {
                            2, '0'),
                          SUBSTRING(h, 13, 148))
            FROM docs0 WHERE doc_id % $VariantMod = $VariantRes),
-         paysub AS (SELECT * FROM pay $subsetWhere),
+         paysub AS (SELECT * FROM pay $subsetWhere)"""
+
+  private def neardupHashCtes(subsetWhere: String): String =
+    neardupPayCtes(subsetWhere) + s""",
          px AS MATERIALIZED (
            SELECT doc_id, CAST(t.i AS BIGINT) AS i,
                   CAST(CONCAT('0x', SUBSTRING(h,
@@ -569,6 +591,48 @@ object MultimodalQueries extends QueryPack {
                             THEN (hi - 4294967296) * 4294967296 + lo
                             ELSE hi * 4294967296 + lo END AS BIGINT) AS h64
            FROM hh)"""
+
+  /** pHash lattice over `paysub` → `hsh (doc_id, h64)` — the
+    * phashAbOracle DCT machinery re-keyed to the near-dup payload
+    * plane, so the banded-pair CTEs ([[neardupPairCtes]]) run on
+    * either kernel's hashes unchanged. Bit positions 0..62 (DC
+    * dropped, nonnegative), lower-median pick at rn=32 of 63.
+    */
+  private def phashHashCtes(subsetWhere: String): String =
+    neardupPayCtes(subsetWhere) + s""",
+         cq(u, i, c) AS (SELECT * FROM (VALUES $cosqValues)),
+         pbytes AS MATERIALIZED (
+           SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+                  CAST(CONCAT('0x', SUBSTRING(h, CAST(2*t.i+1 AS INT), 2))
+                    AS BIGINT) AS b
+           FROM paysub, range(80) t(i)),
+         pgrid AS MATERIALIZED (
+           SELECT p.doc_id, t.k // 32 AS gi, t.k % 32 AS gj, p.b AS px
+           FROM range(1024) t(k) JOIN pbytes p ON p.i = (t.k * 80) // 1024),
+         trow AS MATERIALIZED (
+           SELECT g.doc_id, g.gi AS i, cq.u AS v,
+                  CAST(SUM(g.px * cq.c) AS BIGINT) AS tv
+           FROM pgrid g JOIN cq ON cq.i = g.gj
+           GROUP BY g.doc_id, g.gi, cq.u),
+         coef AS MATERIALIZED (
+           SELECT t.doc_id, cq.u AS u, t.v AS v,
+                  CAST(SUM(cq.c * t.tv) AS BIGINT) AS cv
+           FROM trow t JOIN cq ON cq.i = t.i
+           GROUP BY t.doc_id, cq.u, t.v),
+         pmed AS (
+           SELECT doc_id, cv AS med FROM (
+             SELECT doc_id, cv,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY cv) AS rn
+             FROM coef WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+         hsh AS MATERIALIZED (
+           SELECT c.doc_id,
+                  CAST(SUM(CASE WHEN c.cv > m.med
+                           THEN 1::BIGINT << CAST(c.u*8 + c.v - 1 AS INT)
+                           ELSE 0 END) AS BIGINT) AS h64
+           FROM coef c JOIN pmed m ON m.doc_id = c.doc_id
+           WHERE NOT (c.u = 0 AND c.v = 0)
+           GROUP BY c.doc_id)"""
 
   /** 4 x 16-bit production band keys ("k:value" — the engine's). */
   private val band4Sql: String =
@@ -770,6 +834,10 @@ object MultimodalQueries extends QueryPack {
          FROM bat b LEFT JOIN best ON best.doc_id = b.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_neardup_phash" ->
+      (phashHashCtes("") + neardupPairCtes(band4Sql, "") + s"""
+         SELECT doc_id_a, doc_id_b, hamming FROM pairs"""),
+
     "q_multimodal_neardup_incremental" -> neardupIncrementalOracle,
     "q_multimodal_phash_ab" -> phashAbOracle,
 

@@ -210,6 +210,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(("levels", "dhash"))._2 === 100L)
   }
 
+  test("phash banded near-dup: variants within threshold pair with their originals") {
+    import spark.implicits._
+    val pairs = graft.queries.MultimodalQueries
+      .queries("q_multimodal_neardup_phash")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val variantPairs = pairs.filter(_._2 >= 1000000000L)
+    assert(variantPairs.nonEmpty,
+      "pHash must catch re-encoded variants through the banded join")
+    variantPairs.foreach { case (a, b, h) =>
+      assert(b - 1000000000L === a, s"variant $b paired with stranger $a")
+      assert(h <= 6L)
+    }
+    // the A/B row's measured truth (phash ~97% on reencode): fewer or
+    // equal variant catches than dhash's 100%, never zero
+    val dhashVariants = graft.queries.MultimodalQueries
+      .queries("q_multimodal_neardup")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().count(_._2 >= 1000000000L)
+    assert(variantPairs.length <= dhashVariants)
+  }
+
   test("perceptual near-dup catches re-encodes the byte digest misses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
