@@ -88,9 +88,18 @@ object BpeTrainer {
         case Some(row) if row.getLong(2) >= minCount =>
           val m = Merge(row.getString(0), row.getString(1))
           merges += m
-          symFreq = chain.cut(symFreq
-            .select(applyMerge(col("syms"), m).as("syms"), col("freq")))
+          symFreq = symFreq
+            .select(applyMerge(col("syms"), m).as("syms"), col("freq"))
+          // merge rewrites are MAP-ONLY, so the per-round cut was pure
+          // materialization overhead: the next round's argmax job
+          // replays at most CutStride rewrite layers from the last cut
+          // (vocabulary-sized map work) instead of paying a full
+          // vocabulary materialization + job barrier every round —
+          // the Checkpoints.CutStride trade, halving the actions per
+          // learned merge
           round += 1
+          if (round % graft.plans.Checkpoints.CutStride == 0)
+            symFreq = chain.cut(symFreq)
         case _ => done = true
       }
     }

@@ -49,14 +49,19 @@ object ConnectedComponents {
       val nbrMin = e.join(labels, e("dst") === labels("node"))
         .groupBy(e("src").as("n2"))
         .agg(min(col("component")).as("nbr_min"))
-      // One materialization per round: checkpoint the (relabel, changed?)
-      // frame, then both the convergence count and the next round read it.
+      // ONE action per round (the KCore Observation discipline): the
+      // changed count rides the cut's materialization instead of a
+      // second count() job over the checkpointed frame — halving the
+      // actions (and at scale the job barriers) per propagation round.
+      val obs = org.apache.spark.sql.Observation()
       val next = chain.cut(labels.join(nbrMin, col("node") === col("n2"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
-          (col("nbr_min") < col("component")).as("chg")))
-      changed = next.where(col("chg")).count()
+          (col("nbr_min") < col("component")).as("chg"))
+        .observe(obs, coalesce(sum(col("chg").cast("long")), lit(0L))
+          .as("chg_n")))
+      changed = obs.get("chg_n").asInstanceOf[Long]
       labels = next.select(col("node"), col("component"))
       iter += 1
     }
@@ -104,20 +109,23 @@ object ConnectedComponents {
     // canonical form: self-loops dropped, one row per undirected edge,
     // directed larger → smaller (u > v)
     val chain = graft.plans.Checkpoints.chain()
-    var e = chain.cut(edges.where(col("src") =!= col("dst"))
+    // ONE action per round (the KCore Observation discipline): the
+    // convergence fingerprint — (count, decimal sum of xxhash64; a
+    // BIGINT sum over uniform 64-bit hashes would overflow-throw under
+    // ANSI, decimal(38,0) holds ~1e19 edges — rides each cut's
+    // materialization instead of a second aggregate job per round.
+    def cutFingerprinted(df: DataFrame): (DataFrame, (Long, String)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = chain.cut(df.observe(obs,
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h")))
+      (out, (obs.get("n").asInstanceOf[Long], String.valueOf(obs.get("h"))))
+    }
+
+    var (e, prev) = cutFingerprinted(edges.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .distinct())
-
-    // decimal-summed hash: an ANSI-mode BIGINT sum over uniform 64-bit
-    // hashes would overflow-throw; decimal(38,0) holds ~1e19 edges
-    def fingerprint(df: DataFrame): (Long, String) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), String.valueOf(r.get(1)))
-    }
-
-    var prev = fingerprint(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -137,12 +145,10 @@ object ConnectedComponents {
       val smallMin = large.groupBy(col("u").as("c")).agg(min(col("v")).as("m"))
       val small = large.join(smallMin, large("u") === smallMin("c"))
         .select(col("u"), col("v"), col("m"))
-      val next = chain.cut(small.where(col("v") =!= col("m"))
+      val (next, cur) = cutFingerprinted(small.where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(small.select(col("u"), col("m").as("v")).distinct())
         .distinct())
-
-      val cur = fingerprint(next)
       converged = cur == prev
       prev = cur
       e = next

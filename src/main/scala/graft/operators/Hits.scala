@@ -75,6 +75,12 @@ object Hits {
       (1 to iters).foreach { _ =>
         val aRaw = e.join(hubs, e("src") === hubs("node"))
           .groupBy(e("dst").as("node")).agg(sum(col("s")).as("s"))
+        // Deliberately cut BOTH score frames per iteration (not the
+        // fixed-iteration CutStride): rescaled() references its input
+        // twice (the max side and the divide side), so an un-cut auths
+        // chained into hubs doubles the plan and schedules duplicate
+        // AQE stage jobs — measured 71 -> 85 jobs and 2.7 -> 3.2 s on
+        // the registered row when this loop tried the one-cut form.
         auths = chain.cut(rescaled(nodes.select(col("node"))
           .join(aRaw, Seq("node"), "left")
           .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))))

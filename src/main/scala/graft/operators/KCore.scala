@@ -81,15 +81,18 @@ object KCore {
       }
       // full-graph degrees need no aliveness filter — one direct
       // aggregate over the canonical edge endpoints. PINNED: the final
-      // join reads it after the last peel round.
+      // join reads it after the last peel round. The initial node count
+      // rides the pin's materialization (one action, not two).
+      val obs0 = org.apache.spark.sql.Observation()
       val degFull = chain.pin(canon.select(col("u").as("node"))
         .unionAll(canon.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .observe(obs0, count(lit(1)).as("n")))
       // peel: survivors(r) = nodes with deg >= k among survivors(r-1);
       // the set only shrinks, so equal counts mean equal sets — the
       // 1-row count is the whole convergence test
       var survivors = degFull
-      var aliveN = degFull.count()
+      var aliveN = obs0.get("n").asInstanceOf[Long]
       var converged = aliveN == 0L
       var round = 0
       while (!converged) {
@@ -176,10 +179,14 @@ object KCore {
           .unionAll(ae.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       }
+      // the initial node count rides the cut's materialization (one
+      // action, not two — the peel rounds' Observation discipline)
+      val obs0 = org.apache.spark.sql.Observation()
       var survivors = chain.cut(canon.select(col("u").as("node"))
         .unionAll(canon.select(col("v").as("node")))
-        .distinct())
-      var nSurv = survivors.count()
+        .distinct()
+        .observe(obs0, count(lit(1)).as("n")))
+      var nSurv = obs0.get("n").asInstanceOf[Long]
       var k = 1
       var round = 0
       val assigned = Vector.newBuilder[DataFrame]

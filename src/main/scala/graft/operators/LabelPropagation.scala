@@ -70,11 +70,11 @@ object LabelPropagation {
     try {
       val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
       val adj = chain.pin(adjOf(canon)) // read every round
-      var labels = chain.cut(adj.select(col("node")).distinct()
-        .select(col("node"), col("node").as("community")))
+      var labels = adj.select(col("node")).distinct()
+        .select(col("node"), col("node").as("community"))
       val byVote = Window.partitionBy(col("node"))
         .orderBy(col("cnt").desc, col("community"))
-      (1 to rounds).foreach { _ =>
+      (1 to rounds).foreach { i =>
         labels = adj
           .join(labels.select(col("node").as("nbr"), col("community")),
             "nbr")
@@ -83,7 +83,15 @@ object LabelPropagation {
           .withColumn("__rn", row_number().over(byVote))
           .where(col("__rn") === 1)
           .select(col("node"), col("community"))
-        labels = chain.cut(labels)
+        // FIXED round count, each round references the previous labels
+        // exactly once — the plan grows linearly, so intermediate cuts
+        // were pure materialization overhead (guide §5); one cut per
+        // CutStride rounds bounds plan depth and the reliable-policy
+        // recompute window, and the LAST round always cuts so the
+        // returned (memoized, thrice-probed) frame is a zero-recompute
+        // read of the materialized labeling.
+        if (i == rounds || i % graft.plans.Checkpoints.CutStride == 0)
+          labels = chain.cut(labels)
       }
       chain.sealIfReliable(labels)
     } finally canon.unpersist()
@@ -158,21 +166,29 @@ object LabelPropagation {
     val kv = adjW
       .join(lab.select(col("node").as("nbr"), col("community")), "nbr")
       .groupBy(col("node"), col("community")).agg(sum(col("w")).as("k"))
-    val own = lab.select(col("node"), col("community").as("a"))
+    // ONE node-partitioned frame carries everything the gain needs —
+    // own community `a`, degree, per-neighbor-community weights `k` —
+    // and k_a comes from a WINDOW over that same node partitioning
+    // (optimization guide §2.4: two operations keyed the same way
+    // share one exchange). The previous shape self-joined kv against a
+    // separate per-node `own` frame: one more aggregate-sized join +
+    // exchange per round for the same rows. The candidate windows
+    // (k_a, then the gain argmax) both ride the node partitioning the
+    // join already established.
+    val byNode = Window.partitionBy(col("node"))
+    val rows = kv
+      .join(lab.select(col("node"), col("community").as("a")), "node")
       .join(deg, "node")
-      .join(kv.select(col("node"), col("community").as("a"),
-        col("k").as("k_a")), Seq("node", "a"), "left")
-      .join(broadcast(dsum.select(col("community").as("a"),
-        col("dc").as("d_a"))), "a")
-      .select(col("node"), col("a"), col("deg"),
-        coalesce(col("k_a"), lit(0L)).as("k_a"), col("d_a"))
-    val cand = own
-      .join(kv.select(col("node"), col("community").as("c"), col("k")),
-        "node")
-      .where(col("c") < col("a"))
+      .withColumn("k_a", coalesce(
+        max(when(col("community") === col("a"), col("k"))).over(byNode),
+        lit(0L)))
+    val cand = rows.where(col("community") < col("a"))
+      .withColumnRenamed("community", "c")
       .join(broadcast(dsum.select(col("community").as("c"),
         col("dc").as("d_c"))), "c")
-      .crossJoin(broadcast(m)) // 1-row aggregate frame
+      .join(broadcast(dsum.select(col("community").as("a"),
+        col("dc").as("d_a"))), "a")
+      .crossJoin(broadcast(m)) // 1-row frame (LOCAL in the loops)
       .withColumn("delta",
         lit(4L) * col("m") * (col("k") - col("k_a"))
           - lit(2L) * col("deg") * (col("d_c") - col("d_a") + col("deg")))
@@ -230,32 +246,86 @@ object LabelPropagation {
     */
   /** THE fixpoint loop — one copy of the convergence machinery
     * (lineage cuts, moved-count join, early stop, loud cap) shared by
-    * [[refine]] and [[refineTrace]], so their contracts cannot drift;
-    * `onRound` fires once per state (round 0 = the input labeling).
+    * [[refine]] and [[refineTrace]], so their contracts cannot drift.
+    * Returns every round's state (round, moved, labels) plus the shared
+    * frames and the chain, so the caller picks its finisher: refine
+    * seals the last labeling; refineTrace measures ALL rounds in one
+    * action and then reclaims.
     */
-  private final case class GraphFrames(canon: DataFrame, adj: DataFrame,
-                                       m: DataFrame, deg: DataFrame)
+  private final case class GraphFrames(canon: DataFrame, m: DataFrame,
+                                       deg: DataFrame)
+
+  /** [[guardedCanon]] with the guard aggregate DEFERRED onto the
+    * caller's first materialization (optimization guide §1.2: the
+    * eager guard was a second full edge scan per loop): returns the
+    * canon plan with the raw-edge guard metrics observed beneath it,
+    * plus the check thunk the caller MUST invoke right after the
+    * plan's first action — the refusal still fires before any result
+    * is published (the failure path pays one wasted materialization;
+    * the success path saves a full scan).
+    */
+  private def guardedCanonDeferred(edges: DataFrame, who: String,
+                                   emptyAdvice: String,
+                                   nullConsequence: String)
+      : (DataFrame, () => Unit) = {
+    val obs = org.apache.spark.sql.Observation()
+    val raw = edges.select(col("src"), col("dst"))
+      .observe(obs, count(lit(1)).as("n_all"),
+        count(when(col("src").isNotNull && col("dst").isNotNull, 1))
+          .as("n_ok"))
+    val canon = raw.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val check = () => {
+      val nAll = obs.get("n_all").asInstanceOf[Long]
+      val nOk = obs.get("n_ok").asInstanceOf[Long]
+      require(nAll > 0, s"$who: empty edge frame — $emptyAdvice")
+      require(nOk == nAll,
+        s"$who: ${nAll - nOk} edges carry a NULL " +
+          s"endpoint — $nullConsequence; repair the edge feed")
+    }
+    (canon, check)
+  }
 
   private def refineLoop(labels: DataFrame, edges: DataFrame,
                          maxRounds: Int, who: String,
-                         driverResult: Boolean = false)
-                        (onRound: (Int, Long, DataFrame, GraphFrames) => Unit): DataFrame = {
+                         pinRounds: Boolean = false)
+      : (Vector[(Int, Long, DataFrame)], GraphFrames,
+         graft.plans.Checkpoints.Chain) = {
     require(maxRounds >= 1, s"$who: maxRounds must be >= 1, got $maxRounds")
-    // guards + label-INdependent frames ONCE for the whole loop: the
-    // canonical edge set, adjacency, m and degrees never change across
-    // rounds, so re-deriving them per round (and per modularity
-    // measurement) would multiply the fixed costs by the round count —
-    // measured ~2x on the registered trace row
+    val spark = labels.sparkSession
+    import spark.implicits._
+    // guards + label-INdependent frames ONCE for the whole loop, and
+    // ONE materialization for guard + canon + m: the guard aggregate
+    // and m (the canonical edge count) ride the canon pin as
+    // Observations, the adjacency is a map-only union DERIVED from the
+    // pinned canon (materializing it doubled the pinned edge bytes for
+    // a shuffle-free derivation), and only the degree frame needs its
+    // own aggregate pass.
     val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
-    val canon = chain.pin(guardedCanon(edges, who,
+    val (canonPlan, guardCheck) = guardedCanonDeferred(edges, who,
       "refine against the SAME edges the labeling was computed on",
-      "their gains would silently vanish"))
-    val adj = chain.pin(adjOf(canon))
-    val m = canon.agg(count(lit(1)).as("m"))
+      "their gains would silently vanish")
+    val obsM = org.apache.spark.sql.Observation()
+    val canon = chain.pin(canonPlan.observe(obsM, count(lit(1)).as("m")))
+    guardCheck()
+    // m as a 1-row LOCAL frame: the per-round crossJoin(broadcast(m))
+    // broadcasts driver-local data instead of scheduling a count
+    // aggregate job per consumer plan
+    val m = Seq(obsM.get("m").asInstanceOf[Long]).toDF("m")
+    val adj = adjOf(canon)
     val deg = chain.pin(adj.groupBy(col("node")).agg(count(lit(1)).as("deg")))
-    val ctx = GraphFrames(canon, adj, m, deg)
-    var lab = chain.cut(labels.select(col("node"), col("community")))
-    onRound(0, 0L, lab, ctx)
+    val ctx = GraphFrames(canon, m, deg)
+    // trace mode PINS each round's labels (the deferred one-action
+    // measurement reads every round after the loop; a window cut's
+    // files would be reclaimed mid-loop under the reliable policy) —
+    // O(rounds) retention for the trace face only, reclaimed by its
+    // finisher; refine keeps the O(1) window
+    def cutRound(df: DataFrame): DataFrame =
+      if (pinRounds) chain.pin(df) else chain.cut(df)
+    var lab = cutRound(labels.select(col("node"), col("community")))
+    var states = Vector((0, 0L, lab))
     var moved = -1L
     var round = 0
     while (moved != 0L && round < maxRounds) {
@@ -265,53 +335,59 @@ object LabelPropagation {
       // of a second compare-join job (measured ~1 job per round off
       // the registered trace rows)
       val obs = org.apache.spark.sql.Observation()
-      val next = chain.cut(
+      val next = cutRound(
         refineOnceOnW(adj.withColumn("w", lit(1L)), m, deg, lab)
           .observe(obs, coalesce(sum(col("__moved").cast("long")),
             lit(0L)).as("mv")) // empty labeling: 0, not null
           .select(col("node"), col("community")))
       moved = obs.get("mv").asInstanceOf[Long]
       lab = next
-      onRound(round, moved, lab, ctx)
+      states :+= ((round, moved, lab))
     }
     require(moved == 0L,
       s"$who: no fixpoint within $maxRounds rounds (last round " +
         s"still moved $moved nodes) — raise maxRounds; publishing a " +
         "non-fixpoint labeling as refined would mislabel the " +
         "communities later rounds merge")
-    // refine returns the labeling (seal under reliable); refineTrace's
-    // result is DRIVER-side rows, so its finisher is reclaimAll — a
-    // seal there would park one labeling-sized frame per call forever
-    // AND pay a wasted distributed write (the returned frame is
-    // unreadable after reclaim; refineTrace never reads it)
-    if (driverResult) { chain.reclaimAll(); lab }
-    else chain.sealIfReliable(lab)
+    (states, ctx, chain)
   }
 
   def refineTrace(labels: DataFrame, edges: DataFrame,
                   maxRounds: Int): DataFrame = {
     val spark = labels.sparkSession
-    var rows = Vector.empty[(Long, Long, Row)]
-    refineLoop(labels, edges, maxRounds, "refineTrace",
-        driverResult = true) {
-      (round, moved, lab, ctx) =>
-        rows :+= ((round.toLong, moved,
-          modularityOn(ctx.canon, ctx.m, ctx.deg, lab).head()))
-    }
+    val (states, ctx, chain) = refineLoop(labels, edges, maxRounds,
+      "refineTrace", pinRounds = true)
+    // ONE measurement action for the WHOLE trace (was one head() per
+    // round): each round's modularity plan reads that round's pinned
+    // labels, and the union collects in a single job. Rows are sorted
+    // by round on the driver — the union preserves branch order today,
+    // but the contract is the round column, not partition order.
+    val measured = states.map { case (r, mv, lab) =>
+      modularityOn(ctx.canon, ctx.m, ctx.deg, lab)
+        .select(lit(r.toLong).as("round"), lit(mv).as("moved"),
+          col("communities"), col("m_edges"), col("modularity_num"),
+          col("modularity_den"), col("modularity_ppm"))
+    }.reduce(_ unionAll _).collect()
+    // the trace is DRIVER-side rows: reclaim with no final cut (a seal
+    // would park one labeling-sized frame per call forever AND pay a
+    // wasted distributed write)
+    chain.reclaimAll()
     import spark.implicits._
-    rows.map { case (r, mv, m) =>
-      (r, mv, m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
-        m.getLong(4))
-    }.toDF("round", "moved", "communities", "m_edges", "modularity_num",
-      "modularity_den", "modularity_ppm")
+    measured.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+      .toDF("round", "moved", "communities", "m_edges", "modularity_num",
+        "modularity_den", "modularity_ppm")
   }
 
   /** The fixpoint labeling itself (the production artifact);
     * [[refineTrace]] is the measurement row beside it. Same loud cap.
     */
   def refine(labels: DataFrame, edges: DataFrame,
-             maxRounds: Int): DataFrame =
-    refineLoop(labels, edges, maxRounds, "refine")((_, _, _, _) => ())
+             maxRounds: Int): DataFrame = {
+    val (states, _, chain) = refineLoop(labels, edges, maxRounds, "refine")
+    chain.sealIfReliable(states.last._3)
+  }
 
   /** FULL Louvain (Blondel et al. 2008): iterate (move phase to a
     * gain fixpoint — [[refineLoop]]'s contract — then COMMUNITY
@@ -366,20 +442,36 @@ object LabelPropagation {
         "contracted view must be checked at least once before a " +
         "fixpoint claim")
     val spark = labels.sparkSession
+    import spark.implicits._
     val chain = graft.plans.Checkpoints.chain()
-    // level-0 graph (pinned: every round's measurement reads it)
-    val canon0 = chain.pin(guardedCanon(edges, "louvainPhases",
+    // level-0 graph (pinned: every round's measurement reads it). ONE
+    // materialization covers guard + canon + m (the refineLoop
+    // discipline): the guard aggregate and the constant total weight
+    // ride the canon pin as Observations; the adjacency is a map-only
+    // union DERIVED from the pin, never materialized twice.
+    val (canon0Plan, guardCheck) = guardedCanonDeferred(edges,
+      "louvainPhases",
       "refine against the SAME edges the labeling was computed on",
-      "their gains would silently vanish"))
-    val adj0 = chain.pin(adjOf(canon0))
-    val m = canon0.agg(count(lit(1)).as("m")) // total weight — constant
+      "their gains would silently vanish")
+    val obsM = org.apache.spark.sql.Observation()
+    val canon0 = chain.pin(canon0Plan.observe(obsM, count(lit(1)).as("m")))
+    guardCheck()
+    // total weight — constant across levels (the Blondel invariant);
+    // a 1-row LOCAL frame broadcasts joblessly into every round plan
+    val m = Seq(obsM.get("m").asInstanceOf[Long]).toDF("m")
+    val adj0 = adjOf(canon0)
     val deg0 = chain.pin(adj0.groupBy(col("node"))
       .agg(count(lit(1)).as("deg")))
 
-    var rows = Vector.empty[(Long, Long, Long, Row)]
+    // DEFERRED measurement (one action for the whole trace, was one
+    // head() per round): every recorded state keeps its lazy flattened-
+    // label plan over PINNED frames; the union collects once at the
+    // end. Round labelings are therefore PINNED, not window-cut —
+    // O(states) retention for this driver-result face, reclaimed by
+    // the finisher.
+    var states = Vector.empty[(Long, Long, Long, DataFrame)]
     def record(phase: Int, round: Int, moved: Long, flat: DataFrame): Unit =
-      rows :+= ((phase.toLong, round.toLong, moved,
-        modularityOn(canon0, m, deg0, flat).head()))
+      states :+= ((phase.toLong, round.toLong, moved, flat))
 
     // current level: inter-edge frame (u, v, w), weighted self-loop-
     // inclusive degrees, adjacency — level 1 = the original graph
@@ -393,11 +485,14 @@ object LabelPropagation {
     while ((phase < 2 || phaseMoved != 0L) && phase < maxPhases) {
       phase += 1
       // phase 1 starts from the input labeling; later phases start
-      // each supernode in its own singleton community
+      // each supernode in its own singleton community — a LAZY
+      // derivation over the pinned committed labels (its distinct
+      // dedupes through exchange reuse inside round 1's action; a cut
+      // here was one more full materialization per phase)
       var lab =
         if (phase == 1) nodeLab
-        else chain.cut(nodeLab.select(col("community").as("node")).distinct()
-          .select(col("node"), col("node").as("community")))
+        else nodeLab.select(col("community").as("node")).distinct()
+          .select(col("node"), col("node").as("community"))
       def flatten(l: DataFrame): DataFrame =
         if (phase == 1) l
         else nodeLab.join(
@@ -409,9 +504,10 @@ object LabelPropagation {
       var total = 0L
       while (moved != 0L && round < maxRounds) {
         round += 1
-        // moved rides the cut's Observation (the refineLoop shape)
+        // moved rides the pin's Observation (the refineLoop shape);
+        // PINNED because the deferred trace reads every round
         val obs = org.apache.spark.sql.Observation()
-        val next = chain.cut(refineOnceOnW(adjW, m, degW, lab)
+        val next = chain.pin(refineOnceOnW(adjW, m, degW, lab)
           .observe(obs, coalesce(sum(col("__moved").cast("long")),
             lit(0L)).as("mv"))
           .select(col("node"), col("community")))
@@ -449,12 +545,14 @@ object LabelPropagation {
       val degNext = cl.join(degW, "node")
         .groupBy(col("community").as("node")).agg(sum(col("deg")).as("deg"))
       // PINNED likewise: the level frames feed every round of the
-      // NEXT phase (and its contraction), far past the keep-2 window
+      // NEXT phase (and its contraction), far past the keep-2 window;
+      // the adjacency stays a map-only DERIVATION over the pinned
+      // inter-edge frame (materializing it doubled the pinned bytes
+      // for a shuffle-free union — the adj0 rationale)
       canonW = chain.pin(interW)
-      adjW = chain.pin(
-        canonW.select(col("u").as("node"), col("v").as("nbr"), col("w"))
-          .unionAll(canonW.select(col("v").as("node"),
-            col("u").as("nbr"), col("w"))))
+      adjW = canonW.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+        .unionAll(canonW.select(col("v").as("node"),
+          col("u").as("nbr"), col("w")))
       degW = chain.pin(degNext)
       }
     }
@@ -463,16 +561,27 @@ object LabelPropagation {
         s"(the last phase still moved $phaseMoved node(s)) — raise " +
         "maxPhases; a capped ladder would publish communities a " +
         "further contraction provably improves")
+    // ONE measurement action for the WHOLE trace (was one head() per
+    // recorded state): every state's modularity plan reads its pinned
+    // flattened labels against the pinned level-0 frames; the union
+    // collects in a single job. Driver-side sort by (phase, round) —
+    // the contract is the columns, not partition order.
+    val measured = states.map { case (p, r, mv, flat) =>
+      modularityOn(canon0, m, deg0, flat)
+        .select(lit(p).as("phase"), lit(r).as("round"), lit(mv).as("moved"),
+          col("communities"), col("m_edges"), col("modularity_num"),
+          col("modularity_den"), col("modularity_ppm"))
+    }.reduce(_ unionAll _).collect()
     // the result is DRIVER-side (the trace rows) — nothing returned
-    // reads the checkpoints, so every pinned level frame and window
-    // cut is reclaimable now (the BpeTrainer finisher)
+    // reads the checkpoints, so every pinned level frame and round
+    // labeling is reclaimable now (the BpeTrainer finisher)
     chain.reclaimAll()
-    import spark.implicits._
-    rows.map { case (p, r, mv, mrow) =>
-      (p, r, mv, mrow.getLong(0), mrow.getLong(1), mrow.getLong(2),
-        mrow.getLong(3), mrow.getLong(4))
-    }.toDF("phase", "round", "moved", "communities", "m_edges",
-      "modularity_num", "modularity_den", "modularity_ppm")
+    measured.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+      .sortBy(t => (t._1, t._2)).toSeq
+      .toDF("phase", "round", "moved", "communities", "m_edges",
+        "modularity_num", "modularity_den", "modularity_ppm")
   }
 
   /** Newman–Girvan modularity of a labeling on the INTEGER LATTICE —

@@ -65,6 +65,12 @@ object LloydKmeans {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           e => e.getField("m")).as("cv"))
+      // Deliberately cut EVERY round (not the fixed-iteration
+      // CutStride): the next round BROADCASTS this frame, and an un-cut
+      // centroid plan would put the whole previous training pass inside
+      // a broadcast build — the guide §3 broadcast-timeout hazard. The
+      // frame is nlist x dim longs, so the materialization is ~free and
+      // buys a leaf-sized broadcast.
       cents = chain.cut(cents)
     }
     // finisher: under the reliable policy one cheap re-cut of the

@@ -72,6 +72,22 @@ object PageRank {
     */
   val MaxWeight = 1L << 20
 
+  /** Lineage-cut stride for FIXED-iteration loops (this file and the
+    * callers that mirror the discipline): a cut per round was pure
+    * materialization overhead — each round references the previous
+    * rank frame exactly ONCE, so the un-cut plan grows LINEARLY (two
+    * exchanges per round), never exponentially, and Catalyst handles an
+    * 8-round-deep plan without measurable planning cost. Cutting every
+    * [[CutStride]] rounds (and always on the last) bounds both the
+    * plan depth and, under the reliable policy, the recompute window
+    * after an executor loss to `CutStride` rounds — the classic
+    * checkpoint-interval trade (guide §5: materialize only when
+    * recomputation is the bigger bill). Measured on the registered
+    * rows: 5-iteration PageRank drops from 6 actions (one per round)
+    * to 2 with identical results.
+    */
+  private[operators] val CutStride = 8
+
   /** The shared iteration core. `ewt` must carry (src, dst, w, totw)
     * and be persisted by the caller; `init` carries one row per node
     * with its teleport term and initial rank.
@@ -86,14 +102,18 @@ object PageRank {
     // silently vanishing. PINNED: every round joins against it.
     val spine = chain.pin(init)
     var ranks = spine.select(col("node"), col("r0").as("r"))
-    (1 to iters).foreach { _ =>
-      val shares = ewt.join(ranks, ewt("src") === ranks("node"))
-        .select(col("dst"), expr("(r * w) div totw").as("share"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("share")).as("s"))
-      ranks = chain.cut(spine.join(shares, Seq("node"), "left")
+    (1 to iters).foreach { i =>
+      val next = spine.join(
+          ewt.join(ranks, ewt("src") === ranks("node"))
+            .select(col("dst"), expr("(r * w) div totw").as("share"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("share")).as("s")), Seq("node"), "left")
         .select(col("node"),
-          (col("tp") + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
+          (col("tp") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+      // the LAST round always cuts: the returned frame must be a
+      // zero-exchange read of the materialized fixpoint (the registered
+      // rows' memo/probe contract, pinned by PlanRegressionSpec)
+      ranks = if (i == iters || i % CutStride == 0) chain.cut(next) else next
     }
     chain.sealIfReliable(ranks.select(col("node"), col("r").as("rank_scaled")))
   }
@@ -238,19 +258,28 @@ object PageRank {
         .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out")))
       var ranks = spine.select(col("node"), col("has_out"),
         lit(r0).as("r"))
-      (1 to iters).foreach { _ =>
+      (1 to iters).foreach { i =>
         val dang = ranks.where(!col("has_out"))
           .agg(coalesce(sum(col("r")), lit(0L)).as("dm")) // 1-row frame
         val shares = ewt.join(ranks, ewt("src") === ranks("node"))
           .select(col("dst"), expr("(r * w) div totw").as("share"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("share")).as("s"))
-        ranks = chain.cut(spine.join(shares, Seq("node"), "left")
+        val next = spine.join(shares, Seq("node"), "left")
           .crossJoin(dang)
           .select(col("node"), col("has_out"),
             (lit(tp) +
               expr(s"(85 * (coalesce(s, 0L) + dm div ${n}L)) div 100"))
-              .as("r")))
+              .as("r"))
+        // Deliberately cut EVERY round here, unlike [[loop]]: ranks is
+        // referenced TWICE per round (dang + shares), so an un-cut plan
+        // doubles per round and the duplicated subtrees schedule their
+        // own AQE stage jobs — measured 47 -> 78 jobs and 1.5 -> 3.3 s
+        // on the registered row when this loop tried the CutStride
+        // form (exchange reuse does not fully dedupe across the
+        // doubled tree). The single-reference classic loop strides;
+        // this one materializes.
+        ranks = chain.cut(next)
       }
       chain.sealIfReliable(
         ranks.select(col("node"), col("r").as("rank_scaled")))

@@ -61,6 +61,23 @@ object Checkpoints {
   /** Session conf key: reliable checkpoint directory (unset = local). */
   val DirConf = "spark.graft.checkpoint.dir"
 
+  /** Lineage-cut stride for FIXED-iteration loops (PageRank, HITS, LPA,
+    * Lloyd — loops whose round count is a compile-time contract, not a
+    * convergence test): rounds reference their predecessor once, so the
+    * un-cut plan grows LINEARLY and a cut per round is pure
+    * materialization overhead — each one writes the full |V|-row frame
+    * to block/checkpoint storage and schedules a job barrier. Cutting
+    * every [[CutStride]] rounds (and always on the last round, so
+    * returned frames stay zero-recompute reads) bounds plan depth AND
+    * the reliable-policy recompute window after an executor loss to
+    * `CutStride` rounds — the classic checkpoint-interval trade (guide
+    * §5: materialize only when recomputation is the bigger bill).
+    * Convergence-driven loops (KCore peel, refineLoop, components) are
+    * untouched: their per-round action IS the convergence read, and the
+    * round count rides it as an Observation.
+    */
+  val CutStride = 8
+
   // keyed by the CONTEXT, not just the dir string: a JVM cache keyed
   // by dir alone would skip setCheckpointDir on a NEW SparkContext
   // after a restart (same conf, same JVM) and every cut would throw

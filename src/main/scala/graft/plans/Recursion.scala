@@ -2,6 +2,7 @@ package graft.plans
 
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Iterative UNION ALL fixpoint — the Spark-side replacement for
   * Postgres `WITH RECURSIVE` (reference: sql/gold/materialized_view.sql:127-149,
@@ -17,6 +18,12 @@ import org.apache.spark.sql.DataFrame
   * spark.graft.checkpoint.dir for cluster fault tolerance).
   * The equi conjunct of the step join should stay the join key so each
   * level is a hash join (theta conjuncts become post-join filters).
+  *
+  * ONE action per level (optimization guide §1/§2 — the KCore
+  * Observation discipline): the frontier row count rides the level
+  * cut's materialization as an Observation instead of a second
+  * `isEmpty` job per level — halving the actions (and, at scale, the
+  * scheduling barriers) the loop schedules.
   */
 object Recursion {
   def iterate(seed: DataFrame, step: DataFrame => DataFrame,
@@ -24,11 +31,18 @@ object Recursion {
     // every level's frontier is read by the final union — PINNED, and
     // reclaimed (reliable policy) by one sealing materialization
     val chain = Checkpoints.chain()
-    var frontier = chain.pin(seed)
+    def pinCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = chain.pin(df.observe(obs, count(lit(1)).as("n")))
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (frontier, n) = pinCounted(seed)
     var acc = frontier
     var level = 1
-    while (level < maxLevels && !frontier.isEmpty) {
-      frontier = chain.pin(step(frontier))
+    while (level < maxLevels && n > 0L) {
+      val (f2, n2) = pinCounted(step(frontier))
+      frontier = f2
+      n = n2
       acc = acc.unionAll(frontier)
       level += 1
     }

@@ -2626,6 +2626,7 @@ object TextQueries extends QueryPack {
     // single-task sort. The query-side frames (qterms, dfT, rel) are
     // now all O(|Q|) and broadcast outright.
     "q_text_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
       val docs = t(s, dir, "documents")
       val qh = conv(substring(md5(concat(lit("rq:"),
         col("doc_id").cast(StringType))), 1, 15), 16, 10)
@@ -2635,21 +2636,54 @@ object TextQueries extends QueryPack {
         .orderBy(col("qh"), col("query_id"))
         .limit(RetrievalQuerySample)
         .select(col("query_id"))
+      // semi-join BEFORE tokenizing (guide §1.2 per-task work): only
+      // the |Q| sampled documents pay words(); the projected-first
+      // shape tokenized the whole corpus and then dropped 19/20 of it
       val qdocs = docs
+        .join(broadcast(qids.withColumnRenamed("query_id", "doc_id")),
+          Seq("doc_id"), "leftsemi")
         .select(col("doc_id").as("query_id"), words(col("text")).as("w"))
-        .join(broadcast(qids), Seq("query_id"), "leftsemi")
-      val qterms = qdocs
+      // |Q|·8-row frame, materialized ONCE: three consumers (the tf
+      // semi-filter, the scored fan-out, dfT) each re-ran the sampled
+      // tokenize + distinct as their own broadcast build otherwise
+      val qterms = graft.plans.Checkpoints.cut(qdocs
         .select(col("query_id"), explode(slice(col("w"), 5, 8)).as("term"))
-        .distinct()
-      val dl = docs.select(col("doc_id"),
-        size(words(col("text"))).cast(LongType).as("dl"))
+        .distinct())
+      // the (doc_id, dl) proxy is materialized ONCE and the corpus
+      // scalars ride that materialization as Observations (guide §2.3:
+      // compute on lightweight metadata, move it once): the lazy form
+      // re-tokenized the whole corpus for the corpus aggregate AND for
+      // the scored join — three full words() passes for one column.
+      val obsC = org.apache.spark.sql.Observation()
+      val dl = graft.plans.Checkpoints.cut(
+        docs.select(col("doc_id"),
+            size(words(col("text"))).cast(LongType).as("dl"))
+          .observe(obsC, cnt.as("big_n"), sum(col("dl")).as("sum_dl")))
+      // the explicit doc_id repartition spreads the candidate FAN-OUT
+      // (each tf row matches every sampling query carrying its term —
+      // ~|Q|/df rows out per row in) across the shuffle parallelism:
+      // AQE sizes the tf aggregate's output by ITS bytes and coalesces
+      // it to one partition at small SF, putting the whole
+      // join+contrib+partial-agg map (measured 2.9 s of CPU, the
+      // query's dominant stage) on one core. The extra exchange moves
+      // only the query-term-filtered tf aggregate — bytes the scored
+      // shuffle already pays — and an explicit repartition is exempt
+      // from AQE coalescing at every scale.
       val tf = docs
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
         .join(broadcast(qterms.select(col("term")).distinct()),
           Seq("term"), "leftsemi")
         .groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
+        // the EXPLICIT count pins the exchange: a bare repartition(col)
+        // still participates in AQE coalescing (measured: the fan-out
+        // stage collapsed back to one task). The count is the
+        // session's configured shuffle parallelism, not a constant.
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
       val dfT = tf.groupBy(col("term")).agg(cnt.as("df_t"))
-      val corpus = dl.agg(cnt.as("big_n"), sum(col("dl")).as("sum_dl"))
+      // 1-row LOCAL frame: broadcasts joblessly into the scored plan
+      val corpus = Seq((obsC.get("big_n").asInstanceOf[Long],
+        obsC.get("sum_dl").asInstanceOf[Long])).toDF("big_n", "sum_dl")
       val k1 = lit(1.2)
       val b = lit(0.75)
       val contrib = floor(lit(1e9) *
@@ -2660,19 +2694,24 @@ object TextQueries extends QueryPack {
           b * (col("dl").cast(DoubleType) /
             (col("sum_dl").cast(DoubleType) / col("big_n").cast(DoubleType))))))
         .cast(LongType)
-      // scored feeds three consumers (rel, the dominator count, the
-      // rank join) UN-materialized on purpose: its producing exchange
-      // is reused across all three (Spark shuffle-stage reuse), so an
-      // explicit localCheckpoint only added an extra materialization
-      // pass — measured r13 at sf0.1: 11.8 s checkpointed vs 11.5 s
-      // declarative. Keep the plan declarative and AQE-replannable.
-      val scored = tf.join(broadcast(qterms), "term")
+      // scored is MATERIALIZED once (r20 optimization — reversing the
+      // r13 measurement, whose context differed): the `rel` consumer
+      // is a broadcast-subquery build, and AQE does NOT reuse the
+      // scored aggregate across that boundary — profiled at sf0.1, the
+      // rel build re-ran the whole fan-out+aggregate as ONE
+      // AQE-coalesced task (2.4 s of CPU, the query's largest stage)
+      // while the beats side computed it again. The aggregate's output
+      // is (query, matched doc) rows — orders below the candidate
+      // stream — so the cut is cheap at any scale and every consumer
+      // reads the materialized leaf.
+      val scored = graft.plans.Checkpoints.cut(
+        tf.join(broadcast(qterms), "term")
         .join(broadcast(dfT), "term")
         .join(dl, "doc_id")
-        .crossJoin(broadcast(corpus)) // 1-row, aggregate-reduced
+        .crossJoin(broadcast(corpus)) // 1-row LOCAL frame
         .select(col("query_id"), col("doc_id"), contrib.as("contrib_q"))
         .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("contrib_q")).as("score_q"))
+        .agg(sum(col("contrib_q")).as("score_q")))
       val rel = scored.where(col("doc_id") === col("query_id"))
         .select(col("query_id"), col("score_q").as("rel_score"))
       val beats = scored.join(broadcast(rel), "query_id")

@@ -149,7 +149,10 @@ object Orchestrator {
       if (resume) completedTargets(spark, warehouse, batchId) else Set.empty
 
     private def log(step: String, target: String, status: String,
-                    rows: Long, msg: String = ""): Unit = {
+                    rows: Long, msg: String = ""): Unit = synchronized {
+      // synchronized: maintenance ops overlap independent per-partition
+      // Spark jobs from a small thread pool (guide §2.6), and the two
+      // buffer appends below are plain var updates
       val l = StepLog(step, target, status, rows, batchId, msg)
       logs :+= l
       pending :+= l
@@ -167,12 +170,12 @@ object Orchestrator {
       * only SUCCESS rows, whose work the idempotent batch overwrite
       * (S8) re-does harmlessly on restart.
       */
-    def flushAudit(): Unit = if (pending.nonEmpty) {
+    def flushAudit(): Unit = synchronized { if (pending.nonEmpty) {
       import spark.implicits._
       pending.toDF().coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$warehouse/tools/audit_log")
       pending = Vector.empty
-    }
+    } }
 
     /** S8: write one batch of a layer table idempotently. In restart
       * mode a target the audit log already records as written is
@@ -498,7 +501,15 @@ object Orchestrator {
       val done = try {
       val parts = WarehouseFs.list(root)
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("dwh_batch_id="))
-      parts.sortBy(_.getPath.getName).flatMap { part =>
+      // Partitions are independent (disjoint dirs, disjoint pointers) —
+      // stage/commit them from a small thread pool so one partition's
+      // write tail back-fills with the next partition's read (guide
+      // §2.6: overlap independent jobs; 3 in flight is enough to fill
+      // the tail without fighting for executors). Result order stays
+      // the sorted partition order (futures awaited in order); the
+      // audit log() is synchronized for exactly this overlap.
+      def compactOne(part: org.apache.hadoop.fs.FileStatus)
+          : Option[(String, Int, Int)] = {
         val partName = part.getPath.getName
         val partPath = part.getPath.toString
         val liveName = CompactedLayout.liveGenName(partPath)
@@ -557,8 +568,16 @@ object Orchestrator {
           // carries pure data columns and the staged files look exactly
           // like the loose files a writer produces (partition value
           // stays in the path, never in the bytes)
+          // coalesce, not repartition (guide §2.4/§6): bin-packing
+          // small files needs no row redistribution, so the full
+          // shuffle of the partition's bytes (plus round-robin's
+          // sort-before-repartition pass) was pure cost — coalesce
+          // merges the reads straight into nTarget writers, moving
+          // each byte exactly once. files.length > nTarget always
+          // holds here (the rewrite-worthiness test above), so the
+          // narrow coalesce can actually reach nTarget partitions.
           spark.read.parquet(files.map(_.getPath.toString): _*)
-            .repartition(nTarget)
+            .coalesce(nTarget)
             .write.mode(SaveMode.Overwrite).parquet(staging)
           // drop the _SUCCESS marker so the committed dir is data-only
           WarehouseFs.list(staging)
@@ -618,6 +637,19 @@ object Orchestrator {
               s"(generation $stagingName pointer-committed)")
           Some((partName, files.length, after))
         }
+      }
+      val ordered = parts.sortBy(_.getPath.getName)
+      if (ordered.size <= 1) ordered.flatMap(compactOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(3, ordered.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val fs = ordered.map(p => scala.concurrent.Future(compactOne(p)))
+          fs.flatMap(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
       }
       } finally {
         // non-masking release (the rebuildAnnIndex discipline)

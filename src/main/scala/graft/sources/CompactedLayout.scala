@@ -109,7 +109,17 @@ object CompactedLayout {
     * pointer exists. Idempotent (publishAtomic replaces like content).
     */
   def ensureMarker(root: String): Unit =
-    if (!isCompacted(root)) WarehouseFs.publishAtomic(markerPath(root), "1")
+    if (!isCompacted(root))
+      try WarehouseFs.publishAtomic(markerPath(root), "1")
+      catch {
+        // benign publish race: concurrent per-partition compactors (the
+        // compactBatches thread pool, or two compactors on an advisory-
+        // lock store) can both pass the !isCompacted check; the marker's
+        // content is the constant "1", so whoever lost the rename just
+        // needs the marker to EXIST — only a still-absent marker is a
+        // real store failure
+        case e: Throwable if isCompacted(root) => ()
+      }
 
   /** The table's `key=value` partition directories (the resolver's
     * unit of routing). Hidden/metadata dirs (`_bloomidx`, `.cgen`
