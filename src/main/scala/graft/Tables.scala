@@ -19,6 +19,57 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Parallelism floor for CPU-dense derivations over a SMALL scan —
+    * the optimization guide's §2.5 input-skew remedy ("one huge
+    * unsplittable file … repartition immediately after the read"): a
+    * single-rowgroup parquet file scans as ONE task no matter the
+    * split config, so every fused downstream projection (tokenize,
+    * explode fan-out, bin derivation) serializes on one core while the
+    * rest of the executor idles — measured 1.4-1.5 s single-task
+    * stages on q_join_range_binned / q_profile_table at sf0.1. When —
+    * and ONLY when — the input bytes cannot pack into at least the
+    * session's core count of splits, redistribute by a
+    * high-cardinality key right after the read. The gate is the input
+    * size, so at production scale (splits >> cores) the branch is
+    * provably dead and the read stays plan-identical — never a blanket
+    * repartition, which would shuffle the full corpus to move work
+    * that already spreads. The EXPLICIT partition count matters: a
+    * keyed repartition without one participates in AQE coalescing,
+    * which sizes by BYTES and folds a CPU-dense byte-light stage right
+    * back onto one task (the q_text_retrieval_eval fan-out
+    * measurement).
+    *
+    * Pushdown contract: the exchange sits above the scan and blocks
+    * filter pushdown across it — callers apply scan-level filters
+    * BEFORE spreading (or, as in the current call sites, have none).
+    */
+  def spreadBySize(df: DataFrame, inputBytes: Long,
+                   keys: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = math.max(1L, (inputBytes + maxSplit - 1) / maxSplit)
+    if (splits >= cores) df
+    else df.repartition(cores, keys.map(col): _*)
+  }
+
+  /** Total bytes under one testdata table path (file or directory). */
+  def tableBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(path).getLength
+  }
+
+  /** [[t]] with the [[spreadBySize]] parallelism floor applied. */
+  def tSpread(spark: SparkSession, dir: String, name: String,
+              keys: String*): DataFrame =
+    spreadBySize(t(spark, dir, name), tableBytes(spark, dir, name), keys)
+
+  /** [[events]] with the [[spreadBySize]] parallelism floor applied. */
+  def eventsSpread(spark: SparkSession, dir: String,
+                   keys: String*): DataFrame =
+    spreadBySize(events(spark, dir), tableBytes(spark, dir, "events"), keys)
+
   /** events.parquet `ts` encoding has varied across testdata drops:
     * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
     * nanos as long via the legacy conf and convert with integer division;

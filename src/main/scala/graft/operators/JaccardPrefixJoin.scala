@@ -87,10 +87,28 @@ object JaccardPrefixJoin {
           "compute aggregates with HorizonAgg instead, or raise " +
           "maxCandidatePairs deliberately")
     }
-    val cand = prefixes.select(col("doc_id").as("doc_a"), col("s"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("s").as("s_r")),
+    // EXPLICIT-count repartition on the join key: the candidate
+    // self-join is CPU-dense (pair enumeration + distinct) but
+    // byte-light, so AQE's byte-sized coalescing folds it onto ONE
+    // task (measured 2.3 s single-task at sf0.1 — the
+    // q_text_retrieval_eval fan-out trap); an explicit count is exempt
+    // from coalescing and uses the session's configured shuffle
+    // parallelism, not a constant. The join's own exchange moves the
+    // same prefix-token bytes either way; AQE skew splitting still
+    // applies to the join reads at scale.
+    val nPart = sh.sparkSession.sessionState.conf.numShufflePartitions
+    val prefixesSpread = prefixes.repartition(nPart, col("s"))
+    val cand = prefixesSpread.select(col("doc_id").as("doc_a"), col("s"))
+      .join(prefixesSpread
+          .select(col("doc_id").as("doc_b"), col("s").as("s_r")),
         col("s") === col("s_r") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+      // same trap one stage later: the verification joins + intersect
+      // count are CPU-dense over the byte-light candidate stream, and
+      // AQE folded them onto 2 tasks (measured 2.4 s); the explicit
+      // count pins the join parallelism (doc_a co-partitions the first
+      // verification join)
+      .repartition(nPart, col("doc_a"))
     val shB = cached.select(col("doc_id").as("doc_b2"), col("s").as("s_b"))
     val inter = cand
       .join(cached.select(col("doc_id").as("doc_a"), col("s")), "doc_a")

@@ -200,7 +200,11 @@ object CoreQueries extends QueryPack {
     // operators/RangeBinJoin makes it equi on (type, hour-bin) with the
     // range check residual. Exact decimal sum (Exact.dsum contract).
     "q_join_range_binned" -> ((s, dir) => {
-      val ev = graft.Tables.events(s, dir)
+      // spread the unsplittable small scan (guide §2.5, Tables.spreadBySize
+      // scaladoc): the bin explode + candidate join serialized 1.45 s of
+      // CPU on ONE task at sf0.1; at scale the gate is dead and the read
+      // is plan-identical
+      val ev = graft.Tables.eventsSpread(s, dir, "event_id")
       val pairs = RangeBinJoin.leftRangeJoin(
         ev.select(col("event_id"), col("event_type"), col("ts")),
         ev.select(col("event_type").as("r_type"), col("ts").as("r_ts"),

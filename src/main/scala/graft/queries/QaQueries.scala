@@ -30,7 +30,9 @@ object QaQueries extends QueryPack {
     // DECIMAL(12,2) first because raw double stringification is the
     // one cast the engines render differently.
     "q_profile_table" -> ((s, dir) => {
-      t(s, dir, "orders").select(expr(
+      // spread the unsplittable small scan (guide §2.5): the stack(6)
+      // fan-out + casts serialized 1.5 s of CPU on ONE task at sf0.1
+      graft.Tables.tSpread(s, dir, "orders", "o_orderkey").select(expr(
         """stack(6,
              'o_orderkey',     CAST(o_orderkey AS STRING),
              'o_custkey',      CAST(o_custkey AS STRING),

@@ -546,7 +546,9 @@ object TextQueries extends QueryPack {
     val nStop = size(filter(w, x => x.isin(stops: _*))).cast(DoubleType)
     val ttr = size(array_distinct(w)).cast(DoubleType) / size(w)
     val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) / size(w)
-    t(s, dir, "documents").select(
+    // spread the unsplittable small scan (guide §2.5): the tokenize-heavy
+    // quality projection serialized ~0.8 s of CPU on ONE task at sf0.1
+    graft.Tables.tSpread(s, dir, "documents", "doc_id").select(
       col("doc_id"), col("source"),
       nTok.cast(LongType).as("n_tokens"),
       ttr.as("type_token_ratio"),
@@ -558,7 +560,10 @@ object TextQueries extends QueryPack {
   /** Per-doc language-ID frame (doc_id, lang_label, score_*, lang_pred). */
   private def langFrame(s: SparkSession, dir: String): DataFrame = {
     val (en, de, es, fr) = langScoreCols(col("padded"))
-    t(s, dir, "documents")
+    // spread the unsplittable small scan (guide §2.5) — the lang-score
+    // regex battery is the same CPU-dense single-task shape as the
+    // quality projection above
+    graft.Tables.tSpread(s, dir, "documents", "doc_id")
       .withColumn("padded", concat(lit(" "), lower(trim(col("text"))), lit(" ")))
       .select(col("doc_id"), col("lang").as("lang_label"),
         en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
@@ -1820,7 +1825,10 @@ object TextQueries extends QueryPack {
       val q = qualityFrame(s, dir)
         .select(col("doc_id"), col("source"), col("quality_score"))
       val l = langFrame(s, dir).select(col("doc_id"), col("lang_pred"))
-      val base = t(s, dir, "documents")
+      // spread the md5 content-key pass like the quality/lang frames
+      // (guide §2.5) — and the three doc_id fan-outs co-partition the
+      // two joins below, so no further exchange is needed for them
+      val base = graft.Tables.tSpread(s, dir, "documents", "doc_id")
         .select(col("doc_id"), textKeyCol.as("tkey"))
         .join(q, "doc_id").join(l, "doc_id")
         .where(gatePass(col("quality_score"), col("lang_pred")))
@@ -2627,7 +2635,10 @@ object TextQueries extends QueryPack {
     // now all O(|Q|) and broadcast outright.
     "q_text_retrieval_eval" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      // spread the unsplittable small scan (guide §2.5): the dl and tf
+      // tokenize passes each serialized ~0.55 s of CPU on ONE task at
+      // sf0.1; at scale the gate is dead and the read is plan-identical
+      val docs = graft.Tables.tSpread(s, dir, "documents", "doc_id")
       val qh = conv(substring(md5(concat(lit("rq:"),
         col("doc_id").cast(StringType))), 1, 15), 16, 10)
         .cast(LongType)

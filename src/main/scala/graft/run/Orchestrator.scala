@@ -621,12 +621,15 @@ object Orchestrator {
                 "was disturbed before commit (a concurrent GC?) — " +
                 "refusing to publish a pointer at damaged staging; the " +
                 "live layout is untouched, re-run the compaction")
-          // THE COMMIT: root marker first (a reader must be resolving
-          // through pointers before any pointer exists), then one
-          // atomic pointer publish — old layout or new, never torn,
-          // on every store. The previous layout is PARKED, not
-          // deleted: vacuumCompacted is the GC.
-          CompactedLayout.ensureMarker(root)
+          // THE COMMIT: root marker already published by the
+          // dispatching thread below (a reader must be resolving
+          // through pointers before any pointer exists — and ONE
+          // publish per table removes the pool threads' marker race,
+          // whose ChecksumFs crc rename collision escaped the benign-
+          // race guard once under the r20 bench), then one atomic
+          // pointer publish — old layout or new, never torn, on every
+          // store. The previous layout is PARKED, not deleted:
+          // vacuumCompacted is the GC.
           WarehouseFs.publishAtomic(
             CompactedLayout.pointerPath(partPath), stagingName)
           val id = partName.stripPrefix("dwh_batch_id=")
@@ -639,6 +642,11 @@ object Orchestrator {
         }
       }
       val ordered = parts.sortBy(_.getPath.getName)
+      // marker ONCE, on this thread, before any staging: the root
+      // marker is table-level (partition-independent), and publishing
+      // it from the pool threads raced three publishers against each
+      // other for no benefit
+      if (ordered.nonEmpty) CompactedLayout.ensureMarker(root)
       if (ordered.size <= 1) ordered.flatMap(compactOne)
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(

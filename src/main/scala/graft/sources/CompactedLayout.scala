@@ -108,18 +108,30 @@ object CompactedLayout {
     * pointer commit so no reader can hold a pointer-blind plan while a
     * pointer exists. Idempotent (publishAtomic replaces like content).
     */
-  def ensureMarker(root: String): Unit =
-    if (!isCompacted(root))
+  def ensureMarker(root: String): Unit = {
+    // benign publish race: concurrent compactors (two compactors on an
+    // advisory-lock store; the compactBatches pool publishes ONCE on
+    // the dispatching thread, but cross-JVM racers remain) can both
+    // pass the !isCompacted check, and on a ChecksumFs the loser's
+    // rename can throw mid-overwrite — in a window where the winner's
+    // overwrite has deleted-but-not-yet-renamed the marker, so a
+    // single post-hoc isCompacted probe can read ABSENT while both
+    // publishers are about to land it (seen once under the r20 bench:
+    // "._compact_layout.crc already exists" escaped the old one-shot
+    // guard). The marker's content is the constant "1", so the loser
+    // just needs the marker to EXIST: re-check-and-retry a bounded
+    // number of times; only a marker still absent after the retries is
+    // a real store failure.
+    var attempts = 0
+    while (!isCompacted(root)) {
+      attempts += 1
       try WarehouseFs.publishAtomic(markerPath(root), "1")
       catch {
-        // benign publish race: concurrent per-partition compactors (the
-        // compactBatches thread pool, or two compactors on an advisory-
-        // lock store) can both pass the !isCompacted check; the marker's
-        // content is the constant "1", so whoever lost the rename just
-        // needs the marker to EXIST — only a still-absent marker is a
-        // real store failure
+        case _: Throwable if attempts < 3 => () // racing publisher; re-probe
         case e: Throwable if isCompacted(root) => ()
       }
+    }
+  }
 
   /** The table's `key=value` partition directories (the resolver's
     * unit of routing). Hidden/metadata dirs (`_bloomidx`, `.cgen`

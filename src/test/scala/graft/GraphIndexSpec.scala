@@ -280,21 +280,27 @@ class GraphIndexSpec extends AnyFunSuite with SparkTestBase {
       .peel(spark, union.toDF("src", "dst"), 2, 8)
       .as[(String, Long, Long)].collect().toSet)
 
-    // the peel's loud round cap lands FAILED, never a superset table:
-    // peeling d needs a drop round + a confirm round, so cap=1 is hit
-    intercept[Exception] { b2.refreshKCore(k = 2, maxRounds = 1) }
-    assert(b2.auditLog.exists(l =>
-      l.step == "mv_refresh" && l.target == "indexes/graph_kcore"
-        && l.status == "FAILED" && l.message.contains("SUPERSET")))
-    assert(spark.read.parquet(s"$wh/indexes/graph_kcore")
-      .as[(String, Long, Long)].collect().toSet === coreTable,
-      "a failed refresh must leave the previous artifact intact")
-
     // both ride the cadence plane with their own covers= markers
     b2.flushAudit()
     assert(b2.refreshTriangleCountsIfDue().exists(_ > 0L))
     assert(b2.refreshTriangleCountsIfDue() === None)
     assert(b2.refreshKCoreIfDue().exists(_ > 0L))
     assert(b2.refreshKCoreIfDue() === None)
+
+    // the peel's loud round cap lands FAILED, never a superset table:
+    // extend the pendant to a 2-chain (c-d-e) so the k=2 peel needs
+    // two drop rounds (e, then d) and cap=1 is hit. (The r20 delta
+    // peel reads convergence off the same round's Observation, so a
+    // 1-drop-round graph now legitimately finishes within cap=1 — the
+    // old shape needed a separate confirming round.)
+    val b3 = new Orchestrator.Run(spark, wh, "B3")
+    b3.indexGraphBatch(Seq(("d", "e")).toDF("src", "dst"))
+    intercept[Exception] { b3.refreshKCore(k = 2, maxRounds = 1) }
+    assert(b3.auditLog.exists(l =>
+      l.step == "mv_refresh" && l.target == "indexes/graph_kcore"
+        && l.status == "FAILED" && l.message.contains("SUPERSET")))
+    assert(spark.read.parquet(s"$wh/indexes/graph_kcore")
+      .as[(String, Long, Long)].collect().toSet === coreTable,
+      "a failed refresh must leave the previous artifact intact")
   }
 }

@@ -83,6 +83,27 @@ class KCoreSpec extends AnyFunSuite with SparkTestBase {
       "the cap message must say why a capped result is unsafe")
   }
 
+  test("delta and full-recompute rounds produce identical results") {
+    // the r20 delta peel: under spark.graft.kcore.deltaMaxAlive the
+    // removed wave broadcasts and degrees are maintained by
+    // subtraction; above it each round recomputes degrees from the
+    // edge list. Force the recompute branch (threshold 0) and prove
+    // both peel and coreNumbers return the same rows as the default
+    // delta branch on the cascade and a pseudo-random graph.
+    val edges = (0 until 150).map { i =>
+      (s"n${i * 11 % 19}", s"n${(i * i + 5) % 19}")
+    }.filter(e => e._1 != e._2)
+    for (g <- Seq(cascade, edges)) {
+      val deltaPeel = run(g, 2)
+      val deltaCores = runCores(g)
+      spark.conf.set("spark.graft.kcore.deltaMaxAlive", "0")
+      try {
+        assert(run(g, 2) === deltaPeel)
+        assert(runCores(g) === deltaCores)
+      } finally spark.conf.unset("spark.graft.kcore.deltaMaxAlive")
+    }
+  }
+
   test("empty and null-endpoint feeds fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
       KCore.peel(spark,
