@@ -312,7 +312,9 @@ object AggQueries extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val k = 2
       val mapEnc = implicitly[org.apache.spark.sql.Encoder[Map[Long, Long]]]
-      val ev = graft.Tables.events(s, dir)
+      // spread the single-rowgroup events scan: the typed Misra-Gries
+      // aggregator's map passes serialized ~0.5 s per stage on one task
+      val ev = graft.Tables.eventsSpread(s, dir, "event_id")
         .where(col("value").isNotNull)
         .select(col("event_type"),
           length(floor(col("value")).cast(LongType).cast(StringType))
@@ -550,7 +552,8 @@ object AggQueries extends QueryPack {
     // unchanged. abs/- are IEEE-exact, so both engines derive identical
     // deviation values.
     "q_agg_exact_mad" -> ((s, dir) => {
-      val vals = t(s, dir, "lineitem")
+      // spread the 3-rowgroup lineitem scan (guide §2.5 / Tables.spreadBySize)
+      val vals = graft.Tables.tSpread(s, dir, "lineitem", "l_orderkey")
         .select(col("l_returnflag"), col("l_extendedprice"))
       val med = exactGroupedMedian(vals, "l_returnflag", "l_extendedprice",
         "med")
@@ -571,7 +574,8 @@ object AggQueries extends QueryPack {
     // Third composition of the histogram selection: two selection
     // passes + one final scan — still no corpus-wide sort anywhere.
     "q_agg_robust_outliers" -> ((s, dir) => {
-      val vals = t(s, dir, "lineitem")
+      // spread the 3-rowgroup lineitem scan (guide §2.5 / Tables.spreadBySize)
+      val vals = graft.Tables.tSpread(s, dir, "lineitem", "l_orderkey")
         .select(col("l_returnflag"), col("l_extendedprice"))
       val med = exactGroupedMedian(vals, "l_returnflag", "l_extendedprice",
         "med")

@@ -159,7 +159,10 @@ object IoQueries extends QueryPack {
     "q_scan_xml" -> ((s, dir) => {
       val out = s"/tmp/graft_xml_part_${ProcessHandle.current().pid()}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      t(s, dir, "part")
+      // spread the single-rowgroup part scan (guide §2.5): one task
+      // otherwise writes ONE xml file, and the read-back parse — the
+      // row's real cost — then runs on one core too
+      graft.Tables.tSpread(s, dir, "part", "p_partkey")
         .select(col("p_partkey"), col("p_name"), col("p_brand"),
           col("p_retailprice"))
         .write.format("xml").option("rowTag", "part")

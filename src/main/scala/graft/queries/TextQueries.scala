@@ -808,7 +808,8 @@ object TextQueries extends QueryPack {
       .cast(StringType))) % lit(1000000L)).cast(DoubleType) + lit(0.5)) /
       lit(1000000.0)
     val gum = floor(-log2(-log2(u)) * lit(1000000.0)).cast(LongType)
-    t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    graft.Tables.tSpread(s, dir, "documents", "doc_id") // guide §2.5
+      .select(col("doc_id"), col("lang"))
       .join(dsirWeights(s, dir), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_feats"), col("w_micro"),
         (col("w_micro") + gum).as("key_micro"))
@@ -1559,7 +1560,9 @@ object TextQueries extends QueryPack {
       // string oracle's modulo md5-prefix collisions (~d²/2^61 — the
       // q_text_dup_spans argument).
       import graft.functions.TextHashFunctions.shingleHashes
-      val sh = t(s, dir, "documents")
+      // spread the unsplittable small scan (guide §2.5): the shingle
+      // kernel pass serialized on one task at sf0.1
+      val sh = graft.Tables.tSpread(s, dir, "documents", "doc_id")
         .select(col("doc_id"),
           explode(shingleHashes(words(col("text")), 8)).as("s"))
       val rep = sh.groupBy(col("s")).agg(cnt.as("n_docs"))
@@ -1610,7 +1613,7 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"),
           explode(sequence(col("i"), col("i") + 7)).as("i"))
         .distinct()
-      val toks = t(s, dir, "documents")
+      val toks = graft.Tables.tSpread(s, dir, "documents", "doc_id") // guide §2.5
         .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("p0", "tok")))
         .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("i"),
           col("tok"))
@@ -1867,11 +1870,16 @@ object TextQueries extends QueryPack {
     "q_text_source_overlap" -> ((s, dir) => {
       import graft.functions.TextHashFunctions.winnowedFingerprints
       import graft.operators.LshBandJoin.orderedPairs
-      val fps = t(s, dir, "documents")
+      // spread the scan (guide §2.5) and pin the fp-aggregate parallelism
+      // with an explicit count: the orderedPairs explode + agg is
+      // CPU-dense over ~0.4 MB of fingerprints, which AQE folded onto
+      // one task (measured 1.05 s single-task at sf0.1)
+      val fps = graft.Tables.tSpread(s, dir, "documents", "doc_id")
         .select(col("source"),
           explode(winnowedFingerprints(col("text"), WinK, WinW, WinB, WinP))
             .as("fp"))
-      fps.groupBy(col("fp"))
+      fps.repartition(s.sessionState.conf.numShufflePartitions, col("fp"))
+        .groupBy(col("fp"))
         .agg(array_sort(collect_set(col("source"))).as("srcs"))
         .where(size(col("srcs")) >= 2)
         .select(explode(orderedPairs(col("srcs"))).as("p"))
@@ -2545,7 +2553,7 @@ object TextQueries extends QueryPack {
     // SUM is order-free and bit-identical on both engines.
     "q_text_hash_embed" -> ((s, dir) => {
       val D = 64L
-      val docs = t(s, dir, "documents")
+      val docs = graft.Tables.tSpread(s, dir, "documents", "doc_id") // guide §2.5
       val tf = docs
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
@@ -2786,7 +2794,7 @@ object TextQueries extends QueryPack {
       val W = 64
       val S = 48
       val w = words(col("text"))
-      val docs = t(s, dir, "documents")
+      val docs = graft.Tables.tSpread(s, dir, "documents", "doc_id") // guide §2.5
       val chunkTerms = docs
         .select(col("doc_id"), w.as("w"), size(w).cast(LongType).as("n"))
         .withColumn("n_chunks", lit(1L) +

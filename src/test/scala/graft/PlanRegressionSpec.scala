@@ -174,12 +174,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
   test("q_text_source_overlap is join-free: one fingerprint-scale shuffle") {
     // r12 ran distinct + a fingerprint self-join (three fingerprint-set
     // shuffles, 49.6x at 10x data). The r13 plan is groupBy(fp) +
-    // in-codegen pair explode: NO join node anywhere, and exactly two
-    // exchanges — the fingerprint group-by (the only corpus-scale one)
-    // and the tiny sources^2 pair-count group-by.
+    // in-codegen pair explode: NO join node anywhere. Exchanges: the
+    // fingerprint group-by rides an EXPLICIT-count repartition(fp) (r20:
+    // AQE's byte-sized coalescing folded the CPU-dense orderedPairs
+    // explode onto one task — the explicit count pins the parallelism
+    // without adding an exchange, since the group-by reuses it), the
+    // tiny sources^2 pair-count group-by, plus — at THIS test's tiny
+    // SF only — the size-gated read spread (Tables.spreadBySize; dead
+    // branch at production sizes).
     val p = plan("q_text_source_overlap")
     assert(!p.contains("Join"), "source-overlap reintroduced a join")
-    assert(shuffles(p) === 2, p.take(1200))
+    assert(shuffles(p) === 3, p.take(1200))
   }
 
   test("q_events_sessionize pays exactly one shuffle of the event table") {
