@@ -83,13 +83,18 @@ object LifecycleBench {
 
       val r = lastRun
       val refreshS = timed {
-        r.refreshGraphRanksIfDue(iters = 3, redistributeDangling = true)
-        r.refreshHitsScoresIfDue(3)
-        r.refreshTriangleCountsIfDue()
-        r.refreshKCoreIfDue(k = 2)
-        r.refreshCoreNumbersIfDue()
-        r.refreshLpaCommunitiesIfDue(rounds = 3)
-        r.refreshKnnGraphIfDue(k = 5, nprobe = 3)
+        // independent artifacts with bounded overlap (guide §2.6, via
+        // the production refreshOverlapped entry point) — heaviest
+        // first so its tail back-fills with the cheap ones
+        r.refreshOverlapped()(
+          () => r.refreshKnnGraphIfDue(k = 5, nprobe = 3),
+          () => r.refreshGraphRanksIfDue(iters = 3,
+            redistributeDangling = true),
+          () => r.refreshCoreNumbersIfDue(),
+          () => r.refreshHitsScoresIfDue(3),
+          () => r.refreshLpaCommunitiesIfDue(rounds = 3),
+          () => r.refreshTriangleCountsIfDue(),
+          () => r.refreshKCoreIfDue(k = 2))
         r.flushAudit()
       }
 

@@ -1496,6 +1496,35 @@ object Orchestrator {
       * table per landing; a skip does no data-plane work at all —
       * which is the point: N landings amortize ONE full fixpoint.
       */
+    /** Run INDEPENDENT maintenance thunks with bounded overlap
+      * (optimization guide §2.6: actions are only sequential because
+      * the driver calls them sequentially — one artifact's write/commit
+      * tail back-fills executors with the next one's scan; 2-3 in
+      * flight fills the tail without fighting for cores). Safe by the
+      * plane's own contracts: each refresh owns a distinct target dir
+      * and a distinct `covers=` cadence stamp, the audit buffer
+      * ([[log]]/[[flushAudit]]) is synchronized, and the append-log
+      * audit plane races nothing on concurrent appends. Submit the
+      * heaviest thunk FIRST — FIFO scheduling gives the earlier job
+      * the resources and back-fills its tail with the later ones.
+      * Failures keep the per-op isolation: every thunk runs to
+      * completion or to its own exception, and the first failure
+      * rethrows only after ALL have finished (a FAILED artifact never
+      * cancels its independent siblings).
+      */
+    def refreshOverlapped(parallelism: Int = 3)(ops: (() => Any)*): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(parallelism, ops.size)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = ops.map(op => scala.concurrent.Future(op()))
+        val results = fs.map(f => scala.util.Try(scala.concurrent.Await
+          .result(f, scala.concurrent.duration.Duration.Inf)))
+        results.foreach(_.get) // rethrow the first failure, all complete
+      } finally pool.shutdown()
+    }
+
     private def refreshIfDue(target: String, inputTable: String)
                             (refresh: String => Long): Option[Long] = {
       val every = ToolsConfig.refreshCadence(spark, warehouse, target)

@@ -293,6 +293,27 @@ class GraphIndexSpec extends AnyFunSuite with SparkTestBase {
     // peel reads convergence off the same round's Observation, so a
     // 1-drop-round graph now legitimately finishes within cap=1 — the
     // old shape needed a separate confirming round.)
+    // overlapped maintenance (guide §2.6 via refreshOverlapped): the
+    // concurrent form must produce the same artifacts as the
+    // sequential calls above, and a failing thunk must not cancel its
+    // independent siblings (its exception surfaces AFTER all complete)
+    val triBefore = spark.read
+      .parquet(s"$wh/indexes/graph_triangle_counts")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val e = intercept[Exception] {
+      b2.refreshOverlapped()(
+        () => b2.refreshTriangleCounts(),
+        () => throw new IllegalStateException("boom-thunk"),
+        () => b2.refreshKCore(k = 2))
+    }
+    assert(e.getMessage.contains("boom-thunk"))
+    assert(spark.read.parquet(s"$wh/indexes/graph_triangle_counts")
+      .as[(String, Long, Long, Long)].collect().toSet === triBefore,
+      "overlapped refresh must land the same triangle artifact")
+    assert(spark.read.parquet(s"$wh/indexes/graph_kcore")
+      .as[(String, Long, Long)].collect().toSet === coreTable,
+      "overlapped refresh must land the same k-core artifact")
+
     val b3 = new Orchestrator.Run(spark, wh, "B3")
     b3.indexGraphBatch(Seq(("d", "e")).toDF("src", "dst"))
     intercept[Exception] { b3.refreshKCore(k = 2, maxRounds = 1) }
