@@ -132,21 +132,27 @@ object LabelPropagation {
       "refine against the SAME edges the labeling was computed on",
       "their gains would silently vanish")
     val adj = adjOf(canon)
-    refineOnceOn(adj,
-      canon.agg(count(lit(1)).as("m")),
-      adj.groupBy(col("node")).agg(count(lit(1)).as("deg")),
-      labels)
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    refineOnceOnW(adj.withColumn("w", lit(1L)),
+        canon.agg(count(lit(1)).as("m")),
+        withDeg(labels, deg))
+      .select(col("node"), col("community"))
   }
 
-  /** [[refineOnce]]'s core against PRE-BUILT shared frames — what the
-    * iterated loop calls so the per-round cost is only the
-    * label-dependent joins, not a re-canonicalization + guards.
-    * Unweighted face of [[refineOnceOnW]] (w = 1, count ≡ sum).
+  /** Attach each labeled node's degree to the label frame — the
+    * deg-CARRYING label shape [[refineOnceOnW]]/[[modularityOnD]] read
+    * (r21, guide §2.4): the loops re-join `deg` against the labels
+    * once per round (dsum) plus once per candidate frame (rows) — two
+    * label-frame exchanges per round for a value that never changes.
+    * Carrying `deg` as a column through each round's one
+    * materialization costs 8 bytes/row and deletes both joins. LEFT
+    * join: a labeled node with no edge in this frame keeps a NULL deg
+    * (it can never move, and the `deg IS NOT NULL` filters below
+    * mirror the old inner joins exactly).
     */
-  private def refineOnceOn(adj: DataFrame, m: DataFrame, deg: DataFrame,
-                           labels: DataFrame): DataFrame =
-    refineOnceOnW(adj.withColumn("w", lit(1L)), m, deg, labels)
-      .drop("__moved")
+  private def withDeg(labels: DataFrame, deg: DataFrame): DataFrame =
+    labels.select(col("node"), col("community"))
+      .join(deg, Seq("node"), "left")
 
   /** The WEIGHTED move round — the general core [[louvainPhases]]'
     * contracted levels need (Blondel et al. 2008 §2: the community
@@ -154,40 +160,57 @@ object LabelPropagation {
     * self-loops live in `deg` (×2) and `m`, never in `adjW`, so the
     * same down-label gain formula applies with k = Σw):
     * Δ·4m² = 4m·(k_vc − k_va) − 2·deg_v·(d_c − d_a + deg_v).
-    * `adjW` carries (node, nbr, w); `deg` is the caller's full
-    * (weighted, self-loop-inclusive) degree frame; `m` the 1-row total
-    * weight. Everything stays on the exact integer lattice.
+    * `adjW` carries (node, nbr, w); `labD` is the deg-CARRYING label
+    * frame ([[withDeg]] — node, community, deg with the caller's full
+    * weighted self-loop-inclusive degree, NULL on edge-less nodes);
+    * `m` the 1-row total weight. Returns (node, community, deg,
+    * __moved) so iterated rounds re-enter without a re-join.
+    * Everything stays on the exact integer lattice.
     */
-  private def refineOnceOnW(adjW: DataFrame, m: DataFrame, deg: DataFrame,
-                            labels: DataFrame): DataFrame = {
-    val lab = labels.select(col("node"), col("community"))
-    val dsum = lab.join(deg, "node")
+  private def refineOnceOnW(adjW: DataFrame, m: DataFrame,
+                            labD: DataFrame): DataFrame = {
+    val lab = labD.select(col("node"), col("community"), col("deg"))
+    // community degree sums from the CARRIED degrees (r21; was a
+    // lab⋈deg join per round — guide §2.4). The null filter mirrors
+    // the old inner join: edge-less labeled nodes contributed nothing.
+    val dsum = lab.where(col("deg").isNotNull)
       .groupBy(col("community")).agg(sum(col("deg")).as("dc"))
+    // kv is REPARTITIONED by node between the neighbor join and the
+    // aggregate (r21, guide §2.4 "two operations keyed the same way
+    // share one exchange"): hash(node) satisfies the (node, community)
+    // grouping's clustering, so the aggregate runs on that exchange AND
+    // the rows join + both candidate windows below reuse it — the old
+    // (node, community)-hashed aggregate forced one more full kv
+    // exchange before the node-keyed join. Byte-sized AQE coalescing
+    // applies as usual (graph rounds are byte-heavy at scale).
     val kv = adjW
       .join(lab.select(col("node").as("nbr"), col("community")), "nbr")
+      .select(col("node"), col("community"), col("w"))
+      .repartition(col("node"))
       .groupBy(col("node"), col("community")).agg(sum(col("w")).as("k"))
     // ONE node-partitioned frame carries everything the gain needs —
     // own community `a`, degree, per-neighbor-community weights `k` —
     // and k_a comes from a WINDOW over that same node partitioning
     // (optimization guide §2.4: two operations keyed the same way
-    // share one exchange). The previous shape self-joined kv against a
-    // separate per-node `own` frame: one more aggregate-sized join +
-    // exchange per round for the same rows. The candidate windows
-    // (k_a, then the gain argmax) both ride the node partitioning the
-    // join already established.
+    // share one exchange). The candidate windows (k_a, then the gain
+    // argmax) both ride the node partitioning the join established.
     val byNode = Window.partitionBy(col("node"))
     val rows = kv
-      .join(lab.select(col("node"), col("community").as("a")), "node")
-      .join(deg, "node")
+      .join(lab.select(col("node"), col("community").as("a"), col("deg")),
+        "node")
       .withColumn("k_a", coalesce(
         max(when(col("community") === col("a"), col("k"))).over(byNode),
         lit(0L)))
+    // ONE broadcast build serves BOTH community-sum joins (r21): the
+    // two build subtrees are byte-identical, so exchange reuse dedupes
+    // them — the join-key difference (c vs a) sits above the exchange.
+    val dsumB = dsum.select(col("community").as("__dcomm"), col("dc"))
     val cand = rows.where(col("community") < col("a"))
       .withColumnRenamed("community", "c")
-      .join(broadcast(dsum.select(col("community").as("c"),
-        col("dc").as("d_c"))), "c")
-      .join(broadcast(dsum.select(col("community").as("a"),
-        col("dc").as("d_a"))), "a")
+      .join(broadcast(dsumB), col("c") === col("__dcomm"))
+      .withColumnRenamed("dc", "d_c").drop("__dcomm")
+      .join(broadcast(dsumB), col("a") === col("__dcomm"))
+      .withColumnRenamed("dc", "d_a").drop("__dcomm")
       .crossJoin(broadcast(m)) // 1-row frame (LOCAL in the loops)
       .withColumn("delta",
         lit(4L) * col("m") * (col("k") - col("k_a"))
@@ -205,10 +228,12 @@ object LabelPropagation {
     // __moved rides along (pick fired ⟺ the label changed — a pick's
     // c < a strictly, so it always differs): the loops' convergence
     // count becomes an Observation on the round's ONE materialization
-    // instead of a second action per round (the KCore discipline)
+    // instead of a second action per round (the KCore discipline).
+    // deg rides the output so the NEXT round needs no re-join.
     lab.join(pick, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("c"), col("community")).as("community"),
+        col("deg"),
         col("c").isNotNull.as("__moved"))
   }
 
@@ -324,7 +349,10 @@ object LabelPropagation {
     // finisher; refine keeps the O(1) window
     def cutRound(df: DataFrame): DataFrame =
       if (pinRounds) chain.pin(df) else chain.cut(df)
-    var lab = cutRound(labels.select(col("node"), col("community")))
+    // labels enter the loop deg-CARRYING (withDeg): the degree join
+    // happens ONCE here instead of twice per round (r21, guide §2.4)
+    val adjW = adj.withColumn("w", lit(1L))
+    var lab = cutRound(withDeg(labels, deg))
     var states = Vector((0, 0L, lab))
     var moved = -1L
     var round = 0
@@ -336,10 +364,10 @@ object LabelPropagation {
       // the registered trace rows)
       val obs = org.apache.spark.sql.Observation()
       val next = cutRound(
-        refineOnceOnW(adj.withColumn("w", lit(1L)), m, deg, lab)
+        refineOnceOnW(adjW, m, lab)
           .observe(obs, coalesce(sum(col("__moved").cast("long")),
             lit(0L)).as("mv")) // empty labeling: 0, not null
-          .select(col("node"), col("community")))
+          .select(col("node"), col("community"), col("deg")))
       moved = obs.get("mv").asInstanceOf[Long]
       lab = next
       states :+= ((round, moved, lab))
@@ -357,25 +385,27 @@ object LabelPropagation {
     val spark = labels.sparkSession
     val (states, ctx, chain) = refineLoop(labels, edges, maxRounds,
       "refineTrace", pinRounds = true)
-    // ONE measurement action for the WHOLE trace (was one head() per
-    // round): each round's modularity plan reads that round's pinned
-    // labels, and the union collects in a single job. Rows are sorted
-    // by round on the driver — the union preserves branch order today,
-    // but the contract is the round column, not partition order.
-    val measured = states.map { case (r, mv, lab) =>
-      modularityOn(ctx.canon, ctx.m, ctx.deg, lab)
-        .select(lit(r.toLong).as("round"), lit(mv).as("moved"),
-          col("communities"), col("m_edges"), col("modularity_num"),
-          col("modularity_den"), col("modularity_ppm"))
-    }.reduce(_ unionAll _).collect()
+    // ONE measurement action AND one measurement PLAN for the whole
+    // trace (r21, guide §2.4 — was one modularity subplan per round
+    // unioned): every round's pinned deg-carrying labels are tagged
+    // with their round index and measured through modularityByState's
+    // single set of joins. Rows are keyed by the tag — the contract is
+    // the round column, not partition order.
+    val tagged = states.map { case (r, _, lab) =>
+      lab.select(lit(r.toLong).as("__st"), col("node"), col("community"),
+        col("deg"))
+    }.reduce(_ unionAll _)
+    val byRound = modularityByState(ctx.canon, ctx.m, tagged).collect()
+      .map(r => r.getLong(0) -> r).toMap
     // the trace is DRIVER-side rows: reclaim with no final cut (a seal
     // would park one labeling-sized frame per call forever AND pay a
     // wasted distributed write)
     chain.reclaimAll()
     import spark.implicits._
-    measured.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
-      .sortBy(_._1).toSeq
+    states.flatMap { case (r, mv, _) =>
+      byRound.get(r.toLong).map(row => (r.toLong, mv, row.getLong(1),
+        row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5)))
+    }.sortBy(_._1)
       .toDF("round", "moved", "communities", "m_edges", "modularity_num",
         "modularity_den", "modularity_ppm")
   }
@@ -386,7 +416,9 @@ object LabelPropagation {
   def refine(labels: DataFrame, edges: DataFrame,
              maxRounds: Int): DataFrame = {
     val (states, _, chain) = refineLoop(labels, edges, maxRounds, "refine")
-    chain.sealIfReliable(states.last._3)
+    // drop the carried deg from the public face — a lazy projection
+    // over the cut frame (zero-recompute read under the local policy)
+    chain.sealIfReliable(states.last._3.select(col("node"), col("community")))
   }
 
   /** FULL Louvain (Blondel et al. 2008): iterate (move phase to a
@@ -478,8 +510,11 @@ object LabelPropagation {
     var canonW = canon0.withColumn("w", lit(1L))
     var adjW = adj0.withColumn("w", lit(1L))
     var degW = deg0
-    // flat labels on ORIGINAL nodes (the committed state)
-    var nodeLab = chain.pin(labels.select(col("node"), col("community")))
+    // flat labels on ORIGINAL nodes (the committed state), carrying
+    // the ORIGINAL degree (r21): deg0 rides every committed/recorded
+    // flat frame so neither the rounds nor the trace measurement ever
+    // re-join the degree frame (guide §2.4)
+    var nodeLab = chain.pin(withDeg(labels, deg0))
     var phase = 0
     var phaseMoved = -1L
     while ((phase < 2 || phaseMoved != 0L) && phase < maxPhases) {
@@ -488,16 +523,20 @@ object LabelPropagation {
       // each supernode in its own singleton community — a LAZY
       // derivation over the pinned committed labels (its distinct
       // dedupes through exchange reuse inside round 1's action; a cut
-      // here was one more full materialization per phase)
+      // here was one more full materialization per phase). Supernode
+      // labels carry the CONTRACTED degree (one degW join per PHASE,
+      // not per round).
       var lab =
         if (phase == 1) nodeLab
         else nodeLab.select(col("community").as("node")).distinct()
           .select(col("node"), col("node").as("community"))
+          .join(degW, Seq("node"), "left")
       def flatten(l: DataFrame): DataFrame =
         if (phase == 1) l
-        else nodeLab.join(
-          l.select(col("node").as("community"), col("community").as("c2")),
-          "community").select(col("node"), col("c2").as("community"))
+        else nodeLab.select(col("node"), col("community"), col("deg"))
+          .join(l.select(col("node").as("community"),
+            col("community").as("c2")), "community")
+          .select(col("node"), col("c2").as("community"), col("deg"))
       record(phase, 0, 0L, flatten(lab))
       var moved = -1L
       var round = 0
@@ -507,10 +546,10 @@ object LabelPropagation {
         // moved rides the pin's Observation (the refineLoop shape);
         // PINNED because the deferred trace reads every round
         val obs = org.apache.spark.sql.Observation()
-        val next = chain.pin(refineOnceOnW(adjW, m, degW, lab)
+        val next = chain.pin(refineOnceOnW(adjW, m, lab)
           .observe(obs, coalesce(sum(col("__moved").cast("long")),
             lit(0L)).as("mv"))
-          .select(col("node"), col("community")))
+          .select(col("node"), col("community"), col("deg")))
         moved = obs.get("mv").asInstanceOf[Long]
         lab = next
         total += moved
@@ -542,7 +581,10 @@ object LabelPropagation {
         .select(least(col("cu"), col("cv")).as("u"),
           greatest(col("cu"), col("cv")).as("v"), col("w"))
         .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
-      val degNext = cl.join(degW, "node")
+      // contracted degrees from the CARRIED level degrees (r21; was a
+      // lab⋈degW join — the labels already carry this level's deg).
+      // The null filter mirrors the old inner join exactly.
+      val degNext = lab.where(col("deg").isNotNull)
         .groupBy(col("community").as("node")).agg(sum(col("deg")).as("deg"))
       // PINNED likewise: the level frames feed every round of the
       // NEXT phase (and its contraction), far past the keep-2 window;
@@ -561,25 +603,27 @@ object LabelPropagation {
         s"(the last phase still moved $phaseMoved node(s)) — raise " +
         "maxPhases; a capped ladder would publish communities a " +
         "further contraction provably improves")
-    // ONE measurement action for the WHOLE trace (was one head() per
-    // recorded state): every state's modularity plan reads its pinned
-    // flattened labels against the pinned level-0 frames; the union
-    // collects in a single job. Driver-side sort by (phase, round) —
-    // the contract is the columns, not partition order.
-    val measured = states.map { case (p, r, mv, flat) =>
-      modularityOn(canon0, m, deg0, flat)
-        .select(lit(p).as("phase"), lit(r).as("round"), lit(mv).as("moved"),
-          col("communities"), col("m_edges"), col("modularity_num"),
-          col("modularity_den"), col("modularity_ppm"))
-    }.reduce(_ unionAll _).collect()
+    // ONE measurement action AND one measurement PLAN for the whole
+    // trace (r21, guide §2.4 — was one modularity subplan per recorded
+    // state unioned): every state's flattened deg0-carrying labels are
+    // tagged with their state index and measured through
+    // modularityByState's single set of joins against the pinned
+    // level-0 frames. Driver-side sort by (phase, round) — the
+    // contract is the columns, not partition order.
+    val tagged = states.zipWithIndex.map { case ((_, _, _, flat), i) =>
+      flat.select(lit(i.toLong).as("__st"), col("node"), col("community"),
+        col("deg"))
+    }.reduce(_ unionAll _)
+    val bySt = modularityByState(canon0, m, tagged).collect()
+      .map(r => r.getLong(0) -> r).toMap
     // the result is DRIVER-side (the trace rows) — nothing returned
     // reads the checkpoints, so every pinned level frame and round
     // labeling is reclaimable now (the BpeTrainer finisher)
     chain.reclaimAll()
-    measured.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-        r.getLong(7)))
-      .sortBy(t => (t._1, t._2)).toSeq
+    states.zipWithIndex.flatMap { case ((p, r, mv, _), i) =>
+      bySt.get(i.toLong).map(row => (p, r, mv, row.getLong(1),
+        row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5)))
+    }.sortBy(t => (t._1, t._2))
       .toDF("phase", "round", "moved", "communities", "m_edges",
         "modularity_num", "modularity_den", "modularity_ppm")
   }
@@ -627,28 +671,58 @@ object LabelPropagation {
       labels)
   }
 
-  /** [[modularity]]'s core against PRE-BUILT shared frames (the
-    * refineOnceOn discipline) — the iterated trace measures every
-    * round against the SAME canon/m/degree frames it refines on.
+  /** [[modularity]]'s core against PRE-BUILT shared frames — the
+    * iterated trace measures every round against the SAME canon/m
+    * frames it refines on. Joins the degree frame once ([[withDeg]]).
     */
   private def modularityOn(canon: DataFrame, m: DataFrame,
-                           degs: DataFrame, labels: DataFrame): DataFrame = {
-    val lab = labels.select(col("node"), col("community"))
+                           degs: DataFrame, labels: DataFrame): DataFrame =
+    modularityOnD(canon, m, withDeg(labels, degs.select(col("node"),
+      col("deg"))))
+
+  /** [[modularityOn]] against a deg-CARRYING label frame (r21): the
+    * loops' states already carry each node's degree, so the
+    * measurement pays no per-state degree join. The null filter
+    * mirrors [[withDeg]]'s left join back to the old inner-join rows.
+    */
+  private def modularityOnD(canon: DataFrame, m: DataFrame,
+                            labD: DataFrame): DataFrame =
+    modularityByState(canon, m,
+      labD.select(lit(0L).as("__st"), col("node"), col("community"),
+        col("deg"))).drop("__st")
+
+  /** Modularity of MANY labelings in ONE plan (r21, guide §2.4): the
+    * deferred trace measurement ran one full modularity subplan per
+    * recorded round — N× the joins, N× the exchanges and (under AQE) a
+    * swarm of stage-jobs for what is one logical measurement. Tagging
+    * each state's deg-carrying labels with `__st` and unioning FIRST
+    * runs the identical per-state arithmetic through ONE set of
+    * (__st-keyed) joins and aggregates: the same bytes joined, N×
+    * fewer exchanges and barriers. One row per __st; a state whose
+    * labeling is empty yields no row — exactly the per-state behavior.
+    */
+  private def modularityByState(canon: DataFrame, m: DataFrame,
+                                tagged: DataFrame): DataFrame = {
+    val lab = tagged.select(col("__st"), col("node"), col("community"),
+      col("deg"))
     val intra = canon
-      .join(lab.select(col("node").as("u"), col("community").as("cu")), "u")
-      .join(lab.select(col("node").as("v"), col("community").as("cv")), "v")
+      .join(lab.select(col("__st"), col("node").as("u"),
+        col("community").as("cu")), "u")
+      .join(lab.select(col("__st"), col("node").as("v"),
+        col("community").as("cv")), Seq("v", "__st"))
       .where(col("cu") === col("cv"))
-      .groupBy(col("cu").as("community"))
+      .groupBy(col("__st"), col("cu").as("community"))
       .agg(count(lit(1)).as("in_e"))
-    val dsum = lab.join(degs.select(col("node"), col("deg")), "node")
-      .groupBy(col("community")).agg(sum(col("deg")).as("dc"))
-    dsum.join(intra, Seq("community"), "left")
+    val dsum = lab.where(col("deg").isNotNull)
+      .groupBy(col("__st"), col("community")).agg(sum(col("deg")).as("dc"))
+    dsum.join(intra, Seq("__st", "community"), "left")
       .crossJoin(broadcast(m)) // 1-row aggregate frame
-      .select((lit(4L) * col("m") * coalesce(col("in_e"), lit(0L))
-        - col("dc") * col("dc")).as("num"), col("m"))
-      .groupBy(col("m"))
+      .select(col("__st"),
+        (lit(4L) * col("m") * coalesce(col("in_e"), lit(0L))
+          - col("dc") * col("dc")).as("num"), col("m"))
+      .groupBy(col("__st"), col("m"))
       .agg(count(lit(1)).as("communities"), sum(col("num")).as("num"))
-      .select(col("communities"),
+      .select(col("__st"), col("communities"),
         col("m").as("m_edges"),
         col("num").as("modularity_num"),
         (lit(4L) * col("m") * col("m")).as("modularity_den"))
@@ -657,7 +731,7 @@ object LabelPropagation {
       // floor-exact for negative numerators — and the oracle carries
       // the identical correction, since DuckDB's // truncates too.
       // The ×10⁶ runs wide (DECIMAL(38,0)) per the overflow note above.
-      .selectExpr("communities", "m_edges", "modularity_num",
+      .selectExpr("__st", "communities", "m_edges", "modularity_num",
         "modularity_den",
         "CAST((CAST(modularity_num AS DECIMAL(38,0)) * 1000000) " +
           "div modularity_den AS BIGINT) - " +

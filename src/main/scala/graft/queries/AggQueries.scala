@@ -312,9 +312,15 @@ object AggQueries extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val k = 2
       val mapEnc = implicitly[org.apache.spark.sql.Encoder[Map[Long, Long]]]
-      // spread the single-rowgroup events scan: the typed Misra-Gries
-      // aggregator's map passes serialized ~0.5 s per stage on one task
-      val ev = graft.Tables.eventsSpread(s, dir, "event_id")
+      // NO scan spread here (r20 regression, reverted r21): ev feeds
+      // FOUR consumers (typed MG agg, two exact groupBys, n) — a
+      // repartition-after-read exchange re-executes per consumer, and
+      // the four 32-partition shuffles measured 1.6-3.6x SLOWER than
+      // the single-task scans on both the builder box and the driver
+      // (scaling ratio 0.46: slower at 32 cores than 8). The map passes
+      // are map-side-combinable aggregates, so at scale the plain
+      // multi-split scan parallelizes on its own.
+      val ev = graft.Tables.events(s, dir)
         .where(col("value").isNotNull)
         .select(col("event_type"),
           length(floor(col("value")).cast(LongType).cast(StringType))
@@ -552,8 +558,13 @@ object AggQueries extends QueryPack {
     // unchanged. abs/- are IEEE-exact, so both engines derive identical
     // deviation values.
     "q_agg_exact_mad" -> ((s, dir) => {
-      // spread the 3-rowgroup lineitem scan (guide §2.5 / Tables.spreadBySize)
-      val vals = graft.Tables.tSpread(s, dir, "lineitem", "l_orderkey")
+      // NO scan spread here (r20 regression, reverted r21): vals feeds
+      // FOUR selection passes (median pass 1/2, MAD pass 1/2) — the
+      // repartition exchange re-executed per pass and cost more than
+      // the single-task CPU it spread (0.57x builder, 2.2x driver,
+      // scaling ratio 0.52). The histogram passes are map-side
+      // aggregates; at scale the multi-split scan parallelizes itself.
+      val vals = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"))
       val med = exactGroupedMedian(vals, "l_returnflag", "l_extendedprice",
         "med")
@@ -574,8 +585,11 @@ object AggQueries extends QueryPack {
     // Third composition of the histogram selection: two selection
     // passes + one final scan — still no corpus-wide sort anywhere.
     "q_agg_robust_outliers" -> ((s, dir) => {
-      // spread the 3-rowgroup lineitem scan (guide §2.5 / Tables.spreadBySize)
-      val vals = graft.Tables.tSpread(s, dir, "lineitem", "l_orderkey")
+      // NO scan spread here (r20 regression, reverted r21): vals feeds
+      // FIVE passes (median 1/2, MAD 1/2, final outlier scan) — same
+      // re-executed-exchange regression as q_agg_exact_mad (0.62x
+      // builder, 1.7x driver, scaling ratio 0.59).
+      val vals = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"))
       val med = exactGroupedMedian(vals, "l_returnflag", "l_extendedprice",
         "med")

@@ -122,9 +122,17 @@ object CompactedLayout {
     // just needs the marker to EXIST: re-check-and-retry a bounded
     // number of times; only a marker still absent after the retries is
     // a real store failure.
+    // The attempts bound guards the SUCCESS path too: a store that acks
+    // publishAtomic without landing the marker must surface as a loud
+    // failure, not an infinite re-publish spin.
     var attempts = 0
     while (!isCompacted(root)) {
       attempts += 1
+      if (attempts > 3)
+        throw new IllegalStateException(
+          s"ensureMarker: marker still absent after ${attempts - 1} " +
+            s"publish attempts at ${markerPath(root)} — the store is " +
+            "acking publishAtomic without landing the marker")
       try WarehouseFs.publishAtomic(markerPath(root), "1")
       catch {
         case _: Throwable if attempts < 3 => () // racing publisher; re-probe
