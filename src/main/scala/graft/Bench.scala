@@ -126,6 +126,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r21, guide §2.2/§9: let AQE size CACHED plans by bytes too.
+      // Spark's default (false) freezes a cached frame at the raw
+      // shuffle.partitions width, so every re-read of a persisted
+      // edge list / memoized index scans `cpus` near-empty partitions
+      // per round at small scale — and at production scale AQE keeps
+      // the width the bytes demand, so the setting is scale-neutral
+      // (it only ever coalesces what is measurably tiny).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

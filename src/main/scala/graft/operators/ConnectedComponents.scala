@@ -130,24 +130,38 @@ object ConnectedComponents {
     var iter = 0
     while (!converged && iter < maxIters) {
       // large-star over the symmetric adjacency: per center u,
-      // m = min(neighbors ∪ {u}); larger neighbors re-point to m
+      // m = min(neighbors ∪ {u}); larger neighbors re-point to m.
+      // ONE u-exchange serves the min aggregate AND the re-point join
+      // (r21, guide §2.4 — hash(u) satisfies both), instead of one
+      // exchange per consumer.
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val largeMin = sym.groupBy(col("u").as("c"))
         .agg(min(col("v")).as("mn"))
         .select(col("c"), least(col("mn"), col("c")).as("m"))
+      // the re-pointed frame is keyed by the NEW center (the old v), so
+      // it gets its own u-exchange — shared by the distinct (hash(u)
+      // clusters (u, v)), the small-star min aggregate and the
+      // small-star join below (was: a (u,v) distinct exchange PLUS a
+      // u exchange for the aggregate/join)
       val large = sym.join(largeMin, sym("u") === largeMin("c"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
+        .repartition(col("u")).distinct()
 
       // small-star on the directed form: per u, m = min of its smaller
       // neighbors; the other smaller neighbors and u itself point to m
       val smallMin = large.groupBy(col("u").as("c")).agg(min(col("v")).as("m"))
       val small = large.join(smallMin, large("u") === smallMin("c"))
         .select(col("u"), col("v"), col("m"))
+      // no inner distinct on the (u, m) branch: the outer distinct
+      // dedupes the union anyway (its map-side partial aggregation
+      // already combines) — the inner one was one more full exchange
+      // per round for intermediate multiplicity nobody reads (r21)
       val (next, cur) = cutFingerprinted(small.where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(small.select(col("u"), col("m").as("v")).distinct())
+        .unionAll(small.select(col("u"), col("m").as("v")))
         .distinct())
       converged = cur == prev
       prev = cur

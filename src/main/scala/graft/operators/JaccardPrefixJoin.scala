@@ -97,26 +97,46 @@ object JaccardPrefixJoin {
     // same prefix-token bytes either way; AQE skew splitting still
     // applies to the join reads at scale.
     val nPart = sh.sparkSession.sessionState.conf.numShufflePartitions
-    val prefixesSpread = prefixes.repartition(nPart, col("s"))
-    val cand = prefixesSpread.select(col("doc_id").as("doc_a"), col("s"))
+    // candidates join on the 8-byte xxhash64 of the shingle instead of
+    // the shingle string (r21, guide §2.3 "shuffle keys and metadata"):
+    // the exchange and the equi-compare move/compare 8 bytes instead of
+    // the full n-gram text. A hash collision can only ADD a candidate
+    // pair (a superset), never drop one — and the verification below
+    // runs on the true shingle sets, so the output is still lossless.
+    val prefixesSpread = prefixes
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      .repartition(nPart, col("hs"))
+    val cand = prefixesSpread.select(col("doc_id").as("doc_a"), col("hs"))
       .join(prefixesSpread
-          .select(col("doc_id").as("doc_b"), col("s").as("s_r")),
-        col("s") === col("s_r") && col("doc_a") < col("doc_b"))
+          .select(col("doc_id").as("doc_b"), col("hs").as("hs_r")),
+        col("hs") === col("hs_r") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-      // same trap one stage later: the verification joins + intersect
-      // count are CPU-dense over the byte-light candidate stream, and
-      // AQE folded them onto 2 tasks (measured 2.4 s); the explicit
-      // count pins the join parallelism (doc_a co-partitions the first
-      // verification join)
+      // same trap one stage later: the verification joins are CPU-dense
+      // over the byte-light candidate stream, and AQE folded them onto
+      // 2 tasks (measured 2.4 s); the explicit count pins the join
+      // parallelism (doc_a co-partitions the first verification join)
       .repartition(nPart, col("doc_a"))
-    val shB = cached.select(col("doc_id").as("doc_b2"), col("s").as("s_b"))
-    val inter = cand
-      .join(cached.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(shB, col("doc_b") === col("doc_b2") && col("s") === col("s_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+    // verification (r21, guide §1.2 per-task work): attach each doc's
+    // DISTINCT shingle set as ONE array per side and count the overlap
+    // in-expression (array_intersect over the true strings — exact).
+    // The old shape joined the candidate stream against the shingle
+    // table TWICE and aggregated the |intersection|-row stream per
+    // pair: two string-keyed exchanges plus a (doc_a, doc_b) group-by,
+    // measured 80 CPU-seconds at sf0.1 where this is one hash
+    // intersect per pair. n_a/n_b fall out of the same arrays, so the
+    // two size joins go too.
+    val docSets = cached.groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("arr"))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("arr").as("arr_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("arr").as("arr_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("arr_a"), col("arr_b")))
+          .cast(LongType).as("n_common"),
+        size(col("arr_a")).cast(LongType).as("n_a"),
+        size(col("arr_b")).cast(LongType).as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast(DoubleType)
           / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))

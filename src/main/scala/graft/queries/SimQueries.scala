@@ -320,6 +320,14 @@ object SimQueries extends QueryPack {
     * distance/mean below is integer/IEEE-identical in both engines.
     */
   private def qvecs(s: SparkSession, dir: String): DataFrame =
+    // NO scan spread here (r21: tried per the r20 deferral, MEASURED
+    // WORSE, reverted — the agg-trio lesson): most sim rows reference
+    // qvecs from SEVERAL consumers (probe + corpus + memo builds), so
+    // a repartition-after-read exchange re-executes per consumer —
+    // q_sim_knn_graph_recall 0.58 -> 1.68 s, q_dedup_embedding
+    // 0.57 -> 1.46 s with the spread in place. The single-task lattice
+    // stage is a local-SF artifact (single-rowgroup file); at scale
+    // the scan splits on its own.
     t(s, dir, "embeddings").select(col("vec_id"),
       VectorFunctions.lattice(col("embedding")).as("qv"))
 
