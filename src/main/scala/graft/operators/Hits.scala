@@ -64,31 +64,38 @@ object Hits {
       // PINNED: every round (and the final join) reads the node spine
       val nodes = chain.pin(e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
-      def rescaled(scores: DataFrame): DataFrame = {
-        // 1-row max frame, cross-joined: stays in-plan at any |V|
-        val m = scores.agg(max(col("s")).as("m"))
-        scores.crossJoin(m)
-          .select(col("node"), expr("s div (m div 1000 + 1)").as("s"))
+      // Each half-round cuts the UNRESCALED endpoint sums and the max
+      // rides that cut's materialization as an Observation (r21 — the
+      // KCore discipline applied to the rescale): the old shape built a
+      // 1-row max aggregate + crossJoin into every cut plan, i.e. one
+      // extra aggregate subtree and its AQE stage jobs per half-round.
+      // The rescale becomes a LAZY map-only divide by a driver literal
+      // over the materialized frame — same integer arithmetic, zero
+      // extra jobs (consumers re-run only the cheap projection).
+      def cutSummed(raw: DataFrame): DataFrame = {
+        val obs = org.apache.spark.sql.Observation()
+        val cut = chain.cut(nodes.select(col("node"))
+          .join(raw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+          .observe(obs, max(col("s")).as("m")))
+        val d = obs.get("m").asInstanceOf[Long] / 1000L + 1L
+        cut.select(col("node"), expr(s"s div ${d}L").as("s"))
       }
+      // Deliberately one materialization per half-round (not the
+      // fixed-iteration CutStride): the next half-round's join + the
+      // rescale max both read the score frame, so an un-cut chain
+      // doubles the plan and schedules duplicate AQE stage jobs —
+      // measured 71 -> 85 jobs and 2.7 -> 3.2 s on the registered row
+      // when this loop tried the one-cut form.
       var hubs = nodes.select(col("node"), lit(1000L).as("s"))
       var auths: DataFrame = null
       (1 to iters).foreach { _ =>
         val aRaw = e.join(hubs, e("src") === hubs("node"))
           .groupBy(e("dst").as("node")).agg(sum(col("s")).as("s"))
-        // Deliberately cut BOTH score frames per iteration (not the
-        // fixed-iteration CutStride): rescaled() references its input
-        // twice (the max side and the divide side), so an un-cut auths
-        // chained into hubs doubles the plan and schedules duplicate
-        // AQE stage jobs — measured 71 -> 85 jobs and 2.7 -> 3.2 s on
-        // the registered row when this loop tried the one-cut form.
-        auths = chain.cut(rescaled(nodes.select(col("node"))
-          .join(aRaw, Seq("node"), "left")
-          .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))))
+        auths = cutSummed(aRaw)
         val hRaw = e.join(auths, e("dst") === auths("node"))
           .groupBy(e("src").as("node")).agg(sum(col("s")).as("s"))
-        hubs = chain.cut(rescaled(nodes.select(col("node"))
-          .join(hRaw, Seq("node"), "left")
-          .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))))
+        hubs = cutSummed(hRaw)
       }
       // the final join reads the last TWO window cuts (hubs, auths) —
       // exactly the keep=2 window; seal reclaims them under reliable

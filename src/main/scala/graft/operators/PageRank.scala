@@ -252,34 +252,47 @@ object PageRank {
       val r0 = Scale / n
       val tp = 15L * r0 / 100L
       val chain = graft.plans.Checkpoints.chain() // reliable-policy file GC
+      // the dangling-node count rides the spine pin (one action): round
+      // 1's dangling mass is n_dang * r0 on the driver, and every later
+      // round's rides its cut's Observation below (r21 — was a separate
+      // 1-row aggregate subtree + crossJoin built into every round's
+      // plan, i.e. one extra scan of the ranks cut per round)
+      val obsSpine = org.apache.spark.sql.Observation()
       val spine = chain.pin(nodes.join(
           ewt.select(col("src").as("node")).distinct()
             .withColumn("__o", lit(true)), Seq("node"), "left")
-        .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out")))
+        .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out"))
+        .observe(obsSpine,
+          count(when(!col("has_out"), 1)).as("n_dang")))
       var ranks = spine.select(col("node"), col("has_out"),
         lit(r0).as("r"))
+      var dm = obsSpine.get("n_dang").asInstanceOf[Long] * r0
       (1 to iters).foreach { i =>
-        val dang = ranks.where(!col("has_out"))
-          .agg(coalesce(sum(col("r")), lit(0L)).as("dm")) // 1-row frame
         val shares = ewt.join(ranks, ewt("src") === ranks("node"))
           .select(col("dst"), expr("(r * w) div totw").as("share"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("share")).as("s"))
+        // dm enters as a LITERAL (dm div n is the same truncating
+        // nonnegative division on the driver as in-plan)
         val next = spine.join(shares, Seq("node"), "left")
-          .crossJoin(dang)
           .select(col("node"), col("has_out"),
             (lit(tp) +
-              expr(s"(85 * (coalesce(s, 0L) + dm div ${n}L)) div 100"))
+              expr(s"(85 * (coalesce(s, 0L) + ${dm / n}L)) div 100"))
               .as("r"))
         // Deliberately cut EVERY round here, unlike [[loop]]: ranks is
-        // referenced TWICE per round (dang + shares), so an un-cut plan
-        // doubles per round and the duplicated subtrees schedule their
-        // own AQE stage jobs — measured 47 -> 78 jobs and 1.5 -> 3.3 s
-        // on the registered row when this loop tried the CutStride
-        // form (exchange reuse does not fully dedupe across the
-        // doubled tree). The single-reference classic loop strides;
-        // this one materializes.
-        ranks = chain.cut(next)
+        // referenced TWICE per round (the dangling mass + shares), so
+        // an un-cut plan doubles per round and the duplicated subtrees
+        // schedule their own AQE stage jobs — measured 47 -> 78 jobs
+        // and 1.5 -> 3.3 s on the registered row when this loop tried
+        // the CutStride form (exchange reuse does not fully dedupe
+        // across the doubled tree). The single-reference classic loop
+        // strides; this one materializes — and the NEXT round's
+        // dangling mass rides the materialization as an Observation.
+        val obs = org.apache.spark.sql.Observation()
+        ranks = chain.cut(next.observe(obs,
+          coalesce(sum(when(!col("has_out"), col("r"))), lit(0L))
+            .as("dm")))
+        dm = obs.get("dm").asInstanceOf[Long]
       }
       chain.sealIfReliable(
         ranks.select(col("node"), col("r").as("rank_scaled")))

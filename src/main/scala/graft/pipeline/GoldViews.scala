@@ -144,7 +144,18 @@ object GoldViews {
     val batched = fact.columns.contains("dwh_batch_id")
     val baseNames = Seq("order_number", "customer_key", "order_date",
       "shipping_date", "due_date") ++ (if (batched) Seq("dwh_batch_id") else Nil)
-    val base = fact.select(baseNames.map(col): _*)
+    // ONE materialization of the order slice, keyed by the chain key
+    // (r21, guide §2.4): every recursion level joins `base` on
+    // customer_key, and the lazy form re-derived the caller's slice
+    // plan (distinct + eligibility aggregate + join on the seeded row)
+    // per level AND re-exchanged it per level. Cut + keyed repartition
+    // makes each level read a co-partitioned materialized leaf — and
+    // each level's output (projected to the fs side's customer_key)
+    // carries the same partitioning through its pin, so the level
+    // joins stop exchanging either side.
+    val base = graft.plans.Checkpoints.cut(
+      fact.select(baseNames.map(col): _*)
+        .repartition(col("customer_key")))
     val seed = base
       .where(col("shipping_date") > col("due_date"))
       .withColumn("level", lit(1L))

@@ -18,6 +18,13 @@ object RecursiveQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q_recursive_chain" -> ((s, dir) => {
+      // NO cut + keyed repartition here (r21: tried the
+      // delayedOrdersChain discipline, MEASURED WORSE 1.07 -> 1.51 s,
+      // reverted): this base is a BARE pushdown scan — re-reading 3
+      // parquet columns per level costs less than materializing and
+      // re-exchanging them once. The cut pays off only when the base
+      // is itself a derived slice (distinct + aggregate + join), as in
+      // the seeded delayed chain.
       val orders = t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
       val seed = t(s, dir, "orders")
