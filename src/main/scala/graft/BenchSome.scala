@@ -37,7 +37,15 @@ object BenchSome {
     val benchRuns = math.max(2,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     try run("q_surrogate_lookup") catch { case _: Throwable => () }
-    names.foreach { name =>
+    names.filter(_ == "lifecycle").foreach { _ =>
+      // pseudo-row: the LifecycleBench walk (min over 2 fresh
+      // warehouses — its own noise discipline), for iterating on the
+      // maintenance plane without the full bench
+      val stages = graft.run.LifecycleBench.run(spark, sfDir, 2)
+      println("BENCHSOME lifecycle " + stages.map { case (k, v) =>
+        f"$k=$v%.3f" }.mkString(" "))
+    }
+    names.filterNot(_ == "lifecycle").foreach { name =>
       try {
         run(name) // per-query warmup (excluded, the Bench discipline)
         val ts = (1 until benchRuns).map(_ => run(name)).sorted

@@ -66,16 +66,27 @@ object LifecycleBench {
           // real multi-task landing produces) — the compact stage
           // below then has real small files to fold
           val eSlice = emb.where(col("vec_id") % 3 === i).repartition(4)
-          r.writeBatch(dSlice, "bronze/documents")
-          r.writeBatch(eSlice, "bronze/embeddings")
-          r.indexDedupBatch(dSlice)
-          r.indexAnnBatch(r.readBatch("bronze/embeddings")
-            .select("vec_id", "embedding"), nlist = 64)
-          // crawl-shaped edges: source host -> a second residue stream
-          // (sinks possible, so the rank refresh runs the dangling
-          // policy — the crawl-graph configuration)
-          r.indexGraphBatch(dSlice.select(col("source").as("src"),
-            concat(lit("src"), (col("doc_id") % 7).cast("string")).as("dst")))
+          // WITHIN a batch the landing ops are independent where their
+          // inputs allow (r21, guide §2.6 — the refresh stage's
+          // overlap discipline applied to landing): the two bronze
+          // writes touch distinct tables, and the three index builds
+          // touch distinct index tables (the ANN build reads the
+          // bronze/embeddings partition the FIRST phase landed, so it
+          // stays in phase two). Batches remain strictly sequential —
+          // the dedup/span indexes build batch-over-batch.
+          r.refreshOverlapped(2)(
+            () => r.writeBatch(dSlice, "bronze/documents"),
+            () => r.writeBatch(eSlice, "bronze/embeddings"))
+          r.refreshOverlapped(3)(
+            () => r.indexDedupBatch(dSlice),
+            () => r.indexAnnBatch(r.readBatch("bronze/embeddings")
+              .select("vec_id", "embedding"), nlist = 64),
+            // crawl-shaped edges: source host -> a second residue
+            // stream (sinks possible, so the rank refresh runs the
+            // dangling policy — the crawl-graph configuration)
+            () => r.indexGraphBatch(dSlice.select(col("source").as("src"),
+              concat(lit("src"), (col("doc_id") % 7).cast("string"))
+                .as("dst"))))
           r.flushAudit()
           lastRun = r
         }
