@@ -539,16 +539,19 @@ object TextQueries extends QueryPack {
   /** Per-doc quality frame (doc_id, source, n_tokens, type_token_ratio,
     * stopword_ratio, mean_word_len, quality_score) — all per-row.
     */
-  private def qualityFrame(s: SparkSession, dir: String): DataFrame = {
+  /** [[qualityFrame]]'s projection over a CALLER-provided docs frame
+    * (doc_id, source, text) — so a composition (q_text_clean_corpus)
+    * can feed every gate from ONE materialized scan instead of one
+    * spread exchange per gate (r21, guide §2.4).
+    */
+  private def qualityFrameOf(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val nTok = size(w).cast(DoubleType)
     val stops = Seq("the", "a", "of", "and", "to", "in")
     val nStop = size(filter(w, x => x.isin(stops: _*))).cast(DoubleType)
     val ttr = size(array_distinct(w)).cast(DoubleType) / size(w)
     val meanWl = (length(col("text")) - (size(w) - 1)).cast(DoubleType) / size(w)
-    // spread the unsplittable small scan (guide §2.5): the tokenize-heavy
-    // quality projection serialized ~0.8 s of CPU on ONE task at sf0.1
-    graft.Tables.tSpread(s, dir, "documents", "doc_id").select(
+    docs.select(
       col("doc_id"), col("source"),
       nTok.cast(LongType).as("n_tokens"),
       ttr.as("type_token_ratio"),
@@ -557,18 +560,29 @@ object TextQueries extends QueryPack {
       qualityScoreCol.as("quality_score"))
   }
 
-  /** Per-doc language-ID frame (doc_id, lang_label, score_*, lang_pred). */
-  private def langFrame(s: SparkSession, dir: String): DataFrame = {
+  private def qualityFrame(s: SparkSession, dir: String): DataFrame =
+    // spread the unsplittable small scan (guide §2.5): the tokenize-heavy
+    // quality projection serialized ~0.8 s of CPU on ONE task at sf0.1
+    qualityFrameOf(graft.Tables.tSpread(s, dir, "documents", "doc_id"))
+
+  /** [[langFrame]]'s projection over a CALLER-provided docs frame
+    * (doc_id, lang, text) — see [[qualityFrameOf]].
+    */
+  private def langFrameOf(docs: DataFrame): DataFrame = {
     val (en, de, es, fr) = langScoreCols(col("padded"))
-    // spread the unsplittable small scan (guide §2.5) — the lang-score
-    // regex battery is the same CPU-dense single-task shape as the
-    // quality projection above
-    graft.Tables.tSpread(s, dir, "documents", "doc_id")
+    docs
       .withColumn("padded", concat(lit(" "), lower(trim(col("text"))), lit(" ")))
       .select(col("doc_id"), col("lang").as("lang_label"),
         en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
         langPredCol(col("padded")).as("lang_pred"))
   }
+
+  /** Per-doc language-ID frame (doc_id, lang_label, score_*, lang_pred). */
+  private def langFrame(s: SparkSession, dir: String): DataFrame =
+    // spread the unsplittable small scan (guide §2.5) — the lang-score
+    // regex battery is the same CPU-dense single-task shape as the
+    // quality projection above
+    langFrameOf(graft.Tables.tSpread(s, dir, "documents", "doc_id"))
 
   /** Bigram-LM scoring frame (doc_id, n_bigrams, sum_nll_micro) —
     * shared by q_text_lm_perplexity (which derives bits_per_bigram)
@@ -1825,13 +1839,20 @@ object TextQueries extends QueryPack {
     // back-to-back, the fused variant was ~1.5x slower cold (one huge
     // whole-stage-codegen unit) for identical results.
     "q_text_clean_corpus" -> ((s, dir) => {
-      val q = qualityFrame(s, dir)
+      // ONE spread scan, materialized, feeding ALL THREE gates (r21,
+      // guide §2.4): the per-gate tSpread calls each re-ran the scan +
+      // a full-text exchange (measured ~5 serialized single-task
+      // scan+write passes ≈ 2.2 s at sf0.1 — column pruning
+      // specializes each exchange subtree, so exchange reuse never
+      // deduped them). The cut leaf is doc_id-partitioned, so the two
+      // gate joins below still co-partition with no further exchange.
+      val docs = graft.plans.Checkpoints.cut(
+        graft.Tables.tSpread(s, dir, "documents", "doc_id")
+          .select(col("doc_id"), col("source"), col("lang"), col("text")))
+      val q = qualityFrameOf(docs)
         .select(col("doc_id"), col("source"), col("quality_score"))
-      val l = langFrame(s, dir).select(col("doc_id"), col("lang_pred"))
-      // spread the md5 content-key pass like the quality/lang frames
-      // (guide §2.5) — and the three doc_id fan-outs co-partition the
-      // two joins below, so no further exchange is needed for them
-      val base = graft.Tables.tSpread(s, dir, "documents", "doc_id")
+      val l = langFrameOf(docs).select(col("doc_id"), col("lang_pred"))
+      val base = docs
         .select(col("doc_id"), textKeyCol.as("tkey"))
         .join(q, "doc_id").join(l, "doc_id")
         .where(gatePass(col("quality_score"), col("lang_pred")))
