@@ -167,7 +167,19 @@ object IoQueries extends QueryPack {
           col("p_retailprice"))
         .write.format("xml").option("rowTag", "part")
         .mode("overwrite").save(out)
-      s.read.format("xml").option("rowTag", "part").load(out)
+      // EXPLICIT read schema (r21, guide §1.2): XML schema inference is
+      // a whole extra pass over the files (profiled 0.84 s single-task
+      // at sf0.1 — the row's largest job) for types this round-trip
+      // already declares; the typed read still proves parse/escaping
+      // fidelity through the oracle hash, and the final casts keep the
+      // published schema byte-identical.
+      val xmlSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p_partkey", LongType),
+        org.apache.spark.sql.types.StructField("p_name", StringType),
+        org.apache.spark.sql.types.StructField("p_brand", StringType),
+        org.apache.spark.sql.types.StructField("p_retailprice", DoubleType)))
+      s.read.format("xml").option("rowTag", "part").schema(xmlSchema)
+        .load(out)
         .where(col("p_retailprice") > 950)
         .select(
           col("p_partkey").cast(LongType).as("p_partkey"),
