@@ -175,14 +175,19 @@ object ConnectedComponents {
           "pathological input; raise maxIters only after inspecting the graph")
 
     // fixpoint = depth-1 stars: members carry (node → root); roots are
-    // exactly the targets that never appear as a source
+    // exactly the targets that never appear as a source. ONE endpoint
+    // aggregate serves roots AND the isolated anti-join (r21 resume,
+    // guide §2.4 — was two distincts + an anti-join for roots PLUS a
+    // union-distinct + anti-join for isolated, i.e. ~4 exchanges over
+    // the same fixpoint edge frame; exchange reuse dedupes the shared
+    // aggregate's map side across the two consumers)
     val members = e.select(col("u").as("node"), col("v").as("component"))
-    val roots = e.select(col("v").as("node")).distinct()
-      .join(e.select(col("u").as("node")).distinct(), Seq("node"), "left_anti")
+    val ends = e.select(col("u").as("node"), lit(true).as("s"))
+      .unionAll(e.select(col("v").as("node"), lit(false).as("s")))
+      .groupBy(col("node")).agg(max(col("s")).as("has_out"))
+    val roots = ends.where(!col("has_out"))
       .select(col("node"), col("node").as("component"))
-    val isolated = nodes.join(
-      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node"))).distinct(),
-      Seq("node"), "left_anti")
+    val isolated = nodes.join(ends.select(col("node")), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
     chain.sealIfReliable(members.unionAll(roots).unionAll(isolated))
   }

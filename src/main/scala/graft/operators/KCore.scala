@@ -289,9 +289,12 @@ object KCore {
           // execute that rung's first peel sub-round straight off the
           // ALREADY-MATERIALIZED degree frame: the deg==d support
           // level leaves with core d.
-          // PINNED: every per-rung core frame is read by the final
-          // union - and it is a plain filter over the cached frame
-          assigned += chain.pin(frame.where(col("deg") === mind)
+          // a plain filter over the ALREADY-CUT frame: lazy locally
+          // (zero-recompute read of the round's checkpoint blocks —
+          // the eager pin was one extra action per rung), pinned under
+          // the reliable policy (the window deletes the frame's files
+          // two cuts later while the final union still reads the view)
+          assigned += chain.pinIfReliable(frame.where(col("deg") === mind)
             .select(col("node"), lit(mind).as("core")))
           frame = chain.cut(
             deltaRound(canon, frame, col("deg") > mind, nSurv)
@@ -302,8 +305,9 @@ object KCore {
           // peel: everyone below k - including nodes the delta carried
           // to zero when their last neighbor fell - leaves with core
           // number k-1; a plain filter over the cached frame replaces
-          // the old anti-join
-          assigned += chain.pin(frame.where(col("deg") < k)
+          // the old anti-join (lazy locally / pinned under the reliable
+          // policy — see the jump branch)
+          assigned += chain.pinIfReliable(frame.where(col("deg") < k)
             .select(col("node"), lit((k - 1).toLong).as("core")))
           frame = chain.cut(
             deltaRound(canon, frame, col("deg") >= k, nSurv)

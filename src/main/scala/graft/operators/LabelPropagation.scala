@@ -654,6 +654,80 @@ object LabelPropagation {
     * @return one row: (communities, m_edges, modularity_num,
     *         modularity_den, modularity_ppm)
     */
+  /** Shared-frame setup for the one-plan A/B measurement faces below
+    * (r21 resume, guide §2.4): ONE guarded canon materialization (the
+    * guard metrics and m ride it as Observations — the refineLoop
+    * discipline), one pinned degree aggregate, and the caller builds
+    * its tagged states over those frames. Returns (chain, canon, m,
+    * adjW, deg) with canon/deg pinned on the chain.
+    */
+  private def sharedGraphFrames(edges: DataFrame, who: String)
+      : (graft.plans.Checkpoints.Chain, DataFrame, DataFrame, DataFrame,
+         DataFrame) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val chain = graft.plans.Checkpoints.chain()
+    val (canonPlan, guardCheck) = guardedCanonDeferred(edges, who,
+      "measure against the SAME edges the labeling was computed on",
+      "they would silently deflate m and skew the reported num/den/ppm")
+    val obsM = org.apache.spark.sql.Observation()
+    val canon = chain.pin(canonPlan.observe(obsM, count(lit(1)).as("m")))
+    guardCheck()
+    val m = Seq(obsM.get("m").asInstanceOf[Long]).toDF("m")
+    val adj = adjOf(canon)
+    val deg = chain.pin(adj.groupBy(col("node"))
+      .agg(count(lit(1)).as("deg")))
+    (chain, canon, m, adj.withColumn("w", lit(1L)), deg)
+  }
+
+  /** Modularity of TWO labelings over the SAME edge frame in ONE
+    * shared-frame plan (r21 resume, guide §2.4): the A/B rows ran two
+    * independent [[modularity]] subplans — two eager guard scans, two
+    * canon distincts, two degree aggregates and two full sets of
+    * measurement joins over identical edges. Here the guard + m ride
+    * ONE canon pin, the degree aggregate runs once, and both labelings
+    * are measured through [[modularityByState]]'s single set of
+    * (__st-keyed) joins. Per-state arithmetic is unchanged — identical
+    * rows out, keyed `__st` = 0 (labelsA) / 1 (labelsB).
+    */
+  def modularityAB(labelsA: DataFrame, labelsB: DataFrame,
+                   edges: DataFrame): DataFrame = {
+    val (chain, canon, m, _, deg) = sharedGraphFrames(edges, "modularity")
+    val tagged = withDeg(labelsA, deg)
+      .select(lit(0L).as("__st"), col("node"), col("community"), col("deg"))
+      .unionAll(withDeg(labelsB, deg)
+        .select(lit(1L).as("__st"), col("node"), col("community"),
+          col("deg")))
+    chain.sealIfReliable(modularityByState(canon, m, tagged))
+  }
+
+  /** One [[refineOnce]] move round PLUS the before/after modularity
+    * measurement, all over ONE set of shared frames (r21 resume, guide
+    * §2.4): the composed form (refineOnce + modularity(input) +
+    * modularity(refined)) ran THREE guarded canon scans and three
+    * degree aggregates, and the un-cut refined plan was duplicated
+    * into each of the measurement's label joins. Here the shared
+    * frames build once, the refined labeling is lineage-cut once (the
+    * refineLoop round discipline — the measurement reads its blocks
+    * instead of re-running the move round per join), and both states
+    * measure through [[modularityByState]]'s single plan. Same move
+    * arithmetic, same measurement rows — keyed `__st` = 0 (the input
+    * labeling) / 1 (after the move round).
+    */
+  def refineOnceMeasured(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val (chain, canon, m, adjW, deg) =
+      sharedGraphFrames(edges, "refineOnce")
+    val labD = withDeg(labels, deg)
+    val refined = chain.cut(refineOnceOnW(adjW, m, labD)
+      .select(col("node"), col("community"), col("deg")))
+    val tagged = labD
+      .select(lit(0L).as("__st"), col("node"), col("community"), col("deg"))
+      .unionAll(refined
+        .select(lit(1L).as("__st"), col("node"), col("community"),
+          col("deg")))
+    chain.sealIfReliable(modularityByState(canon, m, tagged))
+  }
+
   def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
     // the run()/refineOnce() guards (via guardedCanon): the self-loop
     // predicate silently DROPS NULL-endpoint edges, deflating m and

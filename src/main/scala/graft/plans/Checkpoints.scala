@@ -191,6 +191,21 @@ object Checkpoints {
       out
     }
 
+    /** [[pin]] under the reliable policy; the UNCHANGED lazy plan under
+      * the local policy — for per-round frames that are plain
+      * filters/projections over an already-cut parent. Locally the lazy
+      * view is a zero-recompute read of the parent's checkpoint blocks
+      * (local blocks are reclaimed by JVM reference, never by this
+      * chain's window), so an eager pin was one extra action per round
+      * for bytes the parent already materialized; the reliable policy
+      * MUST still pin, because the window deletes the parent's files
+      * two cuts later while a finisher still reads the view. The caller
+      * must ensure the parent frame is itself cut — this method adds no
+      * materialization of its own.
+      */
+    def pinIfReliable[T](ds: Dataset[T]): Dataset[T] =
+      if (reliableDir(ds).isDefined) pin(ds) else ds
+
     private def reclaim(): Unit = {
       (window ++ pinned).foreach(reclaimQuiet)
       window.clear(); pinned.clear()

@@ -685,10 +685,15 @@ object GraphQueries extends QueryPack {
       val blocks = lpa.select(col("node"),
         when(expr("CAST(substring(node, 2, 10) AS BIGINT)") % 3 === 0,
           lit("b0")).otherwise(lit("b12")).as("community"))
-      LabelPropagation.modularity(lpa, edges)
-        .select(lit("lpa_round4").as("labeling"), col("*"))
-        .unionByName(LabelPropagation.modularity(blocks, edges)
-          .select(lit("residue_blocks").as("labeling"), col("*")))
+      // ONE shared-frame measurement plan for both labelings (r21
+      // resume, guide §2.4 — was two independent modularity subplans:
+      // two guard scans, two canon distincts, two degree aggregates);
+      // identical per-state arithmetic, so the rows are unchanged
+      LabelPropagation.modularityAB(lpa, blocks, edges)
+        .select(when(col("__st") === 0L, "lpa_round4")
+            .otherwise("residue_blocks").as("labeling"),
+          col("communities"), col("m_edges"), col("modularity_num"),
+          col("modularity_den"), col("modularity_ppm"))
     }),
 
     // Modularity REFINEMENT — the follow-through on the A/B above:
@@ -703,12 +708,16 @@ object GraphQueries extends QueryPack {
     // arithmetic unrolled over l_4.
     "q_graph_lpa_refined" -> ((s, dir) => {
       val edges = triangleFixtureEdges(s, dir)
-      val lpa = lpaLabels(s, dir)
-      val refined = LabelPropagation.refineOnce(lpa, edges)
-      LabelPropagation.modularity(lpa, edges)
-        .select(lit("lpa_round4").as("labeling"), col("*"))
-        .unionByName(LabelPropagation.modularity(refined, edges)
-          .select(lit("refined_1").as("labeling"), col("*")))
+      // ONE shared-frame plan for the move round AND both measurements
+      // (r21 resume, guide §2.4 — the composed form ran three guarded
+      // canon scans/degree aggregates and duplicated the un-cut refined
+      // subtree into every measurement join); same move + measurement
+      // arithmetic, so the rows are unchanged
+      LabelPropagation.refineOnceMeasured(lpaLabels(s, dir), edges)
+        .select(when(col("__st") === 0L, "lpa_round4")
+            .otherwise("refined_1").as("labeling"),
+          col("communities"), col("m_edges"), col("modularity_num"),
+          col("modularity_den"), col("modularity_ppm"))
     }),
 
     // Iterated Louvain to a GAIN FIXPOINT — the production form of the
