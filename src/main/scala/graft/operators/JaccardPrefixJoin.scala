@@ -68,25 +68,6 @@ object JaccardPrefixJoin {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("n") - ceilFrac(col("n"), num, den) + 1)
       .select(col("doc_id"), col("s"))
-    // the ceiling: one tiny histogram aggregate (1 driver-side row)
-    // over the prefix tokens — the SAME frame the candidate join reads,
-    // so the estimate can never drift from the join it guards; pure
-    // integer arithmetic (c·(c−1) div 2 per token, BIGINT sum)
-    val estRow = prefixes.groupBy(col("s"))
-      .agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) DIV 2")).as("pairs"))
-      .head()
-    val est = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
-    if (est > maxCandidatePairs) {
-      cached.unpersist()
-      throw new IllegalArgumentException(
-        s"JaccardPrefixJoin: the prefix-token histogram implies ~$est " +
-          s"candidate pairs (> $maxCandidatePairs) — the lossless pair " +
-          "stream grows with density² and this corpus is too dense for " +
-          "it; prune candidates with LshBandJoin (near-dup verdicts) or " +
-          "compute aggregates with HorizonAgg instead, or raise " +
-          "maxCandidatePairs deliberately")
-    }
     // EXPLICIT-count repartition on the join key: the candidate
     // self-join is CPU-dense (pair enumeration + distinct) but
     // byte-light, so AQE's byte-sized coalescing folds it onto ONE
@@ -103,11 +84,38 @@ object JaccardPrefixJoin {
     // the full n-gram text. A hash collision can only ADD a candidate
     // pair (a superset), never drop one — and the verification below
     // runs on the true shingle sets, so the output is still lossless.
-    val prefixesSpread = prefixes
+    // Materialized ONCE (r21 resume, guide §2.4): the ceiling guard and
+    // BOTH sides of the self-join each re-derived the window-ranked
+    // prefix table (three computations per run — profiled as duplicated
+    // exchange jobs; AQE stage boundaries defeated exchange reuse). The
+    // cut keeps the hash partitioning, so the self-join reads the
+    // blocks exchange-free.
+    val prefixHashed = graft.plans.Checkpoints.cut(prefixes
       .select(col("doc_id"), xxhash64(col("s")).as("hs"))
-      .repartition(nPart, col("hs"))
-    val cand = prefixesSpread.select(col("doc_id").as("doc_a"), col("hs"))
-      .join(prefixesSpread
+      .repartition(nPart, col("hs")))
+    // the ceiling: one tiny histogram aggregate (1 driver-side row)
+    // over the materialized prefix tokens, grouped by the SAME 8-byte
+    // key the candidate join matches on — exact for that join by
+    // construction (the shingle-string histogram undercounted
+    // hash-collision pairs); pure integer arithmetic
+    // (c·(c−1) div 2 per key, BIGINT sum)
+    val estRow = prefixHashed.groupBy(col("hs"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("pairs"))
+      .head()
+    val est = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+    if (est > maxCandidatePairs) {
+      cached.unpersist()
+      throw new IllegalArgumentException(
+        s"JaccardPrefixJoin: the prefix-token histogram implies ~$est " +
+          s"candidate pairs (> $maxCandidatePairs) — the lossless pair " +
+          "stream grows with density² and this corpus is too dense for " +
+          "it; prune candidates with LshBandJoin (near-dup verdicts) or " +
+          "compute aggregates with HorizonAgg instead, or raise " +
+          "maxCandidatePairs deliberately")
+    }
+    val cand = prefixHashed.select(col("doc_id").as("doc_a"), col("hs"))
+      .join(prefixHashed
           .select(col("doc_id").as("doc_b"), col("hs").as("hs_r")),
         col("hs") === col("hs_r") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
@@ -125,8 +133,16 @@ object JaccardPrefixJoin {
     // measured 80 CPU-seconds at sf0.1 where this is one hash
     // intersect per pair. n_a/n_b fall out of the same arrays, so the
     // two size joins go too.
-    val docSets = cached.groupBy(col("doc_id"))
-      .agg(collect_list(col("s")).as("arr"))
+    // materialized ONCE (r21 resume, guide §2.4): the two verification
+    // joins each rebuilt this aggregate from the cached shingle table —
+    // the rename above the exchange specializes each subtree, so
+    // exchange reuse never deduped them (profiled: two identical
+    // single-task collect_list jobs per run). One lineage cut, two
+    // block reads; the operator already persists the same bytes in
+    // `cached`, so the residency posture is unchanged.
+    val docSets = graft.plans.Checkpoints.cut(
+      cached.groupBy(col("doc_id"))
+        .agg(collect_list(col("s")).as("arr")))
     cand
       .join(docSets.select(col("doc_id").as("doc_a"),
         col("arr").as("arr_a")), "doc_a")

@@ -563,8 +563,12 @@ object LabelPropagation {
       // PINNED: the committed flat labels are read by every later
       // phase's flatten/record — a window cut would be evicted (and
       // its reliable-checkpoint files deleted) by the contraction cuts
-      // below while still referenced
-      nodeLab = chain.pin(flatten(lab))
+      // below while still referenced. Phase 1's flatten is the IDENTITY
+      // over the round pin (r21 resume): re-pinning the already-
+      // materialized frame was one extra action per call for bytes the
+      // round pin holds (and its files are already PINNED, so the
+      // reliable policy keeps them for the finisher too).
+      nodeLab = if (phase == 1) lab else chain.pin(flatten(lab))
       phaseMoved = total
       if ((phase < 2 || phaseMoved != 0L) && phase < maxPhases) {
       // contract this level's graph under the phase labeling for the

@@ -126,6 +126,13 @@ object AggQueries extends QueryPack {
     }),
 
     "q_agg_pricing_summary" -> ((s, dir) => {
+      // NO scan spread here (r21 resume: tried per the range_binned
+      // precedent, MEASURED flat-to-worse, reverted): the decimal map
+      // feeds a map-side-combinable aggregate, so the original plan
+      // shuffles ~1 KB of partials — the spread traded that for a
+      // 9 MB row exchange whose write side still ran in the same 3
+      // scan tasks (guide §2.3 "aggregate before you shuffle" beats
+      // §2.5 spreading when the per-row work is one multiply)
       t(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -148,6 +148,13 @@ object WindowQueries extends QueryPack {
     // W6 + P6 + O2: RANK top-3 parts per brand by exact revenue.
     // Ref: materialized_view.sql:57-76
     "q_window_topk_per_group" -> ((s, dir) => {
+      // NO scan spread here (r21 resume: tried per the range_binned
+      // precedent, MEASURED flat-to-worse, reverted): the revenue map
+      // feeds a map-side-combinable aggregate, so the original plan
+      // shuffles only partials — the spread traded that for a 13.5 MB
+      // row exchange (written by the same 3 scan tasks) AND fanned the
+      // partial-agg output 10x (each of 32 tasks emits up to |part|
+      // partial rows; guide §2.3 "aggregate before you shuffle")
       val revenue = t(s, dir, "lineitem")
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_partkey"))
