@@ -282,6 +282,13 @@ object MultimodalQueries extends QueryPack {
         .select(col("doc_id"), col("payload")))
   }
 
+  /** `hs` must be MATERIALIZED by the caller (one lineage cut of the
+    * 16-byte (doc_id, h64) rows — guide §2.3 "fingerprints only"): the
+    * banding and BOTH verify joins consume it, so an un-cut hash frame
+    * re-ran the payload synthesis + native hash kernel once per
+    * consumer (profiled: duplicated ~0.3 s kernel jobs on every
+    * near-dup row; the recall A/B re-ran the kernel up to 7x).
+    */
   private def verifiedPairs(hs: org.apache.spark.sql.DataFrame,
                             bands: org.apache.spark.sql.DataFrame) = {
     graft.operators.LshBandJoin
@@ -370,7 +377,8 @@ object MultimodalQueries extends QueryPack {
     // scan. Oracle = the identical pixel/bit/hash lattice + band join
     // + verify, replayed from the md5 hex.
     "q_multimodal_neardup" -> ((s, dir) => {
-      val hs = neardupHashes(s, dir)
+      // one kernel pass (r21 resume — see verifiedPairs' contract)
+      val hs = graft.plans.Checkpoints.cut(neardupHashes(s, dir))
       verifiedPairs(hs, bandFrame(hs, bandKeys4))
     }),
 
@@ -383,7 +391,9 @@ object MultimodalQueries extends QueryPack {
     // Oracle = the identical pair lattice + a recursive min-label
     // closure.
     "q_multimodal_neardup_canonical" -> ((s, dir) => {
-      val hs = neardupHashes(s, dir)
+      // one kernel pass for the pairs AND the node spine (r21 resume —
+      // see verifiedPairs' contract; was 4 payload+kernel passes)
+      val hs = graft.plans.Checkpoints.cut(neardupHashes(s, dir))
       val pairs = verifiedPairs(hs, bandFrame(hs, bandKeys4))
       val edges = pairs
         .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
@@ -412,7 +422,11 @@ object MultimodalQueries extends QueryPack {
     // cost at 100 TB (the denominator is measured on a sample, and
     // the variant pairs exist inside it by construction).
     "q_multimodal_neardup_recall" -> ((s, dir) => {
-      val hs = neardupHashes(s, dir).where(col("doc_id") % RecallMod === 0)
+      // one kernel pass for BOTH bandings, both verifies and the
+      // saturation guard (r21 resume — see verifiedPairs' contract;
+      // this A/B re-ran the payload+kernel derivation up to 7x)
+      val hs = graft.plans.Checkpoints.cut(
+        neardupHashes(s, dir).where(col("doc_id") % RecallMod === 0))
       val bands7 = bandFrame(hs, bandKeys7)
       val exact = verifiedPairs(hs, bands7)
         .agg(count(lit(1)).as("exact_pairs"))
@@ -476,8 +490,10 @@ object MultimodalQueries extends QueryPack {
     // pair CTEs the dHash row uses.
     "q_multimodal_neardup_phash" -> ((s, dir) => {
       graft.functions.GraftExtensions.install(s)
-      val hs = neardupPayloads(s, dir)
-        .selectExpr("doc_id", "phash64(payload) AS h64")
+      // one pHash/DCT kernel pass (r21 resume — see verifiedPairs'
+      // contract; the DCT is the costliest kernel of the family)
+      val hs = graft.plans.Checkpoints.cut(neardupPayloads(s, dir)
+        .selectExpr("doc_id", "phash64(payload) AS h64"))
       verifiedPairs(hs, bandFrame(hs, bandKeys4))
     }),
 
